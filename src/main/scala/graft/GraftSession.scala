@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] harness but with settings that carry to a
+  * real cluster: AQE on (runtime partition coalescing + skew-join splitting),
+  * shuffle partitions sized to the local core count rather than the 200
+  * default, and UTC session time so event-time results match the DuckDB
+  * oracle byte-for-byte.
+  */
+object GraftSession {
+
+  /** Apply graft's dynamic SQL confs to an existing session (e.g. one built
+    * by the driver's Verify/Bench harness). All of these are runtime-settable
+    * SQLConfs, not static Spark confs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    // events.parquet carries TIMESTAMP(NANOS) which Spark cannot read
+    // natively; read the raw int64 and convert (see Tables.events).
+    c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    c.set("spark.sql.session.timeZone", "UTC")
+    // Broadcast threshold: the dimension tables (region/nation/customer/
+    // supplier/part) are small at every SF we run; at 100 TB the fact tables
+    // (lineitem/orders/events/documents) are the ones that must never be
+    // broadcast, and they exceed any sane threshold anyway.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.dedup
+
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Five tiers, cheapest first. All candidate generation is *blocked* (hash
+  * bucket, LSH band, label partition): the all-pairs join that a naive
+  * implementation would do is O(n²) and is exactly what cannot run at
+  * 100 TB. Every join here is an equijoin on a bucket key → one shuffle
+  * each side, AQE-skew-splittable.
+  */
+object Dedup {
+
+  /** Exact dedup: group on content hash, keep the minimum id. One shuffle on
+    * a 128-bit key; partial aggregation map-side. Output: one row per
+    * distinct content with its keeper and duplicate count.
+    */
+  def exact(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.groupBy(md5(content).as("content_hash"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash-LSH near-dup candidate pairs over word shingles.
+    *
+    * shingle → minhash(k) → band keys(b bands × r rows) → explode bands →
+    * self-equijoin on (band, key) → distinct pairs. Pair probability of
+    * surfacing ≈ 1-(1-s^r)^b for Jaccard s (MMDS ch.3). The heavy md5 work
+    * is one pass per shingle (universal re-hash derives the k functions);
+    * the join is on 48-bit band keys — a skewed band bucket (e.g. many empty
+    * docs) splits under AQE.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = Hashing.minhashSignature(
+      Hashing.wordShingles(TextFunctions.wsTokens(text), shingleWidth),
+      k
+    )
+    val banded = df
+      .select(id.as("doc_id"), Hashing.lshBandKeys(sig, bands, r).as("band_keys"))
+      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "band_key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash near-dup: 48-bit signature per doc; near-dups are signatures
+    * within `maxHamming` bits. Candidate blocking: split the signature into
+    * `maxHamming+1` chunks — any pair within the radius shares at least one
+    * exact chunk (pigeonhole), so the join is again an equijoin on
+    * (chunk_index, chunk_value).
+    */
+  def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), Hashing.simhash48(TextFunctions.wsTokens(text)).as("simhash"))
+
+  def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(df, text, id)
+    val chunks = maxHamming + 1
+    val bitsPerChunk = Hashing.HashBits / chunks
+    val chunked = sigs.select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1))
+        }: _*)
+      ).as(Seq("chunk", "chunk_val"))
+    )
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        Hashing.hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming")
+      )
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity between explicit (docA, docB) pairs —
+    * the verification stage that LSH candidates feed at scale. `pairs` must
+    * expose doc_a/doc_b id columns; `docs` maps id → text.
+    */
+  def ngramJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3
+  ): DataFrame = {
+    val grams = docs.select(id.as("_id"), array_distinct(Hashing.charNgrams(text, n)).as("_grams"))
+    pairs
+      .join(grams.withColumnRenamed("_id", "doc_a").withColumnRenamed("_grams", "grams_a"), Seq("doc_a"))
+      .join(grams.withColumnRenamed("_id", "doc_b").withColumnRenamed("_grams", "grams_b"), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("grams_a"), col("grams_b"))).cast("double"))
+      .withColumn("n_union", size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .withColumn("jaccard", round(when(col("n_union") > 0, col("n_inter") / col("n_union")).otherwise(0.0), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup within blocking buckets. `bucket` is the
+    * blocking key (a label, an LSH sign-projection bucket, an IVF centroid
+    * id …). Pairs above `threshold` survive. The cosine itself is a
+    * per-pair codegen'd fold ([[VectorFunctions.cosine]]); the bucket
+    * equijoin bounds the pair count.
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      bucket: Column,
+      threshold: Double
+  ): DataFrame = {
+    val t = df.select(id.as("vid"), vec.as("v"), bucket.as("bk"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
+      .select(
+        col("a.vid").as("id_a"),
+        col("b.vid").as("id_b"),
+        VectorFunctions.cosineRounded(col("a.v"), col("b.v")).as("cosine")
+      )
+      .where(col("cosine") >= threshold)
+  }
+}

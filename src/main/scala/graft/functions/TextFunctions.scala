@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: language ID,
+  * quality scoring, token counting. All pure column expressions
+  * (codegen'd, no UDFs) so they vectorize inside WholeStageCodegen and are
+  * reproducible verbatim in the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lower-cased text (duplicates preserved). */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Marker stopwords per language, used by the n-gram/stopword language
+    * heuristic. Order matters: ties resolve to the earlier language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "a"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es", "que", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "nicht", "mit", "von")
+  )
+
+  /** CJK codepoint count (CJK Unified Ideographs block). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Heuristic language ID: 'zh' when >20% of characters are CJK; otherwise
+    * the language whose marker-stopword hit-count over the whitespace tokens
+    * is highest (ties -> marker list order); 'und' when no marker hits.
+    */
+  def langId(text: Column): Column = {
+    val tokens = wsTokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.foldRight(struct(lit(0).as("s"), lit("und").as("l"))) {
+      case ((lang, score), acc) =>
+        // strictly-greater keeps the earliest language on ties
+        when(score > acc.getField("s"), struct(score.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(cjkCount(text) * 5 > length(text), lit("zh")).otherwise(best.getField("l"))
+  }
+
+  /** Punctuation-character count (anything not alphanumeric/whitespace). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** English stopword-hit count over whitespace tokens. */
+  def stopwordCount(text: Column): Column = {
+    val en = LangMarkers.head._2
+    size(filter(wsTokens(text), t => t.isin(en.map(lit): _*)))
+  }
+
+  /** Document quality score in [0,1] (rounded to 4 decimals):
+    * weighted blend of length saturation, mean-token-length band,
+    * low punctuation ratio, and a nonzero-but-bounded stopword ratio.
+    * A deterministic analogue of the Gopher/C4-style quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = wsTokens(text)
+    val nToks = size(toks).cast("double")
+    val avgTok = when(nToks > 0, (nChars - (nToks - 1)) / nToks).otherwise(lit(0.0))
+    val lenScore = least(nChars / lit(400.0), lit(1.0))
+    val tokLenScore = when(avgTok >= 3 && avgTok <= 10, lit(1.0)).otherwise(lit(0.5))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 5, lit(0.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nToks, lit(1.0))
+    val stopScore = when(stopRatio > 0.01 && stopRatio < 0.5, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.3 + tokLenScore * 0.2 + punctScore * 0.25 + stopScore * 0.25, 4)
+  }
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric-non-space characters — a cheap deterministic proxy for
+    * subword tokenizer counts.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(wsTokens(text))
+}

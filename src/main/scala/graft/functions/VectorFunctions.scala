@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector primitives over `array<float>` embedding columns.
+  *
+  * All arithmetic is done in double precision with a strict left-to-right
+  * fold (`aggregate`), which both keeps results deterministic across
+  * partitionings (the fold is per-row, not distributed) and matches the
+  * DuckDB oracle's `list_sum(list_transform(...))` evaluation order.
+  *
+  * These are pure Catalyst expressions — at 100 TB the dominant cost is the
+  * pairwise join that *feeds* them, which is why the scale path buckets
+  * candidates first (see [[graft.similarity.KNN]] and
+  * [[graft.dedup.EmbeddingDedup]]).
+  */
+object VectorFunctions {
+
+  /** Left-to-right dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm2(a) * norm2(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Cosine rounded for oracle-stable comparison. */
+  def cosineRounded(a: Column, b: Column, decimals: Int = 4): Column =
+    round(cosine(a, b), decimals)
+
+  /** Coarse LSH bucket for cosine similarity: sign bits of the vector's
+    * projection onto `nBits` fixed pseudo-random hyperplanes. The planes are
+    * derived from the deterministic `Hashing.rehash` stream so the same
+    * buckets are computable in the oracle. Random-hyperplane LSH:
+    * Charikar, "Similarity estimation techniques from rounding algorithms"
+    * (STOC'02).
+    */
+  def signRandomProjection(vec: Column, nBits: Int, dim: Int): Column = {
+    val bits = (0 until nBits).map { b =>
+      // plane weight for (bit b, dim i): +1/-1 from a deterministic hash
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), lit(dim - 1)),
+          (x, i) => {
+            val h = Hashing.rehash(i.cast("long") + lit(1000003L * (b + 1)), b)
+            when(pmod(h, lit(2)) === 0, x.cast("double")).otherwise(-x.cast("double"))
+          }
+        ),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(proj > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

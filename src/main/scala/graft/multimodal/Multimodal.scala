@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed by per-partition batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[fakeDecodeFeatures]]) — but the
+  * Spark-side plumbing is real and what matters at scale:
+  *
+  *  - payloads travel as `BinaryType` inside rows (columnar parquet keeps
+  *    them out of the scan unless projected);
+  *  - metadata is a typed struct column, filterable *without* touching
+  *    bytes (predicate pushdown on `meta.kind` prunes payload IO);
+  *  - heavy per-item work runs via `mapPartitions` on an iterator — the
+  *    Scala analogue of `mapInPandas`: batch-shaped, no per-row UDF setup,
+  *    arbitrary native-lib calls allowed inside the partition closure;
+  *  - feature output is a fixed-width `array<double>` ready for the
+  *    [[graft.similarity.KNN]] path.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = false),   // image|audio|video
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("source", StringType, nullable = true)
+    )), nullable = false)
+  ))
+
+  /** Build a media table from the documents table: payload = UTF-8 bytes of
+    * the text (a deterministic stand-in for real image/audio bytes).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        // deterministic fake modality from the id
+        element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("source")
+      ).as("meta")
+    )
+
+  /** STUB — deterministic fake for the decode/feature-extract step.
+    *
+    * In production this closure would call the real codec (JPEG decode,
+    * resample, frame-sample) on each payload; the container ships no codecs,
+    * so features are derived arithmetically from the bytes: feature j of an
+    * n-byte payload is the mean of bytes in the j-th of 8 equal chunks,
+    * normalized to [0,1]. Deterministic, schema-correct, and exercises the
+    * full mapPartitions batch path.
+    */
+  val FeatureDim = 8
+
+  def fakeDecodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("features", ArrayType(DoubleType, containsNull = false), nullable = true)
+    ))
+    val rdd = media.select(col("media_id"), col("payload"), col("meta.kind")).rdd.mapPartitions { rows =>
+      // batch shape: the whole partition is one iterator — codec/session
+      // setup (the expensive part with a real decoder) happens once here.
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val kind = r.getString(2)
+        val n = bytes.length
+        val feats = (0 until FeatureDim).map { j =>
+          val lo = j * n / FeatureDim
+          val hi = ((j + 1) * n / FeatureDim).max(lo + 1).min(n)
+          if (lo >= n) 0.0
+          else {
+            var s = 0L
+            var i = lo
+            while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
+            math.rint(s.toDouble / (hi - lo) / 255.0 * 10000) / 10000
+          }
+        }.toArray
+        Row(id, kind, n.toLong, feats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+}

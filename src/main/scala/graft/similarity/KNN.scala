@@ -1,0 +1,75 @@
+package graft.similarity
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k via broadcast of the (small)
+  *    query set against the (huge) corpus — the corpus is never shuffled;
+  *    each partition scores its rows against the broadcast queries and a
+  *    per-query window keeps k. Correct baseline and the recall oracle.
+  *  - [[lshTopK]]: sign-random-projection buckets (Charikar hyperplane LSH)
+  *    computed per row map-side; queries probe only their own bucket —
+  *    the 100 TB path where scoring every corpus row is off the table.
+  *    Recall tunes with `nBits` (fewer bits → bigger buckets → higher
+  *    recall, more compute).
+  */
+object KNN {
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * (it is broadcast). Ties break on neighbor id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int
+  ): DataFrame = {
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"))
+    val q = queries.select(id.as("q_id"), vec.as("q_vec"))
+    val scored = c
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("cosine")
+      )
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Bucketed ANN: corpus and queries are both hashed to sign-projection
+    * buckets; scoring happens only within a bucket. Returns the same schema
+    * as [[bruteForceTopK]] (rank within bucket).
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      nBits: Int,
+      dim: Int
+  ): DataFrame = {
+    val bucketOf = (v: Column) => VectorFunctions.signRandomProjection(v, nBits, dim)
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"), bucketOf(vec).as("bucket"))
+    val q = queries.select(id.as("q_id"), vec.as("q_vec"), bucketOf(vec).as("bucket"))
+    val scored = c
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("cosine")
+      )
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}
