@@ -1,0 +1,241 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{Hashing, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.similarity.KNN
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline queries (dedup, similarity search, text analysis,
+  * multimodal) with DuckDB oracles. The oracle SQL reproduces graft's
+  * portable 48-bit hashing ([[Hashing.hash48]]) character-by-character, so
+  * even the MinHash-LSH candidate pairs hash-match across engines.
+  */
+object ExtensionQueries {
+
+  /** DuckDB rendition of [[Hashing.hash48]]: fold the first 12 hex chars of
+    * md5 into a BIGINT.
+    */
+  private def duckHash48(e: String): String =
+    s"list_sum([ (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)::BIGINT << (4*(12-i)) for i in range(1,13)])"
+
+  private val duckToks =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  // --- dedup ------------------------------------------------------------
+
+  private def q20DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  private def q21MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  private def q22Simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  /** Consecutive-id pairs scored by exact char-3-gram Jaccard — the
+    * verification stage an LSH candidate feed composes with at scale.
+    */
+  private def q23NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+    Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"))
+  }
+
+  private def q24EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), col("label"), 0.3
+    )
+
+  // --- similarity search ------------------------------------------------
+
+  private def q25AnnTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    KNN.bruteForceTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
+  }
+
+  /** LSH-bucketed ANN — the 100 TB scale path (no oracle: bucket membership
+    * is engine-internal; correctness is covered by the recall spec against
+    * q25 in the test suite).
+    */
+  private def q31AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    KNN.lshTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10, 4, 64)
+  }
+
+  // --- text analysis ----------------------------------------------------
+
+  private def q26LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+
+  private def q27Quality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality")
+    )
+
+  private def q28Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+      TextFunctions.regexTokenCount(col("text")).cast("long").as("bpe_tokens")
+    )
+
+  private def q29Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Hashing.fingerprint(col("text"), 8).as("fingerprint")
+    )
+
+  // --- multimodal -------------------------------------------------------
+
+  private def q30Multimodal(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromDocuments(Tables.documents(s, d))
+    Multimodal.fakeDecodeFeatures(media)
+      .select(
+        col("media_id"), col("kind"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("feat_idx", "feat_val"))
+      )
+      .withColumn("feat_idx", col("feat_idx").cast("long"))
+  }
+
+  // --- registry ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact" -> (q20DedupExact _),
+    "q21_dedup_minhash" -> (q21MinhashLsh _),
+    "q22_dedup_simhash" -> (q22Simhash _),
+    "q23_ngram_jaccard" -> (q23NgramJaccard _),
+    "q24_embed_neardup" -> (q24EmbedNearDup _),
+    "q25_ann_topk" -> (q25AnnTopK _),
+    "q26_langid" -> (q26LangId _),
+    "q27_quality" -> (q27Quality _),
+    "q28_tokens" -> (q28Tokens _),
+    "q29_fingerprint" -> (q29Fingerprint _),
+    "q30_multimodal" -> (q30Multimodal _),
+    "q31_ann_lsh" -> (q31AnnLsh _)
+  )
+
+  // DuckDB oracle fragments ------------------------------------------------
+
+  private def minhashSigExpr: String = {
+    val terms = (0 until 12).map { j =>
+      val (a, b) = Hashing.hashParams(j)
+      s"coalesce(list_min(list_transform(base, h -> ($a*h + $b) % ${Hashing.Prime})), ${Hashing.Prime})"
+    }
+    terms.mkString("[", ", ", "]")
+  }
+
+  private def minhashBandArms: String =
+    (0 until 4).map { b =>
+      val i0 = 3 * b + 1
+      val joined = s"sig[$i0]::VARCHAR || ',' || sig[${i0 + 1}]::VARCHAR || ',' || sig[${i0 + 2}]::VARCHAR"
+      s"SELECT doc_id, $b AS band, ${duckHash48(s"($joined)")} AS band_key FROM sigs"
+    }.mkString(" UNION ALL ")
+
+  private val duckDot =
+    "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+  private val duckNormA = "sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+  private val duckNormB = "sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+  private val duckCos = s"round($duckDot / ($duckNormA * $duckNormB), 4)"
+
+  private def markers(lang: String): String =
+    TextFunctions.LangMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ",", "]")
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups FROM documents GROUP BY 1",
+    "q21_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  ELSE [] END AS shingles FROM toks),
+         |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base FROM sh),
+         |sigs AS (SELECT doc_id, $minhashSigExpr AS sig FROM hb),
+         |banded AS ($minhashBandArms)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q22_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks, t -> ${duckHash48("t")}) AS hs FROM toks)
+         |SELECT doc_id, list_sum([CASE WHEN coalesce(list_sum(list_transform(hs,
+         |  v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |  THEN 1::BIGINT << b ELSE 0::BIGINT END for b in range(0, 48)])::BIGINT AS simhash
+         |FROM h""".stripMargin,
+    "q23_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(coalesce(len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / nullif(len(list_distinct(a.grams || b.grams)), 0), 0.0), 4) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q24_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $duckCos >= 0.3""".stripMargin,
+    "q25_ann_topk" ->
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |  WHERE a.vec_id < 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q26_langid" ->
+      s"""WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  len(list_filter(toks, x -> list_contains(${markers("en")}, x))) AS s_en,
+         |  len(list_filter(toks, x -> list_contains(${markers("fr")}, x))) AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(${markers("es")}, x))) AS s_es,
+         |  len(list_filter(toks, x -> list_contains(${markers("de")}, x))) AS s_de
+         | FROM t)
+         |SELECT doc_id, CASE
+         | WHEN len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5 > len(text) THEN 'zh'
+         | WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+         | WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         | WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         | WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred FROM s""".stripMargin,
+    "q27_quality" ->
+      s"""WITH t AS (SELECT doc_id, len(text)::DOUBLE AS n_chars,
+         |  len($duckToks)::DOUBLE AS n_toks,
+         |  len(list_filter($duckToks, x -> list_contains(${markers("en")}, x)))::DOUBLE AS n_stop,
+         |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+         | FROM documents)
+         |SELECT doc_id, n_toks::BIGINT AS n_tokens,
+         | round(
+         |   least(n_chars / 400.0, 1.0) * 0.3
+         |   + (CASE WHEN n_toks > 0 AND (n_chars - (n_toks - 1)) / n_toks BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2
+         |   + greatest(1.0 - (n_punct / greatest(n_chars, 1.0)) * 5, 0.0) * 0.25
+         |   + (CASE WHEN n_stop / greatest(n_toks, 1.0) > 0.01 AND n_stop / greatest(n_toks, 1.0) < 0.5 THEN 1.0 ELSE 0.5 END) * 0.25
+         | , 5) AS quality FROM t""".stripMargin,
+    "q28_tokens" ->
+      s"""SELECT doc_id,
+         | len($duckToks)::BIGINT AS ws_tokens,
+         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "q29_fingerprint" ->
+      s"""SELECT doc_id,
+         | coalesce(list_min([ ${duckHash48("substr(text, oi, 8)")} for oi in range(1, greatest(len(text)-6, 1))]),
+         |          ${Hashing.Prime})::BIGINT AS fingerprint
+         |FROM documents""".stripMargin,
+    "q30_multimodal" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+        |  len(text)::BIGINT AS n_bytes, text FROM documents),
+        |j AS (SELECT unnest(range(0, 8)) AS feat_idx)
+        |SELECT media_id, kind, n_bytes, feat_idx,
+        | coalesce(list_sum([ascii(substr(text, p::INT, 1)) for p in
+        |   range((feat_idx * n_bytes) // 8 + 1,
+        |         greatest((feat_idx * n_bytes) // 8 + 2,
+        |                  least(((feat_idx + 1) * n_bytes) // 8, n_bytes) + 1))]), 0)::DOUBLE AS feat_val
+        |FROM m CROSS JOIN j""".stripMargin
+    // q31_ann_lsh: intentionally no oracle — rows-only check; recall is
+    // asserted against q25 in KNNSpec.
+  )
+}

@@ -232,7 +232,9 @@ object SparkEntry {
 
   // --- registry ---------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtensionQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_map" -> (q01Map _),
     "q02_filter" -> (q02Filter _),
     "q03_flatmap" -> (q03FlatMap _),
@@ -254,7 +256,9 @@ object SparkEntry {
     "q19_fold_concat" -> (q19FoldConcat _)
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ ExtensionQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_map" ->
       """SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS ret_flag,
         | round(l_extendedprice * (1 - l_discount), 4) AS revenue FROM lineitem""".stripMargin,

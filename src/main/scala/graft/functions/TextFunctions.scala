@@ -37,9 +37,10 @@ object TextFunctions {
     val scores = LangMarkers.map { case (lang, markers) =>
       lang -> size(filter(tokens, t => t.isin(markers.map(lit): _*)))
     }
-    val best = scores.foldRight(struct(lit(0).as("s"), lit("und").as("l"))) {
-      case ((lang, score), acc) =>
-        // strictly-greater keeps the earliest language on ties
+    // left fold in marker order with strictly-greater replacement: the
+    // earliest language wins ties, and an all-zero score stays 'und'.
+    val best = scores.foldLeft(struct(lit(0).as("s"), lit("und").as("l"))) {
+      case (acc, (lang, score)) =>
         when(score > acc.getField("s"), struct(score.as("s"), lit(lang).as("l"))).otherwise(acc)
     }
     when(cjkCount(text) * 5 > length(text), lit("zh")).otherwise(best.getField("l"))
@@ -71,7 +72,7 @@ object TextFunctions {
     val punctScore = greatest(lit(1.0) - punctRatio * 5, lit(0.0))
     val stopRatio = stopwordCount(text).cast("double") / greatest(nToks, lit(1.0))
     val stopScore = when(stopRatio > 0.01 && stopRatio < 0.5, lit(1.0)).otherwise(lit(0.5))
-    round(lenScore * 0.3 + tokLenScore * 0.2 + punctScore * 0.25 + stopScore * 0.25, 4)
+    round(lenScore * 0.3 + tokLenScore * 0.2 + punctScore * 0.25 + stopScore * 0.25, 5)
   }
 
   /** BPE-ish token count: runs of letters, runs of digits, or single

