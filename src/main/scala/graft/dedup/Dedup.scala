@@ -41,17 +41,46 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = Hashing.minhashSignature(
-      Hashing.wordShingles(TextFunctions.wsTokens(text), shingleWidth),
-      k
+    // Relational formulation, deliberately: explode shingles to rows and
+    // hash each ONCE as a scalar, then k min-aggregates per doc. The
+    // all-in-one nested-array-lambda form re-evaluates the md5 pipeline
+    // k×bands times per row wherever codegen subexpression elimination
+    // doesn't reach (measured 37 ms/row under posexplode — a 70× blowup),
+    // and CollapseProject re-inlines any attempt to stage it in projections.
+    // Rows-then-aggregate is also the 100 TB shape: one shuffle on doc_id
+    // with map-side partial mins, no wide arrays held per row.
+    // (Docs with < shingleWidth tokens have no shingles and are excluded —
+    // an empty document is not a near-dup candidate.)
+    val shingleRows = df.select(
+      id.as("doc_id"),
+      explode(Hashing.wordShingles(TextFunctions.wsTokens(text), shingleWidth)).as("sh")
     )
-    val banded = df
-      .select(id.as("doc_id"), Hashing.lshBandKeys(sig, bands, r).as("band_keys"))
-      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "band_key")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val hashed = shingleRows.select(col("doc_id"), Hashing.hash48(col("sh")).as("h"))
+    val sigAggs = (0 until k).map(i => min(Hashing.rehash(col("h"), i)).as(s"m$i"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val joined = concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
+      Hashing.hash48(joined)
+    }
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
+    // Bucket-and-expand instead of a self-join: one shuffle on (band, key),
+    // no recomputation of the hashing pipeline for a second join side, and
+    // pair generation is a per-bucket array expansion. Bucket size is the
+    // knob that bounds worst-case pair count at 100 TB (cap oversized
+    // buckets upstream if the corpus has boilerplate-heavy content).
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(
+        col("ids"),
+        (x, i) => transform(
+          slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b"))
+        )
+      ))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -124,14 +153,20 @@ object Dedup {
       bucket: Column,
       threshold: Double
   ): DataFrame = {
-    val t = df.select(id.as("vid"), vec.as("v"), bucket.as("bk"))
+    // Norms are staged below the join: computed once per vector instead of
+    // once per pair (the join node blocks CollapseProject from re-inlining
+    // the fold). Only the dot product remains per-pair work.
+    val t = df.select(id.as("vid"), vec.as("v"), bucket.as("bk"),
+      VectorFunctions.norm2(vec).as("nrm"))
     val a = t.as("a")
     val b = t.as("b")
+    val n = col("a.nrm") * col("b.nrm")
     a.join(b, col("a.bk") === col("b.bk") && col("a.vid") < col("b.vid"))
       .select(
         col("a.vid").as("id_a"),
         col("b.vid").as("id_b"),
-        VectorFunctions.cosineRounded(col("a.v"), col("b.v")).as("cosine")
+        round(when(n > 0, VectorFunctions.dot(col("a.v"), col("b.v")) / n).otherwise(lit(0.0)), 4)
+          .as("cosine")
       )
       .where(col("cosine") >= threshold)
   }

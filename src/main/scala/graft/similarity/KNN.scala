@@ -30,14 +30,17 @@ object KNN {
       vec: Column,
       k: Int
   ): DataFrame = {
-    val c = corpus.select(id.as("n_id"), vec.as("n_vec"))
-    val q = queries.select(id.as("q_id"), vec.as("q_vec"))
+    // Norms staged below the join: once per vector, not per (query, row).
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"), VectorFunctions.norm2(vec).as("n_nrm"))
+    val q = queries.select(id.as("q_id"), vec.as("q_vec"), VectorFunctions.norm2(vec).as("q_nrm"))
+    val nn = col("q_nrm") * col("n_nrm")
     val scored = c
       .join(broadcast(q), col("q_id") =!= col("n_id"))
       .select(
         col("q_id"),
         col("n_id"),
-        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("cosine")
+        round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
+          .as("cosine")
       )
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored
@@ -59,15 +62,19 @@ object KNN {
       dim: Int
   ): DataFrame = {
     val bucketOf = (v: Column) => VectorFunctions.signRandomProjection(v, nBits, dim)
-    val c = corpus.select(id.as("n_id"), vec.as("n_vec"), bucketOf(vec).as("bucket"))
-    val q = queries.select(id.as("q_id"), vec.as("q_vec"), bucketOf(vec).as("bucket"))
+    val c = corpus.select(id.as("n_id"), vec.as("n_vec"), bucketOf(vec).as("bucket"),
+      VectorFunctions.norm2(vec).as("n_nrm"))
+    val q = queries.select(id.as("q_id"), vec.as("q_vec"), bucketOf(vec).as("bucket"),
+      VectorFunctions.norm2(vec).as("q_nrm"))
+    val nn = col("q_nrm") * col("n_nrm")
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .select(
         col("q_id"),
         col("n_id"),
-        VectorFunctions.cosineRounded(col("q_vec"), col("n_vec")).as("cosine")
+        round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
+          .as("cosine")
       )
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -1,0 +1,88 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{Hashing, TextFunctions}
+import graft.similarity.KNN
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity semantics on crafted inputs. */
+class DedupKnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and once"),  // near dup of 0
+    (3L, "completely different words appear here with nothing shared at all"),
+    (4L, "der hund und die katze und das haus und der garten und")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").select("keep_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical -> all bands agree
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never surfaces
+  }
+
+  test("simhash of identical docs equal; hamming to near-dup small, to unrelated large") {
+    val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    val hNear = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val hFar = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hNear < hFar)
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint~0") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.ngramJaccard(pairs, docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((0L, 3L)) < 0.2)
+  }
+
+  test("brute-force KNN: self excluded, ranks descend, k respected") {
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = KNN.bruteForceTopK(emb, emb.where(col("vec_id") < 2), col("vec_id"), col("embedding"), 5)
+    val rows = out.as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(r => r._1 == r._2))
+    val perQ = rows.groupBy(_._1)
+    perQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(-_).toSeq) // cosine desc by rank
+    }
+  }
+
+  test("LSH KNN buckets: results are a subset of the corpus with sane scores") {
+    val emb = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = KNN.lshTopK(emb, emb.where(col("vec_id") < 3), col("vec_id"), col("embedding"), 5, 3, 8)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.forall(r => r._3 <= 1.0001 && r._3 >= -1.0001))
+    assert(out.forall(r => r._1 != r._2))
+  }
+
+  test("langId picks marker-dominant language; und when no markers") {
+    val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "en")
+    assert(out(4L) == "de")
+    assert(out(3L) == "und" || out(3L) == "en") // 'at' not a marker; may hit none
+  }
+
+  test("hash48 is stable and 48-bit bounded") {
+    val h = Seq("abc").toDF("s").select(Hashing.hash48(col("s"))).as[Long].head()
+    assert(h == 158335321521362L) // == int('900150983cd2', 16), cross-checked in DuckDB
+    assert(h >= 0 && h < (1L << 48))
+  }
+}

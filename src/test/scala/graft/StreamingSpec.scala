@@ -1,0 +1,126 @@
+package graft
+
+import graft.streaming.StreamingFlows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-profile semantics via MemoryStream + memory sink — the
+  * deterministic analogue of the reference's channel-harness tests
+  * (flow/flow_test.go:62-74 ingestDeferred).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(name: String)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val q = start
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  test("foldRunning emits the accumulator after every element per key (flow/fold.go:83-90)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val out = StreamingFlows.foldRunning[String, (String, Int), Int](_._1, 0, (acc, v) => acc + v._2)
+      .apply(in.toDS()).toDF("key", "acc")
+    drain("fold_out") {
+      val q = out.writeStream.format("memory").queryName("fold_out").outputMode("append").start()
+      in.addData(("a", 1), ("a", 2), ("b", 10))
+      q
+    }
+    val rows = spark.table("fold_out").as[(String, Int)].collect().sorted
+    assert(rows.toSeq == Seq(("a", 1), ("a", 3), ("b", 10)))
+  }
+
+  test("batchCountOrTime: count trigger closes full batches, remainder stays buffered (flow/batch.go:86-96)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingFlows.batchCountOrTime[Int, String](_ => 1, maxBatchSize = 4, maxLatencyMs = 60000)
+      .apply(in.toDS()).map { case (_, batch) => batch.mkString(",") }.toDF("batch")
+    // NOTE: with ProcessingTimeTimeout registered, the engine keeps running
+    // empty micro-batches to evaluate timers, so processAllAvailable never
+    // settles — poll the sink with a deadline instead.
+    val q = out.writeStream.format("memory").queryName("batch_out").outputMode("append").start()
+    try {
+      in.addData("a", "b", "c", "d", "e", "f", "g", "h", "i")
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("batch_out").count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      // 9 elements, batch=4: two full batches emitted; "i" awaits count-or-timeout
+      val rows = spark.table("batch_out").as[String].collect().toSeq.sorted
+      assert(rows == Seq("a,b,c,d", "e,f,g,h"))
+    } finally q.stop()
+  }
+
+  test("batchCountOrTime: time trigger flushes the partial batch (flow/batch.go:89-96)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingFlows.batchCountOrTime[Int, String](_ => 1, maxBatchSize = 100, maxLatencyMs = 2000)
+      .apply(in.toDS()).map { case (_, batch) => batch.mkString(",") }.toDF("batch")
+    val q = out.writeStream.format("memory").queryName("batch_time_out").outputMode("append").start()
+    try {
+      in.addData("x", "y", "z")
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("batch_time_out").count() < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val rows = spark.table("batch_time_out").as[String].collect().toSeq
+      assert(rows == Seq("x,y,z")) // flushed by the processing-time timer, not count
+    } finally q.stop()
+  }
+
+  test("event-time tumbling window with watermark closes and drops late data (flow/sliding_window.go:162-165)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StreamingFlows.tumbling("_1", "1 minute", "30 seconds", Nil,
+      Seq(sort_array(collect_list(col("_2"))).as("vs")))(in.toDF())
+      .select(col("window.start").cast("long").as("s"), col("vs"))
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:10"), "a"), (ts("2024-01-01 00:00:40"), "b"))
+      q.processAllAvailable()
+      // watermark advances past 00:01:00+30s -> first window closes
+      in.addData((ts("2024-01-01 00:02:00"), "c"))
+      q.processAllAvailable()
+      // this event is older than the watermark -> dropped (late data)
+      in.addData((ts("2024-01-01 00:00:20"), "late"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:05:00"), "d"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").as[(Long, Seq[String])].collect().toMap
+      val t0 = ts("2024-01-01 00:00:00").getTime / 1000
+      assert(rows(t0) == Seq("a", "b")) // closed window excludes the late event
+      assert(rows.contains(t0 + 120))
+    } finally q.stop()
+  }
+
+  test("throttleDiscard caps elements per key within a period (flow/throttler.go:119-124)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = StreamingFlows.throttleDiscard[Int, String](_ => 1, quota = 3, periodMs = 3600000L)
+      .apply(in.toDS()).toDF("v")
+    drain("thr_out") {
+      val q = out.writeStream.format("memory").queryName("thr_out").outputMode("append").start()
+      in.addData("a", "b", "c", "d", "e")
+      q
+    }
+    assert(spark.table("thr_out").count() == 3)
+  }
+
+  test("session window streaming closes after gap + watermark (flow/session_window.go:102-125)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = StreamingFlows.session("_1", "30 seconds", "10 seconds", Seq(col("_2")),
+      Seq(count(lit(1)).as("n")))(in.toDF())
+      .select(col("_2").as("u"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData((ts("2024-01-01 00:00:00"), "u1"), (ts("2024-01-01 00:00:10"), "u1"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:10:00"), "u1")) // advance watermark, close session
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:20:00"), "u1")) // close the second session too
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[(String, Long)].collect().toSeq
+      assert(rows.contains(("u1", 2L)))
+    } finally q.stop()
+  }
+}
