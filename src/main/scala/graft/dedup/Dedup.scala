@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -41,20 +42,34 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    // Relational formulation, deliberately: explode shingles to rows and
-    // hash each ONCE as a scalar, then k min-aggregates per doc. The
-    // all-in-one nested-array-lambda form re-evaluates the md5 pipeline
-    // k×bands times per row wherever codegen subexpression elimination
-    // doesn't reach (measured 37 ms/row under posexplode — a 70× blowup),
-    // and CollapseProject re-inlines any attempt to stage it in projections.
-    // Rows-then-aggregate is also the 100 TB shape: one shuffle on doc_id
-    // with map-side partial mins, no wide arrays held per row.
+    // Relational formulation, deliberately. Two measured pitfalls shape it:
+    // (1) the all-in-one nested-array-lambda form re-evaluates the md5
+    // pipeline k×bands times per row wherever codegen subexpression
+    // elimination doesn't reach (37 ms/row under posexplode — 70×), and
+    // CollapseProject re-inlines any attempt to stage it in projections;
+    // (2) building shingle strings inside array lambdas (slice + concat_ws
+    // per element under Generate) runs interpreted (~13 µs/shingle — 5×).
+    // So: explode TOKENS (cheap generator), form shingles with lead()
+    // windows (codegen'd scalars), hash each once, then k min-aggregates.
+    // The lead-window's doc_id partitioning is reused by the signature
+    // groupBy — net one shuffle of token rows plus the bucket shuffle,
+    // which is also the 100 TB shape: map-side partial mins, no wide
+    // arrays held per row.
     // (Docs with < shingleWidth tokens have no shingles and are excluded —
     // an empty document is not a near-dup candidate.)
-    val shingleRows = df.select(
+    val tokRows = df.select(
       id.as("doc_id"),
-      explode(Hashing.wordShingles(TextFunctions.wsTokens(text), shingleWidth)).as("sh")
+      posexplode(TextFunctions.wsTokens(text)).as(Seq("pos", "tok"))
     )
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until shingleWidth).map(j => lead(col("tok"), j).over(w))
+    val shingleRows = tokRows
+      .select(
+        col("doc_id"),
+        concat_ws(" ", col("tok") +: leads: _*).as("sh"),
+        leads.last.as("guard")
+      )
+      .where(col("guard").isNotNull)
     val hashed = shingleRows.select(col("doc_id"), Hashing.hash48(col("sh")).as("h"))
     val sigAggs = (0 until k).map(i => min(Hashing.rehash(col("h"), i)).as(s"m$i"))
     val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)

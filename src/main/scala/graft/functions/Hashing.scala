@@ -26,9 +26,20 @@ object Hashing {
 
   val HashBits = 48
 
-  /** First 12 hex chars of md5 as a non-negative long (48 bits). */
-  def hash48(c: Column): Column =
+  /** First 12 hex chars of md5 as a non-negative long (48 bits).
+    * Declarative form — reference semantics; [[hash48]] is the native
+    * codegen expression with identical values.
+    */
+  def hash48Decl(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Native form ([[graft.plans.Hash48F]]): one md5 digest, first 6 bytes
+    * big-endian — no hex string, no substring, no base-16 parse.
+    */
+  def hash48(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.Hash48F(org.apache.spark.sql.GraftBridge.expression(c.cast("string")))
+    )
 
   /** Mersenne prime 2^31 - 1; universal-hash modulus. */
   val Prime: Long = 2147483647L

@@ -17,12 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Left-to-right dot product of two float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right dot product of two float-array columns, in double.
+    *
+    * Declarative fold form — kept as the reference semantics and for
+    * sessions without graft's expressions; [[dotNative]] is the fused
+    * codegen form with bit-identical results.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v
+    )
+
+  /** Native codegen'd dot product ([[graft.plans.DotProductF]]): one fused
+    * loop over the two arrays instead of per-element lambda dispatch.
+    * Identical accumulation order → identical doubles → oracle-safe.
+    */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.DotProductF(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)
+      )
     )
 
   def norm2(a: Column): Column = sqrt(dot(a, a))

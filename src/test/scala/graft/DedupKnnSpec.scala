@@ -80,6 +80,26 @@ class DedupKnnSpec extends SparkSpec {
     assert(out(3L) == "und" || out(3L) == "en") // 'at' not a marker; may hit none
   }
 
+  test("native DotProductF equals the declarative fold bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val vecs = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(64)(j => (math.sin(i * 64 + j) * 100).toFloat))
+    }.toDF("id", "v")
+    val paired = vecs.as("a").join(vecs.as("b"), col("a.id") < col("b.id"))
+    val diff = paired.select(
+      (VectorFunctions.dot(col("a.v"), col("b.v")) -
+        VectorFunctions.dotFold(col("a.v"), col("b.v"))).as("d")
+    ).where(col("d") =!= 0.0).count()
+    assert(diff == 0) // identical accumulation order -> identical doubles
+  }
+
+  test("graft_dot registered for SQL via DotProductF.register / GraftExtensions") {
+    graft.plans.DotProductF.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b").createOrReplaceTempView("vv")
+    val r = spark.sql("SELECT graft_dot(a, b) AS d FROM vv").as[Double].head()
+    assert(r == 32.0)
+  }
+
   test("hash48 is stable and 48-bit bounded") {
     val h = Seq("abc").toDF("s").select(Hashing.hash48(col("s"))).as[Long].head()
     assert(h == 158335321521362L) // == int('900150983cd2', 16), cross-checked in DuckDB
