@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{CoreFlows, Topology}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based laws the reference's test suite lacks (SURVEY.md §5):
+  * algebraic invariants over randomized (seeded, reproducible) inputs.
+  * Uses raw ScalaCheck generators — the scalatest bridge artifact is not
+  * in the offline dependency cache.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val intLists = Gen.listOfN(30, Gen.chooseNum(-1000, 1000))
+
+  test("Fold law: running sum is a prefix sum and ends at the total (flow/fold.go:78-82)") {
+    samples(intLists, 5).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.zipWithIndex.toDF("v", "i")
+      val out = CoreFlows.foldRunningAgg(sum, col("v"), Nil, Seq(col("i")), "acc")(df)
+        .orderBy("i").select("acc").as[Long].collect()
+      assert(out.last == xs.map(_.toLong).sum)
+      out.zip(xs).zipWithIndex.foreach { case ((acc, x), i) =>
+        val prev = if (i == 0) 0L else out(i - 1)
+        assert(acc == prev + x)
+      }
+    }
+  }
+
+  test("Merge preserves the multiset (flow/util.go:84-105)") {
+    samples(Gen.zip(intLists, intLists), 5).foreach { case (xs, ys) =>
+      val merged = Topology.merge(Seq(xs.toDF("v"), ys.toDF("v")))
+        .as[Int].collect().sorted.toSeq
+      assert(merged == (xs ++ ys).sorted)
+    }
+  }
+
+  test("Split is a partition: branches disjoint, union = input (flow/util.go:23-41)") {
+    samples(intLists, 5).foreach { xs =>
+      val df = xs.toDF("v")
+      val (t, f) = Topology.split(df, col("v") % 3 === 0)
+      val ts = t.as[Int].collect().toSeq
+      val fs = f.as[Int].collect().toSeq
+      assert(ts.forall(_ % 3 == 0) && fs.forall(_ % 3 != 0))
+      assert((ts ++ fs).sorted == xs.sorted)
+    }
+  }
+
+  test("Flatten inverts grouping: explode(collect) = identity multiset") {
+    samples(intLists, 5).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.zipWithIndex.toDF("v", "i")
+      val nested = df.groupBy(col("i") % 5).agg(collect_list(col("v")).as("arr"))
+      val out = CoreFlows.flatten(col("arr"), "v")(nested).as[Int].collect().toSeq
+      assert(out.sorted == xs.sorted)
+    }
+  }
+
+  test("ZipWith output length = max input length; zero-fill beyond shorter (flow/flow_test.go:296-369)") {
+    samples(Gen.zip(Gen.chooseNum(1, 15), Gen.chooseNum(1, 15)), 5).foreach { case (n, m) =>
+      val a = (1 to n).toDF("a")
+      val b = (1 to m).toDF("b")
+      val out = Topology.zipWith(spark, Seq(
+        (a, Seq(col("a")), Map("a" -> lit(0))),
+        (b, Seq(col("b")), Map("b" -> lit(0)))
+      )).orderBy("__idx").select("a", "b").as[(Int, Int)].collect()
+      assert(out.length == math.max(n, m))
+      out.zipWithIndex.foreach { case ((x, y), i) =>
+        assert(x == (if (i < n) i + 1 else 0))
+        assert(y == (if (i < m) i + 1 else 0))
+      }
+    }
+  }
+}
