@@ -30,6 +30,14 @@ object GraftSession {
     // (lineitem/orders/events/documents) are the ones that must never be
     // broadcast, and they exceed any sane threshold anyway.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // native functions + the dot-product fusion rule, for sessions not
+    // built with spark.sql.extensions=graft.plans.GraftExtensions
+    graft.plans.DotProductF.register(spark)
+    graft.plans.Hash48F.register(spark)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseDotProduct
+    }
     spark
   }
 

@@ -95,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier(DotProductF.name), DotProductF.info, DotProductF.builder))
     e.injectFunction((FunctionIdentifier(Hash48F.name), Hash48F.info, Hash48F.builder))
+    e.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

@@ -66,4 +66,9 @@ object Hash48F {
     require(exprs.length == 1, s"$name expects 1 argument")
     Hash48F(exprs.head)
   }
+
+  /** Session-level registration (SQL: `SELECT graft_hash48(s)`), idempotent. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

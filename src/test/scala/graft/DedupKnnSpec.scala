@@ -100,6 +100,21 @@ class DedupKnnSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("FuseDotProduct rule rewrites the declarative fold into graft_dot") {
+    import graft.functions.VectorFunctions
+    // must be a non-local source: ConvertToLocalRelation constant-folds
+    // literal inputs before user-provided rules run
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(VectorFunctions.dotFold(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dot"), s"rule did not fire:\n$plan")
+    // and the fused value equals the native path
+    val both = emb.select(
+      VectorFunctions.dotFold(col("embedding"), col("embedding")).as("f"),
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("n"))
+    assert(both.where(col("f") =!= col("n")).count() == 0)
+  }
+
   test("hash48 is stable and 48-bit bounded") {
     val h = Seq("abc").toDF("s").select(Hashing.hash48(col("s"))).as[Long].head()
     assert(h == 158335321521362L) // == int('900150983cd2', 16), cross-checked in DuckDB
