@@ -78,6 +78,13 @@ object Sinks {
   def memoryStream(name: String, outputMode: String = "append"): StreamSink =
     df => df.writeStream.format("memory").queryName(name).outputMode(outputMode).start()
 
+  /** WriterSink analogue (extension/sink_writer.go:15-104): per-row writer
+    * with open/process/close lifecycle — one writer instance per partition
+    * per epoch, the Spark-native form of the reference's `io.Writer` sink.
+    */
+  def foreach(writer: org.apache.spark.sql.ForeachWriter[Row]): StreamSink =
+    df => df.writeStream.foreach(writer).start()
+
   /** foreachBatch adapter — the integration point for the reference's
     * connector sinks without native Spark writers (Redis XADD, NATS publish,
     * Aerospike BatchOperate, WebSocket write; SURVEY.md §2.3): each

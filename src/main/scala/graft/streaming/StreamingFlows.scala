@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming profile of the graft operators (Structured Streaming).
   *
@@ -212,4 +212,40 @@ object StreamingFlows {
 
   /** Merge (flow/util.go:84-105) works on streams via union — unchanged. */
   def merge(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
+
+  /** Keyed via Spark 4's `transformWithState` — the modern arbitrary-state
+    * operator (SPARK-46815) and the preferred long-term mapping for the
+    * reference's per-key chains (flow/keyed.go:131-158): typed per-key
+    * ValueState with optional TTL, RocksDB-backed, timer support.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider`).
+    */
+  def keyedTransformWithState[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
+      keyFn: V => K,
+      init: S,
+      step: (S, V) => (S, IterableOnce[O]),
+      ttl: java.time.Duration = null
+  ): Dataset[V] => Dataset[O] = { ds =>
+    val sEnc = implicitly[Encoder[S]]
+    val initialState = init // avoid shadowing by StatefulProcessor.init(...)
+    val ttlConfig = Option(ttl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val processor = new StatefulProcessor[K, V, O] {
+      @transient private var state: ValueState[S] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[S]("graft_keyed_state", sEnc, ttlConfig)
+      override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[O] = {
+        var s = if (state.exists()) state.get() else initialState
+        val out = Seq.newBuilder[O]
+        rows.foreach { v =>
+          val (s2, os) = step(s, v)
+          s = s2
+          out ++= os
+        }
+        state.update(s)
+        out.result().iterator
+      }
+    }
+    ds.groupByKey(keyFn)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
 }

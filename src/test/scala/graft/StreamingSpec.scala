@@ -105,6 +105,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("thr_out").count() == 3)
   }
 
+  test("keyedTransformWithState: per-key running count via Spark 4 state API (flow/keyed.go:131-158)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Int)]
+      val out = StreamingFlows.keyedTransformWithState[String, (String, Int), Int, (String, Int)](
+        _._1, 0, (n, v) => (n + 1, Seq((v._1, n + 1)))
+      ).apply(in.toDS()).toDF("key", "seen")
+      val q = out.writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+      try {
+        in.addData(("a", 10), ("a", 20), ("b", 1))
+        q.processAllAvailable()
+        in.addData(("a", 30)) // state survives across micro-batches
+        q.processAllAvailable()
+        val rows = spark.table("tws_out").as[(String, Int)].collect().sorted
+        assert(rows.toSeq == Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window streaming closes after gap + watermark (flow/session_window.go:102-125)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
