@@ -57,9 +57,9 @@ object ExtensionQueries {
     KNN.bruteForceTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10)
   }
 
-  /** LSH-bucketed ANN — the 100 TB scale path (no oracle: bucket membership
-    * is engine-internal; correctness is covered by the recall spec against
-    * q25 in the test suite).
+  /** LSH-bucketed ANN — the 100 TB scale path. The oracle reproduces the
+    * sign-random-projection buckets arithmetically (the hyperplane signs
+    * come from the same universal-hash stream as [[Hashing.rehash]]).
     */
   private def q31AnnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -146,6 +146,19 @@ object ExtensionQueries {
 
   private def markers(lang: String): String =
     TextFunctions.LangMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ",", "]")
+
+  /** DuckDB rendition of [[graft.functions.VectorFunctions.signRandomProjection]]
+    * for nBits=4, dim=64: per bit b, the projection folds ±embedding[i] by
+    * the parity of rehash((i-1) + 1000003·(b+1), b).
+    */
+  private def duckLshBucket: String = {
+    def proj(b: Int): String = {
+      val (a, bb) = Hashing.hashParams(b)
+      s"list_sum([CASE WHEN ((($a*((i-1) + ${1000003L * (b + 1)}) + $bb) % ${Hashing.Prime}) % 2) = 0 " +
+        s"THEN embedding[i]::DOUBLE ELSE -embedding[i]::DOUBLE END for i in range(1, 65)])"
+    }
+    (0 until 4).map(b => s"(CASE WHEN ${proj(b)} > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -234,8 +247,13 @@ object ExtensionQueries {
         |   range((feat_idx * n_bytes) // 8 + 1,
         |         greatest((feat_idx * n_bytes) // 8 + 2,
         |                  least(((feat_idx + 1) * n_bytes) // 8, n_bytes) + 1))]), 0)::DOUBLE AS feat_val
-        |FROM m CROSS JOIN j""".stripMargin
-    // q31_ann_lsh: intentionally no oracle — rows-only check; recall is
-    // asserted against q25 in KNNSpec.
+        |FROM m CROSS JOIN j""".stripMargin,
+    "q31_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, $duckLshBucket AS bucket FROM embeddings),
+         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+         |      WHERE a.vec_id < 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin
   )
 }
