@@ -22,6 +22,13 @@ object StreamDemo {
     hi.merge(lo).to(Sinks.collect(rows => got = rows))
     println(s"DEMO_BATCH_ROWS=${got.length}")
 
+    // custom DSv2 source: delimiter-framed byte stream (ReaderSource analogue)
+    val dir = java.nio.file.Files.createTempDirectory("framed_demo")
+    java.nio.file.Files.writeString(dir.resolve("frames.dat"), "alpha;beta;gamma")
+    val framed = spark.read.format("graft-framed").option("delimiter", ";")
+      .load(dir.toString)
+    println(s"DEMO_FRAMED_ROWS=${framed.count()}")
+
     // streaming profile: rate source (throttled) → filter → tumbling window
     val q = SourcesApi.rate(spark, 500)
       .via(CoreFlows.filter(col("value") % 2 === 0))
