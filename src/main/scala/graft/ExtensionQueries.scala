@@ -66,6 +66,17 @@ object ExtensionQueries {
     KNN.lshTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10, 4, 64)
   }
 
+  /** IVF (k-means cell) ANN — centroid-bucketed scale path. Rows-only
+    * check: k-means centroids depend on input partitioning, so no
+    * cross-engine oracle; exactness is asserted in the spec (exhaustive
+    * probe == brute force).
+    */
+  private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val index = graft.similarity.IVF.fit(emb, col("vec_id"), col("embedding"), nCells = 8)
+    graft.similarity.IVF.topK(index, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10, nProbe = 2)
+  }
+
   // --- text analysis ----------------------------------------------------
 
   private def q26LangId(s: SparkSession, d: String): DataFrame =
@@ -118,7 +129,8 @@ object ExtensionQueries {
     "q28_tokens" -> (q28Tokens _),
     "q29_fingerprint" -> (q29Fingerprint _),
     "q30_multimodal" -> (q30Multimodal _),
-    "q31_ann_lsh" -> (q31AnnLsh _)
+    "q31_ann_lsh" -> (q31AnnLsh _),
+    "q32_ann_ivf" -> (q32AnnIvf _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------

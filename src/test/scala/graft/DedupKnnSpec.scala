@@ -72,6 +72,25 @@ class DedupKnnSpec extends SparkSpec {
     assert(out.forall(r => r._1 != r._2))
   }
 
+  test("IVF ANN: probing all cells recovers the exact top-k; fewer probes stay sane") {
+    import graft.similarity.{IVF, KNN}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 3)
+    val index = IVF.fit(emb, col("vec_id"), col("embedding"), nCells = 8)
+    // nProbe = nCells -> exhaustive search -> must equal brute force exactly
+    val full = IVF.topK(index, queries, col("vec_id"), col("embedding"), 5, nProbe = 8)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = KNN.bruteForceTopK(emb, queries, col("vec_id"), col("embedding"), 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+    // nProbe = 2: results valid (self-excluded, <= k per query)
+    val probed = IVF.topK(index, queries, col("vec_id"), col("embedding"), 5, nProbe = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(probed.forall(r => r._1 != r._2))
+    assert(probed.groupBy(_._1).values.forall(_.length <= 5))
+  }
+
   test("langId picks marker-dominant language; und when no markers") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
