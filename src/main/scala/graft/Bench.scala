@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   * A warmup pass at sf0.001 runs first (not timed): the first query in a
   * fresh JVM otherwise pays Catalyst/codegen/JIT startup (~8s) that says
-  * nothing about operator cost. Timed runs then execute per query with
-  * a full action (count) — the plan's own IO, shuffles, and codegen.
+  * nothing about operator cost. Timed runs then execute per query with a
+  * noop-format write — unlike `count()`, which lets Catalyst prune
+  * deterministic projections down to a bare scan, the noop sink evaluates
+  * every output column, so projection-only queries (map, the text-analysis
+  * family) are charged their real expression cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,15 +26,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
+    def runFull(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // warmup: exercise codegen/JIT on the smallest SF; ignore result + errors
     val warmDir = "/root/testdata/sf0.001"
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try runFull(fn(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { runFull(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -180,7 +180,8 @@ object ExtensionQueries {
          |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
          |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
          |  ELSE [] END AS shingles FROM toks),
-         |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base FROM sh),
+         |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base
+         |       FROM sh WHERE len(shingles) > 0),
          |sigs AS (SELECT doc_id, $minhashSigExpr AS sig FROM hb),
          |banded AS ($minhashBandArms)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -64,21 +64,27 @@ object VectorFunctions {
     */
   def signRandomProjection(vec: Column, nBits: Int, dim: Int): Column = {
     val bits = (0 until nBits).map { b =>
-      // plane weight for (bit b, dim i): +1/-1 from a deterministic hash
-      val proj = aggregate(
-        zip_with(
-          vec,
-          sequence(lit(0), lit(dim - 1)),
-          (x, i) => {
-            val h = Hashing.rehash(i.cast("long") + lit(1000003L * (b + 1)), b)
-            when(pmod(h, lit(2)) === 0, x.cast("double")).otherwise(-x.cast("double"))
-          }
-        ),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
+      // The ±1 plane depends only on (b, i) — precomputed once at
+      // plan-build time as a float-array literal and folded with the fused
+      // native dot product, instead of evaluating dim modular-arithmetic
+      // expressions per row inside a zip_with lambda. Bit-identical to the
+      // lambda form: x·(±1.0) is exact in IEEE, same left-to-right
+      // accumulation — so the DuckDB bucket reproduction is unchanged.
+      val proj = dot(vec, lit(hyperplaneSigns(b, dim)))
       when(proj > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** The ±1 hyperplane for sign bit `b`: component i is +1 iff
+    * `rehash(i + 1000003·(b+1), b)` is even — the same deterministic
+    * universal-hash stream the DuckDB oracle replays arithmetically.
+    */
+  def hyperplaneSigns(b: Int, dim: Int): Array[Float] = {
+    val (a, c) = Hashing.hashParams(b)
+    Array.tabulate(dim) { i =>
+      val h = (a * (i.toLong + 1000003L * (b + 1)) + c) % Hashing.Prime
+      if (h % 2 == 0) 1.0f else -1.0f
+    }
   }
 }

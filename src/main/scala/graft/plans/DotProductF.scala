@@ -16,8 +16,11 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * per-element lambda dispatch (the fold allocates and virtual-calls per
   * element; measured ~4× on the embedding near-dup join at sf0.1).
   *
-  * Null semantics match the fold: null result if either array or any
-  * touched element is null.
+  * Null semantics match the fold exactly: null result if either array or
+  * any element is null, and null for unequal-length arrays (`zip_with`
+  * null-pads the shorter side, so the fold's multiply hits a null) — the
+  * length check is what makes [[FuseDotProduct]]'s rewrite safe on ragged
+  * input.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,7 +41,8 @@ case class DotProductF(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,9 +59,10 @@ case class DotProductF(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}

@@ -40,11 +40,17 @@ case class Hash48F(child: Expression) extends UnaryExpression {
     )
     nullSafeCodeGen(ctx, ev, input => {
       val d = ctx.freshName("digest")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      // byte-fold loop rather than a chained shift-or of parenthesized
+      // casts: Janino mis-parses `((long)(b & 0xff)) << 32` in operand
+      // position ("is not a type"), which silently degraded this whole
+      // expression to interpreted eval
       s"""
          |byte[] $d = $md.digest($input.getBytes());
-         |${ev.value} = (((long)($d[0] & 0xff)) << 40) | (((long)($d[1] & 0xff)) << 32)
-         |  | (((long)($d[2] & 0xff)) << 24) | (((long)($d[3] & 0xff)) << 16)
-         |  | (((long)($d[4] & 0xff)) << 8) | ((long)($d[5] & 0xff));
+         |long $h = 0L;
+         |for (int $i = 0; $i < 6; $i++) { $h = ($h << 8) | (long) ($d[$i] & 0xff); }
+         |${ev.value} = $h;
        """.stripMargin
     })
   }

@@ -92,17 +92,19 @@ object StreamingFlows {
       ) { (key: K, values: Iterator[V], state: GroupState[Seq[V]]) =>
         if (state.hasTimedOut) {
           // time trigger: flush whatever accumulated (flow/batch.go:89-96)
-          val buf = state.getOption.getOrElse(Seq.empty)
+          val buf = state.getOption.getOrElse(Vector.empty[V])
           state.remove()
           if (buf.nonEmpty) Iterator((key, buf)) else Iterator.empty
         } else {
-          var buf = state.getOption.getOrElse(Seq.empty)
+          // Vector, not List: `:+` append per element must stay O(1) —
+          // a List here is O(n) per append, O(n²) per large batch
+          var buf: Seq[V] = state.getOption.getOrElse(Vector.empty[V]).toVector
           val out = Seq.newBuilder[(K, Seq[V])]
           values.foreach { v =>
             buf = buf :+ v
             if (buf.size >= maxBatchSize) { // count trigger (flow/batch.go:86-88)
               out += ((key, buf))
-              buf = Seq.empty
+              buf = Vector.empty[V]
             }
           }
           if (buf.nonEmpty) {

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.{Hashing, VectorFunctions}
+import graft.plans.{DotProductF, Hash48F}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Regression gate for the native expressions' generated Java.
+  *
+  * `GenerateUnsafeProjection.generate` compiles the code with Janino and
+  * THROWS on failure — unlike a DataFrame action, where Spark catches the
+  * CompileException and silently degrades to interpreted eval (exactly what
+  * happened to Hash48F's chained-cast fold in round 1: correctness held,
+  * the "native" speed never engaged). These tests make that failure loud.
+  */
+class CodegenSpec extends SparkSpec {
+
+  test("Hash48F generated Java compiles and matches interpreted eval") {
+    val expr = Hash48F(BoundReference(0, StringType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    for (s <- Seq("", "a", "hello world", "café 日本語")) {
+      val compiled = proj(InternalRow(UTF8String.fromString(s))).getLong(0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expected = Hash48F.first48(md.digest(s.getBytes("UTF-8")))
+      assert(compiled === expected)
+      assert(expr.eval(InternalRow(UTF8String.fromString(s))) === expected)
+    }
+  }
+
+  test("DotProductF generated Java compiles; ragged arrays are null in both eval paths") {
+    def ref(ord: Int) = BoundReference(ord, ArrayType(FloatType), nullable = true)
+    val expr = DotProductF(ref(0), ref(1))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    def arr(xs: Float*): ArrayData = ArrayData.toArrayData(xs.toArray)
+
+    assert(proj(InternalRow(arr(1f, 2f, 3f), arr(4f, 5f, 6f))).getDouble(0) === 32.0)
+    // unequal lengths: zip_with null-pads, so the fold this expression
+    // replaces yields null — the fused form must agree (FuseDotProduct is
+    // injected globally; a value here would silently change user queries)
+    assert(proj(InternalRow(arr(1f, 2f, 3f), arr(4f, 5f))).isNullAt(0))
+    assert(expr.eval(InternalRow(arr(1f, 2f), arr(3f, 4f))) === 11.0)
+    assert(expr.eval(InternalRow(arr(1f, 2f), arr(3f))) == null)
+  }
+
+  test("declarative fold and fused dot agree on ragged input (both null)") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head.isNullAt(0))
+    assert(df.select(VectorFunctions.dotFold(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("hash-heavy query runs clean with codegen fallback disabled") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = Seq(("alpha", Array(1f, 2f, 3f, 4f)), ("beta", Array(-1f, 0.5f, 2f, -3f)))
+        .toDF("s", "v")
+        .select(
+          Hashing.hash48(col("s")).as("h"),
+          VectorFunctions.dot(col("v"), col("v")).as("d"),
+          VectorFunctions.signRandomProjection(col("v"), 4, 4).as("bucket")
+        )
+      assert(df.collect().length === 2)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("hyperplane-literal sign projection matches the per-row lambda formula") {
+    import spark.implicits._
+    val dim = 8
+    val nBits = 4
+    val vecs = Seq(
+      Array.tabulate(dim)(i => (i + 1) * 0.5f - 1.7f),
+      Array.tabulate(dim)(i => math.sin(i + 1).toFloat),
+      Array.fill(dim)(0f)
+    )
+    // the pre-literalization semantics, recomputed directly: per (bit, dim)
+    // sign from rehash parity, strict left-to-right double accumulation
+    def expectedBucket(v: Array[Float]): Long =
+      (0 until nBits).map { b =>
+        val (a, c) = Hashing.hashParams(b)
+        var acc = 0.0
+        for (i <- 0 until dim) {
+          val h = (a * (i.toLong + 1000003L * (b + 1)) + c) % Hashing.Prime
+          acc += (if (h % 2 == 0) v(i).toDouble else -v(i).toDouble)
+        }
+        if (acc > 0) 1L << b else 0L
+      }.sum
+    val got = vecs.toDF("v")
+      .select(VectorFunctions.signRandomProjection(col("v"), nBits, dim).as("bk"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === vecs.map(expectedBucket))
+  }
+}
