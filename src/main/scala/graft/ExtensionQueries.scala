@@ -35,6 +35,15 @@ object ExtensionQueries {
   private def q22Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** SimHash candidate-pair join (hamming ≤ 3) — the pigeonhole chunk
+    * blocking makes it an equijoin on (chunk, chunk_val); any pair within
+    * the radius shares at least one exact chunk, so the blocked join finds
+    * EXACTLY the pairs an all-pairs scan would (the oracle does the
+    * all-pairs scan, proving the recall guarantee at sf scale).
+    */
+  private def q33SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), col("text"), col("doc_id"), maxHamming = 3)
+
   /** Consecutive-id pairs scored by exact char-3-gram Jaccard — the
     * verification stage an LSH candidate feed composes with at scale.
     */
@@ -66,15 +75,17 @@ object ExtensionQueries {
     KNN.lshTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10, 4, 64)
   }
 
-  /** IVF (k-means cell) ANN — centroid-bucketed scale path. Rows-only
-    * check: k-means centroids depend on input partitioning, so no
-    * cross-engine oracle; exactness is asserted in the spec (exhaustive
-    * probe == brute force).
+  /** IVF (k-means cell) ANN — centroid-bucketed scale path. The index is
+    * the PRETRAINED one ([[graft.similarity.IVF.PretrainedCentroidNumerators]]:
+    * fit once offline, quantized to exact 1024ths), so cell assignment and
+    * probe selection are pure arithmetic the DuckDB oracle replays
+    * bit-identically — and no k-means fit runs inside the gated/timed query.
     */
   private def q32AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val index = graft.similarity.IVF.fit(emb, col("vec_id"), col("embedding"), nCells = 8)
-    graft.similarity.IVF.topK(index, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), 10, nProbe = 2)
+    graft.similarity.IVF.literalTopK(
+      emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids)
   }
 
   // --- text analysis ----------------------------------------------------
@@ -130,7 +141,8 @@ object ExtensionQueries {
     "q29_fingerprint" -> (q29Fingerprint _),
     "q30_multimodal" -> (q30Multimodal _),
     "q31_ann_lsh" -> (q31AnnLsh _),
-    "q32_ann_ivf" -> (q32AnnIvf _)
+    "q32_ann_ivf" -> (q32AnnIvf _),
+    "q33_simhash_pairs" -> (q33SimhashPairs _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -172,6 +184,30 @@ object ExtensionQueries {
     (0 until 4).map(b => s"(CASE WHEN ${proj(b)} > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
   }
 
+  /** The pretrained IVF centroids as DuckDB VALUES rows — the same exact
+    * 1024ths the Spark literals carry, so scores are bit-identical.
+    */
+  private def duckIvfCents: String =
+    graft.similarity.IVF.PretrainedCentroidNumerators.zipWithIndex.map { case (c, i) =>
+      c.mkString(s"($i, [", "/1024.0, ", "/1024.0])")
+    }.mkString(", ")
+
+  /** Shared by q22 (signatures) and q33 (pairs): the engine's 48-bit
+    * simhash replayed over DuckDB BIGINTs.
+    */
+  private def duckSimhashSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, t -> ${duckHash48("t")}) AS hs FROM toks)
+       |SELECT doc_id, list_sum([CASE WHEN coalesce(list_sum(list_transform(hs,
+       |  v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |  THEN 1::BIGINT << b ELSE 0::BIGINT END for b in range(0, 48)])::BIGINT AS simhash
+       |FROM h""".stripMargin
+
+  private val duckCosPA =
+    "round(list_sum(list_transform(range(1, 65), i -> p.q_vec[i]::DOUBLE * a.embedding[i]::DOUBLE))" +
+      " / (sqrt(list_sum(list_transform(p.q_vec, x -> x::DOUBLE * x::DOUBLE)))" +
+      " * sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"
+
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups FROM documents GROUP BY 1",
@@ -187,13 +223,13 @@ object ExtensionQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
-    "q22_dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |h AS (SELECT doc_id, list_transform(toks, t -> ${duckHash48("t")}) AS hs FROM toks)
-         |SELECT doc_id, list_sum([CASE WHEN coalesce(list_sum(list_transform(hs,
-         |  v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
-         |  THEN 1::BIGINT << b ELSE 0::BIGINT END for b in range(0, 48)])::BIGINT AS simhash
-         |FROM h""".stripMargin,
+    "q22_dedup_simhash" -> duckSimhashSql,
+    "q33_simhash_pairs" ->
+      s"""WITH sigs AS ($duckSimhashSql)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q23_ngram_jaccard" ->
       """WITH g AS (SELECT doc_id,
         |  list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS grams
@@ -266,6 +302,23 @@ object ExtensionQueries {
          |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
          |      FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
          |      WHERE a.vec_id < 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q32_ann_ivf" ->
+      s"""WITH cents(cell, cv) AS (SELECT * FROM (VALUES $duckIvfCents) t(cell, cv)),
+         |cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cents),
+         |sc AS (SELECT e.vec_id, e.embedding, c.cell,
+         |  list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cv[i])) / c.cnrm AS score
+         |  FROM embeddings e CROSS JOIN cn c),
+         |assigned AS (SELECT vec_id, embedding, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc
+         |   WHERE vec_id < 5)
+         |  WHERE rn <= 2),
+         |s AS (SELECT p.q_id, a.vec_id AS n_id, $duckCosPA AS cosine
+         |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin
   )

@@ -38,10 +38,10 @@ object Dedup {
       id: Column,
       shingleWidth: Int = 3,
       k: Int = 12,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    val r = k / bands
     // Relational formulation, deliberately. Two measured pitfalls shape it:
     // (1) the all-in-one nested-array-lambda form re-evaluates the md5
     // pipeline k×bands times per row wherever codegen subexpression
@@ -57,6 +57,38 @@ object Dedup {
     // arrays held per row.
     // (Docs with < shingleWidth tokens have no shingles and are excluded —
     // an empty document is not a near-dup candidate.)
+    val banded = bandedKeys(df, text, id, shingleWidth, k, bands)
+    // Bucket-and-expand instead of a self-join: one shuffle on (band, key),
+    // no recomputation of the hashing pipeline for a second join side, and
+    // pair generation is a per-bucket array expansion. `maxBucket` is the
+    // knob that bounds worst-case pair count at 100 TB: a degenerate
+    // bucket (boilerplate-heavy corpora — license headers, templated
+    // pages) would expand quadratically, so buckets above the cap are
+    // dropped before expansion ([[minhashOversizedBuckets]] reports them).
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(
+        col("ids"),
+        (x, i) => transform(
+          slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("doc_a"), y.as("doc_b"))
+        )
+      ))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** (doc_id, band, band_key) rows for the MinHash-LSH banding — the shared
+    * front half of [[minhashLshPairs]] and [[minhashOversizedBuckets]].
+    */
+  private def bandedKeys(
+      df: DataFrame, text: Column, id: Column,
+      shingleWidth: Int, k: Int, bands: Int
+  ): DataFrame = {
+    val r = k / bands
     val tokRows = df.select(
       id.as("doc_id"),
       posexplode(TextFunctions.wsTokens(text)).as(Seq("pos", "tok"))
@@ -77,27 +109,27 @@ object Dedup {
       val joined = concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
       Hashing.hash48(joined)
     }
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
-    // Bucket-and-expand instead of a self-join: one shuffle on (band, key),
-    // no recomputation of the hashing pipeline for a second join side, and
-    // pair generation is a per-bucket array expansion. Bucket size is the
-    // knob that bounds worst-case pair count at 100 TB (cap oversized
-    // buckets upstream if the corpus has boilerplate-heavy content).
-    val buckets = banded
-      .groupBy(col("band"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-    buckets
-      .select(explode(flatten(transform(
-        col("ids"),
-        (x, i) => transform(
-          slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("doc_a"), y.as("doc_b"))
-        )
-      ))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
+
+  /** The (band, band_key) buckets a `maxBucket` cap would drop, with their
+    * member counts — the observability half of the cap: at 100 TB you run
+    * this (cheap: the same one-shuffle groupBy, no pair expansion) to size
+    * the cap and quantify what boilerplate content is being excluded.
+    */
+  def minhashOversizedBuckets(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      maxBucket: Int,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4
+  ): DataFrame =
+    bandedKeys(df, text, id, shingleWidth, k, bands)
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 
   /** SimHash near-dup: 48-bit signature per doc; near-dups are signatures
     * within `maxHamming` bits. Candidate blocking: split the signature into

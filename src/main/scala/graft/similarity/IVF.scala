@@ -74,4 +74,74 @@ object IVF {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Pretrained cell centroids: KMeans k=8, seed=42, maxIter=20 on the
+    * sf0.01 embeddings table ([[graft.FitCentroids]] is the fitting script),
+    * quantized to exact 1024ths — every component is exactly representable
+    * in both float and double, so the DuckDB oracle computes bit-identical
+    * cell assignments from the same numerators. This is the production
+    * shape for IVF at 100 TB anyway: the index is fit ONCE on a bounded
+    * sample offline, then shipped to the job as constants; fitting inside
+    * the query would re-cluster the corpus on every run.
+    */
+  val PretrainedCentroidNumerators: Array[Array[Int]] = Array(
+    Array(-57, 27, -38, 0, -12, 49, 65, -4, -24, -30, 9, 12, -33, 67, -18, -17, 11, -51, -20, 14, 11, 3, 14, -7, 63, 56, -28, 12, 18, 2, -8, 54, -3, -43, -34, 48, 71, 9, -29, 16, 12, 24, -11, 4, -88, -23, 79, -36, 9, 31, 14, 29, 0, 13, -39, -48, 53, -24, -24, 29, -2, -1, -11, 11),
+    Array(-18, -75, -3, 74, 23, -52, -60, 72, 43, 157, -77, 13, -19, -33, -14, -49, -54, -111, -15, -55, 25, 163, 53, 7, -14, 258, 105, -23, 54, -115, 23, 147, 94, -42, 35, -81, 54, -27, 7, 54, -10, -87, -92, 75, -31, 167, 42, 11, -156, 22, -36, 79, -61, 34, -142, -116, 131, -48, 84, 17, 21, -19, -45, -41),
+    Array(-10, -12, -16, 1, 46, 28, -58, 31, 3, 16, -24, 42, -15, 29, -44, 21, 13, 31, -16, -52, 8, -1, 35, -125, -27, -8, -6, 9, 17, -45, 22, -54, -1, 19, 25, -14, -18, 51, 27, -34, -7, 21, 23, -12, -2, -15, 9, 22, -6, -44, -18, 11, -26, 36, 28, -18, -51, 12, 19, -22, -42, 21, 19, 9),
+    Array(58, -9, -9, 12, -23, 5, -47, 19, -22, -44, -4, 17, -48, -41, -30, 39, 5, 24, 44, -42, -48, 17, 4, 70, 32, 3, 9, 21, 40, 19, 32, 77, -24, -11, 23, 18, -67, -15, 2, 24, 0, -15, 77, -19, -10, 49, 2, 16, -28, 10, 31, 33, 20, -70, -6, 32, 12, 16, -54, -39, 29, 2, 13, 23),
+    Array(30, 57, -25, 49, 9, -2, -91, 3, -17, -20, 33, -118, 7, 25, 16, 20, -16, 14, -59, -3, 16, -10, 58, 37, 61, -41, -23, 5, 1, 53, -25, -79, 28, 16, -5, -45, 10, 42, -49, 30, -57, -48, -41, -22, -29, 9, -41, 22, 53, 36, 62, -62, -7, 6, -11, 14, 32, 21, 3, 75, 55, -23, 24, -18),
+    Array(28, -19, 25, -75, -12, 11, -16, 37, 53, 84, 18, 8, 60, -24, 34, 29, -3, 65, 25, 86, -5, -32, -10, -26, -38, -6, -5, 93, -77, 1, -22, 6, 47, 17, 5, 50, 11, -71, 27, -47, 8, -50, 46, 12, -11, -18, -10, 24, 11, 7, 6, -12, 4, -1, 22, 65, -10, -46, -57, -41, 0, 28, -40, -61),
+    Array(-4, -4, 82, -36, 22, -68, 54, 24, -8, -29, 12, -74, 2, -47, -19, -29, 31, -23, -10, 39, -5, -2, 7, 5, -51, 42, 53, -18, 10, 32, 8, -40, 6, 14, -1, -9, -30, -41, 25, 58, 4, -21, -20, 52, -38, -4, -48, -13, -46, 30, -9, -29, 16, 21, 103, -62, 33, -22, 4, -7, -47, -28, 18, -41),
+    Array(-19, -34, 13, 8, 25, 21, -24, -43, -6, 1, 26, 59, 20, 8, 67, -20, -15, -14, 11, 6, 1, 16, -59, 25, -24, 18, -19, -30, -29, -12, 8, -28, 15, -46, 5, -29, 1, 3, -27, -30, 11, -13, -74, -15, 59, 10, -13, 1, 11, -90, 9, -14, 49, -28, -43, 1, -8, 17, 49, -19, 22, 19, -24, -30)
+  )
+
+  def pretrainedCentroids: Array[Array[Float]] =
+    PretrainedCentroidNumerators.map(_.map(_ / 1024.0f))
+
+  /** IVF search against FIXED centroid literals — assignment and probe
+    * selection are pure column arithmetic (no model object, no fit in the
+    * query), which is both the oracle-reproducible form and the production
+    * one (index constants shipped with the job). Cell score is
+    * `dot(v, c) / ‖c‖` — cosine up to the row's own positive norm, so the
+    * argmax is the cosine argmax without computing the row norm.
+    */
+  def literalTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      nProbe: Int,
+      centroids: Array[Array[Float]]
+  ): DataFrame = {
+    def cellScores(v: Column): Column = array(centroids.map { c =>
+      val cl = lit(c)
+      VectorFunctions.dot(v, cl) / sqrt(VectorFunctions.dot(cl, cl))
+    }: _*)
+    // first-max index = lowest cell on ties, matching the oracle's
+    // row_number ORDER BY score DESC, cell
+    def assign(v: Column): Column =
+      (array_position(cellScores(v), array_max(cellScores(v))) - 1).cast("int")
+
+    val assigned = corpus.select(
+      id.as("n_id"), vec.as("n_vec"), assign(vec).as("cell"),
+      VectorFunctions.norm2(vec).as("n_nrm"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cell").asc)
+    val probes = queries
+      .select(id.as("q_id"), vec.as("q_vec"), VectorFunctions.norm2(vec).as("q_nrm"),
+        posexplode(cellScores(vec)).as(Seq("cell", "score")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val nn = col("q_nrm") * col("n_nrm")
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"), col("n_id"),
+        round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }
