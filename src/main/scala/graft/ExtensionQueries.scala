@@ -289,13 +289,16 @@ object ExtensionQueries {
     "q30_multimodal" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
-        |  len(text)::BIGINT AS n_bytes, text FROM documents),
+        |  octet_length(encode(text))::BIGINT AS n_bytes, hex(encode(text)) AS hx FROM documents),
         |j AS (SELECT unnest(range(0, 8)) AS feat_idx)
         |SELECT media_id, kind, n_bytes, feat_idx,
-        | coalesce(list_sum([ascii(substr(text, p::INT, 1)) for p in
+        | (CASE WHEN n_bytes = 0 THEN 0 ELSE
+        |   coalesce(list_sum([
+        |     (strpos('0123456789ABCDEF', substr(hx, 2*p::INT - 1, 1)) - 1) * 16
+        |     + (strpos('0123456789ABCDEF', substr(hx, 2*p::INT, 1)) - 1) for p in
         |   range((feat_idx * n_bytes) // 8 + 1,
         |         greatest((feat_idx * n_bytes) // 8 + 2,
-        |                  least(((feat_idx + 1) * n_bytes) // 8, n_bytes) + 1))]), 0)::DOUBLE AS feat_val
+        |                  least(((feat_idx + 1) * n_bytes) // 8, n_bytes) + 1))]), 0) END)::DOUBLE AS feat_val
         |FROM m CROSS JOIN j""".stripMargin,
     "q31_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding, $duckLshBucket AS bucket FROM embeddings),

@@ -63,7 +63,17 @@ object Sinks {
   /** IgnoreSink (extension/sink_ignore.go:7-37): full evaluation, no IO. */
   def ignore: Sink = df => { df.write.format("noop").mode("overwrite").save() }
 
-  /** FileSink (extension/file.go:95-197) — parquet/text/csv by format. */
+  /** FileSink (extension/file.go:95-197) — parquet/text/csv by format.
+    *
+    * Retry semantics: the reference retries individual writes via
+    * `WithRetryFunc` (extension/options.go:9-73) and on fatal error cancels
+    * the source and drains input (extension/file.go:171-184). Spark's
+    * mapping is strictly stronger and needs no per-write hook: a failed
+    * write TASK is retried `spark.task.maxFailures` times (on another
+    * executor if needed), and the `FileOutputCommitter` publishes output
+    * atomically per job — a job that exhausts retries leaves no partial
+    * visible files, where the reference's sink can have written a prefix.
+    */
   def file(path: String, format: String = "parquet"): Sink =
     df => df.write.mode("overwrite").format(format).save(path)
 
@@ -122,9 +132,11 @@ object SourcesApi {
     Pipe(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load())
 
-  /** Kafka source/sink wiring (kafka/kafka_sarama.go:14-136). The
-    * spark-sql-kafka connector jar is not in this container, so this
-    * returns the configured reader — `.load()` at deploy site.
+  /** Kafka source wiring (kafka/kafka_sarama.go:14-136). The connector jar
+    * is not in this container — activate with
+    * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`; this
+    * returns the configured reader — `.load()` at deploy site. The sink
+    * half is [[graft.sinks.ConnectorSinks.kafkaWriter]].
     */
   def kafkaReader(spark: SparkSession, bootstrap: String, topic: String,
       maxOffsetsPerTrigger: Option[Long] = None) = {

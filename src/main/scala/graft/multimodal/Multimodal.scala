@@ -43,7 +43,9 @@ object Multimodal {
       struct(
         // deterministic fake modality from the id
         element_at(array(lit("image"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        length(col("text")).cast("long").as("n_bytes"),
+        // octet length of the payload, not character length — the payload
+        // is bytes, and the decode stub measures bytes
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         col("source").as("source")
       ).as("meta")
     )

@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   * expressions over `groupBy(key)` — one shuffle, partial aggregation
   * map-side, AQE-skew-splittable, the 100 TB path — or (b) an arbitrary
   * per-group function over `groupByKey(...).flatMapGroups` when the logic is
-  * genuinely imperative; streaming state lives in the state store with
-  * watermark-driven eviction ([[graft.streaming.StreamingFlows.keyedState]]),
-  * not on the heap.
+  * genuinely imperative; streaming state lives in the state store, not on
+  * the heap, and is TTL-evicted when
+  * [[graft.streaming.StreamingFlows.keyedState]]'s `stateTtlMs` (or
+  * `keyedTransformWithState`'s TTLConfig) is set — which it should be on
+  * any high-cardinality key space.
   */
 object Keyed {
 

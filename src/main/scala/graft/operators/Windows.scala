@@ -45,6 +45,28 @@ object Windows {
   ): DataFrame => DataFrame =
     df => df.groupBy(window(ts, size, slide) +: keys: _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Sliding window without ramp-up partials — the reference's
+    * `EmitPartialWindow=false` (`flow/sliding_window.go:22-24`, `214-230`):
+    * windows that began before the earliest event (and therefore cover
+    * less than a full `size` of the stream) are suppressed. The anchor is
+    * the global min event time, computed as a broadcast scalar — no extra
+    * shuffle of the fact table, just a min-aggregate over the (pruned,
+    * stats-assisted) timestamp column.
+    */
+  def slidingComplete(
+      ts: Column,
+      size: String,
+      slide: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]
+  ): DataFrame => DataFrame = { df =>
+    val anchor = broadcast(df.agg(min(ts).as("__graft_t0")))
+    sliding(ts, size, slide, keys, aggs)(df)
+      .crossJoin(anchor)
+      .where(col("window.start") >= col("__graft_t0"))
+      .drop("__graft_t0")
+  }
+
   /** Session window: per-key inactivity gap. Spark merges events whose gap
     * is exactly equal to the threshold (verified empirically; the oracle's
     * gaps-and-islands formulation uses strictly-greater to break).

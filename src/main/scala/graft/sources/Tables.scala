@@ -23,7 +23,11 @@ object Tables {
     * and expose a proper `TimestampType` column for event-time windowing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `nanosAsLong` is set once by GraftSession.tune — not here, per call:
+    // mutating session conf inside a table loader is racy in shared sessions
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true — build the session via GraftSession.local/tune")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -16,15 +16,25 @@ import scala.jdk.CollectionConverters._
   * (extension/source_reader.go:15-108): a byte stream cut into elements by
   * a user-chosen framing rule. The reference takes an arbitrary
   * `ElementReader func(io.Reader) ([]byte, error)`; a Spark source must be
-  * declarative, so framing is expressed as a delimiter byte-sequence option
-  * (the common case — the reference's own example frames UDP lines,
-  * examples/udp/main.go:39-46).
+  * declarative, so framing is expressed as options covering the two common
+  * rules:
+  *
+  *  - `framing=delimiter` (default): frames separated by a byte sequence
+  *    (`delimiter` option, default "\n") — the reference's own example
+  *    frames UDP lines, examples/udp/main.go:39-46;
+  *  - `framing=length-prefixed`: each frame is a 4-byte big-endian length
+  *    followed by that many payload bytes — the standard binary framing an
+  *    arbitrary ElementReader is most often written for. `maxFrameBytes`
+  *    (default 64 MiB) bounds executor memory against corrupt prefixes.
   *
   * Usage:
   * {{{
   *   spark.read.format("graft-framed")
   *     .option("delimiter", ";")   // default "\n"
   *     .load("/path/to/files")     // file, directory, or glob
+  *   spark.read.format("graft-framed")
+  *     .option("framing", "length-prefixed")
+  *     .load("/path/to/files")
   * }}}
   *
   * Output schema: (value STRING, file STRING).
@@ -71,6 +81,9 @@ class FramedTable(properties: Map[String, String]) extends Table with SupportsRe
       override def planInputPartitions(): Array[InputPartition] = {
         val pathStr = opts.getOrElse("path",
           throw new IllegalArgumentException("graft-framed requires a path"))
+        val framing = opts.getOrElse("framing", "delimiter")
+        require(framing == "delimiter" || framing == "length-prefixed",
+          s"graft-framed: unknown framing '$framing' (delimiter | length-prefixed)")
         val delim = opts.getOrElse("delimiter", "\n")
         val hconf = org.apache.spark.sql.SparkSession.active
           .sparkContext.hadoopConfiguration
@@ -83,51 +96,166 @@ class FramedTable(properties: Map[String, String]) extends Table with SupportsRe
             if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
           }
         }
+        val maxFrame = opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt
         files.filter(_.getLen > 0).map(st =>
-          FramedFilePartition(st.getPath.toString, delim): InputPartition)
+          FramedFilePartition(st.getPath.toString, delim, framing, maxFrame): InputPartition)
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        new FramedReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // ship the session's Hadoop conf entries (fs impls, credentials) to
+        // the executors — a bare executor-side `new Configuration()` would
+        // silently drop them and break any non-default filesystem
+        val hconf = org.apache.spark.sql.SparkSession.active
+          .sparkContext.hadoopConfiguration
+        val entries = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+        new FramedReaderFactory(entries)
+      }
     }
   }
 }
 
-case class FramedFilePartition(file: String, delimiter: String) extends InputPartition
+case class FramedFilePartition(
+    file: String, delimiter: String, framing: String, maxFrameBytes: Int)
+    extends InputPartition
 
-class FramedReaderFactory extends PartitionReaderFactory {
+class FramedReaderFactory(confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FramedFilePartition]
-    new FramedPartitionReader(p.file, p.delimiter)
+    if (p.framing == "length-prefixed")
+      new LengthPrefixedPartitionReader(p.file, p.maxFrameBytes, confEntries)
+    else
+      new FramedPartitionReader(p.file, p.delimiter, confEntries)
   }
+}
+
+private[framed] object FramedFs {
+  /** Open `file` with the driver's shipped Hadoop conf entries. */
+  def open(file: String, confEntries: Map[String, String]): org.apache.hadoop.fs.FSDataInputStream = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val path = new Path(file)
+    path.getFileSystem(conf).open(path)
+  }
+}
+
+/** Length-prefixed framing: 4-byte big-endian length, then the payload —
+  * the standard binary-protocol shape of an arbitrary ElementReader
+  * (extension/source_reader.go:15). `maxFrameBytes` rejects corrupt
+  * prefixes before they allocate.
+  */
+class LengthPrefixedPartitionReader(
+    file: String, maxFrameBytes: Int, confEntries: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val fileUtf8 = UTF8String.fromString(file)
+  private val in = FramedFs.open(file, confEntries)
+  private val lenBuf = new Array[Byte](4)
+  private var current: UTF8String = _
+
+  private def readFully(buf: Array[Byte], allowCleanEof: Boolean): Boolean = {
+    var read = 0
+    while (read < buf.length) {
+      val n = in.read(buf, read, buf.length - read)
+      if (n < 0) {
+        if (read == 0 && allowCleanEof) return false
+        throw new java.io.EOFException(s"graft-framed: truncated frame in $file")
+      }
+      read += n
+    }
+    true
+  }
+
+  override def next(): Boolean = {
+    if (!readFully(lenBuf, allowCleanEof = true)) return false
+    val len = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+      ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+    require(len >= 0 && len <= maxFrameBytes,
+      s"graft-framed: frame length $len out of [0, $maxFrameBytes] in $file")
+    val payload = new Array[Byte](len)
+    readFully(payload, allowCleanEof = false)
+    current = UTF8String.fromBytes(payload)
+    true
+  }
+
+  override def get(): InternalRow = InternalRow(current, fileUtf8)
+
+  override def close(): Unit = in.close()
 }
 
 /** Sequential frame reader for one file — the executor-side analogue of the
   * reference's per-source reader goroutine (extension/source_reader.go:71-96).
+  *
+  * Frames are decoded INCREMENTALLY from the input stream in fixed-size
+  * chunks: memory is bounded by one frame plus one chunk, never the file
+  * (the previous whole-file slurp OOM'd on multi-GB frame files). The
+  * multi-byte-delimiter case is handled across chunk boundaries by backing
+  * the search cursor off by `delimiter.length - 1` on every refill.
   */
-class FramedPartitionReader(file: String, delimiter: String)
+class FramedPartitionReader(
+    file: String, delimiter: String, confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val fileUtf8 = UTF8String.fromString(file)
-  private val frames: Iterator[String] = {
-    val path = new Path(file)
-    // default Hadoop conf on the executor: sufficient for file:// and any
-    // fs whose settings ship in core-site.xml on the executor classpath;
-    // a production connector would ship a serialized conf in the partition
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val in = fs.open(path)
-    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    val content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    content.split(java.util.regex.Pattern.quote(delimiter), -1).iterator
-      .filter(_.nonEmpty)
+  private val delimBytes = delimiter.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  require(delimBytes.nonEmpty, "graft-framed delimiter must be non-empty")
+
+  private val in = FramedFs.open(file, confEntries)
+
+  private val chunk = new Array[Byte](64 * 1024)
+  private var pending: Array[Byte] = Array.emptyByteArray
+  private var start = 0      // consumed prefix of `pending`
+  private var searchFrom = 0 // delimiter scan resumes here (absolute)
+  private var eof = false
+  private var current: UTF8String = _
+
+  private def indexOfDelim(from: Int): Int = {
+    var i = math.max(from, start)
+    val limit = pending.length - delimBytes.length
+    while (i <= limit) {
+      var j = 0
+      while (j < delimBytes.length && pending(i + j) == delimBytes(j)) j += 1
+      if (j == delimBytes.length) return i
+      i += 1
+    }
+    -1
   }
-  private var current: String = _
 
-  override def next(): Boolean =
-    if (frames.hasNext) { current = frames.next(); true } else false
+  @scala.annotation.tailrec
+  private def advance(): Boolean = {
+    val idx = indexOfDelim(searchFrom)
+    if (idx >= 0) {
+      val frame = java.util.Arrays.copyOfRange(pending, start, idx)
+      start = idx + delimBytes.length
+      searchFrom = start
+      if (frame.isEmpty) advance() // empty frames dropped, as in split().filter(_.nonEmpty)
+      else { current = UTF8String.fromBytes(frame); true }
+    } else if (eof) {
+      if (start >= pending.length) false
+      else {
+        val frame = java.util.Arrays.copyOfRange(pending, start, pending.length)
+        start = pending.length
+        current = UTF8String.fromBytes(frame)
+        true
+      }
+    } else {
+      val n = in.read(chunk)
+      if (n < 0) eof = true
+      else if (n > 0) {
+        val keep = pending.length - start
+        val next = new Array[Byte](keep + n)
+        System.arraycopy(pending, start, next, 0, keep)
+        System.arraycopy(chunk, 0, next, keep, n)
+        pending = next
+        start = 0
+        searchFrom = math.max(0, keep - delimBytes.length + 1)
+      }
+      advance()
+    }
+  }
 
-  override def get(): InternalRow =
-    InternalRow(UTF8String.fromString(current), fileUtf8)
+  override def next(): Boolean = advance()
 
-  override def close(): Unit = ()
+  override def get(): InternalRow = InternalRow(current, fileUtf8)
+
+  override def close(): Unit = in.close()
 }

@@ -20,8 +20,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    state instead of the reference's unbounded in-memory map.
   *
   * Scale: all state lives in the state store (RocksDB on a real cluster),
-  * partitioned by key — watermarks bound it; nothing accumulates on the
-  * driver.
+  * partitioned by key; nothing accumulates on the driver. Event-time
+  * operators (windows, dedup) are watermark-bounded automatically; the
+  * arbitrary-state operators ([[keyedState]], [[foldRunning]],
+  * [[throttleDiscard]]) bound per-key state only when their `stateTtlMs`
+  * is set (or via [[keyedTransformWithState]]'s TTLConfig) — set it on any
+  * high-cardinality key space.
   */
 object StreamingFlows {
 
@@ -46,6 +50,17 @@ object StreamingFlows {
   /** Event-time sliding window — the closest 1:1 mapping of the reference's
     * SlidingWindow (epoch-aligned starts, AllowedLateness ↔ watermark,
     * drop-too-late ↔ watermark filter; flow/sliding_window.go:87-109).
+    *
+    * The reference's remaining options map as follows:
+    *  - `AllowedLateness ≤ slide` (flow/sliding_window.go:92-94) is
+    *    validated here with the same rule — a watermark delay beyond the
+    *    slide would hold EVERY in-flight window open, ballooning state;
+    *  - `EmitPartialWindow` (flow/sliding_window.go:22-24, 214-230): Spark
+    *    append mode already emits a window only once the watermark passes
+    *    its END (no mid-window partial emissions); the ramp-up windows that
+    *    start before the stream's first event are suppressed on the batch
+    *    profile by [[graft.operators.Windows.slidingComplete]] (streaming
+    *    has no bounded "first event" to anchor on).
     */
   def sliding(
       tsName: String,
@@ -55,9 +70,28 @@ object StreamingFlows {
       keys: Seq[Column],
       aggs: Seq[Column]
   ): DataFrame => DataFrame = { df =>
+    requireLatenessAtMostSlide(lateness, slide)
     df.withWatermark(tsName, lateness)
       .groupBy(window(col(tsName), size, slide) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The reference's `AllowedLateness ≤ slidingInterval` validation
+    * (flow/sliding_window.go:92-94), on interval strings. Month-bearing
+    * intervals are not comparable in fixed microseconds and are left to
+    * Spark's own analysis.
+    */
+  private[graft] def requireLatenessAtMostSlide(lateness: String, slide: String): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.IntervalUtils
+    val l = IntervalUtils.stringToInterval(UTF8String.fromString(lateness))
+    val s = IntervalUtils.stringToInterval(UTF8String.fromString(slide))
+    if (l.months == 0 && s.months == 0) {
+      val lUs = l.days * 86400000000L + l.microseconds
+      val sUs = s.days * 86400000000L + s.microseconds
+      require(lUs <= sUs,
+        s"allowed lateness ($lateness) must be <= slide ($slide) — flow/sliding_window.go:92-94")
+    }
   }
 
   /** Event-time session window (inactivity gap; flow/session_window.go). */
@@ -139,7 +173,8 @@ object StreamingFlows {
   def throttleDiscard[K: Encoder, V: Encoder](
       keyFn: V => K,
       quota: Int,
-      periodMs: Long
+      periodMs: Long,
+      stateTtlMs: Long = -1L
   ): Dataset[V] => Dataset[V] = { ds =>
     require(quota > 0, "throttler elements must be positive")
     implicit val stEnc: Encoder[(Long, Int)] =
@@ -147,69 +182,126 @@ object StreamingFlows {
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt)
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState[(Long, Int), V](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+        OutputMode.Append(), ttlTimeout(stateTtlMs)
       ) { (_: K, values: Iterator[V], state: GroupState[(Long, Int)]) =>
-        val now = state.getCurrentProcessingTimeMs()
-        val period = now / periodMs
-        var (curPeriod, used) = state.getOption.getOrElse((period, 0))
-        if (curPeriod != period) { curPeriod = period; used = 0 } // ticker reset
-        val out = Seq.newBuilder[V]
-        values.foreach { v =>
-          if (used < quota) { out += v; used += 1 }
-          // else: discard (flow/throttler.go:119-124)
+        if (state.hasTimedOut) {
+          // idle key: drop the counter — it would reset at the next period
+          // boundary anyway, so eviction never changes admitted elements
+          state.remove()
+          Iterator.empty
+        } else {
+          val now = state.getCurrentProcessingTimeMs()
+          val period = now / periodMs
+          var (curPeriod, used) = state.getOption.getOrElse((period, 0))
+          if (curPeriod != period) { curPeriod = period; used = 0 } // ticker reset
+          val out = Seq.newBuilder[V]
+          values.foreach { v =>
+            if (used < quota) { out += v; used += 1 }
+            // else: discard (flow/throttler.go:119-124)
+          }
+          state.update((curPeriod, used))
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+          out.result().iterator
         }
-        state.update((curPeriod, used))
-        out.result().iterator
       }
   }
+
+  /** ProcessingTimeTimeout when a TTL is set, NoTimeout otherwise. */
+  private def ttlTimeout(ttlMs: Long): GroupStateTimeout =
+    if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
 
   /** Keyed (flow/keyed.go:53-72): an arbitrary stateful chain per key.
     * The chain's state is an accumulator of type S in the state store —
     * fresh per key like the reference's lazily-instantiated per-key
-    * operator chains, but evictable and fault-tolerant.
+    * operator chains, but fault-tolerant and, with `stateTtlMs` set,
+    * evicted after that much processing-time idleness (a key seen again
+    * after eviction restarts from `init`). Leave the TTL unset only for
+    * bounded key spaces — on a high-cardinality stream, unbounded per-key
+    * state is the scale bug.
     */
   def keyedState[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
       keyFn: V => K,
       init: S,
-      step: (S, V) => (S, IterableOnce[O])
+      step: (S, V) => (S, IterableOnce[O]),
+      stateTtlMs: Long = -1L
   ): Dataset[V] => Dataset[O] = { ds =>
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState[S, O](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+        OutputMode.Append(), ttlTimeout(stateTtlMs)
       ) { (_: K, values: Iterator[V], state: GroupState[S]) =>
-        var s = state.getOption.getOrElse(init)
-        val out = Seq.newBuilder[O]
-        values.foreach { v =>
-          val (s2, os) = step(s, v)
-          s = s2
-          out ++= os
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var s = state.getOption.getOrElse(init)
+          val out = Seq.newBuilder[O]
+          values.foreach { v =>
+            val (s2, os) = step(s, v)
+            s = s2
+            out ++= os
+          }
+          state.update(s)
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+          out.result().iterator
         }
-        state.update(s)
-        out.result().iterator
       }
   }
 
   /** Fold/Reduce running emission on a stream (flow/fold.go:83-90): emit
-    * the accumulator after every element, per key.
+    * the accumulator after every element, per key. `stateTtlMs` evicts
+    * idle keys' accumulators (restart from `init` if seen again).
     */
   def foldRunning[K: Encoder, V: Encoder, R: Encoder](
       keyFn: V => K,
       init: R,
-      merge: (R, V) => R
+      merge: (R, V) => R,
+      stateTtlMs: Long = -1L
   )(implicit outEnc: Encoder[(K, R)]): Dataset[V] => Dataset[(K, R)] = { ds =>
     ds.groupByKey(keyFn)
       .flatMapGroupsWithState[R, (K, R)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()
+        OutputMode.Append(), ttlTimeout(stateTtlMs)
       ) { (key: K, values: Iterator[V], state: GroupState[R]) =>
-        var acc = state.getOption.getOrElse(init)
-        val out = Seq.newBuilder[(K, R)]
-        values.foreach { v =>
-          acc = merge(acc, v)
-          out += ((key, acc)) // emit after EVERY element (flow/fold.go:83-90)
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var acc = state.getOption.getOrElse(init)
+          val out = Seq.newBuilder[(K, R)]
+          values.foreach { v =>
+            acc = merge(acc, v)
+            out += ((key, acc)) // emit after EVERY element (flow/fold.go:83-90)
+          }
+          state.update(acc)
+          if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+          out.result().iterator
         }
-        state.update(acc)
-        out.result().iterator
       }
+  }
+
+  /** Streaming exact dedup — the unbounded form of
+    * [[graft.dedup.Dedup.exact]]: the first row per key set is kept,
+    * subsequent duplicates arriving within the watermark delay are
+    * dropped, and key state older than the watermark is evicted
+    * (`dropDuplicatesWithinWatermark`) — dedup state stays bounded by
+    * the delay window instead of growing with the corpus.
+    */
+  def dedupExact(tsName: String, delay: String, keyCols: Seq[String]): DataFrame => DataFrame = { df =>
+    df.withWatermark(tsName, delay).dropDuplicatesWithinWatermark(keyCols)
+  }
+
+  /** Streaming signature dedup: dedup on a computed signature column —
+    * a content hash for exact dedup, a simhash or a MinHash band key
+    * ([[graft.functions.Hashing]]) for near-dup dropping — with the same
+    * watermark-bounded state as [[dedupExact]].
+    */
+  def dedupBySignature(
+      tsName: String, delay: String, signature: Column
+  ): DataFrame => DataFrame = { df =>
+    df.withColumn("__graft_sig", signature)
+      .withWatermark(tsName, delay)
+      .dropDuplicatesWithinWatermark(Seq("__graft_sig"))
+      .drop("__graft_sig")
   }
 
   /** Merge (flow/util.go:84-105) works on streams via union — unchanged. */

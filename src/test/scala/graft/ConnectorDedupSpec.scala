@@ -1,0 +1,161 @@
+package graft
+
+import graft.sinks.ConnectorSinks
+import graft.streaming.StreamingFlows
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Connector-sink idempotence + streaming dedup + state-TTL semantics. */
+class ConnectorDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("appendStreamBatch: per-epoch deterministic ids; an epoch replay adds nothing (redis/redis_stream.go:176-210)") {
+    ConnectorSinks.InMemoryBroker.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val handler = ConnectorSinks.appendStreamBatch("t:out", () => ConnectorSinks.InMemoryBroker.client())
+    val q = in.toDF().toDF("id", "payload").writeStream.foreachBatch(handler).start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val entries = ConnectorSinks.InMemoryBroker.stream("t:out")
+    assert(entries.size === 3)
+    val payloads = entries.values.map(_.toMap.apply("payload")).toSet
+    assert(payloads === Set("a", "b", "c"))
+
+    // simulate Spark re-running a failed epoch: same batch df, same epoch id
+    val replay = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "payload")
+    handler(replay, 0L)
+    assert(ConnectorSinks.InMemoryBroker.stream("t:out").size === 3) // no duplicates
+    // a NEW epoch with the same rows appends (at-least-once across epochs
+    // is the caller's dedup contract, exactly once within an epoch is ours)
+    handler(replay, 99L)
+    assert(ConnectorSinks.InMemoryBroker.stream("t:out").size === 6)
+  }
+
+  test("kvPutBatch: keyed upserts converge under replay (aerospike/aerospike.go:255-332)") {
+    ConnectorSinks.InMemoryKVStore.clear()
+    val batch = Seq((1L, "alice", 10), (2L, "bob", 20)).toDF("id", "name", "score")
+    val handler = ConnectorSinks.kvPutBatch("ns1", "id", () => ConnectorSinks.InMemoryKVStore.client())
+    handler(batch, 0L)
+    handler(batch, 0L) // replayed epoch: same keys overwritten, no growth
+    val recs = ConnectorSinks.InMemoryKVStore.namespace("ns1")
+    assert(recs.size === 2)
+    assert(recs("1").toMap.apply("name") === "alice")
+    // a later epoch updating a key converges to the latest value
+    handler(Seq((1L, "alice", 99)).toDF("id", "name", "score"), 1L)
+    assert(ConnectorSinks.InMemoryKVStore.namespace("ns1")("1").toMap.apply("score") === "99")
+  }
+
+  test("kafka source/sink wiring: format + options reach the (jar-less) reader/writer") {
+    // the connector jar is absent here, so these can't start — but the
+    // wiring must be right for the deploy site: assert the configured
+    // options via reflection, and that resolution fails on the kafka
+    // format lookup (proving format() is wired), not earlier
+    def extraOptions(obj: AnyRef): Map[String, String] = {
+      var cls: Class[_] = obj.getClass
+      while (cls != null) {
+        cls.getDeclaredFields.find(_.getName.contains("extraOptions")).foreach { f =>
+          f.setAccessible(true)
+          // CaseInsensitiveMap lowercases keys — normalize for lookup
+          return f.get(obj).asInstanceOf[scala.collection.Map[String, String]]
+            .map { case (k, v) => k.toLowerCase -> v }.toMap
+        }
+        cls = cls.getSuperclass
+      }
+      Map.empty
+    }
+    val r = graft.api.SourcesApi.kafkaReader(spark, "broker:9092", "events", Some(500L))
+    val ro = extraOptions(r)
+    assert(ro.get("kafka.bootstrap.servers").contains("broker:9092"))
+    assert(ro.get("subscribe").contains("events"))
+    assert(ro.get("maxoffsetspertrigger").contains("500"))
+
+    val streamDf = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .selectExpr("CAST(value AS STRING) AS value")
+    val w = ConnectorSinks.kafkaWriter(streamDf, "broker:9092", "events")
+    val wo = extraOptions(w)
+    assert(wo.get("kafka.bootstrap.servers").contains("broker:9092"))
+    assert(wo.get("topic").contains("events"))
+
+    val err = intercept[Exception] { r.load() }
+    val msg = Option(err.getMessage).getOrElse("") + err.getClass.getName
+    assert(msg.toLowerCase.contains("kafka")) // fails AT the kafka source lookup
+  }
+
+  test("dedupExact: in-window duplicates dropped, state evicted past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val out = StreamingFlows.dedupExact("_1", "10 seconds", Seq("_2"))(in.toDF())
+      .select(col("_2").as("v"))
+    val q = out.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // same-batch duplicate: one survivor
+      in.addData((ts("2024-01-01 00:00:00"), "x"), (ts("2024-01-01 00:00:05"), "x"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 1)
+      // cross-batch duplicate within the watermark delay: still dropped
+      in.addData((ts("2024-01-01 00:00:08"), "x"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 1)
+      // advance the watermark far past x's retention, then re-emit x:
+      // state was evicted, so x is admitted again (bounded-state contract)
+      in.addData((ts("2024-01-01 01:00:00"), "y"))
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 01:00:01"), "x"))
+      q.processAllAvailable()
+      val counts = spark.table("dedup_out").as[String].collect().groupBy(identity).view.mapValues(_.length).toMap
+      assert(counts === Map("x" -> 2, "y" -> 1))
+    } finally q.stop()
+  }
+
+  test("dedupBySignature: near-dup rows dropped by content-hash signature") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    // signature = exact content hash of the text column (the cheapest tier;
+    // a simhash or band key slots into the same operator)
+    val out = StreamingFlows.dedupBySignature("_1", "1 minute", md5(col("_2")))(in.toDF())
+      .select(col("_2").as("v"))
+    val q = out.writeStream.format("memory").queryName("sigdedup_out").outputMode("append").start()
+    try {
+      in.addData(
+        (ts("2024-01-01 00:00:00"), "same content"),
+        (ts("2024-01-01 00:00:01"), "same content"),
+        (ts("2024-01-01 00:00:02"), "different content"))
+      q.processAllAvailable()
+      val rows = spark.table("sigdedup_out").as[String].collect().toSeq.sorted
+      assert(rows === Seq("different content", "same content"))
+    } finally q.stop()
+  }
+
+  test("keyedState TTL evicts idle keys; key restarts from init (contrast: NoTimeout accumulates)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val out = StreamingFlows.keyedState[String, (String, Int), Int, (String, Int)](
+      _._1, 0, (acc, v) => { val n = acc + v._2; (n, Seq((v._1, n))) }, stateTtlMs = 1500L
+    ).apply(in.toDS()).toDF("key", "acc")
+    // NOTE: with ProcessingTimeTimeout registered the engine keeps running
+    // empty micro-batches to evaluate timers, so processAllAvailable never
+    // settles — poll the sink with a deadline instead (cf. StreamingSpec).
+    val q = out.writeStream.format("memory").queryName("ttl_out").outputMode("append").start()
+    try {
+      def rows() = spark.table("ttl_out").as[(String, Int)].collect().toSeq
+      val deadline = System.currentTimeMillis() + 90000
+      in.addData(("a", 5))
+      while (rows().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(rows().map(_._2).contains(5))
+      var restarted = false
+      while (!restarted && System.currentTimeMillis() < deadline) {
+        Thread.sleep(2500) // let the TTL lapse; an empty batch evicts the key
+        val before = rows().length
+        in.addData(("a", 7))
+        while (rows().length == before && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        // 7 (not 12): the accumulator restarted from init after eviction
+        restarted = rows().map(_._2).contains(7)
+      }
+      assert(restarted, "expected the TTL-evicted key to restart from init")
+    } finally q.stop()
+  }
+}

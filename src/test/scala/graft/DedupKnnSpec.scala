@@ -139,4 +139,43 @@ class DedupKnnSpec extends SparkSpec {
     assert(h == 158335321521362L) // == int('900150983cd2', 16), cross-checked in DuckDB
     assert(h >= 0 && h < (1L << 48))
   }
+
+  test("minhash maxBucket cap drops degenerate boilerplate buckets before pair expansion") {
+    // 10 copies of the same boilerplate: identical signatures, one bucket of
+    // 10 per band -> 45 quadratic pairs without the cap
+    val boiler = (1L to 10L).map(i => (i, "the same license header boilerplate repeated across many documents verbatim"))
+    val others = Seq(
+      (100L, "completely different content about an unrelated subject matter"),
+      (101L, "another independent document with its own distinct vocabulary"))
+    val docs = (boiler ++ others).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    assert(uncapped.count() == 45)
+    val capped = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"), maxBucket = 5)
+    assert(capped.count() == 0) // the only candidate buckets were oversized
+    val oversized = Dedup.minhashOversizedBuckets(docs, col("text"), col("doc_id"), maxBucket = 5)
+    val members = oversized.select(col("n_members")).as[Long].collect()
+    assert(members.nonEmpty && members.forall(_ == 10L)) // observability of what was dropped
+    // default cap unchanged: same result as an explicit huge cap
+    assert(Dedup.minhashLshPairs(docs, col("text"), col("doc_id"), maxBucket = 1000).count() == 45)
+  }
+
+  test("simhash pair join finds exactly the all-pairs hamming<=r set (pigeonhole recall)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (4L, "totally unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming")).as[(Long, Long, Long)].collect().toSet
+    // brute-force oracle in Scala
+    val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(pairs == expected)
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
+  }
 }

@@ -42,4 +42,49 @@ class FramedSourceSpec extends SparkSpec {
     }
     assert(e != null)
   }
+
+  test("streams multi-chunk files; multi-byte delimiter across chunk boundaries") {
+    // frames sized so that the 3-byte delimiter straddles the reader's
+    // 64 KiB refill boundary repeatedly; total ~1.3 MB >> one chunk, so the
+    // incremental decode path (not a slurp) is what's being exercised
+    val delim = "<|>"
+    val frames = (0 until 40).map(i => ("f%04d-".format(i)) + ("x" * (32 * 1024 + i - 20)))
+    val dir = writeTemp("big.dat", frames.mkString(delim))
+    val out = spark.read.format("graft-framed").option("delimiter", delim)
+      .load(dir).select("value").as[String].collect()
+    assert(out.length == 40)
+    assert(out.sorted.toSeq == frames.sorted)
+  }
+
+  test("length-prefixed framing: 4-byte BE prefix, bounds-checked") {
+    val dir = Files.createTempDirectory("framed").toString
+    val frames = Seq("first", "second frame", "x" * 70000) // last spans chunks
+    val bb = new java.io.ByteArrayOutputStream()
+    frames.foreach { f =>
+      val b = f.getBytes("UTF-8")
+      bb.write(Array[Byte]((b.length >> 24).toByte, (b.length >> 16).toByte,
+        (b.length >> 8).toByte, b.length.toByte))
+      bb.write(b)
+    }
+    Files.write(Paths.get(dir, "lp.bin"), bb.toByteArray)
+    val out = spark.read.format("graft-framed").option("framing", "length-prefixed")
+      .load(dir).select("value").as[String].collect().toSeq
+    assert(out.sorted == frames.sorted)
+    // corrupt length prefix (beyond maxFrameBytes) is a clean error
+    Files.write(Paths.get(dir, "bad.bin"), Array[Byte](0x7f, -1, -1, -1, 0))
+    val e = intercept[Exception] {
+      spark.read.format("graft-framed").option("framing", "length-prefixed")
+        .option("maxFrameBytes", "1024").load(s"$dir/bad.bin").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("frames larger than one 64 KiB chunk survive intact") {
+    val big = "A" * (300 * 1024) // one frame spanning ~5 chunks
+    val dir = writeTemp("huge.dat", s"start;$big;end")
+    val out = spark.read.format("graft-framed").option("delimiter", ";")
+      .load(dir).select("value").as[String].collect().toSeq
+    assert(out.map(_.length).sorted == Seq(3, 5, 300 * 1024))
+    assert(out.contains(big))
+  }
 }

@@ -57,6 +57,35 @@ class WindowsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("u1", t0, 2L), ("u1", t0 + 61, 1L), ("u2", t0 + 10, 1L)))
   }
 
+  test("slidingComplete suppresses ramp-up partial windows (EmitPartialWindow=false, flow/sliding_window.go:214-230)") {
+    val evs = Seq(
+      ("a", ts("2024-01-01 00:00:40")),
+      ("b", ts("2024-01-01 00:01:10")),
+      ("c", ts("2024-01-01 00:01:40"))
+    ).toDF("v", "t")
+    val all = Windows.sliding(col("t"), "1 minute", "30 seconds", Nil,
+      Seq(count(lit(1)).as("n")))(evs)
+      .select(col("window.start").cast("long")).as[Long].collect().toSet
+    val complete = Windows.slidingComplete(col("t"), "1 minute", "30 seconds", Nil,
+      Seq(count(lit(1)).as("n")))(evs)
+      .select(col("window.start").cast("long")).as[Long].collect().toSet
+    val t0 = ts("2024-01-01 00:00:00").getTime / 1000
+    // "a" at 00:00:40 belongs to windows starting 00:00:00 and 00:00:30;
+    // the 00:00:00 one began before the first event (00:00:40) -> partial
+    assert(all.contains(t0))
+    assert(complete == all.filter(_ >= t0 + 40))
+  }
+
+  test("streaming sliding validates AllowedLateness <= slide (flow/sliding_window.go:92-94)") {
+    import graft.streaming.StreamingFlows
+    StreamingFlows.requireLatenessAtMostSlide("30 seconds", "30 seconds") // ok
+    StreamingFlows.requireLatenessAtMostSlide("10 seconds", "1 minute")   // ok
+    val e = intercept[IllegalArgumentException] {
+      StreamingFlows.requireLatenessAtMostSlide("2 minutes", "30 seconds")
+    }
+    assert(e.getMessage.contains("lateness"))
+  }
+
   test("tumblingCollect sorts window contents by event time (flow/sliding_window.go:257-260)") {
     val shuffled = Seq(
       ("late", ts("2024-01-01 00:00:50")),
