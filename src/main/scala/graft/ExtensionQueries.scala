@@ -91,8 +91,7 @@ object ExtensionQueries {
   // --- text analysis ----------------------------------------------------
 
   private def q26LangId(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    TextFunctions.langIdTable(Tables.documents(s, d), col("text"), col("doc_id"))
 
   private def q27Quality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -109,10 +108,7 @@ object ExtensionQueries {
     )
 
   private def q29Fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      Hashing.fingerprint(col("text"), 8).as("fingerprint")
-    )
+    Dedup.fingerprints(Tables.documents(s, d), col("text"), col("doc_id"), n = 8)
 
   // --- multimodal -------------------------------------------------------
 

@@ -136,9 +136,36 @@ object Dedup {
     * `maxHamming+1` chunks — any pair within the radius shares at least one
     * exact chunk (pigeonhole), so the join is again an equijoin on
     * (chunk_index, chunk_value).
+    *
+    * Relational formulation, like MinHash: explode tokens, hash each once
+    * (codegen'd), then ONE groupBy(doc_id) with 48 integer sum-aggregates
+    * (map-side partial agg). The column-form
+    * [[graft.functions.Hashing.simhash48]] computes the same value but its
+    * 48 per-bit array folds run as interpreted lambdas — measured 30× slower
+    * at sf0.1 (7.2 s vs 0.24 s for the signature pass). Bit votes are
+    * order-free integer sums, so the two forms are value-identical.
     */
-  def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.select(id.as("doc_id"), Hashing.simhash48(TextFunctions.wsTokens(text)).as("simhash"))
+  def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tokRows = df.select(
+      id.as("doc_id"),
+      // explode_outer keeps empty docs (signature 0, matching the oracle's
+      // coalesce-to-0 and the column form's empty-fold)
+      explode_outer(TextFunctions.wsTokens(text)).as("tok")
+    )
+    val hashed = tokRows.select(col("doc_id"), Hashing.hash48(col("tok")).as("h"))
+    val votes = (0 until Hashing.HashBits).map { b =>
+      sum(
+        when(col("h").isNull, 0L)
+          .when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)
+      ).as(s"v$b")
+    }
+    val agg = hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val bits = (0 until Hashing.HashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
 
   def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, text, id)
@@ -154,21 +181,64 @@ object Dedup {
         }: _*)
       ).as(Seq("chunk", "chunk_val"))
     )
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") && col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        Hashing.hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming")
-      )
+    // Bucket-and-expand, like minhashLshPairs: ONE shuffle on the chunk
+    // key and the signature pipeline evaluated once — a self-join would
+    // recompute the whole explode+hash+agg plan for the second side.
+    val buckets = chunked
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
+      .where(size(col("ms")) > 1)
+    buckets
+      .select(explode(flatten(transform(
+        col("ms"),
+        (x, i) => transform(
+          slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(
+            x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            Hashing.hammingDistance(x.getField("simhash"), y.getField("simhash")).as("hamming")
+          )
+        )
+      ))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
 
+  /** Winnowing-style document fingerprints, relationally: explode char
+    * n-grams, hash each once in codegen, one min-aggregate per doc. Value
+    * -identical to the column form [[graft.functions.Hashing.fingerprint]]
+    * (min is order-free; empty docs get the Prime sentinel) but the md5
+    * runs as a codegen'd row expression instead of an interpreted
+    * array-lambda element (measured 5× at sf0.1).
+    */
+  def fingerprints(df: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame =
+    df.select(id.as("doc_id"), text.as("__t"))
+      // explode gram START POSITIONS (a primitive int sequence), not a
+      // prebuilt gram-string array — substr+md5 then run as codegen'd row
+      // expressions; building the array would evaluate substr per element
+      // inside an interpreted lambda
+      .select(
+        col("doc_id"), col("__t"),
+        explode_outer(
+          when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))
+        ).as("__i"))
+      .select(col("doc_id"), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(coalesce(min(col("h")), lit(Hashing.Prime)).as("fingerprint"))
+
   /** Exact n-gram Jaccard similarity between explicit (docA, docB) pairs —
     * the verification stage that LSH candidates feed at scale. `pairs` must
     * expose doc_a/doc_b id columns; `docs` maps id → text.
+    *
+    * Deliberately the ARRAY form: per-doc gram arrays are bounded
+    * (≈ len(text) strings), so they scale with document size, not corpus
+    * size, and `array_intersect`/`array_union` are hash-set codegen'd
+    * collection ops — a measured 2× faster at sf0.1 than the fully
+    * relational explode-distinct-join formulation, whose three extra gram
+    * shuffles dominate (tried and reverted; the join-per-pair shape is
+    * already bounded by |pairs|, which LSH keeps small).
     */
   def ngramJaccard(
       pairs: DataFrame,

@@ -106,6 +106,11 @@ object Hashing {
     * bit b of the result is 1 iff the sum over tokens of (+1 if bit b of the
     * token hash is set else -1) is strictly positive. Duplicate tokens count
     * with multiplicity (matches the DuckDB oracle's unnest semantics).
+    *
+    * Column form for composability; the per-bit folds run as interpreted
+    * lambdas, so at corpus scale use the value-identical relational form
+    * [[graft.dedup.Dedup.simhashSignatures]] (explode + 48 codegen'd sum
+    * aggregates — measured 30× at sf0.1).
     */
   def simhash48(tokens: Column): Column = {
     val hashes = transform(tokens, t => hash48(t))
@@ -128,6 +133,9 @@ object Hashing {
     * n-gram shingles (a 1-element winnowing sketch). Stable under content
     * reordering only at shingle granularity — intended as a cheap
     * content-identity key, cf. Schleimer et al., "Winnowing" (SIGMOD'03).
+    * Column form; at corpus scale use the value-identical relational
+    * [[graft.dedup.Dedup.fingerprints]] (codegen'd md5 per row, not per
+    * array element).
     */
   def fingerprint(text: Column, n: Int): Column =
     coalesce(array_min(transform(charNgrams(text, n), g => hash48(g))), lit(Prime))

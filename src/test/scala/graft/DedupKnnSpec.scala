@@ -140,6 +140,24 @@ class DedupKnnSpec extends SparkSpec {
     assert(h >= 0 && h < (1L << 48))
   }
 
+  test("relational forms equal column forms: simhash, fingerprint, langId") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    import graft.functions.TextFunctions
+    val simCol = docs.select(col("doc_id"), Hashing.simhash48(TextFunctions.wsTokens(col("text"))).as("simhash"))
+    val simRel = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+    assert(simRel.join(simCol.withColumnRenamed("simhash", "c"), "doc_id")
+      .where(col("simhash") =!= col("c")).count() == 0)
+    val fpCol = docs.select(col("doc_id"), Hashing.fingerprint(col("text"), 8).as("fingerprint"))
+    val fpRel = Dedup.fingerprints(docs, col("text"), col("doc_id"), 8)
+    assert(fpRel.join(fpCol.withColumnRenamed("fingerprint", "c"), "doc_id")
+      .where(col("fingerprint") =!= col("c")).count() == 0)
+    val liCol = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    val liRel = TextFunctions.langIdTable(docs, col("text"), col("doc_id"))
+    assert(liRel.join(liCol.withColumnRenamed("lang_pred", "c"), "doc_id")
+      .where(col("lang_pred") =!= col("c")).count() == 0)
+    assert(liRel.count() == docs.count() && fpRel.count() == docs.count() && simRel.count() == docs.count())
+  }
+
   test("minhash maxBucket cap drops degenerate boilerplate buckets before pair expansion") {
     // 10 copies of the same boilerplate: identical signatures, one bucket of
     // 10 per band -> 45 quadratic pairs without the cap
