@@ -92,6 +92,31 @@ object ConnectorSinks {
     }
   }
 
+  /** Fire-and-forget publisher: the Redis Pub-Sub PUBLISH / NATS core
+    * publish shape (redis/redis_pub_sub.go, nats/nats_streaming.go pub) —
+    * no entry ids, no acknowledgment, so delivery is at-least-once under
+    * micro-batch replay (exactly the reference's semantics; subscribers
+    * needing better dedup on a content key downstream). The third delivery
+    * class next to [[appendStreamBatch]] (effectively-once by id) and
+    * [[kvPutBatch]] (converging by key).
+    */
+  trait PublishClient extends Serializable {
+    def publish(channel: String, message: String): Unit
+    def close(): Unit = ()
+  }
+
+  def publishBatch(
+      channel: String,
+      column: String,
+      newClient: () => PublishClient
+  ): (DataFrame, Long) => Unit = (df, _) => {
+    df.select(column).foreachPartition { (rows: Iterator[Row]) =>
+      val client = newClient()
+      try rows.foreach(r => client.publish(channel, String.valueOf(r.get(0))))
+      finally client.close()
+    }
+  }
+
   /** Minimal keyed-record client: the Aerospike put / Redis SET shape. */
   trait KVClient extends Serializable {
     def put(namespace: String, key: String, bins: Seq[(String, String)]): Unit

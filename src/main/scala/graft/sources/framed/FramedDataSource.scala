@@ -65,11 +65,55 @@ object FramedDataSource {
   ))
 }
 
+/** Option parsing + driver-side file listing shared by the batch scan and
+  * the micro-batch stream.
+  */
+private[framed] object FramedOptions {
+  final case class Parsed(pathStr: String, delimiter: String, framing: String, maxFrameBytes: Int)
+
+  def parse(opts: Map[String, String]): Parsed = {
+    val pathStr = opts.getOrElse("path",
+      throw new IllegalArgumentException("graft-framed requires a path"))
+    val framing = opts.getOrElse("framing", "delimiter")
+    require(framing == "delimiter" || framing == "length-prefixed",
+      s"graft-framed: unknown framing '$framing' (delimiter | length-prefixed)")
+    Parsed(
+      pathStr,
+      opts.getOrElse("delimiter", "\n"),
+      framing,
+      opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt)
+  }
+
+  /** Non-empty files under the path/glob (driver side). */
+  def listFiles(pathStr: String): Seq[String] = {
+    val hconf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    val path = new Path(pathStr)
+    val fs = path.getFileSystem(hconf)
+    val files = fs.globStatus(path) match {
+      case null =>
+        throw new java.io.FileNotFoundException(s"graft-framed: path does not exist: $pathStr")
+      case sts => sts.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
+      }
+    }
+    files.filter(_.getLen > 0).map(_.getPath.toString).toSeq
+  }
+
+  /** The session's Hadoop conf entries, to ship to executors — a bare
+    * executor-side `new Configuration()` would silently drop fs
+    * impls/credentials and break any non-default filesystem.
+    */
+  def confEntries(): Map[String, String] = {
+    val hconf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+}
+
 class FramedTable(properties: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"graft-framed(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = FramedDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val opts = properties ++ options.asScala
@@ -79,38 +123,72 @@ class FramedTable(properties: Map[String, String]) extends Table with SupportsRe
       override def toBatch: Batch = this
 
       override def planInputPartitions(): Array[InputPartition] = {
-        val pathStr = opts.getOrElse("path",
-          throw new IllegalArgumentException("graft-framed requires a path"))
-        val framing = opts.getOrElse("framing", "delimiter")
-        require(framing == "delimiter" || framing == "length-prefixed",
-          s"graft-framed: unknown framing '$framing' (delimiter | length-prefixed)")
-        val delim = opts.getOrElse("delimiter", "\n")
-        val hconf = org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration
-        val path = new Path(pathStr)
-        val fs = path.getFileSystem(hconf)
-        val files = fs.globStatus(path) match {
-          case null =>
-            throw new java.io.FileNotFoundException(s"graft-framed: path does not exist: $pathStr")
-          case sts => sts.flatMap { st =>
-            if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile) else Array(st)
-          }
-        }
-        val maxFrame = opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt
-        files.filter(_.getLen > 0).map(st =>
-          FramedFilePartition(st.getPath.toString, delim, framing, maxFrame): InputPartition)
+        val p = FramedOptions.parse(opts)
+        FramedOptions.listFiles(p.pathStr).map(f =>
+          FramedFilePartition(f, p.delimiter, p.framing, p.maxFrameBytes): InputPartition).toArray
       }
 
-      override def createReaderFactory(): PartitionReaderFactory = {
-        // ship the session's Hadoop conf entries (fs impls, credentials) to
-        // the executors — a bare executor-side `new Configuration()` would
-        // silently drop them and break any non-default filesystem
-        val hconf = org.apache.spark.sql.SparkSession.active
-          .sparkContext.hadoopConfiguration
-        val entries = hconf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
-        new FramedReaderFactory(entries)
-      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new FramedReaderFactory(FramedOptions.confEntries())
+
+      override def toMicroBatchStream(
+          checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new FramedMicroBatchStream(opts)
     }
+  }
+}
+
+/** Micro-batch streaming form — `readStream.format("graft-framed")`: the
+  * reference's ReaderSource IS a streaming source (frames arrive over time,
+  * extension/source_reader.go:71-96); here new FILES arriving under the
+  * path are the unit of progress. An offset is the set of files already
+  * processed; each trigger reads the newly-appeared ones. Same
+  * immutable-once-written assumption as Spark's built-in file source —
+  * appends to an already-read file are not re-read.
+  */
+class FramedMicroBatchStream(opts: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val parsed = FramedOptions.parse(opts)
+
+  override def initialOffset(): Offset = FramedOffset(Set.empty)
+
+  override def latestOffset(): Offset = FramedOffset(FramedOptions.listFiles(parsed.pathStr).toSet)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[FramedOffset].files
+    val e = end.asInstanceOf[FramedOffset].files
+    (e -- s).toSeq.sorted.map(f =>
+      FramedFilePartition(f, parsed.delimiter, parsed.framing, parsed.maxFrameBytes): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FramedReaderFactory(FramedOptions.confEntries())
+
+  override def deserializeOffset(json: String): Offset = FramedOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Offset = the set of files already emitted. Serialized as a JSON array
+  * (json4s ships with Spark) so the engine's offset log round-trips it.
+  */
+case class FramedOffset(files: Set[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(files.toList.sorted))
+  }
+}
+
+object FramedOffset {
+  def fromJson(json: String): FramedOffset = {
+    implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+    FramedOffset(org.json4s.jackson.JsonMethods.parse(json).extract[List[String]].toSet)
   }
 }
 

@@ -34,6 +34,15 @@ class ConnectorDedupSpec extends SparkSpec {
     assert(ConnectorSinks.InMemoryBroker.stream("t:out").size === 6)
   }
 
+  test("publishBatch: fire-and-forget per-row publish (redis pub-sub / NATS shape)") {
+    PublishProbe.seen.clear()
+    val handler = ConnectorSinks.publishBatch("chan", "v", () => new PublishProbeClient)
+    handler(Seq("m1", "m2", "m3").toDF("v"), 0L)
+    assert(PublishProbe.seen.toArray.map(_.toString).sorted.toSeq == Seq("chan:m1", "chan:m2", "chan:m3"))
+    handler(Seq("m1").toDF("v"), 0L) // replay: at-least-once, duplicate delivered
+    assert(PublishProbe.seen.size == 4)
+  }
+
   test("kvPutBatch: keyed upserts converge under replay (aerospike/aerospike.go:255-332)") {
     ConnectorSinks.InMemoryKVStore.clear()
     val batch = Seq((1L, "alice", 10), (2L, "bob", 20)).toDF("id", "name", "score")
@@ -158,4 +167,17 @@ class ConnectorDedupSpec extends SparkSpec {
       assert(restarted, "expected the TTL-evicted key to restart from init")
     } finally q.stop()
   }
+}
+
+/** In-JVM publish target for the publishBatch spec — top-level so the
+  * closure ships without capturing the suite instance (local[4] shares the
+  * JVM, so the static queue is visible to "executors").
+  */
+object PublishProbe {
+  val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+class PublishProbeClient extends ConnectorSinks.PublishClient {
+  override def publish(channel: String, message: String): Unit =
+    PublishProbe.seen.add(s"$channel:$message")
 }

@@ -56,6 +56,22 @@ class FramedSourceSpec extends SparkSpec {
     assert(out.sorted.toSeq == frames.sorted)
   }
 
+  test("streaming: readStream picks up newly-arriving files incrementally") {
+    val dir = Files.createTempDirectory("framed-stream").toString
+    Files.writeString(Paths.get(dir, "s1.dat"), "a|b|c")
+    val q = spark.readStream.format("graft-framed").option("delimiter", "|")
+      .load(dir)
+      .writeStream.format("memory").queryName("framed_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("framed_stream_out").count() == 3)
+      Files.writeString(Paths.get(dir, "s2.dat"), "d|e")
+      q.processAllAvailable()
+      val vals = spark.table("framed_stream_out").select("value").as[String].collect().sorted
+      assert(vals.toSeq == Seq("a", "b", "c", "d", "e")) // s1 not re-read
+    } finally q.stop()
+  }
+
   test("length-prefixed framing: 4-byte BE prefix, bounds-checked") {
     val dir = Files.createTempDirectory("framed").toString
     val frames = Seq("first", "second frame", "x" * 70000) // last spans chunks
