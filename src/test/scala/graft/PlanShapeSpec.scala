@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression gates — the scale properties PlanAudit checks by
+  * hand, asserted in the suite so a refactor can't silently regress them:
+  * filters pushed to the parquet scan, pruned read schemas, broadcasts
+  * where intended, and never a CartesianProduct or single-partition
+  * Exchange in a gated query.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("q02 filter is pushed to the parquet scan and the schema is pruned") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("l_quantity"), p)
+    // only the 3 projected+filter columns are read, not all of lineitem
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("no gated query plans a CartesianProduct or a single-partition Exchange") {
+    // q25 intentionally uses BroadcastNestedLoopJoin (query side broadcast);
+    // Cartesian/SinglePartition would mean a real scale bug anywhere.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      assert(!p.contains("Exchange SinglePartition"), s"$name plans a single-partition Exchange")
+    }
+  }
+
+  test("ANN probes broadcast the small side; corpus is never broadcast") {
+    val p25 = plan("q25_ann_topk")
+    assert(p25.contains("BroadcastNestedLoopJoin") || p25.contains("BroadcastExchange"), p25)
+    val p32 = plan("q32_ann_ivf")
+    assert(p32.contains("BroadcastHashJoin"), p32)
+    // partial top-k before the shuffle: the WindowGroupLimit pushdown
+    assert(p32.contains("WindowGroupLimit"), p32)
+  }
+
+  test("q21/q33 candidate generation is bucket-grouped, not a self-join re-scan") {
+    // bucket-and-expand: exactly one parquet scan in the whole plan
+    // (documents is the only input of both queries — a self-join
+    // formulation would show two)
+    for (name <- Seq("q21_dedup_minhash", "q33_simhash_pairs")) {
+      val p = plan(name)
+      val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+      assert(scans == 1, s"$name has $scans parquet scans:\n$p")
+    }
+  }
+}

@@ -74,4 +74,40 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val wordGen = Gen.oneOf(
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda", "mu")
+  private val docGen = Gen.listOfN(10, wordGen).map(_.mkString(" "))
+
+  test("SimHash pair-join law: chunk blocking == all-pairs hamming filter on random corpora") {
+    import graft.dedup.Dedup
+    samples(Gen.listOfN(20, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val blocked = Dedup.simhashPairs(docs, col("text"), col("doc_id"), maxHamming = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      val brute = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      assert(blocked == brute) // pigeonhole recall is exact, not approximate
+    }
+  }
+
+  test("MinHash cap law: capped pairs are a subset; default cap changes nothing") {
+    import graft.dedup.Dedup
+    samples(Gen.listOfN(15, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val all = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+        .as[(Long, Long)].collect().toSet
+      val capped = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"), maxBucket = 4)
+        .as[(Long, Long)].collect().toSet
+      assert(capped.subsetOf(all))
+      val explicit = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"), maxBucket = Int.MaxValue)
+        .as[(Long, Long)].collect().toSet
+      assert(explicit == all)
+    }
+  }
 }
