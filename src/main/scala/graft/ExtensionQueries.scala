@@ -110,6 +110,10 @@ object ExtensionQueries {
   private def q29Fingerprint(s: SparkSession, d: String): DataFrame =
     Dedup.fingerprints(Tables.documents(s, d), col("text"), col("doc_id"), n = 8)
 
+  /** Full winnowing fingerprint sets (window-min over gram hashes). */
+  private def q34Winnowing(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowingFingerprints(Tables.documents(s, d), col("text"), col("doc_id"), n = 8, w = 4)
+
   // --- multimodal -------------------------------------------------------
 
   private def q30Multimodal(s: SparkSession, d: String): DataFrame = {
@@ -138,7 +142,8 @@ object ExtensionQueries {
     "q30_multimodal" -> (q30Multimodal _),
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q32_ann_ivf" -> (q32AnnIvf _),
-    "q33_simhash_pairs" -> (q33SimhashPairs _)
+    "q33_simhash_pairs" -> (q33SimhashPairs _),
+    "q34_winnowing" -> (q34Winnowing _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -319,6 +324,18 @@ object ExtensionQueries {
          |s AS (SELECT p.q_id, a.vec_id AS n_id, $duckCosPA AS cosine
          |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
-         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin
+         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q34_winnowing" ->
+      // outer position var must NOT be named `i`: duckHash48's list
+      // comprehension rebinds i and would silently shadow it
+      s"""WITH pos AS (
+         |  SELECT doc_id, p, ${duckHash48("substr(text, p::INT, 8)")} AS h
+         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)),
+         |w AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+         |    count(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+         |  FROM pos)
+         |SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4""".stripMargin
   )
 }

@@ -228,6 +228,45 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(coalesce(min(col("h")), lit(Hashing.Prime)).as("fingerprint"))
 
+  /** Full winnowing fingerprint SETS (Schleimer et al., SIGMOD'03) — the
+    * multi-fingerprint upgrade of [[fingerprints]]' 1-element sketch: hash
+    * every char n-gram, slide a window of `w` consecutive gram hashes, keep
+    * the minimum of each window, emit the distinct minima per document.
+    * Guarantee: any shared substring of length ≥ n + w - 1 between two
+    * documents yields at least one shared fingerprint.
+    *
+    * Tie-breaking (which POSITION is selected) does not affect the output:
+    * only distinct VALUES are kept, and the window minimum value is
+    * position-independent — which is also what makes the DuckDB oracle
+    * reproduction exact. Docs shorter than n + w - 1 chars have no full
+    * window and produce no rows.
+    *
+    * Scale shape: explode positions (codegen'd substr+md5 per row), one
+    * window pass partitioned by doc, distinct — two exchanges on doc_id,
+    * both AQE-coalescible; no per-row arrays.
+    */
+  def winnowingFingerprints(
+      df: DataFrame, text: Column, id: Column, n: Int = 8, w: Int = 4
+  ): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("__i"))
+      .rowsBetween(Window.currentRow, w - 1)
+    df.select(id.as("doc_id"), text.as("__t"))
+      .select(
+        col("doc_id"), col("__t"),
+        explode(
+          when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))
+        ).as("__i"))
+      .select(col("doc_id"), col("__i"), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
+      .select(
+        col("doc_id"),
+        min(col("h")).over(win).as("fingerprint"),
+        count(col("h")).over(win).as("__cnt"))
+      .where(col("__cnt") === w) // full windows only — the tail has none
+      .select(col("doc_id"), col("fingerprint"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity between explicit (docA, docB) pairs —
     * the verification stage that LSH candidates feed at scale. `pairs` must
     * expose doc_a/doc_b id columns; `docs` maps id → text.

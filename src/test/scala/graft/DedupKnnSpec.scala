@@ -158,6 +158,27 @@ class DedupKnnSpec extends SparkSpec {
     assert(liRel.count() == docs.count() && fpRel.count() == docs.count() && simRel.count() == docs.count())
   }
 
+  test("winnowing fingerprints: shared long substrings guarantee a shared fingerprint") {
+    val common = "this exact sentence appears verbatim in two documents"
+    val docs = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"totally different lead-in $common and outro"),
+      (3L, "nothing in common with the others at all here"),
+      (4L, "tiny") // shorter than n+w-1: no full window, no rows
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowingFingerprints(docs, col("text"), col("doc_id"), n = 8, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // shared substring of length >= n+w-1 = 11 -> guaranteed common fingerprint
+    assert((fp(1L) intersect fp(2L)).nonEmpty)
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    assert(!fp.contains(4L))
+    // each fingerprint is some gram hash of the doc (window-min soundness)
+    val grams1 = docs.where(col("doc_id") === 1L)
+      .select(explode(Hashing.charNgrams(col("text"), 8)).as("g"))
+      .select(Hashing.hash48(col("g"))).as[Long].collect().toSet
+    assert(fp(1L).subsetOf(grams1))
+  }
+
   test("minhash maxBucket cap drops degenerate boilerplate buckets before pair expansion") {
     // 10 copies of the same boilerplate: identical signatures, one bucket of
     // 10 per band -> 45 quadratic pairs without the cap
