@@ -42,6 +42,22 @@ object StreamDemo {
       Thread.sleep(500)
     println(s"DEMO_STREAM_WINDOWS=${spark.table("demo_stream").count()}")
     q.stop()
+
+    // streaming framed source → dedup-by-signature → connector sink
+    // (Redis-Streams XADD shape against the in-JVM broker fake)
+    import graft.sinks.ConnectorSinks
+    val sdir = java.nio.file.Files.createTempDirectory("framed_demo_stream")
+    java.nio.file.Files.writeString(sdir.resolve("w1.dat"), "x;y;x;z")
+    ConnectorSinks.InMemoryBroker.clear()
+    val q2 = graft.api.Pipeline.Pipe(
+      spark.readStream.format("graft-framed").option("delimiter", ";").load(sdir.toString)
+        .withColumn("ts", current_timestamp()))
+      .via(StreamingFlows.dedupBySignature("ts", "1 minute", md5(col("value"))))
+      .toStream(Sinks.foreachBatchSink(
+        ConnectorSinks.appendStreamBatch("demo:out", () => ConnectorSinks.InMemoryBroker.client())))
+    q2.processAllAvailable()
+    q2.stop()
+    println(s"DEMO_CONNECTOR_ENTRIES=${ConnectorSinks.InMemoryBroker.stream("demo:out").size}")
     spark.stop()
   }
 }
