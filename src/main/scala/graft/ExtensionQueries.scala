@@ -114,6 +114,10 @@ object ExtensionQueries {
   private def q34Winnowing(s: SparkSession, d: String): DataFrame =
     Dedup.winnowingFingerprints(Tables.documents(s, d), col("text"), col("doc_id"), n = 8, w = 4)
 
+  /** Repetition quality stats (Gopher-style), exact integer counts. */
+  private def q35Repetition(s: SparkSession, d: String): DataFrame =
+    TextFunctions.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
+
   // --- multimodal -------------------------------------------------------
 
   private def q30Multimodal(s: SparkSession, d: String): DataFrame = {
@@ -143,7 +147,8 @@ object ExtensionQueries {
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q32_ann_ivf" -> (q32AnnIvf _),
     "q33_simhash_pairs" -> (q33SimhashPairs _),
-    "q34_winnowing" -> (q34Winnowing _)
+    "q34_winnowing" -> (q34Winnowing _),
+    "q35_repetition" -> (q35Repetition _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -336,6 +341,18 @@ object ExtensionQueries {
          |    min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
          |    count(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
          |  FROM pos)
-         |SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4""".stripMargin
+         |SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4""".stripMargin,
+    "q35_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |                len(list_distinct(toks))::BIGINT AS n_distinct, toks FROM t),
+         |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b
+         |       FROM t, lateral unnest(range(1, greatest(len(toks), 1))) u(i)
+         |       WHERE i < len(toks)),
+         |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+         |mx AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_count FROM bc GROUP BY 1)
+         |SELECT base.doc_id, n_tokens, n_distinct,
+         |       coalesce(top_bigram_count, 0)::BIGINT AS top_bigram_count
+         |FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id""".stripMargin
   )
 }

@@ -100,6 +100,44 @@ object TextFunctions {
     round(lenScore * 0.3 + tokLenScore * 0.2 + punctScore * 0.25 + stopScore * 0.25, 5)
   }
 
+  /** Repetition statistics per document — the Gopher-style repetition
+    * quality signals: how much of the document is repeated tokens, and how
+    * dominant its most frequent bigram is. Emitted as exact INTEGER counts
+    * (`n_tokens`, `n_distinct`, `top_bigram_count`) rather than ratios —
+    * ratios with small power-of-two denominators (16/32/64-token docs are
+    * common) land exactly on decimal rounding midpoints where engines
+    * disagree, while integer counts hash-match trivially; derive
+    * `1 - n_distinct/n_tokens` and `top_bigram_count/(n_tokens-1)` at the
+    * filter site.
+    *
+    * Relational: one token explode, a `lead()` window for bigrams (reusing
+    * the doc_id partitioning), two groupBys — all codegen'd; no per-row
+    * arrays.
+    */
+  def repetitionStats(df: DataFrame, text: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(
+      id.as("doc_id"),
+      posexplode_outer(wsTokens(text)).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val topBigram = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_count"))
+    toks
+      .groupBy(col("doc_id"))
+      .agg(
+        count(col("tok")).as("n_tokens"), // count(col) skips the null row of empty docs
+        countDistinct(col("tok")).as("n_distinct"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
+  }
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters — a cheap deterministic proxy for
     * subword tokenizer counts.

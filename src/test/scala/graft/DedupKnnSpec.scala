@@ -158,6 +158,22 @@ class DedupKnnSpec extends SparkSpec {
     assert(liRel.count() == docs.count() && fpRel.count() == docs.count() && simRel.count() == docs.count())
   }
 
+  test("repetitionStats: exact duplicate-token and top-bigram counts") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "spam spam spam spam"),           // 4 tokens, 1 distinct, top bigram "spam spam" x3
+      (2L, "all words here are unique"),     // 5 tokens, 5 distinct, every bigram once
+      (3L, "one"),                           // single token: no bigrams
+      (4L, "")                               // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.repetitionStats(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((4L, 1L, 3L)))
+    assert(out(2L) == ((5L, 5L, 1L)))
+    assert(out(3L) == ((1L, 1L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L)))
+  }
+
   test("winnowing fingerprints: shared long substrings guarantee a shared fingerprint") {
     val common = "this exact sentence appears verbatim in two documents"
     val docs = Seq(
