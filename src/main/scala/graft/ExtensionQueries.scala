@@ -118,6 +118,16 @@ object ExtensionQueries {
   private def q35Repetition(s: SparkSession, d: String): DataFrame =
     TextFunctions.repetitionStats(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** Near-dup clusters: connected components over the MinHash-LSH pairs —
+    * the pairs→groups step of a dedup pipeline (cluster_id = min doc in
+    * component; singletons cluster with themselves).
+    */
+  private def q36NearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    Dedup.nearDupClusters(docs, col("doc_id"), pairs)
+  }
+
   // --- multimodal -------------------------------------------------------
 
   private def q30Multimodal(s: SparkSession, d: String): DataFrame = {
@@ -148,7 +158,8 @@ object ExtensionQueries {
     "q32_ann_ivf" -> (q32AnnIvf _),
     "q33_simhash_pairs" -> (q33SimhashPairs _),
     "q34_winnowing" -> (q34Winnowing _),
-    "q35_repetition" -> (q35Repetition _)
+    "q35_repetition" -> (q35Repetition _),
+    "q36_neardup_clusters" -> (q36NearDupClusters _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -198,6 +209,22 @@ object ExtensionQueries {
       c.mkString(s"($i, [", "/1024.0, ", "/1024.0])")
     }.mkString(", ")
 
+  /** Shared by q21 (pairs) and q36 (clusters): the MinHash-LSH candidate
+    * pairs with band keys reproduced cross-engine.
+    */
+  private def duckMinhashPairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+       |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+       |  ELSE [] END AS shingles FROM toks),
+       |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base
+       |       FROM sh WHERE len(shingles) > 0),
+       |sigs AS (SELECT doc_id, $minhashSigExpr AS sig FROM hb),
+       |banded AS ($minhashBandArms)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
+
   /** Shared by q22 (signatures) and q33 (pairs): the engine's 48-bit
     * simhash replayed over DuckDB BIGINTs.
     */
@@ -217,18 +244,16 @@ object ExtensionQueries {
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups FROM documents GROUP BY 1",
-    "q21_dedup_minhash" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
-         |  ELSE [] END AS shingles FROM toks),
-         |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base
-         |       FROM sh WHERE len(shingles) > 0),
-         |sigs AS (SELECT doc_id, $minhashSigExpr AS sig FROM hb),
-         |banded AS ($minhashBandArms)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM banded a JOIN banded b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q21_dedup_minhash" -> duckMinhashPairsSql,
+    "q36_neardup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

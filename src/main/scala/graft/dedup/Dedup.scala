@@ -228,6 +228,53 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(coalesce(min(col("h")), lit(Hashing.Prime)).as("fingerprint"))
 
+  /** Near-dup CLUSTERS from candidate pairs: connected components by
+    * min-label propagation — the step that turns a pair list
+    * ([[minhashLshPairs]], [[simhashPairs]], [[embeddingNearDups]]) into
+    * dedup groups (`cluster_id` = smallest doc id in the component; keep
+    * one row per cluster downstream). Every doc in `vertices` appears;
+    * docs in no pair are their own singleton cluster.
+    *
+    * Scale shape: the standard distributed CC loop — per iteration one
+    * equijoin of edges against current labels + a min-aggregate, converging
+    * in O(component diameter) iterations (near-dup components are shallow:
+    * most are pairs/triangles). `localCheckpoint` truncates the growing
+    * plan lineage each round, as GraphX/GraphFrames do; the per-iteration
+    * `count` is the convergence check, not a data collect. For adversarial
+    * long-chain graphs the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) drops the iteration
+    * count to O(log n) — same join shape, noted as the upgrade path.
+    */
+  def nearDupClusters(
+      vertices: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = vertices.select(id.as("doc_id"), id.as("cluster_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val updated = labels.unionByName(viaEdges)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      changed = updated
+        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+        .where(col("cluster_id") =!= col("__old"))
+        .count()
+      labels = updated
+      i += 1
+    }
+    require(changed == 0, s"nearDupClusters did not converge in $maxIter iterations")
+    labels
+  }
+
   /** Full winnowing fingerprint SETS (Schleimer et al., SIGMOD'03) — the
     * multi-fingerprint upgrade of [[fingerprints]]' 1-element sketch: hash
     * every char n-gram, slide a window of `w` consecutive gram hashes, keep

@@ -158,6 +158,16 @@ class DedupKnnSpec extends SparkSpec {
     assert(liRel.count() == docs.count() && fpRel.count() == docs.count() && simRel.count() == docs.count())
   }
 
+  test("nearDupClusters: components labeled by min id; singletons self-labeled; chains converge") {
+    val vertices = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+    // component {1,2,3,4} as a CHAIN (needs >1 propagation round),
+    // component {6,7}, singletons 5 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val out = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
   test("repetitionStats: exact duplicate-token and top-bigram counts") {
     import graft.functions.TextFunctions
     val docs = Seq(
