@@ -235,15 +235,16 @@ object Dedup {
     * one row per cluster downstream). Every doc in `vertices` appears;
     * docs in no pair are their own singleton cluster.
     *
-    * Scale shape: the standard distributed CC loop — per iteration one
-    * equijoin of edges against current labels + a min-aggregate, converging
-    * in O(component diameter) iterations (near-dup components are shallow:
-    * most are pairs/triangles). `localCheckpoint` truncates the growing
-    * plan lineage each round, as GraphX/GraphFrames do; the per-iteration
-    * `count` is the convergence check, not a data collect. For adversarial
-    * long-chain graphs the large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) drops the iteration
-    * count to O(log n) — same join shape, noted as the upgrade path.
+    * Scale shape: the distributed CC loop — per iteration one equijoin of
+    * edges against current labels + a min-aggregate, then a POINTER
+    * DOUBLING step (label(x) ← label(label(x)), one self-join) that
+    * collapses chains O(log diameter) instead of O(diameter) — the
+    * Hash-to-Min shape (cf. Rastogi et al., "Finding Connected Components
+    * in Map-Reduce", ICDE'13; Kiveris et al. SoCC'14 for the star
+    * variants). The pair plan is materialized once (`localCheckpoint`)
+    * rather than re-executed per iteration; label checkpoints truncate the
+    * growing lineage, as GraphX/GraphFrames do; the per-iteration `count`
+    * is the convergence check, not a data collect.
     */
   def nearDupClusters(
       vertices: DataFrame,
@@ -251,8 +252,12 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25
   ): DataFrame = {
+    // materialize the (usually expensive) pair plan ONCE — the loop would
+    // otherwise re-execute the full candidate-generation pipeline per
+    // iteration through the edges join
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(id.as("doc_id"), id.as("cluster_id"))
     var changed = 1L
     var i = 0
@@ -260,17 +265,29 @@ object Dedup {
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val updated = labels.unionByName(viaEdges)
+      val neighborMin = labels.unionByName(viaEdges)
         .groupBy(col("doc_id"))
         .agg(min(col("cluster_id")).as("cluster_id"))
+      // pointer doubling: label(x) <- label(label(x)). Labels only ever
+      // point at other doc ids (they start as self and move down by min),
+      // so the self-join is total; each round halves the remaining chain
+      // depth -> O(log diameter) rounds instead of O(diameter), which is
+      // what makes long boilerplate chains converge in a handful of jobs.
+      val updated = neighborMin
+        .join(
+          neighborMin.select(col("doc_id").as("__cid"), col("cluster_id").as("__cid2")),
+          col("cluster_id") === col("__cid"))
+        .select(col("doc_id"), col("__cid2").as("cluster_id"))
         .localCheckpoint()
       changed = updated
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
         .where(col("cluster_id") =!= col("__old"))
         .count()
+      if (i > 0) labels.unpersist() // drop the superseded checkpoint's blocks
       labels = updated
       i += 1
     }
+    edges.unpersist()
     require(changed == 0, s"nearDupClusters did not converge in $maxIter iterations")
     labels
   }
