@@ -128,6 +128,14 @@ object ExtensionQueries {
     Dedup.nearDupClusters(docs, col("doc_id"), pairs)
   }
 
+  /** Deduplicated corpus: one keeper (min id) per near-dup cluster. */
+  private def q37DropNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    Dedup.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   // --- multimodal -------------------------------------------------------
 
   private def q30Multimodal(s: SparkSession, d: String): DataFrame = {
@@ -159,7 +167,8 @@ object ExtensionQueries {
     "q33_simhash_pairs" -> (q33SimhashPairs _),
     "q34_winnowing" -> (q34Winnowing _),
     "q35_repetition" -> (q35Repetition _),
-    "q36_neardup_clusters" -> (q36NearDupClusters _)
+    "q36_neardup_clusters" -> (q36NearDupClusters _),
+    "q37_drop_neardups" -> (q37DropNearDups _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -254,6 +263,18 @@ object ExtensionQueries {
          |  UNION
          |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin,
+    "q37_drop_neardups" ->
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+         |WHERE cl.doc_id = cl.cluster_id""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

@@ -292,6 +292,23 @@ object Dedup {
     labels
   }
 
+  /** The terminal dedup step: keep exactly one document per near-dup
+    * cluster (the smallest id — deterministic and stable under re-runs),
+    * preserving all original columns. Composes [[nearDupClusters]] with a
+    * semi-join back onto the corpus: the kept set is
+    * `{doc : cluster_id(doc) == doc_id}`, i.e. cluster roots.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame
+  ): DataFrame = {
+    val keepers = nearDupClusters(docs, id, pairs)
+      .where(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id").as("__keep_id"))
+    docs.join(keepers, id === col("__keep_id"), "left_semi")
+  }
+
   /** Full winnowing fingerprint SETS (Schleimer et al., SIGMOD'03) — the
     * multi-fingerprint upgrade of [[fingerprints]]' 1-element sketch: hash
     * every char n-gram, slide a window of `w` consecutive gram hashes, keep

@@ -1,0 +1,60 @@
+package graft.examples
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline over the documents table —
+  * the composition story the individual operators exist for:
+  *
+  *   language filter → quality + repetition filters → exact dedup →
+  *   MinHash-LSH near-dup pairs → connected-component clusters →
+  *   keeper selection → token accounting.
+  *
+  * Every stage is one of the gated operators; the whole pipeline is a
+  * single lazy Catalyst plan per action, and at 100 TB each stage keeps
+  * the shapes reviewed in SCALING.md (blocked joins, bucketed candidate
+  * generation, no per-row interpreted lambdas on hot paths).
+  */
+object TrainingDataDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(4)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, dir)
+
+    // 1. language ID, keep English
+    val lang = TextFunctions.langIdTable(docs, col("text"), col("doc_id"))
+    val english = docs.join(lang.where(col("lang_pred") === "en"), Seq("doc_id"))
+
+    // 2. quality + repetition gates (integer counts -> ratios at the site)
+    val rep = TextFunctions.repetitionStats(english, col("text"), col("doc_id"))
+    val clean = english
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .join(rep, Seq("doc_id"))
+      .where(col("quality") > 0.5)
+      .where(col("n_tokens") > 0 &&
+        (lit(1.0) - col("n_distinct") / col("n_tokens")) < 0.6)
+
+    // 3. exact dedup (content hash), then near-dup dedup (LSH -> CC -> keepers)
+    val exactKept = clean.join(
+      Dedup.exact(clean, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val pairs = Dedup.minhashLshPairs(exactKept, col("text"), col("doc_id"), maxBucket = 1000)
+    val curated = Dedup.dropNearDuplicates(exactKept, col("doc_id"), pairs)
+
+    // 4. token accounting over the surviving corpus
+    val stats = curated.agg(
+      count(lit(1)).as("docs"),
+      sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
+      sum(TextFunctions.regexTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+
+    println(s"DEMO_INPUT_DOCS=${docs.count()}")
+    println(s"DEMO_ENGLISH_DOCS=${english.count()}")
+    println(s"DEMO_CLEAN_DOCS=${clean.count()}")
+    println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
+    val row = stats.head()
+    println(s"DEMO_CURATED_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
+    spark.stop()
+  }
+}
