@@ -27,7 +27,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * A real deployment passes a factory that opens a real client (Jedis,
   * nats.java, ...); [[InMemoryBroker]] is the in-JVM stand-in used by the
-  * specs (the container has no broker).
+  * specs (the container has no broker). Kafka and Pulsar have NATIVE Spark
+  * connectors and should not go through foreachBatch at all:
+  * `org.apache.spark:spark-sql-kafka-0-10_2.13` ([[kafkaWriter]]) and
+  * StreamNative's `pulsar-spark-connector_2.13` (`format("pulsar")` with
+  * `service.url` / `topic` options) respectively.
   */
 object ConnectorSinks {
 
