@@ -40,6 +40,30 @@ object Topology {
     */
   def merge(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionByName _)
 
+  /** Deterministically SALTED equijoin for degenerate key skew: scatter the
+    * skewed side's rows over `salt` sub-keys (hash of the whole row — no
+    * randomness, so re-runs and retries agree) and replicate the other side
+    * `salt`×; join on (key, salt); result is row-identical to the plain
+    * equijoin. AQE's skew-join split handles MOST skew at runtime
+    * (`GraftSession.tune` enables it); explicit salting is for the case AQE
+    * cannot subdivide — one hot key whose matching build rows must
+    * otherwise sit in a single task. Cost: `salt`× replication of `small`,
+    * so keep it dimension-sized.
+    */
+  def saltedJoin(
+      skewed: DataFrame,
+      small: DataFrame,
+      key: String,
+      salt: Int
+  ): DataFrame = {
+    require(salt > 0, "salt bucket count must be positive")
+    val allCols = skewed.columns.map(col).toSeq
+    val saltedSkewed = skewed.withColumn("__salt", pmod(xxhash64(allCols: _*), lit(salt)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    saltedSkewed.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Positional index column via RDD zipWithIndex after an explicit sort.
     *
     * `zipWithIndex` computes per-partition counts in one lightweight job and

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Topology
+import graft.sources.Storage
+import org.apache.spark.sql.functions._
+
+/** The two write/plan-level scale techniques, verified against real plans:
+  * bucketed co-located joins (no Exchange) and deterministic join salting
+  * (identical results to the plain join).
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle Exchange") {
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+    Storage.writeBucketed(a, "graft_bkt_a", "k", 4)
+    Storage.writeBucketed(b, "graft_bkt_b", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // expose the SMJ path
+    try {
+      val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 1000)
+      // contrast: the same join over unbucketed inputs shuffles both sides
+      val unbucketed = a.join(b, Seq("k"))
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("saltedJoin equals the plain equijoin on a hot-key distribution") {
+    // 5000 rows of one hot key + a uniform tail — the degenerate shape
+    val skewed = ((1 to 5000).map(i => (1L, s"payload$i")) ++ (2 to 50).map(i => (i.toLong, s"p$i")))
+      .toDF("k", "payload")
+    val dim = (1L to 50L).map(i => (i, s"dim$i")).toDF("k", "label")
+    val plain = skewed.join(dim, Seq("k"))
+      .select("k", "payload", "label").as[(Long, String, String)].collect().sorted.toSeq
+    val salted = Topology.saltedJoin(skewed, dim, "k", salt = 8)
+      .select("k", "payload", "label").as[(Long, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    // and the salted large side really scatters the hot key across sub-keys
+    val saltCount = skewed
+      .withColumn("__salt", pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(8)))
+      .where(col("k") === 1L).select("__salt").distinct().count()
+    assert(saltCount > 1)
+  }
+}
