@@ -148,6 +148,16 @@ object ExtensionQueries {
       .withColumn("feat_idx", col("feat_idx").cast("long"))
   }
 
+  /** Video-shaped frame sampling over the media payloads: 64-byte frames,
+    * every 2nd kept; per frame the index, byte length, and 48-bit content
+    * hash (exact integers — no binary-blob compare needed). The oracle
+    * slices the text (documents are ASCII, so char slices == byte slices —
+    * verified across all SFs) and replays the hash.
+    */
+  private def q38Frames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.fromDocuments(Tables.documents(s, d)), frameBytes = 64, everyK = 2)
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,7 +178,8 @@ object ExtensionQueries {
     "q34_winnowing" -> (q34Winnowing _),
     "q35_repetition" -> (q35Repetition _),
     "q36_neardup_clusters" -> (q36NearDupClusters _),
-    "q37_drop_neardups" -> (q37DropNearDups _)
+    "q37_drop_neardups" -> (q37DropNearDups _),
+    "q38_media_frames" -> (q38Frames _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -275,6 +286,16 @@ object ExtensionQueries {
          |SELECT d.doc_id, d.lang, d.source
          |FROM documents d JOIN cl ON d.doc_id = cl.doc_id
          |WHERE cl.doc_id = cl.cluster_id""".stripMargin,
+    "q38_media_frames" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+         |           octet_length(encode(text))::BIGINT AS n FROM documents),
+         |f AS (SELECT media_id, text, n, unnest(range(0, (n + 63) // 64)) AS fi FROM m),
+         |s AS (SELECT media_id, fi, n, substr(text, (fi*64 + 1)::INT, least(64, n - fi*64)::INT) AS fr
+         |      FROM f WHERE fi % 2 = 0)
+         |SELECT media_id, fi::BIGINT AS frame_idx,
+         |       least(64, n - fi*64)::BIGINT AS frame_len,
+         |       ${duckHash48("fr")} AS frame_hash
+         |FROM s""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

@@ -91,4 +91,59 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Frame sampling: cut the payload into fixed-size frames and keep every
+    * `everyK`-th (a video keyframe-sampling shape; with a real codec the
+    * frame boundary comes from the container format instead of a fixed
+    * stride). One output row per sampled frame — the 1→N explosion runs in
+    * `mapPartitions` so a real demuxer is initialized once per partition.
+    * Emitted per frame: index, byte length, and the 48-bit content hash
+    * (exact integers — oracle-comparable without binary-blob compare).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_len", LongType, nullable = false),
+      StructField("frame_hash", LongType, nullable = false)
+    ))
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.collect {
+          case f if f % everyK == 0 =>
+            val lo = f * frameBytes
+            val hi = math.min(lo + frameBytes, bytes.length)
+            md.reset()
+            md.update(bytes, lo, hi - lo)
+            Row(id, f.toLong, (hi - lo).toLong, graft.plans.Hash48F.first48(md.digest()))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Resize stub: decimate the payload by keeping every `factor`-th byte —
+    * the deterministic stand-in for an image/audio downsample (a real
+    * implementation calls the codec's scaler here; the Spark-side contract
+    * — binary in, smaller binary out, metadata updated — is what's real).
+    */
+  def resizeStub(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val spark = media.sparkSession
+    val rdd = media.select(col("media_id"), col("payload"), col("meta.kind"), col("meta.source"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val out = Array.tabulate((bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+          Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong, r.getString(3)))
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
 }
