@@ -79,4 +79,32 @@ object KNN {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Recall@k of an approximate result set against exact truth — the
+    * "measure, don't guess" loop for tuning nBits/nProbe: both inputs in
+    * the (q_id, n_id) top-k schema of [[bruteForceTopK]]. Output: one row
+    * per query with hit and truth counts plus the recall fraction, and the
+    * macro average under q_id = -1 (so one call grades an index end to
+    * end). Implementation is two tiny aggregates over the top-k outputs —
+    * never touches the corpus.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("q_id"), col("n_id"))
+    val a = approx.select(col("q_id"), col("n_id"))
+    val perQuery = t
+      .join(a.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .select(
+        col("q_id"), col("n_truth"), col("n_hit"),
+        round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    val macroAvg = perQuery.agg(
+      lit(-1L).as("q_id"),
+      sum(col("n_truth")).as("n_truth"),
+      sum(col("n_hit")).as("n_hit"),
+      round(avg(col("recall")), 4).as("recall"))
+    perQuery.unionByName(macroAvg)
+  }
 }

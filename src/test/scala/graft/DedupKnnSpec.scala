@@ -140,6 +140,24 @@ class DedupKnnSpec extends SparkSpec {
     assert(h >= 0 && h < (1L << 48))
   }
 
+  test("recallAtK grades an approximate index against brute-force truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val truth = KNN.bruteForceTopK(emb, queries, col("vec_id"), col("embedding"), 5)
+    // exact vs itself: recall 1.0 everywhere
+    val self = KNN.recallAtK(truth, truth).as[(Long, Long, Long, Double)].collect()
+    assert(self.forall(_._4 == 1.0))
+    assert(self.exists(_._1 == -1L)) // macro row present
+    // IVF with few probes: recall in (0, 1], macro row aggregates all queries
+    val ivf = graft.similarity.IVF.literalTopK(
+      emb, queries, col("vec_id"), col("embedding"), 5, 1,
+      graft.similarity.IVF.pretrainedCentroids)
+    val r = KNN.recallAtK(truth, ivf).as[(Long, Long, Long, Double)].collect()
+    val macroRow = r.find(_._1 == -1L).get
+    assert(macroRow._2 == 15L) // 3 queries x k=5 truth rows
+    assert(macroRow._4 > 0.0 && macroRow._4 <= 1.0)
+  }
+
   test("relational forms equal column forms: simhash, fingerprint, langId") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     import graft.functions.TextFunctions

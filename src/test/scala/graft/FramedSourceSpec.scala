@@ -56,6 +56,13 @@ class FramedSourceSpec extends SparkSpec {
     assert(out.sorted.toSeq == frames.sorted)
   }
 
+  test("streaming offsets round-trip through their JSON form (checkpoint contract)") {
+    import graft.sources.framed.FramedOffset
+    val off = FramedOffset(Set("/data/a.dat", "/data/b \"quoted\".dat", "/data/βeta.dat"))
+    assert(FramedOffset.fromJson(off.json()) == off)
+    assert(FramedOffset.fromJson(FramedOffset(Set.empty).json()) == FramedOffset(Set.empty))
+  }
+
   test("streaming: readStream picks up newly-arriving files incrementally") {
     val dir = Files.createTempDirectory("framed-stream").toString
     Files.writeString(Paths.get(dir, "s1.dat"), "a|b|c")
