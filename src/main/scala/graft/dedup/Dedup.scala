@@ -125,11 +125,13 @@ object Dedup {
       shingleWidth: Int = 3,
       k: Int = 12,
       bands: Int = 4
-  ): DataFrame =
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands") // same contract as minhashLshPairs
     bandedKeys(df, text, id, shingleWidth, k, bands)
       .groupBy(col("band"), col("band_key"))
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
+  }
 
   /** SimHash near-dup: 48-bit signature per doc; near-dups are signatures
     * within `maxHamming` bits. Candidate blocking: split the signature into

@@ -83,11 +83,17 @@ object ConnectorSinks {
       val md = java.security.MessageDigest.getInstance("MD5")
       try {
         rows.foreach { r =>
-          val fields = cols.toSeq.map(c => c -> String.valueOf(r.getAs[Any](c)))
           md.reset()
-          fields.foreach { case (k, v) =>
-            md.update(k.getBytes("UTF-8")); md.update(0x1f.toByte)
-            md.update(v.getBytes("UTF-8")); md.update(0x1e.toByte)
+          val fields = cols.toSeq.map { c =>
+            val raw = r.getAs[Any](c)
+            md.update(c.getBytes("UTF-8")); md.update(0x1f.toByte)
+            // a null marker byte, NOT String.valueOf: the 4-char string
+            // "null" and SQL NULL must hash to different entry ids, or one
+            // of two genuinely distinct rows is silently dropped
+            if (raw == null) md.update(0x00.toByte)
+            else { md.update(0x01.toByte); md.update(raw.toString.getBytes("UTF-8")) }
+            md.update(0x1e.toByte)
+            c -> String.valueOf(raw)
           }
           val id = epochId.toString + "-" + md.digest().map("%02x".format(_)).mkString
           client.append(streamKey, id, fields)

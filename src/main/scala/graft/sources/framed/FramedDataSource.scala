@@ -154,7 +154,11 @@ class FramedMicroBatchStream(opts: Map[String, String])
 
   override def initialOffset(): Offset = FramedOffset(Set.empty)
 
-  override def latestOffset(): Offset = FramedOffset(FramedOptions.listFiles(parsed.pathStr).toSet)
+  override def latestOffset(): Offset = FramedOffset(
+    // a directory the producer has not created yet is an EMPTY stream, not
+    // a dead query — keep polling like the built-in file source does
+    try FramedOptions.listFiles(parsed.pathStr).toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty[String] })
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FramedOffset].files
@@ -175,6 +179,13 @@ class FramedMicroBatchStream(opts: Map[String, String])
 
 /** Offset = the set of files already emitted. Serialized as a JSON array
   * (json4s ships with Spark) so the engine's offset log round-trips it.
+  *
+  * Known bound: the offset grows with the number of files ever seen and is
+  * re-serialized per micro-batch — appropriate for bounded/compacted
+  * landing directories, not million-file churn (Spark's own file source
+  * keeps its seen-file log OUT of the offset for that case; doing the same
+  * here would mean a sidecar log keyed by a sequence-number offset — the
+  * documented upgrade path if this source outgrows its niche).
   */
 case class FramedOffset(files: Set[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -244,15 +255,19 @@ class LengthPrefixedPartitionReader(
   }
 
   override def next(): Boolean = {
-    if (!readFully(lenBuf, allowCleanEof = true)) return false
-    val len = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
-      ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
-    require(len >= 0 && len <= maxFrameBytes,
-      s"graft-framed: frame length $len out of [0, $maxFrameBytes] in $file")
-    val payload = new Array[Byte](len)
-    readFully(payload, allowCleanEof = false)
-    current = UTF8String.fromBytes(payload)
-    true
+    while (readFully(lenBuf, allowCleanEof = true)) {
+      val len = ((lenBuf(0) & 0xff) << 24) | ((lenBuf(1) & 0xff) << 16) |
+        ((lenBuf(2) & 0xff) << 8) | (lenBuf(3) & 0xff)
+      require(len >= 0 && len <= maxFrameBytes,
+        s"graft-framed: frame length $len out of [0, $maxFrameBytes] in $file")
+      if (len > 0) { // zero-length frames dropped — same contract as delimiter mode
+        val payload = new Array[Byte](len)
+        readFully(payload, allowCleanEof = false)
+        current = UTF8String.fromBytes(payload)
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = InternalRow(current, fileUtf8)
@@ -279,19 +294,25 @@ class FramedPartitionReader(
 
   private val in = FramedFs.open(file, confEntries)
 
-  private val chunk = new Array[Byte](64 * 1024)
-  private var pending: Array[Byte] = Array.emptyByteArray
-  private var start = 0      // consumed prefix of `pending`
-  private var searchFrom = 0 // delimiter scan resumes here (absolute)
+  // Amortized growth buffer: reads land directly in the tail; the consumed
+  // prefix is compacted away and capacity DOUBLES when a frame outgrows it.
+  // An exact-size reallocate-per-refill would copy O(frame²/chunk) bytes on
+  // a frame spanning many chunks — quadratic on exactly the multi-GB-frame
+  // case this reader exists for.
+  private val ReadChunk = 64 * 1024
+  private var buf = new Array[Byte](ReadChunk * 2)
+  private var start = 0      // consumed prefix of buf
+  private var end = 0        // valid bytes are buf[start until end)
+  private var searchFrom = 0 // delimiter scan resumes here (absolute in buf)
   private var eof = false
   private var current: UTF8String = _
 
   private def indexOfDelim(from: Int): Int = {
     var i = math.max(from, start)
-    val limit = pending.length - delimBytes.length
+    val limit = end - delimBytes.length
     while (i <= limit) {
       var j = 0
-      while (j < delimBytes.length && pending(i + j) == delimBytes(j)) j += 1
+      while (j < delimBytes.length && buf(i + j) == delimBytes(j)) j += 1
       if (j == delimBytes.length) return i
       i += 1
     }
@@ -302,30 +323,39 @@ class FramedPartitionReader(
   private def advance(): Boolean = {
     val idx = indexOfDelim(searchFrom)
     if (idx >= 0) {
-      val frame = java.util.Arrays.copyOfRange(pending, start, idx)
+      val frame = java.util.Arrays.copyOfRange(buf, start, idx)
       start = idx + delimBytes.length
       searchFrom = start
       if (frame.isEmpty) advance() // empty frames dropped, as in split().filter(_.nonEmpty)
       else { current = UTF8String.fromBytes(frame); true }
     } else if (eof) {
-      if (start >= pending.length) false
+      if (start >= end) false
       else {
-        val frame = java.util.Arrays.copyOfRange(pending, start, pending.length)
-        start = pending.length
+        val frame = java.util.Arrays.copyOfRange(buf, start, end)
+        start = end
         current = UTF8String.fromBytes(frame)
         true
       }
     } else {
-      val n = in.read(chunk)
+      if (buf.length - end < ReadChunk) { // make tail room: compact, else grow 2x
+        val keep = end - start
+        if (buf.length - keep >= ReadChunk) {
+          System.arraycopy(buf, start, buf, 0, keep)
+        } else {
+          val nb = new Array[Byte](math.max(buf.length * 2, keep + ReadChunk))
+          System.arraycopy(buf, start, nb, 0, keep)
+          buf = nb
+        }
+        searchFrom = math.max(0, searchFrom - start)
+        end = keep
+        start = 0
+      }
+      val scanned = end // bytes before this refill are already scanned
+      val n = in.read(buf, end, buf.length - end)
       if (n < 0) eof = true
       else if (n > 0) {
-        val keep = pending.length - start
-        val next = new Array[Byte](keep + n)
-        System.arraycopy(pending, start, next, 0, keep)
-        System.arraycopy(chunk, 0, next, keep, n)
-        pending = next
-        start = 0
-        searchFrom = math.max(0, keep - delimBytes.length + 1)
+        end += n
+        searchFrom = math.max(start, scanned - delimBytes.length + 1)
       }
       advance()
     }

@@ -177,6 +177,11 @@ object StreamingFlows {
       stateTtlMs: Long = -1L
   ): Dataset[V] => Dataset[V] = { ds =>
     require(quota > 0, "throttler elements must be positive")
+    // a TTL shorter than the period would evict a live counter mid-period
+    // and hand the key a fresh quota — eviction must only ever drop state
+    // that the period rollover would reset anyway
+    require(stateTtlMs <= 0 || stateTtlMs >= periodMs,
+      s"stateTtlMs ($stateTtlMs) must be >= periodMs ($periodMs) — a shorter TTL refreshes quotas mid-period")
     implicit val stEnc: Encoder[(Long, Int)] =
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt)

@@ -79,6 +79,23 @@ class FramedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: a not-yet-created directory is an empty stream, not a dead query") {
+    val parent = Files.createTempDirectory("framed-late").toString
+    val dir = s"$parent/not_yet"
+    val q = spark.readStream.format("graft-framed").option("delimiter", "|")
+      .load(dir)
+      .writeStream.format("memory").queryName("framed_late_out").outputMode("append").start()
+    try {
+      q.processAllAvailable() // producer hasn't created the dir: zero rows, still alive
+      assert(spark.table("framed_late_out").count() == 0)
+      assert(q.isActive)
+      Files.createDirectory(Paths.get(dir))
+      Files.writeString(Paths.get(dir, "late.dat"), "x|y")
+      q.processAllAvailable()
+      assert(spark.table("framed_late_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("length-prefixed framing: 4-byte BE prefix, bounds-checked") {
     val dir = Files.createTempDirectory("framed").toString
     val frames = Seq("first", "second frame", "x" * 70000) // last spans chunks
@@ -89,6 +106,7 @@ class FramedSourceSpec extends SparkSpec {
         (b.length >> 8).toByte, b.length.toByte))
       bb.write(b)
     }
+    bb.write(Array[Byte](0, 0, 0, 0)) // zero-length frame: dropped, like delimiter mode
     Files.write(Paths.get(dir, "lp.bin"), bb.toByteArray)
     val out = spark.read.format("graft-framed").option("framing", "length-prefixed")
       .load(dir).select("value").as[String].collect().toSeq
