@@ -96,6 +96,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Winnowing law: fingerprints are gram hashes; shared substring >= n+w-1 shares one") {
+    import graft.dedup.Dedup
+    import graft.functions.Hashing
+    val fragGen = Gen.listOfN(5, Gen.alphaLowerStr.map(_.take(6))).map(_.mkString(" "))
+    samples(Gen.zip(fragGen, fragGen, fragGen), 4).foreach { case (shared0, pre, post) =>
+      val shared = (shared0 + " padding padding").take(20) // ensure >= n+w-1 = 11 chars
+      val docs = Seq(
+        (1L, s"$pre $shared"),
+        (2L, s"$shared $post"),
+        (3L, "zq" * 12) // unrelated
+      ).toDF("doc_id", "text")
+      val fp = Dedup.winnowingFingerprints(docs, col("text"), col("doc_id"), n = 8, w = 4)
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert((fp(1L) intersect fp(2L)).nonEmpty) // guarantee holds on random content
+      val grams1 = docs.where(col("doc_id") === 1L)
+        .select(explode(Hashing.charNgrams(col("text"), 8)).as("g"))
+        .select(Hashing.hash48(col("g"))).as[Long].collect().toSet
+      assert(fp(1L).subsetOf(grams1)) // soundness: every fingerprint is a real gram hash
+    }
+  }
+
   test("MinHash cap law: capped pairs are a subset; default cap changes nothing") {
     import graft.dedup.Dedup
     samples(Gen.listOfN(15, docGen), 3).foreach { texts =>
