@@ -132,6 +132,17 @@ object SourcesApi {
     Pipe(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load())
 
+  /** TCP socket source — the working analogue of the reference's
+    * WebSocket/UDP line sources (websocket/web_socket.go:22-149,
+    * examples/udp/main.go): newline-framed text from a socket, one row per
+    * line. Spark's built-in socket source (no extra jar); at-most-once, no
+    * replay — same delivery class as the reference's socket reads. For
+    * custom framing over files use `format("graft-framed")`.
+    */
+  def socketText(spark: SparkSession, host: String, port: Int): Pipe =
+    Pipe(spark.readStream.format("socket")
+      .option("host", host).option("port", port.toString).load())
+
   /** Kafka source wiring (kafka/kafka_sarama.go:14-136). The connector jar
     * is not in this container — activate with
     * `--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`; this
