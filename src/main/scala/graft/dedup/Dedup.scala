@@ -254,13 +254,21 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25
   ): DataFrame = {
-    // materialize the (usually expensive) pair plan ONCE — the loop would
-    // otherwise re-execute the full candidate-generation pipeline per
-    // iteration through the edges join
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val vertexIds = vertices.select(id.as("doc_id"))
+    // Edges are restricted to the vertex universe FIRST: a pair citing an
+    // id outside `vertices` (pairs computed over a superset corpus) would
+    // otherwise inject a foreign label, crown it cluster root, and — in
+    // dropNearDuplicates — delete the whole cluster because its root is
+    // not a keepable row. Then materialize the (usually expensive) pair
+    // plan ONCE — the loop would otherwise re-execute the full
+    // candidate-generation pipeline per iteration through the edges join.
+    val inUniverse = pairs
+      .join(vertexIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(vertexIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+    val edges = inUniverse.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(inUniverse.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = vertices.select(id.as("doc_id"), id.as("cluster_id"))
+    var labels = vertexIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

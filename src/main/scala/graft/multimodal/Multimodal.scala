@@ -139,9 +139,15 @@ object Multimodal {
     val rdd = media.select(col("media_id"), col("payload"), col("meta.kind"), col("meta.source"))
       .rdd.mapPartitions { rows =>
         rows.map { r =>
-          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-          val out = Array.tabulate((bytes.length + factor - 1) / factor)(i => bytes(i * factor))
-          Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong, r.getString(3)))
+          if (r.isNullAt(1)) {
+            // missing media stays missing — an empty binary would assert a
+            // real 0-byte object and hide the row from payload.isNull
+            Row(r.getLong(0), null, Row(r.getString(2), 0L, r.getString(3)))
+          } else {
+            val bytes = r.getAs[Array[Byte]](1)
+            val out = Array.tabulate((bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+            Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong, r.getString(3)))
+          }
         }
       }
     spark.createDataFrame(rdd, mediaSchema)

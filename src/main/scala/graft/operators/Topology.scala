@@ -57,6 +57,8 @@ object Topology {
       salt: Int
   ): DataFrame = {
     require(salt > 0, "salt bucket count must be positive")
+    require(!skewed.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name") // silently clobbering it would drop user data
     val allCols = skewed.columns.map(col).toSeq
     val saltedSkewed = skewed.withColumn("__salt", pmod(xxhash64(allCols: _*), lit(salt)))
     val saltedSmall = small.withColumn("__salt",

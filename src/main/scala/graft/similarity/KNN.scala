@@ -89,8 +89,10 @@ object KNN {
     * never touches the corpus.
     */
   def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
-    val t = truth.select(col("q_id"), col("n_id"))
-    val a = approx.select(col("q_id"), col("n_id"))
+    // distinct() both sides: a duplicate (q_id, n_id) in either input
+    // would multiply rows through the join and corrupt both counts
+    val t = truth.select(col("q_id"), col("n_id")).distinct()
+    val a = approx.select(col("q_id"), col("n_id")).distinct()
     val perQuery = t
       .join(a.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))

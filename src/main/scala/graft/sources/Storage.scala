@@ -14,8 +14,8 @@ object Storage {
     * This is the standing answer for fact tables that are repeatedly
     * joined on one key (orders ⋈ lineitem on orderkey, documents ⋈
     * signatures on doc_id): at 100 TB the avoided exchange IS the query
-    * cost. Verified by BucketedJoinSpec (plan literally contains no
-    * Exchange).
+    * cost. Verified by ScaleTechniquesSpec (the executed plan literally
+    * contains no Exchange).
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")

@@ -342,7 +342,15 @@ class FramedPartitionReader(
         if (buf.length - keep >= ReadChunk) {
           System.arraycopy(buf, start, buf, 0, keep)
         } else {
-          val nb = new Array[Byte](math.max(buf.length * 2, keep + ReadChunk))
+          // long arithmetic + explicit cap: Int overflow at 1 GiB would
+          // silently fall back to 64 KiB linear growth (quadratic copying
+          // again) and go negative near 2 GiB
+          val wanted = math.max(buf.length.toLong * 2, keep.toLong + ReadChunk)
+          val newCap = math.min(wanted, Int.MaxValue.toLong - 16)
+          if (newCap < keep.toLong + ReadChunk)
+            throw new IllegalStateException(
+              s"graft-framed: single frame in $file exceeds the 2 GiB JVM array bound")
+          val nb = new Array[Byte](newCap.toInt)
           System.arraycopy(buf, start, nb, 0, keep)
           buf = nb
         }

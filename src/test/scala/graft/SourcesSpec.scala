@@ -10,10 +10,10 @@ class SourcesSpec extends SparkSpec {
 
   test("PollingSource delivers strictly-newer increments across sweeps (aerospike/aerospike.go:100-126)") {
     val dir = Files.createTempDirectory("polling").toString
-    def write(rows: Seq[(java.sql.Timestamp, String)], part: String): Unit =
+    def write(rows: Seq[(java.sql.Timestamp, String)]): Unit =
       rows.toDF("ts", "v").write.mode("append").parquet(dir)
 
-    write(Seq((ts("2024-01-01 00:00:01"), "a"), (ts("2024-01-01 00:00:02"), "b")), "p1")
+    write(Seq((ts("2024-01-01 00:00:01"), "a"), (ts("2024-01-01 00:00:02"), "b")))
     val src = Polling.parquet(spark, dir, "ts")
     // first sweep: full scan
     assert(src.poll().select("v").as[String].collect().sorted.toSeq == Seq("a", "b"))
@@ -22,7 +22,7 @@ class SourcesSpec extends SparkSpec {
     assert(src.poll().count() == 0)
     assert(src.mark.contains(ts("2024-01-01 00:00:02")))
     // new files land between sweeps: only newer rows delivered
-    write(Seq((ts("2024-01-01 00:00:02"), "stale"), (ts("2024-01-01 00:00:05"), "c")), "p2")
+    write(Seq((ts("2024-01-01 00:00:02"), "stale"), (ts("2024-01-01 00:00:05"), "c")))
     val inc = src.poll().select("v").as[String].collect().toSeq
     assert(inc == Seq("c")) // ts == mark is NOT redelivered (strictly newer)
     assert(src.mark.contains(ts("2024-01-01 00:00:05")))
