@@ -186,6 +186,21 @@ class DedupKnnSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
   }
 
+  test("nearDupClusters ignores pairs citing ids outside the vertex universe (no keeperless clusters)") {
+    val vertices = Seq(2L, 3L, 4L).map(Tuple1(_)).toDF("doc_id")
+    // pair (1,2) cites doc 1, which is NOT in the universe (pairs computed
+    // over a superset corpus): it must not crown 1 as cluster root —
+    // dropNearDuplicates would then delete doc 2 with no keeper retained
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(2L -> 2L, 3L -> 3L, 4L -> 3L))
+    val docs = Seq((2L, "two"), (3L, "three"), (4L, "four")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L)) // 2 kept (its foreign pair is ignored), 4 deduped into 3
+  }
+
   test("repetitionStats: exact duplicate-token and top-bigram counts") {
     import graft.functions.TextFunctions
     val docs = Seq(
