@@ -158,6 +158,18 @@ object ExtensionQueries {
     Multimodal.sampleFrames(
       Multimodal.fromDocuments(Tables.documents(s, d)), frameBytes = 64, everyK = 2)
 
+  /** Benchmark contamination: corpus docs sharing >= 3 distinct 8-gram
+    * hashes with a (here: 3-document) benchmark set — the decontamination
+    * screen, with the benchmark side broadcast.
+    */
+  private def q39Contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.contamination(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") < 3), col("text"), col("doc_id"),
+      n = 8, minShared = 3)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,7 +191,8 @@ object ExtensionQueries {
     "q35_repetition" -> (q35Repetition _),
     "q36_neardup_clusters" -> (q36NearDupClusters _),
     "q37_drop_neardups" -> (q37DropNearDups _),
-    "q38_media_frames" -> (q38Frames _)
+    "q38_media_frames" -> (q38Frames _),
+    "q39_contamination" -> (q39Contamination _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -296,6 +309,19 @@ object ExtensionQueries {
          |       least(64, n - fi*64)::BIGINT AS frame_len,
          |       ${duckHash48("fr")} AS frame_hash
          |FROM s""".stripMargin,
+    "q39_contamination" ->
+      // position var `p` (not `i`): duckHash48's comprehension rebinds i
+      s"""WITH dg AS (
+         |  SELECT DISTINCT doc_id, ${duckHash48("substr(text, p::INT, 8)")} AS h
+         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)),
+         |bg AS (
+         |  SELECT DISTINCT doc_id AS bench_id, ${duckHash48("substr(text, p::INT, 8)")} AS h
+         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)
+         |  WHERE doc_id < 3)
+         |SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared
+         |FROM dg JOIN bg ON dg.h = bg.h
+         |GROUP BY dg.doc_id, bg.bench_id
+         |HAVING count(*) >= 3""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

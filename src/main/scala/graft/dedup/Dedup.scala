@@ -302,6 +302,43 @@ object Dedup {
     labels
   }
 
+  /** Benchmark-contamination screen: which corpus documents share at least
+    * `minShared` distinct char n-gram hashes with which benchmark items —
+    * the decontamination step a training corpus runs against eval sets
+    * before training. The benchmark side is SMALL by construction (eval
+    * sets are thousands of items) and is broadcast; the corpus side is an
+    * n-gram explode joined on the 48-bit gram hash — one broadcast
+    * equijoin, no corpus shuffle, which is the 100 TB shape. Gram hashing
+    * reuses the portable [[graft.functions.Hashing.hash48]], so the result
+    * is oracle-reproducible.
+    */
+  def contamination(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      benchmark: DataFrame,
+      benchText: Column,
+      benchId: Column,
+      n: Int = 8,
+      minShared: Int = 3
+  ): DataFrame = {
+    def grams(df: DataFrame, t: Column, i: Column, idName: String): DataFrame =
+      df.select(i.as(idName), t.as("__t"))
+        .select(
+          col(idName), col("__t"),
+          explode(
+            when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
+              .otherwise(array().cast("array<int>"))
+          ).as("__i"))
+        .select(col(idName), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
+        .distinct()
+    grams(docs, text, id, "doc_id")
+      .join(broadcast(grams(benchmark, benchText, benchId, "bench_id")), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** The terminal dedup step: keep exactly one document per near-dup
     * cluster (the smallest id — deterministic and stable under re-runs),
     * preserving all original columns. Composes [[nearDupClusters]] with a

@@ -201,6 +201,23 @@ class DedupKnnSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L)) // 2 kept (its foreign pair is ignored), 4 deduped into 3
   }
 
+  test("contamination screen flags docs sharing n-grams with the benchmark, not clean ones") {
+    val leaked = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (10L, s"prefix text $leaked and a suffix"),  // contains the benchmark item
+      (11L, "completely clean document with original content throughout"),
+      (12L, leaked)                                 // verbatim copy
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("bench_id", "bench_text")
+    val hits = Dedup.contamination(
+      corpus, col("text"), col("doc_id"), bench, col("bench_text"), col("bench_id"),
+      n = 8, minShared = 3
+    ).as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(hits.contains(10L) && hits.contains(12L))
+    assert(!hits.contains(11L))
+    assert(hits(12L) >= hits(10L)) // verbatim copy shares at least as many grams
+  }
+
   test("repetitionStats: exact duplicate-token and top-bigram counts") {
     import graft.functions.TextFunctions
     val docs = Seq(
