@@ -170,6 +170,14 @@ object ExtensionQueries {
       n = 8, minShared = 3)
   }
 
+  /** Redaction pass — also a deliberate cross-engine regex-parity gate:
+    * the same patterns must behave identically under Java regex (Spark)
+    * and RE2 (DuckDB) on the whole corpus.
+    */
+  private def q40Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.redact(col("text")).as("clean_text"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -192,7 +200,8 @@ object ExtensionQueries {
     "q36_neardup_clusters" -> (q36NearDupClusters _),
     "q37_drop_neardups" -> (q37DropNearDups _),
     "q38_media_frames" -> (q38Frames _),
-    "q39_contamination" -> (q39Contamination _)
+    "q39_contamination" -> (q39Contamination _),
+    "q40_redact" -> (q40Redact _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -322,6 +331,14 @@ object ExtensionQueries {
          |FROM dg JOIN bg ON dg.h = bg.h
          |GROUP BY dg.doc_id, bg.bench_id
          |HAVING count(*) >= 3""".stripMargin,
+    "q40_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+         |    '${TextFunctions.LongNumberPattern}', '<NUM>', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

@@ -138,6 +138,25 @@ object TextFunctions {
         coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
   }
 
+  /** PII-style redaction: emails, URLs, and long digit runs replaced with
+    * typed placeholder tokens — the scrubbing pass a training corpus runs
+    * before anything else sees the text. Patterns stay in the common
+    * Java-regex/RE2 subset (char classes, bounded repetition — no
+    * lookaround), so the same expressions run verbatim in the DuckDB
+    * oracle; order matters (emails before digit runs, or the local part's
+    * digits get clobbered first).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ ]+"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      LongNumberPattern, "<NUM>")
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters — a cheap deterministic proxy for
     * subword tokenizer counts.

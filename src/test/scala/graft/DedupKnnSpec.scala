@@ -218,6 +218,20 @@ class DedupKnnSpec extends SparkSpec {
     assert(hits(12L) >= hits(10L)) // verbatim copy shares at least as many grams
   }
 
+  test("redact scrubs emails, URLs, and long digit runs; clean text untouched") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "contact alice.smith+x@example.co.uk for details",
+      "see https://example.com/path?q=1 now",
+      "card 1234567890 but year 2024 stays",
+      "nothing sensitive here at all"
+    ).toDF("text").select(TextFunctions.redact(col("text")).as("c")).as[String].collect()
+    assert(rows(0) == "contact <EMAIL> for details")
+    assert(rows(1) == "see <URL> now")
+    assert(rows(2) == "card <NUM> but year 2024 stays") // 4 digits below the threshold
+    assert(rows(3) == "nothing sensitive here at all")
+  }
+
   test("repetitionStats: exact duplicate-token and top-bigram counts") {
     import graft.functions.TextFunctions
     val docs = Seq(
