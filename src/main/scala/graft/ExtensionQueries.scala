@@ -178,6 +178,17 @@ object ExtensionQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), TextFunctions.redact(col("text")).as("clean_text"))
 
+  /** Fixed-window chunking: 256-char windows, stride 192 (64 overlap). */
+  private def q41Chunks(s: SparkSession, d: String): DataFrame =
+    TextFunctions.chunkFixed(Tables.documents(s, d), col("text"), col("doc_id"),
+      size = 256, stride = 192)
+
+  /** Budgeted packing: per-source shards, 4096-char pack capacity. */
+  private def q42Packing(s: SparkSession, d: String): DataFrame =
+    TextFunctions.packByBudget(Tables.documents(s, d), col("doc_id"), col("n_chars"),
+      col("source"), capacity = 4096L)
+      .withColumnRenamed("shard", "source")
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -201,7 +212,9 @@ object ExtensionQueries {
     "q37_drop_neardups" -> (q37DropNearDups _),
     "q38_media_frames" -> (q38Frames _),
     "q39_contamination" -> (q39Contamination _),
-    "q40_redact" -> (q40Redact _)
+    "q40_redact" -> (q40Redact _),
+    "q41_chunks" -> (q41Chunks _),
+    "q42_packing" -> (q42Packing _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -339,6 +352,18 @@ object ExtensionQueries {
          |      '${TextFunctions.UrlPattern}', '<URL>', 'g'),
          |    '${TextFunctions.LongNumberPattern}', '<NUM>', 'g') AS clean_text
          |FROM documents""".stripMargin,
+    "q41_chunks" ->
+      """SELECT doc_id, ((st - 1) // 192)::BIGINT AS chunk_idx,
+        |       substr(text, st::INT, 256) AS chunk_text
+        |FROM documents, lateral unnest(range(1, len(text) + 1, 192)) t(st)
+        |WHERE len(text) > 0""".stripMargin,
+    "q42_packing" ->
+      """SELECT doc_id, source,
+        |  ((sum(n_chars) OVER w - n_chars) // 4096)::BIGINT AS pack_id,
+        |  (sum(n_chars) OVER w)::BIGINT AS cum_weight
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q22_dedup_simhash" -> duckSimhashSql,
     "q33_simhash_pairs" ->
       s"""WITH sigs AS ($duckSimhashSql)

@@ -138,6 +138,50 @@ object TextFunctions {
         coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"))
   }
 
+  /** Fixed-window text chunking with stride — the context-window
+    * preparation step: chunk c covers `[1 + c·stride, +size)`, chunks are
+    * emitted while the start is in range, and the final chunk truncates at
+    * the text end (stride ≤ size ⇒ total coverage with `size−stride`
+    * overlap). Pure codegen: a position sequence explode + substr, no
+    * per-row arrays of chunk strings.
+    */
+  def chunkFixed(df: DataFrame, text: Column, id: Column, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    df.select(id.as("doc_id"), text.as("__t"))
+      .select(
+        col("doc_id"), col("__t"),
+        posexplode(
+          when(length(col("__t")) > 0, sequence(lit(1), length(col("__t")), lit(stride)))
+            .otherwise(array().cast("array<int>"))
+        ).as(Seq("chunk_idx", "__start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__t").substr(col("__start"), lit(size)).as("chunk_text"))
+  }
+
+  /** Greedy budgeted sequence packing WITHIN shards: rows ordered by `id`
+    * inside each `shard` accumulate `weight`; `pack_id` is the running
+    * total's bucket at `capacity`. The shard key is what keeps this
+    * scale-shaped — a global pack order would be a single-partition window
+    * (the q04 trap); per-shard packing is one hash-shuffle on the shard
+    * key and matches how packing jobs actually run (per source / language
+    * / date partition). Integer arithmetic throughout (div, not fp) so the
+    * oracle is exact.
+    */
+  def packByBudget(
+      df: DataFrame, id: Column, weight: Column, shard: Column, capacity: Long
+  ): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(shard.as("shard"), id.as("doc_id"), weight.cast("long").as("w"))
+      .withColumn("cum_weight", sum(col("w")).over(w))
+      .withColumn("pack_id", expr(s"(cum_weight - w) div ${capacity}L"))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("cum_weight"))
+  }
+
   /** PII-style redaction: emails, URLs, and long digit runs replaced with
     * typed placeholder tokens — the scrubbing pass a training corpus runs
     * before anything else sees the text. Patterns stay in the common

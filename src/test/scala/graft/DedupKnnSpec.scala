@@ -218,6 +218,24 @@ class DedupKnnSpec extends SparkSpec {
     assert(hits(12L) >= hits(10L)) // verbatim copy shares at least as many grams
   }
 
+  test("chunkFixed covers the text with strided windows; packByBudget fills shard packs") {
+    import graft.functions.TextFunctions
+    val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
+    val chunks = TextFunctions.chunkFixed(docs, col("text"), col("doc_id"), size = 4, stride = 3)
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // starts 1,4,7,10: windows abcd, defg, ghij, j (truncated tail); empty doc: none
+    assert(chunks == Seq((1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"), (1L, 3L, "j")))
+    // full coverage: concatenating stride-prefixes + last chunk rebuilds the text
+    assert(chunks.init.map(_._3.take(3)).mkString + chunks.last._3 == "abcdefghij")
+
+    val weighted = Seq((1L, 30L, "s1"), (2L, 50L, "s1"), (3L, 40L, "s1"), (4L, 90L, "s2"))
+      .toDF("doc_id", "n", "src")
+    val packs = TextFunctions.packByBudget(weighted, col("doc_id"), col("n"), col("src"), capacity = 60L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // s1: cum 30,80,120 -> starts 0,30,80 -> packs 0,0,1 ; s2: start 0 -> pack 0
+    assert(packs == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("redact scrubs emails, URLs, and long digit runs; clean text untouched") {
     import graft.functions.TextFunctions
     val rows = Seq(
