@@ -353,9 +353,11 @@ object ExtensionQueries {
          |    '${TextFunctions.LongNumberPattern}', '<NUM>', 'g') AS clean_text
          |FROM documents""".stripMargin,
     "q41_chunks" ->
+      // last start = greatest(len - (size - stride), 1): no tail chunk that
+      // is a pure suffix of the previous window
       """SELECT doc_id, ((st - 1) // 192)::BIGINT AS chunk_idx,
         |       substr(text, st::INT, 256) AS chunk_text
-        |FROM documents, lateral unnest(range(1, len(text) + 1, 192)) t(st)
+        |FROM documents, lateral unnest(range(1, greatest(len(text) - 64, 1) + 1, 192)) t(st)
         |WHERE len(text) > 0""".stripMargin,
     "q42_packing" ->
       """SELECT doc_id, source,

@@ -215,18 +215,7 @@ object Dedup {
     * array-lambda element (measured 5× at sf0.1).
     */
   def fingerprints(df: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame =
-    df.select(id.as("doc_id"), text.as("__t"))
-      // explode gram START POSITIONS (a primitive int sequence), not a
-      // prebuilt gram-string array — substr+md5 then run as codegen'd row
-      // expressions; building the array would evaluate substr per element
-      // inside an interpreted lambda
-      .select(
-        col("doc_id"), col("__t"),
-        explode_outer(
-          when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
-            .otherwise(array().cast("array<int>"))
-        ).as("__i"))
-      .select(col("doc_id"), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
+    gramHashRows(df, text, id, "doc_id", n, outer = true)
       .groupBy(col("doc_id"))
       .agg(coalesce(min(col("h")), lit(Hashing.Prime)).as("fingerprint"))
 
@@ -322,31 +311,45 @@ object Dedup {
       n: Int = 8,
       minShared: Int = 3
   ): DataFrame = {
-    def gramRows(df: DataFrame, t: Column, i: Column, idName: String): DataFrame =
-      df.select(i.as(idName), t.as("__t"))
-        .select(
-          col(idName), col("__t"),
-          explode(
-            when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
-              .otherwise(array().cast("array<int>"))
-          ).as("__i"))
-        .select(col(idName), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
-    val benchGrams = gramRows(benchmark, benchText, benchId, "bench_id").distinct()
-    // Materialize the benchmark's gram-hash set on the driver (bounded —
-    // that is what makes something a benchmark) and filter corpus gram
-    // rows with a codegen'd InSet BEFORE the distinct: distinct-ing the
-    // full corpus gram stream first shuffles |corpus|·|grams/doc| rows,
-    // measured 2.5× slower at sf0.1, and at 100 TB it's the difference
-    // between shuffling matches and shuffling everything.
-    val benchHashes = benchGrams.select(col("h")).distinct()
-      .collect().map(_.getLong(0)).toSeq
-    gramRows(docs, text, id, "doc_id")
-      .where(col("h").isInCollection(benchHashes))
+    val benchGrams = gramHashRows(benchmark, benchText, benchId, "bench_id", n, outer = false)
+      .select(col("bench_id"), col("h")).distinct()
+    // Filter corpus gram rows against the (small, broadcast) benchmark
+    // hash set BEFORE the distinct: distinct-ing the full corpus gram
+    // stream first shuffles |corpus|·|grams/doc| rows — measured 2.5×
+    // slower at sf0.1, and at 100 TB it's the difference between shuffling
+    // matches and shuffling everything. A broadcast left-semi join (not a
+    // driver-collected In-list) keeps the eval set off the driver and out
+    // of the plan's expression tree at real eval-set sizes.
+    gramHashRows(docs, text, id, "doc_id", n, outer = false)
+      .select(col("doc_id"), col("h"))
+      .join(broadcast(benchGrams.select(col("h")).distinct()), Seq("h"), "left_semi")
       .distinct()
       .join(broadcast(benchGrams), Seq("h"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+  }
+
+  /** The shared char-n-gram hash explode: one row per (doc, gram start)
+    * with the 48-bit gram hash — positions explode as a primitive int
+    * sequence so substr+md5 run as codegen'd row expressions
+    * ([[fingerprints]], [[winnowingFingerprints]], and [[contamination]]
+    * all build on this; changing gram semantics here changes all three
+    * and their oracles together). `outer` keeps a null row for docs with
+    * no grams (length < n).
+    */
+  private def gramHashRows(
+      df: DataFrame, text: Column, id: Column, idName: String, n: Int, outer: Boolean
+  ): DataFrame = {
+    val positions =
+      when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+    val gen = if (outer) explode_outer(positions) else explode(positions)
+    df.select(id.as(idName), text.as("__t"))
+      .select(col(idName), col("__t"), gen.as("__i"))
+      .select(
+        col(idName), col("__i").as("gram_pos"),
+        Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
   }
 
   /** The terminal dedup step: keep exactly one document per near-dup
@@ -386,16 +389,9 @@ object Dedup {
   def winnowingFingerprints(
       df: DataFrame, text: Column, id: Column, n: Int = 8, w: Int = 4
   ): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("__i"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("gram_pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    df.select(id.as("doc_id"), text.as("__t"))
-      .select(
-        col("doc_id"), col("__t"),
-        explode(
-          when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
-            .otherwise(array().cast("array<int>"))
-        ).as("__i"))
-      .select(col("doc_id"), col("__i"), Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
+    gramHashRows(df, text, id, "doc_id", n, outer = false)
       .select(
         col("doc_id"),
         min(col("h")).over(win).as("fingerprint"),

@@ -139,19 +139,27 @@ object TextFunctions {
   }
 
   /** Fixed-window text chunking with stride — the context-window
-    * preparation step: chunk c covers `[1 + c·stride, +size)`, chunks are
-    * emitted while the start is in range, and the final chunk truncates at
-    * the text end (stride ≤ size ⇒ total coverage with `size−stride`
-    * overlap). Pure codegen: a position sequence explode + substr, no
-    * per-row arrays of chunk strings.
+    * preparation step: chunk c starts at `1 + c·stride`; new chunks are
+    * emitted only while the PREVIOUS window has not yet reached the text
+    * end (a naive start ≤ len rule emits tail chunks that are strict
+    * suffixes of the previous one — duplicated training content), and the
+    * final chunk truncates at the end. `stride ≤ size` is required: a
+    * larger stride would silently drop the text between windows. Pure
+    * codegen: a position sequence explode + substr, no per-row arrays of
+    * chunk strings.
     */
   def chunkFixed(df: DataFrame, text: Column, id: Column, size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0, "size and stride must be positive")
+    require(stride <= size,
+      s"stride ($stride) must be <= size ($size) — a gap would silently drop text")
+    // last useful start s satisfies s - stride + size - 1 < len,
+    // i.e. s <= len - size + stride (clamped to 1 for short texts)
+    val lastStart = greatest(length(col("__t")) - (size - stride), lit(1))
     df.select(id.as("doc_id"), text.as("__t"))
       .select(
         col("doc_id"), col("__t"),
         posexplode(
-          when(length(col("__t")) > 0, sequence(lit(1), length(col("__t")), lit(stride)))
+          when(length(col("__t")) > 0, sequence(lit(1), lastStart, lit(stride)))
             .otherwise(array().cast("array<int>"))
         ).as(Seq("chunk_idx", "__start")))
       .select(
@@ -160,14 +168,19 @@ object TextFunctions {
         col("__t").substr(col("__start"), lit(size)).as("chunk_text"))
   }
 
-  /** Greedy budgeted sequence packing WITHIN shards: rows ordered by `id`
-    * inside each `shard` accumulate `weight`; `pack_id` is the running
-    * total's bucket at `capacity`. The shard key is what keeps this
-    * scale-shaped — a global pack order would be a single-partition window
-    * (the q04 trap); per-shard packing is one hash-shuffle on the shard
-    * key and matches how packing jobs actually run (per source / language
-    * / date partition). Integer arithmetic throughout (div, not fp) so the
-    * oracle is exact.
+  /** Budgeted sequence packing WITHIN shards by START-OFFSET bucketing:
+    * rows ordered by `id` inside each `shard` accumulate `weight`, and a
+    * row joins the pack its start offset falls in — so a pack can OVERFLOW
+    * `capacity` by up to one row's weight (bounded by
+    * `capacity + max(weight)`; callers that must fit a hard window size
+    * either pre-split oversized rows with [[chunkFixed]] or size capacity
+    * accordingly). Exactly-bounded greedy packing needs a sequential
+    * carry-reset that a single window prefix-sum cannot express — this is
+    * the deliberate trade for a one-pass, one-shuffle plan. The shard key
+    * is what keeps it scale-shaped — a global pack order would be a
+    * single-partition window (the q04 trap); per-shard packing matches how
+    * packing jobs actually run (per source / language / date partition).
+    * Integer arithmetic throughout (div, not fp) so the oracle is exact.
     */
   def packByBudget(
       df: DataFrame, id: Column, weight: Column, shard: Column, capacity: Long
@@ -191,7 +204,9 @@ object TextFunctions {
     * digits get clobbered first).
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern = "https?://[^ ]+"
+  // exclude ALL whitespace, not just space: `[^ ]` matches \n and would
+  // swallow the text between a URL and the next space across lines
+  val UrlPattern = "https?://[^ \\t\\n\\r]+"
   val LongNumberPattern = "[0-9]{6,}"
 
   def redact(text: Column): Column =

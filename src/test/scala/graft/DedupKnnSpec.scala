@@ -223,10 +223,15 @@ class DedupKnnSpec extends SparkSpec {
     val docs = Seq((1L, "abcdefghij"), (2L, "")).toDF("doc_id", "text")
     val chunks = TextFunctions.chunkFixed(docs, col("text"), col("doc_id"), size = 4, stride = 3)
       .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
-    // starts 1,4,7,10: windows abcd, defg, ghij, j (truncated tail); empty doc: none
-    assert(chunks == Seq((1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij"), (1L, 3L, "j")))
+    // starts 1,4,7: windows abcd, defg, ghij — no redundant suffix-only
+    // tail chunk (the previous window already reached the end); empty doc: none
+    assert(chunks == Seq((1L, 0L, "abcd"), (1L, 1L, "defg"), (1L, 2L, "ghij")))
     // full coverage: concatenating stride-prefixes + last chunk rebuilds the text
     assert(chunks.init.map(_._3.take(3)).mkString + chunks.last._3 == "abcdefghij")
+    // stride > size would silently drop text — rejected
+    intercept[IllegalArgumentException] {
+      TextFunctions.chunkFixed(docs, col("text"), col("doc_id"), size = 4, stride = 5)
+    }
 
     val weighted = Seq((1L, 30L, "s1"), (2L, 50L, "s1"), (3L, 40L, "s1"), (4L, 90L, "s2"))
       .toDF("doc_id", "n", "src")
