@@ -20,6 +20,7 @@ object SparkEntry {
     * source → filter → map → flatMap → keyed tumbling window, on events.
     */
   def entry(spark: SparkSession): DataFrame = {
+    GraftSession.tune(spark) // idempotent; entry must work on a bare session
     val dir = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, dir)
     val filtered = CoreFlows.filter(col("event_type") =!= "error")(ev)

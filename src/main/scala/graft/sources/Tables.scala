@@ -23,11 +23,11 @@ object Tables {
     * and expose a proper `TimestampType` column for event-time windowing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // `nanosAsLong` is set once by GraftSession.tune — not here, per call:
-    // mutating session conf inside a table loader is racy in shared sessions
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true — build the session via GraftSession.local/tune")
+    // `nanosAsLong` is normally set once by GraftSession.tune; heal a bare
+    // session ONCE rather than mutating conf on every call (the
+    // every-call set was racy in shared sessions) or refusing to run
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
