@@ -344,7 +344,10 @@ object StreamingFlows {
         out.result().iterator
       }
     }
+    // TTLConfig requires ProcessingTime time mode — TimeMode.None with a
+    // TTL set is rejected by the state API at runtime
+    val timeMode = if (ttl != null) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(keyFn)
-      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(processor, timeMode, OutputMode.Append())
   }
 }

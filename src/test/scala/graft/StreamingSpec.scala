@@ -130,6 +130,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("keyedTransformWithState with TTL: expired state restarts from init (TTLConfig path)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Int)]
+      val out = StreamingFlows.keyedTransformWithState[String, (String, Int), Int, (String, Int)](
+        _._1, 0, (acc, v) => { val n = acc + v._2; (n, Seq((v._1, n))) },
+        ttl = java.time.Duration.ofMillis(1200)
+      ).apply(in.toDS()).toDF("key", "acc")
+      // NOTE: with TimeMode.ProcessingTime the engine keeps running batches
+      // for timer evaluation, so processAllAvailable may never settle —
+      // poll the sink with a deadline (cf. batchCountOrTime tests).
+      val q = out.writeStream.format("memory").queryName("tws_ttl_out").outputMode("append").start()
+      try {
+        def accs() = spark.table("tws_ttl_out").as[(String, Int)].collect().map(_._2).toSet
+        val deadline = System.currentTimeMillis() + 90000
+        in.addData(("a", 5))
+        while (!accs().contains(5) && System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(accs().contains(5))
+        var restarted = false
+        while (!restarted && System.currentTimeMillis() < deadline) {
+          Thread.sleep(2500) // let the value-state TTL lapse
+          in.addData(("a", 7))
+          val waitUntil = math.min(System.currentTimeMillis() + 10000, deadline)
+          while (!restarted && System.currentTimeMillis() < waitUntil) {
+            // 7, not 12: state.get() past its TTL reads as absent -> init
+            restarted = accs().contains(7)
+            if (!restarted) Thread.sleep(200)
+          }
+        }
+        assert(restarted, s"expected TTL restart, got ${accs()}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window streaming closes after gap + watermark (flow/session_window.go:102-125)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
