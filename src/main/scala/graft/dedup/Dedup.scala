@@ -254,9 +254,12 @@ object Dedup {
     val inUniverse = pairs
       .join(vertexIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(vertexIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
+      .localCheckpoint() // materialize BEFORE the union — each union branch
+                         // would otherwise re-execute the whole pair plan
     val edges = inUniverse.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(inUniverse.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    inUniverse.unpersist()
     var labels = vertexIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var i = 0
