@@ -329,7 +329,7 @@ object ExtensionQueries {
          |      FROM f WHERE fi % 2 = 0)
          |SELECT media_id, fi::BIGINT AS frame_idx,
          |       least(64, n - fi*64)::BIGINT AS frame_len,
-         |       ${duckHash48("fr")} AS frame_hash
+         |       (${duckHash48("fr")})::BIGINT AS frame_hash
          |FROM s""".stripMargin,
     "q39_contamination" ->
       // position var `p` (not `i`): duckHash48's comprehension rebinds i

@@ -234,8 +234,10 @@ object Dedup {
     * in Map-Reduce", ICDE'13; Kiveris et al. SoCC'14 for the star
     * variants). The pair plan is materialized once (`localCheckpoint`)
     * rather than re-executed per iteration; label checkpoints truncate the
-    * growing lineage, as GraphX/GraphFrames do; the per-iteration `count`
-    * is the convergence check, not a data collect.
+    * growing lineage, as GraphX/GraphFrames do; the convergence check is
+    * an `observe()` metric folded into the label-update plan itself, so
+    * each iteration is ONE job (the update join materialization), not an
+    * update job plus a separate changed-count job.
     */
   def nearDupClusters(
       vertices: DataFrame,
@@ -275,16 +277,21 @@ object Dedup {
       // so the self-join is total; each round halves the remaining chain
       // depth -> O(log diameter) rounds instead of O(diameter), which is
       // what makes long boilerplate chains converge in a handful of jobs.
+      // The changed-count is observe()d on this same plan: the old labels
+      // join in below the metric, and localCheckpoint's eager
+      // materialization is the action that delivers it — one job per
+      // iteration carries both the update and the convergence check.
+      val obs = org.apache.spark.sql.Observation()
       val updated = neighborMin
         .join(
           neighborMin.select(col("doc_id").as("__cid"), col("cluster_id").as("__cid2")),
           col("cluster_id") === col("__cid"))
         .select(col("doc_id"), col("__cid2").as("cluster_id"))
-        .localCheckpoint()
-      changed = updated
         .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
-        .where(col("cluster_id") =!= col("__old"))
-        .count()
+        .observe(obs, count(when(col("cluster_id") =!= col("__old"), 1)).as("changed"))
+        .select(col("doc_id"), col("cluster_id"))
+        .localCheckpoint()
+      changed = obs.get("changed").asInstanceOf[Long]
       if (i > 0) labels.unpersist() // drop the superseded checkpoint's blocks
       labels = updated
       i += 1
@@ -438,19 +445,41 @@ object Dedup {
     * id …). Pairs above `threshold` survive. The cosine itself is a
     * per-pair codegen'd fold ([[VectorFunctions.cosine]]); the bucket
     * equijoin bounds the pair count.
+    *
+    * `maxBucket` bounds the worst-case pair count, exactly like
+    * [[minhashLshPairs]]' cap: the blocking key here is often
+    * USER-SUPPLIED (a label, a cluster id), which makes it the most
+    * skew-prone bucket key of all — one degenerate value (an "unlabeled"
+    * catch-all) expands quadratically at 100 TB. Buckets above the cap are
+    * excluded from the pair join entirely;
+    * [[embeddingOversizedBuckets]] reports what a given cap drops so it
+    * can be sized from data. The default cap is off (`Int.MaxValue`) and
+    * adds nothing to the plan.
     */
   def embeddingNearDups(
       df: DataFrame,
       id: Column,
       vec: Column,
       bucket: Column,
-      threshold: Double
+      threshold: Double,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     // Norms are staged below the join: computed once per vector instead of
     // once per pair (the join node blocks CollapseProject from re-inlining
     // the fold). Only the dot product remains per-pair work.
-    val t = df.select(id.as("vid"), vec.as("v"), bucket.as("bk"),
+    val t0 = df.select(id.as("vid"), vec.as("v"), bucket.as("bk"),
       VectorFunctions.norm2(vec).as("nrm"))
+    // The cap is a window count over bk — the same hash partitioning the
+    // pair join needs, so the exchange is shared, not added. Unlike the
+    // MinHash bucket-and-expand, the rows here carry the full embedding
+    // vectors; collect_list-ing them would build per-bucket arrays of
+    // cap × dim floats, so the join form is kept and capped by filter.
+    val t =
+      if (maxBucket == Int.MaxValue) t0
+      else t0
+        .withColumn("__bksz", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .where(col("__bksz") <= maxBucket)
+        .drop("__bksz")
     val a = t.as("a")
     val b = t.as("b")
     val n = col("a.nrm") * col("b.nrm")
@@ -463,4 +492,21 @@ object Dedup {
       )
       .where(col("cosine") >= threshold)
   }
+
+  /** The blocking buckets a given `maxBucket` would drop from
+    * [[embeddingNearDups]], with member counts — the observability half of
+    * the cap (parity with [[minhashOversizedBuckets]]): one cheap
+    * one-shuffle aggregate, no pair expansion, run it to size the cap and
+    * quantify what the skewed bucket values contain.
+    */
+  def embeddingOversizedBuckets(
+      df: DataFrame,
+      id: Column,
+      bucket: Column,
+      maxBucket: Int
+  ): DataFrame =
+    df.select(id.as("vid"), bucket.as("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 }

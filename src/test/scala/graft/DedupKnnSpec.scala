@@ -201,6 +201,26 @@ class DedupKnnSpec extends SparkSpec {
     assert(kept == Seq(2L, 3L)) // 2 kept (its foreign pair is ignored), 4 deduped into 3
   }
 
+  test("embeddingNearDups cap law: skewed bucket dropped, small buckets untouched, default unchanged") {
+    // label "unlabeled" is the degenerate catch-all (6 members); "a" is a
+    // healthy 2-member bucket. Vectors are near-identical within a bucket
+    // so every in-bucket pair clears the threshold.
+    val emb = ((0 until 6).map(i => (i.toLong, Array.fill(4)(1.0f + i * 1e-4f), "unlabeled")) ++
+      Seq((10L, Array.fill(4)(0.5f), "a"), (11L, Array.fill(4)(0.5f), "a")))
+      .toDF("vec_id", "embedding", "label")
+    def run(cap: Int) = Dedup.embeddingNearDups(
+      emb, col("vec_id"), col("embedding"), col("label"), 0.3, maxBucket = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = run(Int.MaxValue)
+    assert(all.contains((10L, 11L)) && all.size == 15 + 1) // C(6,2) + 1
+    val capped = run(4)
+    assert(capped == Set((10L, 11L))) // oversized bucket fully excluded
+    assert(capped.subsetOf(all))
+    val report = Dedup.embeddingOversizedBuckets(emb, col("vec_id"), col("label"), 4)
+      .as[(String, Long)].collect().toSeq
+    assert(report == Seq(("unlabeled", 6L)))
+  }
+
   test("contamination screen flags docs sharing n-grams with the benchmark, not clean ones") {
     val leaked = "the quick brown fox jumps over the lazy dog near the river bank"
     val corpus = Seq(
