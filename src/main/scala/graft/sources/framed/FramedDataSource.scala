@@ -69,7 +69,9 @@ object FramedDataSource {
   * the micro-batch stream.
   */
 private[framed] object FramedOptions {
-  final case class Parsed(pathStr: String, delimiter: String, framing: String, maxFrameBytes: Int)
+  final case class Parsed(
+      pathStr: String, delimiter: String, framing: String, maxFrameBytes: Int,
+      maxTrackedFiles: Int)
 
   def parse(opts: Map[String, String]): Parsed = {
     val pathStr = opts.getOrElse("path",
@@ -81,7 +83,8 @@ private[framed] object FramedOptions {
       pathStr,
       opts.getOrElse("delimiter", "\n"),
       framing,
-      opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt)
+      opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt,
+      opts.getOrElse("maxtrackedfiles", opts.getOrElse("maxTrackedFiles", "10000")).toInt)
   }
 
   /** Non-empty files under the path/glob (driver side). */
@@ -154,11 +157,27 @@ class FramedMicroBatchStream(opts: Map[String, String])
 
   override def initialOffset(): Offset = FramedOffset(Set.empty)
 
-  override def latestOffset(): Offset = FramedOffset(
+  override def latestOffset(): Offset = {
     // a directory the producer has not created yet is an EMPTY stream, not
     // a dead query — keep polling like the built-in file source does
-    try FramedOptions.listFiles(parsed.pathStr).toSet
-    catch { case _: java.io.FileNotFoundException => Set.empty[String] })
+    val files =
+      try FramedOptions.listFiles(parsed.pathStr).toSet
+      catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+    // The offset carries the whole seen-file set (documented bound below at
+    // [[FramedOffset]]): past `maxTrackedFiles` the per-batch offset
+    // serialization degrades quadratically and SILENTLY. Fail loudly with
+    // the remediation instead of degrading — a landing directory that
+    // churns past this belongs on a compacting upstream or a
+    // sequence-offset source ([[graft.sources.broker.BrokerPullSource]]).
+    if (files.size > parsed.maxTrackedFiles)
+      throw new IllegalStateException(
+        s"graft-framed: ${files.size} files under ${parsed.pathStr} exceed " +
+          s"maxTrackedFiles=${parsed.maxTrackedFiles}. The streaming offset tracks every " +
+          "file ever seen; at this count per-batch offset serialization dominates. " +
+          "Compact the landing directory, raise maxTrackedFiles, or switch to a " +
+          "sequence-number source (format 'graft-broker').")
+    FramedOffset(files)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FramedOffset].files
@@ -183,9 +202,11 @@ class FramedMicroBatchStream(opts: Map[String, String])
   * Known bound: the offset grows with the number of files ever seen and is
   * re-serialized per micro-batch — appropriate for bounded/compacted
   * landing directories, not million-file churn (Spark's own file source
-  * keeps its seen-file log OUT of the offset for that case; doing the same
-  * here would mean a sidecar log keyed by a sequence-number offset — the
-  * documented upgrade path if this source outgrows its niche).
+  * keeps its seen-file log OUT of the offset for that case). The bound is
+  * ENFORCED: past `maxTrackedFiles` (default 10k) the stream fails loudly
+  * with the remediation rather than degrading silently; the
+  * sequence-number upgrade path is [[graft.sources.broker.BrokerPullSource]],
+  * whose offset is one integer regardless of history.
   */
 case class FramedOffset(files: Set[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {

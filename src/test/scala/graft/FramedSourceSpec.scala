@@ -96,6 +96,27 @@ class FramedSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: maxTrackedFiles guard fails loudly on a churning directory, batch read unaffected") {
+    val dir = Files.createTempDirectory("framed-many").toString
+    (1 to 5).foreach(i => Files.writeString(Paths.get(dir, s"f$i.dat"), s"v$i"))
+    // batch reads don't track an offset, so the guard does not apply
+    assert(spark.read.format("graft-framed").option("maxTrackedFiles", "3").load(dir).count() == 5)
+    val q = spark.readStream.format("graft-framed")
+      .option("maxTrackedFiles", "3")
+      .load(dir)
+      .writeStream.format("memory").queryName("framed_guard_out").outputMode("append").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    q.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val msg = causes(err).map(c => Option(c.getMessage).getOrElse("")).mkString(" ")
+    assert(msg.contains("maxTrackedFiles"))
+    assert(msg.contains("graft-broker")) // points at the sequence-offset upgrade path
+  }
+
   test("length-prefixed framing: 4-byte BE prefix, bounds-checked") {
     val dir = Files.createTempDirectory("framed").toString
     val frames = Seq("first", "second frame", "x" * 70000) // last spans chunks
