@@ -156,4 +156,18 @@ object SourcesApi {
       .option("subscribe", topic)
     maxOffsetsPerTrigger.fold(r)(n => r.option("maxOffsetsPerTrigger", n.toString))
   }
+
+  /** Pulsar source wiring (pulsar/pulsar.go:14-113). Pulsar has a NATIVE
+    * Spark connector (StreamNative's `pulsar-spark-connector_2.13`) and
+    * should not go through foreachBatch; the jar is not in this container,
+    * so this returns the configured reader — `.load()` at deploy site. The
+    * sink half is [[graft.sinks.ConnectorSinks.pulsarWriter]].
+    */
+  def pulsarReader(spark: SparkSession, serviceUrl: String, topic: String,
+      adminUrl: Option[String] = None) = {
+    val r = spark.readStream.format("pulsar")
+      .option("service.url", serviceUrl)
+      .option("topics", topic)
+    adminUrl.fold(r)(u => r.option("admin.url", u))
+  }
 }

@@ -186,4 +186,14 @@ object ConnectorSinks {
     df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
+
+  /** Pulsar sink wiring (pulsar/pulsar.go:115-176), routed to the native
+    * StreamNative connector (`pulsar-spark-connector_2.13` — jar not in
+    * this container; `.start()` at the deploy site). Input needs a `value`
+    * column; the source half is [[graft.api.SourcesApi.pulsarReader]].
+    */
+  def pulsarWriter(df: DataFrame, serviceUrl: String, topic: String): DataStreamWriter[Row] =
+    df.writeStream.format("pulsar")
+      .option("service.url", serviceUrl)
+      .option("topic", topic)
 }

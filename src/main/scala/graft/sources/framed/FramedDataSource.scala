@@ -65,26 +65,69 @@ object FramedDataSource {
   ))
 }
 
+/** The reference's FULL ElementReader generality
+  * (extension/source_reader.go:15: `func(io.Reader) ([]byte, error)`): a
+  * user-supplied framing function over the raw input stream, registered by
+  * name and selected with `option("framing", "custom")` +
+  * `option("elementReader", name)`. The function is resolved ON THE DRIVER
+  * at planning time and ships to executors inside the partition as a
+  * serialized closure (same model as [[graft.sources.broker.BrokerClients]])
+  * — a DataSource V2 is built from string options, so the name is the
+  * option and the registry is the indirection. The two built-in framings
+  * (delimiter, length-prefixed) remain the fast paths with incremental
+  * chunked decode; a custom reader owns its own buffering strategy.
+  * Empty frames are dropped, matching the built-in framings' contract.
+  */
+object ElementReaders {
+  /** Must be Serializable-capturing: it is shipped to executors. Pulls
+    * frames lazily from the stream; returning an empty iterator ends the
+    * file. The stream is closed by the reader harness, not the function.
+    */
+  type ElementReader = java.io.InputStream => Iterator[Array[Byte]]
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, ElementReader]()
+
+  def register(name: String, reader: ElementReader): Unit =
+    registry.put(name, reader)
+
+  def resolve(name: String): ElementReader = {
+    val r = registry.get(name)
+    require(r != null,
+      s"graft-framed: no ElementReader registered under '$name' " +
+        s"(registered: ${scala.jdk.CollectionConverters.SetHasAsScala(registry.keySet()).asScala.toSeq.sorted.mkString(", ")})")
+    r
+  }
+}
+
 /** Option parsing + driver-side file listing shared by the batch scan and
   * the micro-batch stream.
   */
 private[framed] object FramedOptions {
   final case class Parsed(
       pathStr: String, delimiter: String, framing: String, maxFrameBytes: Int,
-      maxTrackedFiles: Int)
+      maxTrackedFiles: Int, elementReader: Option[String]) {
+    /** Driver-side resolution of the custom framing (planning time). */
+    def resolveCustom(): Option[ElementReaders.ElementReader] =
+      if (framing != "custom") None
+      else Some(ElementReaders.resolve(elementReader.getOrElse(
+        throw new IllegalArgumentException(
+          "graft-framed: framing=custom requires an 'elementReader' option"))))
+  }
 
   def parse(opts: Map[String, String]): Parsed = {
     val pathStr = opts.getOrElse("path",
       throw new IllegalArgumentException("graft-framed requires a path"))
     val framing = opts.getOrElse("framing", "delimiter")
-    require(framing == "delimiter" || framing == "length-prefixed",
-      s"graft-framed: unknown framing '$framing' (delimiter | length-prefixed)")
+    require(framing == "delimiter" || framing == "length-prefixed" || framing == "custom",
+      s"graft-framed: unknown framing '$framing' (delimiter | length-prefixed | custom)")
     Parsed(
       pathStr,
       opts.getOrElse("delimiter", "\n"),
       framing,
       opts.getOrElse("maxFrameBytes", (64 * 1024 * 1024).toString).toInt,
-      opts.getOrElse("maxtrackedfiles", opts.getOrElse("maxTrackedFiles", "10000")).toInt)
+      opts.getOrElse("maxtrackedfiles", opts.getOrElse("maxTrackedFiles", "10000")).toInt,
+      opts.get("elementreader").orElse(opts.get("elementReader")))
   }
 
   /** Non-empty files under the path/glob (driver side). */
@@ -127,8 +170,9 @@ class FramedTable(properties: Map[String, String]) extends Table with SupportsRe
 
       override def planInputPartitions(): Array[InputPartition] = {
         val p = FramedOptions.parse(opts)
+        val custom = p.resolveCustom()
         FramedOptions.listFiles(p.pathStr).map(f =>
-          FramedFilePartition(f, p.delimiter, p.framing, p.maxFrameBytes): InputPartition).toArray
+          FramedFilePartition(f, p.delimiter, p.framing, p.maxFrameBytes, custom): InputPartition).toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -182,8 +226,9 @@ class FramedMicroBatchStream(opts: Map[String, String])
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FramedOffset].files
     val e = end.asInstanceOf[FramedOffset].files
+    val custom = parsed.resolveCustom()
     (e -- s).toSeq.sorted.map(f =>
-      FramedFilePartition(f, parsed.delimiter, parsed.framing, parsed.maxFrameBytes): InputPartition).toArray
+      FramedFilePartition(f, parsed.delimiter, parsed.framing, parsed.maxFrameBytes, custom): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -225,17 +270,43 @@ object FramedOffset {
 }
 
 case class FramedFilePartition(
-    file: String, delimiter: String, framing: String, maxFrameBytes: Int)
+    file: String, delimiter: String, framing: String, maxFrameBytes: Int,
+    custom: Option[ElementReaders.ElementReader] = None)
     extends InputPartition
 
 class FramedReaderFactory(confEntries: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FramedFilePartition]
-    if (p.framing == "length-prefixed")
-      new LengthPrefixedPartitionReader(p.file, p.maxFrameBytes, confEntries)
-    else
-      new FramedPartitionReader(p.file, p.delimiter, confEntries)
+    p.custom match {
+      case Some(reader) => new CustomFramedPartitionReader(p.file, reader, confEntries)
+      case None if p.framing == "length-prefixed" =>
+        new LengthPrefixedPartitionReader(p.file, p.maxFrameBytes, confEntries)
+      case None => new FramedPartitionReader(p.file, p.delimiter, confEntries)
+    }
   }
+}
+
+/** Harness for a user-registered [[ElementReaders.ElementReader]]: opens the
+  * file with the shipped session conf, hands the raw stream to the framing
+  * function, drops empty frames (the built-in framings' contract), closes
+  * the stream. Buffering/incrementality is the framing function's concern —
+  * it sees the live stream, never a whole-file slurp.
+  */
+class CustomFramedPartitionReader(
+    file: String, reader: ElementReaders.ElementReader, confEntries: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val fileUtf8 = UTF8String.fromString(file)
+  private val in = FramedFs.open(file, confEntries)
+  private val frames = reader(in).filter(_.nonEmpty)
+  private var current: UTF8String = _
+
+  override def next(): Boolean =
+    if (frames.hasNext) { current = UTF8String.fromBytes(frames.next()); true } else false
+
+  override def get(): InternalRow = InternalRow(current, fileUtf8)
+
+  override def close(): Unit = in.close()
 }
 
 private[framed] object FramedFs {

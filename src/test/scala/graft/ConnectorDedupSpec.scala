@@ -93,6 +93,38 @@ class ConnectorDedupSpec extends SparkSpec {
     assert(msg.toLowerCase.contains("kafka")) // fails AT the kafka source lookup
   }
 
+  test("pulsar source/sink wiring: format + options reach the (jar-less) reader/writer") {
+    def extraOptions(obj: AnyRef): Map[String, String] = {
+      var cls: Class[_] = obj.getClass
+      while (cls != null) {
+        cls.getDeclaredFields.find(_.getName.contains("extraOptions")).foreach { f =>
+          f.setAccessible(true)
+          return f.get(obj).asInstanceOf[scala.collection.Map[String, String]]
+            .map { case (k, v) => k.toLowerCase -> v }.toMap
+        }
+        cls = cls.getSuperclass
+      }
+      Map.empty
+    }
+    val r = graft.api.SourcesApi.pulsarReader(
+      spark, "pulsar://broker:6650", "events", Some("http://broker:8080"))
+    val ro = extraOptions(r)
+    assert(ro.get("service.url").contains("pulsar://broker:6650"))
+    assert(ro.get("topics").contains("events"))
+    assert(ro.get("admin.url").contains("http://broker:8080"))
+
+    val streamDf = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+      .selectExpr("CAST(value AS STRING) AS value")
+    val w = ConnectorSinks.pulsarWriter(streamDf, "pulsar://broker:6650", "events")
+    val wo = extraOptions(w)
+    assert(wo.get("service.url").contains("pulsar://broker:6650"))
+    assert(wo.get("topic").contains("events"))
+
+    val err = intercept[Exception] { r.load() }
+    val msg = Option(err.getMessage).getOrElse("") + err.getClass.getName
+    assert(msg.toLowerCase.contains("pulsar")) // fails AT the pulsar source lookup
+  }
+
   test("dedupExact: in-window duplicates dropped, state evicted past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]

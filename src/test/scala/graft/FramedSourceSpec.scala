@@ -117,6 +117,48 @@ class FramedSourceSpec extends SparkSpec {
     assert(msg.contains("graft-broker")) // points at the sequence-offset upgrade path
   }
 
+  test("custom ElementReader framing: registered function frames the stream (full source_reader.go generality)") {
+    import graft.sources.framed.ElementReaders
+    // fixed-width 3-byte frames — a framing neither built-in rule covers
+    ElementReaders.register("fixed3", { in =>
+      Iterator.continually {
+        val buf = new Array[Byte](3)
+        var read = 0
+        var n = 0
+        while (read < 3 && n >= 0) {
+          n = in.read(buf, read, 3 - read)
+          if (n > 0) read += n
+        }
+        if (read == 0) null else java.util.Arrays.copyOf(buf, read)
+      }.takeWhile(_ != null)
+    })
+    val dir = writeTemp("fixed.dat", "abcdefgh") // 3 + 3 + 2 tail
+    val vals = spark.read.format("graft-framed")
+      .option("framing", "custom").option("elementReader", "fixed3")
+      .load(dir)
+      .select("value").as[String].collect().sorted.toSeq
+    assert(vals == Seq("abc", "def", "gh"))
+    // streaming uses the same partitions — same framing end-to-end
+    val q = spark.readStream.format("graft-framed")
+      .option("framing", "custom").option("elementReader", "fixed3")
+      .load(dir)
+      .writeStream.format("memory").queryName("custom_framed_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("custom_framed_out").count() == 3)
+    } finally q.stop()
+    // unknown name and missing option both fail loudly at planning
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-framed")
+        .option("framing", "custom").option("elementReader", "nope").load(dir).collect()
+    }
+    assert(e1.getMessage.contains("nope") && e1.getMessage.contains("fixed3"))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-framed").option("framing", "custom").load(dir).collect()
+    }
+    assert(e2.getMessage.contains("elementReader"))
+  }
+
   test("length-prefixed framing: 4-byte BE prefix, bounds-checked") {
     val dir = Files.createTempDirectory("framed").toString
     val frames = Seq("first", "second frame", "x" * 70000) // last spans chunks
