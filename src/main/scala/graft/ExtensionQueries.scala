@@ -21,6 +21,27 @@ object ExtensionQueries {
   private def duckHash48(e: String): String =
     s"list_sum([ (strpos('0123456789abcdef', substr(md5($e), i, 1)) - 1)::BIGINT << (4*(12-i)) for i in range(1,13)])"
 
+  /** DuckDB rendition of [[graft.plans.RollingHash48]]'s n-byte-gram hash
+    * at 1-based byte position `p`: the direct weighted byte sum (exact in
+    * BIGINT — max 8·255·2^48 < 2^63) masked to 48 bits, over a CTE
+    * providing `hx` = hex(encode(text)). The engine computes the identical
+    * value by rolling recurrence; the weighted form IS the definition.
+    */
+  private def duckByteAt(q: String): String =
+    s"((strpos('0123456789ABCDEF', substr(hx, (2*($q) - 1)::INT, 1)) - 1) * 16" +
+      s" + (strpos('0123456789ABCDEF', substr(hx, (2*($q))::INT, 1)) - 1))"
+
+  private def duckGramHash(p: String, n: Int): String = {
+    val terms = (0 until n).map { j =>
+      s"${duckByteAt(s"($p) + $j")} * ${graft.plans.RollingHash48.Pow(n - 1 - j)}"
+    }
+    s"((${terms.mkString(" + ")}) & ${graft.plans.RollingHash48.Mask})"
+  }
+
+  /** The `hx`/`nb` byte-view CTE the rolling-gram oracles share. */
+  private val duckByteView =
+    "SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text))::BIGINT AS nb FROM documents"
+
   private val duckToks =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)"""
 
@@ -332,13 +353,13 @@ object ExtensionQueries {
          |       (${duckHash48("fr")})::BIGINT AS frame_hash
          |FROM s""".stripMargin,
     "q39_contamination" ->
-      // position var `p` (not `i`): duckHash48's comprehension rebinds i
-      s"""WITH dg AS (
-         |  SELECT DISTINCT doc_id, ${duckHash48("substr(text, p::INT, 8)")} AS h
-         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)),
+      s"""WITH m AS ($duckByteView),
+         |dg AS (
+         |  SELECT DISTINCT doc_id, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
          |bg AS (
-         |  SELECT DISTINCT doc_id AS bench_id, ${duckHash48("substr(text, p::INT, 8)")} AS h
-         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)
+         |  SELECT DISTINCT doc_id AS bench_id, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)
          |  WHERE doc_id < 3)
          |SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS n_shared
          |FROM dg JOIN bg ON dg.h = bg.h
@@ -425,10 +446,11 @@ object ExtensionQueries {
          | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens
          |FROM documents""".stripMargin,
     "q29_fingerprint" ->
-      s"""SELECT doc_id,
-         | coalesce(list_min([ ${duckHash48("substr(text, oi, 8)")} for oi in range(1, greatest(len(text)-6, 1))]),
+      s"""WITH m AS ($duckByteView)
+         |SELECT doc_id,
+         | coalesce(list_min([ ${duckGramHash("oi", 8)} for oi in range(1, greatest(nb - 6, 1))]),
          |          ${Hashing.Prime})::BIGINT AS fingerprint
-         |FROM documents""".stripMargin,
+         |FROM m""".stripMargin,
     "q30_multimodal" ->
       """WITH m AS (SELECT doc_id AS media_id,
         |  ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
@@ -468,11 +490,10 @@ object ExtensionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
     "q34_winnowing" ->
-      // outer position var must NOT be named `i`: duckHash48's list
-      // comprehension rebinds i and would silently shadow it
-      s"""WITH pos AS (
-         |  SELECT doc_id, p, ${duckHash48("substr(text, p::INT, 8)")} AS h
-         |  FROM documents, lateral unnest(range(1, greatest(len(text) - 6, 1))) t(p)),
+      s"""WITH m AS ($duckByteView),
+         |pos AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
          |w AS (
          |  SELECT doc_id,
          |    min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,

@@ -207,17 +207,20 @@ object Dedup {
       .distinct()
   }
 
-  /** Winnowing-style document fingerprints, relationally: explode char
-    * n-grams, hash each once in codegen, one min-aggregate per doc. Value
-    * -identical to the column form [[graft.functions.Hashing.fingerprint]]
-    * (min is order-free; empty docs get the Prime sentinel) but the md5
-    * runs as a codegen'd row expression instead of an interpreted
-    * array-lambda element (measured 5× at sf0.1).
+  /** Document fingerprints: minimum ROLLING n-byte-gram hash per doc
+    * ([[graft.plans.RollingHash48]] — Karp–Rabin, one O(len) pass; empty
+    * docs get the Prime sentinel). Value-identical to the column form
+    * [[graft.functions.Hashing.fingerprint]].
+    *
+    * Scale shape: a pure per-row expression — NO explode, NO aggregation,
+    * ZERO shuffles (the previous explode-gram→md5-per-row→min-aggregate
+    * pipeline paid one digest per gram plus a full shuffle of the doc
+    * stream; measured 2.3 s → 0.15 s at sf0.1).
     */
   def fingerprints(df: DataFrame, text: Column, id: Column, n: Int = 8): DataFrame =
-    gramHashRows(df, text, id, "doc_id", n, outer = true)
-      .groupBy(col("doc_id"))
-      .agg(coalesce(min(col("h")), lit(Hashing.Prime)).as("fingerprint"))
+    df.select(
+      id.as("doc_id"),
+      coalesce(array_min(Hashing.gramHashes(text, n)), lit(Hashing.Prime)).as("fingerprint"))
 
   /** Near-dup CLUSTERS from candidate pairs: connected components by
     * min-label propagation — the step that turns a pair list
@@ -308,8 +311,9 @@ object Dedup {
     * sets are thousands of items) and is broadcast; the corpus side is an
     * n-gram explode joined on the 48-bit gram hash — one broadcast
     * equijoin, no corpus shuffle, which is the 100 TB shape. Gram hashing
-    * reuses the portable [[graft.functions.Hashing.hash48]], so the result
-    * is oracle-reproducible.
+    * uses the portable rolling hash ([[graft.plans.RollingHash48]]), so
+    * the result is oracle-reproducible and gram hashing is one O(len)
+    * pass per document.
     */
   def contamination(
       docs: DataFrame,
@@ -321,7 +325,7 @@ object Dedup {
       n: Int = 8,
       minShared: Int = 3
   ): DataFrame = {
-    val benchGrams = gramHashRows(benchmark, benchText, benchId, "bench_id", n, outer = false)
+    val benchGrams = gramHashRows(benchmark, benchText, benchId, "bench_id", n)
       .select(col("bench_id"), col("h")).distinct()
     // Filter corpus gram rows against the (small, broadcast) benchmark
     // hash set BEFORE the distinct: distinct-ing the full corpus gram
@@ -330,7 +334,7 @@ object Dedup {
     // matches and shuffling everything. A broadcast left-semi join (not a
     // driver-collected In-list) keeps the eval set off the driver and out
     // of the plan's expression tree at real eval-set sizes.
-    gramHashRows(docs, text, id, "doc_id", n, outer = false)
+    gramHashRows(docs, text, id, "doc_id", n)
       .select(col("doc_id"), col("h"))
       .join(broadcast(benchGrams.select(col("h")).distinct()), Seq("h"), "left_semi")
       .distinct()
@@ -340,27 +344,19 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
-  /** The shared char-n-gram hash explode: one row per (doc, gram start)
-    * with the 48-bit gram hash — positions explode as a primitive int
-    * sequence so substr+md5 run as codegen'd row expressions
-    * ([[fingerprints]], [[winnowingFingerprints]], and [[contamination]]
-    * all build on this; changing gram semantics here changes all three
-    * and their oracles together). `outer` keeps a null row for docs with
-    * no grams (length < n).
+  /** The shared n-byte-gram hash explode: one row per (doc, gram) with the
+    * 48-bit rolling gram hash. The hashes materialize as ONE primitive
+    * long-array expression per document ([[graft.functions.Hashing
+    * .gramHashes]]) and explode from there — no per-gram substring, no
+    * per-gram digest ([[fingerprints]], [[winnowingFingerprints]] and
+    * [[contamination]] share the [[graft.plans.RollingHash48]] kernel;
+    * changing gram semantics there changes all three and their oracles
+    * together).
     */
   private def gramHashRows(
-      df: DataFrame, text: Column, id: Column, idName: String, n: Int, outer: Boolean
-  ): DataFrame = {
-    val positions =
-      when(length(col("__t")) >= n, sequence(lit(1), length(col("__t")) - (n - 1)))
-        .otherwise(array().cast("array<int>"))
-    val gen = if (outer) explode_outer(positions) else explode(positions)
-    df.select(id.as(idName), text.as("__t"))
-      .select(col(idName), col("__t"), gen.as("__i"))
-      .select(
-        col(idName), col("__i").as("gram_pos"),
-        Hashing.hash48(col("__t").substr(col("__i"), lit(n))).as("h"))
-  }
+      df: DataFrame, text: Column, id: Column, idName: String, n: Int
+  ): DataFrame =
+    df.select(id.as(idName), explode(Hashing.gramHashes(text, n)).as("h"))
 
   /** The terminal dedup step: keep exactly one document per near-dup
     * cluster (the smallest id — deterministic and stable under re-runs),
@@ -389,27 +385,21 @@ object Dedup {
     * Tie-breaking (which POSITION is selected) does not affect the output:
     * only distinct VALUES are kept, and the window minimum value is
     * position-independent — which is also what makes the DuckDB oracle
-    * reproduction exact. Docs shorter than n + w - 1 chars have no full
+    * reproduction exact. Docs shorter than n + w - 1 bytes have no full
     * window and produce no rows.
     *
-    * Scale shape: explode positions (codegen'd substr+md5 per row), one
-    * window pass partitioned by doc, distinct — two exchanges on doc_id,
-    * both AQE-coalescible; no per-row arrays.
+    * Scale shape: the ENTIRE per-document computation (rolling gram
+    * hashes → monotone-deque sliding minimum → per-doc distinct) runs as
+    * one map-side expression ([[graft.functions.Hashing.winnowSet]]) and
+    * explodes its primitive array — ZERO exchanges (the previous
+    * relational form paid a window sort plus a distinct shuffle, and one
+    * md5 per gram; measured 2.9 s → 0.2 s at sf0.1). Winnowing is
+    * per-document math, so map-side is its natural scale shape.
     */
   def winnowingFingerprints(
       df: DataFrame, text: Column, id: Column, n: Int = 8, w: Int = 4
-  ): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("gram_pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    gramHashRows(df, text, id, "doc_id", n, outer = false)
-      .select(
-        col("doc_id"),
-        min(col("h")).over(win).as("fingerprint"),
-        count(col("h")).over(win).as("__cnt"))
-      .where(col("__cnt") === w) // full windows only — the tail has none
-      .select(col("doc_id"), col("fingerprint"))
-      .distinct()
-  }
+  ): DataFrame =
+    df.select(id.as("doc_id"), explode(Hashing.winnowSet(text, n, w)).as("fingerprint"))
 
   /** Exact n-gram Jaccard similarity between explicit (docA, docB) pairs —
     * the verification stage that LSH candidates feed at scale. `pairs` must

@@ -129,14 +129,33 @@ object Hashing {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** Rolling document fingerprint: minimum universal-rehash over the char
-    * n-gram shingles (a 1-element winnowing sketch). Stable under content
-    * reordering only at shingle granularity — intended as a cheap
-    * content-identity key, cf. Schleimer et al., "Winnowing" (SIGMOD'03).
-    * Column form; at corpus scale use the value-identical relational
-    * [[graft.dedup.Dedup.fingerprints]] (codegen'd md5 per row, not per
-    * array element).
+  /** All n-byte-gram ROLLING hashes of a string as `array<bigint>` — the
+    * Karp–Rabin primitive behind [[fingerprint]], winnowing, and the
+    * contamination screen ([[graft.plans.RollingHash48]]: one O(len) pass,
+    * 48-bit polynomial mod 2^48, engine-portable exact arithmetic). This
+    * replaces the explode→substr→md5-per-gram pipeline those operators
+    * used to share: no per-gram string ever materializes.
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.GramHashes48F(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string")), n))
+
+  /** The DISTINCT winnowing fingerprint set (window-min over [[gramHashes]],
+    * width `w`) as `array<bigint>` — the whole per-document winnowing
+    * computation as one map-side expression.
+    */
+  def winnowSet(text: Column, n: Int, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.WinnowSet48F(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string")), n, w))
+
+  /** Rolling document fingerprint: minimum rolling-gram hash (a 1-element
+    * winnowing sketch). Stable under content reordering only at gram
+    * granularity — intended as a cheap content-identity key, cf. Schleimer
+    * et al., "Winnowing" (SIGMOD'03). Value-identical to the relational
+    * [[graft.dedup.Dedup.fingerprints]].
     */
   def fingerprint(text: Column, n: Int): Column =
-    coalesce(array_min(transform(charNgrams(text, n), g => hash48(g))), lit(Prime))
+    coalesce(array_min(gramHashes(text, n)), lit(Prime))
 }

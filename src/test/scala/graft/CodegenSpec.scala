@@ -54,6 +54,42 @@ class CodegenSpec extends SparkSpec {
     assert(df.select(VectorFunctions.dotFold(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("GramHashes48F / WinnowSet48F generated Java compiles; values match a direct recompute") {
+    import graft.plans.{GramHashes48F, RollingHash48, WinnowSet48F}
+    val gExpr = GramHashes48F(BoundReference(0, StringType, nullable = true), 8)
+    val wExpr = WinnowSet48F(BoundReference(0, StringType, nullable = true), 8, 4)
+    val proj = GenerateUnsafeProjection.generate(Seq(gExpr, wExpr)) // throws on compile error
+    for (s <- Seq("", "short", "a longer document with enough bytes to produce several grams",
+      "café 日本語 — multibyte codepoints hash by their UTF-8 bytes")) {
+      val row = proj(InternalRow(UTF8String.fromString(s)))
+      val bytes = s.getBytes("UTF-8")
+      val expectG = RollingHash48.gramHashes(bytes, 8)
+      val expectW = RollingHash48.winnowSet(bytes, 8, 4)
+      assert(row.getArray(0).toLongArray().toSeq === expectG.toSeq)
+      assert(row.getArray(1).toLongArray().toSeq === expectW.toSeq)
+      // the rolling recurrence equals the direct weighted-sum definition
+      // (what the DuckDB oracle computes)
+      val direct = (0 to bytes.length - 8).map { p =>
+        (0 until 8).map(j => (bytes(p + j) & 0xffL) * RollingHash48.Pow(7 - j)).sum & RollingHash48.Mask
+      }
+      assert(expectG.toSeq === direct)
+    }
+  }
+
+  test("winnowSet is the distinct sliding-window minima (brute-force cross-check)") {
+    import graft.plans.RollingHash48
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val s = scala.util.Random.alphanumeric.take(5 + rnd.nextInt(60)).mkString
+      val bytes = s.getBytes("UTF-8")
+      val hs = RollingHash48.gramHashes(bytes, 3)
+      val brute =
+        if (hs.length < 5) Set.empty[Long]
+        else hs.sliding(5).map(_.min).toSet
+      assert(RollingHash48.winnowSet(bytes, 3, 5).toSet === brute)
+    }
+  }
+
   test("hash-heavy query runs clean with codegen fallback disabled") {
     import spark.implicits._
     spark.conf.set("spark.sql.codegen.fallback", "false")

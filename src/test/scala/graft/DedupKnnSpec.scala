@@ -307,9 +307,14 @@ class DedupKnnSpec extends SparkSpec {
     assert(!fp.contains(4L))
     // each fingerprint is some gram hash of the doc (window-min soundness)
     val grams1 = docs.where(col("doc_id") === 1L)
-      .select(explode(Hashing.charNgrams(col("text"), 8)).as("g"))
-      .select(Hashing.hash48(col("g"))).as[Long].collect().toSet
+      .select(explode(Hashing.gramHashes(col("text"), 8)).as("h"))
+      .as[Long].collect().toSet
     assert(fp(1L).subsetOf(grams1))
+    // kernel parity: the expression's hashes equal a direct recompute
+    val text1 = docs.where(col("doc_id") === 1L).select("text").as[String].head()
+    val direct = graft.plans.RollingHash48
+      .gramHashes(text1.getBytes(java.nio.charset.StandardCharsets.UTF_8), 8).toSet
+    assert(grams1 == direct)
   }
 
   test("minhash maxBucket cap drops degenerate boilerplate buckets before pair expansion") {

@@ -111,8 +111,8 @@ class PropertySpec extends SparkSpec {
         .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       assert((fp(1L) intersect fp(2L)).nonEmpty) // guarantee holds on random content
       val grams1 = docs.where(col("doc_id") === 1L)
-        .select(explode(Hashing.charNgrams(col("text"), 8)).as("g"))
-        .select(Hashing.hash48(col("g"))).as[Long].collect().toSet
+        .select(explode(Hashing.gramHashes(col("text"), 8)).as("h"))
+        .as[Long].collect().toSet
       assert(fp(1L).subsetOf(grams1)) // soundness: every fingerprint is a real gram hash
     }
   }
