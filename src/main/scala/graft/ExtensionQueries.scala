@@ -395,13 +395,14 @@ object ExtensionQueries {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "q23_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id,
-        |  list_distinct([substr(text, i, 3) for i in range(1, greatest(len(text)-1, 1))]) AS grams
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  round(coalesce(len(list_intersect(a.grams, b.grams))::DOUBLE
-        |    / nullif(len(list_distinct(a.grams || b.grams)), 0), 0.0), 4) AS jaccard
-        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
+      s"""WITH m AS ($duckByteView),
+         |g AS (SELECT doc_id,
+         |  list_distinct([${duckGramHash("p", 3)} for p in range(1, greatest(nb - 1, 1))]) AS grams
+         |  FROM m)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  round(coalesce(len(list_intersect(a.grams, b.grams))::DOUBLE
+         |    / nullif(len(list_distinct(a.grams || b.grams)), 0), 0.0), 4) AS jaccard
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1""".stripMargin,
     "q24_embed_neardup" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $duckCos AS cosine
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
