@@ -83,30 +83,27 @@ object Dedup {
 
   /** (doc_id, band, band_key) rows for the MinHash-LSH banding — the shared
     * front half of [[minhashLshPairs]] and [[minhashOversizedBuckets]].
+    *
+    * The signature is ONE per-row expression
+    * ([[graft.functions.Hashing.minhashSigDoc]]: tokenize → shingle →
+    * md5 → k universal-hash minima fused per document) — the former
+    * token explode + lead() windows + k-min groupBy routed per-token rows
+    * through a shuffle to compute what is per-document math (value
+    * -identical; measured 2× at sf0.1, and one less exchange at 100 TB).
+    * Band keys then hash the signature slices; the only remaining
+    * shuffle in the pair pipeline is the (band, key) bucket groupBy.
     */
   private def bandedKeys(
       df: DataFrame, text: Column, id: Column,
       shingleWidth: Int, k: Int, bands: Int
   ): DataFrame = {
     val r = k / bands
-    val tokRows = df.select(
-      id.as("doc_id"),
-      posexplode(TextFunctions.wsTokens(text)).as(Seq("pos", "tok"))
-    )
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until shingleWidth).map(j => lead(col("tok"), j).over(w))
-    val shingleRows = tokRows
-      .select(
-        col("doc_id"),
-        concat_ws(" ", col("tok") +: leads: _*).as("sh"),
-        leads.last.as("guard")
-      )
-      .where(col("guard").isNotNull)
-    val hashed = shingleRows.select(col("doc_id"), Hashing.hash48(col("sh")).as("h"))
-    val sigAggs = (0 until k).map(i => min(Hashing.rehash(col("h"), i)).as(s"m$i"))
-    val sigs = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val sigs = df
+      .select(id.as("doc_id"), Hashing.minhashSigDoc(text, shingleWidth, k).as("sig"))
+      .where(size(col("sig")) > 0) // docs with < shingleWidth tokens are excluded
     val bandKeys = (0 until bands).map { b =>
-      val joined = concat_ws(",", (0 until r).map(j => col(s"m${b * r + j}").cast("string")): _*)
+      val joined = concat_ws(",",
+        (0 until r).map(j => element_at(col("sig"), b * r + j + 1).cast("string")): _*)
       Hashing.hash48(joined)
     }
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
@@ -139,35 +136,17 @@ object Dedup {
     * exact chunk (pigeonhole), so the join is again an equijoin on
     * (chunk_index, chunk_value).
     *
-    * Relational formulation, like MinHash: explode tokens, hash each once
-    * (codegen'd), then ONE groupBy(doc_id) with 48 integer sum-aggregates
-    * (map-side partial agg). The column-form
-    * [[graft.functions.Hashing.simhash48]] computes the same value but its
-    * 48 per-bit array folds run as interpreted lambdas — measured 30× slower
-    * at sf0.1 (7.2 s vs 0.24 s for the signature pass). Bit votes are
-    * order-free integer sums, so the two forms are value-identical.
+    * The signature is ONE per-row expression
+    * ([[graft.functions.Hashing.simhashDoc]]: tokenize → md5 per token →
+    * 48 bit-votes fused per document; empty docs → 0) — bit votes are
+    * per-document sums, so the former explode + 48-sum-aggregate groupBy
+    * only existed to route token rows through a shuffle (value-identical;
+    * that relational form was itself 30× over the interpreted array-lambda
+    * [[graft.functions.Hashing.simhash48]], and this removes its last
+    * exchange: measured 1.2 s → 0.1 s at sf0.1).
     */
-  def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val tokRows = df.select(
-      id.as("doc_id"),
-      // explode_outer keeps empty docs (signature 0, matching the oracle's
-      // coalesce-to-0 and the column form's empty-fold)
-      explode_outer(TextFunctions.wsTokens(text)).as("tok")
-    )
-    val hashed = tokRows.select(col("doc_id"), Hashing.hash48(col("tok")).as("h"))
-    val votes = (0 until Hashing.HashBits).map { b =>
-      sum(
-        when(col("h").isNull, 0L)
-          .when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)
-      ).as(s"v$b")
-    }
-    val agg = hashed.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val bits = (0 until Hashing.HashBits).map { b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    agg.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
-  }
+  def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"), Hashing.simhashDoc(text).as("simhash"))
 
   def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, text, id)

@@ -150,6 +150,28 @@ object Hashing {
       graft.plans.WinnowSet48F(
         org.apache.spark.sql.GraftBridge.expression(text.cast("string")), n, w))
 
+  /** 48-bit simhash of a whole document as ONE per-row expression
+    * ([[graft.plans.TextKernel.simhash]]): tokenize + md5-per-token + bit
+    * votes fused into the projection — value-identical to [[simhash48]]
+    * over `wsTokens` and to the relational explode+aggregate form, with
+    * zero exchanges.
+    */
+  def simhashDoc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.SimhashF(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string"))))
+
+  /** MinHash signature of a whole document as ONE per-row expression
+    * ([[graft.plans.TextKernel.minhashSig]]): `array<bigint>` of k minima
+    * over width-`w` token shingles; empty array when the doc has fewer
+    * than `w` tokens. Value-identical to [[minhashSignature]] over
+    * [[wordShingles]] and to the lead-window relational form.
+    */
+  def minhashSigDoc(text: Column, w: Int, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.MinhashSigF(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string")), w, k))
+
   /** Rolling document fingerprint: minimum rolling-gram hash (a 1-element
     * winnowing sketch). Stable under content reordering only at gram
     * granularity — intended as a cheap content-identity key, cf. Schleimer

@@ -1,0 +1,232 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document text kernels: whitespace tokenization + the md5-based
+  * 48-bit token/shingle hashing ([[Hash48F]] semantics), fused into one
+  * pass per document.
+  *
+  * These express what the relational forms in [[graft.dedup.Dedup]] /
+  * [[graft.functions.TextFunctions]] compute with an explode + shuffle:
+  * simhash votes, minhash signature minima, and token-repetition stats are
+  * all PER-DOCUMENT math — associative folds over one row's tokens — so
+  * the token explode, the lead() windows, and the wide groupBy aggregates
+  * they needed exist only to route per-row data through the engine. Here
+  * the whole fold runs inside the row projection: zero exchanges, and the
+  * md5 count (the true floor) is unchanged, so every value — and therefore
+  * every DuckDB oracle — is bit-identical to the relational form.
+  *
+  * Tokenization parity: `wsTokens` is `filter(split(lower(text), "\\s+"),
+  * len > 0)`. Java's `\s` is exactly the six ASCII bytes
+  * `[ \t\n\x0B\f\r]`, and UTF-8 multi-byte sequences never contain ASCII
+  * bytes, so scanning the LOWERCASED string's bytes for those six
+  * separators reproduces the token byte-slices exactly (lowercasing uses
+  * `UTF8String.toLowerCase` — the same kernel Spark's `lower()` runs).
+  */
+object TextKernel {
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** (start, end) byte offsets of the whitespace-separated tokens. */
+  private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
+    val out = new java.util.ArrayList[Integer]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        out.add(start); out.add(i)
+      }
+    }
+    val arr = new Array[Int](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    arr
+  }
+
+  /** 48-bit simhash over the tokens, md5 per token with multiplicity —
+    * value-identical to [[graft.dedup.Dedup.simhashSignatures]]'s
+    * explode + 48-sum-aggregate form (empty/whitespace-only docs → 0).
+    */
+  def simhash(s: UTF8String): Long = {
+    val bytes = s.toLowerCase.getBytes
+    val offs = tokenOffsets(bytes)
+    val votes = new Array[Int](48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < offs.length) {
+      md.update(bytes, offs(t), offs(t + 1) - offs(t))
+      val h = Hash48F.first48(md.digest())
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 2
+    }
+    var out = 0L
+    var b = 0
+    while (b < 48) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** MinHash signature: per universal hash j < k, the minimum of
+    * `(a_j·hash48(shingle) + b_j) mod Prime` over the width-`w` token
+    * shingles (joined with a single space) — value-identical to the
+    * lead-window relational form in [[graft.dedup.Dedup]]. Docs with
+    * fewer than `w` tokens have no shingles: empty array.
+    */
+  def minhashSig(s: UTF8String, w: Int, k: Int): Array[Long] = {
+    import graft.functions.Hashing
+    val bytes = s.toLowerCase.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    if (nTok < w) return Array.emptyLongArray
+    val sig = Array.fill(k)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val (a, b) = Hashing.hashParams(j); as(j) = a; bs(j) = b; j += 1
+    }
+    var p = 0
+    while (p <= nTok - w) {
+      var t = 0
+      while (t < w) {
+        if (t > 0) md.update(0x20.toByte)
+        val ti = 2 * (p + t)
+        md.update(bytes, offs(ti), offs(ti + 1) - offs(ti))
+        t += 1
+      }
+      val h = Hash48F.first48(md.digest())
+      j = 0
+      while (j < k) {
+        val r = (as(j) * h + bs(j)) % Hashing.Prime
+        if (r < sig(j)) sig(j) = r
+        j += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** (n_tokens, n_distinct, top_bigram_count) — value-identical to the
+    * explode + lead-window + two-groupBy relational form.
+    */
+  def repStats(s: UTF8String): Array[Long] = {
+    val bytes = s.toLowerCase.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    val distinct = new java.util.HashSet[UTF8String]()
+    var t = 0
+    while (t < offs.length) {
+      distinct.add(UTF8String.fromBytes(bytes, offs(t), offs(t + 1) - offs(t)))
+      t += 2
+    }
+    var top = 0L
+    if (nTok >= 2) {
+      val counts = new java.util.HashMap[UTF8String, Long]()
+      var p = 0
+      while (p < nTok - 1) {
+        // bigram = tok ++ ' ' ++ next — contiguous in the source bytes
+        // EXCEPT when separated by >1 whitespace char, so materialize
+        val a0 = offs(2 * p); val a1 = offs(2 * p + 1)
+        val b0 = offs(2 * p + 2); val b1 = offs(2 * p + 3)
+        val bg = new Array[Byte](a1 - a0 + 1 + (b1 - b0))
+        System.arraycopy(bytes, a0, bg, 0, a1 - a0)
+        bg(a1 - a0) = 0x20
+        System.arraycopy(bytes, b0, bg, a1 - a0 + 1, b1 - b0)
+        val key = UTF8String.fromBytes(bg)
+        val c = counts.merge(key, 1L, (x, y) => x + y)
+        if (c > top) top = c
+        p += 1
+      }
+    }
+    Array(nTok.toLong, distinct.size.toLong, top)
+  }
+
+  // Codegen entry points --------------------------------------------------
+
+  def minhashSigData(s: UTF8String, w: Int, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSig(s, w, k))
+
+  def repStatsRow(s: UTF8String): InternalRow = {
+    val a = repStats(s)
+    new GenericInternalRow(Array[Any](a(0), a(1), a(2)))
+  }
+}
+
+/** 48-bit simhash of a string as one per-row expression — see
+  * [[TextKernel.simhash]].
+  */
+case class SimhashF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash48"
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(TextKernel.simhash(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.simhash($input);")
+  override protected def withNewChildInternal(newChild: Expression): SimhashF =
+    copy(child = newChild)
+}
+
+/** MinHash signature (`array<bigint>` of k minima; empty when the doc has
+  * fewer than `w` tokens) as one per-row expression — see
+  * [[TextKernel.minhashSig]].
+  */
+case class MinhashSigF(child: Expression, w: Int, k: Int) extends UnaryExpression {
+  require(w >= 1 && k >= 1, "shingle width and signature length must be positive")
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.minhashSigData(v.asInstanceOf[UTF8String], w, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.minhashSigData($input, $w, $k);")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigF =
+    copy(child = newChild)
+}
+
+/** Token repetition stats as one per-row expression — see
+  * [[TextKernel.repStats]].
+  */
+case class RepStatsF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram_count", LongType, nullable = false)))
+  override def prettyName: String = "graft_rep_stats"
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.repStatsRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.repStatsRow($input);")
+  override protected def withNewChildInternal(newChild: Expression): RepStatsF =
+    copy(child = newChild)
+}

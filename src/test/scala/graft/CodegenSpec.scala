@@ -90,6 +90,45 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("SimhashF / MinhashSigF / RepStatsF generated Java compiles; values match the declarative forms") {
+    import graft.plans.{MinhashSigF, RepStatsF, SimhashF}
+    import spark.implicits._
+    val sExpr = SimhashF(BoundReference(0, StringType, nullable = true))
+    val mExpr = MinhashSigF(BoundReference(0, StringType, nullable = true), 3, 12)
+    val rExpr = RepStatsF(BoundReference(0, StringType, nullable = true))
+    GenerateUnsafeProjection.generate(Seq(sExpr, mExpr, rExpr)) // throws on compile error
+
+    val texts = Seq(
+      "", "   ", "one", "one two", "The quick  Brown fox\tjumps over the lazy dog the quick",
+      "a a a a a b b c", "Tabs\tand\nnewlines   separate tokens too")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    // simhash: native expression vs the interpreted lambda column form
+    val sim = df.select(
+      Hashing.simhashDoc(col("text")).as("n"),
+      Hashing.simhash48(graft.functions.TextFunctions.wsTokens(col("text"))).as("c"))
+    assert(sim.where(col("n") =!= col("c")).count() == 0)
+
+    // minhash signature: native vs minhashSignature over wordShingles
+    val mh = df.select(
+      Hashing.minhashSigDoc(col("text"), 3, 12).as("n"),
+      when(size(graft.functions.TextFunctions.wsTokens(col("text"))) >= 3,
+        Hashing.minhashSignature(
+          Hashing.wordShingles(graft.functions.TextFunctions.wsTokens(col("text")), 3), 12))
+        .otherwise(array().cast("array<bigint>")).as("c"))
+    assert(mh.where(not(col("n") <=> col("c"))).count() == 0)
+
+    // repStats: native vs a driver-side recompute
+    val rs = graft.functions.TextFunctions.repetitionStats(df, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(rs(i.toLong) == ((toks.size.toLong, toks.distinct.size.toLong, top)), s"doc: '$t'")
+    }
+  }
+
   test("hash-heavy query runs clean with codegen fallback disabled") {
     import spark.implicits._
     spark.conf.set("spark.sql.codegen.fallback", "false")
