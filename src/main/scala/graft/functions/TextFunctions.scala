@@ -52,23 +52,23 @@ object TextFunctions {
     when(cjkCount(text) * 5 > length(text), lit("zh")).otherwise(best.getField("l"))
   }
 
-  /** Relational language ID over a corpus: one explode of the tokens, four
-    * codegen'd conditional sums in a single groupBy, then the same decision
-    * fold. Value-identical to mapping [[langId]] over the column (marker
-    * hits count with multiplicity either way) but the per-language
-    * `filter(tokens, isin)` lambdas — 4 interpreted passes per row — become
-    * one pass of `In`-literal row expressions (measured ~4× at sf0.1).
+  /** Language ID over a corpus: the marker counts are ONE per-row
+    * expression ([[graft.plans.TextKernel.langCounts]] — tokenize once,
+    * probe 4 marker hash-sets), then the same decision fold. Marker
+    * counting is per-document math, so the former explode + 4-conditional
+    * -sum groupBy + join (itself ~4× over per-language `filter(tokens,
+    * isin)` lambdas) routed token rows through a shuffle for nothing
+    * (value-identical; measured 0.8 s → 0.1 s at sf0.1).
     */
   def langIdTable(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val docs = df.select(id.as("doc_id"), text.as("__text"))
-    val toks = docs.select(col("doc_id"), explode_outer(wsTokens(col("__text"))).as("tok"))
-    val aggs = LangMarkers.map { case (lang, markers) =>
-      sum(when(col("tok").isin(markers.map(lit): _*), 1L).otherwise(0L)).as(s"__s_$lang")
+    val counts = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.LangCountsF(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string"))))
+    val docs = df.select(id.as("doc_id"), text.as("__text"), counts.as("__lc"))
+    val scores = LangMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(col("__lc"), i + 1)
     }
-    val counts = toks.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val scores = LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
-    docs.join(counts, Seq("doc_id"))
-      .select(col("doc_id"), langDecision(col("__text"), scores).as("lang_pred"))
+    docs.select(col("doc_id"), langDecision(col("__text"), scores).as("lang_pred"))
   }
 
   /** Punctuation-character count (anything not alphanumeric/whitespace). */

@@ -155,6 +155,35 @@ object TextKernel {
     Array(nTok.toLong, distinct.size.toLong, top)
   }
 
+  /** Marker-stopword hit counts per language
+    * ([[graft.functions.TextFunctions.LangMarkers]] order), with
+    * multiplicity — value-identical to the per-language
+    * `sum(when(tok.isin(markers)))` aggregates.
+    */
+  def langCounts(s: UTF8String): Array[Long] = {
+    val bytes = s.toLowerCase.getBytes
+    val offs = tokenOffsets(bytes)
+    val out = new Array[Long](LangMarkerSets.length)
+    var t = 0
+    while (t < offs.length) {
+      val tok = UTF8String.fromBytes(bytes, offs(t), offs(t + 1) - offs(t))
+      var l = 0
+      while (l < LangMarkerSets.length) {
+        if (LangMarkerSets(l).contains(tok)) out(l) += 1
+        l += 1
+      }
+      t += 2
+    }
+    out
+  }
+
+  private lazy val LangMarkerSets: Array[java.util.HashSet[UTF8String]] =
+    graft.functions.TextFunctions.LangMarkers.map { case (_, markers) =>
+      val set = new java.util.HashSet[UTF8String]()
+      markers.foreach(m => set.add(UTF8String.fromString(m)))
+      set
+    }.toArray
+
   // Codegen entry points --------------------------------------------------
 
   def minhashSigData(s: UTF8String, w: Int, k: Int): ArrayData =
@@ -164,6 +193,9 @@ object TextKernel {
     val a = repStats(s)
     new GenericInternalRow(Array[Any](a(0), a(1), a(2)))
   }
+
+  def langCountsData(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(langCounts(s))
 }
 
 /** 48-bit simhash of a string as one per-row expression — see
@@ -205,6 +237,26 @@ case class MinhashSigF(child: Expression, w: Int, k: Int) extends UnaryExpressio
     nullSafeCodeGen(ctx, ev, input =>
       s"${ev.value} = graft.plans.TextKernel.minhashSigData($input, $w, $k);")
   override protected def withNewChildInternal(newChild: Expression): MinhashSigF =
+    copy(child = newChild)
+}
+
+/** Per-language marker-stopword counts (`array<bigint>`, LangMarkers
+  * order) as one per-row expression — see [[TextKernel.langCounts]].
+  */
+case class LangCountsF(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lang_counts"
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.langCountsData(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.langCountsData($input);")
+  override protected def withNewChildInternal(newChild: Expression): LangCountsF =
     copy(child = newChild)
 }
 
