@@ -46,6 +46,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p32.contains("WindowGroupLimit"), p32)
   }
 
+  test("per-document kernel queries plan ZERO exchanges (pure map-side)") {
+    // fingerprint, winnowing, simhash signatures, repetition stats, and
+    // langid are per-document math fused into row expressions — any
+    // Exchange appearing here means a refactor reintroduced a shuffle
+    for (name <- Seq("q29_fingerprint", "q34_winnowing", "q22_dedup_simhash",
+      "q35_repetition", "q26_langid")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name plans an Exchange:\n$p")
+    }
+  }
+
   test("q21/q33 candidate generation is bucket-grouped, not a self-join re-scan") {
     // bucket-and-expand: exactly one parquet scan in the whole plan
     // (documents is the only input of both queries — a self-join
