@@ -32,8 +32,7 @@ object GraftSession {
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     // native functions + the dot-product fusion rule, for sessions not
     // built with spark.sql.extensions=graft.plans.GraftExtensions
-    graft.plans.DotProductF.register(spark)
-    graft.plans.Hash48F.register(spark)
+    graft.plans.GraftExtensions.registerAll(spark)
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.FuseDotProduct

@@ -94,12 +94,86 @@ object DotProductF {
 /** SparkSessionExtensions entry point — enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`): injects graft's native
-  * functions into every session built from that config.
+  * functions into every session built from that config. SQL surface:
+  *
+  *   graft_dot(a, b), graft_hash48(s),
+  *   graft_gram_hashes48(s, n), graft_winnow_set48(s, n, w),
+  *   graft_simhash48(s), graft_minhash_sig(s, w, k),
+  *   graft_rep_stats(s), graft_lang_counts(s)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier(DotProductF.name), DotProductF.info, DotProductF.builder))
-    e.injectFunction((FunctionIdentifier(Hash48F.name), Hash48F.info, Hash48F.builder))
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
     e.injectOptimizerRule(_ => FuseDotProduct)
   }
+}
+
+object GraftExtensions {
+  /** Extract a foldable integer argument (SQL literals arrive as
+    * expressions; the kernel widths are compile-time Java constants in the
+    * generated code, so they must fold at planning).
+    */
+  private def intLit(e: Expression, name: String): Int = {
+    require(e.foldable, s"graft kernel argument '$name' must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft kernel argument '$name' must be an integer literal, got $other")
+    }
+  }
+
+  private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
+
+  /** The full native-function surface, shared by the
+    * `spark.sql.extensions` path and session-level registration
+    * ([[graft.GraftSession.tune]]).
+    */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (DotProductF.name, DotProductF.info, DotProductF.builder _),
+    (Hash48F.name, Hash48F.info, Hash48F.builder _),
+    ("graft_gram_hashes48", info(classOf[GramHashes48F], "graft_gram_hashes48"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_gram_hashes48 expects (string, n)")
+        GramHashes48F(exprs.head, intLit(exprs(1), "n"))
+      }),
+    ("graft_winnow_set48", info(classOf[WinnowSet48F], "graft_winnow_set48"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_winnow_set48 expects (string, n, w)")
+        WinnowSet48F(exprs.head, intLit(exprs(1), "n"), intLit(exprs(2), "w"))
+      }),
+    ("graft_simhash48", info(classOf[SimhashF], "graft_simhash48"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_simhash48 expects (string)")
+        SimhashF(exprs.head)
+      }),
+    ("graft_minhash_sig", info(classOf[MinhashSigF], "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "graft_minhash_sig expects (string, w, k)")
+        MinhashSigF(exprs.head, intLit(exprs(1), "w"), intLit(exprs(2), "k"))
+      }),
+    ("graft_rep_stats", info(classOf[RepStatsF], "graft_rep_stats"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_rep_stats expects (string)")
+        RepStatsF(exprs.head)
+      }),
+    ("graft_lang_counts", info(classOf[LangCountsF], "graft_lang_counts"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_lang_counts expects (string)")
+        LangCountsF(exprs.head)
+      })
+  )
+
+  /** Session-level registration of the whole surface (for sessions not
+    * built with `spark.sql.extensions`), idempotent.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }

@@ -148,6 +148,31 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("the full native-function surface is callable from SQL") {
+    import spark.implicits._
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "t").createOrReplaceTempView("sqlsurface")
+    val row = spark.sql(
+      """SELECT graft_hash48(t) AS h,
+        |  graft_simhash48(t) AS sh,
+        |  size(graft_gram_hashes48(t, 8)) AS ng,
+        |  size(graft_winnow_set48(t, 8, 4)) AS nw,
+        |  size(graft_minhash_sig(t, 3, 12)) AS nm,
+        |  graft_rep_stats(t).n_tokens AS nt,
+        |  graft_lang_counts(t)[0] AS en
+        |FROM sqlsurface""".stripMargin).head()
+    assert(row.getLong(0) != 0L && row.getLong(1) != 0L)
+    assert(row.getInt(2) == "the quick brown fox jumps over the lazy dog".length - 7)
+    assert(row.getInt(3) > 0 && row.getInt(4) == 12)
+    assert(row.getLong(5) == 9L)
+    assert(row.getLong(6) == 2L) // "the" twice
+    // non-literal kernel width is rejected at planning, not miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_gram_hashes48(t, id + 1) FROM sqlsurface").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("hyperplane-literal sign projection matches the per-row lambda formula") {
     import spark.implicits._
     val dim = 8
