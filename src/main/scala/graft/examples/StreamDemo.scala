@@ -58,6 +58,24 @@ object StreamDemo {
     q2.processAllAvailable()
     q2.stop()
     println(s"DEMO_CONNECTOR_ENTRIES=${ConnectorSinks.InMemoryBroker.stream("demo:out").size}")
+
+    // broker pull source (Redis-Streams/JetStream consumer shape) →
+    // windowed count → append-stream sink: the full broker loop
+    import graft.sources.broker.InMemoryPullBroker
+    InMemoryPullBroker.clear()
+    (0 until 6).foreach(i => InMemoryPullBroker.append("demo:in", s"e$i", 10000L + i * 400L))
+    InMemoryPullBroker.append("demo:in", "late", 13000L) // closes the windows
+    val q3 = graft.api.Pipeline.Pipe(
+      spark.readStream.format("graft-broker")
+        .option("stream", "demo:in").option("client", "memory")
+        .option("maxEntriesPerTrigger", "4").load())
+      .via(StreamingFlows.tumbling("ts", "1 second", "0 seconds", Nil,
+        Seq(count(lit(1)).as("n"))))
+      .toStream(Sinks.foreachBatchSink(
+        ConnectorSinks.appendStreamBatch("demo:wins", () => ConnectorSinks.InMemoryBroker.client())))
+    q3.processAllAvailable()
+    q3.stop()
+    println(s"DEMO_BROKER_WINDOWS=${ConnectorSinks.InMemoryBroker.stream("demo:wins").size}")
     spark.stop()
   }
 }
