@@ -143,10 +143,12 @@ object Dedup {
     * only existed to route token rows through a shuffle (value-identical;
     * that relational form was itself 30× over the interpreted array-lambda
     * [[graft.functions.Hashing.simhash48]], and this removes its last
-    * exchange: measured 1.2 s → 0.1 s at sf0.1).
+    * exchange: measured 1.2 s → 0.1 s at sf0.1). NULL-text docs coalesce
+    * to signature 0, the contract the explode_outer form established (and
+    * what makes null-text duplicates still pair up in [[simhashPairs]]).
     */
   def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame =
-    df.select(id.as("doc_id"), Hashing.simhashDoc(text).as("simhash"))
+    df.select(id.as("doc_id"), coalesce(Hashing.simhashDoc(text), lit(0L)).as("simhash"))
 
   def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(df, text, id)

@@ -125,9 +125,11 @@ object TextFunctions {
           org.apache.spark.sql.GraftBridge.expression(text.cast("string")))).as("__rs"))
       .select(
         col("doc_id"),
-        col("__rs.n_tokens").as("n_tokens"),
-        col("__rs.n_distinct").as("n_distinct"),
-        col("__rs.top_bigram_count").as("top_bigram_count"))
+        // NULL-text docs count as empty — (0,0,0), the explode_outer
+        // form's contract (downstream ratio filters need defined values)
+        coalesce(col("__rs.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__rs.n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("__rs.top_bigram_count"), lit(0L)).as("top_bigram_count"))
 
   /** Fixed-window text chunking with stride — the context-window
     * preparation step: chunk c starts at `1 + c·stride`; new chunks are

@@ -34,6 +34,32 @@ object TextKernel {
   @inline private def isWs(b: Byte): Boolean =
     b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
 
+  /** One digest per thread, reset by digest() — per-row
+    * `MessageDigest.getInstance` pays a JCA provider lookup + allocation
+    * on the hottest path ([[Hash48F]] caches per generated class for the
+    * same reason; kernels are called from static context, so thread-local
+    * is the equivalent).
+    */
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (a_j, b_j) universal-hash parameter tables per signature length k. */
+  private val paramCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, (Array[Long], Array[Long])]()
+
+  private def hashParamTable(k: Int): (Array[Long], Array[Long]) =
+    paramCache.computeIfAbsent(k, { _ =>
+      val as = new Array[Long](k)
+      val bs = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        val (a, b) = graft.functions.Hashing.hashParams(j); as(j) = a; bs(j) = b; j += 1
+      }
+      (as, bs)
+    })
+
   /** (start, end) byte offsets of the whitespace-separated tokens. */
   private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
     val out = new java.util.ArrayList[Integer]()
@@ -61,7 +87,7 @@ object TextKernel {
     val bytes = s.toLowerCase.getBytes
     val offs = tokenOffsets(bytes)
     val votes = new Array[Int](48)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var t = 0
     while (t < offs.length) {
       md.update(bytes, offs(t), offs(t + 1) - offs(t))
@@ -92,13 +118,9 @@ object TextKernel {
     val nTok = offs.length / 2
     if (nTok < w) return Array.emptyLongArray
     val sig = Array.fill(k)(Long.MaxValue)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val as = new Array[Long](k)
-    val bs = new Array[Long](k)
+    val md = mdLocal.get()
+    val (as, bs) = hashParamTable(k)
     var j = 0
-    while (j < k) {
-      val (a, b) = Hashing.hashParams(j); as(j) = a; bs(j) = b; j += 1
-    }
     var p = 0
     while (p <= nTok - w) {
       var t = 0

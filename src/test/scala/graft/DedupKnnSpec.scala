@@ -30,6 +30,21 @@ class DedupKnnSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never surfaces
   }
 
+  test("null-text docs: signature 0 (pairable), rep stats (0,0,0) — the explode_outer contract") {
+    val withNulls = Seq((1L, null), (2L, "some real text here"), (3L, null))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(withNulls, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == 0L && sigs(3L) == 0L) // NULL coalesces to 0, not NULL
+    // two null-text docs are hamming-0 duplicates and must pair up
+    val pairs = Dedup.simhashPairs(withNulls, col("text"), col("doc_id"), maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 3L)))
+    val rs = TextFunctions.repetitionStats(withNulls, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rs(1L) == ((0L, 0L, 0L)))
+  }
+
   test("simhash of identical docs equal; hamming to near-dup small, to unrelated large") {
     val sigs = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
       .as[(Long, Long)].collect().toMap
