@@ -42,21 +42,15 @@ object Dedup {
       maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    // Relational formulation, deliberately. Two measured pitfalls shape it:
-    // (1) the all-in-one nested-array-lambda form re-evaluates the md5
-    // pipeline k×bands times per row wherever codegen subexpression
-    // elimination doesn't reach (37 ms/row under posexplode — 70×), and
-    // CollapseProject re-inlines any attempt to stage it in projections;
-    // (2) building shingle strings inside array lambdas (slice + concat_ws
-    // per element under Generate) runs interpreted (~13 µs/shingle — 5×).
-    // So: explode TOKENS (cheap generator), form shingles with lead()
-    // windows (codegen'd scalars), hash each once, then k min-aggregates.
-    // The lead-window's doc_id partitioning is reused by the signature
-    // groupBy — net one shuffle of token rows plus the bucket shuffle,
-    // which is also the 100 TB shape: map-side partial mins, no wide
-    // arrays held per row.
-    // (Docs with < shingleWidth tokens have no shingles and are excluded —
-    // an empty document is not a near-dup candidate.)
+    // Signatures come from the per-document MinhashSigF kernel (see
+    // bandedKeys): the whole tokenize→shingle→md5→k-min fold runs inside
+    // the row projection, so the ONLY shuffle in this pipeline is the
+    // (band, key) bucket groupBy below — the 100 TB shape. (Round-2
+    // history, kept for the record: the array-lambda form ran interpreted
+    // at 37 ms/row; the relational explode+lead+k-min rewrite fixed that
+    // but still shuffled token rows; the kernel removes that exchange
+    // too.) Docs with < shingleWidth tokens have no shingles and are
+    // excluded — an empty document is not a near-dup candidate.
     val banded = bandedKeys(df, text, id, shingleWidth, k, bands)
     // Bucket-and-expand instead of a self-join: one shuffle on (band, key),
     // no recomputation of the hashing pipeline for a second join side, and
@@ -275,7 +269,22 @@ object Dedup {
         .observe(obs, count(when(col("cluster_id") =!= col("__old"), 1)).as("changed"))
         .select(col("doc_id"), col("cluster_id"))
         .localCheckpoint()
-      changed = obs.get("changed").asInstanceOf[Long]
+      // Observation metrics arrive via the ASYNC listener bus, whose
+      // bounded queue can drop events under heavy driver load — a bare
+      // obs.get would then hang this loop forever. Bounded wait; on miss,
+      // fall back to an explicit count over the two MATERIALIZED datasets
+      // (one cheap extra job, never a hang, never a wrong answer).
+      changed =
+        try {
+          import scala.concurrent.duration.DurationInt
+          scala.concurrent.Await.result(obs.future, 30.seconds).getAs[Long]("changed")
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            updated
+              .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
+              .where(col("cluster_id") =!= col("__old"))
+              .count()
+        }
       if (i > 0) labels.unpersist() // drop the superseded checkpoint's blocks
       labels = updated
       i += 1
@@ -286,7 +295,7 @@ object Dedup {
   }
 
   /** Benchmark-contamination screen: which corpus documents share at least
-    * `minShared` distinct char n-gram hashes with which benchmark items —
+    * `minShared` distinct byte n-gram hashes with which benchmark items —
     * the decontamination step a training corpus runs against eval sets
     * before training. The benchmark side is SMALL by construction (eval
     * sets are thousands of items) and is broadcast; the corpus side is an

@@ -55,9 +55,13 @@ object Hashing {
     pmod(lit(a) * h + lit(b), lit(Prime))
   }
 
-  /** Character n-grams of a string column as an array (empty when the string
-    * is shorter than n). Matches the DuckDB comprehension
-    * `[substr(s,i,n) for i in range(1, len(s)-n+2)]`.
+  /** CHARACTER n-grams of a string column as an array of strings (empty
+    * when the string is shorter than n). Matches the DuckDB comprehension
+    * `[substr(s,i,n) for i in range(1, len(s)-n+2)]`. Note the live gram
+    * operators ([[gramHashes]], [[winnowSet]], fingerprints,
+    * contamination, Jaccard) window over UTF-8 BYTES, not characters —
+    * identical on ASCII, different on multi-byte text; this helper is the
+    * char-window form for callers that need the gram STRINGS.
     */
   def charNgrams(c: Column, n: Int): Column =
     when(
@@ -163,9 +167,12 @@ object Hashing {
 
   /** MinHash signature of a whole document as ONE per-row expression
     * ([[graft.plans.TextKernel.minhashSig]]): `array<bigint>` of k minima
-    * over width-`w` token shingles; empty array when the doc has fewer
-    * than `w` tokens. Value-identical to [[minhashSignature]] over
-    * [[wordShingles]] and to the lead-window relational form.
+    * over width-`w` token shingles. Value-identical to
+    * [[minhashSignature]] over [[wordShingles]] for docs WITH shingles;
+    * the empty-doc encodings differ deliberately — this returns an EMPTY
+    * array when the doc has fewer than `w` tokens (filter on
+    * `size(sig) > 0` before banding), where [[minhashSignature]] returns
+    * the k-length all-`Prime` sentinel.
     */
   def minhashSigDoc(text: Column, w: Int, k: Int): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -117,14 +117,17 @@ object GraftExtensions {
     */
   private def intLit(e: Expression, name: String): Int = {
     require(e.foldable, s"graft kernel argument '$name' must be a literal")
-    e.eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
-      case s: Short => s.toInt
-      case b: Byte => b.toInt
+    val v: Long = e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
       case other => throw new IllegalArgumentException(
         s"graft kernel argument '$name' must be an integer literal, got $other")
     }
+    require(v >= Int.MinValue && v <= Int.MaxValue,
+      s"graft kernel argument '$name' = $v out of int range") // no silent wrap
+    v.toInt
   }
 
   private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)

@@ -105,19 +105,24 @@ object RollingHash48 {
     UnsafeArrayData.fromPrimitiveArray(winnowSet(s.getBytes, n, w))
 }
 
-/** `array<bigint>` of all n-byte-gram rolling hashes of a string — see
-  * [[RollingHash48]]. One tight static-call per row from generated code;
-  * the array is primitive (UnsafeArrayData), so the downstream
-  * `posexplode`/`array_min` never box.
+/** Shared string-input contract for the graft kernel expressions (one
+  * place to adjust when e.g. collation-aware StringType matching lands).
   */
-case class GramHashes48F(child: Expression, n: Int) extends UnaryExpression {
-  require(n >= 1 && n < 32, s"gram width $n out of [1, 32)")
-
+trait StringKernelExpression extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
     }
+}
+
+/** `array<bigint>` of all n-byte-gram rolling hashes of a string — see
+  * [[RollingHash48]]. One tight static-call per row from generated code;
+  * the array is primitive (UnsafeArrayData), so the downstream
+  * `posexplode`/`array_min` never box.
+  */
+case class GramHashes48F(child: Expression, n: Int) extends StringKernelExpression {
+  require(n >= 1 && n < 32, s"gram width $n out of [1, 32)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_gram_hashes48"
@@ -138,15 +143,9 @@ case class GramHashes48F(child: Expression, n: Int) extends UnaryExpression {
   * computation as one map-side expression, no window exchange, no
   * post-aggregation distinct. See [[RollingHash48.winnowSet]].
   */
-case class WinnowSet48F(child: Expression, n: Int, w: Int) extends UnaryExpression {
+case class WinnowSet48F(child: Expression, n: Int, w: Int) extends StringKernelExpression {
   require(n >= 1 && n < 32, s"gram width $n out of [1, 32)")
   require(w >= 1, s"window $w must be positive")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
-    }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow_set48"

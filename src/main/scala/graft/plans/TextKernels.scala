@@ -60,9 +60,14 @@ object TextKernel {
       (as, bs)
     })
 
-  /** (start, end) byte offsets of the whitespace-separated tokens. */
+  /** (start, end) byte offsets of the whitespace-separated tokens —
+    * growable primitive int[] (this runs once per row per kernel; boxing
+    * two Integers per token would reintroduce exactly the per-token
+    * allocation the kernels exist to remove).
+    */
   private def tokenOffsets(bytes: Array[Byte]): Array[Int] = {
-    val out = new java.util.ArrayList[Integer]()
+    var buf = new Array[Int](32)
+    var len = 0
     var i = 0
     val n = bytes.length
     while (i < n) {
@@ -70,13 +75,11 @@ object TextKernel {
       if (i < n) {
         val start = i
         while (i < n && !isWs(bytes(i))) i += 1
-        out.add(start); out.add(i)
+        if (len + 2 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        buf(len) = start; buf(len + 1) = i; len += 2
       }
     }
-    val arr = new Array[Int](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    arr
+    if (len == buf.length) buf else java.util.Arrays.copyOf(buf, len)
   }
 
   /** 48-bit simhash over the tokens, md5 per token with multiplicity —
@@ -223,12 +226,7 @@ object TextKernel {
 /** 48-bit simhash of a string as one per-row expression — see
   * [[TextKernel.simhash]].
   */
-case class SimhashF(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
-    }
+case class SimhashF(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash48"
   override def nullSafeEval(v: Any): Any =
@@ -244,13 +242,8 @@ case class SimhashF(child: Expression) extends UnaryExpression {
   * fewer than `w` tokens) as one per-row expression — see
   * [[TextKernel.minhashSig]].
   */
-case class MinhashSigF(child: Expression, w: Int, k: Int) extends UnaryExpression {
+case class MinhashSigF(child: Expression, w: Int, k: Int) extends StringKernelExpression {
   require(w >= 1 && k >= 1, "shingle width and signature length must be positive")
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
-    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   override def nullSafeEval(v: Any): Any =
@@ -265,12 +258,7 @@ case class MinhashSigF(child: Expression, w: Int, k: Int) extends UnaryExpressio
 /** Per-language marker-stopword counts (`array<bigint>`, LangMarkers
   * order) as one per-row expression — see [[TextKernel.langCounts]].
   */
-case class LangCountsF(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
-    }
+case class LangCountsF(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_lang_counts"
   override def nullSafeEval(v: Any): Any =
@@ -285,12 +273,7 @@ case class LangCountsF(child: Expression) extends UnaryExpression {
 /** Token repetition stats as one per-row expression — see
   * [[TextKernel.repStats]].
   */
-case class RepStatsF(child: Expression) extends UnaryExpression {
-  override def checkInputDataTypes(): TypeCheckResult =
-    child.dataType match {
-      case StringType => TypeCheckResult.TypeCheckSuccess
-      case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
-    }
+case class RepStatsF(child: Expression) extends StringKernelExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
