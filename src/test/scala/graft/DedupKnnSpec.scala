@@ -106,6 +106,26 @@ class DedupKnnSpec extends SparkSpec {
     assert(probed.groupBy(_._1).values.forall(_.length <= 5))
   }
 
+  test("IVF index save/load roundtrip: cell-partitioned layout, identical search results") {
+    import graft.similarity.IVF
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") < 3)
+    val index = IVF.fit(emb, col("vec_id"), col("embedding"), nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    IVF.save(index, dir)
+    // cell-partitioned layout on disk (the DPP-prunable production shape)
+    val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    val loaded = IVF.load(spark, dir)
+    assert(loaded.centroids.toSeq == index.centroids.toSeq)
+    def run(ix: IVF.Index) =
+      IVF.topK(ix, queries, col("vec_id"), col("embedding"), 5, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run(loaded) == run(index))
+  }
+
   test("langId picks marker-dominant language; und when no markers") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap
