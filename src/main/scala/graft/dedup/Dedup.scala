@@ -244,30 +244,34 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // Each label row is tagged __own=true before the union, so the SAME
+      // min-aggregate that computes the neighborhood minimum also carries
+      // each doc's previous label out (min over the one tagged row) — the
+      // convergence comparison needs no separate join against `labels`.
       val viaEdges = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst").as("doc_id"), col("cluster_id"))
-      val neighborMin = labels.unionByName(viaEdges)
+        .select(col("dst").as("doc_id"), col("cluster_id"), lit(false).as("__own"))
+      val neighborMin = labels.withColumn("__own", lit(true)).unionByName(viaEdges)
         .groupBy(col("doc_id"))
-        .agg(min(col("cluster_id")).as("cluster_id"))
+        .agg(
+          min(col("cluster_id")).as("cluster_id"),
+          min(when(col("__own"), col("cluster_id"))).as("__old"))
       // pointer doubling: label(x) <- label(label(x)). Labels only ever
       // point at other doc ids (they start as self and move down by min),
       // so the self-join is total; each round halves the remaining chain
       // depth -> O(log diameter) rounds instead of O(diameter), which is
       // what makes long boilerplate chains converge in a handful of jobs.
-      // The changed-count is observe()d on this same plan: the old labels
-      // join in below the metric, and localCheckpoint's eager
-      // materialization is the action that delivers it — one job per
-      // iteration carries both the update and the convergence check.
+      // The changed-count is observe()d on this same plan, and
+      // localCheckpoint's eager materialization is the action that
+      // delivers it — ONE job per iteration carries the edge propagation,
+      // the doubling, and the convergence check.
       val obs = org.apache.spark.sql.Observation()
       val updated = neighborMin
         .join(
           neighborMin.select(col("doc_id").as("__cid"), col("cluster_id").as("__cid2")),
           col("cluster_id") === col("__cid"))
+        .observe(obs, count(when(col("__cid2") =!= col("__old"), 1)).as("changed"))
         .select(col("doc_id"), col("__cid2").as("cluster_id"))
-        .join(labels.withColumnRenamed("cluster_id", "__old"), Seq("doc_id"))
-        .observe(obs, count(when(col("cluster_id") =!= col("__old"), 1)).as("changed"))
-        .select(col("doc_id"), col("cluster_id"))
         .localCheckpoint()
       // Observation metrics arrive via the ASYNC listener bus, whose
       // bounded queue can drop events under heavy driver load — a bare
