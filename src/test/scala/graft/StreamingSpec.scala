@@ -17,6 +17,40 @@ class StreamingSpec extends SparkSpec {
     finally q.stop()
   }
 
+  test("text-curation stage runs unchanged on a stream: kernels are stateless row expressions") {
+    import graft.functions.{Hashing, TextFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // quality + langid-counts + fingerprint + simhash + chunking — the whole
+    // per-document analysis stage of the batch curation pipeline, verbatim
+    // on an unbounded stream (no watermark, no state: they are projections)
+    val curated = in.toDF().toDF("doc_id", "text")
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("fingerprint", Hashing.fingerprint(col("text"), 8))
+      .withColumn("simhash", Hashing.simhashDoc(col("text")))
+      .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
+    drain("curate_out") {
+      val q = curated.writeStream.format("memory").queryName("curate_out").outputMode("append").start()
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "short"))
+      q
+    }
+    val rows = spark.table("curate_out")
+      .select("doc_id", "fingerprint", "simhash", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3)
+    assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3) // identical docs agree
+    assert(rows(2)._2 == Hashing.Prime) // no 8-byte gram -> sentinel
+    // streaming values == batch values for the same rows
+    val batch = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+      .select(Hashing.fingerprint(col("text"), 8), Hashing.simhashDoc(col("text")))
+      .as[(Long, Long)].head()
+    assert((rows(0)._2, rows(0)._3) == batch)
+  }
+
   test("foldRunning emits the accumulator after every element per key (flow/fold.go:83-90)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Int)]
