@@ -1,6 +1,6 @@
 package graft.dedup
 
-import graft.functions.{Hashing, TextFunctions, VectorFunctions}
+import graft.functions.{Hashing, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
