@@ -57,6 +57,18 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pair pipelines: exchange counts bounded (bucket shuffle + pair distinct only)") {
+    // signatures/band keys are per-row kernels, so the ONLY exchanges a
+    // pair pipeline may plan are its bucket groupBy and the pair distinct;
+    // exact dedup is its single content-hash groupBy. A third exchange
+    // appearing here means signature work regressed into a shuffle.
+    def exchanges(name: String): Int =
+      "\\(\\d+\\) Exchange".r.findAllIn(plan(name)).size
+    assert(exchanges("q20_dedup_exact") == 1)
+    assert(exchanges("q21_dedup_minhash") <= 2)
+    assert(exchanges("q33_simhash_pairs") <= 2)
+  }
+
   test("q21/q33 candidate generation is bucket-grouped, not a self-join re-scan") {
     // bucket-and-expand: exactly one parquet scan in the whole plan
     // (documents is the only input of both queries — a self-join
