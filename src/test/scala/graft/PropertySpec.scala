@@ -117,6 +117,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Rolling-hash law: recurrence equals weighted-sum definition on arbitrary bytes (incl. non-ASCII)") {
+    import graft.plans.RollingHash48
+    val byteGen = Gen.listOfN(40, Gen.chooseNum(-128, 127).map(_.toByte))
+    samples(Gen.zip(byteGen, Gen.chooseNum(1, 12)), 12).foreach { case (bs, n) =>
+      val bytes = bs.toArray
+      val got = RollingHash48.gramHashes(bytes, n).toSeq
+      val want = (0 to bytes.length - n).map { p =>
+        (0 until n).map(j => (bytes(p + j) & 0xffL) * RollingHash48.Pow(n - 1 - j)).sum & RollingHash48.Mask
+      }
+      assert(got == want)
+      assert(got.forall(h => h >= 0 && h <= RollingHash48.Mask))
+    }
+  }
+
+  test("Kernel parity law: simhash/minhash-sig kernels equal the declarative forms on random text") {
+    import graft.functions.{Hashing, TextFunctions}
+    // tokens with mixed case, repeats, unicode, and odd whitespace runs
+    val tokGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(5)), Gen.const("Zün"), Gen.const("the"))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = Gen.listOfN(12, Gen.zip(tokGen, sepGen))
+      .map(_.map { case (t, s) => t + s }.mkString)
+    samples(textGen, 8).foreach { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val row = df.select(
+        coalesce(Hashing.simhashDoc(col("text")), lit(0L)).as("kernel_sim"),
+        Hashing.simhash48(TextFunctions.wsTokens(col("text"))).as("decl_sim"),
+        Hashing.minhashSigDoc(col("text"), 3, 12).as("kernel_sig"),
+        when(size(TextFunctions.wsTokens(col("text"))) >= 3,
+          Hashing.minhashSignature(Hashing.wordShingles(TextFunctions.wsTokens(col("text")), 3), 12))
+          .otherwise(array().cast("array<bigint>")).as("decl_sig")
+      ).head()
+      assert(row.getLong(0) == row.getLong(1), s"simhash mismatch on: '$text'")
+      assert(row.getSeq[Long](2) == row.getSeq[Long](3), s"minhash sig mismatch on: '$text'")
+    }
+  }
+
   test("MinHash cap law: capped pairs are a subset; default cap changes nothing") {
     import graft.dedup.Dedup
     samples(Gen.listOfN(15, docGen), 3).foreach { texts =>
