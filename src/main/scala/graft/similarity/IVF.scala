@@ -126,6 +126,19 @@ object IVF {
   def pretrainedCentroids: Array[Array[Float]] =
     PretrainedCentroidNumerators.map(_.map(_ / 1024.0f))
 
+  /** Cell-assignment column against FIXED centroid literals — the
+    * blocking key for IVF-bucketed operators (e.g.
+    * [[graft.dedup.Dedup.embeddingNearDups]] with learned cells instead
+    * of a user label). First-max index on ties, matching [[literalTopK]].
+    */
+  def literalCell(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val scores = array(centroids.map { c =>
+      val cl = lit(c)
+      VectorFunctions.dot(vec, cl) / sqrt(VectorFunctions.dot(cl, cl))
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
   /** IVF search against FIXED centroid literals — assignment and probe
     * selection are pure column arithmetic (no model object, no fit in the
     * query), which is both the oracle-reproducible form and the production
@@ -147,12 +160,9 @@ object IVF {
       VectorFunctions.dot(v, cl) / sqrt(VectorFunctions.dot(cl, cl))
     }: _*)
     // first-max index = lowest cell on ties, matching the oracle's
-    // row_number ORDER BY score DESC, cell
-    def assign(v: Column): Column =
-      (array_position(cellScores(v), array_max(cellScores(v))) - 1).cast("int")
-
+    // row_number ORDER BY score DESC, cell ([[literalCell]])
     val assigned = corpus.select(
-      id.as("n_id"), vec.as("n_vec"), assign(vec).as("cell"),
+      id.as("n_id"), vec.as("n_vec"), literalCell(vec, centroids).as("cell"),
       VectorFunctions.norm2(vec).as("n_nrm"))
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cell").asc)
     val probes = queries

@@ -106,6 +106,20 @@ class DedupKnnSpec extends SparkSpec {
     assert(probed.groupBy(_._1).values.forall(_.length <= 5))
   }
 
+  test("IVF cells as the embedding near-dup blocking key: learned buckets, same pair contract") {
+    import graft.similarity.IVF
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cell = IVF.literalCell(col("embedding"), IVF.pretrainedCentroids)
+    val pairs = Dedup.embeddingNearDups(emb, col("vec_id"), col("embedding"), cell, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(p => p._1 < p._2 && p._3 >= 0.3))
+    // blocking soundness: every surfaced pair really shares a cell
+    val cells = emb.select(col("vec_id"), cell.as("c")).as[(Long, Int)].collect().toMap
+    assert(pairs.forall(p => cells(p._1) == cells(p._2)))
+  }
+
   test("IVF index save/load roundtrip: cell-partitioned layout, identical search results") {
     import graft.similarity.IVF
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
