@@ -139,7 +139,15 @@ class CodegenSpec extends SparkSpec {
         .select(
           Hashing.hash48(col("s")).as("h"),
           VectorFunctions.dot(col("v"), col("v")).as("d"),
-          VectorFunctions.signRandomProjection(col("v"), 4, 4).as("bucket")
+          VectorFunctions.signRandomProjection(col("v"), 4, 4).as("bucket"),
+          // the kernel family must also survive CODEGEN_ONLY: a Janino
+          // failure in any doGenCode surfaces here instead of silently
+          // degrading to interpreted eval
+          Hashing.gramHashes(col("s"), 3).as("g"),
+          Hashing.winnowSet(col("s"), 2, 2).as("w"),
+          Hashing.simhashDoc(col("s")).as("sh"),
+          Hashing.minhashSigDoc(col("s"), 1, 4).as("ms"),
+          graft.functions.TextFunctions.wsTokenCount(col("s")).as("nt")
         )
       assert(df.collect().length === 2)
     } finally {
