@@ -52,7 +52,12 @@ object IVF {
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
+    // repartition by cell BEFORE the partitioned write: without it every
+    // upstream task writes one file per cell it touches — P tasks × k
+    // cells small files at scale, defeating the pruned-scan layout. One
+    // shuffle at index-build time bounds it at ~one file per cell.
+    index.assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
   /** Load a [[save]]d index. The assigned corpus comes back lazily from
@@ -62,7 +67,8 @@ object IVF {
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids").orderBy("cell")
       .collect()
-      .map(r => org.apache.spark.ml.linalg.Vectors.dense(r.getSeq[Double](1).toArray))
+      .map(r => org.apache.spark.ml.linalg.Vectors.dense(
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
     Index(spark.read.parquet(s"$path/assigned"), centroids)
   }
 
@@ -126,16 +132,25 @@ object IVF {
   def pretrainedCentroids: Array[Array[Float]] =
     PretrainedCentroidNumerators.map(_.map(_ / 1024.0f))
 
+  /** Per-cell scores `dot(v, c) / ‖c‖` against fixed centroid literals —
+    * the ONE scoring formula both cell assignment ([[literalCell]]) and
+    * probe selection ([[literalTopK]]) must share: the tie contract
+    * between them (first-max assignment == probe ORDER BY score DESC,
+    * cell) only holds if they compute identical scores.
+    */
+  private def literalCellScores(vec: Column, centroids: Array[Array[Float]]): Column =
+    array(centroids.map { c =>
+      val cl = lit(c)
+      VectorFunctions.dot(vec, cl) / sqrt(VectorFunctions.dot(cl, cl))
+    }: _*)
+
   /** Cell-assignment column against FIXED centroid literals — the
     * blocking key for IVF-bucketed operators (e.g.
     * [[graft.dedup.Dedup.embeddingNearDups]] with learned cells instead
     * of a user label). First-max index on ties, matching [[literalTopK]].
     */
   def literalCell(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scores = array(centroids.map { c =>
-      val cl = lit(c)
-      VectorFunctions.dot(vec, cl) / sqrt(VectorFunctions.dot(cl, cl))
-    }: _*)
+    val scores = literalCellScores(vec, centroids)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
@@ -155,10 +170,7 @@ object IVF {
       nProbe: Int,
       centroids: Array[Array[Float]]
   ): DataFrame = {
-    def cellScores(v: Column): Column = array(centroids.map { c =>
-      val cl = lit(c)
-      VectorFunctions.dot(v, cl) / sqrt(VectorFunctions.dot(cl, cl))
-    }: _*)
+    def cellScores(v: Column): Column = literalCellScores(v, centroids)
     // first-max index = lowest cell on ties, matching the oracle's
     // row_number ORDER BY score DESC, cell ([[literalCell]])
     val assigned = corpus.select(

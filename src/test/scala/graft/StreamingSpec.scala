@@ -21,14 +21,16 @@ class StreamingSpec extends SparkSpec {
     import graft.functions.{Hashing, TextFunctions}
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
-    // quality + langid-counts + fingerprint + simhash + chunking — the whole
+    // quality + langid + fingerprint + simhash + token count — the
     // per-document analysis stage of the batch curation pipeline, verbatim
-    // on an unbounded stream (no watermark, no state: they are projections)
+    // on an unbounded stream (no watermark, no state: all projections —
+    // langId via the column decision form, marker counts via LangCountsF)
     val curated = in.toDF().toDF("doc_id", "text")
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("fingerprint", Hashing.fingerprint(col("text"), 8))
       .withColumn("simhash", Hashing.simhashDoc(col("text")))
       .withColumn("n_tokens", TextFunctions.wsTokenCount(col("text")))
+      .withColumn("lang_pred", TextFunctions.langId(col("text")))
     drain("curate_out") {
       val q = curated.writeStream.format("memory").queryName("curate_out").outputMode("append").start()
       in.addData(
@@ -38,17 +40,22 @@ class StreamingSpec extends SparkSpec {
       q
     }
     val rows = spark.table("curate_out")
-      .select("doc_id", "fingerprint", "simhash", "n_tokens")
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      .select("doc_id", "fingerprint", "simhash", "n_tokens", "lang_pred")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
     assert(rows.length == 3)
     assert(rows(0)._2 == rows(1)._2 && rows(0)._3 == rows(1)._3) // identical docs agree
     assert(rows(2)._2 == Hashing.Prime) // no 8-byte gram -> sentinel
-    // streaming values == batch values for the same rows
+    assert(rows(0)._5 == "en" && rows(2)._5 == "und")
+    // streaming values == batch values for the same rows, including the
+    // table-form langIdTable (a pure projection since LangCountsF)
     val batch = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text")
-      .select(Hashing.fingerprint(col("text"), 8), Hashing.simhashDoc(col("text")))
+    val b = batch.select(Hashing.fingerprint(col("text"), 8), Hashing.simhashDoc(col("text")))
       .as[(Long, Long)].head()
-    assert((rows(0)._2, rows(0)._3) == batch)
+    assert((rows(0)._2, rows(0)._3) == b)
+    val lid = TextFunctions.langIdTable(batch, col("text"), col("doc_id"))
+      .as[(Long, String)].head()
+    assert(lid._2 == rows(0)._5)
   }
 
   test("foldRunning emits the accumulator after every element per key (flow/fold.go:83-90)") {
