@@ -46,22 +46,39 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val timings = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    val failures = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { runFull(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+      // a crashed rep is a FAILURE, not a timing: recording its elapsed
+      // time would report a fast-but-wrong median with no trace in the JSON
+      try {
+        runFull(fn(spark, sfDir))
+        timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+      } catch {
+        case t: Throwable =>
+          failures += name
+          System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+      }
     }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val med = names.map(n => n -> median(timings(n)))
-    val mins = names.map(n => n -> timings(n).min)
+    // 0.1 ms resolution: full double precision made the summary line ~5 KB,
+    // which overflowed the harness's output tail and lost the whole record
+    def r4(v: Double): String = "%.4f".format(v)
+    val timed = names.filter(timings(_).nonEmpty)
+    val med = timed.map(n => n -> median(timings(n)))
+    val mins = timed.map(n => n -> timings(n).min)
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":${jsonMap(med)},"queries_min":${jsonMap(mins)},"sf":"$sfDir"}""")
+    val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // detail line first; the LAST line stays compact so a bounded tail
+    // capture always contains the complete contract JSON
+    println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries":${jsonMap(med)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -243,6 +243,14 @@ case class SimhashF(child: Expression) extends StringKernelExpression {
   */
 case class MinhashSigF(child: Expression, w: Int, k: Int) extends StringKernelExpression {
   require(w >= 1 && k >= 1, "shingle width and signature length must be positive")
+  // the kernel reduces with Java '%' (operands provably non-negative), which
+  // matches the relational form's pmod only while a_j*h + b_j stays under
+  // 2^63: a_j = 2k+3 < 2^14 and h < 2^48 bound the product at 2^62 — so the
+  // largest safe signature length is k = 8190 (same bound as Hashing.rehash,
+  // whose lit(a)*h would overflow identically before its pmod)
+  require(k <= 8190,
+    s"graft_minhash_sig: signature length k=$k exceeds 8190, the largest k " +
+      "for which the universal-hash product a_j*h cannot overflow a long")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
   override def nullSafeEval(v: Any): Any =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -246,13 +246,30 @@ class BrokerMicroBatchStream(parsed: BrokerOptions)
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with admission control")
 
+  /** Rows this limit allows per batch, or Long.MaxValue when unbounded.
+    * CompositeReadLimit (Spark wraps limits when e.g. minRows or
+    * Trigger.AvailableNow compose with maxRows) takes the tightest
+    * ReadMaxRows component; a limit class we don't recognize falls back to
+    * the configured trigger cap rather than silently reading everything.
+    */
+  private def maxRowsAllowed(limit: ReadLimit): Long = limit match {
+    case m: ReadMaxRows => m.maxRows()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.collect { case m: ReadMaxRows => m.maxRows() }
+        .foldLeft(Long.MaxValue)(math.min)
+    case _: ReadAllAvailable => Long.MaxValue
+    case _ =>
+      if (parsed.maxEntriesPerTrigger > 0) parsed.maxEntriesPerTrigger
+      else Long.MaxValue
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val after = start.asInstanceOf[BrokerSeqOffset].seq
     val latest = driverClient.latestSequence(parsed.stream)
-    val capped = limit match {
-      case m: ReadMaxRows => math.min(latest, after + m.maxRows())
-      case _ => latest
-    }
+    val allowed = maxRowsAllowed(limit)
+    val capped =
+      if (allowed == Long.MaxValue) latest
+      else math.min(latest, after + allowed)
     BrokerSeqOffset(math.max(capped, after))
   }
 

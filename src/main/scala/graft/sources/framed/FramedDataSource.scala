@@ -88,8 +88,24 @@ object ElementReaders {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, ElementReader]()
 
-  def register(name: String, reader: ElementReader): Unit =
+  def register(name: String, reader: ElementReader): Unit = {
+    // fail HERE, not at task serialization: a reader capturing
+    // non-serializable state otherwise plans fine and dies later with an
+    // opaque NotSerializableException deep in the scheduler
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(reader)
+      oos.close()
+    } catch {
+      case e: java.io.NotSerializableException =>
+        throw new IllegalArgumentException(
+          s"graft-framed: ElementReader '$name' captures non-serializable " +
+            s"state (${e.getMessage}) — it ships to executors inside the " +
+            "partition, so everything it closes over must be Serializable", e)
+    }
     registry.put(name, reader)
+  }
 
   def resolve(name: String): ElementReader = {
     val r = registry.get(name)

@@ -141,4 +141,28 @@ class BrokerSourceSpec extends SparkSpec {
       .option("stream", "custom").option("client", "spec-custom").load().count()
     assert(n == 1)
   }
+
+  test("admission control: composite limits take the tightest ReadMaxRows; unknown limits fall back to the trigger cap") {
+    import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+    import graft.sources.broker.{BrokerMicroBatchStream, BrokerOptions, BrokerSeqOffset}
+    InMemoryPullBroker.clear()
+    (0 until 10).foreach(i => InMemoryPullBroker.append("limits", s"m$i", 1000L * i))
+    def seq(o: Offset): Long = o.asInstanceOf[BrokerSeqOffset].seq
+    val stream = new BrokerMicroBatchStream(BrokerOptions("limits", "memory", -1L, 3L, 4))
+    try {
+      val start = BrokerSeqOffset(-1L)
+      assert(seq(stream.latestOffset(start, ReadLimit.maxRows(2))) == 1L)
+      // composite (e.g. Trigger.AvailableNow wrapping minRows + maxRows):
+      // the tightest ReadMaxRows component wins, minRows never lifts the cap
+      val composite = ReadLimit.compositeLimit(Array(
+        ReadLimit.minRows(1, 0L), ReadLimit.maxRows(4), ReadLimit.maxRows(2)))
+      assert(seq(stream.latestOffset(start, composite)) == 1L)
+      assert(seq(stream.latestOffset(start, ReadLimit.allAvailable())) == 9L)
+      // a limit class we don't recognize caps at maxEntriesPerTrigger (3)
+      // instead of silently reading everything
+      val unknown = new ReadLimit {}
+      assert(seq(stream.latestOffset(start, unknown)) == 2L)
+    } finally stream.stop()
+  }
+
 }

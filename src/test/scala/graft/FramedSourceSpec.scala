@@ -191,4 +191,15 @@ class FramedSourceSpec extends SparkSpec {
     assert(out.map(_.length).sorted == Seq(3, 5, 300 * 1024))
     assert(out.contains(big))
   }
+
+  test("registering an ElementReader that captures non-serializable state fails at register() time") {
+    import graft.sources.framed.ElementReaders
+    val lock = new Object // not Serializable; would otherwise die later at task serialization
+    val err = intercept[IllegalArgumentException] {
+      ElementReaders.register("bad-capture", in => { lock.synchronized(()); Iterator.empty })
+    }
+    assert(err.getMessage.contains("bad-capture"))
+    assert(err.getMessage.contains("Serializable"))
+  }
+
 }

@@ -167,4 +167,15 @@ class PropertySpec extends SparkSpec {
       assert(explicit == all)
     }
   }
+
+  test("MinhashSigF rejects signature lengths past the overflow-safe bound k=8190") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // largest safe k constructs: a_j = 2k+3 < 2^14 keeps a_j*h under 2^62
+    graft.plans.MinhashSigF(Literal("x"), 2, 8190)
+    val err = intercept[IllegalArgumentException] {
+      graft.plans.MinhashSigF(Literal("x"), 2, 8191)
+    }
+    assert(err.getMessage.contains("8190"))
+  }
+
 }
