@@ -210,6 +210,41 @@ object ExtensionQueries {
       col("source"), capacity = 4096L)
       .withColumnRenamed("shard", "source")
 
+  // --- dataset assembly ---------------------------------------------------
+
+  /** Deterministic 5/5/90 train/val/test split — membership is a pure
+    * salted-hash expression, stable under corpus growth.
+    */
+  private def q43Split(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.splitAssign(Tables.documents(s, d), col("doc_id"))
+
+  /** Stratified deterministic sampling: per-language permille keep rates
+    * (down-weight the `en` head, keep all `fr`), one filter expression.
+    */
+  private def q44Stratified(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.stratifiedSample(
+      Tables.documents(s, d), col("doc_id"), col("lang"),
+      permilleByStratum = StratRates, defaultPermille = 50)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  private val StratRates: Map[String, Int] =
+    Map("en" -> 100, "zh" -> 250, "es" -> 500, "de" -> 750, "fr" -> 1000)
+
+  /** Diversity sampling: at most 20 vectors per IVF cell (the q32
+    * pretrained centroids double as the diversity index), deterministic
+    * salted-hash pick order.
+    */
+  private def q45Diversity(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.diversityByCell(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      graft.similarity.IVF.pretrainedCentroids, quota = 20)
+
+  /** Reproducible global shuffle order via range-bucketed two-pass rank —
+    * the scale-safe form of `row_number() OVER (ORDER BY hash)`.
+    */
+  private def q46ShuffleOrder(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.shuffleOrder(Tables.documents(s, d), col("doc_id"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -235,7 +270,11 @@ object ExtensionQueries {
     "q39_contamination" -> (q39Contamination _),
     "q40_redact" -> (q40Redact _),
     "q41_chunks" -> (q41Chunks _),
-    "q42_packing" -> (q42Packing _)
+    "q42_packing" -> (q42Packing _),
+    "q43_split" -> (q43Split _),
+    "q44_stratified" -> (q44Stratified _),
+    "q45_diversity" -> (q45Diversity _),
+    "q46_shuffle_order" -> (q46ShuffleOrder _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -311,6 +350,21 @@ object ExtensionQueries {
        |  v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
        |  THEN 1::BIGINT << b ELSE 0::BIGINT END for b in range(0, 48)])::BIGINT AS simhash
        |FROM h""".stripMargin
+
+  /** Shared by q32 (IVF ANN) and q45 (diversity sampling): cell assignment
+    * against the pretrained centroids — `assigned(vec_id, embedding, cell)`
+    * with first-max (lowest cell) tie behavior, matching
+    * [[graft.similarity.IVF.literalCell]].
+    */
+  private def duckIvfAssignedCtes: String =
+    s"""cents(cell, cv) AS (SELECT * FROM (VALUES $duckIvfCents) t(cell, cv)),
+       |cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cents),
+       |sc AS (SELECT e.vec_id, e.embedding, c.cell,
+       |  list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cv[i])) / c.cnrm AS score
+       |  FROM embeddings e CROSS JOIN cn c),
+       |assigned AS (SELECT vec_id, embedding, cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+       |  WHERE rn = 1)""".stripMargin
 
   private val duckCosPA =
     "round(list_sum(list_transform(range(1, 65), i -> p.q_vec[i]::DOUBLE * a.embedding[i]::DOUBLE))" +
@@ -474,14 +528,7 @@ object ExtensionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
     "q32_ann_ivf" ->
-      s"""WITH cents(cell, cv) AS (SELECT * FROM (VALUES $duckIvfCents) t(cell, cv)),
-         |cn AS (SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cents),
-         |sc AS (SELECT e.vec_id, e.embedding, c.cell,
-         |  list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * c.cv[i])) / c.cnrm AS score
-         |  FROM embeddings e CROSS JOIN cn c),
-         |assigned AS (SELECT vec_id, embedding, cell FROM
-         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
-         |  WHERE rn = 1),
+      s"""WITH $duckIvfAssignedCtes,
          |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc
          |   WHERE vec_id < 5)
@@ -501,6 +548,34 @@ object ExtensionQueries {
          |    count(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
          |  FROM pos)
          |SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4""".stripMargin,
+    "q43_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ((${duckHash48("(doc_id::VARCHAR || ':split-v1')")}) % 100)::BIGINT AS bucket
+         |  FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 5 THEN 'test' WHEN bucket < 10 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM b""".stripMargin,
+    "q44_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ((${duckHash48("(doc_id::VARCHAR || ':strat-v1')")}) % 1000) <
+         |  CASE lang ${StratRates.toSeq.sortBy(_._1).map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ")}
+         |       ELSE 50 END""".stripMargin,
+    "q45_diversity" ->
+      s"""WITH $duckIvfAssignedCtes,
+         |tk AS (SELECT vec_id, cell,
+         |  ${duckHash48("(vec_id::VARCHAR || ':div-v1')")} AS tkt FROM assigned),
+         |r AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell ORDER BY tkt, vec_id) AS pick_rank FROM tk)
+         |SELECT vec_id, cell::INT AS cell, pick_rank::INT AS pick_rank
+         |FROM r WHERE pick_rank <= 20""".stripMargin,
+    "q46_shuffle_order" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  (${duckHash48("(doc_id::VARCHAR || ':order-v1')")})::BIGINT AS sort_key
+         |  FROM documents)
+         |SELECT doc_id, sort_key,
+         |  row_number() OVER (ORDER BY sort_key, doc_id) AS global_pos
+         |FROM h""".stripMargin,
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

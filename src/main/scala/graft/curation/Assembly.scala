@@ -1,0 +1,149 @@
+package graft.curation
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset assembly — the last stage of a training-data pipeline, after
+  * curation/dedup/decontamination: deterministic train/val/test splits,
+  * stratified down-sampling, diversity sampling over learned cells, and a
+  * reproducible global shuffle order.
+  *
+  * Everything here is keyed on content-independent 48-bit hashes of the
+  * row id plus an explicit salt, so every decision is (a) reproducible
+  * across runs and engines, (b) independent between stages (different
+  * salts decorrelate the split from the sample from the order), and
+  * (c) a pure per-row expression — the split and sample operators plan
+  * ZERO exchanges, which at 100 TB means they fuse into whatever scan or
+  * shuffle the surrounding pipeline already pays for.
+  */
+object Assembly {
+
+  private def ticket(id: Column, salt: String, buckets: Int): Column =
+    pmod(Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))), lit(buckets.toLong))
+
+  /** Deterministic train/val/test assignment: `bucket` is the id's salted
+    * hash modulo 100, `split` carves [0,testPct) → test,
+    * [testPct, testPct+valPct) → val, rest → train. Membership depends
+    * only on (id, salt), so re-running over a grown corpus never moves an
+    * existing row between splits — the property that keeps eval sets
+    * uncontaminated across dataset versions.
+    */
+  def splitAssign(
+      df: DataFrame,
+      id: Column,
+      testPct: Int = 5,
+      valPct: Int = 5,
+      salt: String = "split-v1"
+  ): DataFrame = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"split percentages must be within [0,100]: test=$testPct val=$valPct")
+    df.select(
+      id.as("doc_id"),
+      ticket(id, salt, 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train"))
+  }
+
+  /** Stratified deterministic sampling: keep a row iff its salted hash
+    * ticket (mod 1000) falls under its stratum's permille rate. One filter
+    * expression — no shuffle, no state, and the kept set is a stable
+    * subset under corpus growth (a row's fate never depends on other
+    * rows). This is how a 100 TB corpus re-balances its language or
+    * domain mix without a sort or a sample() whose seed changes per
+    * partitioning.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      permilleByStratum: Map[String, Int],
+      defaultPermille: Int,
+      salt: String = "strat-v1"
+  ): DataFrame = {
+    val rate = permilleByStratum.foldLeft(lit(defaultPermille)) {
+      case (acc, (s, p)) => when(stratum === s, p).otherwise(acc)
+    }
+    df.where(ticket(id, salt, 1000) < rate)
+  }
+
+  /** Diversity sampling over learned cells: assign each vector to its
+    * nearest centroid ([[graft.similarity.IVF.literalCell]] — fixed
+    * literals, pure arithmetic) and keep at most `quota` rows per cell in
+    * deterministic salted-hash order. Caps any one region of embedding
+    * space: the head cluster contributes `quota` rows, same as the tail.
+    * One exchange on the cell key; the rank filter is a top-k per group,
+    * so Spark's WindowGroupLimit prunes each map partition to `quota`
+    * rows BEFORE the shuffle.
+    */
+  def diversityByCell(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Float]],
+      quota: Int,
+      salt: String = "div-v1"
+  ): DataFrame = {
+    val base = emb.select(
+      id.as("vec_id"),
+      graft.similarity.IVF.literalCell(vec, centroids).as("cell"),
+      Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("tkt"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("tkt").asc, col("vec_id").asc)
+    base
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= quota)
+      .select(col("vec_id"), col("cell"), col("pick_rank"))
+  }
+
+  /** Reproducible global shuffle order WITHOUT a global-sort bottleneck:
+    * every row gets a salted 48-bit sort key, rows are range-bucketed by
+    * the key's top bits (buckets are contiguous key ranges, so bucket
+    * order IS global order; the hash is uniform by construction, so the
+    * fixed boundaries balance — no sampling pass needed), each bucket
+    * ranks locally, and per-bucket offsets shift local ranks to global
+    * positions.
+    *
+    * The offsets come from a `nBuckets`-row aggregate joined to itself
+    * below the final broadcast — O(B²) on a CONSTANT-size relation, never
+    * a single-partition window over data. `row_number() OVER (ORDER BY
+    * key)` — the naive form — serializes 100 TB through one task; this
+    * plans the same result as two bucket-parallel passes.
+    */
+  def shuffleOrder(
+      df: DataFrame,
+      id: Column,
+      salt: String = "order-v1",
+      nBuckets: Int = 256
+  ): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 24), "nBuckets must be in [1, 2^24]")
+    // top bits of the 48-bit key: contiguous ranges, uniform occupancy
+    val shift = 48 - (32 - Integer.numberOfLeadingZeros(nBuckets - 1 max 1))
+    val keyed = df.select(
+      id.as("doc_id"),
+      Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
+      .withColumn("bucket", shiftright(col("sort_key"), shift).cast("int"))
+    // materialize the ≤ nBuckets-row counts once: both sides of the offset
+    // self-join reference it, and without the (eager, tiny) localCheckpoint
+    // each side would re-aggregate — i.e. re-SCAN the full input a second
+    // and third time, which at 100 TB is two extra passes over the corpus
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // offset(b) = rows in all lower buckets — tiny non-equi self-join on
+    // the CONSTANT-size counts relation (≤ nBuckets rows), broadcast
+    val offsets = counts.as("b")
+      .join(broadcast(counts.as("p")), col("p.bucket") < col("b.bucket"), "left")
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("sort_key").asc, col("doc_id").asc)
+    keyed
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(
+        col("doc_id"),
+        col("sort_key"),
+        (col("offset") + col("__rn")).as("global_pos"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.curation.Assembly
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly laws: deterministic splits, stratified sampling,
+  * cell-diversity quotas, and the two-pass global shuffle order.
+  */
+class AssemblySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("splitAssign partitions the corpus; membership is a pure function of (id, salt)") {
+    val s = Assembly.splitAssign(docs, col("doc_id")).cache()
+    try {
+      val n = docs.count()
+      assert(s.count() == n) // total function: every row gets a split
+      val bySplit = s.groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+      assert(bySplit.values.sum == n)
+      // hash-uniform: each 1% bucket holds tiny fractions, so 5% bands land
+      // loosely around 5% even at this SF
+      assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+      assert(bySplit("train") > bySplit.getOrElse("test", 0L))
+      // stability under corpus growth: splitting a SUBSET assigns every
+      // surviving row the same split it had in the full corpus
+      val sub = Assembly.splitAssign(docs.where(col("doc_id") % 3 === 0), col("doc_id"))
+      val joined = sub.as("a").join(s.as("b"), "doc_id")
+        .where(col("a.split") =!= col("b.split"))
+      assert(joined.count() == 0)
+    } finally s.unpersist()
+  }
+
+  test("stratifiedSample keeps a stable subset at per-stratum rates; raising a rate only adds rows") {
+    val rates = Map("en" -> 100, "fr" -> 1000)
+    val kept = Assembly.stratifiedSample(docs, col("doc_id"), col("lang"), rates, defaultPermille = 300)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // subset of the corpus, deterministic across invocations
+    val again = Assembly.stratifiedSample(docs, col("doc_id"), col("lang"), rates, defaultPermille = 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == again)
+    // rate 1000 keeps EVERY row of the stratum
+    val fr = docs.where(col("lang") === "fr").count()
+    assert(kept.where(col("lang") === "fr").count() == fr)
+    // monotonicity: a higher rate for `en` keeps a superset
+    val more = Assembly.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 400, "fr" -> 1000), defaultPermille = 300)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(more))
+    assert(more.size > keptIds.size)
+  }
+
+  test("diversityByCell caps every cell at the quota and picks deterministically") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = graft.similarity.IVF.pretrainedCentroids
+    val picked = Assembly.diversityByCell(emb, col("vec_id"), col("embedding"), cents, quota = 5)
+    val perCell = picked.groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(perCell.values.forall(_ <= 5))
+    assert(picked.select("pick_rank").as[Int].collect().forall(r => r >= 1 && r <= 5))
+    // a cell with more than `quota` members is actually capped (the data
+    // has >5 per cell at this SF — otherwise the quota is untested)
+    val occupancy = emb.select(graft.similarity.IVF.literalCell(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().as[(Int, Long)].collect().toMap
+    assert(occupancy.values.max > 5)
+    assert(perCell(occupancy.maxBy(_._2)._1) == 5)
+  }
+
+  test("shuffleOrder assigns a bijective 1..n position consistent with the salted-hash sort") {
+    val ordered = Assembly.shuffleOrder(docs, col("doc_id"), nBuckets = 16)
+    val rows = ordered.select("global_pos", "sort_key", "doc_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val n = docs.count()
+    // bijection onto 1..n
+    assert(rows.map(_._1).toSeq == (1L to n))
+    // walking by position walks (sort_key, doc_id) lexicographically:
+    // the bucket offsets really do splice the local ranks into one order
+    rows.sliding(2).foreach {
+      case Array((_, k1, d1), (_, k2, d2)) =>
+        assert(k1 < k2 || (k1 == k2 && d1 < d2), s"order break at key=$k1/$k2")
+      case _ =>
+    }
+    // the order is a shuffle, not the identity: doc_id order is destroyed
+    assert(rows.take(50).map(_._3).toSeq != rows.take(50).map(_._3).sorted.toSeq)
+    // a different salt yields a different permutation (stages decorrelate)
+    val other = Assembly.shuffleOrder(docs, col("doc_id"), salt = "order-v2", nBuckets = 16)
+      .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+    val thisOne = rows.map(r => r._3 -> r._1).toMap
+    assert(other != thisOne)
+  }
+}

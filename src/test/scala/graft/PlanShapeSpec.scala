@@ -57,6 +57,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("assembly: split/sample are pure map-side; diversity prunes before its one exchange; order never re-scans") {
+    // split assignment and stratified sampling are salted-hash expressions:
+    // any Exchange here means the filter stopped fusing into the scan
+    for (name <- Seq("q43_split", "q44_stratified")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name plans an Exchange:\n$p")
+    }
+    // diversity: per-partition top-quota (WindowGroupLimit) BEFORE the one
+    // cell exchange — each map task ships at most quota rows per cell
+    val p45 = plan("q45_diversity")
+    assert(p45.contains("WindowGroupLimit"), p45)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p45).size == 1, p45)
+    // global order: ONE parquet scan in the final plan (bucket counts were
+    // materialized once, not re-aggregated per join side) and only the
+    // bucket-window exchange plus the tiny offsets aggregate
+    val p46 = plan("q46_shuffle_order")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p46).size == 1, p46)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p46).size <= 2, p46)
+  }
+
   test("pair pipelines: exchange counts bounded (bucket shuffle + pair distinct only)") {
     // signatures/band keys are per-row kernels, so the ONLY exchanges a
     // pair pipeline may plan are its bucket groupBy and the pair distinct;
