@@ -245,6 +245,47 @@ object ExtensionQueries {
   private def q46ShuffleOrder(s: SparkSession, d: String): DataFrame =
     graft.curation.Assembly.shuffleOrder(Tables.documents(s, d), col("doc_id"))
 
+  // --- corpus statistics --------------------------------------------------
+
+  /** Corpus vocabulary: top-100 terms by total count with doc frequency —
+    * the tokenizer-training / stopword-discovery pass.
+    */
+  private def q47Vocab(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.vocabulary(Tables.documents(s, d), col("text"), col("doc_id"), topN = 100)
+
+  /** Per-document top-3 salient terms by smoothed TF-IDF, ranked on the
+    * rounded score so the cut is engine-independent.
+    */
+  private def q48TfIdf(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.tfIdf(Tables.documents(s, d), col("text"), col("doc_id"), k = 3)
+
+  /** Symmetric absmax int8 quantization of the embedding table, gated via
+    * exact integer summaries of the code vector (sum, L1, max) plus the
+    * rounded scale.
+    */
+  private def q49Quantize(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val q = VectorFunctions.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      round(VectorFunctions.int8Scale(col("embedding")), 6).as("scale"),
+      aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
+      aggregate(q, lit(0L), (acc, v) => acc + abs(v)).as("q_l1"),
+      array_max(transform(q, abs(_))).as("q_max"))
+  }
+
+  /** Unigram-LM surprisal (bits/token) per document — the perplexity-filter
+    * axis with the corpus as its own language model.
+    */
+  private def q50Surprisal(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.unigramSurprisal(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  /** Cross-document repeated spans: winnowing fingerprints carried by ≥ 2
+    * documents — the detection half of exact-substring dedup.
+    */
+  private def q51SharedSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpans(Tables.documents(s, d), col("text"), col("doc_id"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -274,7 +315,12 @@ object ExtensionQueries {
     "q43_split" -> (q43Split _),
     "q44_stratified" -> (q44Stratified _),
     "q45_diversity" -> (q45Diversity _),
-    "q46_shuffle_order" -> (q46ShuffleOrder _)
+    "q46_shuffle_order" -> (q46ShuffleOrder _),
+    "q47_vocab" -> (q47Vocab _),
+    "q48_tfidf" -> (q48TfIdf _),
+    "q49_quantize" -> (q49Quantize _),
+    "q50_surprisal" -> (q50Surprisal _),
+    "q51_shared_spans" -> (q51SharedSpans _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -576,6 +622,58 @@ object ExtensionQueries {
          |SELECT doc_id, sort_key,
          |  row_number() OVER (ORDER BY sort_key, doc_id) AS global_pos
          |FROM h""".stripMargin,
+    "q47_vocab" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |s AS (SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df
+         |      FROM t GROUP BY term),
+         |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM s)
+         |SELECT term, tf, df, rank::INT AS rank FROM r WHERE rank <= 100""".stripMargin,
+    "q48_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+         |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+         |sc AS (SELECT dt.doc_id, dt.term, dt.tf, dfr.df,
+         |  round(dt.tf * ln((n.n_docs + 1.0) / (dfr.df + 1.0)), 4) AS tfidf
+         |  FROM dt JOIN dfr USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, tfidf, rank::INT AS rank FROM r WHERE rank <= 3""".stripMargin,
+    "q49_quantize" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id, mx / 127.0 AS scale,
+        |  CASE WHEN mx > 0 THEN list_transform(v, x -> round(x / (mx / 127.0))::BIGINT)
+        |       ELSE list_transform(v, x -> 0::BIGINT) END AS qs FROM m)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  list_sum(qs)::BIGINT AS q_sum,
+        |  list_sum(list_transform(qs, x -> abs(x)))::BIGINT AS q_l1,
+        |  list_max(list_transform(qs, x -> abs(x)))::BIGINT AS q_max
+        |FROM q""".stripMargin,
+    "q50_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         |tc AS (SELECT term, sum(tf)::BIGINT AS cnt FROM dt GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM tc),
+         |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  round(log2((SELECT total FROM tot)) - sum(tf * log2(cnt)) / sum(tf), 4) AS bits_per_token
+         |  FROM dt JOIN tc USING (term) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.bits_per_token, 0.0) AS bits_per_token
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    "q51_shared_spans" ->
+      s"""WITH m AS ($duckByteView),
+         |pos AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
+         |w AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+         |    count(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+         |  FROM pos),
+         |fp AS (SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4)
+         |SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
+         |FROM fp GROUP BY fingerprint HAVING count(*) >= 2""".stripMargin,
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

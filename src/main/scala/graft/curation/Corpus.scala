@@ -1,0 +1,137 @@
+package graft.curation
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics — the "look at the whole corpus once"
+  * operators a training-data pipeline runs between curation and assembly:
+  * vocabulary building (tokenizer/BPE prep, stopword discovery), TF-IDF
+  * salient-term extraction, and unigram-LM surprisal scoring (the shape of
+  * a perplexity quality filter, with the corpus itself as the language
+  * model).
+  *
+  * Everything tokenizes with [[TextFunctions.wsTokens]] (lower-cased
+  * whitespace tokens), the same tokenizer the dedup and text-analysis
+  * stages use, so one explode feeds every stage in a fused pipeline.
+  *
+  * Scale shape shared by all three: token rows are aggregated to
+  * (doc, term) partial counts FIRST — map-side combine collapses the
+  * per-token explosion before anything shuffles — and every corpus-wide
+  * relation that joins back onto per-doc rows (the vocabulary, the total
+  * token count) is vocabulary-sized, not corpus-sized.
+  */
+object Corpus {
+
+  /** (doc_id, term) token rows — the single explode all stages share. */
+  private def tokenRows(docs: DataFrame, text: Column, id: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextFunctions.wsTokens(text)).as("term"))
+
+  /** Per-(doc, term) counts: the map-side-combinable base relation. */
+  private def docTermCounts(docs: DataFrame, text: Column, id: Column): DataFrame =
+    tokenRows(docs, text, id).groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus vocabulary: the `topN` terms by total occurrence count, with
+    * document frequency and a dense 1-based rank (ties broken by term so
+    * the cut is deterministic).
+    *
+    * Plan shape: one term-key shuffle with map-side partial aggregation
+    * (the token explosion never crosses the wire un-combined), then a
+    * `TakeOrderedAndProject` global top-N — each task ships at most `topN`
+    * rows, so the "global sort" touches O(partitions · topN) rows, never
+    * the vocabulary. The rank window runs AFTER the limit, over a
+    * ≤ `topN`-row relation — bounded by the parameter, not the data.
+    */
+  def vocabulary(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      topN: Int = 100
+  ): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    val stats = docTermCounts(docs, text, id)
+      .groupBy(col("term"))
+      .agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+    val top = stats.orderBy(col("tf").desc, col("term").asc).limit(topN)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").desc, col("term").asc)))
+  }
+
+  /** Per-document salient terms by smoothed TF-IDF:
+    * `score = tf · ln((N + 1) / (df + 1))`, top `k` terms per document.
+    *
+    * Ranking is by the ROUNDED score (4 decimals) with the term as
+    * tie-break: the raw score is a product with a transcendental ln, and
+    * two independent engines may disagree in the last ulp — rounding
+    * before ranking makes the cut reproducible cross-engine, which is the
+    * property a dataset card has to state.
+    *
+    * Plan shape: (doc, term) counts → vocabulary-sized df relation →
+    * term-key join (both sides pre-aggregated; the corpus-sized side
+    * carries one row per distinct doc-term, not per token) → one
+    * broadcast of the 1-row doc count → per-doc window for the top-k.
+    */
+  def tfIdf(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      k: Int = 3
+  ): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dt = docTermCounts(docs, text, id)
+    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = dt.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  /** Unigram-LM surprisal per document: mean information content of the
+    * document's tokens under the corpus's own unigram distribution,
+    * `bits = log2(total) − Σ tf_dt · log2(cnt_t) / n_tokens`. High bits =
+    * rare vocabulary (or noise); low bits = boilerplate — the decision
+    * axis of a perplexity filter, computed with the corpus itself as the
+    * model so no external LM is needed. Documents with zero tokens score
+    * 0 bits over 0 tokens.
+    *
+    * Plan shape: (doc, term) counts → vocabulary-sized count relation →
+    * term-key join of two pre-aggregated relations → per-doc aggregate.
+    * The 1-row corpus total joins by broadcast. Nothing corpus-sized is
+    * ever broadcast and the token explosion is combined map-side before
+    * each shuffle.
+    */
+  def unigramSurprisal(
+      docs: DataFrame,
+      text: Column,
+      id: Column
+  ): DataFrame = {
+    val dt = docTermCounts(docs, text, id)
+    val tc = dt.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+    val total = tc.select(sum(col("cnt")).as("total"))
+    val perDoc = dt.join(tc, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        round(
+          log2(max(col("total"))) -
+            sum(col("tf") * log2(col("cnt"))) / sum(col("tf")),
+          4
+        ).as("bits_per_token"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
+  }
+}

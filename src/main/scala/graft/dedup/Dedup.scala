@@ -395,6 +395,35 @@ object Dedup {
   ): DataFrame =
     df.select(id.as("doc_id"), explode(Hashing.winnowSet(text, n, w)).as("fingerprint"))
 
+  /** Cross-document repeated spans: winnowing fingerprints that occur in
+    * at least `minDocs` distinct documents, with how many and the smallest
+    * carrier id. By the winnowing guarantee, any substring of length
+    * ≥ n + w − 1 shared verbatim between `minDocs` documents surfaces
+    * here — the detection half of exact-substring deduplication (cf. Lee
+    * et al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL'22, which dedups repeated spans rather than whole documents).
+    *
+    * Scale shape: [[winnowingFingerprints]] is map-side-only, so the whole
+    * operator is ONE fingerprint-key shuffle with map-side partial
+    * aggregation; output is fingerprint-universe-sized and pre-filtered by
+    * `minDocs` before anything downstream touches it.
+    */
+  def sharedSpans(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8,
+      w: Int = 4,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs below 2 would report every fingerprint")
+    // winnowSet is distinct per document, so count(*) counts documents
+    winnowingFingerprints(docs, text, id, n, w)
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** n-gram Jaccard similarity between explicit (docA, docB) pairs — the
     * verification stage that LSH candidates feed at scale. `pairs` must
     * expose doc_a/doc_b id columns; `docs` maps id → text.

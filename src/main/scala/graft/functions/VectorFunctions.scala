@@ -87,4 +87,39 @@ object VectorFunctions {
       if (h % 2 == 0) 1.0f else -1.0f
     }
   }
+
+  // --- int8 quantization --------------------------------------------------
+
+  /** max |x_i| of the vector, in double. */
+  def absMax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Per-vector absmax scale factor for symmetric int8: `max|x| / 127`. */
+  def int8Scale(vec: Column): Column = absMax(vec) / lit(127.0)
+
+  /** Symmetric absmax int8 quantization: `q_i = round(x_i / scale)`, with
+    * the all-zero vector mapping to all-zero codes (scale would be 0).
+    * `|q_i| ≤ 127` by construction — `|x_i| ≤ max|x| = 127·scale` — so the
+    * codes fit a signed byte; they are carried as `array<bigint>` because
+    * the downstream summary aggregates widen anyway. Pure per-row
+    * expression: at 100 TB this fuses into the scan projection, planning
+    * zero exchanges, and is how an embedding table drops to ~¼ storage
+    * (plus one float scale per vector) before serving.
+    *
+    * round() is half-away-from-zero in both Spark (BigDecimal HALF_UP on
+    * doubles) and DuckDB — the quantized codes are reproducible
+    * cross-engine, which the q49 gate asserts corpus-wide.
+    */
+  def quantizeInt8(vec: Column): Column = {
+    val scale = int8Scale(vec)
+    transform(vec, x =>
+      when(scale > 0, round(x.cast("double") / scale)).otherwise(lit(0.0))
+        .cast("long"))
+  }
+
+  /** Inverse of [[quantizeInt8]] up to the quantization error:
+    * `x̂_i = q_i · scale`, with `|x̂_i − x_i| ≤ scale / 2`.
+    */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    transform(codes, q => q.cast("double") * scale)
 }

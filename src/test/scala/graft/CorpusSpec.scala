@@ -1,0 +1,118 @@
+package graft
+
+import graft.curation.Corpus
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Laws for the corpus-statistics stage (vocabulary, TF-IDF, surprisal),
+  * int8 quantization, and cross-document shared-span detection.
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("vocabulary: counts conserve tokens, rank is the deterministic top-N cut") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat",
+      3L -> "a cat and a dog")
+    val v = Corpus.vocabulary(d, col("text"), col("doc_id"), topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // total tokens = 6 + 3 + 5 = 14; top-3 by (tf desc, term asc):
+    // "the" tf=3 df=2; then tf=2 terms alphabetically: "a"(1 doc), "cat"(2), "dog"(2), "sat"(2) → "a", "cat"
+    assert(v.toSeq == Seq(("the", 3L, 2L, 1), ("a", 2L, 1L, 2), ("cat", 2L, 2L, 3)))
+    val full = Corpus.vocabulary(d, col("text"), col("doc_id"), topN = 1000)
+    assert(full.agg(sum("tf")).as[Long].head() == 14L)
+    // df never exceeds the doc count and rank is contiguous from 1
+    assert(full.where(col("df") > 3).isEmpty)
+    val ranks = full.select("rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to ranks.length))
+  }
+
+  test("tfidf: corpus-wide terms score zero-ish, rare terms win; k rows per doc") {
+    val d = docs(
+      1L -> "common rare1 common",
+      2L -> "common rare2",
+      3L -> "common rare3")
+    val t = Corpus.tfIdf(d, col("text"), col("doc_id"), k = 1)
+    val top = t.select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" is in every doc (df=3 → idf=ln(4/4)=0); each rareN is unique
+    assert(top == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+    val k2 = Corpus.tfIdf(d, col("text"), col("doc_id"), k = 2)
+    assert(k2.groupBy("doc_id").count().where(col("count") > 2).isEmpty)
+    // the df=3 term's smoothed idf is exactly ln(1) = 0 → tfidf 0
+    assert(k2.where(col("term") === "common" && col("tfidf") =!= 0.0).isEmpty)
+  }
+
+  test("surprisal: boilerplate scores low bits, rare vocabulary scores high; empty doc is 0/0") {
+    val d = docs(
+      1L -> "x x x x x x x x",
+      2L -> "unique1 unique2 unique3 unique4",
+      3L -> "")
+    val s = Corpus.unigramSurprisal(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (n1, b1) = s(1L); val (n2, b2) = s(2L); val (n3, b3) = s(3L)
+    assert(n1 == 8L && n2 == 4L && n3 == 0L)
+    assert(b3 == 0.0)
+    // total=12; "x" has cnt 8 → surprisal log2(12/8); uniqueN → log2(12)
+    assert(math.abs(b1 - math.log(12.0 / 8) / math.log(2)) < 1e-3)
+    assert(math.abs(b2 - math.log(12.0) / math.log(2)) < 1e-3)
+    assert(b2 > b1)
+  }
+
+  test("quantizeInt8: codes fit int8, dequantization error is bounded by scale/2") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (2L, Array(100.0f, -50.0f, 0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.select(
+      col("vec_id"),
+      col("embedding"),
+      VectorFunctions.int8Scale(col("embedding")).as("scale"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("codes"))
+    val rows = q.collect()
+    for (r <- rows) {
+      val emb = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Long](3)
+      assert(codes.forall(c => math.abs(c) <= 127), s"codes out of int8 range: $codes")
+      if (scale == 0.0) assert(codes.forall(_ == 0L))
+      else emb.zip(codes).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12)
+      }
+    }
+    // round-trip through the dequantize expression agrees with the law above
+    val err = q.where(col("scale") > 0).select(
+      aggregate(
+        zip_with(
+          VectorFunctions.dequantizeInt8(col("codes"), col("scale")),
+          col("embedding"),
+          (a, b) => abs(a - b.cast("double"))),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("max_err"),
+      col("scale"))
+    assert(err.where(col("max_err") > col("scale") / 2 + 1e-12).isEmpty)
+  }
+
+  test("sharedSpans: a substring of length >= n+w-1 shared by two docs is detected") {
+    val shared = "0123456789AB" // 12 bytes >= n + w - 1 = 11
+    val d = docs(
+      1L -> s"left padding $shared and some tail",
+      2L -> s"totally different prefix $shared",
+      3L -> "no overlap with anything else here at all")
+    val spans = Dedup.sharedSpans(d, col("text"), col("doc_id"), n = 8, w = 4, minDocs = 2)
+    val carriers = spans.select("first_doc").as[Long].collect()
+    assert(spans.count() >= 1, "the planted shared span was not detected")
+    assert(carriers.forall(_ == 1L), "first_doc must be the smallest carrier id")
+    assert(spans.where(col("n_docs") < 2).isEmpty)
+    // doc 3 shares nothing: no fingerprint counts it
+    val withDoc3 = Dedup.winnowingFingerprints(d.where(col("doc_id") === 3), col("text"), col("doc_id"))
+      .select("fingerprint")
+      .intersect(spans.select("fingerprint"))
+    assert(withDoc3.isEmpty)
+  }
+}
