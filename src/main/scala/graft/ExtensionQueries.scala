@@ -265,13 +265,17 @@ object ExtensionQueries {
     */
   private def q49Quantize(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions
-    val q = VectorFunctions.quantizeInt8(col("embedding"))
-    Tables.embeddings(s, d).select(
-      col("vec_id"),
-      round(VectorFunctions.int8Scale(col("embedding")), 6).as("scale"),
-      aggregate(q, lit(0L), (acc, v) => acc + v).as("q_sum"),
-      aggregate(q, lit(0L), (acc, v) => acc + abs(v)).as("q_l1"),
-      array_max(transform(q, abs(_))).as("q_max"))
+    // scale and codes staged as columns: each is computed once per row;
+    // the summary aggregates then read the codes attribute three times
+    Tables.embeddings(s, d)
+      .withColumn("__scale", VectorFunctions.int8Scale(col("embedding")))
+      .withColumn("__q", VectorFunctions.quantizeInt8Scaled(col("embedding"), col("__scale")))
+      .select(
+        col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        aggregate(col("__q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        aggregate(col("__q"), lit(0L), (acc, v) => acc + abs(v)).as("q_l1"),
+        array_max(transform(col("__q"), abs(_))).as("q_max"))
   }
 
   /** Unigram-LM surprisal (bits/token) per document — the perplexity-filter
@@ -285,6 +289,21 @@ object ExtensionQueries {
     */
   private def q51SharedSpans(s: SparkSession, d: String): DataFrame =
     Dedup.sharedSpans(Tables.documents(s, d), col("text"), col("doc_id"))
+
+  /** ANN over the int8-quantized embedding table: the scales cancel out of
+    * the dequantized cosine, so the score is exact integer dot products
+    * plus one rounded division — the post-quantization serving path.
+    */
+  private def q52QuantizedAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    KNN.quantizedTopK(emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+  }
+
+  /** Boilerplate score: fraction of each doc's winnow fingerprints carried
+    * by ≥ 2 documents — the per-document action side of q51's detection.
+    */
+  private def q53Boilerplate(s: SparkSession, d: String): DataFrame =
+    Dedup.boilerplateScore(Tables.documents(s, d), col("text"), col("doc_id"))
 
   // --- registry ---------------------------------------------------------
 
@@ -320,7 +339,9 @@ object ExtensionQueries {
     "q48_tfidf" -> (q48TfIdf _),
     "q49_quantize" -> (q49Quantize _),
     "q50_surprisal" -> (q50Surprisal _),
-    "q51_shared_spans" -> (q51SharedSpans _)
+    "q51_shared_spans" -> (q51SharedSpans _),
+    "q52_quantized_ann" -> (q52QuantizedAnn _),
+    "q53_boilerplate" -> (q53Boilerplate _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -674,6 +695,40 @@ object ExtensionQueries {
          |fp AS (SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4)
          |SELECT fingerprint, count(*)::BIGINT AS n_docs, min(doc_id) AS first_doc
          |FROM fp GROUP BY fingerprint HAVING count(*) >= 2""".stripMargin,
+    "q52_quantized_ann" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id,
+        |  CASE WHEN mx > 0 THEN list_transform(v, x -> round(x / (mx / 127.0))::BIGINT)
+        |       ELSE list_transform(v, x -> 0::BIGINT) END AS qs FROM m),
+        |n AS (SELECT vec_id, qs,
+        |  sqrt(list_sum(list_transform(qs, x -> x * x))::DOUBLE) AS nrm FROM q),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |  round(CASE WHEN a.nrm * b.nrm > 0 THEN
+        |    list_sum(list_transform(range(1, 65), i -> a.qs[i] * b.qs[i]))::DOUBLE / (a.nrm * b.nrm)
+        |    ELSE 0.0 END, 4) AS cosine
+        |  FROM n a JOIN n b ON b.vec_id != a.vec_id WHERE a.vec_id < 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+        |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q53_boilerplate" ->
+      s"""WITH m AS ($duckByteView),
+         |pos AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
+         |w AS (
+         |  SELECT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+         |    count(h) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+         |  FROM pos),
+         |fp AS (SELECT DISTINCT doc_id, fingerprint::BIGINT AS fingerprint FROM w WHERE cnt = 4),
+         |c AS (SELECT fingerprint, count(*) AS n_carriers FROM fp GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*)::BIGINT AS n_fp,
+         |       sum(CASE WHEN n_carriers >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+         |       FROM fp JOIN c USING (fingerprint) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_fp, 0)::BIGINT AS n_fp,
+         |  coalesce(n_shared, 0)::BIGINT AS n_shared,
+         |  round(coalesce(n_shared, 0)::DOUBLE / greatest(coalesce(n_fp, 0), 1), 4) AS shared_frac
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

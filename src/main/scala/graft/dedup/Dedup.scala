@@ -424,6 +424,47 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Per-document boilerplate score: the fraction of the doc's winnowing
+    * fingerprints that are carried by at least `minDocs` documents — how
+    * much of this document is made of spans that exist elsewhere in the
+    * corpus. Near 1.0 = templated/boilerplate (headers, license blocks,
+    * mirrored content); near 0.0 = original text. The per-document action
+    * side of [[sharedSpans]]' corpus-wide detection. Docs too short for a
+    * single window (< n + w − 1 bytes) report 0 fingerprints, score 0.
+    *
+    * Scale shape: ONE pass over the corpus — carrier counts come from an
+    * unordered window aggregate over the fingerprint partition (one
+    * exchange), not a self-join that would re-scan and re-winnow the
+    * corpus; then one doc-key aggregate. Two exchanges total, both over
+    * the fingerprint rows, never the texts.
+    */
+  def boilerplateScore(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8,
+      w: Int = 4,
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs below 2 would score every span as shared")
+    val fp = winnowingFingerprints(docs, text, id, n, w)
+    val carriers = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    val perDoc = fp
+      .withColumn("__carriers", count(lit(1)).over(carriers))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("__carriers") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)) /
+          greatest(coalesce(col("n_fp"), lit(0L)), lit(1L)), 4).as("shared_frac"))
+  }
+
   /** n-gram Jaccard similarity between explicit (docA, docB) pairs — the
     * verification stage that LSH candidates feed at scale. `pairs` must
     * expose doc_a/doc_b id columns; `docs` maps id → text.

@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *
   *   language filter → quality + repetition filters → exact dedup →
   *   MinHash-LSH near-dup pairs → connected-component clusters →
-  *   keeper selection → token accounting.
+  *   keeper selection → surprisal filter → train/val/test split →
+  *   token accounting.
   *
   * Every stage is one of the gated operators; the whole pipeline is a
   * single lazy Catalyst plan per action, and at 100 TB each stage keeps
@@ -43,8 +44,20 @@ object TrainingDataDemo {
     val pairs = Dedup.minhashLshPairs(exactKept, col("text"), col("doc_id"), maxBucket = 1000)
     val curated = Dedup.dropNearDuplicates(exactKept, col("doc_id"), pairs)
 
-    // 4. token accounting over the surviving corpus
-    val stats = curated.agg(
+    // 4. corpus-statistics filter: drop boilerplate (low surprisal under
+    // the curated corpus's own unigram LM — the perplexity-filter shape)
+    val surprisal = graft.curation.Corpus.unigramSurprisal(curated, col("text"), col("doc_id"))
+    val informative = curated.join(
+      surprisal.where(col("n_tokens") === 0 || col("bits_per_token") > 0.5)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // 5. deterministic split — membership stable under corpus growth
+    val split = graft.curation.Assembly.splitAssign(informative, col("doc_id"))
+    val train = informative.join(
+      split.where(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // 6. token accounting over the train split
+    val stats = train.agg(
       count(lit(1)).as("docs"),
       sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
       sum(TextFunctions.regexTokenCount(col("text")).cast("long")).as("bpe_tokens"))
@@ -53,8 +66,9 @@ object TrainingDataDemo {
     println(s"DEMO_ENGLISH_DOCS=${english.count()}")
     println(s"DEMO_CLEAN_DOCS=${clean.count()}")
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
+    println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_INFORMATIVE_DOCS=${informative.count()}")
     val row = stats.head()
-    println(s"DEMO_CURATED_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
+    println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
     spark.stop()
   }
 }

@@ -110,12 +110,19 @@ object VectorFunctions {
     * doubles) and DuckDB — the quantized codes are reproducible
     * cross-engine, which the q49 gate asserts corpus-wide.
     */
-  def quantizeInt8(vec: Column): Column = {
-    val scale = int8Scale(vec)
+  def quantizeInt8(vec: Column): Column = quantizeInt8Scaled(vec, int8Scale(vec))
+
+  /** [[quantizeInt8]] against a PRE-STAGED scale column. Always stage the
+    * scale (`.withColumn("scale", int8Scale(vec))`) when quantizing more
+    * than once per row: a raw `int8Scale(vec)` expression embedded in the
+    * per-element lambda re-evaluates the O(dim) absmax for every element —
+    * O(dim²) per row (measured 2.5 s vs 0.2 s on the q49 gate). A staged
+    * scale is an attribute read inside the lambda: O(dim) total.
+    */
+  def quantizeInt8Scaled(vec: Column, scale: Column): Column =
     transform(vec, x =>
       when(scale > 0, round(x.cast("double") / scale)).otherwise(lit(0.0))
         .cast("long"))
-  }
 
   /** Inverse of [[quantizeInt8]] up to the quantization error:
     * `x̂_i = q_i · scale`, with `|x̂_i − x_i| ≤ scale / 2`.

@@ -98,6 +98,46 @@ class CorpusSpec extends SparkSpec {
     assert(err.where(col("max_err") > col("scale") / 2 + 1e-12).isEmpty)
   }
 
+  test("quantizedTopK: high recall against exact search; scores within quantization error") {
+    import graft.similarity.KNN
+    // deterministic corpus: 60 vectors on a few directions + index-seeded noise
+    val vecs = (0 until 60).map { i =>
+      val base = i % 4
+      (i.toLong, Array.tabulate(16) { j =>
+        val noise = ((i * 31 + j * 17) % 13 - 6) / 100.0f
+        (if (j % 4 == base) 1.0f else 0.1f) + noise
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 3)
+    val exact = KNN.bruteForceTopK(vecs, queries, col("vec_id"), col("embedding"), k = 5)
+    val quant = KNN.quantizedTopK(vecs, queries, col("vec_id"), col("embedding"), k = 5)
+    assert(quant.groupBy("q_id").count().where(col("count") =!= 5).isEmpty)
+    assert(quant.where(col("cosine") > 1.0 || col("cosine") < -1.0).isEmpty)
+    val recall = KNN.recallAtK(exact, quant)
+      .where(col("q_id") === -1L).select("recall").as[Double].head()
+    assert(recall >= 0.8, s"quantized recall@5 too low: $recall")
+    // int8 absmax on 16 dims: quantized cosine within 0.05 of exact
+    val joined = exact.select(col("q_id"), col("n_id"), col("cosine").as("c_exact"))
+      .join(quant.select(col("q_id"), col("n_id"), col("cosine").as("c_quant")), Seq("q_id", "n_id"))
+    assert(joined.where(abs(col("c_exact") - col("c_quant")) > 0.05).isEmpty)
+  }
+
+  test("boilerplateScore: templated docs score high, original text scores 0, short docs are 0/0") {
+    val template = "=== COMPANY CONFIDENTIAL boilerplate header v2 ==="
+    val d = docs(
+      1L -> s"$template tiny unique bit one",
+      2L -> s"$template another small unique tail",
+      3L -> "entirely original prose with no repeated content whatsoever in it",
+      4L -> "short") // < n + w - 1 bytes: no full winnow window
+    val b = Dedup.boilerplateScore(d, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(b.keySet == Set(1L, 2L, 3L, 4L), "every doc must be scored")
+    val (f1, s1, frac1) = b(1L)
+    assert(f1 > 0 && s1 > 0 && frac1 > 0.4, s"templated doc should score high: $frac1")
+    assert(b(3L)._3 == 0.0, "original doc must score 0")
+    assert(b(4L) == ((0L, 0L, 0.0)), "too-short doc reports no fingerprints")
+  }
+
   test("sharedSpans: a substring of length >= n+w-1 shared by two docs is detected") {
     val shared = "0123456789AB" // 12 bytes >= n + w - 1 = 11
     val d = docs(
