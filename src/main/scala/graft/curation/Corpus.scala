@@ -68,10 +68,10 @@ object Corpus {
     * before ranking makes the cut reproducible cross-engine, which is the
     * property a dataset card has to state.
     *
-    * Plan shape: (doc, term) counts → vocabulary-sized df relation →
-    * term-key join (both sides pre-aggregated; the corpus-sized side
-    * carries one row per distinct doc-term, not per token) → one
-    * broadcast of the 1-row doc count → per-doc window for the top-k.
+    * Plan shape: ONE token explode → (doc, term) map-side-combined counts
+    * → df via an unordered term-partition window → 1-row doc count
+    * broadcast → per-doc window for the top-k. The corpus text is scanned
+    * and exploded exactly once.
     */
   def tfIdf(
       docs: DataFrame,
@@ -81,9 +81,18 @@ object Corpus {
   ): DataFrame = {
     require(k >= 1, "k must be positive")
     val dt = docTermCounts(docs, text, id)
-    val df = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df via an unordered window over the term partition, NOT a
+    // dt-groupBy-join: a join's derived side embeds a second copy of the
+    // whole explode+aggregate subplan (Spark's exchange reuse cannot match
+    // it once join null-filters specialize one branch), which at 100 TB
+    // means exploding the corpus twice. The window is one term exchange
+    // over the already-combined (doc, term) rows.
+    val withDf = dt.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // N is a 1-row count of the doc table — a pruned id-only scan, no
+    // explode — broadcast under the cross join
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    val scored = dt.join(df, "term")
+    val scored = withDf
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
@@ -103,11 +112,11 @@ object Corpus {
     * model so no external LM is needed. Documents with zero tokens score
     * 0 bits over 0 tokens.
     *
-    * Plan shape: (doc, term) counts → vocabulary-sized count relation →
-    * term-key join of two pre-aggregated relations → per-doc aggregate.
-    * The 1-row corpus total joins by broadcast. Nothing corpus-sized is
-    * ever broadcast and the token explosion is combined map-side before
-    * each shuffle.
+    * Plan shape: ONE token explode → (doc, term) map-side-combined counts
+    * → corpus term counts via an unordered term-partition window →
+    * per-doc aggregate; the 1-row corpus total (a no-explode kernel scan)
+    * joins by broadcast. Nothing corpus-sized is ever broadcast and the
+    * token explosion runs exactly once.
     */
   def unigramSurprisal(
       docs: DataFrame,
@@ -115,9 +124,16 @@ object Corpus {
       id: Column
   ): DataFrame = {
     val dt = docTermCounts(docs, text, id)
-    val tc = dt.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
-    val total = tc.select(sum(col("cnt")).as("total"))
-    val perDoc = dt.join(tc, "term")
+    // corpus term counts via an unordered term-partition window (see
+    // tfIdf: a groupBy-join would re-explode the corpus); the corpus
+    // TOTAL comes from the wsTokenCount kernel over the raw doc table —
+    // a scan with a per-row expression and a 1-row partial aggregate,
+    // no explode — so the expensive token explosion runs exactly once
+    val withCnt = dt.withColumn("cnt",
+      sum(col("tf")).over(Window.partitionBy(col("term"))))
+    val total = docs.select(
+      sum(TextFunctions.wsTokenCount(text).cast("long")).as("total"))
+    val perDoc = withCnt
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(

@@ -18,6 +18,13 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.explainString(FormattedMode)
   }
 
+  /** Simple-mode plan: operator arguments stay INLINE ("Exchange
+    * SinglePartition"), where FormattedMode moves them to a detail section
+    * the substring checks never see.
+    */
+  private def simplePlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
   test("q02 filter is pushed to the parquet scan and the schema is pruned") {
     val p = plan("q02_filter")
     assert(p.contains("PushedFilters"), p)
@@ -28,12 +35,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("no gated query plans a CartesianProduct or a single-partition Exchange") {
-    // q25 intentionally uses BroadcastNestedLoopJoin (query side broadcast);
-    // Cartesian/SinglePartition would mean a real scale bug anywhere.
+    // q25 intentionally uses BroadcastNestedLoopJoin (query side broadcast).
+    // A SinglePartition exchange is allowed ONLY under a scalar aggregate
+    // (keys=[] — partial rows in, one row out: q48's doc count, q50's
+    // token total); anywhere else it means corpus-sized data serializing
+    // through one task. NOTE: this must read the SIMPLE-mode plan — the
+    // round-3 FormattedMode form never matched, because formatted output
+    // prints "Exchange" and puts "SinglePartition" in a detail line.
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val p = plan(name)
+      val p = simplePlan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      assert(!p.contains("Exchange SinglePartition"), s"$name plans a single-partition Exchange")
+      val lines = p.linesIterator.toVector
+      for (i <- lines.indices if lines(i).contains("Exchange SinglePartition")) {
+        val parent = lines.take(i).reverseIterator.find(_.exists(c => c.isLetter))
+        assert(
+          parent.exists(l =>
+            (l.contains("HashAggregate") || l.contains("SortAggregate")) && l.contains("keys=[]")),
+          s"$name plans a single-partition Exchange not under a scalar aggregate:\n$p")
+      }
     }
   }
 
@@ -87,6 +106,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges("q20_dedup_exact") == 1)
     assert(exchanges("q21_dedup_minhash") <= 2)
     assert(exchanges("q33_simhash_pairs") <= 2)
+  }
+
+  test("corpus-statistics queries explode the corpus exactly once") {
+    // vocabulary/tfidf/surprisal derive df/term-count relations via
+    // unordered windows over the one exploded relation — a groupBy-join
+    // formulation embeds a SECOND copy of the explode subplan (exchange
+    // reuse cannot match it once join null-filters specialize a branch),
+    // which at 100 TB is a second full pass over the corpus
+    for (name <- Seq("q47_vocab", "q48_tfidf", "q50_surprisal")) {
+      val p = plan(name)
+      val explodes = "\\(\\d+\\) Generate".r.findAllIn(p).size
+      assert(explodes == 1, s"$name plans $explodes explodes (want 1):\n$p")
+    }
+    // boilerplate: carrier counts via the fingerprint window — the text
+    // is winnowed once (one Generate), plus only the id-projection scan
+    val p53 = plan("q53_boilerplate")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p53).size == 1, p53)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p53).size <= 2, p53)
   }
 
   test("q21/q33 candidate generation is bucket-grouped, not a self-join re-scan") {
