@@ -305,6 +305,17 @@ object ExtensionQueries {
   private def q53Boilerplate(s: SparkSession, d: String): DataFrame =
     Dedup.boilerplateScore(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** Weighted epoch mix: per-language up/down-sampling factors
+    * materialized as deterministic (doc, copy) rows — the data-recipe step.
+    */
+  private def q54EpochMix(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.epochMix(
+      Tables.documents(s, d), col("doc_id"), col("lang"),
+      weightByStratum = MixWeights, defaultWeight = 0.5)
+
+  private val MixWeights: Map[String, Double] =
+    Map("en" -> 0.25, "zh" -> 1.5, "es" -> 1.0, "de" -> 2.0, "fr" -> 3.25)
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -341,7 +352,8 @@ object ExtensionQueries {
     "q50_surprisal" -> (q50Surprisal _),
     "q51_shared_spans" -> (q51SharedSpans _),
     "q52_quantized_ann" -> (q52QuantizedAnn _),
-    "q53_boilerplate" -> (q53Boilerplate _)
+    "q53_boilerplate" -> (q53Boilerplate _),
+    "q54_epoch_mix" -> (q54EpochMix _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -729,6 +741,25 @@ object ExtensionQueries {
          |  coalesce(n_shared, 0)::BIGINT AS n_shared,
          |  round(coalesce(n_shared, 0)::DOUBLE / greatest(coalesce(n_fp, 0), 1), 4) AS shared_frac
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin,
+    "q54_epoch_mix" -> {
+      def parts(w: Double): (Int, Int) = {
+        val f = math.floor(w).toInt
+        val p = math.round((w - f) * 1000).toInt
+        if (p == 1000) (f + 1, 0) else (f, p)
+      }
+      val fl = MixWeights.toSeq.sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN ${parts(w)._1}" }.mkString(" ")
+      val pm = MixWeights.toSeq.sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN ${parts(w)._2}" }.mkString(" ")
+      val (df0, dp0) = parts(0.5)
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  (CASE lang $fl ELSE $df0 END) +
+         |  (CASE WHEN ((${duckHash48("(doc_id::VARCHAR || ':mix-v1')")}) % 1000) <
+         |        (CASE lang $pm ELSE $dp0 END) THEN 1 ELSE 0 END) AS copies
+         |  FROM documents)
+         |SELECT doc_id, lang AS stratum, unnest(range(0, copies))::INT AS copy_idx
+         |FROM b WHERE copies > 0""".stripMargin
+    },
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

@@ -70,6 +70,50 @@ object Assembly {
     df.where(ticket(id, salt, 1000) < rate)
   }
 
+  /** Weighted epoch mixing: materialize the training mix for a data
+    * recipe that up-/down-samples sources — weight 2.5 means every row
+    * appears twice and a deterministic 50% of rows a third time; weight
+    * 0.25 keeps a deterministic quarter. Fractional parts resolve by
+    * salted-hash ticket (permille resolution), so the mix is exactly
+    * reproducible, stable under corpus growth, and consistent with (but
+    * decorrelated from, by salt) the other assembly stages.
+    *
+    * Emits (doc_id, stratum, copy_idx) with copy_idx ∈ [0, copies) —
+    * compose with [[shuffleOrder]] on `doc_id·maxCopies + copy_idx` (or a
+    * salted hash of the pair) to interleave the epochs. Pure per-row
+    * expression + explode: ZERO exchanges, fuses into the surrounding
+    * pipeline's scan.
+    */
+  def epochMix(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      weightByStratum: Map[String, Double],
+      defaultWeight: Double,
+      salt: String = "mix-v1"
+  ): DataFrame = {
+    def parts(w: Double): (Int, Int) = {
+      require(w >= 0 && w <= 1000, s"mix weight out of range [0,1000]: $w")
+      val f = math.floor(w).toInt
+      val p = math.round((w - f) * 1000).toInt
+      // permille 1000 would mean "always one more": fold into the floor
+      if (p == 1000) (f + 1, 0) else (f, p)
+    }
+    val (f0, p0) = parts(defaultWeight)
+    val floorCol = weightByStratum.foldLeft(lit(f0)) {
+      case (acc, (s, w)) => when(stratum === s, parts(w)._1).otherwise(acc)
+    }
+    val permCol = weightByStratum.foldLeft(lit(p0)) {
+      case (acc, (s, w)) => when(stratum === s, parts(w)._2).otherwise(acc)
+    }
+    val copies = floorCol + when(ticket(id, salt, 1000) < permCol, 1).otherwise(0)
+    df.select(id.as("doc_id"), stratum.as("stratum"), copies.as("__copies"))
+      .where(col("__copies") > 0)
+      .select(
+        col("doc_id"), col("stratum"),
+        explode(sequence(lit(0), col("__copies") - 1)).as("copy_idx"))
+  }
+
   /** Diversity sampling over learned cells: assign each vector to its
     * nearest centroid ([[graft.similarity.IVF.literalCell]] — fixed
     * literals, pure arithmetic) and keep at most `quota` rows per cell in

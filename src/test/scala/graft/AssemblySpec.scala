@@ -53,6 +53,36 @@ class AssemblySpec extends SparkSpec {
     assert(more.size > keptIds.size)
   }
 
+  test("epochMix materializes floor/ceil copies per weight; deterministic and growth-stable") {
+    val weights = Map("en" -> 0.25, "fr" -> 2.5, "de" -> 2.0)
+    val mix = Assembly.epochMix(docs, col("doc_id"), col("lang"), weights, defaultWeight = 0.0)
+      .cache()
+    try {
+      // weight 0 strata contribute nothing
+      assert(mix.where(!col("stratum").isin("en", "fr", "de")).isEmpty)
+      // per-doc copy count is floor(w) or floor(w)+1, copy_idx is 0..copies-1
+      val perDoc = mix.groupBy("doc_id", "stratum")
+        .agg(count(lit(1)).as("copies"), max("copy_idx").as("max_idx"), min("copy_idx").as("min_idx"))
+      assert(perDoc.where(col("min_idx") =!= 0 || col("max_idx") =!= col("copies") - 1).isEmpty)
+      assert(perDoc.where(col("stratum") === "en" && col("copies") > 1).isEmpty)
+      assert(perDoc.where(col("stratum") === "fr" && (col("copies") < 2 || col("copies") > 3)).isEmpty)
+      // integer weight: exactly 2 copies of every de row
+      val de = docs.where(col("lang") === "de").count()
+      assert(mix.where(col("stratum") === "de").count() == 2 * de)
+      // fractional realization tracks the weight (hash-uniform, loose bound)
+      val fr = docs.where(col("lang") === "fr").count()
+      val frCopies = mix.where(col("stratum") === "fr").count()
+      assert(frCopies >= 2 * fr && frCopies <= 3 * fr)
+      // growth stability: mixing a subset reproduces each surviving doc's copies
+      val sub = Assembly.epochMix(
+        docs.where(col("doc_id") % 3 === 0), col("doc_id"), col("lang"), weights, defaultWeight = 0.0)
+        .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      val full = mix.groupBy("doc_id").agg(count(lit(1)).as("c"))
+      assert(sub.as("a").join(full.as("b"), "doc_id")
+        .where(col("a.c") =!= col("b.c")).isEmpty)
+    } finally mix.unpersist()
+  }
+
   test("diversityByCell caps every cell at the quota and picks deterministically") {
     val emb = Tables.embeddings(spark, sfDir)
     val cents = graft.similarity.IVF.pretrainedCentroids
