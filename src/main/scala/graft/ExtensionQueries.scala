@@ -316,6 +316,72 @@ object ExtensionQueries {
   private val MixWeights: Map[String, Double] =
     Map("en" -> 0.25, "zh" -> 1.5, "es" -> 1.0, "de" -> 2.0, "fr" -> 3.25)
 
+  /** As-of join: each click matched to the user's most recent purchase
+    * at-or-before it (null when none). The right side pre-aggregates to
+    * one row per (user, ts) so "the most recent row" is well-defined in
+    * every engine. Union-and-carry form: one key exchange, no range
+    * explosion — see [[graft.operators.Joins.asOf]].
+    */
+  private def q55Asof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    // -1 sentinels for the no-prior-purchase case keep the gate away from
+    // engine-specific null/dtype coercion (same convention as the oracle)
+    graft.operators.Joins.asOf(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts", Seq("p_value"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(coalesce(col("p_value"), lit(-1.0)), 4).as("prior_value"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")), lit(-1L))
+          .as("gap_us"))
+  }
+
+  /** Point-in-interval join: clicks inside the 2-hour attribution window
+    * of any same-user purchase. Bucketed-range-join form: intervals
+    * explode to 2-hour time buckets, the match is an equi-join on
+    * (user, bucket) plus an exact residual — see
+    * [[graft.operators.Joins.interval]].
+    */
+  private def q56Interval(s: SparkSession, d: String): DataFrame = {
+    val twoHoursUs = 2L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + twoHoursUs).as("w_end"))
+    graft.operators.Joins.interval(
+        clicks, windows, "user_id", "p_user", "ts", "w_start", "w_end",
+        bucketMicros = twoHoursUs)
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("w_start"))).as("gap_us"))
+  }
+
+  /** KMV distinct-count sketch of the corpus's (doc, term) pairs — the
+    * engine-portable cardinality estimate (exact integer estimator,
+    * reproducible bit-for-bit by any engine with md5). Pairs, not bare
+    * terms: the synthetic corpus's term vocabulary is smaller than k, and
+    * the estimator branch only engages when the population exceeds k —
+    * see [[graft.functions.Sketches.kmvDistinct]].
+    */
+  private def q57KmvSketch(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextFunctions.wsTokens(col("text"))).as("term"))
+    graft.functions.Sketches.kmvDistinct(
+      pairs, concat(col("doc_id").cast("string"), lit(":"), col("term")), k = 256)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -353,7 +419,10 @@ object ExtensionQueries {
     "q51_shared_spans" -> (q51SharedSpans _),
     "q52_quantized_ann" -> (q52QuantizedAnn _),
     "q53_boilerplate" -> (q53Boilerplate _),
-    "q54_epoch_mix" -> (q54EpochMix _)
+    "q54_epoch_mix" -> (q54EpochMix _),
+    "q55_asof" -> (q55Asof _),
+    "q56_interval" -> (q56Interval _),
+    "q57_kmv_sketch" -> (q57KmvSketch _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -760,6 +829,33 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, unnest(range(0, copies))::INT AS copy_idx
          |FROM b WHERE copies > 0""".stripMargin
     },
+    // DuckDB's native ASOF JOIN is the oracle for the union-and-carry form;
+    // -1 sentinels stand in for the no-prior-purchase nulls so the compare
+    // never depends on engine null/dtype coercion
+    "q55_asof" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  round(coalesce(r.p_value, -1), 4) AS prior_value,
+        |  coalesce((epoch_ns(l.ts) - epoch_ns(r.p_ts)) // 1000, -1)::BIGINT AS gap_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts""".stripMargin,
+    "q56_interval" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS w_start
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  ((epoch_ns(c.ts) - epoch_ns(p.w_start)) // 1000)::BIGINT AS gap_us
+        |FROM c JOIN p ON c.user_id = p.p_user
+        |  AND c.ts >= p.w_start AND c.ts < p.w_start + INTERVAL 2 HOUR""".stripMargin,
+    "q57_kmv_sketch" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |h AS (SELECT DISTINCT (${duckHash48("(doc_id::VARCHAR || ':' || term)")})::BIGINT AS hv FROM t),
+         |top AS (SELECT hv FROM h ORDER BY hv LIMIT 256)
+         |SELECT count(*)::BIGINT AS k_used, max(hv)::BIGINT AS kth_hash,
+         |  (CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+         |        ELSE (255::BIGINT << 48) // max(hv) END)::BIGINT AS est_distinct
+         |FROM top""".stripMargin,
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

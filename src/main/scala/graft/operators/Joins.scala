@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time joins the reference has no analogue for (SURVEY.md §2's
+  * exhaustiveness note: go-streams composes NO key joins) but that every
+  * event-time pipeline at scale needs: the as-of join (each left row picks
+  * the most recent right row at-or-before its timestamp) and the
+  * point-in-interval join — both expressed so they survive 100 TB.
+  *
+  * Neither uses a range predicate in the join condition: Catalyst plans a
+  * non-equi join as BroadcastNestedLoopJoin (fine only when one side is
+  * tiny) or a sort-merge with per-key scan amplification. Instead:
+  *
+  *  - [[asOf]] is the union-and-carry form: tag both inputs, union them,
+  *    and carry the latest right payload forward with one
+  *    `last(_, ignoreNulls)` window per key ordered by time. ONE hash
+  *    exchange on the key and one per-partition sort — the same cost as a
+  *    single sort-merge join — regardless of how many right rows precede
+  *    each left row. Both sides may be arbitrarily large; nothing is
+  *    broadcast, nothing is range-exploded.
+  *
+  *  - [[interval]] is the bucketed range join (the same decomposition
+  *    range-join hints apply in warehouse engines): intervals explode to
+  *    the fixed-width time buckets they overlap, points compute their one
+  *    bucket, and the match becomes a plain equi-join on (key, bucket)
+  *    plus an exact residual filter. Each (point, interval) pair meets in
+  *    exactly one bucket — the point's — so no post-join dedup is needed.
+  *    Shuffle volume is |points| + |intervals| · ceil(len/width), an
+  *    explicit knob instead of a hidden quadratic.
+  */
+object Joins {
+
+  /** As-of join: for each left row, the single right row with the greatest
+    * `rightTs <= leftTs` (or `< leftTs` when `strict`) and equal key.
+    * Left-outer semantics: unmatched left rows keep null payloads.
+    *
+    * The matched right timestamp is exposed as `matchedTs`. All left
+    * columns pass through unchanged; `payload` columns are pulled from the
+    * matched right row.
+    *
+    * The right side must be unique per (key, ts) — pre-aggregate if not
+    * (ties at equal (key, ts) would otherwise make "the" most recent row
+    * ill-defined in any engine).
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      matchedTs: String = "asof_ts",
+      strict: Boolean = false
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains(matchedTs) && !payload.exists(leftCols.contains),
+      s"as-of output columns (${(matchedTs +: payload).mkString(", ")}) collide with left columns")
+    // the right row travels as ONE non-null struct so that a legitimately
+    // null payload FIELD cannot make last(ignoreNulls) skip back to an
+    // older right row
+    val rStruct = struct(col(rightTs).as(matchedTs) +: payload.map(col): _*)
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
+        lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r") +:
+        leftCols.map(col): _*)
+    val r = right.select(
+      col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
+        rStruct.as("__r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // at equal ts the right row sorts before the left row (visible) unless
+    // strict, where the left row sorts first (same-instant rows excluded)
+    val order = if (strict) col("__side").desc else col("__side").asc
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t").asc, order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ (matchedTs +: payload).map(f => col(s"__m.$f").as(f)): _*)
+  }
+
+  /** Point-in-interval join: every (point, interval) pair with equal keys
+    * and `start <= pointTs < end`. Inner semantics — a point joining no
+    * interval is dropped; a point inside several intervals emits one row
+    * per interval.
+    *
+    * `bucketMicros` is the blocking granularity: pick it near the typical
+    * interval length so most intervals explode to ≤ 2 buckets. All point
+    * columns and all interval columns pass through (names must not
+    * collide).
+    */
+  def interval(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      pointTs: String,
+      start: String,
+      end: String,
+      bucketMicros: Long
+  ): DataFrame = {
+    require(bucketMicros > 0, "bucketMicros must be positive")
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
+    val p = points.withColumn("__pb", floor(unix_micros(col(pointTs)) / bucketMicros))
+    // [start, end): the last covered bucket is floor((end-1µs)/width);
+    // empty intervals (end <= start) explode to no buckets at all
+    val i = intervals
+      .filter(col(end) > col(start))
+      .withColumn("__ib", explode(sequence(
+        floor(unix_micros(col(start)) / bucketMicros),
+        floor((unix_micros(col(end)) - 1) / bucketMicros))))
+    p.join(i,
+        p("__pb") === i("__ib") &&
+          p(pointKey) === i(intervalKey) &&
+          p(pointTs) >= i(start) && p(pointTs) < i(end))
+      .drop("__pb", "__ib")
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.functions.Sketches
+import graft.operators.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (2L, 10L, ts("2024-01-01 12:00:00")),
+    (3L, 10L, ts("2024-01-01 09:00:00")), // before any right row
+    (4L, 20L, ts("2024-01-01 11:00:00")),
+    (5L, 30L, ts("2024-01-01 11:00:00"))  // key with no right rows at all
+  ).toDF("id", "k", "t")
+
+  private def rightDf = Seq(
+    (10L, ts("2024-01-01 09:30:00"), 1.0),
+    (10L, ts("2024-01-01 11:30:00"), 2.0),
+    (20L, ts("2024-01-01 11:00:00"), 7.0) // exactly at left #4's ts
+  ).toDF("rk", "rt", "v")
+
+  test("asOf picks the most recent right row at-or-before each left row") {
+    val out = Joins.asOf(leftDf, rightDf, "k", "rk", "t", "rt", Seq("v"))
+      .select($"id", $"v", $"asof_ts").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == 1.0)           // 10:00 sees the 09:30 row
+    assert(out(2L).getDouble(1) == 2.0)           // 12:00 sees the 11:30 row
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2)) // nothing before 09:00
+    assert(out(4L).getDouble(1) == 7.0)           // equal ts is visible
+    assert(out(5L).isNullAt(1))                   // key 30 never matches
+    assert(out(2L).getTimestamp(2) == ts("2024-01-01 11:30:00"))
+  }
+
+  test("asOf strict mode excludes the same-instant right row") {
+    val out = Joins.asOf(leftDf, rightDf, "k", "rk", "t", "rt", Seq("v"), strict = true)
+      .select($"id", $"v").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(4L).isNullAt(1)) // the 11:00 right row is no longer visible
+    assert(out(1L).getDouble(1) == 1.0) // strictly-before matches unaffected
+  }
+
+  test("asOf carries a null payload FIELD without skipping to an older row") {
+    val r = Seq((10L, ts("2024-01-01 09:30:00"), Some(1.0)),
+                (10L, ts("2024-01-01 11:30:00"), None))
+      .toDF("rk", "rt", "v")
+    val out = Joins.asOf(leftDf, r, "k", "rk", "t", "rt", Seq("v"))
+      .select($"id", $"v", $"asof_ts").collect().map(x => x.getLong(0) -> x).toMap
+    // left #2 (12:00) must match the 11:30 row even though its v is null —
+    // a last(v, ignoreNulls) over bare fields would wrongly fall back to 1.0
+    assert(out(2L).isNullAt(1))
+    assert(out(2L).getTimestamp(2) == ts("2024-01-01 11:30:00"))
+  }
+
+  test("asOf rejects output-column collisions and preserves left columns") {
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOf(leftDf.withColumnRenamed("id", "v"), rightDf, "k", "rk", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+    val cols = Joins.asOf(leftDf, rightDf, "k", "rk", "t", "rt", Seq("v")).columns.toSeq
+    assert(cols == Seq("id", "k", "t", "asof_ts", "v"))
+  }
+
+  test("asOf plans exactly one exchange — the key hash, shared by both sides") {
+    val plan = Joins.asOf(leftDf, rightDf, "k", "rk", "t", "rt", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  private def pointsDf = Seq(
+    (1L, 10L, ts("2024-01-01 10:00:00")),
+    (2L, 10L, ts("2024-01-01 11:59:59")),
+    (3L, 10L, ts("2024-01-01 12:00:00")), // exactly at an interval end
+    (4L, 20L, ts("2024-01-01 10:30:00"))  // right instant, wrong key
+  ).toDF("pid", "k", "t")
+
+  test("interval join honors [start, end) and the key, across bucket splits") {
+    // 2h interval with a 30min bucket: spans 4 buckets; each matching
+    // point must appear exactly once
+    val iv = Seq((100L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iid", "ik", "s", "e")
+    val out = Joins.interval(pointsDf, iv, "k", "ik", "t", "s", "e",
+        bucketMicros = 30L * 60 * 1000000)
+      .select($"pid").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // 3 excluded (end), 4 excluded (key); no dups
+  }
+
+  test("interval join emits one row per overlapping interval; empty intervals drop") {
+    val iv = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")),
+      (101L, 10L, ts("2024-01-01 09:30:00"), ts("2024-01-01 10:30:00")),
+      (102L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00")) // empty
+    ).toDF("iid", "ik", "s", "e")
+    val out = Joins.interval(pointsDf, iv, "k", "ik", "t", "s", "e",
+        bucketMicros = 3600L * 1000000)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 100L), (1L, 101L)))
+  }
+
+  test("interval join plans an equi-join, never a nested-loop product") {
+    val iv = Seq((100L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      .toDF("iid", "ik", "s", "e")
+    val plan = Joins.interval(pointsDf, iv, "k", "ik", "t", "s", "e", 3600L * 1000000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("KMV sketch: exact below k, deterministic, estimator within bounds above k") {
+    val small = (1 to 50).map(i => s"item-$i").toDF("x")
+    val exact = Sketches.kmvDistinct(small, $"x", k = 256).collect()(0)
+    assert(exact.getLong(0) == 50 && exact.getLong(2) == 50) // exact path
+
+    val big = (1 to 20000).map(i => s"item-${i % 5000}").toDF("x")
+    val est1 = Sketches.kmvDistinct(big, $"x", k = 256).collect()(0)
+    val est2 = Sketches.kmvDistinct(big.repartition(7), $"x", k = 256).collect()(0)
+    assert(est1 == est2, "sketch must not depend on partitioning")
+    assert(est1.getLong(0) == 256)
+    // 5000 distinct, k=256 => expected rel. error ~6%; 25% is a safe law
+    assert(math.abs(est1.getLong(2) - 5000L) < 1250, s"estimate ${est1.getLong(2)}")
+    intercept[IllegalArgumentException] { Sketches.kmvDistinct(small, $"x", k = 2) }
+  }
+}
