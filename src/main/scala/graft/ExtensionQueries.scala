@@ -382,6 +382,21 @@ object ExtensionQueries {
       pairs, concat(col("doc_id").cast("string"), lit(":"), col("term")), k = 256)
   }
 
+  /** Token-budget sampling: per-language token budgets consumed in
+    * deterministic salted-hash walk order; the oracle computes the same
+    * walk with one plain window (value-identical to the bucketed
+    * two-pass, since the bucket is the sort key's top bits) — see
+    * [[graft.curation.Assembly.tokenBudgetSample]].
+    */
+  private def q58TokenBudget(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.tokenBudgetSample(
+      Tables.documents(s, d), col("doc_id"), col("lang"),
+      TextFunctions.wsTokenCount(col("text")),
+      budgetByStratum = TokenBudgets, defaultBudget = 2500L)
+
+  private val TokenBudgets: Map[String, Long] =
+    Map("en" -> 6000L, "de" -> 2000L, "fr" -> 1500L, "es" -> 10000L)
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,7 +437,8 @@ object ExtensionQueries {
     "q54_epoch_mix" -> (q54EpochMix _),
     "q55_asof" -> (q55Asof _),
     "q56_interval" -> (q56Interval _),
-    "q57_kmv_sketch" -> (q57KmvSketch _)
+    "q57_kmv_sketch" -> (q57KmvSketch _),
+    "q58_token_budget" -> (q58TokenBudget _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -856,6 +872,17 @@ object ExtensionQueries {
          |  (CASE WHEN count(*) < 256 THEN count(*)::BIGINT
          |        ELSE (255::BIGINT << 48) // max(hv) END)::BIGINT AS est_distinct
          |FROM top""".stripMargin,
+    "q58_token_budget" -> {
+      val budgetCase = TokenBudgets.toSeq.sortBy(_._1)
+        .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, len($duckToks)::BIGINT AS n_tokens,
+         |  ${duckHash48("(doc_id::VARCHAR || ':budget-v1')")} AS sort_key FROM documents),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang
+         |        ORDER BY sort_key, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         |SELECT doc_id, lang AS stratum, n_tokens, cum::BIGINT AS cum_tokens
+         |FROM c WHERE cum <= (CASE lang $budgetCase ELSE 2500 END)""".stripMargin
+    },
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

@@ -190,4 +190,70 @@ object Assembly {
         col("sort_key"),
         (col("offset") + col("__rn")).as("global_pos"))
   }
+
+  /** Token-budget sampling: walk each stratum's documents in deterministic
+    * salted-hash order and keep rows while the running token total stays
+    * within the stratum's budget — "give me 50 B tokens of code and 10 B
+    * of forum text", the unit data recipes are actually written in
+    * (counts of documents are a proxy; budgets are tokens). The kept set
+    * is reproducible — the walk order is (id, salt)-determined, never
+    * partitioning-determined. Unlike [[stratifiedSample]] it is NOT
+    * growth-stable: a new row inserts into the walk at its hash position
+    * and can push rows after it over the budget. Pin the corpus version
+    * when the kept set must not move.
+    *
+    * The row that would cross the budget is dropped (strict `cum ≤
+    * budget`), so the kept total never exceeds the budget.
+    *
+    * Scale shape: the naive form — `sum(tokens) OVER (PARTITION BY
+    * stratum ORDER BY key)` — serializes each stratum through ONE task,
+    * and strata are exactly the skewed key (one language is half the
+    * corpus). Same cure as [[shuffleOrder]]: range-bucket the walk by the
+    * key's top bits, aggregate per-(stratum, bucket) token sums (a
+    * constant-size relation), turn those into per-bucket starting offsets
+    * with a broadcast self-join, and run the running sum only WITHIN each
+    * bucket — every pass is (stratum × bucket)-parallel.
+    */
+  def tokenBudgetSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      tokens: Column,
+      budgetByStratum: Map[String, Long],
+      defaultBudget: Long,
+      salt: String = "budget-v1",
+      nBuckets: Int = 256
+  ): DataFrame = {
+    require(defaultBudget >= 0 && budgetByStratum.values.forall(_ >= 0),
+      "token budgets must be non-negative")
+    require(nBuckets > 0 && nBuckets <= (1 << 24), "nBuckets must be in [1, 2^24]")
+    val shift = 48 - (32 - Integer.numberOfLeadingZeros(nBuckets - 1 max 1))
+    val keyed = df.select(
+      id.as("doc_id"), stratum.as("stratum"), tokens.cast("long").as("n_tokens"),
+      Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
+      .withColumn("__b", shiftright(col("sort_key"), shift).cast("int"))
+    // per-(stratum, bucket) token totals: ≤ strata·nBuckets rows, computed
+    // once (localCheckpoint) so the offset self-join cannot re-scan the corpus
+    val counts = keyed.groupBy(col("stratum"), col("__b"))
+      .agg(sum(col("n_tokens")).as("cnt"))
+      .localCheckpoint()
+    val offsets = counts.as("b")
+      .join(broadcast(counts.as("p")),
+        col("p.stratum") === col("b.stratum") && col("p.__b") < col("b.__b"), "left")
+      .groupBy(col("b.stratum").as("stratum"), col("b.__b").as("__b"))
+      .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
+    val budgetCol = budgetByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+        when(col("stratum") === s, lit(b)).otherwise(acc)
+      }
+    val w = Window.partitionBy(col("stratum"), col("__b"))
+      .orderBy(col("sort_key").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), Seq("stratum", "__b"))
+      .withColumn("cum_tokens", col("offset") + col("__run"))
+      .where(col("cum_tokens") <= budgetCol)
+      .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
+  }
 }

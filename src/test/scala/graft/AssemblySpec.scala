@@ -120,4 +120,34 @@ class AssemblySpec extends SparkSpec {
     val thisOne = rows.map(r => r._3 -> r._1).toMap
     assert(other != thisOne)
   }
+
+  test("tokenBudgetSample: never over budget, maximal prefix, equals the one-window form") {
+    import graft.functions.{Hashing, TextFunctions}
+    val budgets = Map("en" -> 500L, "fr" -> 100L)
+    val out = Assembly.tokenBudgetSample(
+        docs, col("doc_id"), col("lang"), TextFunctions.wsTokenCount(col("text")),
+        budgets, defaultBudget = 300L, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def budget(l: String) = budgets.getOrElse(l, 300L)
+    // kept totals never exceed the stratum budget
+    out.groupBy(_._2).foreach { case (l, rows) =>
+      assert(rows.map(_._3).sum <= budget(l), s"stratum $l over budget")
+      assert(rows.map(_._4).max <= budget(l))
+    }
+    // value-identical to the naive single-window running sum (the bucketed
+    // two-pass must not change the walk or the cut)
+    val naive = docs.select(
+        col("doc_id"), col("lang"),
+        TextFunctions.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+        Hashing.hash48(concat(col("doc_id").cast("string"), lit(":budget-v1"))).as("k"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("k").asc, col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+      .filter { case (_, l, _, cum) => cum <= budget(l) }
+    assert(out.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
+  }
 }
