@@ -119,4 +119,39 @@ object Joins {
           p(pointTs) >= i(start) && p(pointTs) < i(end))
       .drop("__pb", "__ib")
   }
+
+  /** Streaming point-in-interval join — the unbounded form of [[interval]],
+    * expressed so Structured Streaming can BOUND ITS STATE. Both inputs
+    * must carry a watermark (`withWatermark`) on their respective time
+    * columns. `maxLength` (e.g. `"2 hours"`) promises an upper bound on
+    * every interval's length; it becomes the second time constraint
+    * (`pointTs < start + maxLength`) that lets Spark compute, from the two
+    * watermarks, when a buffered row can never match again and evict it.
+    * Without that bound the exact residual `pointTs < end` alone would
+    * force both sides' state to grow forever (end is an arbitrary column;
+    * the engine cannot reason about it).
+    *
+    * Intervals longer than `maxLength` are truncated by the constraint —
+    * matches past `start + maxLength` are dropped, so the bound is a
+    * correctness contract, not a hint.
+    *
+    * No bucketing here: the streaming state store already partitions by
+    * the join key, and the watermark — not a bucket width — is what caps
+    * memory. Inner semantics, append output mode.
+    */
+  def intervalStream(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      pointTs: String,
+      start: String,
+      end: String,
+      maxLength: String
+  ): DataFrame =
+    points.join(intervals,
+      points(pointKey) === intervals(intervalKey) &&
+        points(pointTs) >= intervals(start) &&
+        points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
+        points(pointTs) < intervals(end))
 }

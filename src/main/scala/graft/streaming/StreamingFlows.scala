@@ -34,6 +34,85 @@ object StreamingFlows {
     * the stateful operators need streaming-specific forms below.
     */
 
+  /** Streaming as-of join — the unbounded form of
+    * [[graft.operators.Joins.asOf]]: each left element matches the most
+    * recent right element at-or-before its event time with the same key,
+    * EXACTLY — results are emitted only once the watermark passes the
+    * left element's timestamp, at which point every right element at or
+    * before it has arrived (or was late beyond `delay` and is excluded by
+    * the watermark contract, as in every event-time operator).
+    *
+    * Neither native stream-stream join covers this: an interval join
+    * emits ALL rights in a range, not the latest one, and can't reach
+    * arbitrarily far back. So this is the `flatMapGroupsWithState` case:
+    * per key, buffer lefts until they're watermark-final, keep rights
+    * still inside the watermark window PLUS the single latest finalized
+    * right — the one row that may match arbitrarily far-future lefts.
+    * Per-key state is therefore bounded by the delay window + 1 row,
+    * and it is the +1 that makes the reach-back exact without retaining
+    * history.
+    *
+    * Contract: right elements are unique per (key, timestamp) — same as
+    * the batch form. Emission: on the micro-batch after the watermark
+    * passes the left's timestamp (an event-time timer flushes keys that
+    * receive no further input). Append mode only.
+    */
+  def asOf[K: Encoder, L: Encoder, R: Encoder, O: Encoder](
+      left: Dataset[L],
+      right: Dataset[R],
+      leftKey: L => K,
+      rightKey: R => K,
+      leftTs: L => java.sql.Timestamp,
+      rightTs: R => java.sql.Timestamp,
+      delay: String,
+      combine: (L, Option[R]) => O
+  ): Dataset[O] = {
+    import org.apache.spark.sql.Encoders
+    type Env = (K, java.sql.Timestamp, Int, L, R)
+    implicit val envEnc: Encoder[Env] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.TIMESTAMP, Encoders.scalaInt,
+      implicitly[Encoder[L]], implicitly[Encoder[R]])
+    // (pending lefts, buffered rights) as (eventTimeMs, element) lists;
+    // kryo because the state never crosses engines — it lives and dies in
+    // the state store
+    type S = (List[(Long, L)], List[(Long, R)])
+    implicit val stateEnc: Encoder[S] = Encoders.kryo[S]
+
+    val lEnv = left.map(l => (leftKey(l), leftTs(l), 1, l, null.asInstanceOf[R]))
+    val rEnv = right.map(r => (rightKey(r), rightTs(r), 0, null.asInstanceOf[L], r))
+    lEnv.union(rEnv)
+      .withWatermark("_2", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
+        var (pending, rights) = state.getOption.getOrElse((Nil, Nil): S)
+        values.foreach { env =>
+          if (env._3 == 1) pending = (env._2.getTime, env._4) :: pending
+          else rights = (env._2.getTime, env._5) :: rights
+        }
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, stillPending) = pending.partition(_._1 <= wm)
+        val rightsDesc = rights.sortBy(-_._1)
+        val out = ready.sortBy(_._1).map { case (lts, l) =>
+          combine(l, rightsDesc.find(_._1 <= lts).map(_._2))
+        }
+        // evict finalized rights, retaining only the latest — the one row
+        // future lefts can still reach back to
+        val (live, done) = rightsDesc.partition(_._1 > wm)
+        val kept = live ++ done.take(1)
+        if (stillPending.isEmpty && kept.isEmpty) state.remove()
+        else {
+          state.update((stillPending, kept))
+          // flush pending lefts even if this key never sees input again;
+          // min pending ts > wm by construction, as the API requires
+          if (stillPending.nonEmpty)
+            state.setTimeoutTimestamp(stillPending.map(_._1).min)
+        }
+        out.iterator
+      }
+  }
+
   /** Event-time tumbling window with lateness bound. */
   def tumbling(
       tsName: String,

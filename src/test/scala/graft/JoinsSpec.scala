@@ -105,6 +105,94 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("intervalStream joins two live streams with watermark-bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val iIn = MemoryStream[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+    val points = pIn.toDF().toDF("pid", "k", "t").withWatermark("t", "10 minutes")
+    val intervals = iIn.toDF().toDF("iid", "ik", "s", "e").withWatermark("s", "10 minutes")
+    // the query STARTING proves Spark accepted the state bound (an
+    // unconstrained stream-stream join fails at analysis)
+    val joined = Joins.intervalStream(points, intervals, "k", "ik", "t", "s", "e", "2 hours")
+    val q = joined.writeStream.format("memory").queryName("ivs_out").outputMode("append").start()
+    try {
+      pIn.addData(
+        (1L, 10L, ts("2024-01-01 10:30:00")),
+        (2L, 10L, ts("2024-01-01 13:00:00")), // past the interval end
+        (3L, 20L, ts("2024-01-01 10:30:00"))) // wrong key
+      iIn.addData((100L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivs_out").select($"pid", $"iid").as[(Long, Long)].collect()
+      assert(got.toSeq == Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("streaming asOf matches each left to the latest finalized right, exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]          // (id, key, ts)
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]        // (key, ts, value)
+    val joined = graft.streaming.StreamingFlows.asOf[Long,
+        (Long, Long, java.sql.Timestamp), (Long, java.sql.Timestamp, Double),
+        (Long, Double)](
+      lIn.toDS(), rIn.toDS(),
+      _._2, _._1, _._3, _._2,
+      delay = "10 minutes",
+      (l, r) => (l._1, r.map(_._3).getOrElse(-1.0)))
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: rights at 09:30 (v=1.0) and 11:30 (v=2.0); lefts at 10:00,
+      // 12:00, 09:00 — nothing final yet (watermark still at epoch)
+      rIn.addData((10L, ts("2024-01-01 09:30:00"), 1.0), (10L, ts("2024-01-01 11:30:00"), 2.0))
+      lIn.addData((1L, 10L, ts("2024-01-01 10:00:00")),
+                  (2L, 10L, ts("2024-01-01 12:00:00")),
+                  (3L, 10L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      // batch 2: advance the watermark past every left (13:00 - 10min)
+      rIn.addData((99L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      // one more batch so the event-time timer fires for key 10
+      rIn.addData((99L, ts("2024-01-01 13:01:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_out").as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> -1.0))
+    } finally q.stop()
+  }
+
+  test("streaming asOf reaches back past the watermark via the retained right") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingFlows.asOf[Long,
+        (Long, Long, java.sql.Timestamp), (Long, java.sql.Timestamp, Double),
+        (Long, Double)](
+      lIn.toDS(), rIn.toDS(),
+      _._2, _._1, _._3, _._2,
+      delay = "1 minute",
+      (l, r) => (l._1, r.map(_._3).getOrElse(-1.0)))
+    val q = joined.writeStream.format("memory").queryName("asof_back")
+      .outputMode("append").start()
+    try {
+      // the right at 09:00 finalizes long before the left at 12:00 arrives;
+      // only the retained-latest-right row can still serve it
+      rIn.addData((10L, ts("2024-01-01 09:00:00"), 7.0))
+      q.processAllAvailable()
+      rIn.addData((10L, ts("2024-01-01 11:00:00"), 8.0)) // watermark → 10:59
+      q.processAllAvailable()
+      lIn.addData((1L, 10L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      rIn.addData((99L, ts("2024-01-01 12:30:00"), 0.0)) // advance + timer
+      q.processAllAvailable()
+      rIn.addData((99L, ts("2024-01-01 12:31:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_back").as[(Long, Double)].collect().toMap
+      assert(got == Map(1L -> 8.0)) // the RETAINED 11:00 right, not the evicted 09:00
+    } finally q.stop()
+  }
+
   test("KMV sketch: exact below k, deterministic, estimator within bounds above k") {
     val small = (1 to 50).map(i => s"item-$i").toDF("x")
     val exact = Sketches.kmvDistinct(small, $"x", k = 256).collect()(0)
