@@ -397,6 +397,14 @@ object ExtensionQueries {
   private val TokenBudgets: Map[String, Long] =
     Map("en" -> 6000L, "de" -> 2000L, "fr" -> 1500L, "es" -> 10000L)
 
+  /** Token-length histogram with cumulative fractions — the one-pass
+    * quantile surface filter thresholds are calibrated from — see
+    * [[graft.curation.Corpus.histogram]].
+    */
+  private def q59LengthHistogram(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.histogram(
+      Tables.documents(s, d), TextFunctions.wsTokenCount(col("text")), binWidth = 10L)
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -438,7 +446,8 @@ object ExtensionQueries {
     "q55_asof" -> (q55Asof _),
     "q56_interval" -> (q56Interval _),
     "q57_kmv_sketch" -> (q57KmvSketch _),
-    "q58_token_budget" -> (q58TokenBudget _)
+    "q58_token_budget" -> (q58TokenBudget _),
+    "q59_length_histogram" -> (q59LengthHistogram _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -883,6 +892,13 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, n_tokens, cum::BIGINT AS cum_tokens
          |FROM c WHERE cum <= (CASE lang $budgetCase ELSE 2500 END)""".stripMargin
     },
+    "q59_length_histogram" ->
+      s"""WITH m AS (SELECT (len($duckToks) // 10) * 10 AS bin_lo FROM documents),
+         |b AS (SELECT bin_lo::BIGINT AS bin_lo, count(*)::BIGINT AS n_docs FROM m GROUP BY 1)
+         |SELECT bin_lo, n_docs,
+         |  round(sum(n_docs) OVER (ORDER BY bin_lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |        / (SELECT sum(n_docs) FROM b), 6) AS cum_frac
+         |FROM b""".stripMargin,
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

@@ -150,4 +150,43 @@ object Corpus {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
   }
+
+  /** Fixed-width histogram of a per-document measure (token count, quality
+    * score scaled to int, …) with cumulative document fractions — how
+    * length/quality filter thresholds are actually calibrated at corpus
+    * scale: any quantile reads off the `cum_frac` column with `binWidth`
+    * resolution, from ONE aggregation pass. The exact alternative
+    * (`percentile` / a global sort) shuffles the corpus; this shuffles the
+    * ≤ #bins histogram.
+    *
+    * Bins are `[lo, lo + binWidth)`, `bin_lo = floor(m / binWidth) ·
+    * binWidth` (negatives land correctly via floor). Exact integer counts
+    * and a rounded fraction — deterministic in every engine, no
+    * interpolation rule to disagree on.
+    *
+    * Plan shape: per-row bin expression → map-side-combined count on the
+    * bin key (the exchange carries bins, not documents) → running-sum
+    * window over the single tiny bin relation.
+    */
+  def histogram(
+      docs: DataFrame,
+      measure: Column,
+      binWidth: Long
+  ): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bins = docs
+      .select((floor(measure.cast("long") / binWidth) * binWidth).as("bin_lo"))
+      .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_docs"))
+    // #bins rows: the unpartitioned running-sum window is bounded by the
+    // measure's range / binWidth, never by the corpus
+    val w = Window.orderBy(col("bin_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sum(col("n_docs")).over(
+      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    bins
+      .select(
+        col("bin_lo"),
+        col("n_docs"),
+        round(sum(col("n_docs")).over(w) / total, 6).as("cum_frac"))
+  }
 }

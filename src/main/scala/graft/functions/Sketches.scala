@@ -9,38 +9,21 @@ import org.apache.spark.sql.functions._
   * so it can't be cross-checked, persisted for reuse by another stack, or
   * diffed across runs of different engines. The KMV (k-minimum-values)
   * sketch is the engine-portable alternative a shared data platform wants:
-  * its state is just the k smallest distinct 48-bit content hashes, so any
-  * engine with md5 reproduces it bit-for-bit, and two sketches union by
-  * merging hash lists.
+  * its state is just the k smallest distinct 48-bit content hashes
+  * ([[kmvState]]), any engine with md5 reproduces it bit-for-bit, and
+  * sketches of disjoint shards merge losslessly ([[kmvUnion]]) — compute
+  * one sketch per data drop, union them at read time, never rescan.
   */
 object Sketches {
 
-  /** KMV distinct-count estimate of `item` over `df`, as a single row
-    * `(k_used, kth_hash, est_distinct)`.
-    *
-    * Estimator: with the k-th smallest of the distinct hashes at `h_k`
-    * (uniform on [0, 2^48)), the distinct count is ≈ (k-1) · 2^48 / h_k —
-    * computed in exact integer arithmetic so every engine lands on the
-    * same number. When fewer than k distinct hashes exist the sketch is
-    * the exact distinct count. Expected relative error ~ 1/sqrt(k-2);
-    * k=256 ⇒ ~6%.
-    *
-    * Scale shape: the explode is collapsed to DISTINCT HASHES with
-    * map-side partial aggregation before anything shuffles — the exchange
-    * carries O(distinct-per-partition) 8-byte rows, not the corpus — and
-    * the global k-smallest runs as `TakeOrderedAndProject` (each task
-    * ships its local top-k, never its hash set). The driver touches k
-    * longs. At 100 TB the bottleneck is the scan, as it should be.
+  /** Estimator law: with the k-th smallest of the distinct hashes at
+    * `h_k` (uniform on [0, 2^48)), distinct ≈ (k-1)·2^48 / h_k — exact
+    * integer arithmetic so every engine lands on the same number. Fewer
+    * than k distinct hashes ⇒ the count itself, exact. Expected relative
+    * error ~ 1/sqrt(k-2); k=256 ⇒ ~6%.
     */
-  def kmvDistinct(df: DataFrame, item: Column, k: Int = 256): DataFrame = {
-    require(k >= 3, s"KMV needs k >= 3 for a finite estimator, got $k")
-    require(k <= (1 << 20), s"KMV k=$k is past any useful accuracy/cost point")
-    df.select(Hashing.hash48(item).as("h"))
-      .groupBy(col("h")).agg(count(lit(1))) // distinct with partial agg
-      .select(col("h"))
-      .orderBy(col("h"))
-      .limit(k)
-      .agg(
+  private def summarize(top: DataFrame, k: Int): DataFrame =
+    top.agg(
         count(lit(1)).as("k_used"),
         max(col("h")).as("kth_hash"))
       .select(
@@ -51,5 +34,51 @@ object Sketches {
           // differently than DuckDB's `//`
           .otherwise(expr(s"CAST(${(k - 1).toLong << 48}L DIV kth_hash AS BIGINT)"))
           .as("est_distinct"))
+
+  /** The k smallest DISTINCT values of a hash column named `h`.
+    *
+    * Scale shape: distinct-by-hash with map-side partial aggregation (the
+    * exchange carries O(distinct-per-partition) 8-byte rows, never the
+    * corpus), then `TakeOrderedAndProject` — each task ships its local
+    * top-k, the driver touches k longs. At 100 TB the bottleneck is the
+    * scan, as it should be.
+    */
+  private def kSmallestDistinct(hashes: DataFrame, k: Int): DataFrame =
+    hashes.distinct().orderBy(col("h")).limit(k)
+
+  private def requireK(k: Int): Unit = {
+    require(k >= 3, s"KMV needs k >= 3 for a finite estimator, got $k")
+    require(k <= (1 << 20), s"KMV k=$k is past any useful accuracy/cost point")
+  }
+
+  /** KMV distinct-count estimate of `item` over `df`, as a single row
+    * `(k_used, kth_hash, est_distinct)`.
+    */
+  def kmvDistinct(df: DataFrame, item: Column, k: Int = 256): DataFrame = {
+    requireK(k)
+    summarize(kSmallestDistinct(df.select(Hashing.hash48(item).as("h")), k), k)
+  }
+
+  /** The sketch STATE: one row holding the k smallest distinct hashes of
+    * `item`, ascending. Persist this per shard/partition/day; it is the
+    * unit [[kmvUnion]] merges, and it is plain `array<bigint>` — readable
+    * by any engine.
+    */
+  def kmvState(df: DataFrame, item: Column, k: Int = 256): DataFrame = {
+    requireK(k)
+    kSmallestDistinct(df.select(Hashing.hash48(item).as("h")), k)
+      .agg(sort_array(collect_list(col("h"))).as("hashes"))
+  }
+
+  /** Merge sketch states (a DataFrame of `hashes` array rows, any number)
+    * into the summary the union of their inputs would have produced:
+    * the k smallest distinct hashes of a union are a subset of the union
+    * of each side's k smallest, so the merge is LOSSLESS — bit-identical
+    * to sketching the concatenated inputs (spec-asserted law). All
+    * states must have been built with the same `k` and item hashing.
+    */
+  def kmvUnion(states: DataFrame, k: Int = 256): DataFrame = {
+    requireK(k)
+    summarize(kSmallestDistinct(states.select(explode(col("hashes")).as("h")), k), k)
   }
 }

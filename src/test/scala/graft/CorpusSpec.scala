@@ -155,4 +155,16 @@ class CorpusSpec extends SparkSpec {
       .intersect(spans.select("fingerprint"))
     assert(withDoc3.isEmpty)
   }
+
+  test("histogram: counts conserve rows, cum_frac is monotone to 1, floor bins negatives") {
+    val df = Seq(-7L, -1L, 0L, 3L, 9L, 10L, 10L, 25L, 999L).toDF("m")
+    val h = Corpus.histogram(df, col("m"), binWidth = 10L)
+      .orderBy("bin_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(h.map(_._2).sum == 9L)
+    assert(h.map(_._1).toSeq == Seq(-10L, 0L, 10L, 20L, 990L)) // floor, not trunc
+    assert(h.head == ((-10L, 2L, 0.222222))) // -7 and -1 both bin at [-10, 0)
+    assert(h.map(_._3).toSeq == h.map(_._3).sorted.toSeq && h.last._3 == 1.0)
+    intercept[IllegalArgumentException] { Corpus.histogram(df, col("m"), 0L) }
+  }
 }

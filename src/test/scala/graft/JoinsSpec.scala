@@ -207,4 +207,14 @@ class JoinsSpec extends SparkSpec {
     assert(math.abs(est1.getLong(2) - 5000L) < 1250, s"estimate ${est1.getLong(2)}")
     intercept[IllegalArgumentException] { Sketches.kmvDistinct(small, $"x", k = 2) }
   }
+
+  test("KMV merge law: union of shard states == sketch of the concatenated data") {
+    val shardA = (1 to 8000).map(i => s"item-${i % 3000}").toDF("x")
+    val shardB = (2000 to 12000).map(i => s"item-${i % 4000}").toDF("x")
+    val merged = Sketches.kmvUnion(
+      Sketches.kmvState(shardA, $"x", k = 128)
+        .unionAll(Sketches.kmvState(shardB, $"x", k = 128)), k = 128)
+    val direct = Sketches.kmvDistinct(shardA.unionAll(shardB), $"x", k = 128)
+    assert(merged.collect()(0) == direct.collect()(0)) // bit-identical, not approximately
+  }
 }
