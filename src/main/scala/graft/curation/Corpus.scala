@@ -165,8 +165,12 @@ object Corpus {
     * interpolation rule to disagree on.
     *
     * Plan shape: per-row bin expression → map-side-combined count on the
-    * bin key (the exchange carries bins, not documents) → running-sum
-    * window over the single tiny bin relation.
+    * bin key (the exchange carries bins, not documents) → cumulative sums
+    * via a broadcast non-equi self-join on the CONSTANT-size bin relation
+    * (the [[Assembly.shuffleOrder]] offsets pattern) — an ordered running
+    * window would plan a single-partition exchange instead; O(B²) on ≤
+    * #bins rows beats a serialization point as a habit, and the
+    * `localCheckpoint` keeps the self-join from re-scanning the corpus.
     */
   def histogram(
       docs: DataFrame,
@@ -177,16 +181,16 @@ object Corpus {
     val bins = docs
       .select((floor(measure.cast("long") / binWidth) * binWidth).as("bin_lo"))
       .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_docs"))
-    // #bins rows: the unpartitioned running-sum window is bounded by the
-    // measure's range / binWidth, never by the corpus
-    val w = Window.orderBy(col("bin_lo"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val total = sum(col("n_docs")).over(
-      Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    bins
+      .localCheckpoint()
+    val total = bins.agg(sum(col("n_docs")).as("total"))
+    bins.as("b")
+      .join(broadcast(bins.as("p")), col("p.bin_lo") <= col("b.bin_lo"))
+      .groupBy(col("b.bin_lo").as("bin_lo"), col("b.n_docs").as("n_docs"))
+      .agg(sum(col("p.n_docs")).as("__cum"))
+      .crossJoin(broadcast(total))
       .select(
         col("bin_lo"),
         col("n_docs"),
-        round(sum(col("n_docs")).over(w) / total, 6).as("cum_frac"))
+        round(col("__cum") / col("total"), 6).as("cum_frac"))
   }
 }

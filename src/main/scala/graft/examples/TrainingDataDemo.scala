@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *   language filter → quality + repetition filters → exact dedup →
   *   MinHash-LSH near-dup pairs → connected-component clusters →
   *   keeper selection → surprisal filter → train/val/test split →
-  *   token accounting.
+  *   length-threshold calibration (histogram) → token-budget sampling →
+  *   token accounting + distinct-token sketch.
   *
   * Every stage is one of the gated operators; the whole pipeline is a
   * single lazy Catalyst plan per action, and at 100 TB each stage keeps
@@ -56,19 +57,39 @@ object TrainingDataDemo {
     val train = informative.join(
       split.where(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // 6. token accounting over the train split
-    val stats = train.agg(
+    // 6. calibrate a min-length threshold from the histogram (the p10
+    // bin floor: first bin where the cumulative fraction clears 10%) —
+    // a one-pass aggregate over bins, never a corpus sort
+    val hist = graft.curation.Corpus.histogram(
+      train, TextFunctions.wsTokenCount(col("text")), binWidth = 5L)
+    val minLen = hist.where(col("cum_frac") >= 0.10)
+      .agg(min(col("bin_lo"))).head().getLong(0)
+    val sized = train.where(TextFunctions.wsTokenCount(col("text")) >= minLen)
+
+    // 7. token-budget sampling: the recipe is written in tokens
+    val budgeted = sized.join(
+      graft.curation.Assembly.tokenBudgetSample(
+          sized, col("doc_id"), lit("en"), TextFunctions.wsTokenCount(col("text")),
+          budgetByStratum = Map.empty, defaultBudget = 5000L)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+
+    // 8. token accounting + portable distinct-token sketch
+    val stats = budgeted.agg(
       count(lit(1)).as("docs"),
       sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
       sum(TextFunctions.regexTokenCount(col("text")).cast("long")).as("bpe_tokens"))
+    val sketch = graft.functions.Sketches.kmvDistinct(
+      budgeted.select(explode(TextFunctions.wsTokens(col("text"))).as("t")), col("t"))
 
     println(s"DEMO_INPUT_DOCS=${docs.count()}")
     println(s"DEMO_ENGLISH_DOCS=${english.count()}")
     println(s"DEMO_CLEAN_DOCS=${clean.count()}")
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
     println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_INFORMATIVE_DOCS=${informative.count()}")
+    println(s"DEMO_MIN_LEN=$minLen DEMO_BUDGETED_DOCS=${budgeted.count()}")
     val row = stats.head()
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
+    println(s"DEMO_DISTINCT_TOKENS_EST=${sketch.head().getLong(2)}")
     spark.stop()
   }
 }
