@@ -94,6 +94,17 @@ class PlanShapeSpec extends SparkSpec {
     val p46 = plan("q46_shuffle_order")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p46).size == 1, p46)
     assert("\\(\\d+\\) Exchange".r.findAllIn(p46).size <= 2, p46)
+    // token budget: same two-pass shape as q46 — one scan (partial sums
+    // checkpointed, not re-aggregated) and the bucket window + tiny
+    // offsets exchanges
+    val p58 = plan("q58_token_budget")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p58).size == 1, p58)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p58).size <= 2, p58)
+    // histogram: cumulative sums via the broadcast bin self-join — the
+    // corpus is scanned/aggregated ONCE (checkpoint), and nothing plans a
+    // single-partition exchange (the global gate above also asserts this)
+    val p59 = plan("q59_length_histogram")
+    assert(!p59.contains("Scan parquet"), p59) // bins come from the checkpoint
   }
 
   test("pair pipelines: exchange counts bounded (bucket shuffle + pair distinct only)") {
