@@ -178,4 +178,56 @@ class PropertySpec extends SparkSpec {
     assert(err.getMessage.contains("8190"))
   }
 
+  // dense key/time ranges force heavy collisions: many rights per left,
+  // equal-timestamp ties, keys with no rights at all
+  private val asofEvents = Gen.zip(
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 50L))),
+    Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 50L))))
+
+  test("as-of law: union-and-carry == brute-force latest-at-or-before on random data") {
+    import graft.operators.Joins
+    samples(asofEvents, 5).foreach { case (ls, rsRaw) =>
+      // right unique per (key, ts) — the operator's contract
+      val rs = rsRaw.distinct.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("id", "k", "t")
+      val right = rs.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000), v) }
+        .toDF("rk", "rt", "v")
+      for (strict <- Seq(false, true)) {
+        val got = Joins.asOf(left, right, "k", "rk", "t", "rt", Seq("v"), strict = strict)
+          .select($"id", $"v").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+        val want = ls.zipWithIndex.map { case ((k, t), i) =>
+          val cands = rs.filter(r => r._1 == k && (if (strict) r._2 < t else r._2 <= t))
+          i.toLong -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+        }.toMap
+        assert(got == want, s"strict=$strict")
+      }
+    }
+  }
+
+  test("interval law: bucketed join == brute-force range scan, any bucket width") {
+    import graft.operators.Joins
+    samples(asofEvents, 5).foreach { case (ps, ivRaw) =>
+      val ivs = ivRaw.zipWithIndex.map { case ((k, s), i) =>
+        (i.toLong, k, s, s + (i % 7)) } // lengths 0..6 (incl. empty)
+      val points = ps.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, new java.sql.Timestamp(t * 1000)) }
+        .toDF("pid", "k", "t")
+      val intervals = ivs.map { case (id, k, s, e) =>
+        (id, k, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000)) }
+        .toDF("iid", "ik", "s", "e")
+      val want = (for {
+        (pid, pk, pt) <- ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        (iid, ik, s, e) <- ivs if ik == pk && pt >= s && pt < e
+      } yield (pid, iid)).sorted
+      for (width <- Seq(1L, 3L, 1000L)) { // seconds: smaller, similar, larger than lengths
+        val got = Joins.interval(points, intervals, "k", "ik", "t", "s", "e",
+            bucketMicros = width * 1000000)
+          .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"width=$width")
+      }
+    }
+  }
 }
