@@ -397,6 +397,29 @@ object ExtensionQueries {
   private val TokenBudgets: Map[String, Long] =
     Map("en" -> 6000L, "de" -> 2000L, "fr" -> 1500L, "es" -> 10000L)
 
+  /** Forward as-of: each signup matched to the user's EARLIEST purchase
+    * at-or-after it — time-to-conversion, the mirror of q55's direction.
+    * Oracle: DuckDB ASOF with the inequality flipped (`l.ts <= r.ts`
+    * picks the nearest following row).
+    */
+  private def q60AsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    graft.operators.Joins.asOf(
+        signups, purchases, "user_id", "p_user", "ts", "p_ts", Seq("p_value"),
+        direction = "forward")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(coalesce(col("p_value"), lit(-1.0)), 4).as("next_value"),
+        coalesce(unix_micros(col("asof_ts")) - unix_micros(col("ts")), lit(-1L))
+          .as("wait_us"))
+  }
+
   /** Token-length histogram with cumulative fractions — the one-pass
     * quantile surface filter thresholds are calibrated from — see
     * [[graft.curation.Corpus.histogram]].
@@ -447,7 +470,8 @@ object ExtensionQueries {
     "q56_interval" -> (q56Interval _),
     "q57_kmv_sketch" -> (q57KmvSketch _),
     "q58_token_budget" -> (q58TokenBudget _),
-    "q59_length_histogram" -> (q59LengthHistogram _)
+    "q59_length_histogram" -> (q59LengthHistogram _),
+    "q60_asof_forward" -> (q60AsofForward _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -892,6 +916,14 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, n_tokens, cum::BIGINT AS cum_tokens
          |FROM c WHERE cum <= (CASE lang $budgetCase ELSE 2500 END)""".stripMargin
     },
+    "q60_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+        |r AS (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |  round(coalesce(r.p_value, -1), 4) AS next_value,
+        |  coalesce((epoch_ns(r.p_ts) - epoch_ns(l.ts)) // 1000, -1)::BIGINT AS wait_us
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts <= r.p_ts""".stripMargin,
     "q59_length_histogram" ->
       s"""WITH m AS (SELECT (len($duckToks) // 10) * 10 AS bin_lo FROM documents),
          |b AS (SELECT bin_lo::BIGINT AS bin_lo, count(*)::BIGINT AS n_docs FROM m GROUP BY 1)

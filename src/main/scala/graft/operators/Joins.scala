@@ -33,16 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for each left row, the single right row with the greatest
-    * `rightTs <= leftTs` (or `< leftTs` when `strict`) and equal key.
-    * Left-outer semantics: unmatched left rows keep null payloads.
+  /** As-of join: for each left row, the single nearest right row with
+    * equal key — `backward` (default) takes the greatest `rightTs <=
+    * leftTs`, `forward` the smallest `rightTs >= leftTs`; `strict` makes
+    * the comparison exclusive. Left-outer semantics: unmatched left rows
+    * keep null payloads.
     *
     * The matched right timestamp is exposed as `matchedTs`. All left
     * columns pass through unchanged; `payload` columns are pulled from the
     * matched right row.
     *
     * The right side must be unique per (key, ts) — pre-aggregate if not
-    * (ties at equal (key, ts) would otherwise make "the" most recent row
+    * (ties at equal (key, ts) would otherwise make "the" nearest row
     * ill-defined in any engine).
     */
   def asOf(
@@ -54,8 +56,11 @@ object Joins {
       rightTs: String,
       payload: Seq[String],
       matchedTs: String = "asof_ts",
-      strict: Boolean = false
+      strict: Boolean = false,
+      direction: String = "backward"
   ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be 'backward' or 'forward', got '$direction'")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(matchedTs) && !payload.exists(leftCols.contains),
       s"as-of output columns (${(matchedTs +: payload).mkString(", ")}) collide with left columns")
@@ -71,13 +76,22 @@ object Joins {
       col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
         rStruct.as("__r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    // at equal ts the right row sorts before the left row (visible) unless
-    // strict, where the left row sorts first (same-instant rows excluded)
-    val order = if (strict) col("__side").desc else col("__side").asc
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t").asc, order)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // at equal ts the right row sorts on the VISIBLE side of the left row
+    // (before it when looking backward, after it when looking forward)
+    // unless strict, where it sorts on the excluded side
+    val backward = direction == "backward"
+    val rightFirst = backward != strict
+    val order = if (rightFirst) col("__side").asc else col("__side").desc
+    val w0 = Window.partitionBy(col("__k")).orderBy(col("__t").asc, order)
+    val carried =
+      if (backward)
+        last(col("__r"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col("__r"), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     l.unionByName(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__m", carried)
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ (matchedTs +: payload).map(f => col(s"__m.$f").as(f)): _*)
   }

@@ -194,15 +194,25 @@ class PropertySpec extends SparkSpec {
         .toDF("id", "k", "t")
       val right = rs.map { case (k, t, v) => (k, new java.sql.Timestamp(t * 1000), v) }
         .toDF("rk", "rt", "v")
-      for (strict <- Seq(false, true)) {
-        val got = Joins.asOf(left, right, "k", "rk", "t", "rt", Seq("v"), strict = strict)
+      for (strict <- Seq(false, true); dir <- Seq("backward", "forward")) {
+        val got = Joins.asOf(left, right, "k", "rk", "t", "rt", Seq("v"),
+            strict = strict, direction = dir)
           .select($"id", $"v").collect()
           .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
         val want = ls.zipWithIndex.map { case ((k, t), i) =>
-          val cands = rs.filter(r => r._1 == k && (if (strict) r._2 < t else r._2 <= t))
-          i.toLong -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+          val cands = rs.filter { r =>
+            r._1 == k && ((dir, strict) match {
+              case ("backward", false) => r._2 <= t
+              case ("backward", true)  => r._2 < t
+              case ("forward", false)  => r._2 >= t
+              case _                   => r._2 > t
+            })
+          }
+          val pick = if (cands.isEmpty) None
+            else Some((if (dir == "backward") cands.maxBy(_._2) else cands.minBy(_._2))._3)
+          i.toLong -> pick
         }.toMap
-        assert(got == want, s"strict=$strict")
+        assert(got == want, s"strict=$strict dir=$dir")
       }
     }
   }
