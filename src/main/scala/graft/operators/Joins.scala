@@ -102,9 +102,13 @@ object Joins {
     * per interval.
     *
     * `bucketMicros` is the blocking granularity: pick it near the typical
-    * interval length so most intervals explode to ≤ 2 buckets. All point
-    * columns and all interval columns pass through (names must not
-    * collide).
+    * interval length so most intervals explode to ≤ 2 buckets. An interval
+    * spanning more than `maxBuckets` buckets is DROPPED before the explode
+    * — one degenerate open-ended interval (len/width of 10^9) would
+    * otherwise fan out that many rows; same cap-plus-observability
+    * treatment as MinHash's degenerate buckets — size the cap (or widen
+    * the bucket) with [[oversizedIntervals]]. All point columns and all
+    * interval columns pass through (names must not collide).
     */
   def interval(
       points: DataFrame,
@@ -114,9 +118,11 @@ object Joins {
       pointTs: String,
       start: String,
       end: String,
-      bucketMicros: Long
+      bucketMicros: Long,
+      maxBuckets: Int = 1 << 12
   ): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
+    require(maxBuckets > 0, "maxBuckets must be positive")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
     val p = points.withColumn("__pb", floor(unix_micros(col(pointTs)) / bucketMicros))
@@ -124,14 +130,36 @@ object Joins {
     // empty intervals (end <= start) explode to no buckets at all
     val i = intervals
       .filter(col(end) > col(start))
-      .withColumn("__ib", explode(sequence(
-        floor(unix_micros(col(start)) / bucketMicros),
-        floor((unix_micros(col(end)) - 1) / bucketMicros))))
+      .withColumn("__b0", floor(unix_micros(col(start)) / bucketMicros))
+      .withColumn("__b1", floor((unix_micros(col(end)) - 1) / bucketMicros))
+      .filter(col("__b1") - col("__b0") < maxBuckets)
+      .withColumn("__ib", explode(sequence(col("__b0"), col("__b1"))))
     p.join(i,
         p("__pb") === i("__ib") &&
           p(pointKey) === i(intervalKey) &&
           p(pointTs) >= i(start) && p(pointTs) < i(end))
-      .drop("__pb", "__ib")
+      .drop("__pb", "__ib", "__b0", "__b1")
+  }
+
+  /** The intervals a `maxBuckets` cap would drop from [[interval]], with
+    * their bucket spans — run this to SIZE the cap (or to learn the bucket
+    * width is wrong for the data) instead of discovering silently-missing
+    * matches.
+    */
+  def oversizedIntervals(
+      intervals: DataFrame,
+      start: String,
+      end: String,
+      bucketMicros: Long,
+      maxBuckets: Int
+  ): DataFrame = {
+    require(bucketMicros > 0 && maxBuckets > 0, "bucketMicros and maxBuckets must be positive")
+    intervals
+      .filter(col(end) > col(start))
+      .withColumn("n_buckets",
+        floor((unix_micros(col(end)) - 1) / bucketMicros)
+          - floor(unix_micros(col(start)) / bucketMicros) + 1)
+      .filter(col("n_buckets") > maxBuckets)
   }
 
   /** Streaming point-in-interval join — the unbounded form of [[interval]],

@@ -97,6 +97,25 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 100L), (1L, 101L)))
   }
 
+  test("interval cap law: oversized intervals drop, the report names exactly them") {
+    val iv = Seq(
+      (100L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),   // 2 buckets
+      (101L, 10L, ts("2024-01-01 00:00:00"), ts("2024-01-07 00:00:00")))   // 288 buckets
+      .toDF("iid", "ik", "s", "e")
+    val halfHourUs = 30L * 60 * 1000000
+    val out = Joins.interval(pointsDf, iv, "k", "ik", "t", "s", "e",
+        bucketMicros = halfHourUs, maxBuckets = 16)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted
+    assert(out.forall(_._2 == 100L)) // the week-long interval was dropped
+    val report = Joins.oversizedIntervals(iv, "s", "e", halfHourUs, maxBuckets = 16)
+      .select($"iid", $"n_buckets").as[(Long, Long)].collect()
+    assert(report.toSeq == Seq((101L, 288L))) // end-exclusive: 6d / 30min
+    // default cap (4096) keeps both: results identical to uncapped
+    val full = Joins.interval(pointsDf, iv, "k", "ik", "t", "s", "e", halfHourUs)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted
+    assert(full.count(_._2 == 101L) > 0)
+  }
+
   test("interval join plans an equi-join, never a nested-loop product") {
     val iv = Seq((100L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")))
       .toDF("iid", "ik", "s", "e")
