@@ -420,6 +420,17 @@ object ExtensionQueries {
           .as("wait_us"))
   }
 
+  /** Canonical normalization gate: per-doc normalized length and md5 —
+    * proves the Java↔RE2 regex subset AND the byte-level result agree
+    * across engines (an md5 of the normalized text catches any
+    * single-character divergence) — see [[TextFunctions.normalize]].
+    */
+  private def q61Normalize(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(TextFunctions.normalize(col("text"))).cast("long").as("norm_len"),
+      md5(TextFunctions.normalize(col("text"))).as("norm_hash"))
+
   /** Token-length histogram with cumulative fractions — the one-pass
     * quantile surface filter thresholds are calibrated from — see
     * [[graft.curation.Corpus.histogram]].
@@ -471,7 +482,8 @@ object ExtensionQueries {
     "q57_kmv_sketch" -> (q57KmvSketch _),
     "q58_token_budget" -> (q58TokenBudget _),
     "q59_length_histogram" -> (q59LengthHistogram _),
-    "q60_asof_forward" -> (q60AsofForward _)
+    "q60_asof_forward" -> (q60AsofForward _),
+    "q61_normalize" -> (q61Normalize _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -916,6 +928,11 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, n_tokens, cum::BIGINT AS cum_tokens
          |FROM c WHERE cum <= (CASE lang $budgetCase ELSE 2500 END)""".stripMargin
     },
+    "q61_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS norm FROM documents)
+        |SELECT doc_id, length(norm)::BIGINT AS norm_len, md5(norm) AS norm_hash FROM n""".stripMargin,
     "q60_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
         |r AS (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value

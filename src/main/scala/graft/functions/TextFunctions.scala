@@ -218,4 +218,20 @@ object TextFunctions {
 
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** Canonical text normalization — the preprocessing every dedup/hash
+    * stage should share so "the same text" hashes the same: lower-case,
+    * strip NON-whitespace control characters, collapse whitespace runs to
+    * one space, trim. The control class excludes \x09–\x0d deliberately:
+    * a tab is both control and whitespace and must act as a separator,
+    * not vanish — and stripping controls BEFORE the collapse is what
+    * makes the function idempotent (a control removed after the collapse
+    * would fuse two collapsed runs into a double space). Pure codegen'd
+    * regex expressions (the Java/RE2-shared subset, like [[redact]]), so
+    * it fuses into whatever scan feeds it.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
+      "\\s+", " "))
 }

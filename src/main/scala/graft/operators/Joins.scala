@@ -46,6 +46,14 @@ object Joins {
     * The right side must be unique per (key, ts) — pre-aggregate if not
     * (ties at equal (key, ts) would otherwise make "the" nearest row
     * ill-defined in any engine).
+    *
+    * Skew: like every per-key ordered operator, one degenerate hot key
+    * (an "unknown"/default id carrying a large fraction of both sides)
+    * serializes that key through one task — AQE cannot split an ORDERED
+    * window partition the way it splits a join. Route such keys around
+    * the join (they usually mean "no real entity" anyway) rather than
+    * salting, which would break the per-key total order the semantics
+    * require.
     */
   def asOf(
       left: DataFrame,

@@ -324,6 +324,27 @@ class DedupKnnSpec extends SparkSpec {
     assert(rows(3) == "nothing sensitive here at all")
   }
 
+  test("normalize: lower, strip control chars, collapse whitespace, trim") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      "  Hello\t\tWORLD \n again  ",
+      "tab\u0000null\u0007bell\u007fdel",
+      "already clean",
+      ""
+    ).toDF("text").select(TextFunctions.normalize(col("text")).as("c")).as[String].collect()
+    assert(rows(0) == "hello world again")
+    assert(rows(1) == "tabnullbelldel") // non-ws controls vanish, no separator added
+    assert(rows(2) == "already clean")
+    assert(rows(3) == "")
+    // idempotence: normalizing normalized text is the identity
+    // the \u0001 between two whitespace runs is the idempotence trap:
+    // stripped after a collapse it would fuse two spaces
+    val once = Seq("  A  \u0001 B  ").toDF("text")
+      .select(TextFunctions.normalize(col("text")).as("c"))
+    val twice = once.select(TextFunctions.normalize(col("c")).as("c"))
+    assert(once.as[String].head() == twice.as[String].head())
+  }
+
   test("repetitionStats: exact duplicate-token and top-bigram counts") {
     import graft.functions.TextFunctions
     val docs = Seq(
