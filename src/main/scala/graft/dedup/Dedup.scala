@@ -23,6 +23,32 @@ object Dedup {
     df.groupBy(md5(content).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental (snapshot-over-snapshot) dedup: persist each ingested
+    * batch's content hashes into a bucketed index table ([[saveSeen]]),
+    * and anti-join the next batch against it ([[dropSeen]]) — the
+    * production shape where yesterday's 100 TB never gets re-deduped,
+    * only today's increment does.
+    *
+    * The index is bucketed on `content_hash`
+    * ([[graft.sources.Storage.writeBucketed]]), so the anti-join plans NO
+    * exchange on the index side, however large it grows — only the new
+    * batch shuffles (spec-asserted: exactly one Exchange in the whole
+    * plan). `saveSeen` appends WITHOUT a cross-snapshot distinct: an
+    * anti-join is insensitive to duplicate index rows, and a global
+    * distinct against the full index would be exactly the re-shuffle
+    * this layout exists to avoid.
+    */
+  def saveSeen(df: DataFrame, content: Column, table: String, buckets: Int = 64): Unit =
+    df.select(md5(content).as("content_hash")).distinct()
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "content_hash").sortBy("content_hash")
+      .saveAsTable(table)
+
+  /** Rows of `df` whose content hash is NOT in the persisted index. */
+  def dropSeen(df: DataFrame, content: Column, table: String): DataFrame =
+    df.join(df.sparkSession.table(table),
+      md5(content) === col("content_hash"), "left_anti")
+
   /** MinHash-LSH near-dup candidate pairs over word shingles.
     *
     * shingle → minhash(k) → band keys(b bands × r rows) → explode bands →

@@ -49,4 +49,24 @@ class ScaleTechniquesSpec extends SparkSpec {
       .where(col("k") === 1L).select("__salt").distinct().count()
     assert(saltCount > 1)
   }
+
+  test("incremental dedup: the persisted index never re-shuffles, appends accumulate") {
+    import graft.dedup.Dedup
+    val table = "graft_seen_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val day1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha")).toDF("id", "text")
+    val day2 = Seq((4L, "alpha"), (5L, "gamma"), (6L, "beta"), (7L, "delta")).toDF("id", "text")
+    try {
+      Dedup.saveSeen(day1, col("text"), table, buckets = 4)
+      val fresh = Dedup.dropSeen(day2, col("text"), table)
+      assert(fresh.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+      // index side is bucketed: the ONLY exchange in the anti-join plan is
+      // the new batch being routed to the index's bucketing
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size == 1, plan)
+      // append day2's novelty; nothing from day1 ∪ day2 is fresh anymore
+      Dedup.saveSeen(fresh, col("text"), table, buckets = 4)
+      assert(Dedup.dropSeen(day1.unionByName(day2), col("text"), table).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
