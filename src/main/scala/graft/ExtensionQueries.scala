@@ -431,6 +431,18 @@ object ExtensionQueries {
       length(TextFunctions.normalize(col("text"))).cast("long").as("norm_len"),
       md5(TextFunctions.normalize(col("text"))).as("norm_hash"))
 
+  /** Quality-based near-dup keeper: per LSH cluster keep the member with
+    * the highest (rounded) quality score — the production keeper rule,
+    * vs q37's min-id — see [[graft.dedup.Dedup.keepBestPerCluster]].
+    */
+  private def q62KeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    Dedup.keepBestPerCluster(docs, col("doc_id"), pairs,
+        round(TextFunctions.qualityScore(col("text")), 5))
+      .withColumnRenamed("score", "quality")
+  }
+
   /** Token-length histogram with cumulative fractions — the one-pass
     * quantile surface filter thresholds are calibrated from — see
     * [[graft.curation.Corpus.histogram]].
@@ -483,7 +495,8 @@ object ExtensionQueries {
     "q58_token_budget" -> (q58TokenBudget _),
     "q59_length_histogram" -> (q59LengthHistogram _),
     "q60_asof_forward" -> (q60AsofForward _),
-    "q61_normalize" -> (q61Normalize _)
+    "q61_normalize" -> (q61Normalize _),
+    "q62_keep_best" -> (q62KeepBest _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -928,6 +941,30 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, n_tokens, cum::BIGINT AS cum_tokens
          |FROM c WHERE cum <= (CASE lang $budgetCase ELSE 2500 END)""".stripMargin
     },
+    "q62_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |t AS (SELECT doc_id, len(text)::DOUBLE AS n_chars,
+         |  len($duckToks)::DOUBLE AS n_toks,
+         |  len(list_filter($duckToks, x -> list_contains(${markers("en")}, x)))::DOUBLE AS n_stop,
+         |  len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+         | FROM documents),
+         |q AS (SELECT doc_id, round(
+         |   least(n_chars / 400.0, 1.0) * 0.3
+         |   + (CASE WHEN n_toks > 0 AND (n_chars - (n_toks - 1)) / n_toks BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END) * 0.2
+         |   + greatest(1.0 - (n_punct / greatest(n_chars, 1.0)) * 5, 0.0) * 0.25
+         |   + (CASE WHEN n_stop / greatest(n_toks, 1.0) > 0.01 AND n_stop / greatest(n_toks, 1.0) < 0.5 THEN 1.0 ELSE 0.5 END) * 0.25
+         | , 5) AS quality FROM t),
+         |ranked AS (SELECT cl.doc_id, cl.cluster_id, q.quality,
+         |  row_number() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+         |SELECT doc_id AS keep_id, cluster_id, quality FROM ranked WHERE rn = 1""".stripMargin,
     "q61_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),

@@ -49,6 +49,33 @@ object Dedup {
     df.join(df.sparkSession.table(table),
       md5(content) === col("content_hash"), "left_anti")
 
+  /** Near-dup keeper selection by score: per cluster, keep the member
+    * with the HIGHEST `score` (ties by min id) — production pipelines
+    * keep the best document of a duplicate group, not the first-seen
+    * ([[dropNearDuplicates]] is the min-id form). Pass a score that is
+    * already rounded to its meaningful precision: the rank must not flip
+    * on a last-ulp floating-point difference between engines or runs.
+    *
+    * Plan shape: the CC labels join the scored docs on doc_id, then a
+    * top-1-per-cluster window — Spark's WindowGroupLimit prunes every map
+    * task to one candidate row per cluster BEFORE the exchange.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      score: Column
+  ): DataFrame = {
+    val clusters = nearDupClusters(docs, id, pairs)
+    val scored = docs.select(id.as("doc_id"), score.as("score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id").as("keep_id"), col("cluster_id"), col("score"))
+  }
+
   /** MinHash-LSH near-dup candidate pairs over word shingles.
     *
     * shingle → minhash(k) → band keys(b bands × r rows) → explode bands →

@@ -324,6 +324,23 @@ class DedupKnnSpec extends SparkSpec {
     assert(rows(3) == "nothing sensitive here at all")
   }
 
+  test("keepBestPerCluster picks the highest score, not the lowest id") {
+    // docs 0/1/2 near-dup cluster; give doc 2 (largest id) the best score
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val scores = Map(0L -> 0.2, 1L -> 0.5, 2L -> 0.9, 3L -> 0.1, 4L -> 0.1)
+    val scoreCol = scores.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("doc_id") === k, lit(v)).otherwise(acc)
+    }
+    val out = Dedup.keepBestPerCluster(docs, col("doc_id"), pairs, scoreCol)
+      .select("keep_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(2L, 3L, 4L)) // NOT doc 0, the min id
+    assert(out(2L) == 0L) // cluster label stays the min id
+    // contrast with the min-id rule
+    val minId = Dedup.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(0L, 3L, 4L))
+  }
+
   test("normalize: lower, strip control chars, collapse whitespace, trim") {
     import graft.functions.TextFunctions
     val rows = Seq(
