@@ -968,7 +968,7 @@ object ExtensionQueries {
     "q61_normalize" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
-        |       '\s+', ' ', 'g')) AS norm FROM documents)
+        |       '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm FROM documents)
         |SELECT doc_id, length(norm)::BIGINT AS norm_len, md5(norm) AS norm_hash FROM n""".stripMargin,
     "q60_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),

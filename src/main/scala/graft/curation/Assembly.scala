@@ -237,10 +237,13 @@ object Assembly {
     val counts = keyed.groupBy(col("stratum"), col("__b"))
       .agg(sum(col("n_tokens")).as("cnt"))
       .localCheckpoint()
+    // null-safe stratum equality THROUGHOUT: a null stratum is a real
+    // group (it samples under defaultBudget); plain === would silently
+    // drop every null-stratum row at the joins below
     val offsets = counts.as("b")
       .join(broadcast(counts.as("p")),
-        col("p.stratum") === col("b.stratum") && col("p.__b") < col("b.__b"), "left")
-      .groupBy(col("b.stratum").as("stratum"), col("b.__b").as("__b"))
+        col("p.stratum") <=> col("b.stratum") && col("p.__b") < col("b.__b"), "left")
+      .groupBy(col("b.stratum").as("os"), col("b.__b").as("ob"))
       .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
     val budgetCol = budgetByStratum.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
@@ -251,7 +254,8 @@ object Assembly {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     keyed
       .withColumn("__run", sum(col("n_tokens")).over(w))
-      .join(broadcast(offsets), Seq("stratum", "__b"))
+      .join(broadcast(offsets),
+        col("stratum") <=> col("os") && col("__b") === col("ob"))
       .withColumn("cum_tokens", col("offset") + col("__run"))
       .where(col("cum_tokens") <= budgetCol)
       .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))

@@ -39,15 +39,17 @@ object Dedup {
     * this layout exists to avoid.
     */
   def saveSeen(df: DataFrame, content: Column, table: String, buckets: Int = 64): Unit =
-    df.select(md5(content).as("content_hash")).distinct()
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "content_hash").sortBy("content_hash")
-      .saveAsTable(table)
+    graft.sources.Storage.writeBucketed(
+      df.select(md5(content).as("content_hash")).distinct(),
+      table, "content_hash", buckets, mode = "append")
 
   /** Rows of `df` whose content hash is NOT in the persisted index. */
-  def dropSeen(df: DataFrame, content: Column, table: String): DataFrame =
-    df.join(df.sparkSession.table(table),
-      md5(content) === col("content_hash"), "left_anti")
+  def dropSeen(df: DataFrame, content: Column, table: String): DataFrame = {
+    // qualify the index's column: an incoming batch may itself carry a
+    // content_hash column, and a bare col() would be ambiguous
+    val idx = df.sparkSession.table(table)
+    df.join(idx, md5(content) === idx("content_hash"), "left_anti")
+  }
 
   /** Near-dup keeper selection by score: per cluster, keep the member
     * with the HIGHEST `score` (ties by min id) — production pipelines

@@ -73,8 +73,10 @@ object TrainingDataDemo {
           budgetByStratum = Map.empty, defaultBudget = 5000L)
         .select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // 8. token accounting + portable distinct-token sketch
-    val stats = budgeted.agg(
+    // 8. token accounting over the train split (pre-budget — the split
+    // stage's own health signal) + portable distinct-token sketch of the
+    // final budgeted set
+    val stats = train.agg(
       count(lit(1)).as("docs"),
       sum(TextFunctions.wsTokenCount(col("text")).cast("long")).as("ws_tokens"),
       sum(TextFunctions.regexTokenCount(col("text")).cast("long")).as("bpe_tokens"))

@@ -48,7 +48,10 @@ object Sketches {
 
   private def requireK(k: Int): Unit = {
     require(k >= 3, s"KMV needs k >= 3 for a finite estimator, got $k")
-    require(k <= (1 << 20), s"KMV k=$k is past any useful accuracy/cost point")
+    // (k-1) << 48 must stay under 2^63: k-1 < 2^15. Anything near the
+    // bound is already absurd accuracy (k=32768 ⇒ ~0.55% error)
+    require(k <= (1 << 15),
+      s"KMV k=$k would overflow the integer estimator's (k-1)*2^48 numerator; max is 32768")
   }
 
   /** KMV distinct-count estimate of `item` over `df`, as a single row

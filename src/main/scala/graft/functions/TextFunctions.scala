@@ -227,11 +227,13 @@ object TextFunctions {
     * not vanish — and stripping controls BEFORE the collapse is what
     * makes the function idempotent (a control removed after the collapse
     * would fuse two collapsed runs into a double space). Pure codegen'd
-    * regex expressions (the Java/RE2-shared subset, like [[redact]]), so
-    * it fuses into whatever scan feeds it.
+    * regex expressions, so it fuses into whatever scan feeds it. The
+    * whitespace class is written out explicitly rather than as `\s`:
+    * Java's `\s` includes vertical tab (\x0b), RE2's does not — the one
+    * character where the "shared subset" isn't shared.
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[\\x00-\\x08\\x0e-\\x1f\\x7f]", ""),
-      "\\s+", " "))
+      "[ \\t\\n\\x0b\\f\\r]+", " "))
 }

@@ -72,6 +72,9 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(matchedTs) && !payload.exists(leftCols.contains),
       s"as-of output columns (${(matchedTs +: payload).mkString(", ")}) collide with left columns")
+    val internal = Seq("__k", "__t", "__side", "__r", "__m")
+    require(!leftCols.exists(internal.contains) && !payload.exists(internal.contains),
+      s"as-of reserves internal column names ${internal.mkString(", ")}")
     // the right row travels as ONE non-null struct so that a legitimately
     // null payload FIELD cannot make last(ignoreNulls) skip back to an
     // older right row
@@ -80,7 +83,11 @@ object Joins {
       col(leftKey).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
         lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r") +:
         leftCols.map(col): _*)
-    val r = right.select(
+    // SQL join semantics: a null key matches nothing — without this filter
+    // the window's partitionBy would group null-key rows from BOTH sides
+    // together and "match" them (null-key left rows still pass through
+    // with null payloads; they just never meet a right row)
+    val r = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k") +: col(rightTs).as("__t") +: lit(0).as("__side") +:
         rStruct.as("__r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -198,10 +205,13 @@ object Joins {
       start: String,
       end: String,
       maxLength: String
-  ): DataFrame =
+  ): DataFrame = {
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
     points.join(intervals,
       points(pointKey) === intervals(intervalKey) &&
         points(pointTs) >= intervals(start) &&
         points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
         points(pointTs) < intervals(end))
+  }
 }

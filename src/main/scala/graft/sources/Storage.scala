@@ -17,8 +17,9 @@ object Storage {
     * cost. Verified by ScaleTechniquesSpec (the executed plan literally
     * contains no Exchange).
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+      mode: String = "overwrite"): Unit =
+    df.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 }

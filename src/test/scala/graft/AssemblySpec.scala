@@ -150,4 +150,16 @@ class AssemblySpec extends SparkSpec {
       .filter { case (_, l, _, cum) => cum <= budget(l) }
     assert(out.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq)
   }
+
+  test("tokenBudgetSample: null-stratum rows sample under the default budget, not vanish") {
+    val df = Seq((1L, Option("en"), 10L), (2L, Option.empty[String], 10L),
+                 (3L, Option.empty[String], 10L), (4L, Option("en"), 10L))
+      .toDF("doc_id", "lang", "n")
+    val out = Assembly.tokenBudgetSample(df, col("doc_id"), col("lang"), col("n"),
+        Map("en" -> 100L), defaultBudget = 15L, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    // both en docs fit 100; exactly ONE null-stratum doc fits 15
+    assert(out.count(_._2.contains("en")) == 2)
+    assert(out.count(_._2.isEmpty) == 1)
+  }
 }

@@ -353,6 +353,11 @@ class DedupKnnSpec extends SparkSpec {
     assert(rows(1) == "tabnullbelldel") // non-ws controls vanish, no separator added
     assert(rows(2) == "already clean")
     assert(rows(3) == "")
+    // vertical tab: Java \s includes \x0b, RE2's does not — the explicit
+    // whitespace class must treat it as a separator in both engines
+    val vt = Seq("a\u000bb").toDF("text")
+      .select(TextFunctions.normalize(col("text")).as("c")).as[String].head()
+    assert(vt == "a b")
     // idempotence: normalizing normalized text is the identity
     // the \u0001 between two whitespace runs is the idempotence trap:
     // stripped after a collapse it would fuse two spaces

@@ -51,6 +51,19 @@ class JoinsSpec extends SparkSpec {
     assert(out(2L).getTimestamp(2) == ts("2024-01-01 11:30:00"))
   }
 
+  test("asOf: null keys never match each other (SQL join semantics)") {
+    val l = Seq((1L, Option.empty[Long], ts("2024-01-01 12:00:00")),
+                (2L, Option(10L), ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t")
+    val r = Seq((Option.empty[Long], ts("2024-01-01 09:00:00"), 9.0),
+                (Option(10L), ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("rk", "rt", "v")
+    val out = Joins.asOf(l, r, "k", "rk", "t", "rt", Seq("v"))
+      .select($"id", $"v").collect().map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).isNullAt(1)) // null key: NO match, not the null-key right
+    assert(out(2L).getDouble(1) == 1.0)
+  }
+
   test("asOf rejects output-column collisions and preserves left columns") {
     val e = intercept[IllegalArgumentException] {
       Joins.asOf(leftDf.withColumnRenamed("id", "v"), rightDf, "k", "rk", "t", "rt", Seq("v"))
