@@ -170,11 +170,13 @@ object Assembly {
       Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
       .withColumn("bucket", shiftright(col("sort_key"), shift).cast("int"))
     // materialize the ≤ nBuckets-row counts once: both sides of the offset
-    // self-join reference it, and without the (eager, tiny) localCheckpoint
-    // each side would re-aggregate — i.e. re-SCAN the full input a second
-    // and third time, which at 100 TB is two extra passes over the corpus
-    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    // self-join reference it, and without the (eager, tiny)
+    // materialization each side would re-aggregate — i.e. re-SCAN the full
+    // input a second and third time, which at 100 TB is two extra passes
+    // over the corpus ([[graft.Materialize]]: reliable under
+    // graft.checkpointDir, localCheckpoint otherwise)
+    val counts = graft.Materialize(
+      keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt")))
     // offset(b) = rows in all lower buckets — tiny non-equi self-join on
     // the CONSTANT-size counts relation (≤ nBuckets rows), broadcast
     val offsets = counts.as("b")
@@ -233,10 +235,11 @@ object Assembly {
       Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
       .withColumn("__b", shiftright(col("sort_key"), shift).cast("int"))
     // per-(stratum, bucket) token totals: ≤ strata·nBuckets rows, computed
-    // once (localCheckpoint) so the offset self-join cannot re-scan the corpus
-    val counts = keyed.groupBy(col("stratum"), col("__b"))
-      .agg(sum(col("n_tokens")).as("cnt"))
-      .localCheckpoint()
+    // once ([[graft.Materialize]]) so the offset self-join cannot re-scan
+    // the corpus
+    val counts = graft.Materialize(
+      keyed.groupBy(col("stratum"), col("__b"))
+        .agg(sum(col("n_tokens")).as("cnt")))
     // null-safe stratum equality THROUGHOUT: a null stratum is a real
     // group (it samples under defaultBudget); plain === would silently
     // drop every null-stratum row at the joins below

@@ -67,8 +67,23 @@ object Dedup {
       id: Column,
       pairs: DataFrame,
       score: Column
+  ): DataFrame =
+    keepBestByClusters(docs, id, nearDupClusters(docs, id, pairs), score)
+
+  /** [[keepBestPerCluster]] against PRECOMPUTED cluster labels — the form a
+    * pipeline that needs both the keeper set and the cluster map (keep +
+    * audit, the normal case) should use: run [[nearDupClusters]] ONCE and
+    * hand its output to this and [[dropByClusters]], instead of paying the
+    * iterative CC (hours at 100 TB) once per consumer. `clusters` must be
+    * a (doc_id, cluster_id) relation covering the docs universe —
+    * [[nearDupClusters]]' output contract.
+    */
+  def keepBestByClusters(
+      docs: DataFrame,
+      id: Column,
+      clusters: DataFrame,
+      score: Column
   ): DataFrame = {
-    val clusters = nearDupClusters(docs, id, pairs)
     val scored = docs.select(id.as("doc_id"), score.as("score"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -265,9 +280,12 @@ object Dedup {
     * collapses chains O(log diameter) instead of O(diameter) — the
     * Hash-to-Min shape (cf. Rastogi et al., "Finding Connected Components
     * in Map-Reduce", ICDE'13; Kiveris et al. SoCC'14 for the star
-    * variants). The pair plan is materialized once (`localCheckpoint`)
-    * rather than re-executed per iteration; label checkpoints truncate the
-    * growing lineage, as GraphX/GraphFrames do; the convergence check is
+    * variants). The pair plan is materialized once ([[graft.Materialize]]
+    * — localCheckpoint by default, executor-loss-safe reliable checkpoint
+    * when the `graft.checkpointDir` conf is set, which any real-cluster
+    * run should do) rather than re-executed per iteration; label
+    * checkpoints truncate the growing lineage, as GraphX/GraphFrames do;
+    * the convergence check is
     * an `observe()` metric folded into the label-update plan itself, so
     * each iteration is ONE job (the update join materialization), not an
     * update job plus a separate changed-count job.
@@ -286,14 +304,17 @@ object Dedup {
     // not a keepable row. Then materialize the (usually expensive) pair
     // plan ONCE — the loop would otherwise re-execute the full
     // candidate-generation pipeline per iteration through the edges join.
-    val inUniverse = pairs
+    // materialize BEFORE the union — each union branch would otherwise
+    // re-execute the whole pair plan. Materialization is localCheckpoint
+    // by default and a reliable checkpoint when graft.checkpointDir is set
+    // ([[graft.Materialize]]) — on a real cluster the label/edge blocks of
+    // an hours-long CC run must survive executor loss.
+    val inUniverse = graft.Materialize(pairs
       .join(vertexIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
-      .join(vertexIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
-      .localCheckpoint() // materialize BEFORE the union — each union branch
-                         // would otherwise re-execute the whole pair plan
-    val edges = inUniverse.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(inUniverse.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .join(vertexIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi"))
+    val edges = graft.Materialize(
+      inUniverse.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(inUniverse.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     inUniverse.unpersist()
     var labels = vertexIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
@@ -316,18 +337,18 @@ object Dedup {
       // so the self-join is total; each round halves the remaining chain
       // depth -> O(log diameter) rounds instead of O(diameter), which is
       // what makes long boilerplate chains converge in a handful of jobs.
-      // The changed-count is observe()d on this same plan, and
-      // localCheckpoint's eager materialization is the action that
-      // delivers it — ONE job per iteration carries the edge propagation,
-      // the doubling, and the convergence check.
+      // The changed-count is observe()d on this same plan, and the
+      // materialization's eager action is what delivers it — ONE job per
+      // iteration carries the edge propagation, the doubling, and the
+      // convergence check ([[graft.Materialize]]: localCheckpoint by
+      // default, reliable checkpoint under graft.checkpointDir).
       val obs = org.apache.spark.sql.Observation()
-      val updated = neighborMin
+      val updated = graft.Materialize(neighborMin
         .join(
           neighborMin.select(col("doc_id").as("__cid"), col("cluster_id").as("__cid2")),
           col("cluster_id") === col("__cid"))
         .observe(obs, count(when(col("__cid2") =!= col("__old"), 1)).as("changed"))
-        .select(col("doc_id"), col("__cid2").as("cluster_id"))
-        .localCheckpoint()
+        .select(col("doc_id"), col("__cid2").as("cluster_id")))
       // Observation metrics arrive via the ASYNC listener bus, whose
       // bounded queue can drop events under heavy driver load — a bare
       // obs.get would then hang this loop forever. Bounded wait; on miss,
@@ -417,8 +438,20 @@ object Dedup {
       docs: DataFrame,
       id: Column,
       pairs: DataFrame
+  ): DataFrame =
+    dropByClusters(docs, id, nearDupClusters(docs, id, pairs))
+
+  /** [[dropNearDuplicates]] against PRECOMPUTED cluster labels (see
+    * [[keepBestByClusters]] for why): the kept set is the cluster roots,
+    * `{doc : cluster_id(doc) == doc_id}`, semi-joined back onto the corpus
+    * so all original columns survive.
+    */
+  def dropByClusters(
+      docs: DataFrame,
+      id: Column,
+      clusters: DataFrame
   ): DataFrame = {
-    val keepers = nearDupClusters(docs, id, pairs)
+    val keepers = clusters
       .where(col("doc_id") === col("cluster_id"))
       .select(col("doc_id").as("__keep_id"))
     docs.join(keepers, id === col("__keep_id"), "left_semi")

@@ -38,12 +38,25 @@ object TrainingDataDemo {
       .where(col("n_tokens") > 0 &&
         (lit(1.0) - col("n_distinct") / col("n_tokens")) < 0.6)
 
-    // 3. exact dedup (content hash), then near-dup dedup (LSH -> CC -> keepers)
+    // 3. exact dedup (content hash), then near-dup dedup (LSH -> CC ->
+    // keepers). The CC labels are computed ONCE and shared by the keeper
+    // selection AND the cluster audit below — the ...ByClusters forms
+    // exist so no consumer re-runs the iterative CC (hours at 100 TB)
     val exactKept = clean.join(
       Dedup.exact(clean, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = Dedup.minhashLshPairs(exactKept, col("text"), col("doc_id"), maxBucket = 1000)
-    val curated = Dedup.dropNearDuplicates(exactKept, col("doc_id"), pairs)
+    val clusters = Dedup.nearDupClusters(exactKept, col("doc_id"), pairs)
+    // production keeper rule: keep each cluster's best-quality member
+    // (rounded score — the rank must not flip on an ulp), not first-seen
+    val keepers = Dedup.keepBestByClusters(
+      exactKept, col("doc_id"), clusters, round(col("quality"), 5))
+    val curated = exactKept.join(
+      keepers.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // the audit half of keep + audit, from the SAME labels: how many
+    // multi-member near-dup groups the curation step collapsed
+    val nearDupGroups = clusters.groupBy(col("cluster_id"))
+      .count().where(col("count") > 1)
 
     // 4. corpus-statistics filter: drop boilerplate (low surprisal under
     // the curated corpus's own unigram LM — the perplexity-filter shape)
@@ -62,8 +75,13 @@ object TrainingDataDemo {
     // a one-pass aggregate over bins, never a corpus sort
     val hist = graft.curation.Corpus.histogram(
       train, TextFunctions.wsTokenCount(col("text")), binWidth = 5L)
-    val minLen = hist.where(col("cum_frac") >= 0.10)
-      .agg(min(col("bin_lo"))).head().getLong(0)
+    // an empty train split (or rounding keeping every cum_frac below the
+    // target) yields a NULL aggregate — fail with a message, not an NPE
+    val minLen = Option(hist.where(col("cum_frac") >= 0.10)
+        .agg(min(col("bin_lo"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+      .getOrElse(sys.error(
+        "length-histogram calibration found no bin with cum_frac >= 0.10 — empty train split?"))
     val sized = train.where(TextFunctions.wsTokenCount(col("text")) >= minLen)
 
     // 7. token-budget sampling: the recipe is written in tokens
@@ -87,7 +105,8 @@ object TrainingDataDemo {
     println(s"DEMO_ENGLISH_DOCS=${english.count()}")
     println(s"DEMO_CLEAN_DOCS=${clean.count()}")
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
-    println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_INFORMATIVE_DOCS=${informative.count()}")
+    println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_NEARDUP_GROUPS=${nearDupGroups.count()}")
+    println(s"DEMO_INFORMATIVE_DOCS=${informative.count()}")
     println(s"DEMO_MIN_LEN=$minLen DEMO_BUDGETED_DOCS=${budgeted.count()}")
     val row = stats.head()
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")

@@ -447,4 +447,59 @@ class DedupKnnSpec extends SparkSpec {
     assert(pairs == expected)
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
   }
+
+  test("graft.checkpointDir switches CC materialization to RELIABLE checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    val vertices = (1L to 8L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L)
+    spark.conf.set(graft.Materialize.ConfKey, dir.getAbsolutePath)
+    try {
+      val out = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(out == expected) // identical labels under either durability mode
+      // reliable checkpoint = RDD blocks written to the checkpoint FS
+      // (executor-loss-safe), not executor-local storage: assert files of
+      // the rdd-NN form landed under the configured directory
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+          (if (c.isDirectory) rddDirs(c) else Nil) ++
+            (if (c.getName.startsWith("rdd-")) Seq(c) else Nil)
+        }
+      assert(rddDirs(dir).nonEmpty,
+        s"expected reliable checkpoint files under $dir — none written")
+    } finally spark.conf.unset(graft.Materialize.ConfKey)
+    // conf unset: back to localCheckpoint, same labels
+    val local = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected)
+  }
+
+  test("dropByClusters/keepBestByClusters share ONE CC run; pairs forms pay one each") {
+    val scores = Map(0L -> 0.2, 1L -> 0.5, 2L -> 0.9, 3L -> 0.1, 4L -> 0.1)
+    val scoreCol = scores.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col("doc_id") === k, lit(v)).otherwise(acc)
+    }
+    // the pair plan carries an evaluation counter: nearDupClusters
+    // materializes its (single-partition) input exactly once per CC run,
+    // so the accumulator counts CC runs
+    val acc = spark.sparkContext.longAccumulator("pairEvals")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("doc_a", "doc_b")
+      .repartition(1).as[(Long, Long)]
+      .mapPartitions { it => acc.add(1); it }.toDF("doc_a", "doc_b")
+    acc.reset()
+    val viaPairsKept = Dedup.dropNearDuplicates(docs, col("doc_id"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    val viaPairsBest = Dedup.keepBestPerCluster(docs, col("doc_id"), pairs, scoreCol)
+      .select("keep_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(acc.value == 2, "each pairs-form consumer pays its own CC run")
+    acc.reset()
+    val clusters = Dedup.nearDupClusters(docs, col("doc_id"), pairs)
+    val sharedKept = Dedup.dropByClusters(docs, col("doc_id"), clusters)
+      .select("doc_id").as[Long].collect().toSet
+    val sharedBest = Dedup.keepBestByClusters(docs, col("doc_id"), clusters, scoreCol)
+      .select("keep_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(acc.value == 1, "shared-labels composition runs CC exactly once")
+    assert(sharedKept == viaPairsKept && sharedBest == viaPairsBest)
+  }
 }
