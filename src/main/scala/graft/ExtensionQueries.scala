@@ -980,7 +980,8 @@ object ExtensionQueries {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts <= r.p_ts""".stripMargin,
     "q59_length_histogram" ->
       s"""WITH m AS (SELECT (len($duckToks) // 10) * 10 AS bin_lo FROM documents),
-         |b AS (SELECT bin_lo::BIGINT AS bin_lo, count(*)::BIGINT AS n_docs FROM m GROUP BY 1)
+         |b AS (SELECT bin_lo::BIGINT AS bin_lo, count(*)::BIGINT AS n_docs FROM m
+         |      WHERE bin_lo IS NOT NULL GROUP BY 1)
          |SELECT bin_lo, n_docs,
          |  round(sum(n_docs) OVER (ORDER BY bin_lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |        / (SELECT sum(n_docs) FROM b), 6) AS cum_frac

@@ -162,26 +162,62 @@ object Corpus {
     * Bins are `[lo, lo + binWidth)`, `bin_lo = floor(m / binWidth) ·
     * binWidth` (negatives land correctly via floor). Exact integer counts
     * and a rounded fraction — deterministic in every engine, no
-    * interpolation rule to disagree on.
+    * interpolation rule to disagree on. Null measures are dropped before
+    * binning (see [[binCounts]]) so counts conserve and `cum_frac` ends
+    * at exactly 1.0.
     *
     * Plan shape: per-row bin expression → map-side-combined count on the
     * bin key (the exchange carries bins, not documents) → cumulative sums
     * via a broadcast non-equi self-join on the CONSTANT-size bin relation
     * (the [[Assembly.shuffleOrder]] offsets pattern) — an ordered running
     * window would plan a single-partition exchange instead; O(B²) on ≤
-    * #bins rows beats a serialization point as a habit, and the
-    * `localCheckpoint` keeps the self-join from re-scanning the corpus.
+    * #bins rows beats a serialization point as a habit, and the eager
+    * materialization ([[graft.Materialize]]) keeps the self-join from
+    * re-scanning the corpus.
     */
   def histogram(
       docs: DataFrame,
       measure: Column,
       binWidth: Long
+  ): DataFrame =
+    histogramFromBins(binCounts(docs, measure, binWidth))
+
+  /** The pre-aggregated (bin_lo, n_docs) half of [[histogram]] — public so
+    * a calibration over a FILTERED corpus (post-dedup, post-quality-gate)
+    * can compute its bins once where the filtered rows are already in
+    * hand, persist them, union increments, and feed
+    * [[histogramFromBins]] — mirroring how [[graft.dedup.Dedup
+    * .dropByClusters]] shares CC labels instead of recomputing them per
+    * consumer.
+    *
+    * Null measures are DROPPED here, before binning: a null bin would
+    * vanish from the cumulative self-join (`null <= x` is null) while
+    * still counting toward the total, leaving `cum_frac` short of 1.0.
+    * Dropping them keeps counts conserved — `sum(n_docs)` is exactly the
+    * non-null-measure row count and `cum_frac` ends at 1.0. Count nulls
+    * separately if they matter (they usually mean "unmeasurable row",
+    * e.g. null text).
+    */
+  def binCounts(
+      docs: DataFrame,
+      measure: Column,
+      binWidth: Long
   ): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val bins = docs
+    docs
       .select((floor(measure.cast("long") / binWidth) * binWidth).as("bin_lo"))
+      .where(col("bin_lo").isNotNull)
       .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_docs"))
-      .localCheckpoint()
+  }
+
+  /** Cumulative fractions over a pre-aggregated (bin_lo, n_docs) relation
+    * ([[binCounts]]' output contract — bin_lo non-null and unique). The
+    * broadcast non-equi self-join runs on the ≤ #bins relation, never the
+    * corpus; [[graft.Materialize]] keeps the three references to `bins`
+    * from re-executing whatever produced it.
+    */
+  def histogramFromBins(binRows: DataFrame): DataFrame = {
+    val bins = graft.Materialize(binRows)
     val total = bins.agg(sum(col("n_docs")).as("total"))
     bins.as("b")
       .join(broadcast(bins.as("p")), col("p.bin_lo") <= col("b.bin_lo"))

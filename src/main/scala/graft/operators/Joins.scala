@@ -50,10 +50,19 @@ object Joins {
     * Skew: like every per-key ordered operator, one degenerate hot key
     * (an "unknown"/default id carrying a large fraction of both sides)
     * serializes that key through one task — AQE cannot split an ORDERED
-    * window partition the way it splits a join. Route such keys around
-    * the join (they usually mean "no real entity" anyway) rather than
-    * salting, which would break the per-key total order the semantics
-    * require.
+    * window partition the way it splits a join, and salting would break
+    * the per-key total order the semantics require. `maxKeyRows` is the
+    * cap-plus-observability mitigation (the
+    * [[graft.dedup.Dedup.minhashLshPairs]] pattern): keys whose COMBINED
+    * row count (both sides) exceeds the cap are routed AROUND the window —
+    * their left rows pass through unmatched (null payload, exactly like a
+    * key with no right rows), their right rows are dropped — so one
+    * degenerate key can no longer serialize the stage. Size the cap (and
+    * see what a given cap routes) with [[asOfHotKeys]]. The default is
+    * off (`Long.MaxValue`) and adds nothing to the plan; when on, the
+    * only extra cost is one map-side-combined count over the two inputs
+    * whose post-filter output (the hot keys themselves) is tiny by
+    * construction and broadcast.
     */
   def asOf(
       left: DataFrame,
@@ -65,23 +74,26 @@ object Joins {
       payload: Seq[String],
       matchedTs: String = "asof_ts",
       strict: Boolean = false,
-      direction: String = "backward"
+      direction: String = "backward",
+      maxKeyRows: Long = Long.MaxValue
   ): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"as-of direction must be 'backward' or 'forward', got '$direction'")
+    require(maxKeyRows > 0, "maxKeyRows must be positive")
     val leftCols = left.columns.toSeq
     require(!leftCols.contains(matchedTs) && !payload.exists(leftCols.contains),
       s"as-of output columns (${(matchedTs +: payload).mkString(", ")}) collide with left columns")
-    val internal = Seq("__k", "__t", "__side", "__r", "__m")
+    val internal = Seq("__k", "__t", "__side", "__r", "__m", "__hk", "__n")
     require(!leftCols.exists(internal.contains) && !payload.exists(internal.contains),
       s"as-of reserves internal column names ${internal.mkString(", ")}")
     // the right row travels as ONE non-null struct so that a legitimately
     // null payload FIELD cannot make last(ignoreNulls) skip back to an
     // older right row
     val rStruct = struct(col(rightTs).as(matchedTs) +: payload.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
     val l = left.select(
       col(leftKey).as("__k") +: col(leftTs).as("__t") +: lit(1).as("__side") +:
-        lit(null).cast(right.select(rStruct).schema.head.dataType).as("__r") +:
+        lit(null).cast(rType).as("__r") +:
         leftCols.map(col): _*)
     // SQL join semantics: a null key matches nothing — without this filter
     // the window's partitionBy would group null-key rows from BOTH sides
@@ -105,10 +117,45 @@ object Joins {
       else
         first(col("__r"), ignoreNulls = true)
           .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-    l.unionByName(r)
-      .withColumn("__m", carried)
+    def finish(env: DataFrame): DataFrame = env
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ (matchedTs +: payload).map(f => col(s"__m.$f").as(f)): _*)
+    val u = l.unionByName(r)
+    if (maxKeyRows == Long.MaxValue) finish(u.withColumn("__m", carried))
+    else {
+      // Hot keys by COMBINED count — a groupBy (map-side partial agg, tiny
+      // post-filter output), NOT a window count, which would itself route
+      // every row of the hot key through one task. Null-safe equality: the
+      // all-null-key left partition is a degenerate window partition too.
+      val hot = u.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxKeyRows)
+        .select(col("__k").as("__hk"))
+      val cold = u.join(broadcast(hot), col("__k") <=> col("__hk"), "left_anti")
+      val routed = l.join(broadcast(hot), col("__k") <=> col("__hk"), "left_semi")
+        .withColumn("__m", lit(null).cast(rType))
+      finish(cold.withColumn("__m", carried)).unionByName(finish(routed))
+    }
+  }
+
+  /** The keys a given `maxKeyRows` cap would route around [[asOf]]'s
+    * window, with their combined (left + right) row counts — the
+    * observability half of the cap: run this to SIZE the cap and to learn
+    * what the degenerate keys contain ("unknown"/default ids, usually)
+    * before deciding to route them. Null left keys count as a key here —
+    * they form a window partition too, even though they never match.
+    */
+  def asOfHotKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      maxKeyRows: Long
+  ): DataFrame = {
+    require(maxKeyRows > 0, "maxKeyRows must be positive")
+    left.select(col(leftKey).as("key"))
+      .unionByName(right.filter(col(rightKey).isNotNull).select(col(rightKey).as("key")))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxKeyRows)
   }
 
   /** Point-in-interval join: every (point, interval) pair with equal keys

@@ -39,8 +39,16 @@ object StreamingFlows {
     * recent right element at-or-before its event time with the same key,
     * EXACTLY — results are emitted only once the watermark passes the
     * left element's timestamp, at which point every right element at or
-    * before it has arrived (or was late beyond `delay` and is excluded by
-    * the watermark contract, as in every event-time operator).
+    * before it has arrived (or was late beyond `delay` and was DROPPED —
+    * see below). `flatMapGroupsWithState` does not filter late input
+    * itself, so the state function discards any arriving element whose
+    * event time is at or below the current watermark explicitly: a late
+    * left would otherwise emit immediately against the already-pruned
+    * right state (a wrong best-effort match, not an exclusion), and a
+    * late right could displace the retained latest-finalized right. With
+    * the explicit drop, lateness behaves exactly like Spark's built-in
+    * event-time operators: late rows are excluded, on-time results are
+    * exact.
     *
     * Neither native stream-stream join covers this: an interval join
     * emits ALL rights in a range, not the latest one, and can't reach
@@ -87,11 +95,19 @@ object StreamingFlows {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
       ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
         var (pending, rights) = state.getOption.getOrElse((Nil, Nil): S)
-        values.foreach { env =>
-          if (env._3 == 1) pending = (env._2.getTime, env._4) :: pending
-          else rights = (env._2.getTime, env._5) :: rights
-        }
         val wm = state.getCurrentWatermarkMs()
+        values.foreach { env =>
+          // drop LATE arrivals (event time at or below the watermark):
+          // fMGWS does not filter them itself, and admitting them would
+          // emit wrong best-effort matches against pruned right state —
+          // see the operator Scaladoc. State rows are never re-filtered:
+          // the retained latest-finalized right is below the watermark by
+          // design.
+          if (env._2.getTime > wm) {
+            if (env._3 == 1) pending = (env._2.getTime, env._4) :: pending
+            else rights = (env._2.getTime, env._5) :: rights
+          }
+        }
         val (ready, stillPending) = pending.partition(_._1 <= wm)
         val rightsDesc = rights.sortBy(-_._1)
         val out = ready.sortBy(_._1).map { case (lts, l) =>

@@ -167,4 +167,30 @@ class CorpusSpec extends SparkSpec {
     assert(h.map(_._3).toSeq == h.map(_._3).sorted.toSeq && h.last._3 == 1.0)
     intercept[IllegalArgumentException] { Corpus.histogram(df, col("m"), 0L) }
   }
+
+  test("histogram drops null measures so counts conserve and cum_frac still ends at 1.0") {
+    // null measures (e.g. null text making wsTokenCount null) previously
+    // vanished from the cumulative join but still counted toward the
+    // total — cum_frac never reached 1.0
+    val df = Seq(Some(1L), None, Some(11L), None, Some(21L)).toDF("m")
+    val h = Corpus.histogram(df, col("m"), binWidth = 10L)
+      .orderBy("bin_lo")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(h.map(_._1).toSeq == Seq(0L, 10L, 20L)) // no null bin row
+    assert(h.map(_._2).sum == 3L)                  // nulls excluded from counts...
+    assert(h.last._3 == 1.0)                       // ...and from the denominator
+  }
+
+  test("histogramFromBins calibrates from pre-aggregated bins — no corpus re-scan") {
+    val df = Seq(1L, 5L, 11L, 15L, 21L).toDF("m")
+    // a pipeline computes bins ONCE where the filtered rows are in hand
+    // (or unions persisted increments) and feeds them back in
+    val bins = Corpus.binCounts(df, col("m"), binWidth = 10L)
+    val fromBins = Corpus.histogramFromBins(bins)
+      .orderBy("bin_lo").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val direct = Corpus.histogram(df, col("m"), binWidth = 10L)
+      .orderBy("bin_lo").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fromBins.toSeq == direct.toSeq)
+    assert(fromBins.last._3 == 1.0)
+  }
 }

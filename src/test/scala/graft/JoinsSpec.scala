@@ -73,6 +73,45 @@ class JoinsSpec extends SparkSpec {
     assert(cols == Seq("id", "k", "t", "asof_ts", "v"))
   }
 
+  test("asOf hot-key cap law: hot keys route around the window unmatched, cold keys untouched") {
+    // key 10 is the degenerate hot key: 4 left + 3 right = 7 combined rows
+    val l = ((1L to 4L).map(i => (i, 10L, ts(s"2024-01-01 1$i:00:00"))) ++
+      Seq((9L, 20L, ts("2024-01-01 11:00:00")))).toDF("id", "k", "t")
+    val r = Seq(
+      (10L, ts("2024-01-01 10:30:00"), 1.0),
+      (10L, ts("2024-01-01 12:30:00"), 2.0),
+      (10L, ts("2024-01-01 13:30:00"), 3.0),
+      (20L, ts("2024-01-01 10:00:00"), 7.0)).toDF("rk", "rt", "v")
+    val capped = Joins.asOf(l, r, "k", "rk", "t", "rt", Seq("v"), maxKeyRows = 5)
+      .select($"id", $"v").collect().map(x => x.getLong(0) -> x).toMap
+    assert(capped.size == 5) // every left row survives, hot or not
+    (1L to 4L).foreach(i => assert(capped(i).isNullAt(1), s"hot-key left $i must pass unmatched"))
+    assert(capped(9L).getDouble(1) == 7.0) // cold key matches exactly as uncapped
+    // a cap nothing exceeds: results identical to the uncapped run
+    val wide = Joins.asOf(l, r, "k", "rk", "t", "rt", Seq("v"), maxKeyRows = 100)
+      .select($"id", $"v", $"asof_ts").collect().toSet
+    val uncapped = Joins.asOf(l, r, "k", "rk", "t", "rt", Seq("v"))
+      .select($"id", $"v", $"asof_ts").collect().toSet
+    assert(wide == uncapped)
+    // observability names exactly the keys the cap routes, with counts
+    val report = Joins.asOfHotKeys(l, r, "k", "rk", maxKeyRows = 5)
+      .as[(Long, Long)].collect().toSeq
+    assert(report == Seq((10L, 7L)))
+  }
+
+  test("asOf hot-key cap routes a degenerate NULL-key left partition too") {
+    // a million null-key lefts would all hash to ONE window partition —
+    // the cap must be able to route them even though they never match
+    val l = ((1L to 3L).map(i => (i, Option.empty[Long], ts(s"2024-01-01 0$i:00:00"))) ++
+      Seq((9L, Option(10L), ts("2024-01-01 11:00:00")))).toDF("id", "k", "t")
+    val r = Seq((Option(10L), ts("2024-01-01 09:30:00"), 1.0)).toDF("rk", "rt", "v")
+    val out = Joins.asOf(l, r, "k", "rk", "t", "rt", Seq("v"), maxKeyRows = 2)
+      .select($"id", $"v").collect().map(x => x.getLong(0) -> x).toMap
+    assert(out.size == 4)
+    (1L to 3L).foreach(i => assert(out(i).isNullAt(1)))
+    assert(out(9L).getDouble(1) == 1.0)
+  }
+
   test("asOf plans exactly one exchange — the key hash, shared by both sides") {
     val plan = Joins.asOf(leftDf, rightDf, "k", "rk", "t", "rt", Seq("v"))
       .queryExecution.executedPlan.toString
