@@ -233,7 +233,8 @@ object SparkEntry {
 
   // --- registry ---------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ ExtensionQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ ExtensionQueries.queries ++ StreamingGates.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_map" -> (q01Map _),
@@ -257,7 +258,8 @@ object SparkEntry {
     "q19_fold_concat" -> (q19FoldConcat _)
   )
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ ExtensionQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ ExtensionQueries.oracleSql ++ StreamingGates.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_map" ->

@@ -1,0 +1,144 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.StreamingFlows
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalence gates for the STREAMING time-join forms: each query
+  * feeds the same sf events that q55/q56 read into the streaming operator
+  * via MemoryStream, drains the query, and returns the sink contents in
+  * the batch query's exact output shape — so the driver's DuckDB oracle
+  * (shared verbatim with q55/q56) checks that the streaming form computes
+  * the SAME answer as the batch form, row for row and hash for hash.
+  *
+  * The driver-side collect + MemoryStream here is GATE PLUMBING, not an
+  * operator shape: MemoryStream is driver-fed by definition (the test
+  * fixture Spark itself uses), while the operator under gate runs through
+  * the real engine — state store, watermarks, event-time timers. The
+  * queries are excluded from Bench (suffix `_stream`): their wall time
+  * measures this harness feeding rows, not a plan.
+  */
+object StreamingGates {
+
+  // NOT private: Catalyst's generated safe projections access the case
+  // class constructor from outside this object — a private member fails
+  // janino compilation at runtime
+  final case class Click(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  final case class Purchase(p_user: Long, p_ts: java.sql.Timestamp, p_value: Double)
+  final case class AsofHit(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      p_value: Option[Double], asof_ts: Option[java.sql.Timestamp])
+  final case class Point(click_id: Long, user_id: Long, ts: java.sql.Timestamp)
+  final case class Iv(
+      purchase_id: Long, p_user: Long,
+      w_start: java.sql.Timestamp, w_end: java.sql.Timestamp)
+
+  private def sinkName(tag: String): String =
+    s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Streaming as-of over the q55 inputs ([[StreamingFlows.asOf]]):
+    * clicks and pre-aggregated purchases arrive as one micro-batch, two
+    * sentinel rights on a key outside the data then advance the watermark
+    * past every real left and trigger the event-time timers that flush
+    * them — every click is emitted exactly once, matched µs-exactly.
+    */
+  private def q63AsofStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts")).as[Click].collect()
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value")).as[Purchase].collect()
+    val lIn = MemoryStream[Click]
+    val rIn = MemoryStream[Purchase]
+    val joined = StreamingFlows.asOf[Long, Click, Purchase, AsofHit](
+      lIn.toDS(), rIn.toDS(),
+      _.user_id, _.p_user, _.ts, _.p_ts,
+      delay = "1 hour",
+      (l, r) => AsofHit(l.event_id, l.user_id, l.ts, r.map(_.p_value), r.map(_.p_ts)))
+    val sink = sinkName("q63")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // ONE batch for all real rows: the watermark is still at epoch when
+      // they arrive, so nothing real is ever late-dropped
+      lIn.addData(clicks.toIndexedSeq)
+      rIn.addData(purchases.toIndexedSeq)
+      q.processAllAvailable()
+      val maxMs = (clicks.iterator.map(_.ts.getTime) ++
+        purchases.iterator.map(_.p_ts.getTime)).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      rIn.addData(Purchase(-1L, s1, 0.0))
+      q.processAllAvailable() // watermark passes every real left
+      rIn.addData(Purchase(-1L, new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+      q.processAllAvailable() // the batch in which the timers fire
+    } finally q.stop()
+    // q55's exact output shape and sentinels — the oracle is shared verbatim
+    s.table(sink).select(
+      col("event_id"),
+      col("user_id"),
+      round(coalesce(col("p_value"), lit(-1.0)), 4).as("prior_value"),
+      coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")), lit(-1L))
+        .as("gap_us"))
+  }
+
+  /** Streaming point-in-interval over the q56 inputs
+    * ([[graft.operators.Joins.intervalStream]]): the attribution windows
+    * are exactly 2 hours, so `maxLength = "2 hours"` makes the state
+    * bound a no-op truncation and the result set identical to the batch
+    * bucketed form. Inner-join matches emit within the arrival batch —
+    * no sentinel flush needed.
+    */
+  private def q64IntervalStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val twoHoursUs = 2L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .as[Point].collect()
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + twoHoursUs).as("w_end"))
+      .as[Iv].collect()
+    val pIn = MemoryStream[Point]
+    val iIn = MemoryStream[Iv]
+    val joined = graft.operators.Joins.intervalStream(
+      pIn.toDF().withWatermark("ts", "1 hour"),
+      iIn.toDF().withWatermark("w_start", "1 hour"),
+      "user_id", "p_user", "ts", "w_start", "w_end", maxLength = "2 hours")
+    val sink = sinkName("q64")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      pIn.addData(clicks.toIndexedSeq)
+      iIn.addData(windows.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).select(
+      col("click_id"),
+      col("purchase_id"),
+      col("user_id"),
+      (unix_micros(col("ts")) - unix_micros(col("w_start"))).as("gap_us"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_asof_stream" -> (q63AsofStream _),
+    "q64_interval_stream" -> (q64IntervalStream _)
+  )
+
+  /** The batch queries' oracles, verbatim: equivalence means "same rows,
+    * same hash, same SQL".
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
+    "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval")
+  )
+}

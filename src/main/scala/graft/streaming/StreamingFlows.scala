@@ -64,6 +64,13 @@ object StreamingFlows {
     * the batch form. Emission: on the micro-batch after the watermark
     * passes the left's timestamp (an event-time timer flushes keys that
     * receive no further input). Append mode only.
+    *
+    * Internal event-time bookkeeping is in MICROSECONDS (Spark's
+    * timestamp precision, reconstructed from the Timestamp's nanos
+    * field): matching and right-row ordering are exact at µs, so the
+    * result agrees with the batch [[graft.operators.Joins.asOf]] even
+    * when neighbors differ only below the millisecond. Only the
+    * watermark comparisons floor to the engine's millisecond watermark.
     */
   def asOf[K: Encoder, L: Encoder, R: Encoder, O: Encoder](
       left: Dataset[L],
@@ -80,11 +87,14 @@ object StreamingFlows {
     implicit val envEnc: Encoder[Env] = Encoders.tuple(
       implicitly[Encoder[K]], Encoders.TIMESTAMP, Encoders.scalaInt,
       implicitly[Encoder[L]], implicitly[Encoder[R]])
-    // (pending lefts, buffered rights) as (eventTimeMs, element) lists;
-    // kryo because the state never crosses engines — it lives and dies in
-    // the state store
+    // (pending lefts, buffered rights) as (eventTimeMicros, element)
+    // lists; kryo because the state never crosses engines — it lives and
+    // dies in the state store
     type S = (List[(Long, L)], List[(Long, R)])
     implicit val stateEnc: Encoder[S] = Encoders.kryo[S]
+    // full µs epoch time: getTime already carries the ms floor of the
+    // nanos field, so only the sub-ms µs remainder is added back
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
 
     val lEnv = left.map(l => (leftKey(l), leftTs(l), 1, l, null.asInstanceOf[R]))
     val rEnv = right.map(r => (rightKey(r), rightTs(r), 0, null.asInstanceOf[L], r))
@@ -104,26 +114,26 @@ object StreamingFlows {
           // the retained latest-finalized right is below the watermark by
           // design.
           if (env._2.getTime > wm) {
-            if (env._3 == 1) pending = (env._2.getTime, env._4) :: pending
-            else rights = (env._2.getTime, env._5) :: rights
+            if (env._3 == 1) pending = (micros(env._2), env._4) :: pending
+            else rights = (micros(env._2), env._5) :: rights
           }
         }
-        val (ready, stillPending) = pending.partition(_._1 <= wm)
+        val (ready, stillPending) = pending.partition(_._1 / 1000 <= wm)
         val rightsDesc = rights.sortBy(-_._1)
         val out = ready.sortBy(_._1).map { case (lts, l) =>
           combine(l, rightsDesc.find(_._1 <= lts).map(_._2))
         }
         // evict finalized rights, retaining only the latest — the one row
         // future lefts can still reach back to
-        val (live, done) = rightsDesc.partition(_._1 > wm)
+        val (live, done) = rightsDesc.partition(_._1 / 1000 > wm)
         val kept = live ++ done.take(1)
         if (stillPending.isEmpty && kept.isEmpty) state.remove()
         else {
           state.update((stillPending, kept))
           // flush pending lefts even if this key never sees input again;
-          // min pending ts > wm by construction, as the API requires
+          // min pending ms > wm by construction, as the API requires
           if (stillPending.nonEmpty)
-            state.setTimeoutTimestamp(stillPending.map(_._1).min)
+            state.setTimeoutTimestamp(stillPending.map(_._1).min / 1000)
         }
         out.iterator
       }

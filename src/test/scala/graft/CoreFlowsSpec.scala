@@ -84,4 +84,39 @@ class CoreFlowsSpec extends SparkSpec {
       graft.operators.Batching.throttleDiscard(col("ts"), "1 hour", 0, Seq(col("ts")))(Seq(1).toDF("ts"))
     }
   }
+
+  test("Keyed.chain runs a flow list per key: fresh state per key, stages compose in order") {
+    import graft.operators.Keyed
+    // (device, seq, reading): the reference's flagship shape — per-device
+    // chain of filter -> running fold -> map (flow/keyed.go:36-50)
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, -5.0), ("a", 3L, 20.0),
+      ("b", 1L, 1.0), ("b", 2L, 2.0)
+    ).toDF("device", "seq", "reading")
+    val out = Keyed.chain(Seq(col("device")), Seq(
+      Keyed.stateless(graft.operators.CoreFlows.filter(col("reading") > 0)), // drops (a,2)
+      Keyed.foldStage(sum, col("reading"), Seq(col("seq")), "running"),
+      Keyed.stateless(graft.operators.CoreFlows.map(
+        col("device"), col("seq"), col("running") * 2 as "doubled"))
+    ))(df)
+      .as[(String, Long, Double)].collect().toSet
+    // state is FRESH per key: b's fold never sees a's readings, and the
+    // filter ran BEFORE the fold (a's running sum skips the -5)
+    assert(out == Set(
+      ("a", 1L, 20.0), ("a", 3L, 60.0),
+      ("b", 1L, 2.0), ("b", 2L, 6.0)))
+  }
+
+  test("Keyed.chain: consecutive stateful stages share one key exchange") {
+    val df = Seq(("a", 1L, 10.0), ("b", 2L, 2.0)).toDF("device", "seq", "reading")
+    import graft.operators.Keyed
+    val plan = Keyed.chain(Seq(col("device")), Seq(
+      Keyed.foldStage(sum, col("reading"), Seq(col("seq")), "running"),
+      Keyed.reduceStage(max, col("running"), Seq(col("seq")), "peak"),
+      Keyed.batchStage(2, Seq(col("seq")))
+    ))(df).queryExecution.executedPlan.toString
+    // three stateful stages, ONE hash exchange on the key — the chain is
+    // one plan, not three shuffled sub-jobs
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
 }
