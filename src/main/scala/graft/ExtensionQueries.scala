@@ -451,6 +451,35 @@ object ExtensionQueries {
     graft.curation.Corpus.histogram(
       Tables.documents(s, d), TextFunctions.wsTokenCount(col("text")), binWidth = 10L)
 
+  /** Segment-level shared-content removal, gated at the WORD level (this
+    * corpus has no newline structure, so `" "` is the delimiter with real
+    * signal): drop tokens carried by ≥ 300 distinct documents —
+    * corpus-adaptive stopword stripping, the same machinery as CCNet
+    * line dedup at `"\n"` — see [[graft.dedup.Dedup.dropSharedSegments]].
+    * The oracle reproduces the hash keys, the distinct-carrier counts,
+    * and the order-preserving reassembly byte-for-byte.
+    */
+  private def q65SegDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.dropSharedSegments(
+      Tables.documents(s, d), col("text"), col("doc_id"),
+      delimiter = " ", minDocs = 300)
+
+  /** Incremental LSH: docs with id < 250 are "yesterday's corpus" (its
+    * band index), the rest are today's increment — candidate pairs come
+    * from ONE equijoin of the new batch's band keys against the index,
+    * never from re-signaturing history — see
+    * [[graft.dedup.Dedup.pairsAgainstIndex]] /
+    * [[graft.dedup.Dedup.saveBandIndex]] (the persisted bucketed form,
+    * plan-asserted in spec).
+    */
+  private def q66IncrementalPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = Dedup.bandIndexEntries(
+      docs.where(col("doc_id") < 250), col("text"), col("doc_id"))
+    Dedup.pairsAgainstIndex(
+      docs.where(col("doc_id") >= 250), col("text"), col("doc_id"), index)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -496,7 +525,9 @@ object ExtensionQueries {
     "q59_length_histogram" -> (q59LengthHistogram _),
     "q60_asof_forward" -> (q60AsofForward _),
     "q61_normalize" -> (q61Normalize _),
-    "q62_keep_best" -> (q62KeepBest _)
+    "q62_keep_best" -> (q62KeepBest _),
+    "q65_seg_dedup" -> (q65SegDedup _),
+    "q66_incremental_pairs" -> (q66IncrementalPairs _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -546,10 +577,11 @@ object ExtensionQueries {
       c.mkString(s"($i, [", "/1024.0, ", "/1024.0])")
     }.mkString(", ")
 
-  /** Shared by q21 (pairs) and q36 (clusters): the MinHash-LSH candidate
-    * pairs with band keys reproduced cross-engine.
+  /** The WITH-chain producing `banded(doc_id, band, band_key)` — the
+    * cross-engine MinHash banding shared by [[duckMinhashPairsSql]] and
+    * the incremental-index oracle (q66).
     */
-  private def duckMinhashPairsSql: String =
+  private def duckBandedCte: String =
     s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
        |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
        |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
@@ -557,7 +589,13 @@ object ExtensionQueries {
        |hb AS (SELECT doc_id, list_transform(shingles, s -> ${duckHash48("s")}) AS base
        |       FROM sh WHERE len(shingles) > 0),
        |sigs AS (SELECT doc_id, $minhashSigExpr AS sig FROM hb),
-       |banded AS ($minhashBandArms)
+       |banded AS ($minhashBandArms)""".stripMargin
+
+  /** Shared by q21 (pairs) and q36 (clusters): the MinHash-LSH candidate
+    * pairs with band keys reproduced cross-engine.
+    */
+  private def duckMinhashPairsSql: String =
+    s"""$duckBandedCte
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin
@@ -986,6 +1024,32 @@ object ExtensionQueries {
          |  round(sum(n_docs) OVER (ORDER BY bin_lo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |        / (SELECT sum(n_docs) FROM b), 6) AS cum_frac
          |FROM b""".stripMargin,
+    "q66_incremental_pairs" ->
+      s"""$duckBandedCte
+         |SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS indexed_id
+         |FROM banded n JOIN banded o
+         |  ON n.band = o.band AND n.band_key = o.band_key
+         |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
+    "q65_seg_dedup" -> {
+      val h = duckHash48("seg")
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS segs FROM documents),
+         |s AS (SELECT doc_id, i AS pos, segs[i] AS seg
+         |      FROM t, lateral unnest(range(1, len(segs) + 1)) u(i)),
+         |keys AS (SELECT doc_id, ($h) AS sk FROM s),
+         |shared AS (SELECT sk FROM (
+         |    SELECT sk, count(DISTINCT doc_id) AS nd FROM keys GROUP BY 1) WHERE nd >= 300),
+         |kept AS (SELECT s.doc_id, s.pos, s.seg FROM s
+         |         WHERE ($h) NOT IN (SELECT sk FROM shared)),
+         |r AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |             string_agg(seg, ' ' ORDER BY pos) AS text_deduped
+         |      FROM kept GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |       ELSE coalesce(r.text_deduped, '') END AS text_deduped,
+         |  len(string_split(d.text, ' '))::BIGINT AS n_segments,
+         |  coalesce(r.n_kept, 0)::BIGINT AS n_kept
+         |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin
+    },
     "q35_repetition" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |base AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

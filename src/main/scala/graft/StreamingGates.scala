@@ -60,14 +60,17 @@ object StreamingGates {
       _.user_id, _.p_user, _.ts, _.p_ts,
       delay = "1 hour",
       (l, r) => AsofHit(l.event_id, l.user_id, l.ts, r.map(_.p_value), r.map(_.p_ts)))
+    // buffer BOTH inputs before start(): the first trigger then carries
+    // every real row in one batch with the watermark still at epoch. If
+    // the query started first, a trigger could race between the two
+    // addData calls, advance the watermark off one side alone, and
+    // late-drop the other side's older rows (observed at sf0.1)
+    lIn.addData(clicks.toIndexedSeq)
+    rIn.addData(purchases.toIndexedSeq)
     val sink = sinkName("q63")
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      // ONE batch for all real rows: the watermark is still at epoch when
-      // they arrive, so nothing real is ever late-dropped
-      lIn.addData(clicks.toIndexedSeq)
-      rIn.addData(purchases.toIndexedSeq)
       q.processAllAvailable()
       val maxMs = (clicks.iterator.map(_.ts.getTime) ++
         purchases.iterator.map(_.p_ts.getTime)).max
@@ -114,12 +117,13 @@ object StreamingGates {
       pIn.toDF().withWatermark("ts", "1 hour"),
       iIn.toDF().withWatermark("w_start", "1 hour"),
       "user_id", "p_user", "ts", "w_start", "w_end", maxLength = "2 hours")
+    // buffer before start() — same single-first-batch guarantee as q63
+    pIn.addData(clicks.toIndexedSeq)
+    iIn.addData(windows.toIndexedSeq)
     val sink = sinkName("q64")
     val q = joined.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      pIn.addData(clicks.toIndexedSeq)
-      iIn.addData(windows.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
     s.table(sink).select(

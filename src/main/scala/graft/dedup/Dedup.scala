@@ -173,6 +173,99 @@ object Dedup {
     sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "band_key")))
   }
 
+  /** (doc_id, bkey) MinHash band-index entries with a composite long key
+    * (band index in the bits above 48, the 48-bit band key below) — the
+    * persistable unit of INCREMENTAL near-dup detection. Persist with
+    * [[saveBandIndex]]; pair a new batch against history with
+    * [[pairsAgainstIndex]]. Same kernel, parameters, and exclusions as
+    * [[minhashLshPairs]] (docs with < shingleWidth tokens produce no
+    * entries), so index-based and batch pair generation agree exactly.
+    */
+  def bandIndexEntries(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    bandedKeys(df, text, id, shingleWidth, k, bands)
+      .select(col("doc_id"),
+        (col("band").cast("long") * lit(1L << 48) + col("band_key")).as("bkey"))
+  }
+
+  /** Persist a batch's band entries into a bucketed index table — the
+    * incremental-dedup production shape ([[saveSeen]]'s pattern at the
+    * NEAR-dup tier): yesterday's 100 TB is never re-signatured, only
+    * today's increment is, and the anti-recompute lives in the table
+    * layout. Bucketed on `bkey`, so [[pairsAgainstIndex]] plans NO
+    * exchange on the index side however large history grows. Appends
+    * without a cross-snapshot distinct — pair generation distincts its
+    * output, so duplicate index rows only cost join width, and a global
+    * distinct against the full index would be exactly the re-shuffle the
+    * layout avoids. `maxBucket` (off by default) drops this batch's
+    * oversized band buckets at WRITE time — boilerplate keys excluded
+    * from the index once, not re-filtered per query
+    * ([[minhashOversizedBuckets]] reports them; note the cap is
+    * per-batch: a key can still grow past it across appends).
+    */
+  def saveBandIndex(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      table: String,
+      buckets: Int = 64,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4,
+      maxBucket: Int = Int.MaxValue
+  ): Unit = {
+    val entries = bandIndexEntries(df, text, id, shingleWidth, k, bands)
+    val capped =
+      if (maxBucket == Int.MaxValue) entries
+      else entries
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .where(col("__n") <= maxBucket)
+        .drop("__n")
+    graft.sources.Storage.writeBucketed(capped, table, "bkey", buckets, mode = "append")
+  }
+
+  /** Candidate near-dup pairs of `newDocs` against an EXISTING band index
+    * ([[bandIndexEntries]] output — a freshly computed DataFrame or
+    * `spark.table` over a [[saveBandIndex]] table): one equijoin on the
+    * composite band key, output distinct (doc_id, indexed_id). With a
+    * bucketed index table the join plans no exchange on the history side
+    * — only the new batch shuffles, which is what makes daily increments
+    * against years of corpus affordable. `maxBucket` caps the INDEX-side
+    * bucket fan-out at query time (an unordered window count — on a
+    * bucketed table it needs no exchange either); buckets above it are
+    * excluded like [[minhashLshPairs]]' cap.
+    */
+  def pairsAgainstIndex(
+      newDocs: DataFrame,
+      text: Column,
+      id: Column,
+      index: DataFrame,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val idx = index.select(col("doc_id").as("indexed_id"), col("bkey"))
+    val capped =
+      if (maxBucket == Int.MaxValue) idx
+      else idx
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .where(col("__n") <= maxBucket)
+        .drop("__n")
+    bandIndexEntries(newDocs, text, id, shingleWidth, k, bands)
+      .join(capped, Seq("bkey"))
+      .where(col("doc_id") =!= col("indexed_id"))
+      .select(col("doc_id"), col("indexed_id"))
+      .distinct()
+  }
+
   /** The (band, band_key) buckets a `maxBucket` cap would drop, with their
     * member counts — the observability half of the cap: at 100 TB you run
     * this (cheap: the same one-shuffle groupBy, no pair expansion) to size
@@ -551,6 +644,72 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(coalesce(col("n_shared"), lit(0L)) /
           greatest(coalesce(col("n_fp"), lit(0L)), lit(1L)), 4).as("shared_frac"))
+  }
+
+  /** Segment-level shared-content removal — the per-SEGMENT action side
+    * of boilerplate dedup (CCNet's line-level dedup, generalized to any
+    * delimiter): split each document on `delimiter`, count how many
+    * DISTINCT documents carry each segment, drop every occurrence of the
+    * segments carried by at least `minDocs` documents, and reassemble
+    * the survivors in original order. `delimiter = "\n"` is classic line
+    * dedup (license headers, navigation chrome, templated footers);
+    * `" "` is corpus-adaptive stopword stripping (drop tokens present in
+    * ≥ minDocs documents). The detection-only relatives are
+    * [[sharedSpans]] (substring granularity) and [[boilerplateScore]]
+    * (per-doc fraction); this one edits the text.
+    *
+    * Output: (doc_id, text_deduped, n_segments, n_kept). A document
+    * whose every segment is shared keeps an empty string; null text
+    * stays null.
+    *
+    * Scale shape: segments travel as 48-bit hashes through every shuffle
+    * — the raw strings ride only the initial explode and the per-doc
+    * reassembly. Carrier counting is a (doc, key)-distinct followed by a
+    * key count, both map-side combinable; the drop is a hash equijoin
+    * (the shared set is corpus-dependent and may be huge, so nothing is
+    * broadcast — Catalyst still broadcasts it when it turns out tiny);
+    * reassembly is one doc_id shuffle. The ~2^-48-per-pair hash
+    * collision that could drop an innocent segment is the same trade
+    * every gram/fingerprint stage here makes.
+    */
+  def dropSharedSegments(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      delimiter: String = "\n",
+      minDocs: Int = 2
+  ): DataFrame = {
+    require(minDocs >= 2, "minDocs below 2 would drop every segment")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val qd = java.util.regex.Pattern.quote(delimiter)
+    val segs = docs
+      .select(id.as("doc_id"), posexplode(split(text, qd)).as(Seq("pos", "seg")))
+      .withColumn("__sk", Hashing.hash48(col("seg")))
+    val shared = segs.select(col("doc_id"), col("__sk")).distinct()
+      .groupBy(col("__sk")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__sk"))
+    val rebuilt = segs.join(shared, Seq("__sk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            x => x.getField("seg")),
+          delimiter).as("__text"))
+    docs
+      .select(
+        id.as("doc_id"),
+        text.as("__orig"),
+        size(split(text, qd)).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("__orig").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__text"), lit(""))).as("text_deduped"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** n-gram Jaccard similarity between explicit (docA, docB) pairs — the

@@ -448,6 +448,32 @@ class DedupKnnSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
   }
 
+  test("dropSharedSegments: shared lines vanish everywhere, unique lines keep order; edge cases") {
+    val d = Seq(
+      (1L, "SHARED HEADER\nalpha one\nbeta two"),
+      (2L, "SHARED HEADER\ngamma three"),
+      (3L, "SHARED HEADER"),            // everything shared -> empty string
+      (4L, "delta four\nepsilon five"), // nothing shared -> untouched
+      (5L, null.asInstanceOf[String])   // null text stays null
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropSharedSegments(d, col("text"), col("doc_id"), "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(3)))).toMap
+    assert(out(1L) == ((Some("alpha one\nbeta two"), 2L)))
+    assert(out(2L) == ((Some("gamma three"), 1L)))
+    assert(out(3L) == ((Some(""), 0L)))
+    assert(out(4L) == ((Some("delta four\nepsilon five"), 2L)))
+    assert(out(5L) == ((None, 0L)))
+    // repeated occurrences within ONE doc do not make a segment "shared" —
+    // carrier counts are DISTINCT documents
+    val solo = Seq((1L, "x\nx\ny"), (2L, "z")).toDF("doc_id", "text")
+    val soloOut = Dedup.dropSharedSegments(solo, col("text"), col("doc_id"), "\n", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(soloOut(1L) == "x\nx\ny" && soloOut(2L) == "z")
+    intercept[IllegalArgumentException] {
+      Dedup.dropSharedSegments(d, col("text"), col("doc_id"), "\n", minDocs = 1)
+    }
+  }
+
   test("graft.checkpointDir switches CC materialization to RELIABLE checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
     val vertices = (1L to 8L).map(Tuple1(_)).toDF("doc_id")

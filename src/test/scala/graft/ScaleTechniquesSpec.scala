@@ -69,4 +69,34 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(Dedup.dropSeen(day1.unionByName(day2), col("text"), table).isEmpty)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("incremental LSH: new batch pairs against the persisted band index without re-signaturing it") {
+    import graft.dedup.Dedup
+    val table = "graft_band_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val mk = (id: Long, t: String) => (id, t)
+    // near-identical long docs so LSH surfaces the pair; doc 3 unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val day1 = Seq(mk(1L, base), mk(3L, "completely different unrelated words appear here with nothing shared"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(mk(10L, base), mk(11L, "still nothing in common with anything previously indexed at all"))
+      .toDF("doc_id", "text")
+    try {
+      Dedup.saveBandIndex(day1, col("text"), col("doc_id"), table, buckets = 4)
+      val pairs = Dedup.pairsAgainstIndex(
+        day2, col("text"), col("doc_id"), spark.table(table))
+      val got = pairs.as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L))) // the duplicate found, nothing else
+      // equivalence with the batch form: the same cross pair surfaces in
+      // minhashLshPairs over the union (plus any within-day pairs)
+      val batch = Dedup.minhashLshPairs(
+        day1.unionByName(day2), col("text"), col("doc_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(batch.contains((1L, 10L)))
+      // bucketed index: the only TWO exchanges are the new batch's bucket
+      // routing and the output distinct — history never shuffles
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
