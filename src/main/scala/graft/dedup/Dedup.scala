@@ -662,15 +662,19 @@ object Dedup {
     * whose every segment is shared keeps an empty string; null text
     * stays null.
     *
-    * Scale shape: segments travel as 48-bit hashes through every shuffle
-    * — the raw strings ride only the initial explode and the per-doc
-    * reassembly. Carrier counting is a (doc, key)-distinct followed by a
-    * key count, both map-side combinable; the drop is a hash equijoin
-    * (the shared set is corpus-dependent and may be huge, so nothing is
-    * broadcast — Catalyst still broadcasts it when it turns out tiny);
-    * reassembly is one doc_id shuffle. The ~2^-48-per-pair hash
-    * collision that could drop an innocent segment is the same trade
-    * every gram/fingerprint stage here makes.
+    * Scale shape: ONE explode of the corpus and ONE exchange on the
+    * 48-bit segment key — the distinct-document carrier count is
+    * computed INLINE over that single partition (a `lag` first-seen flag
+    * under the ordered window, summed by the unordered window on the
+    * same key, so both windows share the exchange), and the drop is a
+    * filter on the resulting count, not a join against a materialized
+    * shared-key set (which a naive distinct→groupBy→anti-join plan
+    * re-explodes the corpus to build — measured plan had 3 scans and 3
+    * exchanges; this has 1 scan of the segment stream and 1 key
+    * exchange). Reassembly is one doc_id shuffle; the final left join
+    * restores zero-survivor and null-text docs. The ~2^-48-per-pair
+    * hash collision that could drop an innocent segment is the same
+    * trade every gram/fingerprint stage here makes.
     */
   def dropSharedSegments(
       docs: DataFrame,
@@ -685,11 +689,19 @@ object Dedup {
     val segs = docs
       .select(id.as("doc_id"), posexplode(split(text, qd)).as(Seq("pos", "seg")))
       .withColumn("__sk", Hashing.hash48(col("seg")))
-    val shared = segs.select(col("doc_id"), col("__sk")).distinct()
-      .groupBy(col("__sk")).agg(count(lit(1)).as("__nd"))
-      .where(col("__nd") >= minDocs)
-      .select(col("__sk"))
-    val rebuilt = segs.join(shared, Seq("__sk"), "left_anti")
+    // distinct-doc carrier count inline over ONE key exchange: rows of a
+    // segment key sort by doc_id, the lag flag marks each doc's first
+    // row, and the unordered sum over the same partition totals the
+    // flags — count(DISTINCT doc) without a second aggregation pass or
+    // a join back
+    val wOrd = Window.partitionBy(col("__sk")).orderBy(col("doc_id"))
+    val wAll = Window.partitionBy(col("__sk"))
+    val firstSeen = lag(col("doc_id"), 1).over(wOrd)
+    val rebuilt = segs
+      .withColumn("__new",
+        when(firstSeen.isNull || firstSeen =!= col("doc_id"), 1L).otherwise(0L))
+      .withColumn("__nd", sum(col("__new")).over(wAll))
+      .where(col("__nd") < minDocs)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_kept"),
