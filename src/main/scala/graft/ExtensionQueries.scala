@@ -480,6 +480,19 @@ object ExtensionQueries {
       docs.where(col("doc_id") >= 250), col("text"), col("doc_id"), index)
   }
 
+  /** Sketch-tier similarity verify: the LSH candidates ranked by MinHash
+    * signature agreement — constant per-doc state (k longs) instead of
+    * the gram arrays the exact [[graft.dedup.Dedup.ngramJaccard]] carries
+    * — see [[graft.dedup.Dedup.minhashEstimate]]. The oracle recomputes
+    * the signatures and the agreement fraction exactly.
+    */
+  private def q67MinhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashEstimate(
+      Dedup.minhashLshPairs(docs, col("text"), col("doc_id")),
+      docs, col("doc_id"), col("text"))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -527,7 +540,8 @@ object ExtensionQueries {
     "q61_normalize" -> (q61Normalize _),
     "q62_keep_best" -> (q62KeepBest _),
     "q65_seg_dedup" -> (q65SegDedup _),
-    "q66_incremental_pairs" -> (q66IncrementalPairs _)
+    "q66_incremental_pairs" -> (q66IncrementalPairs _),
+    "q67_minhash_estimate" -> (q67MinhashEstimate _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1030,6 +1044,17 @@ object ExtensionQueries {
          |FROM banded n JOIN banded o
          |  ON n.band = o.band AND n.band_key = o.band_key
          |WHERE n.doc_id >= 250 AND o.doc_id < 250""".stripMargin,
+    "q67_minhash_estimate" ->
+      s"""$duckBandedCte,
+         |pairsq AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  round(list_sum([CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END
+         |                  for j in range(1, 13)]) / 12.0, 4) AS est_jaccard
+         |FROM pairsq p
+         |JOIN sigs sa ON sa.doc_id = p.doc_a
+         |JOIN sigs sb ON sb.doc_id = p.doc_b""".stripMargin,
     "q65_seg_dedup" -> {
       val h = duckHash48("seg")
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS segs FROM documents),

@@ -389,6 +389,33 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25
   ): DataFrame = {
+    // Constraint propagation is OFF for the duration of the loop: the
+    // materialized labels' LogicalRDD snapshots alias-equality
+    // constraints whose references are not in its output, and chaining
+    // those snapshots through iterations makes Spark 4.1's
+    // Union.rewriteConstraints throw NoSuchElementException at analysis
+    // time (surfaced by [[mergeClusters]]' star-edge union; reproduced
+    // bisecting the loop). Constraints buy nothing here — every join is
+    // a hash equijoin on non-null longs — and snapshots taken with the
+    // conf off carry no constraints at all, so the RETURNED labels stay
+    // union-safe for callers after the conf is restored.
+    val session = vertices.sparkSession
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = session.conf.getOption(cpKey)
+    session.conf.set(cpKey, "false")
+    try nearDupClustersImpl(vertices, id, pairs, maxIter)
+    finally cpPrev match {
+      case Some(v) => session.conf.set(cpKey, v)
+      case None    => session.conf.unset(cpKey)
+    }
+  }
+
+  private def nearDupClustersImpl(
+      vertices: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      maxIter: Int
+  ): DataFrame = {
     val vertexIds = vertices.select(id.as("doc_id"))
     // Edges are restricted to the vertex universe FIRST: a pair citing an
     // id outside `vertices` (pairs computed over a superset corpus) would
@@ -722,6 +749,73 @@ object Dedup {
           .otherwise(coalesce(col("__text"), lit(""))).as("text_deduped"),
         col("n_segments"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** MinHash Jaccard ESTIMATE for explicit (doc_a, doc_b) pairs from
+    * signature agreement: `est = |{j : sig_a[j] = sig_b[j]}| / k` — the
+    * per-component match probability of a MinHash signature equals the
+    * Jaccard similarity (MMDS ch.3), so the agreement fraction is the
+    * unbiased estimator with std-error ~ sqrt(J(1-J)/k).
+    *
+    * The sketch-tier verify stage: where [[ngramJaccard]] computes the
+    * EXACT similarity from len(text)-sized gram arrays, this one runs on
+    * k longs per document — constant state per doc, so at 100 TB the
+    * verification join carries kilobytes per row instead of documents.
+    * Use it to rank/threshold LSH candidates cheaply and reserve the
+    * exact form for the survivors. Same kernel and parameters as
+    * [[minhashLshPairs]]; pairs citing a doc with no signature (fewer
+    * than `shingleWidth` tokens — such docs never surface from LSH)
+    * are dropped by the inner joins.
+    */
+  def minhashEstimate(
+      pairs: DataFrame,
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleWidth: Int = 3,
+      k: Int = 12
+  ): DataFrame = {
+    val sigs = docs
+      .select(id.as("_mid"), Hashing.minhashSigDoc(text, shingleWidth, k).as("_sig"))
+      .where(size(col("_sig")) > 0)
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    pairs
+      .join(sigs.withColumnRenamed("_mid", "doc_a").withColumnRenamed("_sig", "sig_a"), Seq("doc_a"))
+      .join(sigs.withColumnRenamed("_mid", "doc_b").withColumnRenamed("_sig", "sig_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(agree.cast("double") / k, 4).as("est_jaccard"))
+  }
+
+  /** Incremental clustering: fold NEW candidate pairs into EXISTING
+    * cluster labels without re-running CC over history's pair set. Old
+    * labels re-enter as STAR edges (doc → its cluster root) — a graph
+    * with exactly the same connected components as the original pairs —
+    * and because stars are depth-1, the pointer-doubling loop collapses
+    * unchanged regions in its first round: the iterative cost scales
+    * with how much the NEW pairs restructure, not with history's size.
+    * The daily pipeline composes [[saveBandIndex]] →
+    * [[pairsAgainstIndex]] → this → [[dropByClusters]] /
+    * [[keepBestByClusters]].
+    *
+    * `vertices` must cover every doc to label (history + increment);
+    * `oldClusters` is [[nearDupClusters]]/this function's own output.
+    * Spec asserts exact equivalence with a full recompute over the
+    * union of old and new pairs.
+    */
+  def mergeClusters(
+      vertices: DataFrame,
+      id: Column,
+      oldClusters: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 25
+  ): DataFrame = {
+    val starEdges = oldClusters
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b")) // self-labels add no edge
+    nearDupClusters(vertices, id,
+      starEdges.unionByName(newPairs.select(col("doc_a"), col("doc_b"))), maxIter)
   }
 
   /** n-gram Jaccard similarity between explicit (docA, docB) pairs — the

@@ -448,6 +448,37 @@ class DedupKnnSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h == 0L })
   }
 
+  test("minhashEstimate: 1.0 for identical docs, matches the Scala-recomputed agreement exactly") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.minhashEstimate(pairs, docs, col("doc_id"), col("text"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 1L)) == 1.0) // identical text -> all components agree
+    assert(out((0L, 2L)) > 0.0 && out((0L, 2L)) < 1.0) // near-dup: partial agreement
+    // oracle-in-Scala: recompute the agreement from the signatures
+    val sigs = docs.select(col("doc_id"),
+        graft.functions.Hashing.minhashSigDoc(col("text"), 3, 12).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    out.foreach { case ((a, b), est) =>
+      val expect = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 12.0
+      assert(math.abs(est - math.rint(expect * 10000) / 10000) < 1e-9, s"pair ($a,$b)")
+    }
+  }
+
+  test("mergeClusters: star edges + new pairs == full recompute over the union") {
+    val vertices = (1L to 10L).map(Tuple1(_)).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((3L, 6L), (8L, 9L)).toDF("doc_a", "doc_b") // bridges {1-3} with {6,7}
+    val old = Dedup.nearDupClusters(vertices, col("doc_id"), oldPairs)
+    val merged = Dedup.mergeClusters(vertices, col("doc_id"), old, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.nearDupClusters(
+      vertices, col("doc_id"), oldPairs.unionByName(newPairs))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == full)
+    assert(merged(7L) == 1L) // the bridge united the two old components
+    assert(merged(9L) == 8L && merged(10L) == 10L)
+  }
+
   test("dropSharedSegments: shared lines vanish everywhere, unique lines keep order; edge cases") {
     val d = Seq(
       (1L, "SHARED HEADER\nalpha one\nbeta two"),
