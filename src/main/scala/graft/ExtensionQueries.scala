@@ -480,6 +480,18 @@ object ExtensionQueries {
       docs.where(col("doc_id") >= 250), col("text"), col("doc_id"), index)
   }
 
+  /** Final training order for the data recipe: [[q54EpochMix]]'s weighted
+    * mix ranked into a reproducible global order over the (doc, copy)
+    * universe — epoch copies interleave through the whole order instead
+    * of repeating the corpus back to back — see
+    * [[graft.curation.Assembly.epochOrder]]. The oracle reproduces the
+    * mix, the composite-key hash, and the global rank.
+    */
+  private def q68EpochOrder(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.epochOrder(
+      Tables.documents(s, d), col("doc_id"), col("lang"),
+      weightByStratum = MixWeights, defaultWeight = 0.5)
+
   /** Sketch-tier similarity verify: the LSH candidates ranked by MinHash
     * signature agreement — constant per-doc state (k longs) instead of
     * the gram arrays the exact [[graft.dedup.Dedup.ngramJaccard]] carries
@@ -541,7 +553,8 @@ object ExtensionQueries {
     "q62_keep_best" -> (q62KeepBest _),
     "q65_seg_dedup" -> (q65SegDedup _),
     "q66_incremental_pairs" -> (q66IncrementalPairs _),
-    "q67_minhash_estimate" -> (q67MinhashEstimate _)
+    "q67_minhash_estimate" -> (q67MinhashEstimate _),
+    "q68_epoch_order" -> (q68EpochOrder _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -954,6 +967,32 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT doc_id, lang AS stratum, unnest(range(0, copies))::INT AS copy_idx
          |FROM b WHERE copies > 0""".stripMargin
+    },
+    "q68_epoch_order" -> {
+      def parts(w: Double): (Int, Int) = {
+        val f = math.floor(w).toInt
+        val p = math.round((w - f) * 1000).toInt
+        if (p == 1000) (f + 1, 0) else (f, p)
+      }
+      val fl = MixWeights.toSeq.sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN ${parts(w)._1}" }.mkString(" ")
+      val pm = MixWeights.toSeq.sortBy(_._1)
+        .map { case (l, w) => s"WHEN '$l' THEN ${parts(w)._2}" }.mkString(" ")
+      val (df0, dp0) = parts(0.5)
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  (CASE lang $fl ELSE $df0 END) +
+         |  (CASE WHEN ((${duckHash48("(doc_id::VARCHAR || ':mix-v1')")}) % 1000) <
+         |        (CASE lang $pm ELSE $dp0 END) THEN 1 ELSE 0 END) AS copies
+         |  FROM documents),
+         |m AS (SELECT doc_id, lang AS stratum, unnest(range(0, copies))::INT AS copy_idx
+         |      FROM b WHERE copies > 0),
+         |k AS (SELECT *,
+         |  doc_id::VARCHAR || '#' || copy_idx::VARCHAR AS ck,
+         |  (${duckHash48("(doc_id::VARCHAR || '#' || copy_idx::VARCHAR || ':order-v1')")}) AS sort_key
+         |  FROM m)
+         |SELECT doc_id, stratum, copy_idx,
+         |  row_number() OVER (ORDER BY sort_key, ck) AS global_pos
+         |FROM k""".stripMargin
     },
     // DuckDB's native ASOF JOIN is the oracle for the union-and-carry form;
     // -1 sentinels stand in for the no-prior-purchase nulls so the compare

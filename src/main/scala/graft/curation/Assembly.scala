@@ -161,20 +161,36 @@ object Assembly {
       id: Column,
       salt: String = "order-v1",
       nBuckets: Int = 256
+  ): DataFrame =
+    rankBySaltedKey(df.select(id.as("doc_id")), col("doc_id"), col("doc_id"), salt, nBuckets)
+      .select(col("doc_id"), col("sort_key"), col("global_pos"))
+
+  /** The two-pass range-bucketed ranking core shared by [[shuffleOrder]]
+    * and [[epochOrder]]: every row gets a salted 48-bit key from `key`,
+    * rows range-bucket on the key's top bits, per-bucket counts
+    * materialize ONCE ([[graft.Materialize]] — without it each side of
+    * the offset self-join would re-scan the input), offsets come from
+    * the broadcast non-equi self-join on the constant-size counts
+    * relation, and local ranks shift to global positions. `tie` must be
+    * unique per row — it breaks sort-key hash collisions
+    * deterministically, in ITS own type's ordering (the oracle must
+    * order by the same typed value). All passthrough columns of `df`
+    * survive.
+    */
+  private def rankBySaltedKey(
+      df: DataFrame,
+      key: Column,
+      tie: Column,
+      salt: String,
+      nBuckets: Int
   ): DataFrame = {
     require(nBuckets > 0 && nBuckets <= (1 << 24), "nBuckets must be in [1, 2^24]")
     // top bits of the 48-bit key: contiguous ranges, uniform occupancy
     val shift = 48 - (32 - Integer.numberOfLeadingZeros(nBuckets - 1 max 1))
-    val keyed = df.select(
-      id.as("doc_id"),
-      Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
+    val keyed = df
+      .withColumn("sort_key", Hashing.hash48(concat(key.cast("string"), lit(s":$salt"))))
+      .withColumn("__tie", tie)
       .withColumn("bucket", shiftright(col("sort_key"), shift).cast("int"))
-    // materialize the ≤ nBuckets-row counts once: both sides of the offset
-    // self-join reference it, and without the (eager, tiny)
-    // materialization each side would re-aggregate — i.e. re-SCAN the full
-    // input a second and third time, which at 100 TB is two extra passes
-    // over the corpus ([[graft.Materialize]]: reliable under
-    // graft.checkpointDir, localCheckpoint otherwise)
     val counts = graft.Materialize(
       keyed.groupBy(col("bucket")).agg(count(lit(1)).as("cnt")))
     // offset(b) = rows in all lower buckets — tiny non-equi self-join on
@@ -183,14 +199,39 @@ object Assembly {
       .join(broadcast(counts.as("p")), col("p.bucket") < col("b.bucket"), "left")
       .groupBy(col("b.bucket").as("bucket"))
       .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("sort_key").asc, col("doc_id").asc)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("sort_key").asc, col("__tie").asc)
     keyed
       .withColumn("__rn", row_number().over(w))
       .join(broadcast(offsets), Seq("bucket"))
-      .select(
-        col("doc_id"),
-        col("sort_key"),
-        (col("offset") + col("__rn")).as("global_pos"))
+      .withColumn("global_pos", col("offset") + col("__rn"))
+      .drop("bucket", "__tie", "__rn", "offset")
+  }
+
+  /** The final training ORDER for a weighted data recipe — [[epochMix]]
+    * composed with the [[shuffleOrder]] ranking over the (doc, copy)
+    * universe, so epoch copies INTERLEAVE through the whole order instead
+    * of repeating the corpus back to back (the property that keeps every
+    * training window an unbiased sample of the mix). Output:
+    * (doc_id, stratum, copy_idx, global_pos), reproducible from
+    * (id, salts) alone. Plan cost: the mix is a zero-exchange expression,
+    * so this is exactly the two-pass ranking — one bucket-window exchange
+    * over the mixed rows plus the broadcast offsets.
+    */
+  def epochOrder(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      weightByStratum: Map[String, Double],
+      defaultWeight: Double,
+      mixSalt: String = "mix-v1",
+      orderSalt: String = "order-v1",
+      nBuckets: Int = 256
+  ): DataFrame = {
+    val mixed = epochMix(df, id, stratum, weightByStratum, defaultWeight, mixSalt)
+    val copyKey =
+      concat_ws("#", col("doc_id").cast("string"), col("copy_idx").cast("string"))
+    rankBySaltedKey(mixed, copyKey, copyKey, orderSalt, nBuckets)
+      .select(col("doc_id"), col("stratum"), col("copy_idx"), col("global_pos"))
   }
 
   /** Token-budget sampling: walk each stratum's documents in deterministic

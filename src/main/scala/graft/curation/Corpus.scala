@@ -210,6 +210,20 @@ object Corpus {
       .groupBy(col("bin_lo")).agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Read a quantile threshold off a cumulative histogram: the smallest
+    * `bin_lo` whose `cum_frac` reaches `q` — the calibration readout
+    * ("the p10 length floor") with `binWidth` resolution. Runs one
+    * aggregate over the ≤ #bins relation (a driver-side scalar is the
+    * POINT — the threshold feeds a filter expression). `None` when no bin
+    * reaches `q`: an empty histogram, or rounding keeping every cum_frac
+    * below a q chosen at the far tail.
+    */
+  def quantileFromBins(hist: DataFrame, q: Double): Option[Long] = {
+    require(q > 0.0 && q <= 1.0, s"quantile must be in (0, 1], got $q")
+    Option(hist.where(col("cum_frac") >= q).agg(min(col("bin_lo"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+  }
+
   /** Cumulative fractions over a pre-aggregated (bin_lo, n_docs) relation
     * ([[binCounts]]' output contract — bin_lo non-null and unique). The
     * broadcast non-equi self-join runs on the ≤ #bins relation, never the

@@ -75,11 +75,9 @@ object TrainingDataDemo {
     // a one-pass aggregate over bins, never a corpus sort
     val hist = graft.curation.Corpus.histogram(
       train, TextFunctions.wsTokenCount(col("text")), binWidth = 5L)
-    // an empty train split (or rounding keeping every cum_frac below the
-    // target) yields a NULL aggregate — fail with a message, not an NPE
-    val minLen = Option(hist.where(col("cum_frac") >= 0.10)
-        .agg(min(col("bin_lo"))).head().get(0))
-      .map(_.asInstanceOf[Long])
+    // an empty train split yields no qualifying bin — fail with a
+    // message, not an NPE
+    val minLen = graft.curation.Corpus.quantileFromBins(hist, 0.10)
       .getOrElse(sys.error(
         "length-histogram calibration found no bin with cum_frac >= 0.10 — empty train split?"))
     val sized = train.where(TextFunctions.wsTokenCount(col("text")) >= minLen)

@@ -162,4 +162,30 @@ class AssemblySpec extends SparkSpec {
     assert(out.count(_._2.contains("en")) == 2)
     assert(out.count(_._2.isEmpty) == 1)
   }
+
+  test("epochOrder: bijective positions over the mix, interleaved, partitioning-independent") {
+    val weights = Map("en" -> 2.0, "de" -> 1.0)
+    val n = 40L
+    val docs = (1L to n).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val ordered = Assembly.epochOrder(
+      docs, col("doc_id"), col("lang"), weights, defaultWeight = 1.0, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val mixRows = Assembly.epochMix(
+      docs, col("doc_id"), col("lang"), weights, defaultWeight = 1.0).count()
+    // positions are exactly 1..|mix| — a bijection over the (doc, copy) rows
+    assert(ordered.length == mixRows)
+    assert(ordered.map(_._4).sorted.toSeq == (1L to mixRows).toSeq)
+    // epoch copies INTERLEAVE: the two copies of an en doc are not all
+    // adjacent (probability of every pair adjacent under a uniform hash
+    // order is astronomically small — any adjacency run means the order
+    // degenerated to corpus-repetition)
+    val byDoc = ordered.filter(_._2 == "en").groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq)
+    val gaps = byDoc.values.toSeq.collect { case Seq(a, b) => b - a }
+    assert(gaps.nonEmpty && gaps.exists(_ > 1), "all epoch copies adjacent — no interleave")
+    // reproducible under a different input partitioning
+    val repart = Assembly.epochOrder(
+      docs.repartition(7), col("doc_id"), col("lang"), weights, defaultWeight = 1.0, nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).sorted
+    assert(repart.toSeq == ordered.sorted.toSeq)
+  }
 }

@@ -181,6 +181,16 @@ class CorpusSpec extends SparkSpec {
     assert(h.last._3 == 1.0)                       // ...and from the denominator
   }
 
+  test("quantileFromBins reads thresholds off the cumulative histogram; None when unreachable") {
+    val df = (1L to 100L).toDF("m")
+    val hist = Corpus.histogram(df, col("m"), binWidth = 10L)
+    assert(Corpus.quantileFromBins(hist, 0.10).contains(10L)) // first bin reaching 10%: [10,20)
+    assert(Corpus.quantileFromBins(hist, 1.0).contains(100L)) // the last bin ([100,110) holds m=100)
+    val empty = Corpus.histogram(df.where(col("m") < 0), col("m"), 10L)
+    assert(Corpus.quantileFromBins(empty, 0.5).isEmpty)
+    intercept[IllegalArgumentException] { Corpus.quantileFromBins(hist, 0.0) }
+  }
+
   test("histogramFromBins calibrates from pre-aggregated bins — no corpus re-scan") {
     val df = Seq(1L, 5L, 11L, 15L, 21L).toDF("m")
     // a pipeline computes bins ONCE where the filtered rows are in hand

@@ -137,6 +137,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p53).size <= 2, p53)
   }
 
+  test("round-5 dedup shapes: one-exchange carrier counts, no index-side re-signaturing") {
+    // q65 segment dedup: ONE corpus explode; both carrier windows share
+    // the segment-key exchange, reassembly is the second — a regression
+    // to the distinct->groupBy->anti-join form shows 3 scans/3 exchanges
+    val p65 = plan("q65_seg_dedup")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p65).size == 1, p65)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p65).size <= 2, p65)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p65).size <= 2, p65)
+    // q66 incremental pairs: band kernels per-row on both sides — the only
+    // blocking exchange is the join/distinct; one band explode per side
+    val p66 = plan("q66_incremental_pairs")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p66).size <= 2, p66)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p66).size == 2, p66)
+    // q67 estimate: signature agreement is a per-pair expression — no
+    // extra explode beyond the LSH pair pipeline's own two
+    val p67 = plan("q67_minhash_estimate")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p67).size == 2, p67)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p67).size <= 3, p67)
+  }
+
   test("q21/q33 candidate generation is bucket-grouped, not a self-join re-scan") {
     // bucket-and-expand: exactly one parquet scan in the whole plan
     // (documents is the only input of both queries — a self-join
