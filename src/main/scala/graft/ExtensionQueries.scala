@@ -492,6 +492,15 @@ object ExtensionQueries {
       Tables.documents(s, d), col("doc_id"), col("lang"),
       weightByStratum = MixWeights, defaultWeight = 0.5)
 
+  /** Context-aware quality axis: per-doc surprisal under the corpus's own
+    * bigram LM — word salad scores high even when its unigrams are
+    * common; boilerplate scores low — see
+    * [[graft.curation.Corpus.bigramSurprisal]].
+    */
+  private def q69BigramSurprisal(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.bigramSurprisal(
+      Tables.documents(s, d), col("text"), col("doc_id"))
+
   /** Sketch-tier similarity verify: the LSH candidates ranked by MinHash
     * signature agreement — constant per-doc state (k longs) instead of
     * the gram arrays the exact [[graft.dedup.Dedup.ngramJaccard]] carries
@@ -554,7 +563,8 @@ object ExtensionQueries {
     "q65_seg_dedup" -> (q65SegDedup _),
     "q66_incremental_pairs" -> (q66IncrementalPairs _),
     "q67_minhash_estimate" -> (q67MinhashEstimate _),
-    "q68_epoch_order" -> (q68EpochOrder _)
+    "q68_epoch_order" -> (q68EpochOrder _),
+    "q69_bigram_surprisal" -> (q69BigramSurprisal _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -968,6 +978,21 @@ object ExtensionQueries {
          |SELECT doc_id, lang AS stratum, unnest(range(0, copies))::INT AS copy_idx
          |FROM b WHERE copies > 0""".stripMargin
     },
+    "q69_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS pre, toks[i] || ' ' || toks[i + 1] AS b
+         |       FROM t, lateral unnest(range(1, greatest(len(toks), 1))) u(i)
+         |       WHERE i < len(toks)),
+         |c AS (SELECT doc_id,
+         |             count(*) OVER (PARTITION BY b) AS cb,
+         |             count(*) OVER (PARTITION BY pre) AS cp FROM bg),
+         |p AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |             round(sum(log2(cp) - log2(cb)) / count(*), 4) AS bits_per_bigram
+         |      FROM c GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+         |  coalesce(p.bits_per_bigram, 0.0) AS bits_per_bigram
+         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -151,6 +151,53 @@ object Corpus {
         coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
   }
 
+  /** Bigram-LM surprisal per document: mean `-log2 P(w_i | w_{i-1})`
+    * under the corpus's own maximum-likelihood bigram model,
+    * `P(w|v) = c(v w) / c(v ·)` — the context-aware upgrade of
+    * [[unigramSurprisal]]'s quality axis: word salad scores HIGH here
+    * even when its unigrams are common (the Gopher/perplexity-filter
+    * signal), boilerplate scores low. Every observed bigram has count
+    * ≥ 1 under its own corpus, so the MLE needs no smoothing to score.
+    * Documents with fewer than 2 tokens have no bigrams and score 0
+    * over 0.
+    *
+    * Plan shape: bigrams form per row as a zero-shuffle array expression
+    * (zip of the token array with its own tail — no lead() window, no
+    * per-token explode), then ONE bigram explode feeds BOTH corpus
+    * counts as unordered window aggregates (bigram key and prefix key —
+    * the two exchanges), then one doc-key aggregate. The corpus text is
+    * scanned and exploded exactly once; nothing corpus-sized broadcasts.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      text: Column,
+      id: Column
+  ): DataFrame = {
+    val toks = TextFunctions.wsTokens(text)
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("pre"), concat(a, lit(" "), b).as("bg")))
+    val rows = docs.select(id.as("doc_id"), explode(bigrams).as("p"))
+      .select(col("doc_id"), col("p.pre").as("pre"), col("p.bg").as("bg"))
+    val counted = rows
+      .withColumn("cb", count(lit(1)).over(Window.partitionBy(col("bg"))))
+      .withColumn("cp", count(lit(1)).over(Window.partitionBy(col("pre"))))
+    val perDoc = counted
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(log2(col("cp")) - log2(col("cb"))) / count(lit(1)), 4)
+          .as("bits_per_bigram"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
+  }
+
   /** Fixed-width histogram of a per-document measure (token count, quality
     * score scaled to int, …) with cumulative document fractions — how
     * length/quality filter thresholds are actually calibrated at corpus

@@ -181,6 +181,21 @@ class CorpusSpec extends SparkSpec {
     assert(h.last._3 == 1.0)                       // ...and from the denominator
   }
 
+  test("bigramSurprisal: common words in novel order score high, repeated text low, short docs 0") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat", // exact repeat: every bigram has corpus count >= 2
+      3L -> "mat the sat cat on the", // same words, novel order: common prefixes, unseen combos
+      4L -> "single",                 // no bigram
+      5L -> null.asInstanceOf[String])
+    val out = Corpus.bigramSurprisal(d, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(4L) == ((0L, 0.0)) && out(5L) == ((0L, 0.0)))
+    assert(out(1L) == out(2L)) // identical docs, identical scores
+    assert(out(3L)._2 > out(1L)._2, s"word salad ${out(3L)} must out-surprise boilerplate ${out(1L)}")
+    assert(out(1L)._1 == 5L && out(3L)._1 == 5L) // 6 tokens -> 5 bigrams
+  }
+
   test("quantileFromBins reads thresholds off the cumulative histogram; None when unreachable") {
     val df = (1L to 100L).toDF("m")
     val hist = Corpus.histogram(df, col("m"), binWidth = 10L)
