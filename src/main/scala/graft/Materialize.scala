@@ -34,14 +34,22 @@ import org.apache.spark.sql.Dataset
 private[graft] object Materialize {
   val ConfKey = "graft.checkpointDir"
 
+  // the conf value LAST applied per SparkContext: setCheckpointDir mints a
+  // fresh unique subdirectory per call, so it must run once per VALUE, not
+  // once per materialization — but it must also re-run when the conf
+  // CHANGES (a session reconfigured from a scratch path to the production
+  // FS would otherwise keep checkpointing to the stale directory and
+  // silently lose the durability the new conf was set to buy)
+  private val appliedDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def apply[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir mints a fresh unique subdirectory per call —
-        // set it once per context, not once per materialization
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (appliedDir.put(sc.applicationId, dir) != dir || sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(dir)
         ds.checkpoint()
       case None => ds.localCheckpoint()
     }

@@ -25,6 +25,7 @@ object StreamingGates {
   // NOT private: Catalyst's generated safe projections access the case
   // class constructor from outside this object — a private member fails
   // janino compilation at runtime
+  final case class RawClick(event_id: Long, user_id: Option[Long], ts: java.sql.Timestamp)
   final case class Click(event_id: Long, user_id: Long, ts: java.sql.Timestamp)
   final case class Purchase(p_user: Long, p_ts: java.sql.Timestamp, p_value: Double)
   final case class AsofHit(
@@ -48,11 +49,21 @@ object StreamingGates {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = Tables.events(s, d)
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts")).as[Click].collect()
-    val purchases = ev.where(col("event_type") === "purchase")
+    // null-key parity with the batch form: null-user clicks pass through
+    // UNMATCHED (they never meet a right row — routed around the stream
+    // below, since grouping them would wrongly match null against null),
+    // and null-key purchases are dropped like Joins.asOf's right filter
+    val rawClicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts")).as[RawClick].collect()
+    val (keyedClicks, nullClicks) = rawClicks.partition(_.user_id.isDefined)
+    val clicks = keyedClicks.map(c => Click(c.event_id, c.user_id.get, c.ts))
+    val purchases = ev.where(col("event_type") === "purchase" && col("user_id").isNotNull)
       .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .agg(max(col("value")).as("p_value")).as[Purchase].collect()
+    val unmatchedNulls = s.createDataset(
+        nullClicks.toSeq.map(c => (c.event_id, Option.empty[Long], -1.0, -1L)))
+      .toDF("event_id", "user_id", "prior_value", "gap_us")
+    if (clicks.isEmpty && purchases.isEmpty) return unmatchedNulls
     val lIn = MemoryStream[Click]
     val rIn = MemoryStream[Purchase]
     val joined = StreamingFlows.asOf[Long, Click, Purchase, AsofHit](
@@ -82,11 +93,12 @@ object StreamingGates {
     } finally q.stop()
     // q55's exact output shape and sentinels — the oracle is shared verbatim
     s.table(sink).select(
-      col("event_id"),
-      col("user_id"),
-      round(coalesce(col("p_value"), lit(-1.0)), 4).as("prior_value"),
-      coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")), lit(-1L))
-        .as("gap_us"))
+        col("event_id"),
+        col("user_id"),
+        round(coalesce(col("p_value"), lit(-1.0)), 4).as("prior_value"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")), lit(-1L))
+          .as("gap_us"))
+      .unionByName(unmatchedNulls)
   }
 
   /** Streaming point-in-interval over the q56 inputs
@@ -101,10 +113,12 @@ object StreamingGates {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val twoHoursUs = 2L * 3600 * 1000000
     val ev = Tables.events(s, d)
-    val clicks = ev.where(col("event_type") === "click")
+    // inner equijoin: null-key rows can never match in either engine, so
+    // filtering them before the (non-null encoder) collect is sound
+    val clicks = ev.where(col("event_type") === "click" && col("user_id").isNotNull)
       .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
       .as[Point].collect()
-    val windows = ev.where(col("event_type") === "purchase")
+    val windows = ev.where(col("event_type") === "purchase" && col("user_id").isNotNull)
       .select(
         col("event_id").as("purchase_id"),
         col("user_id").as("p_user"),

@@ -272,13 +272,18 @@ object Corpus {
   }
 
   /** Cumulative fractions over a pre-aggregated (bin_lo, n_docs) relation
-    * ([[binCounts]]' output contract — bin_lo non-null and unique). The
-    * broadcast non-equi self-join runs on the ≤ #bins relation, never the
-    * corpus; [[graft.Materialize]] keeps the three references to `bins`
-    * from re-executing whatever produced it.
+    * ([[binCounts]]' output shape). Duplicate `bin_lo` rows — the normal
+    * case when persisted increments are UNIONED together — are summed
+    * here before cumulating, so incremental feeding just works (without
+    * the re-aggregate, each duplicate would double-count in the non-equi
+    * self-join and push `cum_frac` past 1.0 with no error raised). The
+    * broadcast self-join runs on the ≤ #bins relation, never the corpus;
+    * [[graft.Materialize]] keeps the three references to `bins` from
+    * re-executing whatever produced it.
     */
   def histogramFromBins(binRows: DataFrame): DataFrame = {
-    val bins = graft.Materialize(binRows)
+    val bins = graft.Materialize(
+      binRows.groupBy(col("bin_lo")).agg(sum(col("n_docs")).as("n_docs")))
     val total = bins.agg(sum(col("n_docs")).as("total"))
     bins.as("b")
       .join(broadcast(bins.as("p")), col("p.bin_lo") <= col("b.bin_lo"))

@@ -253,12 +253,24 @@ object Dedup {
       maxBucket: Int = Int.MaxValue
   ): DataFrame = {
     val idx = index.select(col("doc_id").as("indexed_id"), col("bkey"))
+    // the cap counts DISTINCT indexed docs per bucket (the lag first-seen
+    // flag summed over the same-key window — [[dropSharedSegments]]'
+    // pattern, one exchange), NOT rows: [[saveBandIndex]]'s append is
+    // deliberately non-idempotent, so a retried ingest landing twice must
+    // inflate join width only — a row count would double apparent bucket
+    // sizes and silently exclude legitimate buckets from pair generation
     val capped =
       if (maxBucket == Int.MaxValue) idx
-      else idx
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("bkey"))))
-        .where(col("__n") <= maxBucket)
-        .drop("__n")
+      else {
+        val wOrd = Window.partitionBy(col("bkey")).orderBy(col("indexed_id"))
+        val firstSeen = lag(col("indexed_id"), 1).over(wOrd)
+        idx
+          .withColumn("__new",
+            when(firstSeen.isNull || firstSeen =!= col("indexed_id"), 1L).otherwise(0L))
+          .withColumn("__n", sum(col("__new")).over(Window.partitionBy(col("bkey"))))
+          .where(col("__n") <= maxBucket)
+          .drop("__new", "__n")
+      }
     bandIndexEntries(newDocs, text, id, shingleWidth, k, bands)
       .join(capped, Seq("bkey"))
       .where(col("doc_id") =!= col("indexed_id"))
@@ -399,14 +411,24 @@ object Dedup {
     // a hash equijoin on non-null longs — and snapshots taken with the
     // conf off carry no constraints at all, so the RETURNED labels stay
     // union-safe for callers after the conf is restored.
+    //
+    // The conf is SESSION-scoped, so concurrent CC runs on one session
+    // are serialized (the synchronized block) — otherwise the first
+    // finisher's restore would re-enable propagation under the second
+    // run mid-loop. Unrelated queries analyzed on the same session
+    // during a run also lose constraint-derived filter inference for
+    // that window; use a separate session (`spark.newSession()`) for
+    // concurrent workloads that need it.
     val session = vertices.sparkSession
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = session.conf.getOption(cpKey)
-    session.conf.set(cpKey, "false")
-    try nearDupClustersImpl(vertices, id, pairs, maxIter)
-    finally cpPrev match {
-      case Some(v) => session.conf.set(cpKey, v)
-      case None    => session.conf.unset(cpKey)
+    session.synchronized {
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = session.conf.getOption(cpKey)
+      session.conf.set(cpKey, "false")
+      try nearDupClustersImpl(vertices, id, pairs, maxIter)
+      finally cpPrev match {
+        case Some(v) => session.conf.set(cpKey, v)
+        case None    => session.conf.unset(cpKey)
+      }
     }
   }
 

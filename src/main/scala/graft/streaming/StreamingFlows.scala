@@ -67,10 +67,13 @@ object StreamingFlows {
     *
     * Internal event-time bookkeeping is in MICROSECONDS (Spark's
     * timestamp precision, reconstructed from the Timestamp's nanos
-    * field): matching and right-row ordering are exact at µs, so the
-    * result agrees with the batch [[graft.operators.Joins.asOf]] even
-    * when neighbors differ only below the millisecond. Only the
-    * watermark comparisons floor to the engine's millisecond watermark.
+    * field): matching, right-row ordering, AND every watermark
+    * comparison (against the engine's ms watermark scaled to µs) are
+    * µs-exact, so the result agrees with the batch
+    * [[graft.operators.Joins.asOf]] even when rows differ only below
+    * the millisecond — including rows inside the watermark's current
+    * millisecond, which an ms-floored comparison would prematurely
+    * finalize or drop.
     */
   def asOf[K: Encoder, L: Encoder, R: Encoder, O: Encoder](
       left: Dataset[L],
@@ -105,7 +108,11 @@ object StreamingFlows {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
       ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
         var (pending, rights) = state.getOption.getOrElse((Nil, Nil): S)
-        val wm = state.getCurrentWatermarkMs()
+        // every comparison runs in MICROSECONDS against wm·1000 — flooring
+        // the event time to ms instead would prematurely finalize a left
+        // (or drop a right) whose µs timestamp lies inside the watermark's
+        // current millisecond, diverging from the batch form
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
         values.foreach { env =>
           // drop LATE arrivals (event time at or below the watermark):
           // fMGWS does not filter them itself, and admitting them would
@@ -113,27 +120,29 @@ object StreamingFlows {
           // see the operator Scaladoc. State rows are never re-filtered:
           // the retained latest-finalized right is below the watermark by
           // design.
-          if (env._2.getTime > wm) {
+          if (micros(env._2) > wmUs) {
             if (env._3 == 1) pending = (micros(env._2), env._4) :: pending
             else rights = (micros(env._2), env._5) :: rights
           }
         }
-        val (ready, stillPending) = pending.partition(_._1 / 1000 <= wm)
+        val (ready, stillPending) = pending.partition(_._1 <= wmUs)
         val rightsDesc = rights.sortBy(-_._1)
         val out = ready.sortBy(_._1).map { case (lts, l) =>
           combine(l, rightsDesc.find(_._1 <= lts).map(_._2))
         }
         // evict finalized rights, retaining only the latest — the one row
         // future lefts can still reach back to
-        val (live, done) = rightsDesc.partition(_._1 / 1000 > wm)
+        val (live, done) = rightsDesc.partition(_._1 > wmUs)
         val kept = live ++ done.take(1)
         if (stillPending.isEmpty && kept.isEmpty) state.remove()
         else {
           state.update((stillPending, kept))
-          // flush pending lefts even if this key never sees input again;
-          // min pending ms > wm by construction, as the API requires
+          // flush pending lefts even if this key never sees input again.
+          // Timer is in ms: ceil(µs/1000) is the first whole-ms watermark
+          // that finalizes the earliest pending left, and it is > wm by
+          // construction (pending ⇒ µs > wm·1000), as the API requires
           if (stillPending.nonEmpty)
-            state.setTimeoutTimestamp(stillPending.map(_._1).min / 1000)
+            state.setTimeoutTimestamp((stillPending.map(_._1).min + 999L) / 1000L)
         }
         out.iterator
       }

@@ -240,4 +240,24 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dropSharedSegments round-trip law: with an unreachable minDocs, reassembly is the identity") {
+    import graft.dedup.Dedup
+    // arbitrary texts INCLUDING empty segments, leading/trailing and
+    // repeated delimiters — split followed by ordered join must rebuild
+    // the exact byte sequence when nothing is dropped
+    val segGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("x y"))
+    val textGen = Gen.listOfN(6, segGen).map(_.mkString("\n"))
+    samples(Gen.listOfN(12, textGen), 3).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.dropSharedSegments(df, col("text"), col("doc_id"), "\n",
+          minDocs = texts.length + 1) // no segment can reach the threshold
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val (rebuilt, nSegs, nKept) = out(i.toLong)
+        assert(rebuilt == t, s"doc $i: '$rebuilt' != '$t'")
+        assert(nSegs == nKept && nSegs == t.split("\n", -1).length)
+      }
+    }
+  }
 }

@@ -97,6 +97,15 @@ class ScaleTechniquesSpec extends SparkSpec {
       // routing and the output distinct — history never shuffles
       val plan = pairs.queryExecution.executedPlan.toString
       assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+      // a RETRIED ingest lands the same batch twice (append is
+      // non-idempotent by design): the pair set must not change, and the
+      // bucket cap must count DISTINCT docs — a row count would see the
+      // doubled rows, breach maxBucket = 1, and silently drop the bucket
+      Dedup.saveBandIndex(day1, col("text"), col("doc_id"), table, buckets = 4)
+      val afterRetry = Dedup.pairsAgainstIndex(
+        day2, col("text"), col("doc_id"), spark.table(table), maxBucket = 1)
+        .as[(Long, Long)].collect().toSet
+      assert(afterRetry == Set((10L, 1L)))
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
