@@ -278,6 +278,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Compact a [[saveBandIndex]] table in place: collapse the duplicate
+    * rows that retried (non-idempotent) appends accumulate. The
+    * registered maintenance op for the append-only layout — run it on
+    * whatever schedule duplicates warrant; correctness never requires it
+    * ([[pairsAgainstIndex]] distincts its output and its cap counts
+    * distinct docs), it just reclaims storage and join width.
+    *
+    * Scale shape: the table is bucketed on `bkey`, and hash partitioning
+    * on `bkey` satisfies the (bkey, doc_id) grouping's clustering
+    * requirement (partitioning expressions ⊆ grouping keys), so the
+    * distinct plans NO exchange — a read, an in-partition aggregate, and
+    * a bucketed write, never a shuffle of the index (spec-asserted). The
+    * rewrite goes through a temp table: Spark cannot overwrite a table
+    * from a plan that reads it.
+    */
+  def compactBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      buckets: Int = 64
+  ): Unit = {
+    val tmp = s"${table}__compact"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    graft.sources.Storage.writeBucketed(
+      spark.table(table).groupBy(col("bkey"), col("doc_id")).agg(lit(1))
+        .select(col("doc_id"), col("bkey")),
+      tmp, "bkey", buckets)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Bucket-size distribution of a band index — the sizing surface for
+    * [[pairsAgainstIndex]]' `maxBucket` cap: feed the per-bucket DISTINCT
+    * doc counts through the histogram machinery
+    * ([[graft.curation.Corpus.histogramFromBins]] reads quantiles off
+    * the result) and pick the cap where the tail starts. One aggregate
+    * over the bucketed table (no exchange on the index — same subset
+    * rule as [[compactBandIndex]]) plus a histogram over the ≤ #buckets
+    * relation.
+    */
+  def bandIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      binWidth: Long = 10L
+  ): DataFrame =
+    graft.curation.Corpus.histogram(
+      spark.table(table).groupBy(col("bkey"))
+        .agg(count_distinct(col("doc_id")).as("n_docs_in_bucket")),
+      col("n_docs_in_bucket"), binWidth)
+
   /** The (band, band_key) buckets a `maxBucket` cap would drop, with their
     * member counts — the observability half of the cap: at 100 TB you run
     * this (cheap: the same one-shuffle groupBy, no pair expansion) to size

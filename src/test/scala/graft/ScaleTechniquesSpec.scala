@@ -106,6 +106,26 @@ class ScaleTechniquesSpec extends SparkSpec {
         day2, col("text"), col("doc_id"), spark.table(table), maxBucket = 1)
         .as[(Long, Long)].collect().toSet
       assert(afterRetry == Set((10L, 1L)))
-    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+      // compaction collapses the retry's duplicates WITHOUT shuffling the
+      // index (bucketed-table grouping on a superset of the bucket key),
+      // and pair results are unchanged after
+      val before = spark.table(table).count()
+      val compactPlan = spark.table(table)
+        .groupBy(col("bkey"), col("doc_id")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!compactPlan.contains("Exchange"), compactPlan)
+      Dedup.compactBandIndex(spark, table, buckets = 4)
+      val after = spark.table(table).count()
+      assert(after < before && after == spark.table(table).distinct().count())
+      assert(Dedup.pairsAgainstIndex(day2, col("text"), col("doc_id"), spark.table(table))
+        .as[(Long, Long)].collect().toSet == Set((10L, 1L)))
+      // stats surface: the bucket-size histogram is cumulative to 1.0
+      val stats = Dedup.bandIndexStats(spark, table, binWidth = 1L)
+        .orderBy(org.apache.spark.sql.functions.col("bin_lo")).collect()
+      assert(stats.nonEmpty && stats.last.getDouble(2) == 1.0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    }
   }
 }
