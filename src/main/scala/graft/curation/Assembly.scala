@@ -234,6 +234,31 @@ object Assembly {
       .select(col("doc_id"), col("stratum"), col("copy_idx"), col("global_pos"))
   }
 
+  /** Materialize an ordered dataset into training SHARDS on disk: rows
+    * range-partition by `orderCol` (the [[shuffleOrder]]/[[epochOrder]]
+    * `global_pos`) into `nShards` contiguous, internally sorted parquet
+    * files under `path` — the layout a training loader consumes
+    * sequentially, where shard k holds positions before shard k+1 and
+    * rows within a file are in position order.
+    *
+    * Scale shape: `repartitionByRange` samples the order column to place
+    * balanced range boundaries (cheap: the column is a uniform rank) and
+    * plans ONE range exchange; the in-file order is a per-partition sort,
+    * never a global one. No coalesce(1), no driver collection — 100 TB
+    * writes as `nShards` parallel tasks.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      orderCol: Column,
+      nShards: Int,
+      path: String
+  ): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    df.repartitionByRange(nShards, orderCol.asc)
+      .sortWithinPartitions(orderCol.asc)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Token-budget sampling: walk each stratum's documents in deterministic
     * salted-hash order and keep rows while the running token total stays
     * within the stratum's budget — "give me 50 B tokens of code and 10 B

@@ -163,6 +163,25 @@ class AssemblySpec extends SparkSpec {
     assert(out.count(_._2.isEmpty) == 1)
   }
 
+  test("writeTrainingShards: contiguous sorted ranges per file, all rows exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val ordered = Assembly.shuffleOrder((1L to 200L).map(Tuple1(_)).toDF("doc_id"), col("doc_id"))
+    Assembly.writeTrainingShards(ordered, col("global_pos"), nShards = 4, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).sorted
+    assert(files.length == 4)
+    val perFile = files.map { f =>
+      spark.read.parquet(f.getAbsolutePath).select("global_pos").as[Long].collect().toSeq
+    }
+    // within a file: sorted; across files: disjoint contiguous ranges
+    perFile.foreach(p => assert(p == p.sorted))
+    val ranges = perFile.map(p => (p.min, p.max)).sortBy(_._1).toSeq
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo2, _)) => assert(hi < lo2); case _ => }
+    assert(perFile.flatten.sorted.toSeq == (1L to 200L).toSeq) // bijection preserved
+    intercept[IllegalArgumentException] {
+      Assembly.writeTrainingShards(ordered, col("global_pos"), 0, dir)
+    }
+  }
+
   test("epochOrder: bijective positions over the mix, interleaved, partitioning-independent") {
     val weights = Map("en" -> 2.0, "de" -> 1.0)
     val n = 40L
