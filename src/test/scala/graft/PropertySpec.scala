@@ -241,6 +241,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mergeClusters law: star edges + new pairs == full recompute, on random graphs") {
+    import graft.dedup.Dedup
+    val n = 24
+    val edgeGen = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(1L, n.toLong), Gen.chooseNum(1L, n.toLong)))
+      .map(_.filter(p => p._1 != p._2))
+    samples(Gen.zip(edgeGen, edgeGen), 3).foreach { case (oldE, newE) =>
+      val vertices = (1L to n.toLong).map(Tuple1(_)).toDF("doc_id")
+      val oldPairs = (if (oldE.isEmpty) Seq((1L, 1L)).filter(_ => false) else oldE)
+        .toDF("doc_a", "doc_b")
+      val newPairs = (if (newE.isEmpty) Seq((1L, 1L)).filter(_ => false) else newE)
+        .toDF("doc_a", "doc_b")
+      val old = Dedup.nearDupClusters(vertices, col("doc_id"), oldPairs)
+      val merged = Dedup.mergeClusters(vertices, col("doc_id"), old, newPairs)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.nearDupClusters(
+        vertices, col("doc_id"), oldPairs.unionByName(newPairs))
+        .as[(Long, Long)].collect().toMap
+      assert(merged == full, s"old=$oldE new=$newE")
+    }
+  }
+
   test("dropSharedSegments round-trip law: with an unreachable minDocs, reassembly is the identity") {
     import graft.dedup.Dedup
     // arbitrary texts INCLUDING empty segments, leading/trailing and
