@@ -89,7 +89,18 @@ object TrainingDataDemo {
           budgetByStratum = Map.empty, defaultBudget = 5000L)
         .select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // 8. token accounting over the train split (pre-budget — the split
+    // 8. materialize the deliverable: the budgeted set in a reproducible
+    // global shuffle order, written as contiguous internally-sorted
+    // shards — what a training loader actually consumes
+    val order = graft.curation.Assembly.shuffleOrder(budgeted, col("doc_id"))
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-demo-shards").toString
+    graft.curation.Assembly.writeTrainingShards(
+      budgeted.join(order.select("doc_id", "global_pos"), Seq("doc_id")),
+      col("global_pos"), nShards = 4, shardDir)
+    val shardFiles = new java.io.File(shardDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    // 9. token accounting over the train split (pre-budget — the split
     // stage's own health signal) + portable distinct-token sketch of the
     // final budgeted set
     val stats = train.agg(
@@ -109,6 +120,7 @@ object TrainingDataDemo {
     val row = stats.head()
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
     println(s"DEMO_DISTINCT_TOKENS_EST=${sketch.head().getLong(2)}")
+    println(s"DEMO_SHARD_FILES=$shardFiles")
     spark.stop()
   }
 }
