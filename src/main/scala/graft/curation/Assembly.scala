@@ -239,7 +239,10 @@ object Assembly {
     * `global_pos`) into `nShards` contiguous, internally sorted parquet
     * files under `path` — the layout a training loader consumes
     * sequentially, where shard k holds positions before shard k+1 and
-    * rows within a file are in position order.
+    * rows within a file are in position order. Emits UP TO `nShards`
+    * files: a range partition that receives no rows (input smaller than
+    * nShards, or too few distinct order values) writes no file — loaders
+    * should glob the directory, not enumerate shard indices.
     *
     * Scale shape: `repartitionByRange` samples the order column to place
     * balanced range boundaries (cheap: the column is a uniform rank) and

@@ -278,41 +278,67 @@ object Dedup {
       .distinct()
   }
 
+  /** The distinct plan [[compactBandIndex]] writes — separate so the spec
+    * asserts the REAL compaction plan (not a proxy) has no exchange:
+    * hash partitioning on the bucket key satisfies the (bkey, doc_id)
+    * grouping's clustering requirement (partitioning ⊆ grouping keys).
+    */
+  private[graft] def compactionPlan(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame =
+    spark.table(table).groupBy(col("bkey"), col("doc_id")).agg(lit(1))
+      .select(col("doc_id"), col("bkey"))
+
   /** Compact a [[saveBandIndex]] table in place: collapse the duplicate
     * rows that retried (non-idempotent) appends accumulate. The
-    * registered maintenance op for the append-only layout — run it on
-    * whatever schedule duplicates warrant; correctness never requires it
-    * ([[pairsAgainstIndex]] distincts its output and its cap counts
-    * distinct docs), it just reclaims storage and join width.
+    * registered maintenance op for the append-only layout — run it
+    * BETWEEN ingest windows, on whatever schedule duplicates warrant:
+    * with a non-transactional catalog the table swap cannot be atomic,
+    * so an append committing during the swap would be lost — quiesce
+    * [[saveBandIndex]] while this runs. Correctness never requires
+    * compaction ([[pairsAgainstIndex]] distincts its output and its cap
+    * counts distinct docs); it reclaims storage and join width.
     *
-    * Scale shape: the table is bucketed on `bkey`, and hash partitioning
-    * on `bkey` satisfies the (bkey, doc_id) grouping's clustering
-    * requirement (partitioning expressions ⊆ grouping keys), so the
-    * distinct plans NO exchange — a read, an in-partition aggregate, and
-    * a bucketed write, never a shuffle of the index (spec-asserted). The
-    * rewrite goes through a temp table: Spark cannot overwrite a table
-    * from a plan that reads it.
+    * Crash safety: the rewrite goes through a temp table (Spark cannot
+    * overwrite a table from a plan reading it), and a run that died
+    * between the DROP and the RENAME leaves the temp table as the ONLY
+    * copy — a retry detects that state and finishes the swap instead of
+    * starting over (which would otherwise destroy the index).
+    *
+    * Scale shape: no exchange anywhere — a bucketed read, an
+    * in-partition distinct ([[compactionPlan]], spec-asserted on the
+    * real plan), and a bucketed write. `buckets = 0` (the default)
+    * preserves the table's existing bucket count.
     */
   def compactBandIndex(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      buckets: Int = 64
+      buckets: Int = 0
   ): Unit = {
+    require(buckets >= 0, "buckets must be >= 0 (0 = preserve existing)")
+    val catalog = spark.catalog
     val tmp = s"${table}__compact"
+    if (!catalog.tableExists(table) && catalog.tableExists(tmp)) {
+      // a previous compaction crashed between DROP and RENAME — the tmp
+      // table holds the only copy; finish its swap, never drop it
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return
+    }
+    val nb =
+      if (buckets > 0) buckets
+      else spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets).getOrElse(64)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    graft.sources.Storage.writeBucketed(
-      spark.table(table).groupBy(col("bkey"), col("doc_id")).agg(lit(1))
-        .select(col("doc_id"), col("bkey")),
-      tmp, "bkey", buckets)
+    graft.sources.Storage.writeBucketed(compactionPlan(spark, table), tmp, "bkey", nb)
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Bucket-size distribution of a band index — the sizing surface for
-    * [[pairsAgainstIndex]]' `maxBucket` cap: feed the per-bucket DISTINCT
-    * doc counts through the histogram machinery
-    * ([[graft.curation.Corpus.histogramFromBins]] reads quantiles off
-    * the result) and pick the cap where the tail starts. One aggregate
+    * [[pairsAgainstIndex]]' `maxBucket` cap: the per-bucket DISTINCT doc
+    * counts as a cumulative histogram
+    * ([[graft.curation.Corpus.quantileFromBins]] reads the threshold off
+    * the result) — pick the cap where the tail starts. One aggregate
     * over the bucketed table (no exchange on the index — same subset
     * rule as [[compactBandIndex]]) plus a histogram over the ≤ #buckets
     * relation.

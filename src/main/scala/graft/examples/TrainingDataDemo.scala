@@ -99,6 +99,13 @@ object TrainingDataDemo {
       col("global_pos"), nShards = 4, shardDir)
     val shardFiles = new java.io.File(shardDir).listFiles()
       .count(_.getName.endsWith(".parquet"))
+    // the demo's shards are illustrative — reclaim the temp dir rather
+    // than leaking a materialized dataset per run
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(shardDir))
 
     // 9. token accounting over the train split (pre-budget — the split
     // stage's own health signal) + portable distinct-token sketch of the

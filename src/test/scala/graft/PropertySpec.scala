@@ -249,10 +249,8 @@ class PropertySpec extends SparkSpec {
       .map(_.filter(p => p._1 != p._2))
     samples(Gen.zip(edgeGen, edgeGen), 3).foreach { case (oldE, newE) =>
       val vertices = (1L to n.toLong).map(Tuple1(_)).toDF("doc_id")
-      val oldPairs = (if (oldE.isEmpty) Seq((1L, 1L)).filter(_ => false) else oldE)
-        .toDF("doc_a", "doc_b")
-      val newPairs = (if (newE.isEmpty) Seq((1L, 1L)).filter(_ => false) else newE)
-        .toDF("doc_a", "doc_b")
+      val oldPairs = oldE.toDF("doc_a", "doc_b") // empty lists convert fine
+      val newPairs = newE.toDF("doc_a", "doc_b")
       val old = Dedup.nearDupClusters(vertices, col("doc_id"), oldPairs)
       val merged = Dedup.mergeClusters(vertices, col("doc_id"), old, newPairs)
         .as[(Long, Long)].collect().toMap

@@ -107,16 +107,26 @@ class ScaleTechniquesSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(afterRetry == Set((10L, 1L)))
       // compaction collapses the retry's duplicates WITHOUT shuffling the
-      // index (bucketed-table grouping on a superset of the bucket key),
-      // and pair results are unchanged after
+      // index — asserted on the REAL plan compaction writes, not a proxy
       val before = spark.table(table).count()
-      val compactPlan = spark.table(table)
-        .groupBy(col("bkey"), col("doc_id")).agg(count(lit(1)))
+      val compactPlan = Dedup.compactionPlan(spark, table)
         .queryExecution.executedPlan.toString
       assert(!compactPlan.contains("Exchange"), compactPlan)
-      Dedup.compactBandIndex(spark, table, buckets = 4)
+      Dedup.compactBandIndex(spark, table) // default: preserve bucket count
       val after = spark.table(table).count()
       assert(after < before && after == spark.table(table).distinct().count())
+      assert(Dedup.pairsAgainstIndex(day2, col("text"), col("doc_id"), spark.table(table))
+        .as[(Long, Long)].collect().toSet == Set((10L, 1L)))
+      // the rewrite preserved the original bucket count (4, not the 64
+      // a hardcoded default would silently re-layout to)
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+      assert(spec.map(_.numBuckets).contains(4), spec.toString)
+      // crash recovery: simulate dying between DROP and RENAME (only the
+      // tmp table survives) — a retry must finish the swap, not destroy it
+      spark.sql(s"ALTER TABLE $table RENAME TO ${table}__compact")
+      Dedup.compactBandIndex(spark, table)
+      assert(spark.table(table).count() == after)
       assert(Dedup.pairsAgainstIndex(day2, col("text"), col("doc_id"), spark.table(table))
         .as[(Long, Long)].collect().toSet == Set((10L, 1L)))
       // stats surface: the bucket-size histogram is cumulative to 1.0
