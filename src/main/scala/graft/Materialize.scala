@@ -30,28 +30,58 @@ import org.apache.spark.sql.Dataset
   * enable `spark.cleaner.referenceTracking.cleanCheckpoints=true` or clean
   * the directory between runs. With the conf unset nothing changes — the
   * local[*] test/bench profile keeps the zero-IO localCheckpoint path.
+  *
+  * ONE directory per SparkContext: `graft.checkpointDir` is read from the
+  * session conf but `SparkContext.setCheckpointDir` is context-GLOBAL, so
+  * two sessions sharing a context with different values would silently
+  * re-point each other's checkpoints (e.g. a production run's blocks
+  * landing under another session's scratch path — durability lost with no
+  * signal). A conf value that CONFLICTS with the one already applied on
+  * the context therefore throws instead of re-pointing; a deliberate
+  * re-point (scratch → production FS before real work starts) is
+  * [[repoint]] + set the conf on every session sharing the context.
   */
 private[graft] object Materialize {
   val ConfKey = "graft.checkpointDir"
 
-  // the conf value LAST applied per SparkContext: setCheckpointDir mints a
-  // fresh unique subdirectory per call, so it must run once per VALUE, not
-  // once per materialization — but it must also re-run when the conf
-  // CHANGES (a session reconfigured from a scratch path to the production
-  // FS would otherwise keep checkpointing to the stale directory and
-  // silently lose the durability the new conf was set to buy)
-  private val appliedDir =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // the conf value applied per SparkContext: setCheckpointDir mints a
+  // fresh unique subdirectory per call, so it must run once per VALUE,
+  // not once per materialization. Guarded by its own monitor — the
+  // read-compare-apply must be atomic or two concurrent first
+  // materializations could interleave setCheckpointDir calls and record
+  // a value the context no longer points at (last-writer-wins race).
+  private val appliedDir = new java.util.HashMap[String, String]()
 
   def apply[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (appliedDir.put(sc.applicationId, dir) != dir || sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(dir)
+        appliedDir.synchronized {
+          val prev = appliedDir.get(sc.applicationId)
+          if (prev == null || sc.getCheckpointDir.isEmpty) {
+            sc.setCheckpointDir(dir)
+            appliedDir.put(sc.applicationId, dir)
+          } else if (prev != dir)
+            throw new IllegalStateException(
+              s"$ConfKey=$dir conflicts with the checkpoint directory already applied " +
+                s"on this SparkContext ($prev). The checkpoint dir is context-global: " +
+                "all sessions sharing a SparkContext must agree on one value. To " +
+                "deliberately re-point it, call graft.Materialize.repoint(spark) and " +
+                "set the same conf on every session sharing the context.")
+        }
         ds.checkpoint()
       case None => ds.localCheckpoint()
     }
   }
+
+  /** Forget the directory applied on `spark`'s context, so the next
+    * materialization applies the session's current conf value. For
+    * DELIBERATE re-points only (the conflict guard in [[apply]] exists
+    * precisely so this never happens by accident).
+    */
+  def repoint(spark: org.apache.spark.sql.SparkSession): Unit =
+    appliedDir.synchronized {
+      appliedDir.remove(spark.sparkContext.applicationId); ()
+    }
 }

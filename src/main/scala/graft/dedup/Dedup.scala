@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** One CC-serialization lock per SparkSession ([[nearDupClusters]]) —
+    * deliberately NOT the session's own monitor, which unrelated code
+    * (lazy-val init of sessionState/sharedState, other
+    * `session.synchronized` users) also takes: a CC run holds its lock
+    * for the full multi-iteration loop, potentially hours at 100 TB.
+    * Weak keys so a discarded session's entry is collectable; the
+    * synchronized wrapper makes `computeIfAbsent` atomic.
+    */
+  private val ccLocks: java.util.Map[org.apache.spark.sql.SparkSession, Object] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, Object]())
+
   /** Exact dedup: group on content hash, keep the minimum id. One shuffle on
     * a 128-bit key; partial aggregation map-side. Output: one row per
     * distinct content with its keeper and duplicate count.
@@ -221,6 +233,23 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = Int.MaxValue
   ): Unit = {
+    val spark = df.sparkSession
+    val (ident, tmpIdent) = bandIndexIdents(spark, table)
+    // fail fast on a half-finished compaction (main table dropped, tmp
+    // table holding the only copy): an append here would RECREATE the
+    // main table with just this batch, the recovery branch in
+    // [[compactBandIndex]] (which requires the table to be missing)
+    // would never fire, and the full index history would be silently
+    // stranded in the tmp table — excluded from all pair generation.
+    // The "quiesce appends during compaction" contract is documented,
+    // but this is the enforcement for the crashed-compaction window.
+    if (!spark.catalog.tableExists(ident.quotedString) &&
+        spark.catalog.tableExists(tmpIdent.quotedString))
+      throw new IllegalStateException(
+        s"band index $table is mid-compaction recovery: the main table is missing and " +
+          s"${tmpIdent.quotedString} holds the only copy. Run compactBandIndex to finish " +
+          "the swap before appending — appending now would recreate the table with only " +
+          "this batch and strand the index history.")
     val entries = bandIndexEntries(df, text, id, shingleWidth, k, bands)
     val capped =
       if (maxBucket == Int.MaxValue) entries
@@ -294,7 +323,10 @@ object Dedup {
     * BETWEEN ingest windows, on whatever schedule duplicates warrant:
     * with a non-transactional catalog the table swap cannot be atomic,
     * so an append committing during the swap would be lost — quiesce
-    * [[saveBandIndex]] while this runs. Correctness never requires
+    * [[saveBandIndex]] while this runs ([[saveBandIndex]] enforces the
+    * crashed-compaction half of this contract: it refuses to append
+    * while the tmp table holds the only copy, because recreating the
+    * main table would strand the whole history). Correctness never requires
     * compaction ([[pairsAgainstIndex]] distincts its output and its cap
     * counts distinct docs); it reclaims storage and join width.
     *
@@ -316,22 +348,40 @@ object Dedup {
   ): Unit = {
     require(buckets >= 0, "buckets must be >= 0 (0 = preserve existing)")
     val catalog = spark.catalog
-    val tmp = s"${table}__compact"
-    if (!catalog.tableExists(table) && catalog.tableExists(tmp)) {
+    val (ident, tmpIdent) = bandIndexIdents(spark, table)
+    val (tbl, tmp) = (ident.quotedString, tmpIdent.quotedString)
+    if (!catalog.tableExists(tbl) && catalog.tableExists(tmp)) {
       // a previous compaction crashed between DROP and RENAME — the tmp
       // table holds the only copy; finish its swap, never drop it
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
       return
     }
     val nb =
       if (buckets > 0) buckets
       else spark.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(ident)
         .bucketSpec.map(_.numBuckets).getOrElse(64)
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    graft.sources.Storage.writeBucketed(compactionPlan(spark, table), tmp, "bkey", nb)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    graft.sources.Storage.writeBucketed(compactionPlan(spark, tbl), tmp, "bkey", nb)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tbl")
+  }
+
+  /** The band-index table's parsed identifier and its `__compact` sibling.
+    * Parsed through the session's SQL parser so a QUALIFIED name
+    * (`db.tbl`) resolves the same way everywhere — raw interpolation
+    * into `TableIdentifier(...)` would treat the whole dotted string as
+    * one table name in the current database while `spark.table`/SQL
+    * parse the dot, and the two views can disagree (wrong bucket-spec
+    * lookup, or a rename targeting a different table). `quotedString`
+    * backtick-quotes each part for the SQL statements.
+    */
+  private def bandIndexIdents(
+      spark: org.apache.spark.sql.SparkSession, table: String
+  ): (org.apache.spark.sql.catalyst.TableIdentifier,
+      org.apache.spark.sql.catalyst.TableIdentifier) = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    (ident, ident.copy(table = ident.table + "__compact"))
   }
 
   /** Bucket-size distribution of a band index — the sizing surface for
@@ -488,14 +538,20 @@ object Dedup {
     // union-safe for callers after the conf is restored.
     //
     // The conf is SESSION-scoped, so concurrent CC runs on one session
-    // are serialized (the synchronized block) — otherwise the first
-    // finisher's restore would re-enable propagation under the second
-    // run mid-loop. Unrelated queries analyzed on the same session
-    // during a run also lose constraint-derived filter inference for
-    // that window; use a separate session (`spark.newSession()`) for
+    // are serialized — otherwise the first finisher's restore would
+    // re-enable propagation under the second run mid-loop. The lock is a
+    // DEDICATED per-session object (from `ccLocks`), NOT the
+    // SparkSession's own monitor: a multi-iteration CC run holds its
+    // lock for potentially hours, and synchronizing on the session
+    // itself would block every unrelated thread that touches the
+    // session's monitor (Scala lazy-val initialization of
+    // sessionState/sharedState, any other session.synchronized) for the
+    // whole run. Unrelated queries analyzed on the same session during a
+    // run still lose constraint-derived filter inference for that
+    // window; use a separate session (`spark.newSession()`) for
     // concurrent workloads that need it.
     val session = vertices.sparkSession
-    session.synchronized {
+    ccLocks.computeIfAbsent(session, _ => new Object).synchronized {
       val cpKey = "spark.sql.constraintPropagation.enabled"
       val cpPrev = session.conf.getOption(cpKey)
       session.conf.set(cpKey, "false")

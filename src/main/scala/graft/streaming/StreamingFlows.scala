@@ -40,15 +40,24 @@ object StreamingFlows {
     * EXACTLY — results are emitted only once the watermark passes the
     * left element's timestamp, at which point every right element at or
     * before it has arrived (or was late beyond `delay` and was DROPPED —
-    * see below). `flatMapGroupsWithState` does not filter late input
-    * itself, so the state function discards any arriving element whose
-    * event time is at or below the current watermark explicitly: a late
+    * see below). The state function also discards any arriving element
+    * whose event time is at or below the current watermark: a late
     * left would otherwise emit immediately against the already-pruned
     * right state (a wrong best-effort match, not an exclusion), and a
     * late right could displace the retained latest-finalized right. With
     * the explicit drop, lateness behaves exactly like Spark's built-in
     * event-time operators: late rows are excluded, on-time results are
     * exact.
+    *
+    * Lateness contract AT the boundary: an element whose event time
+    * equals the current watermark IS dropped — that bound is the
+    * ENGINE's, not this function's: `FlatMapGroupsWithStateExec` under
+    * event-time timeout filters late input (event time <= watermark)
+    * before the state function runs, so an at-watermark admit here would
+    * be unreachable code (spec-pinned: the at-watermark row never
+    * arrives; the row 1 ms above does). This is the one divergence from
+    * the batch [[graft.operators.Joins.asOf]], which has no lateness and
+    * emits every left row.
     *
     * Neither native stream-stream join covers this: an interval join
     * emits ALL rights in a range, not the latest one, and can't reach
@@ -115,11 +124,16 @@ object StreamingFlows {
         val wmUs = state.getCurrentWatermarkMs() * 1000L
         values.foreach { env =>
           // drop LATE arrivals (event time at or below the watermark):
-          // fMGWS does not filter them itself, and admitting them would
-          // emit wrong best-effort matches against pruned right state —
-          // see the operator Scaladoc. State rows are never re-filtered:
-          // the retained latest-finalized right is below the watermark by
-          // design.
+          // admitting them would emit wrong best-effort matches against
+          // pruned right state — see the operator Scaladoc. The bound
+          // MIRRORS the engine's own late-event filter (fMGWS under
+          // event-time timeout drops input with event time <= watermark
+          // before this function runs — spec-pinned), so an at-watermark
+          // row never actually reaches this guard; keeping the same
+          // strict bound here means the function's contract does not
+          // silently depend on that engine pre-filter. State rows are
+          // never re-filtered: the retained latest-finalized right is
+          // below the watermark by design.
           if (micros(env._2) > wmUs) {
             if (env._3 == 1) pending = (micros(env._2), env._4) :: pending
             else rights = (micros(env._2), env._5) :: rights

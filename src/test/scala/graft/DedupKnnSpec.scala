@@ -532,6 +532,33 @@ class DedupKnnSpec extends SparkSpec {
     assert(local == expected)
   }
 
+  test("conflicting graft.checkpointDir values on one SparkContext throw; repoint re-points deliberately") {
+    // setCheckpointDir is context-GLOBAL while the conf is session-scoped:
+    // a second session (or a reconfigured one) silently re-pointing the
+    // shared dir would land one session's "reliable" blocks under the
+    // other's scratch path. The guard makes the conflict loud.
+    val d1 = java.nio.file.Files.createTempDirectory("graft-ckpt-a").toFile
+    val d2 = java.nio.file.Files.createTempDirectory("graft-ckpt-b").toFile
+    val ds = Seq(1L, 2L, 3L).toDF("x")
+    graft.Materialize.repoint(spark) // self-contained: forget prior suites' applied dir
+    try {
+      spark.conf.set(graft.Materialize.ConfKey, d1.getAbsolutePath)
+      assert(graft.Materialize(ds).count() == 3)
+      spark.conf.set(graft.Materialize.ConfKey, d2.getAbsolutePath)
+      val e = intercept[IllegalStateException] { graft.Materialize(ds) }
+      assert(e.getMessage.contains("context-global"), e.getMessage)
+      // the context still points at the FIRST dir — nothing was re-pointed
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(d1.getName)))
+      // a DELIBERATE re-point: forget the applied record, then apply again
+      graft.Materialize.repoint(spark)
+      assert(graft.Materialize(ds).count() == 3)
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(d2.getName)))
+    } finally {
+      spark.conf.unset(graft.Materialize.ConfKey)
+      graft.Materialize.repoint(spark)
+    }
+  }
+
   test("dropByClusters/keepBestByClusters share ONE CC run; pairs forms pay one each") {
     val scores = Map(0L -> 0.2, 1L -> 0.5, 2L -> 0.9, 3L -> 0.1, 4L -> 0.1)
     val scoreCol = scores.foldLeft(lit(0.0)) { case (acc, (k, v)) =>

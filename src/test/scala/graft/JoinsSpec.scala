@@ -264,6 +264,45 @@ class JoinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asOf lateness contract at the boundary: AT-watermark drops (engine bound), above emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.StreamingFlows.asOf[Long,
+        (Long, Long, java.sql.Timestamp), (Long, java.sql.Timestamp, Double),
+        (Long, Double)](
+      lIn.toDS(), rIn.toDS(),
+      _._2, _._1, _._3, _._2,
+      delay = "10 minutes",
+      (l, r) => (l._1, r.map(_._3).getOrElse(-1.0)))
+    val q = joined.writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").start()
+    try {
+      // batch 1: a right for key 10 plus a watermark driver at 13:00 —
+      // after this batch the watermark is exactly 12:50:00.000
+      rIn.addData((10L, ts("2024-01-01 09:00:00"), 5.0),
+                  (99L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      // batch 2: left 1 EXACTLY at the watermark, left 2 one ms above it.
+      // FlatMapGroupsWithStateExec's own late-event filter (event time
+      // <= watermark, applied under event-time timeout BEFORE the state
+      // function runs) drops left 1 — that drop is ENGINE behavior the
+      // state function cannot override, so it is the operator's
+      // documented lateness bound, not an admit-bound choice here. Left 2
+      // is on time and must flush via the event-time timer.
+      lIn.addData((1L, 10L, ts("2024-01-01 12:50:00")),
+                  (2L, 10L, java.sql.Timestamp.valueOf("2024-01-01 12:50:00.001")))
+      q.processAllAvailable()
+      rIn.addData((99L, ts("2024-01-01 13:30:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      rIn.addData((99L, ts("2024-01-01 13:31:00"), 0.0)) // fire the timer
+      q.processAllAvailable()
+      val got = spark.table("asof_boundary").as[(Long, Double)].collect().toMap
+      assert(got == Map(2L -> 5.0), s"got $got")
+    } finally q.stop()
+  }
+
   test("KMV sketch: exact below k, deterministic, estimator within bounds above k") {
     val small = (1 to 50).map(i => s"item-$i").toDF("x")
     val exact = Sketches.kmvDistinct(small, $"x", k = 256).collect()(0)

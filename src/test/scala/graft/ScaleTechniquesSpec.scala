@@ -125,6 +125,14 @@ class ScaleTechniquesSpec extends SparkSpec {
       // crash recovery: simulate dying between DROP and RENAME (only the
       // tmp table survives) — a retry must finish the swap, not destroy it
       spark.sql(s"ALTER TABLE $table RENAME TO ${table}__compact")
+      // in this half-swapped state an append must FAIL FAST: it would
+      // recreate the main table with just its batch, the recovery branch
+      // (which requires the table to be missing) would never fire, and
+      // the whole index history would be stranded in the tmp table
+      val stranded = intercept[IllegalStateException] {
+        Dedup.saveBandIndex(day1, col("text"), col("doc_id"), table, buckets = 4)
+      }
+      assert(stranded.getMessage.contains("compactBandIndex"), stranded.getMessage)
       Dedup.compactBandIndex(spark, table)
       assert(spark.table(table).count() == after)
       assert(Dedup.pairsAgainstIndex(day2, col("text"), col("doc_id"), spark.table(table))
@@ -136,6 +144,40 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    }
+  }
+
+  test("band index resolves QUALIFIED table names consistently (parsed, not string-split)") {
+    import graft.dedup.Dedup
+    // db.tbl through the whole save → compact → query cycle: the old
+    // TableIdentifier(wholeString) lookup treated "graft_db.band_q" as a
+    // single table name in the current database, so the bucket-spec
+    // lookup inside compactBandIndex failed while spark.table/SQL (which
+    // parse the dot) succeeded — two views of one name
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    val table = "graft_db.band_q"
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val day1 = Seq((1L, base),
+      (3L, "completely different unrelated words appear here with nothing shared"))
+      .toDF("doc_id", "text")
+    val day2 = Seq((10L, base)).toDF("doc_id", "text")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    try {
+      Dedup.saveBandIndex(day1, col("text"), col("doc_id"), table, buckets = 2)
+      Dedup.saveBandIndex(day1, col("text"), col("doc_id"), table, buckets = 2) // retry dup
+      Dedup.compactBandIndex(spark, table) // bucket-spec lookup must resolve db.tbl
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).bucketSpec
+      assert(spec.map(_.numBuckets).contains(2), spec.toString)
+      assert(spark.table(table).count() == spark.table(table).distinct().count())
+      val got = Dedup.pairsAgainstIndex(day2, col("text"), col("doc_id"), spark.table(table))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+      spark.sql("DROP DATABASE IF EXISTS graft_db")
     }
   }
 }
