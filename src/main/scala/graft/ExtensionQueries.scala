@@ -514,6 +514,43 @@ object ExtensionQueries {
       docs, col("doc_id"), col("text"))
   }
 
+  /** Collocation mining: top bigrams by PMI over the whole corpus — the
+    * multiword-expression discovery pass before tokenizer/vocab merges —
+    * see [[graft.curation.Corpus.pmiCollocations]]. The oracle reproduces
+    * the bigram stream, positional marginals, the log-sum PMI, and the
+    * round-then-rank top-N cut.
+    */
+  private def q70PmiCollocations(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.pmiCollocations(
+      Tables.documents(s, d), col("text"), minCount = 5, topN = 50)
+
+  /** Decontamination metric: per held-out (test-split) doc, the fraction
+    * of its distinct word-3-grams that occur anywhere in the train split
+    * — the "X% of test n-grams appear in train" number data papers
+    * report — see [[graft.dedup.Dedup.ngramCoverage]]. Splits come from
+    * the same salted-hash [[graft.curation.Assembly.splitAssign]] as
+    * q43, so membership is reproduced exactly cross-engine.
+    */
+  private def q71NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val split = graft.curation.Assembly.splitAssign(docs, col("doc_id"))
+      .select(col("doc_id"), col("split"))
+    val withSplit = docs.join(split, Seq("doc_id"))
+    Dedup.ngramCoverage(
+      withSplit.where(col("split") === "test"),
+      withSplit.where(col("split") === "train"),
+      col("text"), col("doc_id"))
+  }
+
+  /** Cross-source duplication matrix: LSH candidate pairs rolled up by
+    * unordered source pair — which sources mirror each other — see
+    * [[graft.dedup.Dedup.sourceOverlap]]. The oracle reuses the q21
+    * banded-pairs SQL and rolls it up the same way.
+    */
+  private def q72SourceOverlap(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(
+      Tables.documents(s, d), col("text"), col("doc_id"), col("source"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -564,7 +601,10 @@ object ExtensionQueries {
     "q66_incremental_pairs" -> (q66IncrementalPairs _),
     "q67_minhash_estimate" -> (q67MinhashEstimate _),
     "q68_epoch_order" -> (q68EpochOrder _),
-    "q69_bigram_surprisal" -> (q69BigramSurprisal _)
+    "q69_bigram_surprisal" -> (q69BigramSurprisal _),
+    "q70_pmi_collocations" -> (q70PmiCollocations _),
+    "q71_ngram_novelty" -> (q71NgramNovelty _),
+    "q72_source_overlap" -> (q72SourceOverlap _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -993,6 +1033,49 @@ object ExtensionQueries {
          |  coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
          |  coalesce(p.bits_per_bigram, 0.0) AS bits_per_bigram
          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id""".stripMargin,
+    "q70_pmi_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |       FROM t, lateral unnest(range(1, greatest(len(toks), 1))) u(i)
+         |       WHERE i < len(toks)),
+         |c AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bg GROUP BY 1, 2),
+         |m AS (SELECT *, sum(n_pair) OVER (PARTITION BY w1) AS n_left,
+         |               sum(n_pair) OVER (PARTITION BY w2) AS n_right,
+         |               sum(n_pair) OVER () AS n_total FROM c)
+         |SELECT w1 || ' ' || w2 AS bigram, n_pair,
+         |  round(log2(n_pair::DOUBLE) + log2(n_total::DOUBLE)
+         |        - log2(n_left::DOUBLE) - log2(n_right::DOUBLE), 4) AS pmi
+         |FROM m WHERE n_pair >= 5
+         |ORDER BY pmi DESC, bigram LIMIT 50""".stripMargin,
+    "q71_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  ELSE [] END AS shingles FROM t),
+         |g AS (SELECT DISTINCT doc_id, ${duckHash48("s")} AS g
+         |      FROM sh, lateral unnest(shingles) u(s)),
+         |sp AS (SELECT doc_id,
+         |  ((${duckHash48("(doc_id::VARCHAR || ':split-v1')")}) % 100)::BIGINT AS bucket
+         |  FROM documents),
+         |ref AS (SELECT DISTINCT g.g FROM g JOIN sp USING (doc_id) WHERE sp.bucket >= 10),
+         |tg AS (SELECT g.doc_id, g.g FROM g JOIN sp USING (doc_id) WHERE sp.bucket < 5),
+         |cov AS (SELECT tg.doc_id, count(*)::BIGINT AS n_grams, count(ref.g)::BIGINT AS n_seen
+         |        FROM tg LEFT JOIN ref ON tg.g = ref.g GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(cov.n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(cov.n_seen, 0)::BIGINT AS n_seen,
+         |  round(coalesce(cov.n_seen, 0)::DOUBLE / greatest(coalesce(cov.n_grams, 0), 1), 4) AS seen_frac
+         |FROM documents d JOIN sp ON d.doc_id = sp.doc_id AND sp.bucket < 5
+         |LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+    "q72_source_overlap" ->
+      s"""WITH pairs AS ($duckMinhashPairsSql),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |       greatest(a.source, b.source) AS source_b,
+         |       count(*)::BIGINT AS n_pairs
+         |FROM pairs JOIN s a ON pairs.doc_a = a.doc_id
+         |           JOIN s b ON pairs.doc_b = b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -198,6 +198,65 @@ object Corpus {
         coalesce(col("bits_per_bigram"), lit(0.0)).as("bits_per_bigram"))
   }
 
+  /** Collocation mining: the corpus's `topN` adjacent-token bigrams by
+    * pointwise mutual information — the multiword-expression discovery
+    * pass a tokenizer/vocabulary pipeline runs before merging tokens
+    * ("new york", "machine learning"), and a boilerplate detector's
+    * cheapest signal (navigation chrome scores as impossibly-glued
+    * pairs). PMI is over the bigram stream itself:
+    * `log2(c(ab)·N / (c(a·)·c(·b)))` with `N` the total bigram count and
+    * the marginals counted as first/second POSITION of a bigram —
+    * everything derives from one counted relation, no separate unigram
+    * pass. `minCount` floors the bigram count (PMI's low-frequency
+    * pathology: a pair seen once scores near the maximum).
+    *
+    * Scale shape: the exploded bigram stream crosses the wire ONCE, as a
+    * map-side-combined (w1, w2) count — the grouped relation is
+    * distinct-bigram-sized (vocabulary², sparse), and both marginals are
+    * unordered-window sums OVER that relation, not re-aggregations of
+    * the stream. `N` is a 1-row broadcast. The final top-N is
+    * TakeOrdered (each task ships ≤ `topN` rows), ranked on the ROUNDED
+    * pmi with the bigram string as tiebreak, so the cut cannot flip on a
+    * last-ulp log2 difference between engines (the q62 round-then-rank
+    * rule).
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      text: Column,
+      minCount: Int = 5,
+      topN: Int = 50
+  ): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    require(topN >= 1, "topN must be positive")
+    val toks = TextFunctions.wsTokens(text)
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val counts = docs.select(explode(bigrams).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val marginals = counts
+      .withColumn("n_left", sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
+      .withColumn("n_right", sum(col("n_pair")).over(Window.partitionBy(col("w2"))))
+    val total = counts.agg(sum(col("n_pair")).as("n_total"))
+    // log-sum form, never the product: c(ab)·N overflows BIGINT at corpus
+    // scale (N ~ 10^13 bigrams at 100 TB), and the sum-of-log2 evaluates
+    // in the same term order in every engine
+    marginals.crossJoin(broadcast(total))
+      .where(col("n_pair") >= minCount)
+      .select(
+        concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("n_pair"),
+        round(
+          log2(col("n_pair")) + log2(col("n_total"))
+            - log2(col("n_left")) - log2(col("n_right")), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topN)
+  }
+
   /** Fixed-width histogram of a per-document measure (token count, quality
     * score scaled to int, …) with cumulative document fractions — how
     * length/quality filter thresholds are actually calibrated at corpus

@@ -941,6 +941,93 @@ object Dedup {
         round(agree.cast("double") / k, 4).as("est_jaccard"))
   }
 
+  /** Per-document n-gram coverage of `target` against `reference`: for
+    * each target doc, how many of its DISTINCT word-`shingleWidth`-grams
+    * appear anywhere in the reference corpus — the decontamination /
+    * novelty metric training-data papers report ("X% of test n-grams
+    * occur in train"), and the quantitative form of the screen
+    * [[contamination]] applies as a filter. Shingles are the
+    * MinHash kernel's (space-joined w-token windows; docs with fewer
+    * than `shingleWidth` tokens have none and report `n_grams = 0`,
+    * `seen_frac = 0`), so coverage, LSH, and the estimate tier all
+    * measure the same unit.
+    *
+    * Scale shape: both sides reduce to DISTINCT 48-bit gram hashes
+    * before anything joins — map-side-combined distincts, then ONE
+    * equijoin on the hash. The reference set is distinct-gram-sized
+    * (vocabulary-driven, sublinear in corpus bytes); nothing is
+    * broadcast, collected, or ordered. The per-doc rollup reuses the
+    * (doc, gram) key of the target distinct, so AQE plans it off the
+    * same exchange.
+    */
+  def ngramCoverage(
+      target: DataFrame,
+      reference: DataFrame,
+      text: Column,
+      id: Column,
+      shingleWidth: Int = 3
+  ): DataFrame = {
+    require(shingleWidth >= 1, "shingleWidth must be positive")
+    def gramRows(df: DataFrame): DataFrame = df.select(
+      id.as("doc_id"),
+      explode(Hashing.wordShingles(
+        graft.functions.TextFunctions.wsTokens(text), shingleWidth)).as("s"))
+      .select(col("doc_id"), Hashing.hash48(col("s")).as("g"))
+    val targetGrams = gramRows(target).distinct()
+    val referenceGrams = gramRows(reference).select(col("g")).distinct()
+      .withColumn("__hit", lit(1L))
+    val covered = targetGrams
+      .join(referenceGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_seen"))
+    target.select(id.as("doc_id"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        round(
+          coalesce(col("n_seen"), lit(0L)) /
+            greatest(coalesce(col("n_grams"), lit(0L)), lit(1L)), 4).as("seen_frac"))
+  }
+
+  /** Cross-source near-duplication matrix: [[minhashLshPairs]] rolled up
+    * by the UNORDERED source pair — which sources mirror each other's
+    * content. The curation diagnostic behind source-level dedup
+    * decisions (mirror crawls, syndication networks, re-hosted dumps):
+    * a heavy off-diagonal cell means two sources should dedup against
+    * each other BEFORE per-doc near-dup runs corpus-wide.
+    *
+    * Scale shape: the pair relation is LSH-candidate-sized (≪ corpus);
+    * each side's source label arrives by an equijoin against the slim
+    * (id, source) projection — the corpus never shuffles more than two
+    * columns, and the label join is exactly the lookup
+    * [[minhashEstimate]] already plans for signatures. The matrix
+    * rollup is at most #sources² rows.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      source: Column,
+      shingleWidth: Int = 3,
+      k: Int = 12,
+      bands: Int = 4
+  ): DataFrame = {
+    val pairs = minhashLshPairs(docs, text, id, shingleWidth, k, bands)
+    val labels = docs.select(id.as("_sid"), source.as("_src"))
+    pairs
+      .join(labels.withColumnRenamed("_sid", "doc_a").withColumnRenamed("_src", "src_a"), Seq("doc_a"))
+      .join(labels.withColumnRenamed("_sid", "doc_b").withColumnRenamed("_src", "src_b"), Seq("doc_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Incremental clustering: fold NEW candidate pairs into EXISTING
     * cluster labels without re-running CC over history's pair set. Old
     * labels re-enter as STAR edges (doc → its cluster root) — a graph

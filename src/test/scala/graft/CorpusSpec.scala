@@ -218,4 +218,28 @@ class CorpusSpec extends SparkSpec {
     assert(fromBins.toSeq == direct.toSeq)
     assert(fromBins.last._3 == 1.0)
   }
+
+  test("pmiCollocations: hand-computed PMI, minCount floor, deterministic tie cut") {
+    // 6× "alpha beta gamma delta" + 2× "beta alpha delta gamma".
+    // Bigram counts: (alpha beta)=(beta gamma)=(gamma delta)=6;
+    // (beta alpha)=(alpha delta)=(delta gamma)=2; N=24. minCount=5 keeps
+    // only the three 6-count bigrams:
+    //   PMI(alpha beta)  = log2(6·24 / (8·6)) = log2(3)    [alpha· = 6+2]
+    //   PMI(beta gamma)  = log2(6·24 / (8·8)) = log2(2.25) [·gamma = 6+2]
+    //   PMI(gamma delta) = log2(6·24 / (6·8)) = log2(3)    [·delta = 6+2]
+    // — a top-1 TIE on rounded pmi, broken by bigram asc ("alpha beta").
+    val d = docs(
+      (1L to 6L).map(i => i -> "alpha beta gamma delta") :+
+        (7L -> "beta alpha delta gamma") :+ (8L -> "beta alpha delta gamma"): _*)
+    val out = Corpus.pmiCollocations(d, col("text"), minCount = 5, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      Seq(("alpha beta", 6L), ("gamma delta", 6L), ("beta gamma", 6L)))
+    assert(out(0)._3 == r4(log2(3.0)) && out(1)._3 == r4(log2(3.0)))
+    assert(out(2)._3 == r4(log2(2.25)))
+    intercept[IllegalArgumentException] { Corpus.pmiCollocations(d, col("text"), minCount = 0) }
+  }
 }

@@ -586,4 +586,41 @@ class DedupKnnSpec extends SparkSpec {
     assert(acc.value == 1, "shared-labels composition runs CC exactly once")
     assert(sharedKept == viaPairsKept && sharedBest == viaPairsBest)
   }
+
+  test("ngramCoverage: distinct-gram fractions; short docs report 0/0; repeats count once") {
+    val ref = Seq((1L, "a b c d e")).toDF("doc_id", "text") // grams: "a b c" "b c d" "c d e"
+    val tgt = Seq(
+      (10L, "a b c d"),           // "a b c" "b c d" → both in ref → 1.0
+      (11L, "x y z w"),           // nothing shared → 0.0
+      (12L, "a b c x y z"),       // "a b c"(hit) "b c x" "c x y" "x y z" → 1/4
+      (13L, "hi there"),          // < 3 tokens → no grams
+      (14L, "a b c a b c")        // distinct grams: "a b c"(hit) "b c a" "c a b" → 1/3
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramCoverage(tgt, ref, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((2L, 2L, 1.0)))
+    assert(out(11L) == ((2L, 0L, 0.0)))
+    assert(out(12L) == ((4L, 1L, 0.25)))
+    assert(out(13L) == ((0L, 0L, 0.0)))
+    assert(out(14L) == ((3L, 1L, 0.3333)))
+    assert(out.size == 5) // every target doc reports, gram-less ones included
+  }
+
+  test("sourceOverlap: cross-source near-dups land in the unordered source cell") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val d = Seq(
+      (1L, base, "srcA"),
+      (2L, base, "srcB"),
+      (3L, base, "srcB"),
+      (4L, "completely different unrelated words appear here with nothing shared", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(d, col("text"), col("doc_id"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // identical docs 1/2/3 pair exhaustively: (1,2) (1,3) cross-source, (2,3) within srcB
+    assert(out == Map(("srcA", "srcB") -> 2L, ("srcB", "srcB") -> 1L), out.toString)
+    // cells are unordered pairs (least, greatest) and totals conserve the pair count
+    assert(out.keys.forall(k => k._1 <= k._2))
+    assert(out.values.sum ==
+      Dedup.minhashLshPairs(d, col("text"), col("doc_id")).count())
+  }
 }
