@@ -179,6 +179,17 @@ object Hashing {
       graft.plans.MinhashSigF(
         org.apache.spark.sql.GraftBridge.expression(text.cast("string")), w, k))
 
+  /** The DISTINCT sorted 48-bit width-`w` shingle hashes of a document as
+    * ONE per-row expression ([[graft.plans.TextKernel.shingleHashSet]]) —
+    * the gram-set feed for coverage/novelty joins. Value-identical to
+    * `hash48` over [[wordShingles]] of [[graft.functions.TextFunctions.wsTokens]]
+    * with a per-doc distinct, at zero exchanges and one md5 per shingle.
+    */
+  def shingleHashSet(text: Column, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.ShingleSetF(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string")), w))
+
   /** Rolling document fingerprint: minimum rolling-gram hash (a 1-element
     * winnowing sketch). Stable under content reordering only at gram
     * granularity — intended as a cheap content-identity key, cf. Schleimer

@@ -144,6 +144,45 @@ object TextKernel {
     sig
   }
 
+  /** The DISTINCT 48-bit hashes of the width-`w` token shingles, sorted
+    * ascending — the per-document gram SET for coverage/novelty joins
+    * ([[graft.dedup.Dedup.ngramCoverage]]). Same shingle protocol as
+    * [[minhashSig]] (space-joined lowercased tokens, one md5 each), so
+    * values are identical to `hash48(concat_ws(" ", slice(tokens, …)))`
+    * over [[graft.functions.TextFunctions.wsTokens]]; the sort+dedup
+    * runs in-row, replacing a relational per-doc DISTINCT (one whole
+    * exchange) with O(grams log grams) on ~hundreds of elements. Docs
+    * with fewer than `w` tokens: empty array.
+    */
+  def shingleHashSet(s: UTF8String, w: Int): Array[Long] = {
+    val bytes = s.toLowerCase.getBytes
+    val offs = tokenOffsets(bytes)
+    val nTok = offs.length / 2
+    if (nTok < w) return Array.emptyLongArray
+    val hs = new Array[Long](nTok - w + 1)
+    val md = mdLocal.get()
+    var p = 0
+    while (p <= nTok - w) {
+      var t = 0
+      while (t < w) {
+        if (t > 0) md.update(0x20.toByte)
+        val ti = 2 * (p + t)
+        md.update(bytes, offs(ti), offs(ti + 1) - offs(ti))
+        t += 1
+      }
+      hs(p) = Hash48F.first48(md.digest())
+      p += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 1
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    if (out == hs.length) hs else java.util.Arrays.copyOf(hs, out)
+  }
+
   /** (n_tokens, n_distinct, top_bigram_count) — value-identical to the
     * explode + lead-window + two-groupBy relational form.
     */
@@ -220,6 +259,9 @@ object TextKernel {
 
   def langCountsData(s: UTF8String): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(langCounts(s))
+
+  def shingleHashSetData(s: UTF8String, w: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingleHashSet(s, w))
 }
 
 /** 48-bit simhash of a string as one per-row expression — see
@@ -274,6 +316,23 @@ case class LangCountsF(child: Expression) extends StringKernelExpression {
     nullSafeCodeGen(ctx, ev, input =>
       s"${ev.value} = graft.plans.TextKernel.langCountsData($input);")
   override protected def withNewChildInternal(newChild: Expression): LangCountsF =
+    copy(child = newChild)
+}
+
+/** Distinct sorted width-`w` shingle hashes (`array<bigint>`; empty when
+  * the doc has fewer than `w` tokens) as one per-row expression — see
+  * [[TextKernel.shingleHashSet]].
+  */
+case class ShingleSetF(child: Expression, w: Int) extends StringKernelExpression {
+  require(w >= 1, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.shingleHashSetData(v.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.shingleHashSetData($input, $w);")
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetF =
     copy(child = newChild)
 }
 

@@ -118,6 +118,17 @@ class CodegenSpec extends SparkSpec {
         .otherwise(array().cast("array<bigint>")).as("c"))
     assert(mh.where(not(col("n") <=> col("c"))).count() == 0)
 
+    // shingle set: native kernel vs sorted-distinct hash48 over wordShingles
+    import graft.plans.ShingleSetF
+    GenerateUnsafeProjection.generate(
+      Seq(ShingleSetF(BoundReference(0, StringType, nullable = true), 3)))
+    val ss = df.select(
+      Hashing.shingleHashSet(col("text"), 3).as("n"),
+      coalesce(array_sort(array_distinct(transform(
+        Hashing.wordShingles(graft.functions.TextFunctions.wsTokens(col("text")), 3),
+        s => Hashing.hash48(s)))), array().cast("array<bigint>")).as("c"))
+    assert(ss.where(not(col("n") <=> col("c"))).count() == 0)
+
     // repStats: native vs a driver-side recompute
     val rs = graft.functions.TextFunctions.repetitionStats(df, col("text"), col("doc_id"))
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
