@@ -532,10 +532,11 @@ object ExtensionQueries {
     * q43, so membership is reproduced exactly cross-engine.
     */
   private def q71NgramNovelty(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val split = graft.curation.Assembly.splitAssign(docs, col("doc_id"))
-      .select(col("doc_id"), col("split"))
-    val withSplit = docs.join(split, Seq("doc_id"))
+    // the split label is a pure expression over doc_id (splitLabel), so
+    // each coverage branch filters its own scan — joining splitAssign's
+    // relation back would re-scan documents once more per branch
+    val withSplit = Tables.documents(s, d)
+      .withColumn("split", graft.curation.Assembly.splitLabel(col("doc_id")))
     Dedup.ngramCoverage(
       withSplit.where(col("split") === "test"),
       withSplit.where(col("split") === "train"),
@@ -1019,13 +1020,17 @@ object ExtensionQueries {
          |FROM b WHERE copies > 0""".stripMargin
     },
     "q69_bigram_surprisal" ->
+      // counts partition on the SAME 48-bit hash of the bigram/prefix
+      // strings the engine uses (narrow window keys) — identical values,
+      // including under a (vanishingly rare) shared hash collision
       s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
          |bg AS (SELECT doc_id, toks[i] AS pre, toks[i] || ' ' || toks[i + 1] AS b
          |       FROM t, lateral unnest(range(1, greatest(len(toks), 1))) u(i)
          |       WHERE i < len(toks)),
+         |hbg AS (SELECT doc_id, ${duckHash48("pre")} AS hp, ${duckHash48("b")} AS hb FROM bg),
          |c AS (SELECT doc_id,
-         |             count(*) OVER (PARTITION BY b) AS cb,
-         |             count(*) OVER (PARTITION BY pre) AS cp FROM bg),
+         |             count(*) OVER (PARTITION BY hb) AS cb,
+         |             count(*) OVER (PARTITION BY hp) AS cp FROM hbg),
          |p AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
          |             round(sum(log2(cp) - log2(cb)) / count(*), 4) AS bits_per_bigram
          |      FROM c GROUP BY 1)

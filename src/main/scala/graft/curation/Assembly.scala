@@ -36,16 +36,34 @@ object Assembly {
       testPct: Int = 5,
       valPct: Int = 5,
       salt: String = "split-v1"
-  ): DataFrame = {
-    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
-      s"split percentages must be within [0,100]: test=$testPct val=$valPct")
+  ): DataFrame =
     df.select(
       id.as("doc_id"),
-      ticket(id, salt, 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < testPct, "test")
-          .when(col("bucket") < testPct + valPct, "val")
-          .otherwise("train"))
+      ticket(id, salt, 100).as("bucket"),
+      splitLabel(id, testPct, valPct, salt).as("split"))
+
+  /** The split label as a pure COLUMN expression over the id — for
+    * pipelines that need the label NEXT TO their own columns
+    * ([[graft.dedup.Dedup.ngramCoverage]] callers filtering a corpus to
+    * its test/train halves): `docs.withColumn("split", splitLabel(id))`
+    * keeps one scan per consumer, where joining [[splitAssign]]'s
+    * (doc_id, split) relation back onto the corpus would re-scan the
+    * table a second time per branch just to re-derive a hash of a
+    * column it already has. Same membership function as [[splitAssign]]
+    * by construction (that method delegates here).
+    */
+  def splitLabel(
+      id: Column,
+      testPct: Int = 5,
+      valPct: Int = 5,
+      salt: String = "split-v1"
+  ): Column = {
+    require(testPct >= 0 && valPct >= 0 && testPct + valPct <= 100,
+      s"split percentages must be within [0,100]: test=$testPct val=$valPct")
+    val bucket = ticket(id, salt, 100)
+    when(bucket < testPct, "test")
+      .when(bucket < testPct + valPct, "val")
+      .otherwise("train")
   }
 
   /** Stratified deterministic sampling: keep a row iff its salted hash

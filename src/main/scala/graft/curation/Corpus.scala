@@ -167,6 +167,17 @@ object Corpus {
     * counts as unordered window aggregates (bigram key and prefix key —
     * the two exchanges), then one doc-key aggregate. The corpus text is
     * scanned and exploded exactly once; nothing corpus-sized broadcasts.
+    * The window keys are the 48-bit portable hashes of the bigram /
+    * prefix strings, not the strings themselves: both exchanges of the
+    * exploded stream then carry fixed 8-byte longs and the window sorts
+    * compare binary longs instead of variable-length UTF-8. At sf0.1
+    * this is noise-neutral (1.5 s, overhead-dominated: 266k bigrams) —
+    * the narrow key targets the 100 TB exchange, where multi-word UTF-8
+    * keys dominate shuffle bytes and sort compares. Counting by hash is
+    * value-identical cross-engine — the oracle hashes with the same
+    * md5-fold, so even a 48-bit collision (birthday-bounded ≈ 10^-3 per
+    * pair-of-strings at 10^6 distinct bigrams) collapses the same two
+    * strings in both engines.
     */
   def bigramSurprisal(
       docs: DataFrame,
@@ -180,10 +191,12 @@ object Corpus {
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("pre"), concat(a, lit(" "), b).as("bg")))
     val rows = docs.select(id.as("doc_id"), explode(bigrams).as("p"))
-      .select(col("doc_id"), col("p.pre").as("pre"), col("p.bg").as("bg"))
+      .select(col("doc_id"),
+        graft.functions.Hashing.hash48(col("p.pre")).as("hp"),
+        graft.functions.Hashing.hash48(col("p.bg")).as("hb"))
     val counted = rows
-      .withColumn("cb", count(lit(1)).over(Window.partitionBy(col("bg"))))
-      .withColumn("cp", count(lit(1)).over(Window.partitionBy(col("pre"))))
+      .withColumn("cb", count(lit(1)).over(Window.partitionBy(col("hb"))))
+      .withColumn("cp", count(lit(1)).over(Window.partitionBy(col("hp"))))
     val perDoc = counted
       .groupBy(col("doc_id"))
       .agg(
@@ -212,13 +225,17 @@ object Corpus {
     *
     * Scale shape: the exploded bigram stream crosses the wire ONCE, as a
     * map-side-combined (w1, w2) count — the grouped relation is
-    * distinct-bigram-sized (vocabulary², sparse), and both marginals are
-    * unordered-window sums OVER that relation, not re-aggregations of
-    * the stream. `N` is a 1-row broadcast. The final top-N is
-    * TakeOrdered (each task ships ≤ `topN` rows), ranked on the ROUNDED
-    * pmi with the bigram string as tiebreak, so the cut cannot flip on a
-    * last-ulp log2 difference between engines (the q62 round-then-rank
-    * rule).
+    * distinct-bigram-sized (vocabulary², sparse) and is eagerly
+    * materialized ([[graft.Materialize]]): the scalar `N` branch and the
+    * marginal windows both read the materialized counts, so the corpus
+    * is scanned/exploded/shuffled exactly once (without it the 1-row
+    * total embeds a SECOND full copy of the scan+explode+count subplan —
+    * a second pass over 100 TB of text for one number). Both marginals
+    * are unordered-window sums OVER the counts relation, `N` is a 1-row
+    * broadcast off it. The final top-N is TakeOrdered (each task ships
+    * ≤ `topN` rows), ranked on the ROUNDED pmi with the bigram string as
+    * tiebreak, so the cut cannot flip on a last-ulp log2 difference
+    * between engines (the q62 round-then-rank rule).
     */
   def pmiCollocations(
       docs: DataFrame,
@@ -234,10 +251,10 @@ object Corpus {
       slice(toks, lit(1), greatest(n - 1, lit(0))),
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => struct(a.as("w1"), b.as("w2")))
-    val counts = docs.select(explode(bigrams).as("p"))
+    val counts = graft.Materialize(docs.select(explode(bigrams).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_pair"))
+      .agg(count(lit(1)).as("n_pair")))
     val marginals = counts
       .withColumn("n_left", sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
       .withColumn("n_right", sum(col("n_pair")).over(Window.partitionBy(col("w2"))))

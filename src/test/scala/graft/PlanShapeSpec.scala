@@ -137,6 +137,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p53).size <= 2, p53)
   }
 
+  test("round-6 shapes: PMI reads materialized counts; coverage and overlap scan-bounded") {
+    // q70: the scalar-N branch and the marginal windows both read the
+    // MATERIALIZED counts relation — no parquet scan, no Generate in the
+    // final plan at all (the one explode ran inside the materialization
+    // job; a regression re-embeds scan+explode once per branch)
+    val p70 = plan("q70_pmi_collocations")
+    assert(!p70.contains("Scan parquet"), p70)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p70).size == 0, p70)
+    // q71: the split label is a pure id expression, so each coverage
+    // branch filters its own scan — 3 scans total (test grams, train
+    // grams, the join-back of gram-less test docs), one explode per
+    // gram side; a regression to the splitAssign join doubles the scans
+    val p71 = plan("q71_ngram_novelty")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p71).size <= 3, p71)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p71).size == 2, p71)
+    // q72: the pair pipeline's one bucket explode plus its pair-expand —
+    // the source-label joins must NOT re-signature the corpus
+    val p72 = plan("q72_source_overlap")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p72).size <= 3, p72)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p72).size <= 3, p72)
+  }
+
   test("round-5 dedup shapes: one-exchange carrier counts, no index-side re-signaturing") {
     // q65 segment dedup: ONE corpus explode; both carrier windows share
     // the segment-key exchange, reassembly is the second — a regression
