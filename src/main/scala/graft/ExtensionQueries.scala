@@ -552,6 +552,30 @@ object ExtensionQueries {
     Dedup.sourceOverlap(
       Tables.documents(s, d), col("text"), col("doc_id"), col("source"))
 
+  /** Normalize-then-dedup — the composition every real ingest runs
+    * ([[graft.functions.TextFunctions.normalize]] canonicalizes case /
+    * control chars / whitespace, [[graft.dedup.Dedup.exact]] groups on
+    * the canonical hash): trivially-reformatted copies collapse where
+    * byte-exact q20 keeps them apart. Same one-shuffle plan as q20 —
+    * normalization is a pure row expression feeding the hash.
+    */
+  private def q73NormalizedDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(
+      Tables.documents(s, d),
+      TextFunctions.normalize(col("text")), col("doc_id"))
+
+  /** Asymmetric containment over the LSH candidates — subset-duplication
+    * scoring (quotes, digests, re-posts) — see
+    * [[graft.dedup.Dedup.containment]]. The oracle recomputes the
+    * distinct shingle sets and both ratios exactly.
+    */
+  private def q74Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.containment(
+      Dedup.minhashLshPairs(docs, col("text"), col("doc_id")),
+      docs, col("doc_id"), col("text"))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -605,7 +629,9 @@ object ExtensionQueries {
     "q69_bigram_surprisal" -> (q69BigramSurprisal _),
     "q70_pmi_collocations" -> (q70PmiCollocations _),
     "q71_ngram_novelty" -> (q71NgramNovelty _),
-    "q72_source_overlap" -> (q72SourceOverlap _)
+    "q72_source_overlap" -> (q72SourceOverlap _),
+    "q73_normalized_dedup" -> (q73NormalizedDedup _),
+    "q74_containment" -> (q74Containment _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1081,6 +1107,30 @@ object ExtensionQueries {
          |FROM pairs JOIN s a ON pairs.doc_a = a.doc_id
          |           JOIN s b ON pairs.doc_b = b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "q73_normalized_dedup" ->
+      """SELECT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+        |    '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS content_hash,
+        |  min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q74_containment" ->
+      s"""WITH pairs AS ($duckMinhashPairsSql),
+         |t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  ELSE [] END AS shingles FROM t),
+         |g AS (SELECT doc_id,
+         |  list_distinct(list_transform(shingles, s -> ${duckHash48("s")})) AS grams FROM sh)
+         |SELECT p.doc_a, p.doc_b,
+         |  len(list_intersect(a.grams, b.grams))::BIGINT AS n_common,
+         |  round(CASE WHEN len(a.grams) > 0
+         |    THEN len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) ELSE 0.0 END, 4)
+         |    AS containment_a,
+         |  round(CASE WHEN len(b.grams) > 0
+         |    THEN len(list_intersect(a.grams, b.grams))::DOUBLE / len(b.grams) ELSE 0.0 END, 4)
+         |    AS containment_b
+         |FROM pairs p JOIN g a ON p.doc_a = a.doc_id
+         |             JOIN g b ON p.doc_b = b.doc_id""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

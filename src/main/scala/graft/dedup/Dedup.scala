@@ -1094,6 +1094,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric n-gram containment for candidate pairs: `|A∩B| / |A|`
+    * and `|A∩B| / |B|` over the DISTINCT word-shingle sets — the
+    * SUBSET-duplication signal symmetric Jaccard under-scores: a
+    * 50-token article fully quoted inside a 5000-token digest has
+    * Jaccard ≈ 0.01 but containment_a = 1.0, and it is containment, not
+    * Jaccard, that decides "is this document's content already in the
+    * corpus". Composes with [[minhashLshPairs]] candidates exactly like
+    * [[ngramJaccard]] (same pair-sized join plan); gram sets come from
+    * the [[graft.plans.ShingleSetF]] kernel (sorted distinct in-row —
+    * docs-side cost is one md5 per shingle, no exchange beyond the two
+    * pair joins). Docs with fewer than `shingleWidth` tokens have empty
+    * sets and score 0 (LSH never surfaces them as candidates anyway).
+    */
+  def containment(
+      pairs: DataFrame,
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      shingleWidth: Int = 3
+  ): DataFrame = {
+    val grams = docs.select(id.as("_cid"), Hashing.shingleHashSet(text, shingleWidth).as("_grams"))
+    pairs
+      .join(grams.withColumnRenamed("_cid", "doc_a").withColumnRenamed("_grams", "grams_a"), Seq("doc_a"))
+      .join(grams.withColumnRenamed("_cid", "doc_b").withColumnRenamed("_grams", "grams_b"), Seq("doc_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        round(when(size(col("grams_a")) > 0,
+          col("n_common") / size(col("grams_a"))).otherwise(0.0), 4).as("containment_a"),
+        round(when(size(col("grams_b")) > 0,
+          col("n_common") / size(col("grams_b"))).otherwise(0.0), 4).as("containment_b"))
+  }
+
   /** Embedding-cosine near-dup within blocking buckets. `bucket` is the
     * blocking key (a label, an LSH sign-projection bucket, an IVF centroid
     * id …). Pairs above `threshold` survive. The cosine itself is a

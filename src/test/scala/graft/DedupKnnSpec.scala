@@ -606,6 +606,22 @@ class DedupKnnSpec extends SparkSpec {
     assert(out.size == 5) // every target doc reports, gram-less ones included
   }
 
+  test("containment: a doc fully quoted inside a longer doc scores containment_a = 1.0") {
+    val a = "alpha beta gamma delta epsilon" // 3 word-3-shingles
+    val b = s"intro words here $a trailing content words" // quotes all of A
+    val d = Seq((1L, a), (2L, b), (3L, "nothing shared with either other doc"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.containment(pairs, d, col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // A ⊂ B: all 3 of A's shingles occur in B (9 shingles) — the
+    // asymmetry IS the signal: containment_a = 1 while Jaccard ≈ 0.33
+    assert(out((1L, 2L)) == ((3L, 1.0, 0.3333)), out.toString)
+    assert(out((1L, 3L)) == ((0L, 0.0, 0.0)))
+  }
+
   test("sourceOverlap: cross-source near-dups land in the unordered source cell") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val d = Seq(
