@@ -147,9 +147,38 @@ object StreamingGates {
       (unix_micros(col("ts")) - unix_micros(col("w_start"))).as("gap_us"))
   }
 
+  /** Streaming exact dedup over the q20 corpus
+    * ([[StreamingFlows.dedupBySignature]] on the content hash): all
+    * documents arrive as one micro-batch with a synthetic event time,
+    * the watermark-bounded `dropDuplicatesWithinWatermark` state keeps
+    * exactly one row per content hash, and the drained sink's hash SET
+    * is compared against DuckDB's `SELECT DISTINCT md5(text)` — the
+    * representative-per-key streaming guarantee, engine-checked.
+    * (WHICH duplicate survives is first-arrival and not part of the
+    * contract, so the gate projects the hash only.)
+    */
+  private def q75DedupStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    in.addData(docs.map(r => (r._1, r._2, t0)).toIndexedSeq)
+    val deduped = StreamingFlows.dedupBySignature("ts", "1 hour", md5(col("text")))(
+      in.toDF().toDF("doc_id", "text", "ts"))
+    val sink = sinkName("q75")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink).select(md5(col("text")).as("content_hash"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_asof_stream" -> (q63AsofStream _),
-    "q64_interval_stream" -> (q64IntervalStream _)
+    "q64_interval_stream" -> (q64IntervalStream _),
+    "q75_dedup_stream" -> (q75DedupStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -157,6 +186,8 @@ object StreamingGates {
     */
   def oracleSql: Map[String, String] = Map(
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
-    "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval")
+    "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
+    "q75_dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents"
   )
 }
