@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   *   language filter → quality + repetition filters → exact dedup →
   *   MinHash-LSH near-dup pairs → connected-component clusters →
   *   keeper selection → surprisal filter → train/val/test split →
+  *   test-in-train n-gram decontamination report →
   *   length-threshold calibration (histogram) → token-budget sampling →
   *   token accounting + distinct-token sketch.
   *
@@ -65,10 +66,21 @@ object TrainingDataDemo {
       surprisal.where(col("n_tokens") === 0 || col("bits_per_token") > 0.5)
         .select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // 5. deterministic split — membership stable under corpus growth
-    val split = graft.curation.Assembly.splitAssign(informative, col("doc_id"))
-    val train = informative.join(
-      split.where(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
+    // 5. deterministic split — membership stable under corpus growth.
+    // The label is a pure id expression (splitLabel), so each branch
+    // filters its own scan instead of joining a split relation back
+    val labeled = informative.withColumn(
+      "split", graft.curation.Assembly.splitLabel(col("doc_id")))
+    val train = labeled.where(col("split") === "train").drop("split")
+
+    // 5b. decontamination report: the fraction of each held-out doc's
+    // distinct 3-grams already present in train — the number a data
+    // card publishes next to its split (high coverage here is expected:
+    // the synthetic corpus is near-dup-heavy by construction)
+    val novelty = Dedup.ngramCoverage(
+      labeled.where(col("split") === "test"), train, col("text"), col("doc_id"))
+    val meanSeenFrac = novelty
+      .agg(coalesce(avg(col("seen_frac")), lit(0.0))).head().getDouble(0)
 
     // 6. calibrate a min-length threshold from the histogram (the p10
     // bin floor: first bin where the cumulative fraction clears 10%) —
@@ -123,6 +135,7 @@ object TrainingDataDemo {
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
     println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_NEARDUP_GROUPS=${nearDupGroups.count()}")
     println(s"DEMO_INFORMATIVE_DOCS=${informative.count()}")
+    println(f"DEMO_TEST_NGRAM_SEEN_FRAC=$meanSeenFrac%.4f")
     println(s"DEMO_MIN_LEN=$minLen DEMO_BUDGETED_DOCS=${budgeted.count()}")
     val row = stats.head()
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")

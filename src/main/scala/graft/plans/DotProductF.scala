@@ -99,7 +99,7 @@ object DotProductF {
   *   graft_dot(a, b), graft_hash48(s),
   *   graft_gram_hashes48(s, n), graft_winnow_set48(s, n, w),
   *   graft_simhash48(s), graft_minhash_sig(s, w, k),
-  *   graft_rep_stats(s), graft_lang_counts(s)
+  *   graft_rep_stats(s), graft_lang_counts(s), graft_shingle_set(s, w)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -168,6 +168,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_lang_counts expects (string)")
         LangCountsF(exprs.head)
+      }),
+    ("graft_shingle_set", info(classOf[ShingleSetF], "graft_shingle_set"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_shingle_set expects (string, w)")
+        ShingleSetF(exprs.head, intLit(exprs(1), "w"))
       })
   )
 

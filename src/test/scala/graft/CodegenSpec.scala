@@ -178,13 +178,15 @@ class CodegenSpec extends SparkSpec {
         |  size(graft_winnow_set48(t, 8, 4)) AS nw,
         |  size(graft_minhash_sig(t, 3, 12)) AS nm,
         |  graft_rep_stats(t).n_tokens AS nt,
-        |  graft_lang_counts(t)[0] AS en
+        |  graft_lang_counts(t)[0] AS en,
+        |  size(graft_shingle_set(t, 3)) AS ns
         |FROM sqlsurface""".stripMargin).head()
     assert(row.getLong(0) != 0L && row.getLong(1) != 0L)
     assert(row.getInt(2) == "the quick brown fox jumps over the lazy dog".length - 7)
     assert(row.getInt(3) > 0 && row.getInt(4) == 12)
     assert(row.getLong(5) == 9L)
     assert(row.getLong(6) == 2L) // "the" twice
+    assert(row.getInt(7) == 7L)  // 9 tokens -> 7 distinct 3-shingles
     // non-literal kernel width is rejected at planning, not miscompiled
     val err = intercept[Exception] {
       spark.sql("SELECT graft_gram_hashes48(t, id + 1) FROM sqlsurface").collect()
