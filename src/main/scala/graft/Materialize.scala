@@ -44,24 +44,42 @@ import org.apache.spark.sql.Dataset
 private[graft] object Materialize {
   val ConfKey = "graft.checkpointDir"
 
-  // the conf value applied per SparkContext: setCheckpointDir mints a
-  // fresh unique subdirectory per call, so it must run once per VALUE,
-  // not once per materialization. Guarded by its own monitor — the
-  // read-compare-apply must be atomic or two concurrent first
-  // materializations could interleave setCheckpointDir calls and record
-  // a value the context no longer points at (last-writer-wins race).
-  private val appliedDir = new java.util.HashMap[String, String]()
+  // Per-CONTEXT lock objects and applied-dir records, both weak-keyed on
+  // the SparkContext itself:
+  //  - the read-compare-apply must be atomic per context (two concurrent
+  //    first materializations could otherwise interleave setCheckpointDir
+  //    calls and record a value the context no longer points at), but the
+  //    lock must be PER context — setCheckpointDir does filesystem I/O
+  //    (mkdir on HDFS/S3), and one context stalled on a hung endpoint
+  //    must not block an unrelated context's materialization behind a
+  //    JVM-global monitor (the same driver-stall class the per-session
+  //    CC locks avoid);
+  //  - weak keys bound the maps in long-lived JVMs that cycle contexts
+  //    (notebook kernels, test harnesses): a stopped, unreachable
+  //    context's entries are collectable, nothing needs explicit
+  //    eviction. The synchronizedMap wrapper makes computeIfAbsent
+  //    atomic, and its global mutex is held only for that quick lookup —
+  //    never across the FS call.
+  private val ctxLocks =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, AnyRef]())
+  private val appliedDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
+  private def lockFor(sc: org.apache.spark.SparkContext): AnyRef =
+    ctxLocks.computeIfAbsent(sc, _ => new AnyRef)
 
   def apply[T](ds: Dataset[T]): Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        appliedDir.synchronized {
-          val prev = appliedDir.get(sc.applicationId)
+        lockFor(sc).synchronized {
+          val prev = appliedDir.get(sc)
           if (prev == null || sc.getCheckpointDir.isEmpty) {
             sc.setCheckpointDir(dir)
-            appliedDir.put(sc.applicationId, dir)
+            appliedDir.put(sc, dir)
           } else if (prev != dir)
             throw new IllegalStateException(
               s"$ConfKey=$dir conflicts with the checkpoint directory already applied " +
@@ -80,8 +98,8 @@ private[graft] object Materialize {
     * DELIBERATE re-points only (the conflict guard in [[apply]] exists
     * precisely so this never happens by accident).
     */
-  def repoint(spark: org.apache.spark.sql.SparkSession): Unit =
-    appliedDir.synchronized {
-      appliedDir.remove(spark.sparkContext.applicationId); ()
-    }
+  def repoint(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    lockFor(sc).synchronized { appliedDir.remove(sc); () }
+  }
 }

@@ -241,8 +241,13 @@ object Dedup {
     // [[compactBandIndex]] (which requires the table to be missing)
     // would never fire, and the full index history would be silently
     // stranded in the tmp table — excluded from all pair generation.
-    // The "quiesce appends during compaction" contract is documented,
-    // but this is the enforcement for the crashed-compaction window.
+    // SCOPE: this closes the CRASHED-compaction window (the dangerous
+    // state is persistent, so the check always sees it). It is
+    // check-then-act, so a compaction running CONCURRENTLY with this
+    // append can still interleave its DROP between the check and the
+    // write — that case remains excluded only by the documented
+    // "quiesce appends while compacting" contract; with a
+    // non-transactional catalog there is no atomic guard to take.
     if (!spark.catalog.tableExists(ident.quotedString) &&
         spark.catalog.tableExists(tmpIdent.quotedString))
       throw new IllegalStateException(
