@@ -1,5 +1,6 @@
 package graft
 
+import graft.curation.Corpus
 import graft.dedup.Dedup
 import graft.functions.{Hashing, TextFunctions}
 import graft.multimodal.Multimodal
@@ -576,6 +577,23 @@ object ExtensionQueries {
       docs, col("doc_id"), col("text"))
   }
 
+  /** Corpus diversity by nearest IVF centroid — see
+    * [[graft.similarity.IVF.cellProfile]]. The oracle replays the exact
+    * pretrained-centroid assignment the q32 IVF search uses and the same
+    * rollup windows.
+    */
+  private def q76ClusterProfile(s: SparkSession, d: String): DataFrame =
+    graft.similarity.IVF.cellProfile(
+      Tables.embeddings(s, d), col("embedding"), col("label"),
+      graft.similarity.IVF.pretrainedCentroids)
+
+  /** Gopher-style quality-rule funnel — see
+    * [[graft.curation.Corpus.qualityFunnel]] (defaults tuned to the
+    * synthetic documents so every rule is non-degenerate at sf0.01+).
+    */
+  private def q77QualityFunnel(s: SparkSession, d: String): DataFrame =
+    Corpus.qualityFunnel(Tables.documents(s, d), col("text"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -631,7 +649,9 @@ object ExtensionQueries {
     "q71_ngram_novelty" -> (q71NgramNovelty _),
     "q72_source_overlap" -> (q72SourceOverlap _),
     "q73_normalized_dedup" -> (q73NormalizedDedup _),
-    "q74_containment" -> (q74Containment _)
+    "q74_containment" -> (q74Containment _),
+    "q76_cluster_profile" -> (q76ClusterProfile _),
+    "q77_quality_funnel" -> (q77QualityFunnel _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1131,6 +1151,71 @@ object ExtensionQueries {
          |    AS containment_b
          |FROM pairs p JOIN g a ON p.doc_a = a.doc_id
          |             JOIN g b ON p.doc_b = b.doc_id""".stripMargin,
+    "q76_cluster_profile" ->
+      s"""WITH $duckIvfAssignedCtes,
+         |best AS (SELECT vec_id, embedding, cell, score FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |r AS (SELECT b.cell, e.label,
+         |  CASE WHEN sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))) > 0
+         |    THEN b.score / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))
+         |    ELSE 0.0 END AS cos
+         |  FROM best b JOIN embeddings e ON e.vec_id = b.vec_id),
+         |g AS (SELECT cell, label, count(*)::BIGINT AS n, sum(cos) AS sc2 FROM r GROUP BY 1, 2),
+         |w1 AS (SELECT cell, label, n, sc2,
+         |  sum(n) OVER (PARTITION BY cell) AS n_vecs,
+         |  sum(sc2) OVER (PARTITION BY cell) AS sum_cos,
+         |  row_number() OVER (PARTITION BY cell ORDER BY n DESC, label) AS rn,
+         |  sum(n) OVER () AS total FROM g),
+         |w2 AS (SELECT *,
+         |  sum(-(n::DOUBLE / n_vecs) * ln(n::DOUBLE / n_vecs)) OVER (PARTITION BY cell) AS ent
+         |  FROM w1)
+         |SELECT cell, n_vecs::BIGINT AS n_vecs,
+         |  round(n_vecs::DOUBLE / total, 4) AS share,
+         |  round(sum_cos / n_vecs, 4) AS avg_cos,
+         |  label AS top_label,
+         |  round(n::DOUBLE / n_vecs, 4) AS top_share,
+         |  round(ent + 0.0, 4) AS label_entropy
+         |FROM w2 WHERE rn = 1""".stripMargin,
+    "q77_quality_funnel" ->
+      s"""WITH t AS (SELECT text, len(text)::DOUBLE AS n_chars, $duckToks AS toks FROM documents),
+         |s AS (SELECT text, n_chars, len(toks)::DOUBLE AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE AS n_distinct,
+         |  len(list_filter(toks, x -> list_contains(${markers("en")}, x)))::DOUBLE AS s_en,
+         |  len(list_filter(toks, x -> list_contains(${markers("fr")}, x)))::DOUBLE AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(${markers("es")}, x)))::DOUBLE AS s_es,
+         |  len(list_filter(toks, x -> list_contains(${markers("de")}, x)))::DOUBLE AS s_de
+         | FROM t),
+         |l AS (SELECT *, CASE
+         |  WHEN len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5 > len(text) THEN 'zh'
+         |  WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+         |  WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred FROM s),
+         |f AS (SELECT
+         |  CASE WHEN n_toks < 30 THEN 1 ELSE 0 END AS too_short,
+         |  CASE WHEN n_toks > 90 THEN 1 ELSE 0 END AS too_long,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) < 4.2
+         |         OR (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) > 4.8
+         |       THEN 1 ELSE 0 END AS word_length,
+         |  CASE WHEN lang_pred != 'en' THEN 1 ELSE 0 END AS non_english,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN s_en / n_toks ELSE 0.0 END) < 0.02 THEN 1 ELSE 0 END AS low_stopword,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN 1.0 - n_distinct / n_toks ELSE 0.0 END) > 0.6 THEN 1 ELSE 0 END AS repetitive
+         | FROM l),
+         |a AS (SELECT count(*)::DOUBLE AS total,
+         |  sum(too_short)::BIGINT AS too_short, sum(too_long)::BIGINT AS too_long,
+         |  sum(word_length)::BIGINT AS word_length, sum(non_english)::BIGINT AS non_english,
+         |  sum(low_stopword)::BIGINT AS low_stopword, sum(repetitive)::BIGINT AS repetitive,
+         |  sum(greatest(too_short, too_long, word_length, non_english, low_stopword, repetitive))::BIGINT AS any_rule
+         | FROM f)
+         |SELECT 'too_short' AS rule, too_short AS n_docs, round(too_short / total, 4) AS share FROM a
+         |UNION ALL SELECT 'too_long', too_long, round(too_long / total, 4) FROM a
+         |UNION ALL SELECT 'word_length', word_length, round(word_length / total, 4) FROM a
+         |UNION ALL SELECT 'non_english', non_english, round(non_english / total, 4) FROM a
+         |UNION ALL SELECT 'low_stopword', low_stopword, round(low_stopword / total, 4) FROM a
+         |UNION ALL SELECT 'repetitive', repetitive, round(repetitive / total, 4) FROM a
+         |UNION ALL SELECT 'any_rule', any_rule, round(any_rule / total, 4) FROM a
+         |UNION ALL SELECT 'pass_all', total::BIGINT - any_rule, round((total - any_rule) / total, 4) FROM a""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -261,7 +261,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     coreOracleSql ++ ExtensionQueries.oracleSql ++ StreamingGates.oracleSql
 
-  private def coreOracleSql: Map[String, String] = Map(
+  // private[graft]: StreamingGates shares q09's oracle verbatim (q78)
+  private[graft] def coreOracleSql: Map[String, String] = Map(
     "q01_map" ->
       """SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS ret_flag,
         | round(l_extendedprice * (1 - l_discount), 4) AS revenue FROM lineitem""".stripMargin,

@@ -35,6 +35,7 @@ object StreamingGates {
   final case class Iv(
       purchase_id: Long, p_user: Long,
       w_start: java.sql.Timestamp, w_end: java.sql.Timestamp)
+  final case class Ev(event_type: String, ts: java.sql.Timestamp, value: Double)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -175,10 +176,50 @@ object StreamingGates {
     s.table(sink).select(md5(col("text")).as("content_hash"))
   }
 
+  /** Streaming tumbling-window aggregation over the q09 events
+    * ([[graft.operators.Windows.tumbling]]'s streaming form: watermark +
+    * windowed groupBy in append mode): all events arrive as one
+    * micro-batch, then two sentinel batches on a marker event type far in
+    * the future advance the watermark past every real window's end so
+    * append mode finalizes and emits them all. The sentinels' own window
+    * never finalizes (the second sentinel is only 1 minute after the
+    * first, far inside the 1-hour delay), so the sink holds exactly the
+    * real windows — compared against q09's batch oracle verbatim.
+    */
+  private def q78WindowStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value")).as[Ev].collect()
+    val in = MemoryStream[Ev]
+    // buffer before start() — same single-first-batch guarantee as q63
+    in.addData(events.toIndexedSeq)
+    val agg = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    val sink = sinkName("q78")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(Ev("__sentinel", s1, 0.0))
+      q.processAllAvailable() // watermark passes most real windows
+      in.addData(Ev("__sentinel", new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+      q.processAllAvailable() // the batch that emits the remainder
+    } finally q.stop()
+    s.table(sink).where(col("event_type") =!= "__sentinel")
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
-    "q75_dedup_stream" -> (q75DedupStream _)
+    "q75_dedup_stream" -> (q75DedupStream _),
+    "q78_window_stream" -> (q78WindowStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -188,6 +229,7 @@ object StreamingGates {
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
     "q75_dedup_stream" ->
-      "SELECT DISTINCT md5(text) AS content_hash FROM documents"
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling")
   )
 }

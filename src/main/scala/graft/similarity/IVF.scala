@@ -194,4 +194,71 @@ object IVF {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Corpus diversity profile by nearest centroid — the coverage report a
+    * training-mix owner reads before sampling: one row per k-means cell
+    * with its population, corpus share, cohesion (mean cosine to the
+    * cell's centroid), the dominant label and its share, and the label
+    * entropy (nats) — low entropy = the cell is one source's island, high
+    * = genuinely mixed content.
+    *
+    * Scale shape: cell assignment and the cosine-to-centroid are per-row
+    * expressions against FIXED centroid literals (no model object, no
+    * fit — see [[literalTopK]]), so the corpus is scanned ONCE and
+    * aggregated through ONE (cell, label) shuffle with map-side partial
+    * aggregation. Everything after that — per-cell rollups, dominant
+    * label, entropy — is window math over the materialized
+    * |cells| × |labels| aggregated relation, which is the report itself
+    * and bounded by construction; the corpus total for shares is a
+    * scalar aggregate of that same relation, broadcast back (the
+    * histogramFromBins pattern — never a single-partition window).
+    *
+    * Cohesion uses the same score family as assignment: cell score is
+    * `dot(v, c) / ‖c‖`, so cosine to the assigned centroid is
+    * `best_score / ‖v‖` — no second pass over the centroid array. Zero
+    * vectors profile with cosine 0. Ties: dominant label is lowest on
+    * equal counts, matching the oracle's `ORDER BY n DESC, label`.
+    */
+  def cellProfile(
+      corpus: DataFrame,
+      vec: Column,
+      label: Column,
+      centroids: Array[Array[Float]]
+  ): DataFrame = {
+    val rows = corpus
+      .select(literalCellScores(vec, centroids).as("__s"),
+        VectorFunctions.norm2(vec).as("__nrm"), label.as("label"))
+      .select(
+        (array_position(col("__s"), array_max(col("__s"))) - 1).cast("int").as("cell"),
+        when(col("__nrm") > 0, array_max(col("__s")) / col("__nrm"))
+          .otherwise(lit(0.0)).as("cos"),
+        col("label"))
+    // materialized so the corpus-total branch and the windowed rollup
+    // both read the tiny (cell, label) aggregate instead of re-executing
+    // the corpus scan lineage (the histogramFromBins pattern); the total
+    // is a scalar aggregate + broadcast, never a single-partition window
+    val byCellLabel = graft.Materialize(
+      rows.groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("cos")).as("sc")))
+    val total = byCellLabel.agg(sum(col("n")).as("total"))
+    val wCell = Window.partitionBy(col("cell"))
+    val wRank = Window.partitionBy(col("cell")).orderBy(col("n").desc, col("label").asc)
+    byCellLabel
+      .withColumn("n_vecs", sum(col("n")).over(wCell))
+      .withColumn("sum_cos", sum(col("sc")).over(wCell))
+      .withColumn("ent", sum(-(col("n") / col("n_vecs")) * log(col("n") / col("n_vecs"))).over(wCell))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") === 1)
+      .crossJoin(broadcast(total))
+      .select(
+        col("cell"),
+        col("n_vecs"),
+        round(col("n_vecs") / col("total"), 4).as("share"),
+        round(col("sum_cos") / col("n_vecs"), 4).as("avg_cos"),
+        col("label").as("top_label"),
+        round(col("n") / col("n_vecs"), 4).as("top_share"),
+        // + 0.0 normalizes the IEEE -0.0 a single-label cell produces
+        // (-(1.0)·ln(1.0) sums to -0.0) so both engines emit +0.0
+        round(col("ent") + lit(0.0), 4).as("label_entropy"))
+  }
 }

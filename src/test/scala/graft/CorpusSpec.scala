@@ -242,4 +242,30 @@ class CorpusSpec extends SparkSpec {
     assert(out(2)._3 == r4(log2(2.25)))
     intercept[IllegalArgumentException] { Corpus.pmiCollocations(d, col("text"), minCount = 0) }
   }
+
+  test("qualityFunnel: per-rule fail counts, any_rule, pass_all on crafted docs") {
+    val d = docs(
+      // 5 tokens, mean len 2.8, stop ratio 2/5, distinct 5/5, lang en -> passes all
+      1L -> "the cat sat on mat",
+      // 2 tokens -> too_short; no stopwords -> low_stopword; no markers -> "und" -> non_english
+      2L -> "hi yo",
+      // 7 tokens -> too_long; 1 distinct -> repetitive (6/7 > 0.4); "the" keeps lang en + stop ratio 1
+      3L -> "the the the the the the the")
+    val out = Corpus.qualityFunnel(
+      d, col("text"),
+      minTokens = 3, maxTokens = 6, avgTokLenBand = (2.0, 5.0),
+      minStopRatio = 0.2, maxRepeatRatio = 0.4)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("too_short") == ((1L, 0.3333)), out.toString)
+    assert(out("too_long") == ((1L, 0.3333)))
+    assert(out("word_length") == ((0L, 0.0)))
+    assert(out("non_english") == ((1L, 0.3333)))
+    assert(out("low_stopword") == ((1L, 0.3333)))
+    assert(out("repetitive") == ((1L, 0.3333)))
+    // doc 2 fails three rules but counts once; doc 1 survives everything
+    assert(out("any_rule") == ((2L, 0.6667)))
+    assert(out("pass_all") == ((1L, 0.3333)))
+    // the funnel is exactly the rule rows + the two rollups
+    assert(out.size == 8)
+  }
 }

@@ -120,6 +120,30 @@ class DedupKnnSpec extends SparkSpec {
     assert(pairs.forall(p => cells(p._1) == cells(p._2)))
   }
 
+  test("IVF cellProfile: counts, cohesion, dominant label, entropy on crafted cells") {
+    import graft.similarity.IVF
+    // centroids = the axes; assignment is by dot(v,c)/‖c‖ first-max
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val emb = Seq(
+      (1L, Array(1f, 0f), 10),  // cell 0, cos 1, label 10
+      (2L, Array(3f, 0f), 20),  // cell 0, cos 1, label 20
+      (3L, Array(0f, 5f), 20),  // cell 1, cos 1, label 20
+      (4L, Array(0f, 0f), 20)   // zero vector: tie -> first-max cell 0, cos 0
+    ).toDF("vec_id", "embedding", "label")
+    val prof = IVF.cellProfile(emb, col("embedding"), col("label"), cents)
+      .orderBy("cell")
+      .as[(Int, Long, Double, Double, Int, Double, Double)].collect()
+    val ent0 = BigDecimal(-(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cell 0: 3 vecs (share .75), avg cos (1+1+0)/3, label 20 dominates 2/3
+    assert(prof(0) == ((0, 3L, 0.75, 0.6667, 20, 0.6667, ent0)), prof(0).toString)
+    // cell 1: single label -> entropy exactly +0.0 (the -0.0 normalize)
+    assert(prof(1) == ((1, 1L, 0.25, 1.0, 20, 1.0, 0.0)), prof(1).toString)
+    assert(!prof(1)._7.equals(-0.0))
+    // shares sum to 1
+    assert(math.abs(prof.map(_._3).sum - 1.0) < 1e-9)
+  }
+
   test("IVF index save/load roundtrip: cell-partitioned layout, identical search results") {
     import graft.similarity.IVF
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -189,4 +189,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(scans == 1, s"$name has $scans parquet scans:\n$p")
     }
   }
+
+  test("q77 funnel: one pruned scan into a scalar aggregate; q76 profile windows the tiny agg only") {
+    // funnel: the rules fuse into ONE projection over ONE scan reading
+    // only `text`, feeding a partial-aggregated global sum — adding a
+    // rule must never add a scan, an exchange, or a wider read schema
+    val p77 = plan("q77_quality_funnel")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p77).size == 1, p77)
+    assert(p77.contains("graft_rep_stats"), p77)
+    val readSchema = p77.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("source"), readSchema)
+    assert(!simplePlan("q77_quality_funnel").contains("Exchange hashpartitioning"),
+      "funnel shuffled rows beyond the scalar-aggregate merge")
+    // profile: the corpus is folded into the materialized (cell, label)
+    // aggregate — the final plan reads that tiny relation (never parquet),
+    // windows on cell ONCE (rn=1 limited map-side), broadcasts the total
+    val s76 = simplePlan("q76_cluster_profile")
+    assert(!s76.contains("parquet"), s76)
+    assert(s76.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s76)
+    assert(s76.contains("WindowGroupLimit"), s76)
+    assert(s76.contains("BroadcastExchange"), s76)
+  }
 }
