@@ -594,6 +594,19 @@ object ExtensionQueries {
   private def q77QualityFunnel(s: SparkSession, d: String): DataFrame =
     Corpus.qualityFunnel(Tables.documents(s, d), col("text"))
 
+  /** Leakage-safe train/val/test split keyed on near-dup clusters — see
+    * [[graft.curation.Assembly.clusterSplitAssign]]. The oracle replays
+    * q36's transitive closure and q43's salted-hash split expression, on
+    * the cluster id.
+    */
+  private def q79ClusterSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    val clusters = Dedup.nearDupClusters(docs, col("doc_id"), pairs)
+    graft.curation.Assembly.clusterSplitAssign(
+      clusters, col("doc_id"), col("cluster_id"))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -651,7 +664,8 @@ object ExtensionQueries {
     "q73_normalized_dedup" -> (q73NormalizedDedup _),
     "q74_containment" -> (q74Containment _),
     "q76_cluster_profile" -> (q76ClusterProfile _),
-    "q77_quality_funnel" -> (q77QualityFunnel _)
+    "q77_quality_funnel" -> (q77QualityFunnel _),
+    "q79_cluster_split" -> (q79ClusterSplit _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1216,6 +1230,22 @@ object ExtensionQueries {
          |UNION ALL SELECT 'repetitive', repetitive, round(repetitive / total, 4) FROM a
          |UNION ALL SELECT 'any_rule', any_rule, round(any_rule / total, 4) FROM a
          |UNION ALL SELECT 'pass_all', total::BIGINT - any_rule, round((total - any_rule) / total, 4) FROM a""".stripMargin,
+    "q79_cluster_split" ->
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |b AS (SELECT doc_id, cluster_id,
+         |  ((${duckHash48("(cluster_id::VARCHAR || ':cluster-split-v1')")}) % 100)::BIGINT AS bucket
+         |  FROM cl)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 5 THEN 'test' WHEN bucket < 10 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM b""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -36,6 +36,7 @@ object StreamingGates {
       purchase_id: Long, p_user: Long,
       w_start: java.sql.Timestamp, w_end: java.sql.Timestamp)
   final case class Ev(event_type: String, ts: java.sql.Timestamp, value: Double)
+  final case class Sv(user_id: Option[Long], ts: java.sql.Timestamp, value: Double)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -215,11 +216,55 @@ object StreamingGates {
         col("event_type"), col("n"), col("total"))
   }
 
+  /** Streaming session-window aggregation over the q11 events
+    * ([[graft.operators.Windows.session]]'s streaming form:
+    * `session_window` + watermark in append mode — Spark's native
+    * merging-session state, the semantics the reference's
+    * `flow/session_window.go` inactivity timer implements): all events
+    * arrive as one micro-batch so sessions merge in-state, then two
+    * sentinel batches on a user id outside the data advance the watermark
+    * past every real session's close and append mode emits them all. The
+    * sentinels' own session never closes (1 minute apart, inside the
+    * 1-hour delay); null-user events are real groups in both engines and
+    * flow through — the sentinel filter is null-safe. Compared against
+    * q11's batch oracle verbatim.
+    */
+  private def q80SessionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("value")).as[Sv].collect()
+    val in = MemoryStream[Sv]
+    // buffer before start() — same single-first-batch guarantee as q63
+    in.addData(events.toIndexedSeq)
+    val agg = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    val sink = sinkName("q80")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(Sv(Some(-1L), s1, 0.0))
+      q.processAllAvailable() // watermark passes every real session close
+      in.addData(Sv(Some(-1L), new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+      q.processAllAvailable() // the batch that emits the remainder
+    } finally q.stop()
+    s.table(sink).where(!(col("user_id") <=> lit(-1L)))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("n"), col("total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
     "q75_dedup_stream" -> (q75DedupStream _),
-    "q78_window_stream" -> (q78WindowStream _)
+    "q78_window_stream" -> (q78WindowStream _),
+    "q80_session_stream" -> (q80SessionStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -230,6 +275,7 @@ object StreamingGates {
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
     "q75_dedup_stream" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
-    "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling")
+    "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling"),
+    "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session")
   )
 }

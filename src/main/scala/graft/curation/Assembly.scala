@@ -42,6 +42,37 @@ object Assembly {
       ticket(id, salt, 100).as("bucket"),
       splitLabel(id, testPct, valPct, salt).as("split"))
 
+  /** Cluster-aware train/val/test assignment: the split is keyed on the
+    * NEAR-DUP CLUSTER id (from [[graft.dedup.Dedup.nearDupClusters]]),
+    * not the document id, so every member of a cluster lands in the same
+    * split. This is the leakage-safe form of [[splitAssign]]: an id-keyed
+    * split scatters near-identical documents across train and test, and
+    * the eval set silently memorizes the training set — the
+    * train-test-contamination failure mode dedup exists to prevent.
+    *
+    * Scale shape: the split is a pure row expression over `cluster_id`,
+    * so the only distributed work is the CC that produced the clusters
+    * relation — assigning splits to 100 TB of labeled docs adds ZERO
+    * exchanges. Reproducibility is inherited from CC's deterministic
+    * labels (cluster_id = min doc id of the component): the same corpus
+    * always splits the same way, and a NEW near-duplicate of an existing
+    * document joins its cluster and therefore its split, never leaking
+    * an already-published test document into train.
+    */
+  def clusterSplitAssign(
+      clusters: DataFrame,
+      docId: Column,
+      clusterId: Column,
+      testPct: Int = 5,
+      valPct: Int = 5,
+      salt: String = "cluster-split-v1"
+  ): DataFrame =
+    clusters.select(
+      docId.as("doc_id"),
+      clusterId.as("cluster_id"),
+      ticket(clusterId, salt, 100).as("bucket"),
+      splitLabel(clusterId, testPct, valPct, salt).as("split"))
+
   /** The split label as a pure COLUMN expression over the id — for
     * pipelines that need the label NEXT TO their own columns
     * ([[graft.dedup.Dedup.ngramCoverage]] callers filtering a corpus to

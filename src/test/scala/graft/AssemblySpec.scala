@@ -34,6 +34,39 @@ class AssemblySpec extends SparkSpec {
     } finally s.unpersist()
   }
 
+  test("clusterSplitAssign is split-pure per cluster and stable under cluster growth") {
+    // synthetic CC output: 1000 docs in 250 four-member clusters labeled by
+    // their min member id (nearDupClusters' label contract)
+    val clusters = spark.range(1000)
+      .select(col("id").as("doc_id"), (col("id") - pmod(col("id"), lit(4))).as("cluster_id"))
+    val s = Assembly.clusterSplitAssign(clusters, col("doc_id"), col("cluster_id")).cache()
+    try {
+      assert(s.count() == 1000)
+      // leakage safety: every cluster maps to exactly ONE split
+      val impure = s.groupBy("cluster_id")
+        .agg(countDistinct(col("split")).as("k")).where(col("k") > 1)
+      assert(impure.count() == 0)
+      // the hash is uniform enough that all three splits appear at 250 clusters
+      assert(s.select("split").distinct().count() == 3)
+      // growth stability: a NEW near-duplicate joining an existing cluster
+      // (same cluster_id, new doc_id) gets that cluster's existing split
+      val grown = Assembly.clusterSplitAssign(
+        clusters.unionByName(clusters.select(
+          (col("doc_id") + 10000).as("doc_id"), col("cluster_id"))),
+        col("doc_id"), col("cluster_id"))
+      val moved = grown.as("a").join(s.as("b"), "cluster_id")
+        .where(col("a.split") =!= col("b.split"))
+      assert(moved.count() == 0)
+      // decorrelated from the id-keyed split: membership differs for some
+      // docs (different salt AND different key), so the two operators are
+      // genuinely distinct policies
+      val idSplit = Assembly.splitAssign(clusters, col("doc_id"))
+      val differs = s.as("a").join(idSplit.as("b"), "doc_id")
+        .where(col("a.split") =!= col("b.split"))
+      assert(differs.count() > 0)
+    } finally s.unpersist()
+  }
+
   test("stratifiedSample keeps a stable subset at per-stratum rates; raising a rate only adds rows") {
     val rates = Map("en" -> 100, "fr" -> 1000)
     val kept = Assembly.stratifiedSample(docs, col("doc_id"), col("lang"), rates, defaultPermille = 300)
