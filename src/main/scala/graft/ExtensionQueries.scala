@@ -607,6 +607,31 @@ object ExtensionQueries {
       clusters, col("doc_id"), col("cluster_id"))
   }
 
+  /** Snapshot diff between two derived corpus versions — see
+    * [[graft.curation.Corpus.versionDiff]]. The versions are
+    * deterministic derivations of the documents table (old drops
+    * doc_id % 7 == 3; new drops % 11 == 5 and revises % 5 == 0), so the
+    * gate exercises all four statuses from one input.
+    */
+  private def q81VersionDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldV = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+    val newV = docs.where(pmod(col("doc_id"), lit(11)) =!= 5)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    Corpus.versionDiff(oldV, newV, col("doc_id"), md5(col("text")))
+  }
+
+  /** Token-share mixture plan against a 50/20/30 en/zh/fr target — see
+    * [[graft.curation.Assembly.mixPlan]].
+    */
+  private def q82MixPlan(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.mixPlan(
+      Tables.documents(s, d), col("lang"),
+      TextFunctions.wsTokenCount(col("text")),
+      Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.3))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -665,7 +690,9 @@ object ExtensionQueries {
     "q74_containment" -> (q74Containment _),
     "q76_cluster_profile" -> (q76ClusterProfile _),
     "q77_quality_funnel" -> (q77QualityFunnel _),
-    "q79_cluster_split" -> (q79ClusterSplit _)
+    "q79_cluster_split" -> (q79ClusterSplit _),
+    "q81_version_diff" -> (q81VersionDiff _),
+    "q82_mix_plan" -> (q82MixPlan _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1246,6 +1273,37 @@ object ExtensionQueries {
          |  CASE WHEN bucket < 5 THEN 'test' WHEN bucket < 10 THEN 'val'
          |       ELSE 'train' END AS split
          |FROM b""".stripMargin,
+    "q81_version_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents
+        |           WHERE doc_id % 7 != 3),
+        |n AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN md5(text || ' [rev2]')
+        |       ELSE md5(text) END AS nh
+        |  FROM documents WHERE doc_id % 11 != 5)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN oh != nh THEN 'modified' ELSE 'unchanged' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q82_mix_plan" ->
+      s"""WITH t AS (SELECT lang, len($duckToks)::BIGINT AS toks FROM documents),
+         |a AS (SELECT lang AS stratum, count(*)::BIGINT AS n_docs,
+         |  sum(toks)::BIGINT AS n_tokens FROM t GROUP BY 1),
+         |w AS (SELECT a.*,
+         |  (CASE stratum WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
+         |                WHEN 'fr' THEN 0.3 ELSE 0.0 END)::DOUBLE AS tgt_share
+         |  FROM a),
+         |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+         |  coalesce(min(CASE WHEN tgt_share > 0 THEN n_tokens / tgt_share END), 0.0)
+         |    AS t_max FROM w)
+         |SELECT stratum, n_docs, n_tokens,
+         |  round(n_tokens / total_tokens, 6) AS cur_share,
+         |  round(tgt_share, 6) AS tgt_share,
+         |  round(CASE WHEN tgt_share > 0 THEN tgt_share * t_max / n_tokens
+         |        ELSE 0.0 END, 6) AS keep_rate,
+         |  round(CASE WHEN tgt_share > 0 THEN tgt_share * t_max ELSE 0.0 END, 4)
+         |    AS kept_tokens
+         |FROM w CROSS JOIN tot""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -97,6 +97,64 @@ object Assembly {
       .otherwise("train")
   }
 
+  /** Mixture plan — the sizing report that turns "I want 50% en / 20% zh
+    * / 30% fr BY TOKENS" into per-stratum keep rates a
+    * [[stratifiedSample]] run can apply: per stratum, its document and
+    * token counts, current token share, target share, the keep rate that
+    * realizes the target WITHOUT upsampling (the binding stratum — the
+    * one scarcest relative to its target — keeps rate 1.0 and caps the
+    * achievable mixed-corpus size at `t_max = min over targeted strata
+    * of tokens/target`), and the resulting kept token count. Strata
+    * absent from the target map get rate 0.
+    *
+    * Scale shape: ONE map-combined groupBy(stratum) token sum — the only
+    * corpus-sized work; every ratio is arithmetic over the resulting
+    * ≤ #strata relation (materialized once, scalar-aggregated for the
+    * total and the binding minimum, broadcast back — never a
+    * single-partition window).
+    *
+    * `targetWeights` must sum to 1 (±1e-9): rates are computed from the
+    * raw weights, so normalization is the CALLER's explicit act, not a
+    * silent rescale that would make the report disagree with its input.
+    */
+  def mixPlan(
+      df: DataFrame,
+      stratum: Column,
+      tokens: Column,
+      targetWeights: Map[String, Double]
+  ): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.values.forall(_ >= 0),
+      "target weights must be non-negative")
+    require(math.abs(targetWeights.values.sum - 1.0) < 1e-9,
+      s"target weights must sum to 1, got ${targetWeights.values.sum}")
+    val tgtMap = map(targetWeights.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    val agg = graft.Materialize(
+      df.groupBy(stratum.as("stratum"))
+        .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+        .withColumn("tgt_share",
+          coalesce(element_at(tgtMap, col("stratum")), lit(0.0))))
+    val totals = agg.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      // null when no targeted stratum has tokens: nothing is achievable
+      coalesce(
+        min(when(col("tgt_share") > 0, col("n_tokens") / col("tgt_share"))),
+        lit(0.0)).as("t_max"))
+    agg.crossJoin(broadcast(totals))
+      .select(
+        col("stratum"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("cur_share"),
+        round(col("tgt_share"), 6).as("tgt_share"),
+        round(when(col("tgt_share") > 0,
+          col("tgt_share") * col("t_max") / col("n_tokens"))
+          .otherwise(lit(0.0)), 6).as("keep_rate"),
+        round(when(col("tgt_share") > 0, col("tgt_share") * col("t_max"))
+          .otherwise(lit(0.0)), 4).as("kept_tokens"))
+  }
+
   /** Stratified deterministic sampling: keep a row iff its salted hash
     * ticket (mod 1000) falls under its stratum's permille rate. One filter
     * expression — no shuffle, no state, and the kept set is a stable

@@ -469,4 +469,36 @@ object Corpus {
         when(col("__total") > 0, round(col("r.n_docs") / col("__total"), 4))
           .otherwise(lit(0.0)).as("share"))
   }
+
+  /** Corpus snapshot diff — the audit between two dataset versions a
+    * data-ops owner reads before promoting a release: per-document
+    * status `added` (id only in the new version), `removed` (only in the
+    * old), `modified` (both, content hash differs), `unchanged`. Run a
+    * `groupBy("status").count()` over the result for the one-line
+    * summary; the per-doc relation is the drill-down and the input to
+    * incremental downstream work (re-embed only `added`/`modified`).
+    *
+    * Scale shape: ONE full-outer hash equijoin on the id — both sides
+    * reduce to (id, hash) projections before the shuffle, so the join
+    * carries two thin columns, not document bodies; with both versions
+    * bucketed by id on storage the exchange disappears entirely. The
+    * hash expression is the caller's ([[TextFunctions.normalize]]-then-
+    * md5 to ignore formatting churn, raw md5 for byte-exact audits).
+    */
+  def versionDiff(
+      oldVersion: DataFrame,
+      newVersion: DataFrame,
+      id: Column,
+      contentHash: Column
+  ): DataFrame = {
+    val o = oldVersion.select(id.as("doc_id"), contentHash.as("__oh"))
+    val n = newVersion.select(id.as("doc_id"), contentHash.as("__nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
 }

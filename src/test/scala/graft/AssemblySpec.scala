@@ -86,6 +86,27 @@ class AssemblySpec extends SparkSpec {
     assert(more.size > keptIds.size)
   }
 
+  test("mixPlan: binding stratum keeps 1.0, kept tokens realize the target ratios, untargeted strata drop") {
+    // en 1000 tokens, fr 100, de 500: target 50/50 en/fr → fr binds
+    // (100/0.5 = 200 < 1000/0.5): t_max = 200, en keeps 100 of 1000
+    val d = Seq(("en", 1000), ("fr", 100), ("de", 500)).toDF("lang", "toks")
+    val plan = Assembly.mixPlan(d, col("lang"), col("toks"),
+      Map("en" -> 0.5, "fr" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(plan("fr").getAs[Double]("keep_rate") == 1.0)
+    assert(plan("en").getAs[Double]("keep_rate") == 0.1)
+    assert(plan("en").getAs[Double]("kept_tokens") == 100.0)
+    assert(plan("de").getAs[Double]("keep_rate") == 0.0)
+    assert(plan("de").getAs[Double]("kept_tokens") == 0.0)
+    // kept tokens are in exactly the target ratio
+    assert(plan("en").getAs[Double]("kept_tokens") ==
+      plan("fr").getAs[Double]("kept_tokens"))
+    // weights that don't sum to 1 are the caller's bug, loudly
+    intercept[IllegalArgumentException] {
+      Assembly.mixPlan(d, col("lang"), col("toks"), Map("en" -> 0.7))
+    }
+  }
+
   test("epochMix materializes floor/ceil copies per weight; deterministic and growth-stable") {
     val weights = Map("en" -> 0.25, "fr" -> 2.5, "de" -> 2.0)
     val mix = Assembly.epochMix(docs, col("doc_id"), col("lang"), weights, defaultWeight = 0.0)

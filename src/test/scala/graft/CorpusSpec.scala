@@ -15,6 +15,22 @@ class CorpusSpec extends SparkSpec {
   private def docs(rows: (Long, String)*): DataFrame =
     rows.toDF("doc_id", "text")
 
+  test("versionDiff labels all four statuses; diff against self is all-unchanged") {
+    val oldV = docs(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val newV = docs(2L -> "beta", 3L -> "gamma EDITED", 4L -> "delta")
+    val d = Corpus.versionDiff(oldV, newV, col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "modified", 4L -> "added"))
+    // reflexivity: a version diffed against itself is pure unchanged
+    val self = Corpus.versionDiff(oldV, oldV, col("doc_id"), md5(col("text")))
+    assert(self.where(col("status") =!= "unchanged").count() == 0)
+    // hash choice is the caller's: normalize-then-hash ignores case churn
+    val reformatted = docs(1L -> "ALPHA", 2L -> "beta", 3L -> "gamma")
+    val norm = Corpus.versionDiff(oldV, reformatted, col("doc_id"),
+      md5(graft.functions.TextFunctions.normalize(col("text"))))
+    assert(norm.where(col("status") =!= "unchanged").count() == 0)
+  }
+
   test("vocabulary: counts conserve tokens, rank is the deterministic top-N cut") {
     val d = docs(
       1L -> "the cat sat on the mat",
