@@ -63,6 +63,79 @@ object Dedup {
     df.join(idx, md5(content) === idx("content_hash"), "left_anti")
   }
 
+  /** Serialized Bloom filter over the [[saveSeen]] index — the prefilter
+    * that lets [[dropSeenFast]] route the (typical) almost-entirely-new
+    * batch around the exact anti-join. One pass over the index: per-task
+    * partial filters OR-merge through Spark's aggregation tree (the same
+    * machinery AQE's runtime row-group filters use —
+    * `BloomFilterAggregate` over `xxhash64` of the stored hash).
+    *
+    * Sizing is the caller's contract: the returned blob is
+    * ~`1.2 · n · |ln fpp|` bits (≈ 120 MB at n = 10⁸, fpp = 1% — driver
+    * and task-broadcast resident, so size `expectedItems` for the INDEX
+    * cardinality, not the corpus).
+    *
+    * FRESHNESS CONTRACT: the filter must cover every hash in the index —
+    * rebuild it (or [[org.apache.spark.util.sketch.BloomFilter.mergeInPlace
+    * OR-merge]] a filter of the appended batch) after each [[saveSeen]].
+    * A STALE filter is not merely less selective: an index hash appended
+    * after the filter's build is unknown to it, so a duplicate of that
+    * row takes [[dropSeenFast]]'s fast path and LEAKS past the exact
+    * join. `dropSeenFast == dropSeen` holds exactly when
+    * filter ⊇ index; with a stale filter it dedups against the index as
+    * of the filter's build.
+    */
+  def seenFilter(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): Array[Byte] = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        GraftBridge.expression(xxhash64(col("content_hash"))),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression()
+    spark.table(table).select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** "Possibly seen" predicate against a [[seenFilter]] blob — a pure
+    * codegen'd row expression (`BloomFilterMightContain` deserializes the
+    * filter once per task). False positives at the filter's fpp; NO false
+    * negatives for any hash the filter was built over.
+    */
+  def mightBeSeen(content: Column, filter: Array[Byte]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(filter, org.apache.spark.sql.types.BinaryType),
+      GraftBridge.expression(xxhash64(md5(content)))))
+  }
+
+  /** [[dropSeen]] with a Bloom prefilter: rows the filter has never seen
+    * (a fresh crawl's vast majority) pass through as a SCAN-SIDE FILTER —
+    * no shuffle, no join — and only the "possibly seen" sliver (true
+    * duplicates + fpp false positives) pays the exact anti-join against
+    * the index. Result set is EXACTLY [[dropSeen]]'s (spec-asserted): the
+    * filter has no false negatives, so nothing seen can take the fast
+    * path, and false positives are cleared by the confirm join. At 100 TB
+    * against a 10⁹-hash index this turns the every-batch anti-join into
+    * one that touches ~1% of the batch.
+    */
+  def dropSeenFast(
+      df: DataFrame, content: Column, table: String, filter: Array[Byte]): DataFrame = {
+    val maybeSeen = mightBeSeen(content, filter)
+    df.where(!maybeSeen)
+      .unionByName(dropSeen(df.where(maybeSeen), content, table))
+  }
+
   /** Near-dup keeper selection by score: per cluster, keep the member
     * with the HIGHEST `score` (ties by min id) — production pipelines
     * keep the best document of a duplicate group, not the first-seen

@@ -70,6 +70,49 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("bloom prefilter: dropSeenFast equals dropSeen exactly; seen rows never take the fast path") {
+    import graft.dedup.Dedup
+    val table = "graft_seen_bloom_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val seen = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    // batch: 150 seen + 150 new
+    val batch = ((51L to 200L).map(i => (i + 1000, s"doc number $i")) ++
+      (201L to 350L).map(i => (i + 1000, s"doc number $i"))).toDF("id", "text")
+    try {
+      Dedup.saveSeen(seen, col("text"), table, buckets = 4)
+      val bf = Dedup.seenFilter(spark, table, expectedItems = 200L, fpp = 0.01)
+      // exactness against the join-only form, row for row
+      val exact = Dedup.dropSeen(batch, col("text"), table)
+        .select("id").as[Long].collect().sorted.toSeq
+      val fast = Dedup.dropSeenFast(batch, col("text"), table, bf)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(fast == exact)
+      assert(exact == (1201L to 1350L).toSeq)
+      // no false negatives: EVERY seen row is flagged by the filter
+      val missed = seen.where(!Dedup.mightBeSeen(col("text"), bf)).count()
+      assert(missed == 0)
+      // the prefilter is selective: few of the 150 genuinely-new rows are
+      // false-positive flagged into the confirm join (fpp 1%, slack 10x)
+      val fpFlagged = batch.where(col("id") > 1200L)
+        .where(Dedup.mightBeSeen(col("text"), bf)).count()
+      assert(fpFlagged <= 15, s"false-positive rate too high: $fpFlagged/150")
+      // the freshness contract, demonstrated from both sides after an
+      // append the filter has NOT seen: flagged rows still confirm-join
+      // against the CURRENT index (removed), but the batch's genuinely
+      // new rows — now in the index, unknown to the stale filter — leak
+      // through the fast path: dropSeenFast == dropSeen ONLY when the
+      // filter covers the index (the scaladoc contract)
+      Dedup.saveSeen(batch, col("text"), table, buckets = 4)
+      val staleResult = Dedup.dropSeenFast(batch, col("text"), table, bf)
+      assert(staleResult.where(Dedup.mightBeSeen(col("text"), bf)).isEmpty)
+      assert(Dedup.dropSeen(batch, col("text"), table).isEmpty)
+      assert(staleResult.count() > 0) // the documented stale-filter leak
+      // rebuilt to cover the index, equality is restored
+      val bf2 = Dedup.seenFilter(spark, table, expectedItems = 400L, fpp = 0.01)
+      assert(Dedup.dropSeenFast(batch, col("text"), table, bf2).isEmpty)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("incremental LSH: new batch pairs against the persisted band index without re-signaturing it") {
     import graft.dedup.Dedup
     val table = "graft_band_idx"
