@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   *   language filter → quality + repetition filters → exact dedup →
   *   MinHash-LSH near-dup pairs → connected-component clusters →
-  *   keeper selection → surprisal filter → train/val/test split →
-  *   test-in-train n-gram decontamination report →
-  *   length-threshold calibration (histogram) → token-budget sampling →
-  *   token accounting + distinct-token sketch.
+  *   keeper selection → surprisal filter → cluster-keyed (leakage-safe)
+  *   train/val/test split → test-in-train n-gram decontamination report →
+  *   length-threshold calibration (histogram) → mixture sizing report →
+  *   token-budget sampling → token accounting + distinct-token sketch →
+  *   release version audit.
   *
   * Every stage is one of the gated operators; the whole pipeline is a
   * single lazy Catalyst plan per action, and at 100 TB each stage keeps
@@ -66,11 +67,15 @@ object TrainingDataDemo {
       surprisal.where(col("n_tokens") === 0 || col("bits_per_token") > 0.5)
         .select("doc_id"), Seq("doc_id"), "left_semi")
 
-    // 5. deterministic split — membership stable under corpus growth.
-    // The label is a pure id expression (splitLabel), so each branch
-    // filters its own scan instead of joining a split relation back
-    val labeled = informative.withColumn(
-      "split", graft.curation.Assembly.splitLabel(col("doc_id")))
+    // 5. deterministic split — keyed on the NEAR-DUP CLUSTER id (the
+    // THIRD consumer of step 3's one CC run): near-duplicates can never
+    // straddle train/test, and a future near-dup of a test doc inherits
+    // the test split instead of leaking into train. Membership stays
+    // stable under corpus growth (pure hash of the stable cluster label)
+    val splits = graft.curation.Assembly
+      .clusterSplitAssign(clusters, col("doc_id"), col("cluster_id"))
+      .select("doc_id", "split")
+    val labeled = informative.join(splits, Seq("doc_id"))
     val train = labeled.where(col("split") === "train").drop("split")
 
     // 5b. decontamination report: the fraction of each held-out doc's
@@ -93,6 +98,16 @@ object TrainingDataDemo {
       .getOrElse(sys.error(
         "length-histogram calibration found no bin with cum_frac >= 0.10 — empty train split?"))
     val sized = train.where(TextFunctions.wsTokenCount(col("text")) >= minLen)
+
+    // 6b. mixture sizing report — what a 40/30/30 source mix over the
+    // three largest sources could keep WITHOUT upsampling (binding
+    // stratum keeps 1.0). Read, not applied: the demo's budget stage
+    // below is the sampling act; this is the sizing the mix owner does
+    // before choosing rates
+    val mix = graft.curation.Assembly.mixPlan(
+      sized, col("source"), TextFunctions.wsTokenCount(col("text")),
+      Map("src13" -> 0.4, "src8" -> 0.3, "src18" -> 0.3))
+    val mixKept = mix.agg(round(sum(col("kept_tokens")), 1)).head().getDouble(0)
 
     // 7. token-budget sampling: the recipe is written in tokens
     val budgeted = sized.join(
@@ -134,6 +149,14 @@ object TrainingDataDemo {
     println(s"DEMO_CLEAN_DOCS=${clean.count()}")
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
     println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_NEARDUP_GROUPS=${nearDupGroups.count()}")
+    // 10. release audit: what this run changed relative to the
+    // previous release (simulated here by the pre-near-dup corpus) —
+    // the one-line diff a data card cites for the version bump
+    val audit = graft.curation.Corpus
+      .versionDiff(exactKept, informative, col("doc_id"), md5(col("text")))
+      .groupBy("status").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+
     println(s"DEMO_INFORMATIVE_DOCS=${informative.count()}")
     println(f"DEMO_TEST_NGRAM_SEEN_FRAC=$meanSeenFrac%.4f")
     println(s"DEMO_MIN_LEN=$minLen DEMO_BUDGETED_DOCS=${budgeted.count()}")
@@ -141,6 +164,8 @@ object TrainingDataDemo {
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
     println(s"DEMO_DISTINCT_TOKENS_EST=${sketch.head().getLong(2)}")
     println(s"DEMO_SHARD_FILES=$shardFiles")
+    println(f"DEMO_MIX_KEPT_TOKENS=$mixKept%.1f")
+    println(s"DEMO_VERSION_AUDIT $audit")
     spark.stop()
   }
 }
