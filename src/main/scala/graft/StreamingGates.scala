@@ -37,6 +37,9 @@ object StreamingGates {
       w_start: java.sql.Timestamp, w_end: java.sql.Timestamp)
   final case class Ev(event_type: String, ts: java.sql.Timestamp, value: Double)
   final case class Sv(user_id: Option[Long], ts: java.sql.Timestamp, value: Double)
+  final case class Kv(
+      user_id: Option[Long], event_type: String,
+      ts: java.sql.Timestamp, value: Double)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -259,12 +262,45 @@ object StreamingGates {
         col("n"), col("total"))
   }
 
+  /** Streaming keyed aggregation over the q12 events
+    * ([[graft.operators.Keyed.aggregate]]'s streaming form: unbounded
+    * per-key state in COMPLETE mode — the reference's `flow/keyed.go`
+    * forever-running per-key aggregation): one micro-batch, no
+    * watermark, the sink holds the full latest result. `countDistinct`
+    * is unsupported over streams, so the distinct-type count is
+    * `size(collect_set(...))` — same value (both ignore nulls), state
+    * bounded by the per-key distinct cardinality. Compared against
+    * q12's batch oracle verbatim.
+    */
+  private def q83KeyedStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Kv].collect()
+    val in = MemoryStream[Kv]
+    in.addData(events.toIndexedSeq)
+    val agg = in.toDF().groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        max(col("ts")).cast("long").as("last_seen"))
+    val sink = sinkName("q83")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(sink)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
     "q75_dedup_stream" -> (q75DedupStream _),
     "q78_window_stream" -> (q78WindowStream _),
-    "q80_session_stream" -> (q80SessionStream _)
+    "q80_session_stream" -> (q80SessionStream _),
+    "q83_keyed_stream" -> (q83KeyedStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -276,6 +312,7 @@ object StreamingGates {
     "q75_dedup_stream" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling"),
-    "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session")
+    "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session"),
+    "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed")
   )
 }
