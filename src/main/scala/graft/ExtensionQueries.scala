@@ -632,6 +632,29 @@ object ExtensionQueries {
       TextFunctions.wsTokenCount(col("text")),
       Map("en" -> 0.5, "zh" -> 0.2, "fr" -> 0.3))
 
+  /** Mixture-health diagnostic: each source's token-distribution KL
+    * divergence from the corpus blend — see
+    * [[graft.curation.Corpus.sourceDivergence]].
+    */
+  private def q84SourceDivergence(s: SparkSession, d: String): DataFrame =
+    Corpus.sourceDivergence(Tables.documents(s, d), col("text"), col("source"))
+
+  /** Bloom-prefiltered incremental dedup, oracle-gated end to end: the
+    * seen index is yesterday's corpus (doc_id < 250), the batch is the
+    * rest, and [[graft.dedup.Dedup.dropSeenFast]] must reproduce the
+    * plain anti-join EXACTLY — never-seen rows take the scan-predicate
+    * fast path, Bloom false positives are cleared by the confirm join,
+    * and false negatives cannot exist for a filter covering the index.
+    */
+  private def q85DropSeen(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val index = docs.where(col("doc_id") < 250)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    val filter = Dedup.seenFilter(index, expectedItems = 300L, fpp = 0.01)
+    Dedup.dropSeenFast(docs.where(col("doc_id") >= 250), col("text"), index, filter)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -692,7 +715,9 @@ object ExtensionQueries {
     "q77_quality_funnel" -> (q77QualityFunnel _),
     "q79_cluster_split" -> (q79ClusterSplit _),
     "q81_version_diff" -> (q81VersionDiff _),
-    "q82_mix_plan" -> (q82MixPlan _)
+    "q82_mix_plan" -> (q82MixPlan _),
+    "q84_source_divergence" -> (q84SourceDivergence _),
+    "q85_drop_seen" -> (q85DropSeen _)
   )
 
   // DuckDB oracle fragments ------------------------------------------------
@@ -1304,6 +1329,24 @@ object ExtensionQueries {
          |  round(CASE WHEN tgt_share > 0 THEN tgt_share * t_max ELSE 0.0 END, 4)
          |    AS kept_tokens
          |FROM w CROSS JOIN tot""".stripMargin,
+    "q84_source_divergence" ->
+      s"""WITH t AS (SELECT source, $duckToks AS toks FROM documents),
+         |u AS (SELECT source, term FROM t, lateral unnest(toks) AS z(term)),
+         |c AS (SELECT source, term, count(*)::BIGINT AS n_st FROM u GROUP BY 1, 2),
+         |m AS (SELECT *, sum(n_st) OVER (PARTITION BY term) AS n_t,
+         |               sum(n_st) OVER (PARTITION BY source) AS n_s,
+         |               sum(n_st) OVER () AS n_total FROM c)
+         |SELECT source, max(n_s)::BIGINT AS n_tokens,
+         |  round(sum(n_st::DOUBLE / n_s::DOUBLE *
+         |    (log2(n_st::DOUBLE) + log2(n_total::DOUBLE)
+         |     - log2(n_s::DOUBLE) - log2(n_t::DOUBLE))), 4) AS kl_bits
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q85_drop_seen" ->
+      """WITH idx AS (SELECT DISTINCT md5(text) AS h
+        |             FROM documents WHERE doc_id < 250)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id >= 250
+        |  AND md5(d.text) NOT IN (SELECT h FROM idx)""".stripMargin,
     "q68_epoch_order" -> {
       def parts(w: Double): (Int, Int) = {
         val f = math.floor(w).toInt

@@ -485,6 +485,46 @@ object Corpus {
     * hash expression is the caller's ([[TextFunctions.normalize]]-then-
     * md5 to ignore formatting churn, raw md5 for byte-exact audits).
     */
+  /** Per-source token-distribution drift: KL(P_source ‖ P_corpus) in
+    * bits, with the source's token count — the mixture-health companion
+    * to [[graft.curation.Assembly.mixPlan]]. mixPlan sizes HOW MUCH of
+    * each source to take; this measures how DIFFERENT each source's
+    * language is from the blend, so a mixture owner can see which
+    * sources add diversity (high KL: code, legalese) versus which are
+    * redundant with the average (near-zero KL) — and spot drift when a
+    * re-crawled source's KL jumps between versions. KL against the
+    * corpus (a mixture containing the source) is always finite: every
+    * source term has corpus mass, so no smoothing constant is needed.
+    *
+    * Scale shape: the ONLY corpus-sized work is one (source, term)
+    * groupBy over the token explosion, map-side combined. Everything
+    * after — term marginals, source totals, the corpus total, the log
+    * sum — runs over the vocabulary-sized count relation (unordered
+    * windows, broadcast scalar). The sum is in log2 space per term
+    * (never a probability product), and callers compare the rounded
+    * `kl_bits`, so a last-ulp summation-order difference between
+    * engines cannot flip a reading.
+    */
+  def sourceDivergence(docs: DataFrame, text: Column, source: Column): DataFrame = {
+    val counts = docs
+      .select(source.as("source"), explode(TextFunctions.wsTokens(text)).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("n_st"))
+    val m = counts
+      .withColumn("n_t", sum(col("n_st")).over(Window.partitionBy(col("term"))))
+      .withColumn("n_s", sum(col("n_st")).over(Window.partitionBy(col("source"))))
+    val total = counts.agg(sum(col("n_st")).as("n_total"))
+    m.crossJoin(broadcast(total))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        round(sum(
+          col("n_st").cast("double") / col("n_s") *
+            (log2(col("n_st")) + log2(col("n_total"))
+              - log2(col("n_s")) - log2(col("n_t")))), 4).as("kl_bits"))
+      .orderBy(col("source"))
+  }
+
   def versionDiff(
       oldVersion: DataFrame,
       newVersion: DataFrame,

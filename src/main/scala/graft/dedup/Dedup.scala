@@ -56,11 +56,17 @@ object Dedup {
       table, "content_hash", buckets, mode = "append")
 
   /** Rows of `df` whose content hash is NOT in the persisted index. */
-  def dropSeen(df: DataFrame, content: Column, table: String): DataFrame = {
+  def dropSeen(df: DataFrame, content: Column, table: String): DataFrame =
+    dropSeen(df, content, df.sparkSession.table(table))
+
+  /** [[dropSeen]] against an in-memory index relation (a `content_hash`
+    * column) instead of a saved table — the not-yet-persisted mirror of
+    * [[pairsAgainstIndex]]'s relation-input form.
+    */
+  def dropSeen(df: DataFrame, content: Column, index: DataFrame): DataFrame = {
     // qualify the index's column: an incoming batch may itself carry a
     // content_hash column, and a bare col() would be ambiguous
-    val idx = df.sparkSession.table(table)
-    df.join(idx, md5(content) === idx("content_hash"), "left_anti")
+    df.join(index, md5(content) === index("content_hash"), "left_anti")
   }
 
   /** Serialized Bloom filter over the [[saveSeen]] index — the prefilter
@@ -90,7 +96,13 @@ object Dedup {
       table: String,
       expectedItems: Long,
       fpp: Double = 0.01
-  ): Array[Byte] = {
+  ): Array[Byte] =
+    seenFilter(spark.table(table), expectedItems, fpp)
+
+  /** [[seenFilter]] over an in-memory index relation (a `content_hash`
+    * column) — pairs with the relation-input [[dropSeen]]/[[dropSeenFast]].
+    */
+  def seenFilter(index: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
     val numBits = math.ceil(
@@ -102,7 +114,7 @@ object Dedup {
         GraftBridge.expression(xxhash64(col("content_hash"))),
         Literal(expectedItems), Literal(numBits))
       .toAggregateExpression()
-    spark.table(table).select(GraftBridge.column(agg).as("bf"))
+    index.select(GraftBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
   }
 
@@ -130,10 +142,15 @@ object Dedup {
     * one that touches ~1% of the batch.
     */
   def dropSeenFast(
-      df: DataFrame, content: Column, table: String, filter: Array[Byte]): DataFrame = {
+      df: DataFrame, content: Column, table: String, filter: Array[Byte]): DataFrame =
+    dropSeenFast(df, content, df.sparkSession.table(table), filter)
+
+  /** [[dropSeenFast]] against an in-memory index relation. */
+  def dropSeenFast(
+      df: DataFrame, content: Column, index: DataFrame, filter: Array[Byte]): DataFrame = {
     val maybeSeen = mightBeSeen(content, filter)
     df.where(!maybeSeen)
-      .unionByName(dropSeen(df.where(maybeSeen), content, table))
+      .unionByName(dropSeen(df.where(maybeSeen), content, index))
   }
 
   /** Near-dup keeper selection by score: per cluster, keep the member

@@ -259,6 +259,23 @@ class CorpusSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Corpus.pmiCollocations(d, col("text"), minCount = 0) }
   }
 
+  test("sourceDivergence: hand-computed KL, symmetry of mirrored sources, zero for the blend") {
+    // source a: tokens (x,x,y); source b: (x,y,y). Corpus: x=3, y=3 →
+    // P = (1/2, 1/2). Both sources are mirrored 2/3-1/3 splits, so
+    //   KL = 2/3·log2((2/3)/(1/2)) + 1/3·log2((1/3)/(1/2))
+    // identical for both. A source matching the blend exactly scores 0.
+    val d = Seq(
+      (1L, "x x y", "a"), (2L, "x y y", "b"), (3L, "x y x y", "c")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.sourceDivergence(d, col("text"), col("source"))
+      .as[(String, Long, Double)].collect().toSeq
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    val kl = BigDecimal(2.0 / 3 * log2(4.0 / 3) + 1.0 / 3 * log2(2.0 / 3))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(("a", 3L, kl), ("b", 3L, kl), ("c", 4L, 0.0)))
+    assert(kl > 0.0) // KL against a covering mixture is finite and ≥ 0
+  }
+
   test("qualityFunnel: per-rule fail counts, any_rule, pass_all on crafted docs") {
     val d = docs(
       // 5 tokens, mean len 2.8, stop ratio 2/5, distinct 5/5, lang en -> passes all

@@ -113,6 +113,22 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("bloom prefilter relation-input forms match the table forms exactly") {
+    import graft.dedup.Dedup
+    val seen = (1L to 100L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val batch = ((51L to 100L).map(i => (i + 1000, s"doc number $i")) ++
+      (101L to 150L).map(i => (i + 1000, s"doc number $i"))).toDF("id", "text")
+    val index = seen.select(md5(col("text")).as("content_hash")).distinct()
+    val bf = Dedup.seenFilter(index, expectedItems = 100L, fpp = 0.01)
+    val exact = Dedup.dropSeen(batch, col("text"), index)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(exact == (1101L to 1150L).toSeq)
+    val fast = Dedup.dropSeenFast(batch, col("text"), index, bf)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fast == exact)
+    assert(seen.where(!Dedup.mightBeSeen(col("text"), bf)).isEmpty)
+  }
+
   test("incremental LSH: new batch pairs against the persisted band index without re-signaturing it") {
     import graft.dedup.Dedup
     val table = "graft_band_idx"
