@@ -262,6 +262,47 @@ object StreamingGates {
         col("n"), col("total"))
   }
 
+  /** Streaming sliding-window aggregation over the q10 events
+    * ([[graft.operators.Windows.sliding]]'s streaming form: watermark +
+    * overlapping windowed groupBy in append mode — each event enters
+    * size/slide = 2 windows, exactly as the batch `window(ts, size,
+    * slide)` fan-out): all events arrive as one micro-batch, then the
+    * q78 sentinel dance advances the watermark past every real window's
+    * end. The overlap changes nothing about finalization — append mode
+    * emits each (window, key) pane once the watermark passes THAT
+    * window's end — and BOTH of the sentinel's own overlapping windows
+    * end within the 1-hour delay of the second sentinel, so neither
+    * ever finalizes. Compared against q10's batch oracle verbatim.
+    */
+  private def q86SlidingStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("value")).as[Ev].collect()
+    val in = MemoryStream[Ev]
+    // buffer before start() — same single-first-batch guarantee as q63
+    in.addData(events.toIndexedSeq)
+    val agg = in.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+    val sink = sinkName("q86")
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(Ev("__sentinel", s1, 0.0))
+      q.processAllAvailable() // watermark passes most real windows
+      in.addData(Ev("__sentinel", new java.sql.Timestamp(s1.getTime + 60000L), 0.0))
+      q.processAllAvailable() // the batch that emits the remainder
+    } finally q.stop()
+    s.table(sink).where(col("event_type") =!= "__sentinel")
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+  }
+
   /** Streaming keyed aggregation over the q12 events
     * ([[graft.operators.Keyed.aggregate]]'s streaming form: unbounded
     * per-key state in COMPLETE mode — the reference's `flow/keyed.go`
@@ -300,7 +341,8 @@ object StreamingGates {
     "q75_dedup_stream" -> (q75DedupStream _),
     "q78_window_stream" -> (q78WindowStream _),
     "q80_session_stream" -> (q80SessionStream _),
-    "q83_keyed_stream" -> (q83KeyedStream _)
+    "q83_keyed_stream" -> (q83KeyedStream _),
+    "q86_sliding_stream" -> (q86SlidingStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -313,6 +355,7 @@ object StreamingGates {
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling"),
     "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session"),
-    "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed")
+    "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed"),
+    "q86_sliding_stream" -> SparkEntry.coreOracleSql("q10_sliding")
   )
 }
