@@ -71,14 +71,26 @@ object Dedup {
 
   /** Serialized Bloom filter over the [[saveSeen]] index — the prefilter
     * that lets [[dropSeenFast]] route the (typical) almost-entirely-new
-    * batch around the exact anti-join. One pass over the index: per-task
-    * partial filters OR-merge through Spark's aggregation tree (the same
-    * machinery AQE's runtime row-group filters use —
-    * `BloomFilterAggregate` over `xxhash64` of the stored hash).
+    * batch around the exact anti-join. One narrow pass over the index:
+    * per-PARTITION `sketch.BloomFilter`s built by `mapPartitions` over
+    * `xxhash64` of the stored hash, OR-merged up a 2-level `treeReduce`.
+    *
+    * NOT built with Catalyst's `BloomFilterAggregate`: that expression
+    * silently clamps to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems`/`maxNumBits` (4M items / ~8 MB by default), which
+    * destroys the advertised fpp at exactly the index scale the prefilter
+    * exists for (realized fpp → 1 ⇒ every row pays the anti-join again).
+    * `sketch.BloomFilter.create` honors the request bit-for-bit.
+    *
+    * An EMPTY index returns a valid empty filter — [[mightBeSeen]] is
+    * `false` for every row and [[dropSeenFast]] passes the whole batch,
+    * matching [[dropSeen]] (the bootstrap first-batch case; previously the
+    * aggregate returned null here and the null predicate silently dropped
+    * EVERYTHING).
     *
     * Sizing is the caller's contract: the returned blob is
     * ~`1.2 · n · |ln fpp|` bits (≈ 120 MB at n = 10⁸, fpp = 1% — driver
-    * and task-broadcast resident, so size `expectedItems` for the INDEX
+    * and executor-broadcast resident, so size `expectedItems` for the INDEX
     * cardinality, not the corpus).
     *
     * FRESHNESS CONTRACT: the filter must cover every hash in the index —
@@ -105,31 +117,63 @@ object Dedup {
   def seenFilter(index: DataFrame, expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
-    val numBits = math.ceil(
-      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    val agg = new org.apache.spark.sql.catalyst.expressions.aggregate
-      .BloomFilterAggregate(
-        GraftBridge.expression(xxhash64(col("content_hash"))),
-        Literal(expectedItems), Literal(numBits))
-      .toAggregateExpression()
-    index.select(GraftBridge.column(agg).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    import org.apache.spark.util.sketch.BloomFilter
+    // project to the 8-byte hash BEFORE leaving SQL: the scan stays
+    // column-pruned and only longs cross into the RDD
+    val hashes = index
+      .select(xxhash64(col("content_hash")).as("h"))
+      .queryExecution.toRdd.map(_.getLong(0))
+    val partials = hashes.mapPartitions { it =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val bf = BloomFilter.create(expectedItems, fpp)
+        it.foreach(bf.putLong)
+        Iterator.single(bf)
+      }
+    }
+    val merged =
+      if (partials.isEmpty()) BloomFilter.create(expectedItems, fpp) // empty index → empty filter
+      else partials.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
   }
 
-  /** "Possibly seen" predicate against a [[seenFilter]] blob — a pure
-    * codegen'd row expression (`BloomFilterMightContain` deserializes the
-    * filter once per task). False positives at the filter's fpp; NO false
-    * negatives for any hash the filter was built over.
+  /** Deserialize a [[seenFilter]] blob ONCE on the driver and register it as
+    * a broadcast: tasks fetch it from the executor block manager instead of
+    * receiving it inside every serialized task binary. Build this once per
+    * filter and reuse it across batches.
     */
-  def mightBeSeen(content: Column, filter: Array[Byte]): Column = {
+  def broadcastSeenFilter(
+      spark: org.apache.spark.sql.SparkSession,
+      filter: Array[Byte]
+  ): org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] =
+    spark.sparkContext.broadcast(
+      org.apache.spark.util.sketch.BloomFilter.readFrom(filter))
+
+  /** "Possibly seen" predicate against a BROADCAST [[seenFilter]] — a pure
+    * codegen'd row expression ([[graft.plans.BloomMightContainB]] resolves
+    * the broadcast once per generated-class instance). False positives at
+    * the filter's fpp; NO false negatives for any hash the filter was built
+    * over. Prefer this form: the plan carries only a broadcast handle, not
+    * the blob (which is ~1.2 GB at a 10⁹-row index).
+    */
+  def mightBeSeen(
+      content: Column,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]
+  ): Column = {
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    GraftBridge.column(BloomFilterMightContain(
-      Literal(filter, org.apache.spark.sql.types.BinaryType),
-      GraftBridge.expression(xxhash64(md5(content)))))
+    GraftBridge.column(graft.plans.BloomMightContainB(
+      bf, GraftBridge.expression(xxhash64(md5(content)))))
   }
+
+  /** [[mightBeSeen]] from the serialized blob directly — convenience for
+    * small filters and tests; broadcasts internally per call. For repeated
+    * batches, [[broadcastSeenFilter]] once and pass the broadcast.
+    */
+  def mightBeSeen(content: Column, filter: Array[Byte]): Column =
+    mightBeSeen(content,
+      broadcastSeenFilter(org.apache.spark.sql.SparkSession.active, filter))
 
   /** [[dropSeen]] with a Bloom prefilter: rows the filter has never seen
     * (a fresh crawl's vast majority) pass through as a SCAN-SIDE FILTER —
@@ -145,10 +189,23 @@ object Dedup {
       df: DataFrame, content: Column, table: String, filter: Array[Byte]): DataFrame =
     dropSeenFast(df, content, df.sparkSession.table(table), filter)
 
-  /** [[dropSeenFast]] against an in-memory index relation. */
+  /** [[dropSeenFast]] against an in-memory index relation. The blob is
+    * deserialized once and broadcast; the plan never carries it as a
+    * `Literal`.
+    */
   def dropSeenFast(
-      df: DataFrame, content: Column, index: DataFrame, filter: Array[Byte]): DataFrame = {
-    val maybeSeen = mightBeSeen(content, filter)
+      df: DataFrame, content: Column, index: DataFrame, filter: Array[Byte]): DataFrame =
+    dropSeenFast(df, content, index, broadcastSeenFilter(df.sparkSession, filter))
+
+  /** [[dropSeenFast]] with a pre-registered broadcast filter — the form a
+    * multi-batch ingest loop should use (one broadcast per filter build,
+    * reused across every batch until the next [[saveSeen]]).
+    */
+  def dropSeenFast(
+      df: DataFrame, content: Column, index: DataFrame,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]
+  ): DataFrame = {
+    val maybeSeen = mightBeSeen(content, bf)
     df.where(!maybeSeen)
       .unionByName(dropSeen(df.where(maybeSeen), content, index))
   }

@@ -239,4 +239,62 @@ class ScaleTechniquesSpec extends SparkSpec {
       spark.sql("DROP DATABASE IF EXISTS graft_db")
     }
   }
+
+  test("bloom prefilter: EMPTY index passes the whole batch (bootstrap case, no silent loss)") {
+    import graft.dedup.Dedup
+    val batch = (1L to 50L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val emptyIndex = batch.where(lit(false)).select(md5(col("text")).as("content_hash"))
+    // previously BloomFilterAggregate returned null here and the null
+    // predicate dropped EVERY row of the first batch — total silent loss
+    val bf = Dedup.seenFilter(emptyIndex, expectedItems = 100L, fpp = 0.01)
+    assert(batch.where(Dedup.mightBeSeen(col("text"), bf)).isEmpty)
+    val fast = Dedup.dropSeenFast(batch, col("text"), emptyIndex, bf)
+      .select("id").as[Long].collect().sorted.toSeq
+    val exact = Dedup.dropSeen(batch, col("text"), emptyIndex)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(fast == exact && exact == (1L to 50L).toSeq)
+  }
+
+  test("bloom prefilter: requested size is honored above the optimizer conf clamp") {
+    import graft.dedup.Dedup
+    import org.apache.spark.util.sketch.BloomFilter
+    val index = (1L to 100L).map(i => (s"h$i")).toDF("content_hash")
+    // 20M expected items → optimal ~191.7M bits ≈ 24 MB, far above the
+    // BloomFilterAggregate default clamp (4M items / 8 MB). The sketch
+    // builder must honor the request bit-for-bit or the realized fpp at a
+    // 10⁸⁺-row index goes to 1 and the prefilter stops prefiltering.
+    val want = 20L * 1000 * 1000
+    val bytes = Dedup.seenFilter(index, expectedItems = want, fpp = 0.01)
+    val realized = BloomFilter.readFrom(bytes).bitSize()
+    assert(realized == BloomFilter.create(want, 0.01).bitSize(), s"realized $realized bits")
+    assert(realized > 8L * 1024 * 1024 * 8, "must exceed the 8 MB conf clamp")
+  }
+
+  test("bloom prefilter: plan ships a broadcast handle, never the blob as a Literal") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.BinaryType
+    // range-backed inputs: a Seq-backed LocalRelation gets constant-folded
+    // by ConvertToLocalRelation (the optimizer evaluates the predicate at
+    // plan time), which would hide the expression we're asserting on
+    val seen = spark.range(1, 201)
+      .select(col("id"), concat(lit("doc number "), col("id")).as("text"))
+    val batch = spark.range(150, 251)
+      .select((col("id") + 1000).as("id"), concat(lit("doc number "), col("id")).as("text"))
+    val index = seen.select(md5(col("text")).as("content_hash")).distinct()
+    val bf = Dedup.seenFilter(index, expectedItems = 1000000L, fpp = 0.01)
+    assert(bf.length > 1000000, s"filter blob is ${bf.length} B") // ~1.2 MB serialized
+    val fast = Dedup.dropSeenFast(batch, col("text"), index, bf)
+    // correctness unchanged
+    assert(fast.select("id").as[Long].collect().sorted.toSeq == (1201L to 1250L).toSeq)
+    // the blob must NOT appear as a plan Literal (it would ship inside the
+    // serialized plan of every task); only the broadcast-backed predicate may
+    val binLits = fast.queryExecution.optimizedPlan
+      .flatMap(_.expressions.flatMap(_.collect {
+        case l: Literal if l.dataType == BinaryType && l.value != null =>
+          l.value.asInstanceOf[Array[Byte]].length
+      }))
+    assert(binLits.forall(_ < 64 * 1024), s"binary literals in plan: $binLits")
+    assert(fast.queryExecution.optimizedPlan.toString.contains("graft_bloom_might_contain"))
+  }
 }
