@@ -105,7 +105,12 @@ object Assembly {
     * one scarcest relative to its target — keeps rate 1.0 and caps the
     * achievable mixed-corpus size at `t_max = min over targeted strata
     * of tokens/target`), and the resulting kept token count. Strata
-    * absent from the target map get rate 0.
+    * absent from the target map get rate 0. Targeted strata ABSENT from
+    * the corpus (or present with zero tokens) still appear in the report
+    * with `n_tokens = 0` and — because a 0-token stratum can realize no
+    * positive target without upsampling — force `t_max = 0`: the report
+    * says "this mix is unachievable" instead of promising ratios the
+    * corpus cannot deliver.
     *
     * Scale shape: ONE map-combined groupBy(stratum) token sum — the only
     * corpus-sized work; every ratio is arithmetic over the resulting
@@ -130,14 +135,30 @@ object Assembly {
     val tgtMap = map(targetWeights.toSeq.flatMap {
       case (k, v) => Seq(lit(k), lit(v))
     }: _*)
+    // outer-join the target key set so a targeted-but-absent stratum shows
+    // up as an explicit 0-token row (and therefore constrains t_max to 0)
+    // instead of silently vanishing from the plan. Both sides are ≤ #strata
+    // rows — this join costs nothing.
+    val targetKeys = df.sparkSession
+      .createDataFrame(
+        java.util.Arrays.asList(targetWeights.keys.toSeq.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(
+            "stratum", org.apache.spark.sql.types.StringType, nullable = false))))
     val agg = graft.Materialize(
       df.groupBy(stratum.as("stratum"))
         .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+        .join(targetKeys, Seq("stratum"), "full_outer")
+        .select(
+          col("stratum"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
         .withColumn("tgt_share",
           coalesce(element_at(tgtMap, col("stratum")), lit(0.0))))
     val totals = agg.agg(
       sum(col("n_tokens")).as("total_tokens"),
-      // null when no targeted stratum has tokens: nothing is achievable
+      // null when nothing is targeted; a targeted 0-token stratum yields
+      // min(0) → nothing is achievable without upsampling
       coalesce(
         min(when(col("tgt_share") > 0, col("n_tokens") / col("tgt_share"))),
         lit(0.0)).as("t_max"))
@@ -146,9 +167,10 @@ object Assembly {
         col("stratum"),
         col("n_docs"),
         col("n_tokens"),
-        round(col("n_tokens") / col("total_tokens"), 6).as("cur_share"),
+        round(when(col("total_tokens") > 0, col("n_tokens") / col("total_tokens"))
+          .otherwise(lit(0.0)), 6).as("cur_share"),
         round(col("tgt_share"), 6).as("tgt_share"),
-        round(when(col("tgt_share") > 0,
+        round(when(col("tgt_share") > 0 && col("n_tokens") > 0,
           col("tgt_share") * col("t_max") / col("n_tokens"))
           .otherwise(lit(0.0)), 6).as("keep_rate"),
         round(when(col("tgt_share") > 0, col("tgt_share") * col("t_max"))

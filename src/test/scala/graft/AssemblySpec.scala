@@ -107,6 +107,37 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("mixPlan: targeted-but-ABSENT stratum appears with 0 tokens and forces t_max = 0") {
+    // fr is targeted at 50% but has NO corpus rows: without upsampling no
+    // positive fr share is realizable, so the whole mix is unachievable —
+    // the report must SAY so (t_max = 0 ⇒ every keep_rate/kept_tokens 0)
+    // instead of silently dropping fr and promising en-only "ratios"
+    val d = Seq(("en", 1000), ("de", 500)).toDF("lang", "toks")
+    val plan = Assembly.mixPlan(d, col("lang"), col("toks"),
+      Map("en" -> 0.5, "fr" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(plan.keySet == Set("en", "fr", "de")) // fr reported, not vanished
+    assert(plan("fr").getAs[Long]("n_docs") == 0L)
+    assert(plan("fr").getAs[Long]("n_tokens") == 0L)
+    for (s <- Seq("en", "fr", "de")) {
+      assert(plan(s).getAs[Double]("keep_rate") == 0.0, s)
+      assert(plan(s).getAs[Double]("kept_tokens") == 0.0, s)
+    }
+  }
+
+  test("mixPlan: present-but-zero-token targeted stratum yields keep_rate 0, not null") {
+    val d = Seq(("en", 1000), ("fr", 0)).toDF("lang", "toks")
+    val plan = Assembly.mixPlan(d, col("lang"), col("toks"),
+      Map("en" -> 0.5, "fr" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // fr binds at 0 tokens → t_max 0; its keep_rate must be a real 0.0
+    // (the 0/0 division previously surfaced as null)
+    assert(!plan("fr").isNullAt(plan("fr").fieldIndex("keep_rate")))
+    assert(plan("fr").getAs[Double]("keep_rate") == 0.0)
+    assert(plan("en").getAs[Double]("keep_rate") == 0.0)
+    assert(plan("fr").getAs[Double]("cur_share") == 0.0)
+  }
+
   test("epochMix materializes floor/ceil copies per weight; deterministic and growth-stable") {
     val weights = Map("en" -> 0.25, "fr" -> 2.5, "de" -> 2.0)
     val mix = Assembly.epochMix(docs, col("doc_id"), col("lang"), weights, defaultWeight = 0.0)
