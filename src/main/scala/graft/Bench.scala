@@ -81,10 +81,14 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // detail line first; the LAST line stays compact so a bounded tail
-    // capture always contains the complete contract JSON
-    println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)},"failed":$failedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"failed":$failedJson,"queries":${jsonMap(med)},"sf":"$sfDir"}""")
+    // detail lines first (full per-query medians and minimums); the LAST
+    // line is totals-only and stays under ~200 bytes REGARDLESS of suite
+    // width, so a bounded tail capture always contains a complete,
+    // parseable record — round 7's line survived only because 9 crashed
+    // queries happened to shorten it
+    println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
+    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
