@@ -180,6 +180,42 @@ object StreamingGates {
     s.table(sink).select(md5(col("text")).as("content_hash"))
   }
 
+  /** Cross-batch ingest dedup over the q75 inputs
+    * ([[graft.streaming.IngestDedup]]): documents arrive in TWO
+    * micro-batches (split by doc_id parity, so duplicate texts straddle
+    * the boundary), against a cold index — exercising the empty-index
+    * bootstrap, the within-batch dedup, the Bloom-prefiltered cross-batch
+    * drop, and the per-batch index append + filter merge. The union of
+    * sink deliveries must be each distinct content hash EXACTLY once —
+    * compared against DuckDB's `SELECT DISTINCT md5(text)` (same
+    * representative-projection rationale as q75).
+    */
+  private def q87IngestStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val table = sinkName("q87idx")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ingest = graft.streaming.IngestDedup(
+      col("text"), table, expectedItems = math.max(docs.length.toLong, 16L)) {
+      (novel, _) => got ++= novel.select(md5(col("text"))).as[String].collect()
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDS().toDF("doc_id", "text").writeStream.foreachBatch(ingest).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      s.sql(s"DROP TABLE IF EXISTS $table")
+    }
+    got.toSeq.toDF("content_hash")
+  }
+
   /** Streaming tumbling-window aggregation over the q09 events
     * ([[graft.operators.Windows.tumbling]]'s streaming form: watermark +
     * windowed groupBy in append mode): all events arrive as one
@@ -339,6 +375,7 @@ object StreamingGates {
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
     "q75_dedup_stream" -> (q75DedupStream _),
+    "q87_ingest_stream" -> (q87IngestStream _),
     "q78_window_stream" -> (q78WindowStream _),
     "q80_session_stream" -> (q80SessionStream _),
     "q83_keyed_stream" -> (q83KeyedStream _),
@@ -352,6 +389,8 @@ object StreamingGates {
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
     "q75_dedup_stream" ->
+      "SELECT DISTINCT md5(text) AS content_hash FROM documents",
+    "q87_ingest_stream" ->
       "SELECT DISTINCT md5(text) AS content_hash FROM documents",
     "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling"),
     "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session"),

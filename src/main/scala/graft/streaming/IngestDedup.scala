@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.dedup.Dedup
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Cross-batch streaming ingest dedup — the streaming face of
+  * [[graft.dedup.Dedup.dropSeenFast]]/[[graft.dedup.Dedup.saveSeen]].
+  *
+  * [[StreamingFlows.dedupExact]] bounds its state by watermark: it can only
+  * drop duplicates that arrive within the lateness window. A crawl ingest
+  * needs the other contract — "never emit a document we have EVER ingested"
+  * — whose state is the full history. Holding 10⁹ hashes in the streaming
+  * state store is the wrong tool; the persisted bucketed seen-index plus a
+  * Bloom prefilter is the scale path, and this class runs that loop as a
+  * `foreachBatch` body:
+  *
+  *  1. within-batch exact dedup (first occurrence per content hash);
+  *  2. [[graft.dedup.Dedup.dropSeenFast]] against the index — the broadcast
+  *     Bloom filter routes the almost-entirely-new batch around the
+  *     anti-join; only "possibly seen" rows confirm against the bucketed
+  *     index (no index-side exchange);
+  *  3. the novelty goes to `sink`, is appended to the index
+  *     ([[graft.dedup.Dedup.saveSeen]]), and its hashes are OR-merged into
+  *     the driver's filter copy (a SMALL filter built over just the batch,
+  *     `mergeInPlace`d), which is re-broadcast — per-batch maintenance is
+  *     O(batch), never O(index).
+  *
+  * Bootstrap: before the first [[graft.dedup.Dedup.saveSeen]] the index
+  * table does not exist — the filter starts EMPTY and the whole first batch
+  * passes through (the case the round-7 null-filter bug silently dropped).
+  * On restart the filter is rebuilt from the full index once (one
+  * O(index) scan, amortized over the run).
+  *
+  * Delivery contract: `sink` runs BEFORE the index append, so a failure
+  * between the two re-delivers the batch's novelty on retry
+  * (at-least-once sink); once the append lands, a replayed batch finds all
+  * its rows in the index and contributes nothing twice (the INDEX is
+  * effectively exactly-once). Appending first would invert that into
+  * silent sink loss on retry.
+  *
+  * Reference semantics: the reference has no persistent-index dedup — this
+  * is part of the LLM-pipeline surface (SURVEY.md §2 extension), composing
+  * its Filter (flow/filter.go:17-35) contract with durable state.
+  */
+final class IngestDedup private (
+    content: Column,
+    table: String,
+    expectedItems: Long,
+    fpp: Double,
+    buckets: Int,
+    sink: (DataFrame, Long) => Unit
+) extends ((DataFrame, Long) => Unit) {
+
+  // driver-side only: foreachBatch bodies execute on the driver, one batch
+  // at a time — no synchronization or serialization concerns
+  @transient private var filter: BloomFilter = _
+  @transient private var bcast: Broadcast[BloomFilter] = _
+
+  override def apply(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val indexExists = spark.catalog.tableExists(table)
+    if (filter == null) {
+      filter =
+        if (indexExists)
+          BloomFilter.readFrom(Dedup.seenFilter(spark, table, expectedItems, fpp))
+        else BloomFilter.create(expectedItems, fpp)
+      bcast = spark.sparkContext.broadcast(filter)
+    }
+    val hashCol = "__graft_content_hash"
+    val deduped = batch
+      .withColumn(hashCol, md5(content))
+      .dropDuplicates(hashCol)
+      .drop(hashCol)
+    val fresh =
+      (if (indexExists) Dedup.dropSeenFast(deduped, content, spark.table(table), bcast)
+       else deduped).persist()
+    try {
+      sink(fresh, batchId)
+      Dedup.saveSeen(fresh, content, table, buckets)
+      // O(batch) filter maintenance: same (expectedItems, fpp) ⇒ identical
+      // bit width and hash count ⇒ mergeInPlace-compatible
+      val delta = Dedup.seenFilter(
+        fresh.select(md5(content).as("content_hash")), expectedItems, fpp)
+      filter.mergeInPlace(BloomFilter.readFrom(delta))
+      val old = bcast
+      bcast = spark.sparkContext.broadcast(filter)
+      old.destroy()
+    } finally fresh.unpersist()
+  }
+}
+
+object IngestDedup {
+
+  /** Build the `foreachBatch` body:
+    * {{{
+    * stream.writeStream
+    *   .foreachBatch(IngestDedup(col("text"), "seen_idx", expectedItems = 1000000000L) {
+    *     (novel, batchId) => novel.write.mode("append").parquet(out)
+    *   })
+    *   .start()
+    * }}}
+    * Size `expectedItems` for the FINAL index cardinality: the filter and
+    * every per-batch delta share that geometry so they can OR-merge.
+    */
+  def apply(
+      content: Column,
+      table: String,
+      expectedItems: Long,
+      fpp: Double = 0.01,
+      buckets: Int = 64
+  )(sink: (DataFrame, Long) => Unit): IngestDedup = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"need expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
+    new IngestDedup(content, table, expectedItems, fpp, buckets, sink)
+  }
+}
