@@ -220,4 +220,23 @@ class CodegenSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(got.toSeq === vecs.map(expectedBucket))
   }
+
+  test("BloomMightContainB generated Java compiles; broadcast filter agrees with interpreted eval") {
+    import graft.plans.BloomMightContainB
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000L, 0.01)
+    Seq(1L, 42L, 9999L).foreach(bf.putLong)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val expr = BloomMightContainB(bcast, BoundReference(0, LongType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    for (v <- Seq(1L, 42L, 9999L)) {
+      assert(proj(InternalRow(v)).getBoolean(0), s"$v must be (possibly) contained")
+      assert(expr.eval(InternalRow(v)) == true)
+    }
+    // a value never put: overwhelmingly false at fpp 1% (3 fixed probes)
+    val missing = (100000L to 100010L).count { v =>
+      proj(InternalRow(v)).getBoolean(0) != expr.eval(InternalRow(v)).asInstanceOf[Boolean]
+    }
+    assert(missing == 0, "compiled and interpreted paths must agree everywhere")
+  }
 }
