@@ -60,6 +60,50 @@ object IVF {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assigned")
   }
 
+  /** Incrementally add vectors to a [[save]]d index WITHOUT refitting —
+    * the ANN mirror of the MinHash band-index append
+    * ([[graft.dedup.Dedup.saveBandIndex]]): a daily embedding batch lands
+    * in the existing cell-partitioned layout and is immediately
+    * searchable by [[load]] + [[topK]].
+    *
+    * Assignment reproduces [[fit]]'s KMeans rule as pure row arithmetic
+    * against the SAVED centroids — `argmin ‖v − c‖²` computed as
+    * `argmax (dot(v, c) − ‖c‖²/2)` (the `‖v‖²` term is constant per row),
+    * so no model object is needed and the appended rows land in exactly
+    * the cells a refit-free `model.transform` would choose. First-max on
+    * ties = lowest cell, matching KMeans' first-min.
+    *
+    * Same small-files discipline as [[save]]: one repartition by cell
+    * before the partitioned append bounds output at ~one file per cell
+    * per batch. Centroids drift as the corpus grows — [[cellProfile]]
+    * is the monitor, a periodic offline [[fit]] the refresh; between
+    * refreshes appends stay consistent because assignment and probe
+    * selection both use the saved centroids.
+    */
+  def append(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vectors: DataFrame,
+      id: Column,
+      vec: Column
+  ): Unit = {
+    // float literals: the native dot kernel (graft_dot) is array<float> ×
+    // array<float>; the norm term uses the SAME float-cast values so the
+    // argmax stays internally consistent
+    val cents: Array[Array[Float]] = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").map(_.toFloat).toArray)
+    val scores = array(cents.map { c =>
+      VectorFunctions.dot(vec, lit(c)) -
+        lit(c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+    }: _*)
+    val cell = (array_position(scores, array_max(scores)) - 1).cast("int")
+    vectors
+      .select(id.as("n_id"), vec.as("n_vec"), cell.as("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
+  }
+
   /** Load a [[save]]d index. The assigned corpus comes back lazily from
     * its cell-partitioned layout; the centroids (tiny by construction)
     * load eagerly to the driver, as the probe planner needs them.

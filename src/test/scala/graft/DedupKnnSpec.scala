@@ -164,6 +164,40 @@ class DedupKnnSpec extends SparkSpec {
     assert(run(loaded) == run(index))
   }
 
+  test("IVF append: new vectors land in the fit-rule cells and full-probe search sees the union") {
+    import graft.similarity.{IVF, KNN}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (oldBatch, newBatch) = (emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10))
+    val index = IVF.fit(oldBatch, col("vec_id"), col("embedding"), nCells = 4)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    IVF.save(index, dir)
+    IVF.append(spark, dir, newBatch, col("vec_id"), col("embedding"))
+    val loaded = IVF.load(spark, dir)
+    assert(loaded.assigned.count() == emb.count())
+    // appended rows sit in the KMeans-rule cell (euclidean argmin vs the
+    // SAVED centroids), recomputed independently on the driver
+    // float-cast centroids, mirroring the append expression's precision
+    val cents = loaded.centroids.map(_.toArray.map(_.toFloat.toDouble))
+    val gotCells = loaded.assigned
+      .where(col("n_id") < 10).select(col("n_id"), col("n_vec"), col("cell"))
+      .as[(Long, Array[Float], Int)].collect()
+    assert(gotCells.length == 10)
+    gotCells.foreach { case (nId, v, cell) =>
+      val want = cents.zipWithIndex.minBy { case (c, i) =>
+        (c.zip(v.map(_.toDouble)).map { case (ci, vi) => (ci - vi) * (ci - vi) }.sum, i)
+      }._2
+      assert(cell == want, s"vec $nId in cell $cell, euclidean argmin is $want")
+    }
+    // exhaustive probe over the appended index == brute force over the union
+    val queries = emb.where(col("vec_id") < 3)
+    val full = IVF.topK(loaded, queries, col("vec_id"), col("embedding"), 5, nProbe = 4)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = KNN.bruteForceTopK(emb, queries, col("vec_id"), col("embedding"), 5)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == exact)
+  }
+
   test("langId picks marker-dominant language; und when no markers") {
     val out = docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("l"))
       .as[(Long, String)].collect().toMap

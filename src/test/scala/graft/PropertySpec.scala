@@ -280,4 +280,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("IngestDedup law: any batch partitioning of any input delivers each distinct content exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // small alphabet → guaranteed duplicates within AND across batches
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val batchesGen = Gen.listOfN(3, Gen.listOfN(8, word))
+    samples(batchesGen, 3).zipWithIndex.foreach { case (batches, run) =>
+      val table = s"graft_prop_ingest_$run"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val got = scala.collection.mutable.ArrayBuffer.empty[String]
+      try {
+        val in = MemoryStream[(Long, String)]
+        val q = in.toDS().toDF("id", "text").writeStream
+          .foreachBatch(graft.streaming.IngestDedup(
+            col("text"), table, expectedItems = 100L) {
+            (novel, _) => got ++= novel.select("text").as[String].collect()
+          })
+          .start()
+        try {
+          batches.zipWithIndex.foreach { case (b, i) =>
+            in.addData(b.zipWithIndex.map { case (w, j) => ((i * 100 + j).toLong, w) }: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // the law: delivered multiset == distinct set of everything fed,
+        // regardless of where the batch boundaries fell
+        assert(got.sorted.toSeq == batches.flatten.distinct.sorted,
+          s"batches=$batches delivered=$got")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
 }
