@@ -1312,8 +1312,13 @@ object ExtensionQueries {
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "q82_mix_plan" ->
       s"""WITH t AS (SELECT lang, len($duckToks)::BIGINT AS toks FROM documents),
-         |a AS (SELECT lang AS stratum, count(*)::BIGINT AS n_docs,
+         |g AS (SELECT lang AS stratum, count(*)::BIGINT AS n_docs,
          |  sum(toks)::BIGINT AS n_tokens FROM t GROUP BY 1),
+         |k AS (SELECT * FROM (VALUES ('en'), ('zh'), ('fr')) AS v(stratum)),
+         |a AS (SELECT coalesce(g.stratum, k.stratum) AS stratum,
+         |  coalesce(n_docs, 0)::BIGINT AS n_docs,
+         |  coalesce(n_tokens, 0)::BIGINT AS n_tokens
+         |  FROM g FULL JOIN k ON g.stratum = k.stratum),
          |w AS (SELECT a.*,
          |  (CASE stratum WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2
          |                WHEN 'fr' THEN 0.3 ELSE 0.0 END)::DOUBLE AS tgt_share
@@ -1322,10 +1327,11 @@ object ExtensionQueries {
          |  coalesce(min(CASE WHEN tgt_share > 0 THEN n_tokens / tgt_share END), 0.0)
          |    AS t_max FROM w)
          |SELECT stratum, n_docs, n_tokens,
-         |  round(n_tokens / total_tokens, 6) AS cur_share,
+         |  round(CASE WHEN total_tokens > 0 THEN n_tokens / total_tokens
+         |        ELSE 0.0 END, 6) AS cur_share,
          |  round(tgt_share, 6) AS tgt_share,
-         |  round(CASE WHEN tgt_share > 0 THEN tgt_share * t_max / n_tokens
-         |        ELSE 0.0 END, 6) AS keep_rate,
+         |  round(CASE WHEN tgt_share > 0 AND n_tokens > 0
+         |        THEN tgt_share * t_max / n_tokens ELSE 0.0 END, 6) AS keep_rate,
          |  round(CASE WHEN tgt_share > 0 THEN tgt_share * t_max ELSE 0.0 END, 4)
          |    AS kept_tokens
          |FROM w CROSS JOIN tot""".stripMargin,

@@ -120,20 +120,24 @@ object Dedup {
     import org.apache.spark.util.sketch.BloomFilter
     // project to the 8-byte hash BEFORE leaving SQL: the scan stays
     // column-pruned and only longs cross into the RDD
-    val hashes = index
-      .select(xxhash64(col("content_hash")).as("h"))
-      .queryExecution.toRdd.map(_.getLong(0))
-    val partials = hashes.mapPartitions { it =>
-      if (it.isEmpty) Iterator.empty
-      else {
-        val bf = BloomFilter.create(expectedItems, fpp)
-        it.foreach(bf.putLong)
-        Iterator.single(bf)
-      }
-    }
+    val hashesDf = index.select(xxhash64(col("content_hash")).as("h"))
+    // emptiness is probed SQL-side (limit-1, short-circuits the scan) —
+    // probing the partial-filter RDD instead would run take(1) through
+    // mapPartitions, building and shipping one full-geometry filter
+    // (~1.2 GB at the advertised 10⁹ sizing, over driver.maxResultSize)
+    // just to discard it
     val merged =
-      if (partials.isEmpty()) BloomFilter.create(expectedItems, fpp) // empty index → empty filter
-      else partials.treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+      if (hashesDf.isEmpty) BloomFilter.create(expectedItems, fpp) // empty index → empty filter
+      else hashesDf.queryExecution.toRdd.map(_.getLong(0))
+        .mapPartitions { it =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val bf = BloomFilter.create(expectedItems, fpp)
+            it.foreach(bf.putLong)
+            Iterator.single(bf)
+          }
+        }
+        .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
     val out = new java.io.ByteArrayOutputStream()
     merged.writeTo(out)
     out.toByteArray
@@ -168,8 +172,12 @@ object Dedup {
   }
 
   /** [[mightBeSeen]] from the serialized blob directly — convenience for
-    * small filters and tests; broadcasts internally per call. For repeated
-    * batches, [[broadcastSeenFilter]] once and pass the broadcast.
+    * small filters, tests, and demos ONLY: it registers a NEW broadcast on
+    * EVERY call (reclaimed only by the ContextCleaner) and binds it to the
+    * thread's `SparkSession.active` rather than the session that will
+    * evaluate the column. Any loop — and any multi-session app — should
+    * [[broadcastSeenFilter]] once per filter build and pass the broadcast
+    * (as the `Broadcast`-typed [[dropSeenFast]] overload does).
     */
   def mightBeSeen(content: Column, filter: Array[Byte]): Column =
     mightBeSeen(content,

@@ -69,9 +69,12 @@ object IVF {
     * Assignment reproduces [[fit]]'s KMeans rule as pure row arithmetic
     * against the SAVED centroids — `argmin ‖v − c‖²` computed as
     * `argmax (dot(v, c) − ‖c‖²/2)` (the `‖v‖²` term is constant per row),
-    * so no model object is needed and the appended rows land in exactly
-    * the cells a refit-free `model.transform` would choose. First-max on
-    * ties = lowest cell, matching KMeans' first-min.
+    * in DOUBLE precision end to end (declarative [[VectorFunctions
+    * .dotFold]] over the double centroids — the float-only fused kernel
+    * is not used here), so no model object is needed and appended rows
+    * land in the cells a refit-free `model.transform` would choose, up to
+    * last-ulp summation-order ties. First-max on ties = lowest cell,
+    * matching KMeans' first-min.
     *
     * Same small-files discipline as [[save]]: one repartition by cell
     * before the partitioned append bounds output at ~one file per cell
@@ -87,15 +90,16 @@ object IVF {
       id: Column,
       vec: Column
   ): Unit = {
-    // float literals: the native dot kernel (graft_dot) is array<float> ×
-    // array<float>; the norm term uses the SAME float-cast values so the
-    // argmax stays internally consistent
-    val cents: Array[Array[Float]] = spark.read.parquet(s"$path/centroids")
+    val cents: Array[Array[Double]] = spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("centroid").map(_.toFloat).toArray)
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    // dotFold, not the fused graft_dot kernel: the kernel is float-only,
+    // and float-cast centroids could flip near-tie assignments away from
+    // the KMeans double-precision argmin (FuseDotProduct leaves double
+    // arrays unfused, so this stays the declarative double path)
     val scores = array(cents.map { c =>
-      VectorFunctions.dot(vec, lit(c)) -
-        lit(c.map(x => x.toDouble * x.toDouble).sum / 2.0)
+      VectorFunctions.dotFold(vec.cast("array<double>"), lit(c)) -
+        lit(c.map(x => x * x).sum / 2.0)
     }: _*)
     val cell = (array_position(scores, array_max(scores)) - 1).cast("int")
     vectors

@@ -122,7 +122,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType => // nanos-as-long encoding
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType | DateType => // wall-clock; UTC session → epoch-identity
+      case TimestampNTZType | DateType =>
+        // wall-clock → instant is epoch-identity ONLY under a UTC session
+        // zone (the testdata/oracle contract, set by GraftSession.tune and
+        // every driver main). Heal a bare session here like nanosAsLong
+        // above: on a non-UTC JVM the cast would otherwise shift every
+        // instant by the zone offset — silently wrong windows, no error.
+        if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType => raw
       case other =>

@@ -23,10 +23,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *     anti-join; only "possibly seen" rows confirm against the bucketed
   *     index (no index-side exchange);
   *  3. the novelty goes to `sink`, is appended to the index
-  *     ([[graft.dedup.Dedup.saveSeen]]), and its hashes are OR-merged into
-  *     the driver's filter copy (a SMALL filter built over just the batch,
-  *     `mergeInPlace`d), which is re-broadcast — per-batch maintenance is
-  *     O(batch), never O(index).
+  *     ([[graft.dedup.Dedup.saveSeen]]), and its hashes are collected to
+  *     the driver (micro-batch-bounded — one long per novel row) and
+  *     `putLong` into the filter, which is re-broadcast — per-batch
+  *     maintenance is O(batch) work and O(batch) driver bytes (building a
+  *     delta FILTER instead would cost full index geometry per batch:
+  *     merge compatibility forces the delta to the same bit width).
   *
   * Bootstrap: before the first [[graft.dedup.Dedup.saveSeen]] the index
   * table does not exist — the filter starts EMPTY and the whole first batch
@@ -39,7 +41,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * (at-least-once sink); once the append lands, a replayed batch finds all
   * its rows in the index and contributes nothing twice (the INDEX is
   * effectively exactly-once). Appending first would invert that into
-  * silent sink loss on retry.
+  * silent sink loss on retry. Any failure after the sink resets the
+  * driver filter to null, forcing a rebuild from the index on the next
+  * batch — without the reset, a crash between `saveSeen` and the filter
+  * merge would leave filter ⊉ index on a same-instance restart, and later
+  * duplicates of that batch would leak through the fast path (the stale-
+  * filter hazard `Dedup.seenFilter` documents).
   *
   * Reference semantics: the reference has no persistent-index dedup — this
   * is part of the LLM-pipeline surface (SURVEY.md §2 extension), composing
@@ -79,15 +86,25 @@ final class IngestDedup private (
        else deduped).persist()
     try {
       sink(fresh, batchId)
-      Dedup.saveSeen(fresh, content, table, buckets)
-      // O(batch) filter maintenance: same (expectedItems, fpp) ⇒ identical
-      // bit width and hash count ⇒ mergeInPlace-compatible
-      val delta = Dedup.seenFilter(
-        fresh.select(md5(content).as("content_hash")), expectedItems, fpp)
-      filter.mergeInPlace(BloomFilter.readFrom(delta))
-      val old = bcast
-      bcast = spark.sparkContext.broadcast(filter)
-      old.destroy()
+      try {
+        Dedup.saveSeen(fresh, content, table, buckets)
+        // O(batch) filter maintenance: the batch's hashes come back as
+        // bare longs (xxhash64 of the stored md5 — the same key the
+        // filter indexes) and feed the driver copy directly
+        fresh.select(xxhash64(md5(content)).as("h"))
+          .collect().foreach(r => filter.putLong(r.getLong(0)))
+        val old = bcast
+        bcast = spark.sparkContext.broadcast(filter)
+        old.destroy()
+      } catch {
+        case t: Throwable =>
+          // the index may now be ahead of the filter — drop the driver
+          // state so the next batch rebuilds from the index (stale-filter
+          // leak prevention; see the delivery-contract scaladoc)
+          filter = null
+          bcast = null
+          throw t
+      }
     } finally fresh.unpersist()
   }
 }

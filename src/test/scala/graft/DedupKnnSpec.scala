@@ -177,8 +177,7 @@ class DedupKnnSpec extends SparkSpec {
     assert(loaded.assigned.count() == emb.count())
     // appended rows sit in the KMeans-rule cell (euclidean argmin vs the
     // SAVED centroids), recomputed independently on the driver
-    // float-cast centroids, mirroring the append expression's precision
-    val cents = loaded.centroids.map(_.toArray.map(_.toFloat.toDouble))
+    val cents = loaded.centroids.map(_.toArray)
     val gotCells = loaded.assigned
       .where(col("n_id") < 10).select(col("n_id"), col("n_vec"), col("cell"))
       .as[(Long, Array[Float], Int)].collect()
