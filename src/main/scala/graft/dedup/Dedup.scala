@@ -143,6 +143,29 @@ object Dedup {
     out.toByteArray
   }
 
+  /** OR-merge two [[seenFilter]] blobs built with the SAME
+    * `(expectedItems, fpp)` geometry — the freshness-maintenance path at
+    * JOB granularity: a daily append job builds one filter over its own
+    * increment (one full-geometry allocation per job run, amortized over
+    * the day) and merges it into the standing filter instead of
+    * rescanning the whole index. For per-micro-batch maintenance use
+    * [[graft.streaming.IngestDedup]], which feeds the batch's hashes into
+    * the driver copy directly — a full-geometry delta per micro-batch
+    * would cost index-sized allocations at batch frequency.
+    *
+    * Throws `IncompatibleMergeException` if the two blobs' geometries
+    * differ (a merged filter with mismatched bit width would silently
+    * lose the no-false-negative guarantee).
+    */
+  def mergeSeenFilters(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(a)
+    fa.mergeInPlace(BloomFilter.readFrom(b))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
   /** Deserialize a [[seenFilter]] blob ONCE on the driver and register it as
     * a broadcast: tasks fetch it from the executor block manager instead of
     * receiving it inside every serialized task binary. Build this once per

@@ -270,6 +270,25 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(realized > 8L * 1024 * 1024 * 8, "must exceed the 8 MB conf clamp")
   }
 
+  test("bloom prefilter: incremental OR-merge covers the union; mismatched geometry refuses") {
+    import graft.dedup.Dedup
+    val half1 = (1L to 100L).map(i => s"doc number $i").toDF("content_hash")
+      .select(md5(col("content_hash")).as("content_hash"))
+    val half2 = (101L to 200L).map(i => s"doc number $i").toDF("content_hash")
+      .select(md5(col("content_hash")).as("content_hash"))
+    val bf1 = Dedup.seenFilter(half1, expectedItems = 500L, fpp = 0.01)
+    val bf2 = Dedup.seenFilter(half2, expectedItems = 500L, fpp = 0.01)
+    val merged = Dedup.mergeSeenFilters(bf1, bf2)
+    // no false negatives over the UNION — the standing-filter freshness law
+    val all = (1L to 200L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    assert(all.where(!Dedup.mightBeSeen(col("text"), merged)).isEmpty)
+    // geometry mismatch is loud, not a silent false-negative filter
+    val other = Dedup.seenFilter(half2, expectedItems = 5000L, fpp = 0.01)
+    intercept[org.apache.spark.util.sketch.IncompatibleMergeException] {
+      Dedup.mergeSeenFilters(bf1, other)
+    }
+  }
+
   test("bloom prefilter: plan ships a broadcast handle, never the blob as a Literal") {
     import graft.dedup.Dedup
     import org.apache.spark.sql.catalyst.expressions.Literal
