@@ -52,4 +52,41 @@ class IngestDedupSpec extends SparkSpec {
       assert(spark.table(table).distinct().count() == 4)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("ingest dedup: a sink failure BEFORE the index append re-delivers on restart — no loss") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = "graft_ingest_seen_idx_fail"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    @volatile var failNext = false
+    val ingest = graft.streaming.IngestDedup(col("text"), table, expectedItems = 10000L) {
+      (novel, _) =>
+        val rows = novel.select("text").as[String].collect()
+        if (failNext) { failNext = false; sys.error("sink outage (injected)") }
+        got ++= rows
+    }
+    try {
+      val in = MemoryStream[(Long, String)]
+      val q = in.toDS().toDF("id", "text").writeStream.foreachBatch(ingest).start()
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(got.sorted == Seq("a", "b"))
+      // batch 1's sink dies BEFORE anything was recorded or appended
+      failNext = true
+      in.addData((3L, "b"), (4L, "c"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException](q.processAllAvailable())
+      q.stop()
+      assert(got.sorted == Seq("a", "b")) // nothing half-delivered
+      // restart reusing the SAME IngestDedup instance (driver state kept):
+      // sink-before-append means the failed batch's novelty was never
+      // indexed, so the replay delivers "c" — at-least-once, zero loss
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = in2.toDS().toDF("id", "text").writeStream.foreachBatch(ingest).start()
+      in2.addData((3L, "b"), (4L, "c"))
+      q2.processAllAvailable()
+      q2.stop()
+      assert(got.sorted == Seq("a", "b", "c"))
+      assert(spark.table(table).distinct().count() == 3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
