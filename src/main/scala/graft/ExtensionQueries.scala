@@ -639,6 +639,14 @@ object ExtensionQueries {
   private def q84SourceDivergence(s: SparkSession, d: String): DataFrame =
     Corpus.sourceDivergence(Tables.documents(s, d), col("text"), col("source"))
 
+  /** Exact-100 length-weighted document sample (Efraimidis–Spirakis order
+    * sampling over salted-hash uniforms) — see
+    * [[graft.curation.Assembly.weightedSample]].
+    */
+  private def q88WeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.weightedSample(
+      Tables.documents(s, d), col("doc_id"), col("n_chars") + 1, k = 100, salt = "ws-v1")
+
   /** Bloom-prefiltered incremental dedup, oracle-gated end to end: the
     * seen index is yesterday's corpus (doc_id < 250), the batch is the
     * rest, and [[graft.dedup.Dedup.dropSeenFast]] must reproduce the
@@ -717,6 +725,7 @@ object ExtensionQueries {
     "q81_version_diff" -> (q81VersionDiff _),
     "q82_mix_plan" -> (q82MixPlan _),
     "q84_source_divergence" -> (q84SourceDivergence _),
+    "q88_weighted_sample" -> (q88WeightedSample _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1347,6 +1356,14 @@ object ExtensionQueries {
          |    (log2(n_st::DOUBLE) + log2(n_total::DOUBLE)
          |     - log2(n_s::DOUBLE) - log2(n_t::DOUBLE))), 4) AS kl_bits
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "q88_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id, (n_chars + 1)::BIGINT AS weight,
+         |  ((${duckHash48("(doc_id::VARCHAR || ':ws-v1')")}) + 1)::DOUBLE
+         |    / 281474976710656.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, weight, round(-ln(u) / weight::DOUBLE, 10) AS key
+         |FROM b WHERE weight > 0
+         |ORDER BY key, doc_id LIMIT 100""".stripMargin,
     "q85_drop_seen" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h
         |             FROM documents WHERE doc_id < 250)

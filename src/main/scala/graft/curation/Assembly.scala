@@ -199,6 +199,49 @@ object Assembly {
     df.where(ticket(id, salt, 1000) < rate)
   }
 
+  /** Exact-k weighted sampling WITHOUT replacement — deterministic
+    * Efraimidis–Spirakis order sampling: each row draws a salted-hash
+    * uniform `u ∈ (0, 1]` (48-bit ticket, so the draw is a pure function
+    * of (id, salt) — reproducible cross-run AND cross-engine) and an
+    * exponential key `-ln(u) / w`; the k SMALLEST keys are the sample.
+    * Inclusion probability scales with weight (E-S'62/ES'06 law:
+    * equivalent to sequential weighted draws without replacement) — the
+    * quality-weighted subset-selection shape ("keep the best 10M docs,
+    * favoring high quality scores") that rate-based
+    * [[stratifiedSample]]/[[tokenBudgetSample]] don't express.
+    *
+    * Scale shape: a pure row expression then `orderBy(key).limit(k)` —
+    * Spark plans `TakeOrderedAndProject`, each task ships at most k rows,
+    * never a global sort of the corpus. Keys are ROUNDED (10 dp) before
+    * ranking with the id as tiebreak: ln differs in the last ulp across
+    * libm implementations, and the rank must not flip on an ulp for the
+    * DuckDB oracle to reproduce the exact set.
+    *
+    * Rows with non-positive weight are excluded (weight 0 = never
+    * sampled, matching the w→0 limit of the inclusion law). Exact-k is
+    * NOT growth-stable by nature — adding better-keyed rows displaces the
+    * boundary; use the rate-based samplers when stability under growth
+    * matters more than an exact count.
+    */
+  def weightedSample(
+      df: DataFrame,
+      id: Column,
+      weight: Column,
+      k: Int,
+      salt: String = "wsample-v1"
+  ): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    val h = Hashing.hash48(concat(id.cast("string"), lit(s":$salt")))
+    // (h+1)/2^48: exact doubles (h+1 ≤ 2^48 is representable; the divisor
+    // is a power of two), so u is bit-identical cross-engine
+    val u = (h + 1L).cast("double") / lit(281474976710656.0)
+    val key = round(-log(u) / weight.cast("double"), 10)
+    df.where(weight.cast("double") > 0)
+      .select(id.as("doc_id"), weight.cast("long").as("weight"), key.as("key"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Weighted epoch mixing: materialize the training mix for a data
     * recipe that up-/down-samples sources — weight 2.5 means every row
     * appears twice and a deterministic 50% of rows a third time; weight

@@ -125,6 +125,33 @@ class AssemblySpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: exact k, deterministic, weight-monotone inclusion, TakeOrdered plan") {
+    val rows = (1L to 400L).map(i => (i, if (i <= 200) 1L else 20L)).toDF("id", "w")
+    val s1 = Assembly.weightedSample(rows, col("id"), col("w"), k = 100, salt = "t-v1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // exact k and deterministic across runs
+    assert(s1.length == 100)
+    val s2 = Assembly.weightedSample(rows, col("id"), col("w"), k = 100, salt = "t-v1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2)
+    // E-S law: the 20x-weighted half dominates the sample (E[heavy] ≈ 95;
+    // loose bound, deterministic given the salt)
+    assert(s1.count(_ > 200) > 75, s"heavy rows sampled: ${s1.count(_ > 200)}")
+    // different salt → different draw, same law
+    val s3 = Assembly.weightedSample(rows, col("id"), col("w"), k = 100, salt = "t-v2")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s3 != s1 && s3.count(_ > 200) > 75)
+    // zero/negative weight rows can never appear
+    val withZero = rows.withColumn("w", when(col("id") <= 390, col("w")).otherwise(lit(0L)))
+    val s4 = Assembly.weightedSample(withZero, col("id"), col("w"), k = 400, salt = "t-v1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s4.length == 390 && s4.forall(_ <= 390))
+    // plan is top-k per task, never a global sort of the corpus
+    val plan = Assembly.weightedSample(rows, col("id"), col("w"), k = 100, salt = "t-v1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("mixPlan: present-but-zero-token targeted stratum yields keep_rate 0, not null") {
     val d = Seq(("en", 1000), ("fr", 0)).toDF("lang", "toks")
     val plan = Assembly.mixPlan(d, col("lang"), col("toks"),
