@@ -647,6 +647,14 @@ object ExtensionQueries {
     graft.curation.Assembly.weightedSample(
       Tables.documents(s, d), col("doc_id"), col("n_chars") + 1, k = 100, salt = "ws-v1")
 
+  /** Per-language exact-20 length-weighted sample — see
+    * [[graft.curation.Assembly.weightedSamplePerStratum]].
+    */
+  private def q89StratifiedWeighted(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.weightedSamplePerStratum(
+      Tables.documents(s, d), col("doc_id"), col("lang"), col("n_chars") + 1,
+      kPerStratum = 20, salt = "ws-v1")
+
   /** Bloom-prefiltered incremental dedup, oracle-gated end to end: the
     * seen index is yesterday's corpus (doc_id < 250), the batch is the
     * rest, and [[graft.dedup.Dedup.dropSeenFast]] must reproduce the
@@ -726,6 +734,7 @@ object ExtensionQueries {
     "q82_mix_plan" -> (q82MixPlan _),
     "q84_source_divergence" -> (q84SourceDivergence _),
     "q88_weighted_sample" -> (q88WeightedSample _),
+    "q89_stratified_weighted" -> (q89StratifiedWeighted _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1364,6 +1373,18 @@ object ExtensionQueries {
          |SELECT doc_id, weight, round(-ln(u) / weight::DOUBLE, 10) AS key
          |FROM b WHERE weight > 0
          |ORDER BY key, doc_id LIMIT 100""".stripMargin,
+    "q89_stratified_weighted" ->
+      s"""WITH b AS (SELECT doc_id, lang AS stratum, (n_chars + 1)::BIGINT AS weight,
+         |  ((${duckHash48("(doc_id::VARCHAR || ':ws-v1')")}) + 1)::DOUBLE
+         |    / 281474976710656.0 AS u
+         |  FROM documents),
+         |r AS (SELECT doc_id, stratum, weight,
+         |  round(-ln(u) / weight::DOUBLE, 10) AS key,
+         |  row_number() OVER (PARTITION BY stratum
+         |    ORDER BY round(-ln(u) / weight::DOUBLE, 10), doc_id) AS rank
+         |  FROM b WHERE weight > 0)
+         |SELECT doc_id, stratum, weight, key, rank::INT AS rank
+         |FROM r WHERE rank <= 20""".stripMargin,
     "q85_drop_seen" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h
         |             FROM documents WHERE doc_id < 250)

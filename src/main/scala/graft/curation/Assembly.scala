@@ -242,6 +242,38 @@ object Assembly {
       .limit(k)
   }
 
+  /** [[weightedSample]] with an exact-k quota PER STRATUM — "keep the
+    * best 1M docs per language, quality-weighted": the same deterministic
+    * Efraimidis–Spirakis keys, ranked within each stratum instead of
+    * globally.
+    *
+    * Scale shape: ONE shuffle on the stratum key; the rank-≤-k filter is
+    * a `row_number` window that Spark 4's `WindowGroupLimit` rewrites
+    * into a map-side per-partition top-k BEFORE the exchange, so the
+    * shuffle carries at most k rows per (stratum, input partition), not
+    * the corpus. Same rounded-key + id tiebreak determinism contract as
+    * [[weightedSample]].
+    */
+  def weightedSamplePerStratum(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      weight: Column,
+      kPerStratum: Int,
+      salt: String = "wsample-v1"
+  ): DataFrame = {
+    require(kPerStratum >= 1, s"per-stratum sample size must be positive: $kPerStratum")
+    val h = Hashing.hash48(concat(id.cast("string"), lit(s":$salt")))
+    val u = (h + 1L).cast("double") / lit(281474976710656.0)
+    val key = round(-log(u) / weight.cast("double"), 10)
+    val w = Window.partitionBy(col("stratum")).orderBy(col("key").asc, col("doc_id").asc)
+    df.where(weight.cast("double") > 0)
+      .select(id.as("doc_id"), stratum.as("stratum"),
+        weight.cast("long").as("weight"), key.as("key"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kPerStratum)
+  }
+
   /** Weighted epoch mixing: materialize the training mix for a data
     * recipe that up-/down-samples sources — weight 2.5 means every row
     * appears twice and a deterministic 50% of rows a third time; weight

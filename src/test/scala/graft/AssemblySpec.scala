@@ -152,6 +152,29 @@ class AssemblySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("weightedSamplePerStratum: per-stratum quota equals the global sampler run per stratum; map-side group limit") {
+    val rows = (1L to 300L).map(i => (i, if (i % 3 == 0) "a" else "b", 1L + i % 7))
+      .toDF("id", "s", "w")
+    val per = Assembly.weightedSamplePerStratum(
+      rows, col("id"), col("s"), col("w"), kPerStratum = 15, salt = "t-v1")
+    val got = per.select("stratum", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet == Set("a", "b") && got.values.forall(_.size == 15))
+    // consistency law: each stratum's quota is exactly what the GLOBAL
+    // sampler picks from that stratum alone (same keys, same salt)
+    for (s <- Seq("a", "b")) {
+      val solo = Assembly.weightedSample(
+        rows.where(col("s") === s), col("id"), col("w"), k = 15, salt = "t-v1")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got(s) == solo, s"stratum $s")
+    }
+    // plan: rank filter pushed to a map-side group limit before the one
+    // stratum exchange — the shuffle never carries the whole corpus
+    val plan = per.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan)
+  }
+
   test("mixPlan: present-but-zero-token targeted stratum yields keep_rate 0, not null") {
     val d = Seq(("en", 1000), ("fr", 0)).toDF("lang", "toks")
     val plan = Assembly.mixPlan(d, col("lang"), col("toks"),
