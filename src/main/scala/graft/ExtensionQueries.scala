@@ -655,6 +655,25 @@ object ExtensionQueries {
       Tables.documents(s, d), col("doc_id"), col("lang"), col("n_chars") + 1,
       kPerStratum = 20, salt = "ws-v1")
 
+  /** DSIR importance resampling with English documents as the target
+    * distribution — see [[graft.curation.Corpus.importanceResample]].
+    */
+  private def q90Importance(s: SparkSession, d: String): DataFrame =
+    Corpus.importanceResample(
+      Tables.documents(s, d), col("text"), col("doc_id"),
+      col("lang") === "en", k = 120)
+
+  /** SemDeDup over the pretrained IVF cells — see
+    * [[graft.dedup.Dedup.semanticDedup]].
+    */
+  private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticDedup(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      graft.similarity.IVF.pretrainedCentroids, threshold = 0.35)
+      // int-typed flag for the cross-engine hash compare; the library
+      // relation keeps the natural boolean
+      .withColumn("keep", col("keep").cast("int"))
+
   /** Bloom-prefiltered incremental dedup, oracle-gated end to end: the
     * seen index is yesterday's corpus (doc_id < 250), the batch is the
     * rest, and [[graft.dedup.Dedup.dropSeenFast]] must reproduce the
@@ -735,6 +754,8 @@ object ExtensionQueries {
     "q84_source_divergence" -> (q84SourceDivergence _),
     "q88_weighted_sample" -> (q88WeightedSample _),
     "q89_stratified_weighted" -> (q89StratifiedWeighted _),
+    "q90_importance" -> (q90Importance _),
+    "q91_semantic_dedup" -> (q91SemanticDedup _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1385,6 +1406,51 @@ object ExtensionQueries {
          |  FROM b WHERE weight > 0)
          |SELECT doc_id, stratum, weight, key, rank::INT AS rank
          |FROM r WHERE rank <= 20""".stripMargin,
+    "q90_importance" ->
+      s"""WITH t AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS tgt,
+         |  unnest($duckToks) AS term FROM documents),
+         |dt AS (SELECT doc_id, tgt, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2, 3),
+         |w AS (SELECT *, sum(tf) OVER (PARTITION BY term) AS cnt_raw,
+         |  sum(tf * tgt) OVER (PARTITION BY term) AS cnt_tgt FROM dt),
+         |tot AS (SELECT sum(tf)::BIGINT AS t_raw, sum(tf * tgt)::BIGINT AS t_tgt FROM dt),
+         |pd AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  round(sum(tf * (CASE WHEN (SELECT t_tgt FROM tot) > 0 THEN
+         |    log2((1.0 - 0.9) + 0.9 * (cnt_tgt::DOUBLE * (SELECT t_raw FROM tot)::DOUBLE)
+         |      / (cnt_raw::DOUBLE * (SELECT t_tgt FROM tot)::DOUBLE))
+         |    ELSE 0.0 END)) / sum(tf), 4) + 0.0 AS log_ratio
+         |  FROM w GROUP BY doc_id),
+         |b AS (SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.log_ratio, 0.0) AS log_ratio,
+         |  ((${duckHash48("(d.doc_id::VARCHAR || ':dsir-v1')")}) + 1)::DOUBLE
+         |    / 281474976710656.0 AS u
+         |  FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id)
+         |SELECT doc_id, n_tokens, log_ratio,
+         |  round(ln(-ln(u)) - log_ratio * 0.6931471805599453, 8) AS key
+         |FROM b ORDER BY key, doc_id LIMIT 120""".stripMargin,
+    "q91_semantic_dedup" ->
+      s"""WITH RECURSIVE $duckIvfAssignedCtes,
+         |nr AS (SELECT vec_id, cell, embedding,
+         |  sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nrm
+         |  FROM assigned),
+         |bs AS (SELECT vec_id, max(score) AS best FROM sc GROUP BY vec_id),
+         |p AS (SELECT a.vec_id AS s, b.vec_id AS t FROM nr a JOIN nr b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(CASE WHEN a.nrm * b.nrm > 0 THEN
+         |    list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |    / (a.nrm * b.nrm) ELSE 0.0 END, 4) >= 0.35),
+         |edges AS (SELECT s, t FROM p UNION ALL SELECT t, s FROM p),
+         |reach(a, b) AS (
+         |  SELECT vec_id, vec_id FROM assigned
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s),
+         |cl AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sr AS (SELECT nr.vec_id, nr.cell, cl.cluster_id,
+         |  round(CASE WHEN nr.nrm > 0 THEN bs.best / nr.nrm ELSE 0.0 END, 4) AS cos_centroid
+         |  FROM nr JOIN cl USING (vec_id) JOIN bs USING (vec_id)),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |  ORDER BY cos_centroid ASC, vec_id) AS rn FROM sr)
+         |SELECT vec_id, cell, cluster_id, cos_centroid, (rn = 1)::INT AS keep
+         |FROM rk""".stripMargin,
     "q85_drop_seen" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h
         |             FROM documents WHERE doc_id < 250)

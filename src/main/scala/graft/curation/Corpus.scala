@@ -541,4 +541,117 @@ object Corpus {
           .when(col("__oh") =!= col("__nh"), "modified")
           .otherwise("unchanged").as("status"))
   }
+
+  /** DSIR-shaped importance weights: per-document mean log-likelihood
+    * ratio (bits per token) of a TARGET unigram LM over the raw-corpus
+    * unigram LM — the "does this raw document look like my curated
+    * target distribution?" axis of importance resampling (Xie et al.,
+    * Data Selection for Language Models via Importance Resampling,
+    * NeurIPS 2023 — hashed-n-gram feature space; unigrams here, with
+    * the corpus itself supplying both models so no external LM is
+    * needed).
+    *
+    * The target LM is Jelinek–Mercer smoothed BY THE RAW LM —
+    * `p_tgt(t) = λ·c_tgt(t)/T_tgt + (1−λ)·c_raw(t)/T_raw` — so the
+    * per-term ratio collapses to
+    * `log2(1−λ + λ·(c_tgt·T_raw)/(c_raw·T_tgt))`: every corpus term has
+    * `c_raw ≥ 1`, no vocabulary-size constant is needed, and a term the
+    * target never uses scores the floor `log2(1−λ)` instead of −∞.
+    * Documents with zero tokens score 0 over 0 (weight-neutral).
+    *
+    * Plan shape (the [[unigramSurprisal]] template): ONE token explode →
+    * (doc, tgt, term) map-side-combined counts → BOTH corpus-count
+    * columns as unordered term-partition window aggregates over the same
+    * single exchange (`c_raw` = sum tf, `c_tgt` = sum tf·tgt) → per-doc
+    * aggregate; the two scalar totals come from no-explode
+    * `wsTokenCount` kernel scans and join by broadcast. Nothing
+    * corpus-sized broadcasts and the explosion runs exactly once.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      isTarget: Column,
+      lambda: Double = 0.9
+  ): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val dt = docs
+      .select(id.as("doc_id"), when(isTarget, 1L).otherwise(0L).as("tgt"),
+        explode(TextFunctions.wsTokens(text)).as("term"))
+      .groupBy(col("doc_id"), col("tgt"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("term"))
+    val withCnt = dt
+      .withColumn("cnt_raw", sum(col("tf")).over(w))
+      .withColumn("cnt_tgt", sum(col("tf") * col("tgt")).over(w))
+    val tok = TextFunctions.wsTokenCount(text).cast("long")
+    val totals = docs.select(
+      sum(tok).as("t_raw"),
+      sum(when(isTarget, tok).otherwise(0L)).as("t_tgt"))
+    // empty target ⇒ no target LM exists; score 0 (neutral) rather than
+    // the λ→ratio floor, so a mis-scoped predicate is visible, not a
+    // silent "drop almost everything" weighting
+    val lr = when(col("t_tgt") > 0,
+      log2(lit(1.0 - lambda) + lit(lambda) *
+        (col("cnt_tgt").cast("double") * col("t_raw").cast("double")) /
+        (col("cnt_raw").cast("double") * col("t_tgt").cast("double"))))
+      .otherwise(lit(0.0))
+    val perDoc = withCnt.crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        // + 0.0 canonicalizes IEEE −0.0 (a near-balanced ratio sum lands
+        // on either side of zero per engine's summation order; rounding
+        // keeps the sign and −0.0 ≠ 0.0 under string/bit comparison)
+        (round(sum(col("tf") * lr) / sum(col("tf")), 4) + lit(0.0)).as("log_ratio"))
+    docs.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("log_ratio"), lit(0.0)).as("log_ratio"))
+  }
+
+  /** Importance RESAMPLING: exact-`k` weighted sample without
+    * replacement, weighted by `2^log_ratio` from [[importanceWeights]] —
+    * the full DSIR loop (weight raw docs by target/raw LM ratio, sample
+    * proportionally) as one relation.
+    *
+    * Sampling is the deterministic Efraimidis–Spirakis scheme of
+    * [[Assembly.weightedSample]], computed in LOG space
+    * (`key = ln(−ln u) − log_ratio·ln 2`, ascending): the weight
+    * `2^log_ratio` itself is never materialized, so an extreme-ratio
+    * document cannot overflow/underflow the key. `u` is the exact salted
+    * 48-bit hash rational, `log_ratio` enters pre-rounded (4 dp), and
+    * the key is rounded (8 dp) with `doc_id` tiebreak — reproducible
+    * cross-engine like every assembly stage. Zero-token docs carry
+    * weight 1 (neutral), not 0: DSIR resamples them at base rate.
+    *
+    * Scale: the weighting is [[importanceWeights]]' one explode + one
+    * term exchange + one doc aggregate; the sample adds only a
+    * `TakeOrdered` top-k (O(partitions·k) driver work, never a global
+    * sort).
+    */
+  def importanceResample(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      isTarget: Column,
+      k: Int,
+      lambda: Double = 0.9,
+      salt: String = "dsir-v1"
+  ): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    val wts = importanceWeights(docs, text, id, isTarget, lambda)
+    val h = graft.functions.Hashing.hash48(
+      concat(col("doc_id").cast("string"), lit(s":$salt")))
+    // (h+1)/2^48: exact doubles, bit-identical cross-engine (the
+    // weightedSample contract)
+    val u = (h + 1L).cast("double") / lit(281474976710656.0)
+    val key = round(log(-log(u)) - col("log_ratio") * lit(0.6931471805599453), 8)
+    wts
+      .select(col("doc_id"), col("n_tokens"), col("log_ratio"), key.as("key"))
+      .orderBy(col("key").asc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -1380,4 +1380,60 @@ object Dedup {
       .groupBy(col("bk"))
       .agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): embedding-space
+    * near-duplicate removal blocked by k-means cells. Each vector is
+    * assigned to its nearest IVF centroid, pairwise cosine runs WITHIN
+    * cells only, pairs ≥ `threshold` form clusters (connected
+    * components), and one keeper survives per cluster — by the paper's
+    * rule the member with the LOWEST cosine to its cell centroid (keep
+    * the least-typical example; duplicates cluster near the centroid,
+    * outliers carry the diversity). `keepFarthest = false` flips to
+    * keep-most-typical.
+    *
+    * Returns the full audit relation `(vec_id, cell, cluster_id,
+    * cos_centroid, keep)` — filter `keep` for the dedup, aggregate the
+    * rest for the dataset card.
+    *
+    * Scale shape: cell assignment is a per-row literal-centroid
+    * expression (no fit, no shuffle); the pair join shuffles once on
+    * `cell` with the [[embeddingNearDups]] `maxCell` cap + the
+    * [[embeddingOversizedBuckets]] observability escape; the CC is
+    * [[nearDupClusters]] (pointer doubling, checkpointed rounds); the
+    * keeper is one `row_number` window that Spark's WindowGroupLimit
+    * prunes map-side. With `nCells` sized so cells fit an executor
+    * (|corpus|/nCells rows), the all-pairs work is |corpus|²/nCells —
+    * the paper's exact trick for running this at web scale.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      id: Column,
+      vec: Column,
+      centroids: Array[Array[Float]],
+      threshold: Double,
+      maxCell: Int = Int.MaxValue,
+      keepFarthest: Boolean = true
+  ): DataFrame = {
+    import graft.similarity.IVF
+    val assigned = emb.select(
+      id.as("vec_id"), vec.as("v"),
+      IVF.literalCell(vec, centroids).as("cell"),
+      round(IVF.literalCellCosine(vec, centroids), 4).as("cos_centroid"))
+    val pairs = embeddingNearDups(
+      assigned, col("vec_id"), col("v"), col("cell"), threshold, maxCell)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val clusters = nearDupClusters(assigned, col("vec_id"), pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    // keeper rank over the ROUNDED centroid cosine (4 dp) with vec_id
+    // tiebreak: reproducible cross-engine, same contract as every
+    // rounded-rank assembly stage
+    val ord = if (keepFarthest) col("cos_centroid").asc else col("cos_centroid").desc
+    val w = Window.partitionBy(col("cluster_id")).orderBy(ord, col("vec_id").asc)
+    assigned.select(col("vec_id"), col("cell"), col("cos_centroid"))
+      .join(clusters, Seq("vec_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("vec_id"), col("cell"), col("cluster_id"),
+        col("cos_centroid"), col("keep"))
+  }
 }

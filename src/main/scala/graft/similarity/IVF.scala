@@ -202,6 +202,19 @@ object IVF {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  /** Cosine of `vec` to the centroid of its OWN assigned cell
+    * ([[literalCell]]'s argmax): the assignment scores are
+    * `dot(v,c)/‖c‖`, so dividing the max score by `‖v‖` is the cosine
+    * without recomputing the argmax dot. 0.0 for a zero-norm vector.
+    * The typicality axis [[graft.dedup.Dedup.semanticDedup]] ranks
+    * cluster keepers by.
+    */
+  def literalCellCosine(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val best = array_max(literalCellScores(vec, centroids))
+    val n = VectorFunctions.norm2(vec)
+    when(n > 0, best / n).otherwise(lit(0.0))
+  }
+
   /** IVF search against FIXED centroid literals — assignment and probe
     * selection are pure column arithmetic (no model object, no fit in the
     * query), which is both the oracle-reproducible form and the production

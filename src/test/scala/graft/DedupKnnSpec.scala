@@ -696,4 +696,41 @@ class DedupKnnSpec extends SparkSpec {
     assert(out.values.sum ==
       Dedup.minhashLshPairs(d, col("text"), col("doc_id")).count())
   }
+
+  test("semanticDedup: cell-blocked clusters, SemDeDup keep-farthest rule, cross-cell blindness") {
+    val cents = Array(Array(1f, 0f), Array(0f, 1f))
+    val emb = Seq(
+      (1L, Array(1f, 0f)),        // cell 0, on-centroid
+      (2L, Array(0.999f, 0.01f)), // cell 0, near-dup of 1 (cos ≈ 0.99995)
+      (3L, Array(0.8f, 0.2f)),    // cell 0, distinct (cos to 1 ≈ 0.970 < τ)
+      (4L, Array(0f, 1f)),        // cell 1, alone
+      (5L, Array(0.714f, 0.7f)),  // cell 0 ┐ cos(5,6) ≈ 0.9998 ≥ τ but cells
+      (6L, Array(0.7f, 0.714f))   // cell 1 ┘ differ — blocking never pairs them
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(
+      emb, col("vec_id"), col("embedding"), cents, threshold = 0.99)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // cells: argmax of cos to (1,0)/(0,1)
+    assert(out(1L)._1 == 0 && out(2L)._1 == 0 && out(3L)._1 == 0)
+    assert(out(4L)._1 == 1 && out(5L)._1 == 0 && out(6L)._1 == 1)
+    // clusters: {1,2} merge; everything else singleton (5/6 split by cells)
+    assert(out(1L)._2 == out(2L)._2)
+    assert(Seq(3L, 4L, 5L, 6L).map(out(_)._2).distinct.size == 4)
+    assert(out(3L)._2 != out(1L)._2 && out(5L)._2 != out(6L)._2)
+    // SemDeDup keeper: FARTHEST from centroid wins the {1,2} cluster — vec 2
+    // (cos_centroid 0.9999) over vec 1 (exactly 1.0)
+    assert(!out(1L)._4 && out(2L)._4)
+    assert(out(1L)._3 == 1.0 && out(2L)._3 < 1.0)
+    // exactly one keeper per cluster
+    val perCluster = out.values.groupBy(_._2).values
+    assert(perCluster.forall(_.count(_._4) == 1))
+    // keep-most-typical flips the {1,2} keeper to vec 1
+    val typical = Dedup.semanticDedup(
+      emb, col("vec_id"), col("embedding"), cents, threshold = 0.99,
+      keepFarthest = false)
+      .where(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(typical.contains(1L) && !typical.contains(2L))
+  }
 }
