@@ -666,6 +666,14 @@ object ExtensionQueries {
   /** SemDeDup over the pretrained IVF cells — see
     * [[graft.dedup.Dedup.semanticDedup]].
     */
+  /** BPE round-0 pair statistics — see [[graft.curation.Bpe.pairCounts]];
+    * the iterative trainer ([[graft.curation.Bpe.train]]) is spec-gated
+    * against a quadratic reference (the loop is driver-side over the
+    * bounded word-count aggregate and has no single-relation SQL form).
+    */
+  private def q92BpePairs(s: SparkSession, d: String): DataFrame =
+    graft.curation.Bpe.pairCounts(Tables.documents(s, d), col("text"), topN = 50)
+
   private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
     Dedup.semanticDedup(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -756,6 +764,7 @@ object ExtensionQueries {
     "q89_stratified_weighted" -> (q89StratifiedWeighted _),
     "q90_importance" -> (q90Importance _),
     "q91_semantic_dedup" -> (q91SemanticDedup _),
+    "q92_bpe_pairs" -> (q92BpePairs _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1451,6 +1460,14 @@ object ExtensionQueries {
          |  ORDER BY cos_centroid ASC, vec_id) AS rn FROM sr)
          |SELECT vec_id, cell, cluster_id, cos_centroid, (rn = 1)::INT AS keep
          |FROM rk""".stripMargin,
+    "q92_bpe_pairs" ->
+      s"""WITH t AS (SELECT unnest($duckToks) AS word FROM documents),
+         |w AS (SELECT word, count(*)::BIGINT AS freq FROM t GROUP BY 1),
+         |p AS (SELECT substr(word, i::INT, 1) AS lhs, substr(word, (i + 1)::INT, 1) AS rhs, freq
+         |  FROM w, lateral unnest(range(1, len(word))) u(i) WHERE len(word) >= 2),
+         |g AS (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank FROM g)
+         |SELECT lhs, rhs, cnt, rank::INT AS rank FROM r WHERE rank <= 50""".stripMargin,
     "q85_drop_seen" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h
         |             FROM documents WHERE doc_id < 250)

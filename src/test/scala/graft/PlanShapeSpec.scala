@@ -135,6 +135,13 @@ class PlanShapeSpec extends SparkSpec {
     val p53 = plan("q53_boilerplate")
     assert("\\(\\d+\\) Generate".r.findAllIn(p53).size == 1, p53)
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p53).size <= 2, p53)
+    // DSIR weights follow the same law (both corpus-count columns come
+    // from windows over the ONE exploded relation), and the resample is
+    // a TakeOrdered top-k — never a global sort of the corpus
+    val p90 = plan("q90_importance")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p90).size == 1, p90)
+    assert(p90.contains("TakeOrderedAndProject"), p90)
+    assert(!simplePlan("q90_importance").matches("(?s).*\\bSort \\[key.*global=true.*"), p90)
   }
 
   test("round-6 shapes: PMI reads materialized counts; coverage and overlap scan-bounded") {
