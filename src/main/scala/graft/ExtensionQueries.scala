@@ -674,6 +674,20 @@ object ExtensionQueries {
   private def q92BpePairs(s: SparkSession, d: String): DataFrame =
     graft.curation.Bpe.pairCounts(Tables.documents(s, d), col("text"), topN = 50)
 
+  /** Per-document byte-entropy noise signal — see
+    * [[graft.functions.TextFunctions.byteEntropy]] / the
+    * [[graft.plans.ByteEntropyF]] kernel (zero-exchange projection).
+    */
+  private def q93ByteEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      (round(TextFunctions.byteEntropy(col("text")), 4) + lit(0.0)).as("entropy_bits"))
+
+  /** Zipf-law corpus-health fit — see [[graft.curation.Corpus.zipfFit]]. */
+  private def q94Zipf(s: SparkSession, d: String): DataFrame =
+    Corpus.zipfFit(Tables.documents(s, d), col("text"), col("doc_id"), topN = 200)
+
   private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
     Dedup.semanticDedup(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -765,6 +779,8 @@ object ExtensionQueries {
     "q90_importance" -> (q90Importance _),
     "q91_semantic_dedup" -> (q91SemanticDedup _),
     "q92_bpe_pairs" -> (q92BpePairs _),
+    "q93_byte_entropy" -> (q93ByteEntropy _),
+    "q94_zipf" -> (q94Zipf _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1468,6 +1484,32 @@ object ExtensionQueries {
          |g AS (SELECT lhs, rhs, sum(freq)::BIGINT AS cnt FROM p GROUP BY 1, 2),
          |r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rank FROM g)
          |SELECT lhs, rhs, cnt, rank::INT AS rank FROM r WHERE rank <= 50""".stripMargin,
+    "q93_byte_entropy" ->
+      s"""WITH m AS ($duckByteView),
+         |b AS (SELECT doc_id, nb, ${duckByteAt("i")} AS bv
+         |  FROM m, lateral unnest(range(1, nb + 1)) t(i)),
+         |c AS (SELECT doc_id, nb, bv, count(*)::BIGINT AS c FROM b GROUP BY 1, 2, 3),
+         |e AS (SELECT doc_id, max(nb) AS n_bytes,
+         |  round(log2(max(nb)::DOUBLE) - sum(c::DOUBLE * log2(c::DOUBLE)) / max(nb), 4) + 0.0
+         |    AS entropy_bits
+         |  FROM c GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(e.n_bytes, 0)::BIGINT AS n_bytes,
+         |  coalesce(e.entropy_bits, 0.0) AS entropy_bits
+         |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id""".stripMargin,
+    "q94_zipf" ->
+      s"""WITH t AS (SELECT unnest($duckToks) AS term FROM documents),
+         |s AS (SELECT term, count(*)::BIGINT AS tf FROM t GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM s),
+         |p AS (SELECT log2(rank::DOUBLE) AS x, log2(tf::DOUBLE) AS y FROM r WHERE rank <= 200),
+         |a AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x * y) AS sxy, sum(x * x) AS sx2 FROM p)
+         |SELECT n AS n_terms,
+         |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+         |    round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 4) + 0.0 END AS slope,
+         |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+         |    round((sy - ((n * sxy - sx * sy) / (n * sx2 - sx * sx)) * sx) / n, 4) + 0.0
+         |  END AS intercept
+         |FROM a""".stripMargin,
     "q85_drop_seen" ->
       """WITH idx AS (SELECT DISTINCT md5(text) AS h
         |             FROM documents WHERE doc_id < 250)

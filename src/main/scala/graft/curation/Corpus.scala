@@ -542,6 +542,45 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Zipf-law fit over the top-`topN` vocabulary: least-squares slope and
+    * intercept of `log2(tf)` against `log2(rank)` — the classic
+    * corpus-health diagnostic (natural language sits near slope −1;
+    * template/boilerplate-heavy corpora flatten, scraped-junk corpora
+    * steepen; a kink at low ranks means a few tokens dominate). One row:
+    * `(n_terms, slope, intercept)`.
+    *
+    * Plan shape: [[vocabulary]]'s one term shuffle + `TakeOrdered` top-N,
+    * then a scalar aggregate over ≤ topN points — the regression sums
+    * never touch anything corpus-sized. Slope/intercept are computed in
+    * the explicit normal-equation form (`(n·Σxy − Σx·Σy)/(n·Σx² −
+    * (Σx)²)`) so an oracle replays them term-for-term; rounded 4 dp with
+    * −0.0 canonicalized. Degenerate fits (fewer than 2 points, zero rank
+    * variance) return null slope/intercept rather than ±Inf.
+    */
+  def zipfFit(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      topN: Int = 200
+  ): DataFrame = {
+    require(topN >= 2, s"a fit needs at least 2 rank points: $topN")
+    val pts = vocabulary(docs, text, id, topN).select(
+      log2(col("rank").cast("double")).as("x"),
+      log2(col("tf").cast("double")).as("y"))
+    val a = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sx2"))
+    val denom = col("n") * col("sx2") - col("sx") * col("sx")
+    val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) / denom
+    a.select(
+      col("n").as("n_terms"),
+      when(denom > 0, round(slopeRaw, 4) + lit(0.0)).as("slope"),
+      when(denom > 0,
+        round((col("sy") - slopeRaw * col("sx")) / col("n"), 4) + lit(0.0))
+        .as("intercept"))
+  }
+
   /** DSIR-shaped importance weights: per-document mean log-likelihood
     * ratio (bits per token) of a TARGET unigram LM over the raw-corpus
     * unigram LM — the "does this raw document look like my curated

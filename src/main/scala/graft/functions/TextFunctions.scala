@@ -219,6 +219,17 @@ object TextFunctions {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** Shannon entropy of the UTF-8 byte stream in bits per byte — the
+    * compressibility axis of a noise filter (binary/base64 junk ≈ 6–8,
+    * natural language ≈ 4–4.5, repeated boilerplate low; empty text 0).
+    * One codegen'd per-row kernel ([[graft.plans.ByteEntropyF]]), zero
+    * exchanges; SQL surface `graft_byte_entropy(s)`.
+    */
+  def byteEntropy(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.ByteEntropyF(
+        org.apache.spark.sql.GraftBridge.expression(text.cast("string"))))
+
   /** Canonical text normalization — the preprocessing every dedup/hash
     * stage should share so "the same text" hashes the same: lower-case,
     * strip NON-whitespace control characters, collapse whitespace runs to

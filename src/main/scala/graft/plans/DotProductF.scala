@@ -99,7 +99,8 @@ object DotProductF {
   *   graft_dot(a, b), graft_hash48(s),
   *   graft_gram_hashes48(s, n), graft_winnow_set48(s, n, w),
   *   graft_simhash48(s), graft_minhash_sig(s, w, k),
-  *   graft_rep_stats(s), graft_lang_counts(s), graft_shingle_set(s, w)
+  *   graft_rep_stats(s), graft_lang_counts(s), graft_shingle_set(s, w),
+  *   graft_byte_entropy(s)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -173,6 +174,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "graft_shingle_set expects (string, w)")
         ShingleSetF(exprs.head, intLit(exprs(1), "w"))
+      }),
+    ("graft_byte_entropy", info(classOf[ByteEntropyF], "graft_byte_entropy"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_byte_entropy expects (string)")
+        ByteEntropyF(exprs.head)
       })
   )
 

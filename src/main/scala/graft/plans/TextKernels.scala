@@ -247,6 +247,32 @@ object TextKernel {
       set
     }.toArray
 
+  /** Shannon entropy of the raw UTF-8 byte stream in bits per byte, in
+    * the exact-integer-core form `log2(n) − Σ c_b·log2(c_b) / n` (so a
+    * uniform-byte document is EXACTLY 0 and the only float work runs
+    * over ≤ 256 distinct-byte counts). The compressibility axis of a
+    * noise filter: base64/binary junk scores near 6–8 bits, natural
+    * language near 4–4.5, repeated boilerplate much lower. Empty
+    * documents score 0 over 0 bytes.
+    */
+  def byteEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    val ln2 = 0.6931471805599453
+    var acc = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 1) acc += c.toDouble * (Math.log(c.toDouble) / ln2)
+      b += 1
+    }
+    Math.log(n.toDouble) / ln2 - acc / n
+  }
+
   // Codegen entry points --------------------------------------------------
 
   def minhashSigData(s: UTF8String, w: Int, k: Int): ArrayData =
@@ -351,5 +377,20 @@ case class RepStatsF(child: Expression) extends StringKernelExpression {
     nullSafeCodeGen(ctx, ev, input =>
       s"${ev.value} = graft.plans.TextKernel.repStatsRow($input);")
   override protected def withNewChildInternal(newChild: Expression): RepStatsF =
+    copy(child = newChild)
+}
+
+/** UTF-8 byte-stream Shannon entropy (bits per byte) as one per-row
+  * expression — see [[TextKernel.byteEntropy]].
+  */
+case class ByteEntropyF(child: Expression) extends StringKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_byte_entropy"
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(TextKernel.byteEntropy(v.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.byteEntropy($input);")
+  override protected def withNewChildInternal(newChild: Expression): ByteEntropyF =
     copy(child = newChild)
 }

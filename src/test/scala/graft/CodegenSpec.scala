@@ -129,6 +129,32 @@ class CodegenSpec extends SparkSpec {
         s => Hashing.hash48(s)))), array().cast("array<bigint>")).as("c"))
     assert(ss.where(not(col("n") <=> col("c"))).count() == 0)
 
+    // byteEntropy: generated Java compiles; hand values (uniform bytes 0,
+    // two equi-probable bytes exactly 1 bit, empty 0) and a driver-side
+    // recompute on the mixed texts
+    import graft.plans.ByteEntropyF
+    GenerateUnsafeProjection.generate(
+      Seq(ByteEntropyF(BoundReference(0, StringType, nullable = true))))
+    val ent = df.select(col("doc_id"),
+      graft.functions.TextFunctions.byteEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val bytes = t.getBytes("UTF-8")
+      val expected =
+        if (bytes.isEmpty) 0.0
+        else {
+          val n = bytes.length.toDouble
+          val ln2 = math.log(2.0)
+          math.log(n) / ln2 - bytes.groupBy(identity).values
+            .map(g => g.length.toDouble * (math.log(g.length.toDouble) / ln2)).sum / n
+        }
+      assert(math.abs(ent(i.toLong) - expected) < 1e-9, s"doc: '$t'")
+    }
+    val hand = Seq((1L, "aaaa"), (2L, "abab"), (3L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.byteEntropy(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(hand(1L) == 0.0 && hand(2L) == 1.0 && hand(3L) == 0.0)
+
     // repStats: native vs a driver-side recompute
     val rs = graft.functions.TextFunctions.repetitionStats(df, col("text"), col("doc_id"))
       .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap

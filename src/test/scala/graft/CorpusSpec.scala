@@ -302,6 +302,22 @@ class CorpusSpec extends SparkSpec {
     assert(out.size == 8)
   }
 
+  test("zipfFit: exact slope/intercept on a constructed power law; degenerate fit is null") {
+    // tf 8 at rank 1 (x=0, y=3) and tf 4 at rank 2 (x=1, y=2): slope −1,
+    // intercept 3 — exact by construction
+    val d = docs(1L -> (("a " * 8) + ("b " * 4)).trim)
+    val fit = Corpus.zipfFit(d, col("text"), col("doc_id"), topN = 2).head()
+    assert(fit.getLong(0) == 2L)
+    assert(fit.getDouble(1) == -1.0 && fit.getDouble(2) == 3.0)
+    // a steeper corpus (tf 16 vs 2) fits a steeper slope
+    val steep = Corpus.zipfFit(
+      docs(1L -> (("a " * 16) + ("b " * 2)).trim), col("text"), col("doc_id"), topN = 2).head()
+    assert(steep.getDouble(1) < fit.getDouble(1))
+    // single-term corpus: zero rank variance → null fit, not ±Inf
+    val degen = Corpus.zipfFit(docs(1L -> "solo solo solo"), col("text"), col("doc_id"), topN = 5).head()
+    assert(degen.getLong(0) == 1L && degen.isNullAt(1) && degen.isNullAt(2))
+  }
+
   test("importanceWeights: hand-computed JM log-ratios; empty doc and empty target are neutral") {
     val d = Seq(
       (1L, "aa aa", true),   // the target distribution: all aa
