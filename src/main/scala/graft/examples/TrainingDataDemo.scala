@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *   train/val/test split → test-in-train n-gram decontamination report →
   *   length-threshold calibration (histogram) → mixture sizing report →
   *   token-budget sampling → token accounting + distinct-token sketch →
+  *   corpus health (byte entropy, Zipf fit) → BPE vocabulary training +
+  *   encode accounting → DSIR acquisition ranking → embedding SemDeDup →
   *   release version audit.
   *
   * Every stage is one of the gated operators; the whole pipeline is a
@@ -144,6 +146,36 @@ object TrainingDataDemo {
     val sketch = graft.functions.Sketches.kmvDistinct(
       budgeted.select(explode(TextFunctions.wsTokens(col("text"))).as("t")), col("t"))
 
+    // 9b. corpus health + tokenizer prep over the train split: the
+    // byte-entropy range (noise screen — binary junk would read > 6
+    // bits), the Zipf fit (distribution health; template-heavy corpora
+    // read flat), and an actual BPE vocabulary trained on the split with
+    // vocabulary-true token accounting from the broadcast encode
+    val ent = train.agg(
+      round(min(TextFunctions.byteEntropy(col("text"))), 2).as("lo"),
+      round(max(TextFunctions.byteEntropy(col("text"))), 2).as("hi")).head()
+    val zipf = graft.curation.Corpus
+      .zipfFit(train, col("text"), col("doc_id"), topN = 30).head()
+    val merges = graft.curation.Bpe.train(train, col("text"), maxMerges = 50)
+    val bpePieces = graft.curation.Bpe
+      .encodeCorpus(train, col("text"), col("doc_id"), merges)
+      .agg(coalesce(sum(col("n_pieces")), lit(0L))).head().getLong(0)
+
+    // 9c. DSIR readout over the RAW input: which documents look most like
+    // the curated English target distribution — the acquisition-ranking
+    // view (what to crawl/buy more of), computed before any filter ran
+    val dsir = graft.curation.Corpus.importanceResample(
+      docs, col("text"), col("doc_id"), col("lang") === "en", k = 100)
+    val dsirMean = dsir.agg(round(avg(col("log_ratio")), 4)).head().getDouble(0)
+
+    // 9d. the non-text modality's dedup: SemDeDup over the embedding
+    // table (IVF-cell-blocked near-dup clusters, keep-farthest keeper)
+    val sem = Dedup.semanticDedup(
+      Tables.embeddings(spark, dir), col("vec_id"), col("embedding"),
+      graft.similarity.IVF.pretrainedCentroids, threshold = 0.35)
+    val semKept = sem.where(col("keep")).count()
+    val semTotal = sem.count()
+
     println(s"DEMO_INPUT_DOCS=${docs.count()}")
     println(s"DEMO_ENGLISH_DOCS=${english.count()}")
     println(s"DEMO_CLEAN_DOCS=${clean.count()}")
@@ -165,6 +197,13 @@ object TrainingDataDemo {
     println(s"DEMO_DISTINCT_TOKENS_EST=${sketch.head().getLong(2)}")
     println(s"DEMO_SHARD_FILES=$shardFiles")
     println(f"DEMO_MIX_KEPT_TOKENS=$mixKept%.1f")
+    println(s"DEMO_BYTE_ENTROPY_RANGE=${ent.getDouble(0)}..${ent.getDouble(1)}")
+    println(s"DEMO_ZIPF_SLOPE=${zipf.get(1)} N_TERMS=${zipf.getLong(0)}")
+    println(s"DEMO_BPE_FIRST_MERGES=" +
+      merges.take(3).map(m => s"${m.left}+${m.right}").mkString(",") +
+      s" DEMO_BPE_PIECES=$bpePieces")
+    println(s"DEMO_DSIR_TOP100_MEAN_LOG_RATIO=$dsirMean")
+    println(s"DEMO_SEMDEDUP_KEPT=$semKept/$semTotal")
     println(s"DEMO_VERSION_AUDIT $audit")
     spark.stop()
   }
