@@ -688,6 +688,12 @@ object ExtensionQueries {
   private def q94Zipf(s: SparkSession, d: String): DataFrame =
     Corpus.zipfFit(Tables.documents(s, d), col("text"), col("doc_id"), topN = 200)
 
+  /** Per-source quality funnel — see
+    * [[graft.curation.Corpus.qualityFunnelBySource]].
+    */
+  private def q95FunnelBySource(s: SparkSession, d: String): DataFrame =
+    Corpus.qualityFunnelBySource(Tables.documents(s, d), col("text"), col("source"))
+
   private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
     Dedup.semanticDedup(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -781,6 +787,7 @@ object ExtensionQueries {
     "q92_bpe_pairs" -> (q92BpePairs _),
     "q93_byte_entropy" -> (q93ByteEntropy _),
     "q94_zipf" -> (q94Zipf _),
+    "q95_funnel_by_source" -> (q95FunnelBySource _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1346,6 +1353,45 @@ object ExtensionQueries {
          |UNION ALL SELECT 'repetitive', repetitive, round(repetitive / total, 4) FROM a
          |UNION ALL SELECT 'any_rule', any_rule, round(any_rule / total, 4) FROM a
          |UNION ALL SELECT 'pass_all', total::BIGINT - any_rule, round((total - any_rule) / total, 4) FROM a""".stripMargin,
+    "q95_funnel_by_source" ->
+      s"""WITH t AS (SELECT source, text, len(text)::DOUBLE AS n_chars, $duckToks AS toks FROM documents),
+         |s AS (SELECT source, text, n_chars, len(toks)::DOUBLE AS n_toks,
+         |  len(list_distinct(toks))::DOUBLE AS n_distinct,
+         |  len(list_filter(toks, x -> list_contains(${markers("en")}, x)))::DOUBLE AS s_en,
+         |  len(list_filter(toks, x -> list_contains(${markers("fr")}, x)))::DOUBLE AS s_fr,
+         |  len(list_filter(toks, x -> list_contains(${markers("es")}, x)))::DOUBLE AS s_es,
+         |  len(list_filter(toks, x -> list_contains(${markers("de")}, x)))::DOUBLE AS s_de
+         | FROM t),
+         |l AS (SELECT *, CASE
+         |  WHEN len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) * 5 > len(text) THEN 'zh'
+         |  WHEN s_en = 0 AND s_fr = 0 AND s_es = 0 AND s_de = 0 THEN 'und'
+         |  WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+         |  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+         |  WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred FROM s),
+         |f AS (SELECT source,
+         |  CASE WHEN n_toks < 30 THEN 1 ELSE 0 END AS too_short,
+         |  CASE WHEN n_toks > 90 THEN 1 ELSE 0 END AS too_long,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) < 4.2
+         |         OR (CASE WHEN n_toks > 0 THEN (n_chars - (n_toks - 1)) / n_toks ELSE 0.0 END) > 4.8
+         |       THEN 1 ELSE 0 END AS word_length,
+         |  CASE WHEN lang_pred != 'en' THEN 1 ELSE 0 END AS non_english,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN s_en / n_toks ELSE 0.0 END) < 0.02 THEN 1 ELSE 0 END AS low_stopword,
+         |  CASE WHEN (CASE WHEN n_toks > 0 THEN 1.0 - n_distinct / n_toks ELSE 0.0 END) > 0.6 THEN 1 ELSE 0 END AS repetitive
+         | FROM l),
+         |a AS (SELECT source, count(*)::DOUBLE AS total,
+         |  sum(too_short)::BIGINT AS too_short, sum(too_long)::BIGINT AS too_long,
+         |  sum(word_length)::BIGINT AS word_length, sum(non_english)::BIGINT AS non_english,
+         |  sum(low_stopword)::BIGINT AS low_stopword, sum(repetitive)::BIGINT AS repetitive,
+         |  sum(greatest(too_short, too_long, word_length, non_english, low_stopword, repetitive))::BIGINT AS any_rule
+         | FROM f GROUP BY source)
+         |SELECT source, 'too_short' AS rule, too_short AS n_docs, round(too_short / total, 4) AS share FROM a
+         |UNION ALL SELECT source, 'too_long', too_long, round(too_long / total, 4) FROM a
+         |UNION ALL SELECT source, 'word_length', word_length, round(word_length / total, 4) FROM a
+         |UNION ALL SELECT source, 'non_english', non_english, round(non_english / total, 4) FROM a
+         |UNION ALL SELECT source, 'low_stopword', low_stopword, round(low_stopword / total, 4) FROM a
+         |UNION ALL SELECT source, 'repetitive', repetitive, round(repetitive / total, 4) FROM a
+         |UNION ALL SELECT source, 'any_rule', any_rule, round(any_rule / total, 4) FROM a
+         |UNION ALL SELECT source, 'pass_all', total::BIGINT - any_rule, round((total - any_rule) / total, 4) FROM a""".stripMargin,
     "q79_cluster_split" ->
       s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

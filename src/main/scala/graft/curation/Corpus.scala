@@ -415,6 +415,82 @@ object Corpus {
       minStopRatio: Double = 0.02,
       maxRepeatRatio: Double = 0.6
   ): DataFrame = {
+    val flags = funnelFlags(docs, text, Nil,
+      minTokens, maxTokens, avgTokLenBand, minStopRatio, maxRepeatRatio)
+    val one = flags.agg(funnelAggCols.head, funnelAggCols.tail: _*)
+    one.select(explode(funnelRows).as("r"), col("__total"))
+      .select(
+        col("r.rule").as("rule"),
+        col("r.n_docs").as("n_docs"),
+        when(col("__total") > 0, round(col("r.n_docs") / col("__total"), 4))
+          .otherwise(lit(0.0)).as("share"))
+  }
+
+  /** [[qualityFunnel]] GROUPED BY SOURCE — the "which domain is rotting"
+    * report: per-rule fail counts and shares for every source, from the
+    * SAME single kernel-projection pass (one extra group column on the
+    * one shuffle; output ≤ #sources × #rules rows). The monitoring view
+    * a crawl owner reads per ingest: a source whose `repetitive` or
+    * `non_english` share jumps between versions is drifting, no matter
+    * how healthy the corpus-wide funnel still looks.
+    */
+  def qualityFunnelBySource(
+      docs: DataFrame,
+      text: Column,
+      source: Column,
+      minTokens: Int = 30,
+      maxTokens: Int = 90,
+      avgTokLenBand: (Double, Double) = (4.2, 4.8),
+      minStopRatio: Double = 0.02,
+      maxRepeatRatio: Double = 0.6
+  ): DataFrame = {
+    val flags = funnelFlags(docs, text, Seq("source" -> source),
+      minTokens, maxTokens, avgTokLenBand, minStopRatio, maxRepeatRatio)
+    val per = flags.groupBy(col("source"))
+      .agg(funnelAggCols.head, funnelAggCols.tail: _*)
+    per.select(col("source"), explode(funnelRows).as("r"), col("__total"))
+      .select(
+        col("source"),
+        col("r.rule").as("rule"),
+        col("r.n_docs").as("n_docs"),
+        when(col("__total") > 0, round(col("r.n_docs") / col("__total"), 4))
+          .otherwise(lit(0.0)).as("share"))
+  }
+
+  private val FunnelRuleNames = Seq(
+    "too_short", "too_long", "word_length", "non_english", "low_stopword",
+    "repetitive")
+
+  /** The shared per-rule aggregate columns over a [[funnelFlags]] relation. */
+  private def funnelAggCols: Seq[Column] =
+    FunnelRuleNames.map(name => coalesce(sum(col(name)), lit(0L)).as(name)) :+
+      coalesce(sum(col("__any")), lit(0L)).as("any_rule") :+
+      count(lit(1)).as("__total")
+
+  /** The funnel rows (per rule + the two rollups) over the aggregated
+    * counts, as an array-of-structs ready to explode.
+    */
+  private def funnelRows: Column = array(
+    (FunnelRuleNames.map { name =>
+      struct(lit(name).as("rule"), col(name).as("n_docs"))
+    } :+ struct(lit("any_rule").as("rule"), col("any_rule").as("n_docs")) :+
+      struct(lit("pass_all").as("rule"),
+        (col("__total") - col("any_rule")).as("n_docs"))): _*)
+
+  /** One kernel-projection pass producing the per-document rule-fail flag
+    * columns (+ `__any`), with optional passthrough key columns — the
+    * shared core of [[qualityFunnel]] and [[qualityFunnelBySource]].
+    */
+  private def funnelFlags(
+      docs: DataFrame,
+      text: Column,
+      keys: Seq[(String, Column)],
+      minTokens: Int,
+      maxTokens: Int,
+      avgTokLenBand: (Double, Double),
+      minStopRatio: Double,
+      maxRepeatRatio: Double
+  ): DataFrame = {
     val rs = org.apache.spark.sql.GraftBridge.column(
       graft.plans.RepStatsF(
         org.apache.spark.sql.GraftBridge.expression(text.cast("string"))))
@@ -422,10 +498,11 @@ object Corpus {
       graft.plans.LangCountsF(
         org.apache.spark.sql.GraftBridge.expression(text.cast("string"))))
     val base = docs.select(
-      rs.as("__rs"),
-      lc.as("__lc"),
-      length(text).cast("double").as("__n_chars"),
-      TextFunctions.cjkCount(text).cast("long").as("__cjk"))
+      keys.map { case (n, c) => c.as(n) } ++ Seq(
+        rs.as("__rs"),
+        lc.as("__lc"),
+        length(text).cast("double").as("__n_chars"),
+        TextFunctions.cjkCount(text).cast("long").as("__cjk")): _*)
     val nT = coalesce(col("__rs.n_tokens"), lit(0L)).cast("double")
     val nD = coalesce(col("__rs.n_distinct"), lit(0L)).cast("double")
     def score(i: Int): Column = coalesce(element_at(col("__lc"), i + 1), lit(0L))
@@ -448,26 +525,10 @@ object Corpus {
     // __any recomputes the conditions rather than referencing the sibling
     // aliases (lateral column resolution) — codegen CSE collapses the
     // duplication, and the projection stays portable
-    val flags = base.select(
-      (rules.map { case (name, cond) => cond.cast("long").as(name) } :+
-        greatest(rules.map { case (_, cond) => cond.cast("long") }: _*).as("__any")): _*)
-    val aggCols = rules.map { case (name, _) =>
-      coalesce(sum(col(name)), lit(0L)).as(name)
-    } :+ coalesce(sum(col("__any")), lit(0L)).as("any_rule") :+
-      count(lit(1)).as("__total")
-    val one = flags.agg(aggCols.head, aggCols.tail: _*)
-    val funnelRows = array(
-      (rules.map { case (name, _) =>
-        struct(lit(name).as("rule"), col(name).as("n_docs"))
-      } :+ struct(lit("any_rule").as("rule"), col("any_rule").as("n_docs")) :+
-        struct(lit("pass_all").as("rule"),
-          (col("__total") - col("any_rule")).as("n_docs"))): _*)
-    one.select(explode(funnelRows).as("r"), col("__total"))
-      .select(
-        col("r.rule").as("rule"),
-        col("r.n_docs").as("n_docs"),
-        when(col("__total") > 0, round(col("r.n_docs") / col("__total"), 4))
-          .otherwise(lit(0.0)).as("share"))
+    base.select(
+      keys.map { case (n, _) => col(n) } ++
+        rules.map { case (name, cond) => cond.cast("long").as(name) } :+
+        greatest(rules.map { case (_, cond) => cond.cast("long") }: _*).as("__any"): _*)
   }
 
   /** Corpus snapshot diff — the audit between two dataset versions a

@@ -302,6 +302,38 @@ class CorpusSpec extends SparkSpec {
     assert(out.size == 8)
   }
 
+  test("qualityFunnelBySource: per-source counts; shares are per-source; sums match global") {
+    val d = Seq(
+      (1L, "the cat sat on mat", "srcA"),       // passes all
+      (2L, "hi yo", "srcB"),                    // too_short + low_stopword + non_english
+      (3L, "the the the the the the the", "srcB") // too_long + repetitive
+    ).toDF("doc_id", "text", "source")
+    val per = Corpus.qualityFunnelBySource(
+      d, col("text"), col("source"),
+      minTokens = 3, maxTokens = 6, avgTokLenBand = (2.0, 5.0),
+      minStopRatio = 0.2, maxRepeatRatio = 0.4)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // srcA: one doc, passes everything
+    assert(per(("srcA", "pass_all")) == ((1L, 1.0)))
+    assert(per(("srcA", "any_rule")) == ((0L, 0.0)))
+    // srcB: both docs fail something; shares are over the SOURCE total (2)
+    assert(per(("srcB", "too_short")) == ((1L, 0.5)))
+    assert(per(("srcB", "too_long")) == ((1L, 0.5)))
+    assert(per(("srcB", "any_rule")) == ((2L, 1.0)))
+    assert(per(("srcB", "pass_all")) == ((0L, 0.0)))
+    // 2 sources × 8 rows, and per-rule counts sum to the global funnel
+    assert(per.size == 16)
+    val global = Corpus.qualityFunnel(
+      d, col("text"),
+      minTokens = 3, maxTokens = 6, avgTokLenBand = (2.0, 5.0),
+      minStopRatio = 0.2, maxRepeatRatio = 0.4)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    global.foreach { case (rule, n) =>
+      assert(per(("srcA", rule))._1 + per(("srcB", rule))._1 == n, rule)
+    }
+  }
+
   test("zipfFit: exact slope/intercept on a constructed power law; degenerate fit is null") {
     // tf 8 at rank 1 (x=0, y=3) and tf 4 at rank 2 (x=1, y=2): slope −1,
     // intercept 3 — exact by construction
