@@ -694,6 +694,14 @@ object ExtensionQueries {
   private def q95FunnelBySource(s: SparkSession, d: String): DataFrame =
     Corpus.qualityFunnelBySource(Tables.documents(s, d), col("text"), col("source"))
 
+  /** Curriculum training order with length-band difficulty levels — see
+    * [[graft.curation.Assembly.curriculumOrder]].
+    */
+  private def q96Curriculum(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.curriculumOrder(
+      Tables.documents(s, d), col("doc_id"),
+      least(expr("n_chars div 200"), lit(5)))
+
   private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
     Dedup.semanticDedup(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -788,6 +796,7 @@ object ExtensionQueries {
     "q93_byte_entropy" -> (q93ByteEntropy _),
     "q94_zipf" -> (q94Zipf _),
     "q95_funnel_by_source" -> (q95FunnelBySource _),
+    "q96_curriculum" -> (q96Curriculum _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1096,6 +1105,16 @@ object ExtensionQueries {
          |  FROM documents)
          |SELECT doc_id, sort_key,
          |  row_number() OVER (ORDER BY sort_key, doc_id) AS global_pos
+         |FROM h""".stripMargin,
+    "q96_curriculum" ->
+      // the engine's (level, hash-bucket) two-pass ranking is ORDER BY
+      // (level, sort_key, doc_id): the bucket is the hash's top bits, a
+      // monotone prefix of sort_key
+      s"""WITH h AS (SELECT doc_id, least(n_chars // 200, 5)::INT AS level,
+         |  (${duckHash48("(doc_id::VARCHAR || ':curriculum-v1')")})::BIGINT AS sort_key
+         |  FROM documents)
+         |SELECT doc_id, level, sort_key,
+         |  row_number() OVER (ORDER BY level, sort_key, doc_id)::BIGINT AS global_pos
          |FROM h""".stripMargin,
     "q47_vocab" ->
       s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),

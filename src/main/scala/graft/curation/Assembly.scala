@@ -411,6 +411,56 @@ object Assembly {
       .drop("bucket", "__tie", "__rn", "offset")
   }
 
+  /** CURRICULUM order: a deterministic global training order that ramps
+    * difficulty — rows sort by ascending `level` (an INTEGER difficulty
+    * bucket the caller derives from any score: `round(quality*10)`,
+    * length deciles, perplexity bands — Bengio et al., "Curriculum
+    * Learning", ICML'09), and WITHIN a level by the same salted-hash
+    * shuffle as [[shuffleOrder]], so each difficulty band is internally
+    * decorrelated instead of leaking whatever order the score sort left.
+    * Rows with a null level have no place in a curriculum and are
+    * EXCLUDED (explicitly, not sorted to an arbitrary end).
+    *
+    * Scale shape: the [[shuffleOrder]] two-pass ranking generalized to a
+    * composite (level, hash-bucket) range key — per-(level, bucket)
+    * counts materialize once, offsets come from a broadcast non-equi
+    * self-join over the ≤ #levels·nBuckets counts relation, and the only
+    * data-sized exchange is the one (level, bucket) window. Never a
+    * global sort.
+    */
+  def curriculumOrder(
+      df: DataFrame,
+      id: Column,
+      level: Column,
+      salt: String = "curriculum-v1",
+      nBuckets: Int = 256
+  ): DataFrame = {
+    require(nBuckets > 0 && nBuckets <= (1 << 24), "nBuckets must be in [1, 2^24]")
+    val shift = 48 - (32 - Integer.numberOfLeadingZeros(nBuckets - 1 max 1))
+    val keyed = df
+      .select(id.as("doc_id"), level.cast("int").as("level"))
+      .where(col("level").isNotNull)
+      .withColumn("sort_key",
+        Hashing.hash48(concat(col("doc_id").cast("string"), lit(s":$salt"))))
+      .withColumn("bucket", shiftright(col("sort_key"), shift).cast("int"))
+    val counts = graft.Materialize(
+      keyed.groupBy(col("level"), col("bucket")).agg(count(lit(1)).as("cnt")))
+    val offsets = counts.as("b")
+      .join(broadcast(counts.as("p")),
+        col("p.level") < col("b.level") ||
+          (col("p.level") === col("b.level") && col("p.bucket") < col("b.bucket")),
+        "left")
+      .groupBy(col("b.level").as("level"), col("b.bucket").as("bucket"))
+      .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
+    val w = Window.partitionBy(col("level"), col("bucket"))
+      .orderBy(col("sort_key").asc, col("doc_id").asc)
+    keyed
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(offsets), Seq("level", "bucket"))
+      .withColumn("global_pos", col("offset") + col("__rn"))
+      .select(col("doc_id"), col("level"), col("sort_key"), col("global_pos"))
+  }
+
   /** The final training ORDER for a weighted data recipe — [[epochMix]]
     * composed with the [[shuffleOrder]] ranking over the (doc, copy)
     * universe, so epoch copies INTERLEAVE through the whole order instead

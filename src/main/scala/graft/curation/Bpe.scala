@@ -172,6 +172,39 @@ object Bpe {
     syms
   }
 
+  /** The merge table as a relation — the release artifact a data card
+    * ships next to the corpus version ([[graft.curation.Corpus.versionDiff]]
+    * audits the corpus; this is the tokenizer side of the same release).
+    */
+  def mergesToDF(spark: org.apache.spark.sql.SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.count))
+      .toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Persist learned merges as parquet (overwrite: a vocabulary is a
+    * versioned artifact, not an append log).
+    */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge],
+      path: String
+  ): Unit =
+    mergesToDF(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table, rank-sorted — the bounded collect of a
+    * vocabulary-sized artifact (same contract as the IVF centroid fetch).
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Merge] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .select(col("rank"), col("lhs"), col("rhs"), col("cnt"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank)
+      .toSeq
+  }
+
   /** Distributed BPE encode: per-document piece sequences under the
     * learned merges. The merge table ships ONCE per executor via a
     * broadcast variable (never a per-task plan Literal); the encode is

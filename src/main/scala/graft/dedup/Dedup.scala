@@ -1416,10 +1416,15 @@ object Dedup {
       keepFarthest: Boolean = true
   ): DataFrame = {
     import graft.similarity.IVF
-    val assigned = emb.select(
+    // materialized ONCE: the assignment projection feeds both sides of
+    // the pair self-join, the CC vertex set, and the final audit join —
+    // without it each consumer re-scans the corpus and re-runs the
+    // nCells×dim assignment dots (3+ full passes at 100 TB). Reliable
+    // checkpoint under graft.checkpointDir, like the CC loop itself.
+    val assigned = graft.Materialize(emb.select(
       id.as("vec_id"), vec.as("v"),
       IVF.literalCell(vec, centroids).as("cell"),
-      round(IVF.literalCellCosine(vec, centroids), 4).as("cos_centroid"))
+      round(IVF.literalCellCosine(vec, centroids), 4).as("cos_centroid")))
     val pairs = embeddingNearDups(
       assigned, col("vec_id"), col("v"), col("cell"), threshold, maxCell)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))

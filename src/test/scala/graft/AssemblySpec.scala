@@ -342,4 +342,29 @@ class AssemblySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).sorted
     assert(repart.toSeq == ordered.sorted.toSeq)
   }
+
+  test("curriculumOrder: levels ramp, within-level order is the salted shuffle, nulls excluded") {
+    val d = (1L to 40L).map(i => (i, (i % 4).toInt)).toDF("doc_id", "lvl")
+    val out = Assembly.curriculumOrder(d, col("doc_id"), col("lvl"), nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // bijective positions 1..n
+    assert(out.map(_._4).sorted.toSeq == (1L to 40L))
+    // levels are non-decreasing along the global order
+    val byPos = out.sortBy(_._4)
+    assert(byPos.map(_._2).toSeq == byPos.map(_._2).sortBy(identity).toSeq)
+    // within a level, order is exactly the salted-hash shuffle (sort_key, id)
+    byPos.groupBy(_._2).values.foreach { g =>
+      val inOrder = g.sortBy(_._4).map(r => (r._3, r._1)).toSeq
+      assert(inOrder == inOrder.sorted, "within-level order must follow (sort_key, doc_id)")
+    }
+    // null levels are excluded, not sorted to an end
+    val withNull = d.withColumn("lvl", when(col("doc_id") <= 5, lit(null)).otherwise(col("lvl")))
+    val filtered = Assembly.curriculumOrder(withNull, col("doc_id"), col("lvl"), nBuckets = 8)
+    assert(filtered.count() == 35)
+    assert(filtered.agg(max(col("global_pos"))).head().getLong(0) == 35L)
+    // partitioning-independent
+    val repart = Assembly.curriculumOrder(d.repartition(7), col("doc_id"), col("lvl"), nBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(repart.toSeq == out.sorted.toSeq)
+  }
 }

@@ -60,4 +60,17 @@ class BpeSpec extends SparkSpec {
     // reconstruction law: concatenated pieces equal the concatenated words
     assert(enc(1L)._1.mkString == "lowestnewest")
   }
+
+  test("saveMerges/loadMerges round-trips the vocabulary artifact in rank order") {
+    val ms = Bpe.train(classic, col("text"), maxMerges = 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString + "/merges"
+    Bpe.saveMerges(spark, ms, dir)
+    assert(Bpe.loadMerges(spark, dir) == ms)
+    // overwrite semantics: a retrained (shorter) vocabulary replaces, not appends
+    val shorter = Bpe.train(classic, col("text"), maxMerges = 2)
+    Bpe.saveMerges(spark, shorter, dir)
+    assert(Bpe.loadMerges(spark, dir) == shorter)
+    // the artifact relation carries (rank, lhs, rhs, cnt)
+    assert(Bpe.mergesToDF(spark, ms).columns.toSeq == Seq("rank", "lhs", "rhs", "cnt"))
+  }
 }
