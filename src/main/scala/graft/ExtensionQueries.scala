@@ -702,6 +702,18 @@ object ExtensionQueries {
       Tables.documents(s, d), col("doc_id"),
       least(expr("n_chars div 200"), lit(5)))
 
+  /** Frozen-reference-LM perplexity filter: yesterday's corpus
+    * (doc_id < 250) is the LM, today's batch scores against it — see
+    * [[graft.curation.Corpus.surprisalAgainst]] (the persisted-table
+    * path is spec-gated).
+    */
+  private def q97FrozenLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.surprisalAgainst(
+      docs.where(col("doc_id") >= 250), col("text"), col("doc_id"),
+      Corpus.termCounts(docs.where(col("doc_id") < 250), col("text")))
+  }
+
   private def q91SemanticDedup(s: SparkSession, d: String): DataFrame =
     Dedup.semanticDedup(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
@@ -797,6 +809,7 @@ object ExtensionQueries {
     "q94_zipf" -> (q94Zipf _),
     "q95_funnel_by_source" -> (q95FunnelBySource _),
     "q96_curriculum" -> (q96Curriculum _),
+    "q97_frozen_lm" -> (q97FrozenLm _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1116,6 +1129,20 @@ object ExtensionQueries {
          |SELECT doc_id, level, sort_key,
          |  row_number() OVER (ORDER BY level, sort_key, doc_id)::BIGINT AS global_pos
          |FROM h""".stripMargin,
+    "q97_frozen_lm" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |lm AS (SELECT term, count(*)::BIGINT AS cnt FROM t WHERE doc_id < 250 GROUP BY 1),
+         |tot AS (SELECT sum(cnt)::BIGINT AS t_lm, count(*)::BIGINT AS v_lm FROM lm),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t WHERE doc_id >= 250 GROUP BY 1, 2),
+         |pd AS (SELECT dt.doc_id, sum(dt.tf)::BIGINT AS n_tokens,
+         |  round(-sum(dt.tf * log2((coalesce(lm.cnt, 0) + 1.0)
+         |      / ((SELECT t_lm FROM tot) + (SELECT v_lm FROM tot)))) / sum(dt.tf), 4) + 0.0
+         |    AS bits_per_token
+         |  FROM dt LEFT JOIN lm USING (term) GROUP BY dt.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.bits_per_token, 0.0) AS bits_per_token
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |WHERE d.doc_id >= 250""".stripMargin,
     "q47_vocab" ->
       s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |s AS (SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df

@@ -603,6 +603,87 @@ object Corpus {
           .otherwise("unchanged").as("status"))
   }
 
+  /** The corpus's unigram term counts `(term, cnt)` — the reference-LM
+    * relation [[surprisalAgainst]] scores against, and the payload
+    * [[saveTermCounts]] persists. One explode + one map-combined term
+    * shuffle.
+    */
+  def termCounts(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(TextFunctions.wsTokens(text)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Persist a batch's term counts into a bucketed reference-LM table —
+    * the incremental shape of the corpus-statistics stage (the
+    * [[graft.dedup.Dedup.saveBandIndex]] pattern at the LM tier):
+    * appends are DELTAS (yesterday's corpus is never re-tokenized), and
+    * the additive semantics make aggregate-on-read exact.
+    * Bucketed on `term`, so both the read-side aggregation and the
+    * [[surprisalAgainst]] scoring join plan NO exchange on the LM side
+    * however large history grows.
+    */
+  def saveTermCounts(
+      docs: DataFrame,
+      text: Column,
+      table: String,
+      buckets: Int = 64
+  ): Unit =
+    graft.sources.Storage.writeBucketed(
+      termCounts(docs, text), table, "term", buckets, mode = "append")
+
+  /** The aggregated reference LM from a [[saveTermCounts]] table: delta
+    * rows sum per term — on the bucketed layout the grouping is satisfied
+    * by the table's own partitioning (no exchange).
+    */
+  def termCountsFromTable(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String
+  ): DataFrame =
+    spark.table(table).groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-document surprisal under a FROZEN reference LM — the production
+    * perplexity filter: the LM is built once ([[termCounts]] /
+    * [[saveTermCounts]]) and every new crawl batch scores against it,
+    * instead of each batch re-deriving a self-LM whose statistics drift
+    * with the batch ([[unigramSurprisal]] is the self-LM form). Add-one
+    * smoothing over the LM's own vocabulary (`p(t) = (c_t + 1)/(T + V)`)
+    * keeps OOV terms finite: unseen vocabulary scores the
+    * `log2(T + V)`-bits ceiling — exactly the "this is not the language
+    * the LM saw" signal. Zero-token docs score 0 over 0.
+    *
+    * Scale shape: the batch explodes once into (doc, term) map-combined
+    * counts and LEFT-joins the vocabulary-sized LM on term — with a
+    * bucketed [[saveTermCounts]] table, no exchange on the LM side; the
+    * two scalar totals are a 1-row aggregate over the LM relation (never
+    * a corpus re-scan) and join by broadcast.
+    */
+  def surprisalAgainst(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      lm: DataFrame
+  ): DataFrame = {
+    val counts = lm.select(col("term"), col("cnt").cast("long").as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("t_lm"), count(lit(1)).as("v_lm"))
+    val dt = docTermCounts(docs, text, id)
+    val scored = dt
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        (round(
+          -sum(col("tf") *
+            log2((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("t_lm") + col("v_lm"))))
+            / sum(col("tf")), 4) + lit(0.0)).as("bits_per_token"))
+    docs.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("bits_per_token"), lit(0.0)).as("bits_per_token"))
+  }
+
   /** Zipf-law fit over the top-`topN` vocabulary: least-squares slope and
     * intercept of `log2(tf)` against `log2(rank)` — the classic
     * corpus-health diagnostic (natural language sits near slope −1;

@@ -334,6 +334,40 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("surprisalAgainst: frozen-LM scoring with OOV ceiling; bucketed-table deltas equal inline") {
+    val ref = docs(1L -> "the cat sat", 2L -> "the dog sat")
+    // LM: the:2 cat:1 sat:2 dog:1 → T=6, V=4, denominator 10
+    val lm = Corpus.termCounts(ref, col("text"))
+    val batch = docs(10L -> "the the", 11L -> "zebra", 12L -> "")
+    val out = Corpus.surprisalAgainst(batch, col("text"), col("doc_id"), lm)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(10L) == ((2L, 1.737)))   // -log2((2+1)/10)
+    assert(out(11L) == ((1L, 3.3219)))  // OOV ceiling: log2(T+V)
+    assert(out(12L) == ((0L, 0.0)))     // zero-token doc
+    // OOV scores the ceiling — strictly above any in-vocabulary term
+    assert(out(11L)._2 > out(10L)._2)
+
+    // persisted path: two DELTA appends aggregate to the same LM, and
+    // scoring against the table equals scoring against the inline LM
+    val tbl = "graft_test_frozen_lm"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      Corpus.saveTermCounts(docs(1L -> "the cat sat"), col("text"), tbl, buckets = 4)
+      Corpus.saveTermCounts(docs(2L -> "the dog sat"), col("text"), tbl, buckets = 4)
+      val fromTable = Corpus.termCountsFromTable(spark, tbl)
+      val inline = lm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fromTable.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == inline)
+      val viaTable = Corpus.surprisalAgainst(batch, col("text"), col("doc_id"), fromTable)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(viaTable == out)
+      // the scoring join plans no exchange on the bucketed LM side: the
+      // only Exchange below the join is on the batch's term explode
+      val plan = Corpus.surprisalAgainst(batch, col("text"), col("doc_id"), fromTable)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("zipfFit: exact slope/intercept on a constructed power law; degenerate fit is null") {
     // tf 8 at rank 1 (x=0, y=3) and tf 4 at rank 2 (x=1, y=2): slope −1,
     // intercept 3 — exact by construction
