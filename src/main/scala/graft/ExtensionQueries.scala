@@ -702,6 +702,14 @@ object ExtensionQueries {
       Tables.documents(s, d), col("doc_id"),
       least(expr("n_chars div 200"), lit(5)))
 
+  /** Temperature-scaled (α = 0.3, the XLM-R value) language-mixture
+    * weights over document characters — see
+    * [[graft.curation.Assembly.temperatureWeights]].
+    */
+  private def q98Temperature(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.temperatureWeights(
+      Tables.documents(s, d), col("lang"), col("n_chars"), alpha = 0.3)
+
   /** Frozen-reference-LM perplexity filter: yesterday's corpus
     * (doc_id < 250) is the LM, today's batch scores against it — see
     * [[graft.curation.Corpus.surprisalAgainst]] (the persisted-table
@@ -810,6 +818,7 @@ object ExtensionQueries {
     "q95_funnel_by_source" -> (q95FunnelBySource _),
     "q96_curriculum" -> (q96Curriculum _),
     "q97_frozen_lm" -> (q97FrozenLm _),
+    "q98_temperature" -> (q98Temperature _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1143,6 +1152,16 @@ object ExtensionQueries {
          |  coalesce(pd.bits_per_token, 0.0) AS bits_per_token
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |WHERE d.doc_id >= 250""".stripMargin,
+    "q98_temperature" ->
+      s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |p AS (SELECT *, pow(n_tokens::DOUBLE, 0.3) AS pw FROM c),
+         |t AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(pw) AS totp FROM p)
+         |SELECT stratum, n_tokens,
+         |  round(n_tokens / tot, 4) AS p_raw,
+         |  round(pw / totp, 4) AS p_alpha,
+         |  round((pw / totp) / (n_tokens / tot), 4) AS rate
+         |FROM p CROSS JOIN t""".stripMargin,
     "q47_vocab" ->
       s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |s AS (SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df

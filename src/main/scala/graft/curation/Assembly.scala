@@ -411,6 +411,45 @@ object Assembly {
       .drop("bucket", "__tie", "__rn", "offset")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual-sampling
+    * standard (exponentiated smoothing, mBERT / XLM-R: sample stratum `s`
+    * with `p_s ∝ n_s^α`): α < 1 flattens the size distribution so
+    * head strata stop drowning the tail, α = 1 is proportional, α = 0
+    * uniform. Emits per stratum the raw share, the α-share, and the
+    * realized up/down-sampling `rate = p_α / p_raw` — feed the rates to
+    * [[epochMix]] / [[stratifiedSample]] as the recipe weights
+    * (rate > 1 = upsample the tail, < 1 = downsample the head).
+    *
+    * Scale shape: ONE map-combined stratum shuffle to the ≤ #strata
+    * counts relation; the α-normalization runs over that tiny relation
+    * (unordered window + broadcast-free scalar math). Rounded 4 dp for
+    * the cross-engine contract.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      stratum: Column,
+      measure: Column,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val counts = df.select(stratum.as("stratum"), measure.cast("long").as("m"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("m")).as("n_tokens"))
+      .withColumn("__pow", pow(col("n_tokens").cast("double"), lit(alpha)))
+    // scalar aggregate + broadcast (the mixPlan pattern): the totals are
+    // one row over the ≤ #strata relation — never a single-partition
+    // window exchange
+    val totals = counts.agg(
+      sum(col("n_tokens")).as("__tot"), sum(col("__pow")).as("__totp"))
+    counts.crossJoin(broadcast(totals)).select(
+      col("stratum"),
+      col("n_tokens"),
+      round(col("n_tokens") / col("__tot"), 4).as("p_raw"),
+      round(col("__pow") / col("__totp"), 4).as("p_alpha"),
+      round((col("__pow") / col("__totp")) / (col("n_tokens") / col("__tot")), 4)
+        .as("rate"))
+  }
+
   /** CURRICULUM order: a deterministic global training order that ramps
     * difficulty — rows sort by ascending `level` (an INTEGER difficulty
     * bucket the caller derives from any score: `round(quality*10)`,

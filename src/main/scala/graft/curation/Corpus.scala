@@ -663,7 +663,13 @@ object Corpus {
       id: Column,
       lm: DataFrame
   ): DataFrame = {
-    val counts = lm.select(col("term"), col("cnt").cast("long").as("cnt"))
+    // materialized ONCE: both the scalar totals and the scoring join
+    // consume the LM relation — an inline LM (termCounts over a raw
+    // corpus) would otherwise re-run its full explode+aggregate per
+    // consumer. Vocabulary-sized by contract, so the checkpoint is cheap;
+    // a bucketed-table LM loses nothing.
+    val counts = graft.Materialize(
+      lm.select(col("term"), col("cnt").cast("long").as("cnt")))
     val tot = counts.agg(sum(col("cnt")).as("t_lm"), count(lit(1)).as("v_lm"))
     val dt = docTermCounts(docs, text, id)
     val scored = dt

@@ -343,6 +343,27 @@ class AssemblySpec extends SparkSpec {
     assert(repart.toSeq == ordered.sorted.toSeq)
   }
 
+  test("temperatureWeights: exact α=0.5 shares, α=1 identity, α=0 uniform, tail upsampled") {
+    val d = Seq(
+      (1L, "A", 3L), (2L, "A", 1L), // stratum A: 4 tokens → pw 2 at α=0.5
+      (3L, "B", 1L)                 // stratum B: 1 token  → pw 1
+    ).toDF("doc_id", "stratum", "m")
+    val w = Assembly.temperatureWeights(d, col("stratum"), col("m"), alpha = 0.5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(w("A") == ((4L, 0.8, 0.6667, 0.8333)))
+    assert(w("B") == ((1L, 0.2, 0.3333, 1.6667)))
+    // α = 1: proportional — every rate exactly 1
+    val id1 = Assembly.temperatureWeights(d, col("stratum"), col("m"), alpha = 1.0)
+    assert(id1.where(col("rate") =!= 1.0).isEmpty)
+    // α = 0: uniform shares regardless of size
+    val u = Assembly.temperatureWeights(d, col("stratum"), col("m"), alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(u("A") == 0.5 && u("B") == 0.5)
+    // the law the technique exists for: the small stratum's rate exceeds
+    // the large stratum's for every α < 1
+    assert(w("B")._4 > w("A")._4)
+  }
+
   test("curriculumOrder: levels ramp, within-level order is the salted shuffle, nulls excluded") {
     val d = (1L to 40L).map(i => (i, (i % 4).toInt)).toDF("doc_id", "lvl")
     val out = Assembly.curriculumOrder(d, col("doc_id"), col("lvl"), nBuckets = 8)

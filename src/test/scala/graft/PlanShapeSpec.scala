@@ -217,4 +217,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(s76.contains("WindowGroupLimit"), s76)
     assert(s76.contains("BroadcastExchange"), s76)
   }
+
+  test("round-8 shapes: per-source funnel one scan; curriculum/zipf never sort globally; entropy zero-exchange") {
+    // q95: grouping the funnel by source must not add a scan or widen the
+    // kernel pass — one scan reading (text, source), one group exchange
+    val p95 = plan("q95_funnel_by_source")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p95).size == 1, p95)
+    assert(p95.contains("graft_rep_stats"), p95)
+    // q96: the two-pass rank plans window + broadcast offsets — a global
+    // Sort of the corpus would be the single-partition anti-pattern
+    val s96 = simplePlan("q96_curriculum")
+    assert(!s96.matches("(?s).*Sort .*global=true.*"), s96)
+    assert(s96.contains("BroadcastExchange"), s96)
+    // q93: the entropy kernel is a pure projection — ZERO exchanges
+    val s93 = simplePlan("q93_byte_entropy")
+    assert(!s93.contains("Exchange"), s93)
+    assert(s93.contains("graft_byte_entropy"), s93)
+    // q94: the regression never sorts the vocab globally — the top-N cut
+    // is TakeOrdered, the sums a scalar aggregate
+    val p94 = plan("q94_zipf")
+    assert(p94.contains("TakeOrderedAndProject"), p94)
+    // q97: the LM relation is materialized once (its explode never
+    // appears in the scoring plan — the totals and the join would
+    // otherwise each re-run it); the batch explodes exactly once
+    val p97 = plan("q97_frozen_lm")
+    assert("\\(\\d+\\) Generate".r.findAllIn(p97).size == 1, p97)
+  }
 }
