@@ -710,6 +710,25 @@ object ExtensionQueries {
     graft.curation.Assembly.temperatureWeights(
       Tables.documents(s, d), col("lang"), col("n_chars"), alpha = 0.3)
 
+  /** Embedding-table QA report — see
+    * [[graft.functions.TextFunctions]]'s vector sibling
+    * [[graft.functions.VectorFunctions.embeddingStats]].
+    */
+  private def q99EmbeddingQa(s: SparkSession, d: String): DataFrame =
+    graft.functions.VectorFunctions.embeddingStats(
+      Tables.embeddings(s, d), col("embedding"), expectedDim = 64)
+
+  /** Frozen-vocabulary OOV coverage: the top-100 vocabulary of
+    * yesterday's corpus (doc_id < 250) scores today's batch — see
+    * [[graft.curation.Corpus.vocabCoverage]].
+    */
+  private def q100VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.vocabCoverage(
+      docs.where(col("doc_id") >= 250), col("text"), col("doc_id"),
+      Corpus.vocabulary(docs.where(col("doc_id") < 250), col("text"), col("doc_id"), topN = 100))
+  }
+
   /** Frozen-reference-LM perplexity filter: yesterday's corpus
     * (doc_id < 250) is the LM, today's batch scores against it — see
     * [[graft.curation.Corpus.surprisalAgainst]] (the persisted-table
@@ -819,6 +838,8 @@ object ExtensionQueries {
     "q96_curriculum" -> (q96Curriculum _),
     "q97_frozen_lm" -> (q97FrozenLm _),
     "q98_temperature" -> (q98Temperature _),
+    "q99_embedding_qa" -> (q99EmbeddingQa _),
+    "q100_vocab_coverage" -> (q100VocabCoverage _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1162,6 +1183,39 @@ object ExtensionQueries {
          |  round(pw / totp, 4) AS p_alpha,
          |  round((pw / totp) / (n_tokens / tot), 4) AS rate
          |FROM p CROSS JOIN t""".stripMargin,
+    "q99_embedding_qa" ->
+      """WITH m AS (SELECT embedding,
+        |  embedding IS NULL AS is_null,
+        |  CASE WHEN embedding IS NULL THEN NULL ELSE len(embedding) END AS dim,
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |       ELSE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 END AS bad,
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |       ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nrm
+        |  FROM embeddings)
+        |SELECT count(*)::BIGINT AS n_vectors,
+        |  sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  sum(CASE WHEN NOT is_null AND dim != 64 THEN 1 ELSE 0 END)::BIGINT AS n_wrong_dim,
+        |  sum(CASE WHEN NOT is_null AND bad THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+        |  sum(CASE WHEN NOT is_null AND dim = 64 AND NOT bad AND nrm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |  round(min(CASE WHEN NOT is_null AND dim = 64 AND NOT bad THEN nrm END), 4) AS norm_min,
+        |  round(avg(CASE WHEN NOT is_null AND dim = 64 AND NOT bad THEN nrm END), 4) AS norm_avg,
+        |  round(max(CASE WHEN NOT is_null AND dim = 64 AND NOT bad THEN nrm END), 4) AS norm_max
+        |FROM m""".stripMargin,
+    "q100_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |vc AS (SELECT term, count(*)::BIGINT AS tf FROM t WHERE doc_id < 250 GROUP BY 1),
+         |vr AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM vc),
+         |v AS (SELECT DISTINCT term FROM vr WHERE rank <= 100),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t WHERE doc_id >= 250 GROUP BY 1, 2),
+         |pd AS (SELECT dt.doc_id, sum(dt.tf)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN v.term IS NULL THEN dt.tf ELSE 0 END)::BIGINT AS n_oov
+         |  FROM dt LEFT JOIN v ON dt.term = v.term GROUP BY dt.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(pd.n_oov, 0)::BIGINT AS n_oov,
+         |  CASE WHEN coalesce(pd.n_tokens, 0) > 0
+         |       THEN round(pd.n_oov / pd.n_tokens, 4) ELSE 0.0 END AS oov_rate
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |WHERE d.doc_id >= 250""".stripMargin,
     "q47_vocab" ->
       s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
          |s AS (SELECT term, count(*)::BIGINT AS tf, count(DISTINCT doc_id)::BIGINT AS df

@@ -641,6 +641,43 @@ object Corpus {
   ): DataFrame =
     spark.table(table).groupBy(col("term")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Per-document out-of-vocabulary rate against a FROZEN vocabulary
+    * relation (a [[vocabulary]] cut, a tokenizer's word list, or any
+    * (term, …) table): `(doc_id, n_tokens, n_oov, oov_rate)` — the
+    * coverage gate run before committing to a tokenizer vocabulary, and
+    * the drift monitor after ("this crawl's OOV rate doubled" =
+    * language/domain shift the quality rules may not see). Zero-token
+    * docs rate 0 over 0.
+    *
+    * Scale shape: the batch explodes once into map-combined (doc, term)
+    * counts, LEFT-joins the vocabulary-sized term set (distinct'd — a
+    * duplicated vocab row must not double-count tokens), one doc-key
+    * aggregate. The vocabulary side never exchanges when read from a
+    * bucketed table.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      vocab: DataFrame
+  ): DataFrame = {
+    val vt = vocab.select(col("term")).distinct().withColumn("__in", lit(1L))
+    val dt = docTermCounts(docs, text, id)
+    val scored = dt.join(vt, Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+    docs.select(id.as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_oov") / col("n_tokens"), 4)).otherwise(lit(0.0)).as("oov_rate"))
+  }
+
   /** Per-document surprisal under a FROZEN reference LM — the production
     * perplexity filter: the LM is built once ([[termCounts]] /
     * [[saveTermCounts]]) and every new crawl batch scores against it,

@@ -127,6 +127,40 @@ object VectorFunctions {
   /** Inverse of [[quantizeInt8]] up to the quantization error:
     * `x̂_i = q_i · scale`, with `|x̂_i − x_i| ≤ scale / 2`.
     */
+  /** Embedding-table QA report, one row: null / wrong-dimension /
+    * non-finite / zero-norm counts plus the norm distribution of the
+    * valid vectors — the health gate an embedding pipeline runs before
+    * ANN indexing or SemDeDup trusts the column (a NaN poisoning a
+    * centroid, a truncated array joining nothing, and an unnormalized
+    * batch mixing with a normalized one are all silent downstream;
+    * this surfaces them as counts).
+    *
+    * One scalar aggregate over one scan — per-row expressions only,
+    * partial-aggregated map-side; nothing corpus-sized moves.
+    */
+  def embeddingStats(
+      df: org.apache.spark.sql.DataFrame,
+      vec: Column,
+      expectedDim: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val isNull = vec.isNull
+    val dim = size(vec)
+    val nonFinite = exists(vec, x =>
+      isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+    val nrm = norm2(vec)
+    val valid = !isNull && dim === expectedDim && !nonFinite
+    val vNorm = when(valid, nrm)
+    df.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(!isNull && dim =!= expectedDim, 1L).otherwise(0L)).as("n_wrong_dim"),
+      sum(when(!isNull && nonFinite, 1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(valid && nrm === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      round(min(vNorm), 4).as("norm_min"),
+      round(avg(vNorm), 4).as("norm_avg"),
+      round(max(vNorm), 4).as("norm_max"))
+  }
+
   def dequantizeInt8(codes: Column, scale: Column): Column =
     transform(codes, q => q.cast("double") * scale)
 }

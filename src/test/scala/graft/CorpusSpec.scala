@@ -368,6 +368,21 @@ class CorpusSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("vocabCoverage: OOV tokens counted with multiplicity; duplicate vocab rows don't double-count") {
+    val vocab = Seq("the", "cat", "the").toDF("term") // deliberate duplicate
+    val d = docs(1L -> "the cat", 2L -> "the dog dog", 3L -> "")
+    val out = Corpus.vocabCoverage(d, col("text"), col("doc_id"), vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))          // fully covered
+    assert(out(2L) == ((3L, 2L, 0.6667)))       // "dog" twice counts twice
+    assert(out(3L) == ((0L, 0L, 0.0)))          // empty doc: 0 over 0
+    // rate is monotone in coverage: adding "dog" to the vocab drops doc 2's rate to 0
+    val wider = Corpus.vocabCoverage(d, col("text"), col("doc_id"),
+      vocab.union(Seq("dog").toDF("term")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(wider(2L) == 0.0)
+  }
+
   test("zipfFit: exact slope/intercept on a constructed power law; degenerate fit is null") {
     // tf 8 at rank 1 (x=0, y=3) and tf 4 at rank 2 (x=1, y=2): slope −1,
     // intercept 3 — exact by construction

@@ -697,6 +697,30 @@ class DedupKnnSpec extends SparkSpec {
       Dedup.minhashLshPairs(d, col("text"), col("doc_id")).count())
   }
 
+  test("embeddingStats: null / wrong-dim / non-finite / zero counts and valid-norm stats") {
+    import graft.functions.VectorFunctions
+    val emb = Seq(
+      (1L, Array(3f, 4f)),                     // valid, norm 5
+      (2L, Array(0f, 0f)),                     // valid but zero-norm
+      (3L, Array(1f)),                         // wrong dimension
+      (4L, Array(Float.NaN, 1f)),              // non-finite
+      (5L, null.asInstanceOf[Array[Float]]),   // null
+      (6L, Array(Float.PositiveInfinity, 0f))  // non-finite
+    ).toDF("vec_id", "embedding")
+    val r = VectorFunctions.embeddingStats(emb, col("embedding"), expectedDim = 2).head()
+    assert(r.getLong(0) == 6L, "n_vectors")
+    assert(r.getLong(1) == 1L, "n_null")
+    assert(r.getLong(2) == 1L, "n_wrong_dim")
+    assert(r.getLong(3) == 2L, "n_nonfinite")
+    assert(r.getLong(4) == 1L, "n_zero")
+    // norm stats over the two VALID vectors only: {5.0, 0.0}
+    assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 2.5 && r.getDouble(7) == 5.0)
+    // a clean table reports all-zero pathology counts
+    val clean = VectorFunctions.embeddingStats(
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), col("embedding"), 2).head()
+    assert(clean.getLong(1) == 0 && clean.getLong(2) == 0 && clean.getLong(3) == 0)
+  }
+
   test("semanticDedup: cell-blocked clusters, SemDeDup keep-farthest rule, cross-cell blindness") {
     val cents = Array(Array(1f, 0f), Array(0f, 1f))
     val emb = Seq(
