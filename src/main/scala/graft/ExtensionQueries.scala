@@ -710,6 +710,15 @@ object ExtensionQueries {
     graft.curation.Assembly.temperatureWeights(
       Tables.documents(s, d), col("lang"), col("n_chars"), alpha = 0.3)
 
+  /** Within-document repeated-segment removal at word granularity (the
+    * Gopher/C4 in-document dedup rule) — see
+    * [[graft.functions.TextFunctions.dedupSegments]].
+    */
+  private def q101WithinDocDedup(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.dedupSegments(col("text"), " ").as("text_deduped"))
+
   /** Embedding-table QA report — see
     * [[graft.functions.TextFunctions]]'s vector sibling
     * [[graft.functions.VectorFunctions.embeddingStats]].
@@ -840,6 +849,7 @@ object ExtensionQueries {
     "q98_temperature" -> (q98Temperature _),
     "q99_embedding_qa" -> (q99EmbeddingQa _),
     "q100_vocab_coverage" -> (q100VocabCoverage _),
+    "q101_within_doc_dedup" -> (q101WithinDocDedup _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1173,6 +1183,13 @@ object ExtensionQueries {
          |  coalesce(pd.bits_per_token, 0.0) AS bits_per_token
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |WHERE d.doc_id >= 250""".stripMargin,
+    "q101_within_doc_dedup" ->
+      // DuckDB lambda index i is 1-based; Spark's filter index is 0-based
+      // (the engine compares against i + 1) — both keep first occurrences
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        |SELECT doc_id, array_to_string(
+        |  list_filter(l, (x, i) -> list_position(l, x) = i), ' ') AS text_deduped
+        |FROM t""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -219,6 +219,21 @@ object TextFunctions {
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column = size(wsTokens(text))
 
+  /** WITHIN-document repeated-segment removal (the Gopher/C4 "drop
+    * duplicated lines/paragraphs inside a document" rule, at any
+    * delimiter granularity): keep each segment's FIRST occurrence,
+    * preserve order, rejoin — the complement of
+    * [[graft.dedup.Dedup.dropSharedSegments]]' ACROSS-document form.
+    * Pure per-row array expression: zero exchanges, fuses into the
+    * surrounding projection. Quadratic in the row's segment count
+    * (`array_position` per element) — bounded per row, never per corpus.
+    */
+  def dedupSegments(text: Column, delimiter: String = "\n"): Column = {
+    val segs = split(text, java.util.regex.Pattern.quote(delimiter))
+    concat_ws(delimiter,
+      filter(segs, (x, i) => array_position(segs, x) === i + 1))
+  }
+
   /** Shannon entropy of the UTF-8 byte stream in bits per byte — the
     * compressibility axis of a noise filter (binary/base64 junk ≈ 6–8,
     * natural language ≈ 4–4.5, repeated boilerplate low; empty text 0).

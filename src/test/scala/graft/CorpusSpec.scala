@@ -368,6 +368,33 @@ class CorpusSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("dedupSegments: first occurrences kept in order; idempotent; delimiter-generic") {
+    import graft.functions.TextFunctions
+    val d = Seq(
+      (1L, "a b a c b a"),
+      (2L, "x x x"),
+      (3L, "unique words only"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"),
+      TextFunctions.dedupSegments(col("text"), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c")
+    assert(out(2L) == "x")
+    assert(out(3L) == "unique words only")
+    assert(out(4L) == "")
+    // idempotence: deduped text passes through unchanged
+    val again = d.select(col("doc_id"),
+      TextFunctions.dedupSegments(
+        TextFunctions.dedupSegments(col("text"), " "), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(again == out)
+    // line-granularity production form
+    val lines = Seq((1L, "intro\nbody\nintro\nfooter")).toDF("doc_id", "text")
+      .select(TextFunctions.dedupSegments(col("text")).as("t")).as[String].head()
+    assert(lines == "intro\nbody\nfooter")
+  }
+
   test("vocabCoverage: OOV tokens counted with multiplicity; duplicate vocab rows don't double-count") {
     val vocab = Seq("the", "cat", "the").toDF("term") // deliberate duplicate
     val d = docs(1L -> "the cat", 2L -> "the dog dog", 3L -> "")
