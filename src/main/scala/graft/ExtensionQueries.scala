@@ -1205,7 +1205,7 @@ object ExtensionQueries {
         |  embedding IS NULL AS is_null,
         |  CASE WHEN embedding IS NULL THEN NULL ELSE len(embedding) END AS dim,
         |  CASE WHEN embedding IS NULL THEN NULL
-        |       ELSE len(list_filter(embedding, x -> isnan(x) OR isinf(x))) > 0 END AS bad,
+        |       ELSE len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) > 0 END AS bad,
         |  CASE WHEN embedding IS NULL THEN NULL
         |       ELSE sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) END AS nrm
         |  FROM embeddings)

@@ -709,16 +709,26 @@ object Corpus {
       lm.select(col("term"), col("cnt").cast("long").as("cnt")))
     val tot = counts.agg(sum(col("cnt")).as("t_lm"), count(lit(1)).as("v_lm"))
     val dt = docTermCounts(docs, text, id)
+    // An EMPTY LM makes t_lm null and every score would coalesce to a
+    // silent 0.0 — "perfectly predictable" for the whole batch, precisely
+    // when nothing was scored at all (the bootstrap data-loss bug class).
+    // Scoring against a nonexistent LM is a pipeline bug: fail loudly,
+    // per row, without forcing an eager count on the lazy plan.
+    val bits = when(max(col("v_lm")) > 0,
+      -sum(col("tf") *
+        log2((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("t_lm") + col("v_lm"))))
+        / sum(col("tf")))
+      .otherwise(raise_error(lit(
+        "[graft] surprisalAgainst: the reference LM relation is EMPTY — " +
+          "scoring would silently return 0.0 bits for every document. " +
+          "Build the LM first (termCounts/saveTermCounts).")))
     val scored = dt
       .join(counts, Seq("term"), "left")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("n_tokens"),
-        (round(
-          -sum(col("tf") *
-            log2((coalesce(col("cnt"), lit(0L)) + 1.0) / (col("t_lm") + col("v_lm"))))
-            / sum(col("tf")), 4) + lit(0.0)).as("bits_per_token"))
+        (round(bits, 4) + lit(0.0)).as("bits_per_token"))
     docs.select(id.as("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(

@@ -145,8 +145,10 @@ object VectorFunctions {
   ): org.apache.spark.sql.DataFrame = {
     val isNull = vec.isNull
     val dim = size(vec)
+    // a null ELEMENT is as poisonous as a NaN (dot products go null) and
+    // counts as non-finite; `exists` short-circuits true past null checks
     val nonFinite = exists(vec, x =>
-      isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+      x.isNull || isnan(x) || abs(x) === lit(Float.PositiveInfinity))
     val nrm = norm2(vec)
     val valid = !isNull && dim === expectedDim && !nonFinite
     val vNorm = when(valid, nrm)

@@ -347,6 +347,14 @@ class CorpusSpec extends SparkSpec {
     // OOV scores the ceiling — strictly above any in-vocabulary term
     assert(out(11L)._2 > out(10L)._2)
 
+    // an EMPTY LM must fail loudly, not score the whole batch a silent
+    // 0.0 (the bootstrap data-loss class)
+    val emptyLm = lm.where(lit(false))
+    val ex = intercept[Exception] {
+      Corpus.surprisalAgainst(batch, col("text"), col("doc_id"), emptyLm).collect()
+    }
+    assert(ex.getMessage.contains("EMPTY") || ex.getCause.getMessage.contains("EMPTY"))
+
     // persisted path: two DELTA appends aggregate to the same LM, and
     // scoring against the table equals scoring against the inline LM
     val tbl = "graft_test_frozen_lm"

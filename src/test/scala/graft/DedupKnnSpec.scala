@@ -719,6 +719,12 @@ class DedupKnnSpec extends SparkSpec {
     val clean = VectorFunctions.embeddingStats(
       Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), col("embedding"), 2).head()
     assert(clean.getLong(1) == 0 && clean.getLong(2) == 0 && clean.getLong(3) == 0)
+    // a NULL ELEMENT poisons dot products like a NaN — counted non-finite
+    val nullElem = VectorFunctions.embeddingStats(
+      Seq(1L).toDF("vec_id")
+        .select(col("vec_id"), array(lit(1f), lit(null).cast("float")).as("embedding")),
+      col("embedding"), 2).head()
+    assert(nullElem.getLong(3) == 1L, "null element must count as non-finite")
   }
 
   test("semanticDedup: cell-blocked clusters, SemDeDup keep-farthest rule, cross-cell blindness") {
