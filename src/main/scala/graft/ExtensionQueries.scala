@@ -719,6 +719,62 @@ object ExtensionQueries {
       col("doc_id"),
       TextFunctions.dedupSegments(col("text"), " ").as("text_deduped"))
 
+  // --- round 8b: sketch selection, time series, linkage, diagnostics ----
+
+  /** φ-heavy hitters over the token stream — EXACT output via the CMS
+    * candidate prefilter + exact recount two-pass
+    * ([[graft.functions.Sketches.heavyHitters]]).
+    */
+  private def q102HeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.functions.Sketches.heavyHittersByShare(
+      Tables.documents(s, d)
+        .select(explode(TextFunctions.wsTokens(col("text"))).as("term")),
+      col("term"), share = 0.03)
+      .select(col("item").as("term"), col("cnt"))
+
+  /** Exact per-group quantiles by distributed histogram refinement —
+    * never a whole-group sort ([[graft.curation.Quantiles]]).
+    */
+  private def q103Quantiles(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.exactQuantiles(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
+      .select(col("g").as("l_returnflag"), col("q"), col("value"))
+
+  /** LOCF gap-fill report on an hourly per-user grid
+    * ([[graft.operators.TimeSeries.gapFillReport]]).
+    */
+  private def q104GapFill(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.gapFillReport(
+      Tables.events(s, d), col("user_id"), col("ts"), col("value"),
+      stepSeconds = 3600, probe = "2024-01-15 00:00:00")
+      .select(col("key").as("user_id"), col("n_slots"), col("n_obs"),
+        col("n_filled"), col("v_probe"), col("v_last"))
+
+  /** Per-source PII incidence over the redaction patterns
+    * ([[TextFunctions.piiReport]]).
+    */
+  private def q105PiiReport(s: SparkSession, d: String): DataFrame =
+    TextFunctions.piiReport(Tables.documents(s, d), col("text"), col("source"))
+      .withColumnRenamed("group", "source")
+
+  /** Blocked edit-distance linkage on (lang, length band) blocks over a
+    * 48-char prefix ([[Dedup.fuzzyPairs]]).
+    */
+  private def q106FuzzyPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyPairs(
+      Tables.documents(s, d), col("doc_id"), col("text"),
+      concat_ws("|", col("lang"), expr("n_chars div 64")),
+      maxDist = 8, prefixLen = 48, maxBlock = 1000)
+
+  /** Join-key skew diagnostics on the event stream's user key
+    * ([[graft.operators.Joins.skewReport]]).
+    */
+  private def q107SkewReport(s: SparkSession, d: String): DataFrame =
+    graft.operators.Joins.skewReport(
+      Tables.events(s, d), col("user_id"), topK = 20, targetRowsPerTask = 50)
+      .withColumnRenamed("key", "user_id")
+
   /** Embedding-table QA report — see
     * [[graft.functions.TextFunctions]]'s vector sibling
     * [[graft.functions.VectorFunctions.embeddingStats]].
@@ -850,6 +906,12 @@ object ExtensionQueries {
     "q99_embedding_qa" -> (q99EmbeddingQa _),
     "q100_vocab_coverage" -> (q100VocabCoverage _),
     "q101_within_doc_dedup" -> (q101WithinDocDedup _),
+    "q102_heavy_hitters" -> (q102HeavyHitters _),
+    "q103_quantiles" -> (q103Quantiles _),
+    "q104_gap_fill" -> (q104GapFill _),
+    "q105_pii_report" -> (q105PiiReport _),
+    "q106_fuzzy_pairs" -> (q106FuzzyPairs _),
+    "q107_skew_report" -> (q107SkewReport _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1190,6 +1252,70 @@ object ExtensionQueries {
         |SELECT doc_id, array_to_string(
         |  list_filter(l, (x, i) -> list_position(l, x) = i), ' ') AS text_deduped
         |FROM t""".stripMargin,
+    "q102_heavy_hitters" ->
+      // the engine's CMS prefilter + exact recount is EXACTLY the plain
+      // GROUP BY / HAVING — that identity IS the oracle check. The ::DOUBLE
+      // cast forces DuckDB onto the same IEEE product Spark computes
+      // (DuckDB's bare 0.03 literal is DECIMAL, whose exact ceil could
+      // differ by 1 at integer boundaries).
+      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents),
+         |n AS (SELECT count(*) AS t FROM toks)
+         |SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
+         |HAVING count(*) >= greatest(1, ceil(0.03::DOUBLE * (SELECT t FROM n)))""".stripMargin,
+    "q103_quantiles" ->
+      // type-1 (discrete) quantile: the value AT rank
+      // clamp(ceil(q·n), 1, n) — expressed here as the direct rank walk
+      // the engine's histogram refinement provably equals
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+        |r AS (SELECT g, q, least(n, greatest(1, ceil(q * n)::BIGINT)) AS rk
+        |  FROM n CROSS JOIN qs),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t)
+        |SELECT r.g AS l_returnflag, r.q, o.v AS value
+        |FROM r JOIN o ON o.g = r.g AND o.rn = r.rk""".stripMargin,
+    "q104_gap_fill" ->
+      """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS slot,
+        |    max(value) AS v_obs FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+        |f AS (SELECT g.user_id, g.slot, o.v_obs,
+        |    last_value(o.v_obs IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.slot
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot)
+        |SELECT user_id, count(*)::BIGINT AS n_slots, count(v_obs)::BIGINT AS n_obs,
+        |  sum(CASE WHEN v_obs IS NULL AND v_filled IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+        |  max(CASE WHEN slot = TIMESTAMP '2024-01-15 00:00:00' THEN round(v_filled, 4) END) AS v_probe,
+        |  arg_max(round(v_filled, 4), slot) AS v_last
+        |FROM f GROUP BY 1""".stripMargin,
+    "q105_pii_report" -> {
+      def stats(pat: String, tag: String) =
+        s"""sum(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_$tag,
+           |  sum(len(regexp_extract_all(text, '$pat')))::BIGINT AS n_$tag""".stripMargin
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  ${stats(TextFunctions.EmailPattern, "email")},
+         |  ${stats(TextFunctions.UrlPattern, "url")},
+         |  ${stats(TextFunctions.LongNumberPattern, "num")}
+         |FROM documents GROUP BY 1""".stripMargin
+    },
+    "q106_fuzzy_pairs" ->
+      """WITH d AS (SELECT doc_id, lang || '|' || (n_chars // 64)::VARCHAR AS b,
+        |    substr(text, 1, 48) AS p FROM documents),
+        |ok AS (SELECT b FROM d GROUP BY 1 HAVING count(*) <= 1000)
+        |SELECT a.doc_id AS id_a, x.doc_id AS id_b,
+        |  levenshtein(a.p, x.p)::INT AS dist
+        |FROM d a JOIN d x ON a.b = x.b AND a.doc_id < x.doc_id
+        |JOIN ok ON ok.b = a.b
+        |WHERE levenshtein(a.p, x.p) <= 8""".stripMargin,
+    "q107_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c)
+        |SELECT key AS user_id, cnt,
+        |  round(cnt / total, 6) AS share,
+        |  round(cnt * n_keys / total, 4) AS skew_factor,
+        |  ceil(cnt / 50.0)::BIGINT AS salt_buckets
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -1,7 +1,9 @@
 package graft.functions
 
+import graft.plans.CmsCountGteB
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
 
 /** Deterministic cardinality sketching. Spark's own
   * `approx_count_distinct` (HLL++) is the usual answer, but its register
@@ -83,5 +85,92 @@ object Sketches {
   def kmvUnion(states: DataFrame, k: Int = 256): DataFrame = {
     requireK(k)
     summarize(kSmallestDistinct(states.select(explode(col("hashes")).as("h")), k), k)
+  }
+
+  // --- Count–Min heavy hitters -------------------------------------------
+
+  /** Fixed-memory Count–Min sketch over `xxhash64(item)`, built the same
+    * way as [[graft.dedup.Dedup.seenFilter]]'s Bloom filter: per-partition
+    * sketches from `mapPartitions` over the column-pruned long hashes,
+    * merged up a 2-level `treeReduce` (counter tables add cell-wise). The
+    * result is `depth × width × 4` bytes regardless of input size — the
+    * whole point at 100 TB, where the exact per-item count relation would
+    * itself be a 10⁹-row table.
+    */
+  def cmsSketch(
+      df: DataFrame,
+      item: Column,
+      depth: Int = 5,
+      width: Int = 1 << 18,
+      seed: Int = 42
+  ): CountMinSketch = {
+    require(depth > 0 && width > 0, s"need positive CMS geometry: $depth x $width")
+    val hashesDf = df.select(xxhash64(item).as("h"))
+    if (hashesDf.isEmpty) CountMinSketch.create(depth, width, seed)
+    else hashesDf.queryExecution.toRdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val cms = CountMinSketch.create(depth, width, seed)
+          it.foreach(cms.addLong)
+          Iterator.single(cms)
+        }
+      }
+      .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+  }
+
+  /** EXACT heavy hitters — all items of `df` whose count is ≥ `minCount`,
+    * as `(item, cnt)` — via the sketch-prefilter two-pass:
+    *
+    *   1. build a [[cmsSketch]] (one scan, fixed memory, mergeable);
+    *   2. keep rows whose item's CMS estimate reaches `minCount`
+    *      ([[graft.plans.CmsCountGteB]] against the broadcast sketch —
+    *      NO false negatives, CMS only over-counts);
+    *   3. exact-count the survivors and apply the threshold again, which
+    *      removes the sketch's false positives.
+    *
+    * The output is therefore EXACTLY `GROUP BY item HAVING count(*) >=
+    * minCount` (spec-asserted law) — but the aggregation exchange carries
+    * only candidate rows. At 100 TB with a 10⁹-term vocabulary and a
+    * heavy tail of singletons, the plain groupBy shuffles the whole
+    * vocabulary to answer a question about its top 10⁻⁶; this shape
+    * shuffles the heavy candidates plus the sketch's false-positive
+    * residue (bounded by `depth`/`width` choice), and the first pass
+    * stays a pure scan.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      item: Column,
+      minCount: Long,
+      depth: Int = 5,
+      width: Int = 1 << 18,
+      seed: Int = 42
+  ): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(cmsSketch(df, item, depth, width, seed))
+    val candidate = org.apache.spark.sql.GraftBridge.column(
+      CmsCountGteB(bc, minCount, org.apache.spark.sql.GraftBridge.expression(xxhash64(item))))
+    df.where(candidate)
+      .groupBy(item.as("item")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
+  /** [[heavyHitters]] with a RELATIVE threshold: items carrying at least
+    * `share` of all rows (the φ-heavy-hitter formulation). One extra
+    * count scan fixes the absolute threshold `ceil(share * N)`.
+    */
+  def heavyHittersByShare(
+      df: DataFrame,
+      item: Column,
+      share: Double,
+      depth: Int = 5,
+      width: Int = 1 << 18,
+      seed: Int = 42
+  ): DataFrame = {
+    require(share > 0 && share <= 1, s"share must be in (0,1], got $share")
+    val n = df.count()
+    val minCount = math.max(1L, math.ceil(share * n).toLong)
+    heavyHitters(df, item, minCount, depth, width, seed)
   }
 }

@@ -209,6 +209,25 @@ object TextFunctions {
         UrlPattern, "<URL>"),
       LongNumberPattern, "<NUM>")
 
+  /** Per-group PII incidence report over the SAME patterns [[redact]]
+    * scrubs — the audit artifact a curation run publishes next to the
+    * scrubbed corpus ("how much was there, where") so a reviewer can
+    * judge source risk without re-scanning the raw text. Pure
+    * map-combined aggregation: `regexp_count` per row fuses into the
+    * scan projection, one exchange of |groups| rows. At 100 TB this is
+    * scan-bound, exactly like [[redact]] itself.
+    */
+  def piiReport(df: DataFrame, text: Column, group: Column): DataFrame = {
+    def stats(pattern: String, tag: String) = Seq(
+      sum(when(regexp_count(text, lit(pattern)) > 0, 1L).otherwise(0L))
+        .as(s"docs_$tag"),
+      sum(regexp_count(text, lit(pattern)).cast("long")).as(s"n_$tag"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      (stats(EmailPattern, "email") ++ stats(UrlPattern, "url") ++
+        stats(LongNumberPattern, "num"))
+    df.groupBy(group.as("group")).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters — a cheap deterministic proxy for
     * subword tokenizer counts.

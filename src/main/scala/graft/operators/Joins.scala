@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -260,5 +260,38 @@ object Joins {
         points(pointTs) >= intervals(start) &&
         points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
         points(pointTs) < intervals(end))
+  }
+
+  /** Join-key skew diagnostics — the report to run BEFORE a big shuffle
+    * join, because at 100 TB a single hot key is the difference between a
+    * balanced stage and one straggler task holding the cluster. For the
+    * top `topK` keys by row count: the key's share of all rows, its skew
+    * factor against the mean key (how many "average keys" of work one
+    * task would inherit), and the salt fan-out that would cap any salted
+    * sub-key at `targetRowsPerTask` rows — the number to feed a
+    * salting-rewrite or to justify leaving it to AQE's skew-join split.
+    *
+    * One map-combined count per key (the exchange carries distinct keys,
+    * not rows), the mean via a scalar broadcast, `TakeOrderedAndProject`
+    * for the top-k — the observability pass costs one scan.
+    */
+  def skewReport(
+      df: DataFrame,
+      key: Column,
+      topK: Int = 20,
+      targetRowsPerTask: Long = 1000000
+  ): DataFrame = {
+    require(topK > 0 && targetRowsPerTask > 0, s"bad topK/target: $topK/$targetRowsPerTask")
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("total"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        col("key"), col("cnt"),
+        round(col("cnt") / col("total"), 6).as("share"),
+        round(col("cnt") * col("n_keys") / col("total"), 4).as("skew_factor"),
+        ceil(col("cnt") / targetRowsPerTask.toDouble).cast("long").as("salt_buckets"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
   }
 }
