@@ -830,6 +830,37 @@ object ExtensionQueries {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** Per-source document cap, n_chars-best-first — the RefinedWeb "at
+    * most N pages per domain" over-representation counter
+    * ([[graft.curation.Assembly.capPerGroup]]).
+    */
+  private def q108DomainCap(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.capPerGroup(
+      Tables.documents(s, d), col("source"),
+      Seq(col("n_chars").desc, col("doc_id").asc), n = 10)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Robust median/MAD outlier screen on line-item prices
+    * ([[graft.curation.Quantiles.madOutlierReport]]).
+    */
+  private def q109MadOutliers(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.madOutlierReport(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), k = 2.0)
+      .select(col("g").as("l_returnflag"), col("n"), col("med"),
+        col("mad"), col("n_outliers"))
+
+  /** Embedding-space contamination screen: benchmark = vec_id < 20,
+    * corpus = the rest ([[Dedup.semanticContamination]]).
+    */
+  private def q110SemContamination(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Dedup.semanticContamination(
+      emb.where(col("vec_id") >= 20), col("vec_id"), col("embedding"),
+      emb.where(col("vec_id") < 20), col("vec_id"), col("embedding"),
+      minCosine = 0.3)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -912,6 +943,9 @@ object ExtensionQueries {
     "q105_pii_report" -> (q105PiiReport _),
     "q106_fuzzy_pairs" -> (q106FuzzyPairs _),
     "q107_skew_report" -> (q107SkewReport _),
+    "q108_domain_cap" -> (q108DomainCap _),
+    "q109_mad_outliers" -> (q109MadOutliers _),
+    "q110_sem_contamination" -> (q110SemContamination _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1316,6 +1350,35 @@ object ExtensionQueries {
         |  round(cnt * n_keys / total, 4) AS skew_factor,
         |  ceil(cnt / 50.0)::BIGINT AS salt_buckets
         |FROM c CROSS JOIN t ORDER BY cnt DESC, key ASC LIMIT 20""".stripMargin,
+    "q108_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY n_chars DESC, doc_id ASC) <= 10""".stripMargin,
+    "q109_mad_outliers" ->
+      // both medians are the same type-1 rank walk as q103's oracle; the
+      // outlier predicate is pure double arithmetic on both engines
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n1 AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+        |r1 AS (SELECT g, least(n, greatest(1, ceil(0.5::DOUBLE * n)::BIGINT)) AS rk FROM n1),
+        |o1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t),
+        |med AS (SELECT r1.g, o1.v AS med FROM r1 JOIN o1 ON o1.g = r1.g AND o1.rn = r1.rk),
+        |d AS (SELECT t.g, abs(t.v - med.med) AS dv FROM t JOIN med ON med.g = t.g),
+        |n2 AS (SELECT g, count(*) AS n FROM d GROUP BY 1),
+        |r2 AS (SELECT g, least(n, greatest(1, ceil(0.5::DOUBLE * n)::BIGINT)) AS rk FROM n2),
+        |o2 AS (SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) AS rn FROM d),
+        |mad AS (SELECT r2.g, o2.dv AS mad FROM r2 JOIN o2 ON o2.g = r2.g AND o2.rn = r2.rk)
+        |SELECT t.g AS l_returnflag, count(*)::BIGINT AS n, max(med.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  sum(CASE WHEN abs(t.v - med.med) > 2.0::DOUBLE * mad.mad
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        |FROM t JOIN med ON med.g = t.g JOIN mad ON mad.g = t.g
+        |GROUP BY 1""".stripMargin,
+    "q110_sem_contamination" ->
+      s"""SELECT a.vec_id AS doc_id, b.vec_id AS bench_id, $duckCos AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id >= 20 AND b.vec_id < 20
+         |WHERE $duckNormA * $duckNormB > 0 AND $duckCos >= 0.3""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

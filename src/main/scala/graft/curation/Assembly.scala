@@ -199,6 +199,39 @@ object Assembly {
     df.where(ticket(id, salt, 1000) < rate)
   }
 
+  /** Per-group document cap: keep at most `n` rows per `group`, chosen by
+    * `order` (ties MUST be broken — pass an id as the last order column —
+    * or the kept set is nondeterministic across runs). This is the
+    * RefinedWeb / C4 "at most N pages per domain" rule: exact dedup leaves
+    * mirror-heavy domains (forums, wikis, doc hosts) massively
+    * over-represented, and the cap is the standard counter.
+    *
+    * Distinct from [[graft.dedup.Dedup.keepBestByClusters]] (top-1 per
+    * CLUSTER, downstream of a CC run): this caps top-n per a CHEAP
+    * grouping column with no clustering stage.
+    *
+    * Scale shape: one hash exchange on `group`, and the rank<=n filter
+    * sits directly on `row_number` so Catalyst rewrites it to
+    * WindowGroupLimit — each map task pre-prunes to its local top-n per
+    * group BEFORE the exchange, so the shuffle carries at most
+    * n·|groups|·|tasks| rows, not the corpus. A degenerate mega-domain
+    * therefore costs its map-side top-n heaps, not a single giant sorted
+    * partition.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      group: Column,
+      order: Seq[Column],
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(order.nonEmpty, "need at least one order column (end with an id tiebreak)")
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Exact-k weighted sampling WITHOUT replacement — deterministic
     * Efraimidis–Spirakis order sampling: each row draws a salted-hash
     * uniform `u ∈ (0, 1]` (48-bit ticket, so the draw is a pure function

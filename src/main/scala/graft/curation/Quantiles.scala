@@ -137,4 +137,46 @@ object Quantiles {
       spark.sparkContext.parallelize(resolved.map(t => Row(t._1, t._2, t._3)), 1),
       outSchema)
   }
+
+  /** Robust per-group outlier report: median / MAD (median absolute
+    * deviation) / outlier count at `|v − median| > k·MAD` — the
+    * quality-score outlier screen that mean/stddev z-scores get wrong on
+    * exactly the data that needs screening (a fat tail drags the mean
+    * toward itself; the median and MAD are 50%-breakdown estimators, so
+    * the flags don't move when the contamination grows).
+    *
+    * Both medians are EXACT type-1 quantiles via [[exactQuantiles]] —
+    * histogram refinement, never a whole-group sort — so the whole report
+    * costs a handful of map-combined aggregate scans regardless of group
+    * size, and the (group → median/MAD) relations are broadcast back
+    * (≤ |groups| rows each; the data never shuffles at all).
+    *
+    * Degenerate groups behave by the standard MAD convention: a group
+    * where > 50% of rows share one value has MAD = 0, and every row not
+    * exactly at the median flags as an outlier (`|v−med| > 0`) — loud, by
+    * design, because a z-score would silently divide by a near-zero σ.
+    */
+  def madOutlierReport(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      k: Double = 3.0
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val med = exactQuantiles(base, col("g"), col("v"), Seq(0.5))
+      .select(col("g"), col("value").as("med"))
+    val dev = base.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val mad = exactQuantiles(dev, col("g"), col("d"), Seq(0.5))
+      .select(col("g"), col("value").as("mad"))
+    base.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("v") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
 }

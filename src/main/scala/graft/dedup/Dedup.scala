@@ -870,6 +870,45 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Embedding-space contamination screen — the SEMANTIC complement of
+    * the n-gram [[contamination]] screen: which corpus vectors sit within
+    * `minCosine` of which benchmark vectors. Paraphrased or re-formatted
+    * eval items share no byte n-grams with their source but land next to
+    * it in embedding space; decontamination pipelines (GPT-3 appendix C →
+    * Llama-era practice) run BOTH screens and drop the union.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (thousands) and is
+    * BROADCAST with norms staged once per vector; the corpus side streams
+    * map-side through the dot products — zero corpus exchange, recall 1
+    * by construction (every (corpus, bench) pair is scored). At 100 TB
+    * the per-row cost is |bench|·dim multiply-adds, the honest price of
+    * exact recall; when the eval set outgrows the broadcast budget, cell-
+    * probe it via [[graft.similarity.IVF]] and accept the probe recall.
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      benchmark: DataFrame,
+      benchId: Column,
+      benchVec: Column,
+      minCosine: Double
+  ): DataFrame = {
+    import graft.functions.VectorFunctions
+    val c = corpus.select(id.as("doc_id"), vec.as("c_vec"),
+      VectorFunctions.norm2(vec).as("c_nrm"))
+    val b = benchmark.select(benchId.as("bench_id"), benchVec.as("b_vec"),
+      VectorFunctions.norm2(benchVec).as("b_nrm"))
+    // the division is when-guarded, not join-filtered: ANSI mode evaluates
+    // a pushed-down divide eagerly, and a zero-norm row must drop, not throw
+    val nn = col("c_nrm") * col("b_nrm")
+    c.join(broadcast(b), nn > 0)
+      .select(col("doc_id"), col("bench_id"),
+        round(when(nn > 0, VectorFunctions.dot(col("c_vec"), col("b_vec")) / nn)
+          .otherwise(lit(0.0)), 4).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** The shared n-byte-gram hash explode: one row per (doc, gram) with the
     * 48-bit rolling gram hash. The hashes materialize as ONE primitive
     * long-array expression per document ([[graft.functions.Hashing

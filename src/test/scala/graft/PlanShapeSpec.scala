@@ -243,4 +243,22 @@ class PlanShapeSpec extends SparkSpec {
     val p97 = plan("q97_frozen_lm")
     assert("\\(\\d+\\) Generate".r.findAllIn(p97).size == 1, p97)
   }
+
+  test("round-8c shapes: domain cap prunes map-side; MAD never sorts a group; contamination broadcasts the bench") {
+    // q108: the rank<=n filter must rewrite to WindowGroupLimit — each map
+    // task pre-prunes to its local top-n per domain BEFORE the exchange
+    val p108 = plan("q108_domain_cap")
+    assert(p108.contains("WindowGroupLimit"), p108)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p108).size == 1, p108)
+    // q109: the median/MAD refinement never plans a whole-group Sort — the
+    // only sorts allowed are under SortAggregate/Window over the bounded
+    // final-candidate relations; a global sort would be the scale-killer
+    // the operator exists to avoid
+    val s109 = simplePlan("q109_mad_outliers")
+    assert(!s109.matches("(?s).*Sort .*global=true.*"), s109)
+    // q110: the bench side is broadcast; the corpus side never exchanges
+    val s110 = simplePlan("q110_sem_contamination")
+    assert(s110.contains("BroadcastNestedLoopJoin"), s110)
+    assert(!s110.contains("Exchange hashpartitioning"), s110)
+  }
 }
