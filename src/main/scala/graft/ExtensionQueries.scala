@@ -861,6 +861,29 @@ object ExtensionQueries {
       minCosine = 0.3)
   }
 
+  /** Session-bounded event-type transition counts over the event stream
+    * ([[graft.operators.Sequences.transitionCounts]]).
+    */
+  private def q111Transitions(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.transitionCounts(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+      gapSeconds = 1800, tiebreak = Seq(col("event_id")))
+
+  /** Inverted index: per-term df + top-3 postings by tf over terms with
+    * df ≥ 5 ([[Corpus.invertedIndex]]).
+    */
+  private def q112InvertedIndex(s: SparkSession, d: String): DataFrame =
+    Corpus.invertedIndex(
+      Tables.documents(s, d), col("text"), col("doc_id"), topK = 3, minDf = 5)
+
+  /** Hour-of-day volume anomaly screen per event type
+    * ([[graft.operators.TimeSeries.seasonalAnomaly]]).
+    */
+  private def q113RateAnomaly(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.seasonalAnomaly(
+      Tables.events(s, d), col("event_type"), col("ts"))
+      .withColumnRenamed("g", "event_type")
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -946,6 +969,9 @@ object ExtensionQueries {
     "q108_domain_cap" -> (q108DomainCap _),
     "q109_mad_outliers" -> (q109MadOutliers _),
     "q110_sem_contamination" -> (q110SemContamination _),
+    "q111_transitions" -> (q111Transitions _),
+    "q112_inverted_index" -> (q112InvertedIndex _),
+    "q113_rate_anomaly" -> (q113RateAnomaly _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1379,6 +1405,43 @@ object ExtensionQueries {
          |FROM embeddings a JOIN embeddings b
          |  ON a.vec_id >= 20 AND b.vec_id < 20
          |WHERE $duckNormA * $duckNormB > 0 AND $duckCos >= 0.3""".stripMargin,
+    "q111_transitions" ->
+      // gap predicate in floored epoch SECONDS on both engines
+      // (unix_timestamp semantics; see the verify-skill parity rules)
+      """WITH o AS (SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER w AS prev_s, lag(ts) OVER w AS prev_t
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT prev_s AS from_state, event_type AS to_state, count(*)::BIGINT AS n
+        |FROM o WHERE prev_s IS NOT NULL
+        |  AND epoch_ns(ts) // 1000000000 - epoch_ns(prev_t) // 1000000000 <= 1800
+        |GROUP BY 1, 2""".stripMargin,
+    "q112_inverted_index" ->
+      s"""WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+         |  FROM (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |w AS (SELECT term, doc_id, tf,
+         |    count(*) OVER (PARTITION BY term) AS df,
+         |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rank
+         |  FROM tf)
+         |SELECT term, df::BIGINT AS df, doc_id, tf, rank::INT AS rank
+         |FROM w WHERE rank <= 3 AND df >= 5""".stripMargin,
+    "q113_rate_anomaly" ->
+      // exact integer sums (HUGEINT mirrors Spark's DECIMAL(38,0)) feed a
+      // fixed double expression — no streaming stddev on either engine
+      """WITH c AS (SELECT event_type AS g, hour(ts)::INT AS bucket,
+        |    count(*)::BIGINT AS cnt FROM events GROUP BY 1, 2),
+        |grid AS (SELECT g, b.bucket FROM (SELECT DISTINCT g FROM c)
+        |  CROSS JOIN (SELECT unnest(range(24))::INT AS bucket) b),
+        |f AS (SELECT grid.g, grid.bucket, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM grid LEFT JOIN c ON c.g = grid.g AND c.bucket = grid.bucket),
+        |st AS (SELECT g, count(*)::BIGINT AS nb, sum(cnt)::BIGINT AS s1,
+        |    sum(cnt::HUGEINT * cnt) AS s2 FROM f GROUP BY 1),
+        |v AS (SELECT g, s1::DOUBLE / nb AS mean,
+        |    (s2::DOUBLE - s1::DOUBLE * s1 / nb) / nb AS variance FROM st)
+        |SELECT f.g AS event_type, f.bucket, f.cnt, round(v.mean, 4) AS mean,
+        |  round(CASE WHEN v.variance > 0
+        |    THEN (f.cnt - v.mean) / sqrt(v.variance) ELSE 0.0 END, 4) + 0.0 AS z
+        |FROM f JOIN v ON v.g = f.g""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -33,6 +33,43 @@ object Corpus {
     tokenRows(docs, text, id).groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** Inverted index build: per term, its document frequency and the
+    * top-`topK` postings by term frequency — the retrieval-side artifact
+    * (BM25 serving, corpus search, "which documents dominate this term"
+    * forensics) built from the same (doc, term, tf) base relation the
+    * statistics stages share.
+    *
+    * Output: one row per kept posting — `term, df, doc_id, tf, rank`
+    * (rank 1 = highest tf, doc_id ascending on ties — deterministic).
+    * `minDf` drops hapax/rare terms (the long tail that would dominate
+    * output size without serving value); `topK` bounds postings per term.
+    *
+    * Scale shape: the explode is combined map-side into (doc, term)
+    * counts (shuffle 1 carries distinct pairs, not token occurrences);
+    * the df count and the rank share ONE term exchange (two window
+    * functions over the same partition key plan a single Exchange). The
+    * df window needs every posting of the term, so map-side
+    * WindowGroupLimit pruning does NOT apply here by design — pre-prune
+    * with a `where(df >= minDf)` semi-join from [[vocabulary]] if the
+    * rare-term tail dominates a corpus.
+    */
+  def invertedIndex(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      topK: Int = 3,
+      minDf: Long = 1L
+  ): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val tf = docTermCounts(docs, text, id)
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = byTerm.orderBy(col("tf").desc, col("doc_id").asc)
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rank", row_number().over(ranked))
+      .where(col("rank") <= topK && col("df") >= minDf)
+      .select(col("term"), col("df"), col("doc_id"), col("tf"), col("rank"))
+  }
+
   /** Corpus vocabulary: the `topN` terms by total occurrence count, with
     * document frequency and a dense 1-based rank (ties broken by term so
     * the cut is deterministic).

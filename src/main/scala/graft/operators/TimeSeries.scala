@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series regularization: resample an event stream onto a fixed
   * per-key slot grid and forward-fill the gaps (LOCF — last observation
@@ -91,5 +92,57 @@ object TimeSeries {
         max(when(col("slot") === to_timestamp(lit(probe)), round(col("v_filled"), 4)))
           .as("v_probe"),
         max_by(round(col("v_filled"), 4), col("slot")).as("v_last"))
+  }
+
+  /** Seasonal (hour-of-day) volume anomaly screen: per (group,
+    * hour-of-day) event counts scored as z-values against that group's
+    * own 24-bucket profile — the "did the crawler die at 3am / is this
+    * source flooding" monitor over an ingest stream.
+    *
+    * The variance is computed from EXACT integer sums (`Σcnt` as BIGINT,
+    * `Σcnt²` as DECIMAL(38,0) — `cnt²` would overflow BIGINT at ~3·10⁹
+    * events per bucket, real at 100 TB) with one fixed double expression —
+    * not a streaming stddev aggregate, whose partition-order-dependent
+    * rounding would make the z-scores differ between engines and runs.
+    * `z = (cnt − mean) / √var`; a flat profile (var 0) scores 0
+    * everywhere rather than dividing by zero.
+    *
+    * Scale shape: one map-combined (group, bucket) count — the exchange
+    * carries ≤ |groups|·24 rows — then a tiny per-group agg joined back.
+    * Empty buckets count 0: the grid is the group's observed buckets
+    * cross-filled, so a silent hour IS an anomaly, not a missing row.
+    */
+  def seasonalAnomaly(
+      df: DataFrame,
+      group: Column,
+      ts: Column,
+      buckets: Int = 24
+  ): DataFrame = {
+    require(buckets > 0 && 24 % buckets == 0,
+      s"buckets must divide 24: $buckets")
+    val bucket = (hour(ts) / (24 / buckets)).cast("int")
+    val counts = df.select(group.as("g"), bucket.as("bucket"))
+      .groupBy(col("g"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // fill absent buckets with 0 — a silent hour must score, not vanish
+    val grid = counts.select(col("g")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(buckets).select(col("id").cast("int").as("bucket"))))
+    val full = grid.join(counts, Seq("g", "bucket"), "left")
+      .select(col("g"), col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val stats = full.groupBy(col("g"))
+      .agg(count(lit(1)).as("nb"), sum(col("cnt")).as("s1"),
+        sum(col("cnt").cast(DecimalType(38, 0)) * col("cnt")).as("s2"))
+      .select(col("g"),
+        (col("s1").cast("double") / col("nb")).as("mean"),
+        ((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("nb"))
+          / col("nb")).as("variance"))
+    full.join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("bucket"), col("cnt"),
+        round(col("mean"), 4).as("mean"),
+        // + 0.0 canonicalizes IEEE −0.0 (a z just under zero rounds to
+        // −0.0; engines disagree on its string form — see SCALING.md)
+        (round(when(col("variance") > 0,
+          (col("cnt") - col("mean")) / sqrt(col("variance")))
+          .otherwise(lit(0.0)), 4) + lit(0.0)).as("z"))
   }
 }

@@ -260,5 +260,22 @@ class PlanShapeSpec extends SparkSpec {
     val s110 = simplePlan("q110_sem_contamination")
     assert(s110.contains("BroadcastNestedLoopJoin"), s110)
     assert(!s110.contains("Exchange hashpartitioning"), s110)
+    // q111: the key window exchange plus the tiny (from,to) count — and
+    // nothing else; a third exchange would mean the lag pairing re-shuffled
+    val s111 = simplePlan("q111_transitions")
+    assert(s111.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, s111)
+    // q112: the df window and the rank window share ONE term exchange
+    // (2 exchanges total: the (doc,term) combine + the term sort), and the
+    // rank<=topK filter still plans a WindowGroupLimit between them —
+    // postings beyond topK are pruned before the rank window materializes
+    val s112 = simplePlan("q112_inverted_index")
+    assert(s112.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, s112)
+    assert(s112.linesIterator.count(_.contains("Window [")) == 2, s112)
+    assert(s112.contains("WindowGroupLimit"), s112)
+    // q113: profile stats come back as a broadcast, never a re-shuffle of
+    // the grid; no global sort anywhere
+    val s113 = simplePlan("q113_rate_anomaly")
+    assert(s113.contains("BroadcastExchange"), s113)
+    assert(!s113.matches("(?s).*Sort .*global=true.*"), s113)
   }
 }

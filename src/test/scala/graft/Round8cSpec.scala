@@ -1,7 +1,8 @@
 package graft
 
-import graft.curation.{Assembly, Quantiles}
+import graft.curation.{Assembly, Corpus, Quantiles}
 import graft.dedup.Dedup
+import graft.operators.{Sequences, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-8c additions: per-group domain cap, median/MAD outlier screen,
@@ -103,5 +104,80 @@ class Round8cSpec extends SparkSpec {
       corpus, $"id", $"vec", bench, $"id", $"vec", minCosine = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 10L), (1L, 11L)))
+  }
+
+  // --- transitionCounts ---------------------------------------------------
+
+  test("transitionCounts: consecutive pairs count, session gaps break the chain") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a", 1L),
+      (1L, ts("2024-01-01 10:00:10"), "b", 2L),
+      (1L, ts("2024-01-01 11:00:00"), "c", 3L), // 59:50 after b: gap > 1800s
+      (1L, ts("2024-01-01 11:00:05"), "a", 4L),
+      (2L, ts("2024-01-01 10:00:00"), "a", 5L), // singleton key: no pairs
+      (3L, ts("2024-01-01 10:00:00"), "a", 6L),
+      (3L, ts("2024-01-01 10:00:01"), "b", 7L)
+    ).toDF("k", "t", "s", "id")
+    val got = Sequences.transitionCounts(df, $"k", $"t", $"s", 1800, Seq($"id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("a", "b", 2L), ("c", "a", 1L)))
+  }
+
+  test("transitionCounts: same-timestamp events order by the tiebreak") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val df = Seq((1L, t0, "y", 2L), (1L, t0, "x", 1L)).toDF("k", "t", "s", "id")
+    val got = Sequences.transitionCounts(df, $"k", $"t", $"s", 10, Seq($"id"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("x", "y"))) // id order, not row order
+    intercept[IllegalArgumentException] {
+      Sequences.transitionCounts(df, $"k", $"t", $"s", 0)
+    }
+  }
+
+  // --- invertedIndex ------------------------------------------------------
+
+  test("invertedIndex: df, tf-ranked postings, topK and minDf cuts") {
+    val df = Seq(
+      (1L, "w w w rare"),
+      (2L, "w w common"),
+      (3L, "w common"),
+      (4L, "w")
+    ).toDF("doc_id", "text")
+    val got = Corpus.invertedIndex(df, $"text", $"doc_id", topK = 2, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSet
+    // "w": df 4, top-2 postings doc1(tf3) then doc2(tf2);
+    // "common": df 2, both kept (tf ties → doc_id ascending);
+    // "rare": df 1 < minDf — cut
+    assert(got == Set(
+      ("w", 4L, 1L, 3L, 1), ("w", 4L, 2L, 2L, 2),
+      ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
+  }
+
+  // --- seasonalAnomaly ----------------------------------------------------
+
+  test("seasonalAnomaly: empty buckets count zero and score; formula hand-checked") {
+    // type e: 4 events at hour 0, 2 at hour 1, silent elsewhere
+    val rows = Seq.fill(4)(("e", ts("2024-01-01 00:10:00"))) ++
+      Seq.fill(2)(("e", ts("2024-01-01 01:10:00")))
+    val df = rows.toDF("g", "t")
+    val got = TimeSeries.seasonalAnomaly(df, $"g", $"t")
+      .collect().map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(4)))).toMap
+    assert(got.size == 24) // the silent hours are rows, not absences
+    val mean = 6.0 / 24
+    val variance = (20.0 - 6.0 * 6.0 / 24) / 24
+    def z(c: Long) = math.round(((c - mean) / math.sqrt(variance)) * 10000) / 10000.0
+    assert(got(0) == ((4L, z(4))))
+    assert(got(1) == ((2L, z(2))))
+    assert(got(5) == ((0L, z(0))))
+  }
+
+  test("seasonalAnomaly: flat profile has zero variance and all-zero z") {
+    val rows = (0 until 24).map(h => ("f", ts(f"2024-01-01 $h%02d:30:00")))
+    val got = TimeSeries.seasonalAnomaly(rows.toDF("g", "t"), $"g", $"t").collect()
+    assert(got.length == 24 && got.forall(r => r.getDouble(4) == 0.0))
+    // and the z string form is "0.0", never "-0.0" (the driver's hash
+    // compare distinguishes them)
+    assert(got.forall(r => r.getDouble(4).toString == "0.0"))
   }
 }
