@@ -40,6 +40,10 @@ object StreamingGates {
   final case class Kv(
       user_id: Option[Long], event_type: String,
       ts: java.sql.Timestamp, value: Double)
+  final case class TEv(
+      event_id: Long, user_id: Option[Long],
+      ts: java.sql.Timestamp, event_type: String)
+  final case class TPair(from_state: String, to_state: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -371,7 +375,50 @@ object StreamingGates {
     s.table(sink)
   }
 
+  /** Streaming session-transition mining over the q111 inputs
+    * ([[StreamingFlows.transitions]]): all events arrive as one
+    * micro-batch, two far-future sentinels on an unused key advance the
+    * watermark past every real event and fire the flush timers — every
+    * consecutive pair is emitted exactly once, then counted at the sink
+    * into q111's exact output shape (shared oracle). The two sentinels
+    * are 30 days apart, so they never pair with each other.
+    */
+  private def q114TransitionsStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[TEv].collect()
+    if (events.isEmpty)
+      return s.createDataset(Seq.empty[(String, String, Long)])
+        .toDF("from_state", "to_state", "n")
+    val in = MemoryStream[TEv]
+    val pairs = StreamingFlows.transitions[Option[Long], TEv, TPair](
+      in.toDS(), _.user_id, _.ts,
+      delay = "1 hour", gapSeconds = 1800, ord = _.event_id,
+      (a, b) => TPair(a.event_type, b.event_type))
+    in.addData(events.toIndexedSeq)
+    val sink = sinkName("q114")
+    val q = pairs.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(TEv(-1L, Some(-1L), s1, "___sentinel"))
+      q.processAllAvailable() // watermark passes every real event
+      in.addData(TEv(-2L, Some(-1L),
+        new java.sql.Timestamp(s1.getTime + 30L * 24 * 3600 * 1000), "___sentinel"))
+      q.processAllAvailable() // the batch in which the timers fire
+    } finally q.stop()
+    s.table(sink)
+      .where(col("from_state") =!= "___sentinel" && col("to_state") =!= "___sentinel")
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_transitions_stream" -> (q114TransitionsStream _),
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
     "q75_dedup_stream" -> (q75DedupStream _),
@@ -386,6 +433,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q114_transitions_stream" -> ExtensionQueries.oracleSql("q111_transitions"),
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
     "q75_dedup_stream" ->

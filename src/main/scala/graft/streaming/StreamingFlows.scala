@@ -162,6 +162,92 @@ object StreamingFlows {
       }
   }
 
+  /** Streaming session-bounded transition pairs — the unbounded form of
+    * [[graft.operators.Sequences.transitionCounts]]'s pair formation:
+    * for each key, every pair of CONSECUTIVE events (in event time)
+    * closer than `gapSeconds` apart emits `combine(prev, cur)` exactly
+    * once, once the watermark finalizes the later event. Count the pairs
+    * downstream (streaming agg or at the sink) to get the batch
+    * operator's output.
+    *
+    * Same exactness machinery as [[asOf]]: events buffer per key until
+    * watermark-final (µs bookkeeping, event-time timers flush keys with
+    * no further input, late arrivals at-or-below the watermark are
+    * dropped by the engine's own pre-filter). Pair formation then runs
+    * over the finalized prefix in (timestamp, `ord`) order — `ord` is
+    * the same mandatory tiebreak as the batch form; without it
+    * same-timestamp pairs would be nondeterministic. The gap predicate
+    * is floored epoch SECONDS, integer-exact, matching the batch form.
+    *
+    * Per-key state is the delay window's buffer PLUS one row: the last
+    * finalized event, retained only while the watermark is within
+    * `gapSeconds` of it (beyond that no future finalized event can pair
+    * with it — future admits have event time above the watermark — so it
+    * is evicted and an idle key's state is removed entirely by its
+    * cleanup timer, never leaked).
+    */
+  def transitions[K: Encoder, E: Encoder, O: Encoder](
+      events: Dataset[E],
+      key: E => K,
+      ts: E => java.sql.Timestamp,
+      delay: String,
+      gapSeconds: Long,
+      ord: E => Long,
+      combine: (E, E) => O
+  ): Dataset[O] = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    import org.apache.spark.sql.Encoders
+    type Env = (K, java.sql.Timestamp, E)
+    implicit val envEnc: Encoder[Env] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.TIMESTAMP, implicitly[Encoder[E]])
+    // (pending events, last finalized) — state-store-local, kryo is fine
+    type S = (List[(Long, Long, E)], Option[(Long, Long, E)])
+    implicit val stateEnc: Encoder[S] = Encoders.kryo[S]
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.map(e => (key(e), ts(e), e))
+      .withWatermark("_2", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
+        var (pending, lastFinal) = state.getOption.getOrElse((Nil, None): S)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        values.foreach { env =>
+          val us = micros(env._2)
+          // late arrivals (<= watermark) are unreachable here — the
+          // engine pre-filters them (see asOf) — the guard keeps the
+          // contract explicit
+          if (us > wmUs) pending = (us, ord(env._3), env._3) :: pending
+        }
+        val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+        val out = Seq.newBuilder[O]
+        ready.sortBy(r => (r._1, r._2)).foreach { case (us, o, e) =>
+          lastFinal.foreach { case (pus, _, pe) =>
+            if (us / 1000000L - pus / 1000000L <= gapSeconds) out += combine(pe, e)
+          }
+          lastFinal = Some((us, o, e))
+        }
+        // evict the carried row once no future finalized event can reach
+        // it: future admits have us > wm, so their floored-second gap to
+        // it already exceeds gapSeconds
+        lastFinal = lastFinal.filter { case (pus, _, _) =>
+          wmUs / 1000000L - pus / 1000000L <= gapSeconds
+        }
+        if (stillPending.isEmpty && lastFinal.isEmpty) state.remove()
+        else {
+          state.update((stillPending, lastFinal))
+          // flush pending even if the key sees no further input; an
+          // idle key with only the carried row wakes once to clean up
+          val wakeUs = stillPending.map(_._1).minOption
+            .getOrElse(lastFinal.map(_._1 + (gapSeconds + 1) * 1000000L).get)
+          if (wakeUs > wmUs) state.setTimeoutTimestamp((wakeUs + 999L) / 1000L)
+          else state.setTimeoutTimestamp(wmUs / 1000L + 1L)
+        }
+        out.result().iterator
+      }
+  }
+
   /** Event-time tumbling window with lateness bound. */
   def tumbling(
       tsName: String,

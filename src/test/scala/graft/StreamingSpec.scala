@@ -229,4 +229,98 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains(("u1", 2L)))
     } finally q.stop()
   }
+
+  test("streaming transitions: consecutive finalized pairs emit once; session gap breaks; late drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)] // (id, key, ts, state)
+    val pairs = StreamingFlows.transitions[Long,
+        (Long, Long, java.sql.Timestamp, String), (String, String)](
+      in.toDS(), _._2, _._3, delay = "10 minutes", gapSeconds = 1800,
+      ord = _._1, (a, b) => (a._4, b._4))
+    val q = pairs.writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a→b 10s apart, then c an hour later (gap > 1800 breaks)
+      in.addData((1L, 7L, ts("2024-01-01 10:00:00"), "a"),
+                 (2L, 7L, ts("2024-01-01 10:00:10"), "b"),
+                 (3L, 7L, ts("2024-01-01 11:00:00"), "c"))
+      q.processAllAvailable()
+      // (the engine may already run a timer-only follow-up batch here —
+      // emission timing is its business; content is asserted at the end)
+      // batch 2: advance watermark past everything; batch 3 fires timers
+      in.addData((90L, 99L, ts("2024-01-01 13:00:00"), "z"))
+      q.processAllAvailable()
+      in.addData((91L, 99L, ts("2024-01-01 13:01:00"), "z"))
+      q.processAllAvailable()
+      // the two z sentinels are never watermark-final themselves (wm
+      // stops at 12:51), so the only pair is a→b; b→c broke on the gap
+      val got = spark.table("trans_out").as[(String, String)].collect().toSeq
+      assert(got == Seq(("a", "b")), got.toString)
+      // a late event (below the watermark) is dropped, not paired
+      in.addData((4L, 7L, ts("2024-01-01 10:00:20"), "late"))
+      q.processAllAvailable()
+      assert(spark.table("trans_out").count() == 1)
+    } finally q.stop()
+  }
+
+  test("streaming transitions: pairs form ACROSS finalization rounds via the carried row") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val pairs = StreamingFlows.transitions[Long,
+        (Long, Long, java.sql.Timestamp, String), (String, String)](
+      in.toDS(), _._2, _._3, delay = "10 minutes", gapSeconds = 1800,
+      ord = _._1, (a, b) => (a._4, b._4))
+    val q = pairs.writeStream.format("memory").queryName("trans_out2")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, ts("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      // finalize "a" alone (wm = 10:20 - 10min = 10:10)
+      in.addData((90L, 99L, ts("2024-01-01 10:20:00"), "z"))
+      q.processAllAvailable()
+      in.addData((91L, 99L, ts("2024-01-01 10:21:00"), "z"))
+      q.processAllAvailable()
+      // "b" 25 min after "a": finalized in a LATER round, still pairs
+      // against the carried "a" (gap 1500s <= 1800s)
+      in.addData((2L, 7L, ts("2024-01-01 10:25:00"), "b"))
+      q.processAllAvailable()
+      in.addData((92L, 99L, ts("2024-01-01 10:40:00"), "z"))
+      q.processAllAvailable()
+      in.addData((93L, 99L, ts("2024-01-01 10:41:00"), "z"))
+      q.processAllAvailable()
+      val got = spark.table("trans_out2").as[(String, String)].collect().toSeq
+      assert(got.count(_ == (("a", "b"))) == 1, got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming transitions: the carried row evicts once the watermark outruns the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val pairs = StreamingFlows.transitions[Long,
+        (Long, Long, java.sql.Timestamp, String), (String, String)](
+      in.toDS(), _._2, _._3, delay = "1 minute", gapSeconds = 60,
+      ord = _._1, (a, b) => (a._4, b._4))
+    val q = pairs.writeStream.format("memory").queryName("trans_out3")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 7L, ts("2024-01-01 10:00:00"), "a"))
+      q.processAllAvailable()
+      // push the watermark far past a's gap horizon; a is evicted
+      in.addData((90L, 99L, ts("2024-01-01 12:00:00"), "z"))
+      q.processAllAvailable()
+      in.addData((91L, 99L, ts("2024-01-01 12:01:00"), "z"))
+      q.processAllAvailable()
+      // even an event spuriously close in SECONDS arithmetic can't pair:
+      // the state is gone (and the real gap is huge anyway)
+      in.addData((2L, 7L, ts("2024-01-01 12:00:30"), "b"))
+      q.processAllAvailable()
+      in.addData((92L, 99L, ts("2024-01-01 12:10:00"), "z"))
+      q.processAllAvailable()
+      in.addData((93L, 99L, ts("2024-01-01 12:11:00"), "z"))
+      q.processAllAvailable()
+      val got = spark.table("trans_out3").as[(String, String)].collect().toSeq
+      assert(!got.contains(("a", "b")), got.toString)
+      assert(got.count(_ == (("z", "z"))) >= 1) // sanity: the stream ran
+    } finally q.stop()
+  }
 }
