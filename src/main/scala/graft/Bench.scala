@@ -41,7 +41,10 @@ object Bench {
     // streaming query per invocation — their wall time measures the gate
     // harness feeding rows, not an operator plan, so the bench skips them
     // (the correctness gate still runs them)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchable = SparkEntry.queries.filterNot(_._1.endsWith("_stream"))
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // warmup: exercise codegen/JIT on the smallest SF; ignore result + errors
     val warmDir = "/root/testdata/sf0.001"

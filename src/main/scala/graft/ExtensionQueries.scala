@@ -884,6 +884,25 @@ object ExtensionQueries {
       Tables.events(s, d), col("event_type"), col("ts"))
       .withColumnRenamed("g", "event_type")
 
+  /** Blocklist screen with the English marker words standing in as the
+    * dictionary relation ([[TextFunctions.blocklistScreen]]).
+    */
+  private def q115Blocklist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dict = TextFunctions.LangMarkers.toMap.apply("en").toSeq.toDF("term")
+    TextFunctions.blocklistScreen(Tables.documents(s, d), col("text"), col("doc_id"), dict)
+  }
+
+  /** Winsorization readout at p05/p95 on line-item prices
+    * ([[graft.curation.Quantiles.winsorizeReport]]).
+    */
+  private def q116Winsorize(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.winsorizeReport(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), pLo = 0.05, pHi = 0.95)
+      .select(col("g").as("l_returnflag"), col("n"), col("lo_cut"),
+        col("hi_cut"), col("n_lo"), col("n_hi"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -972,6 +991,8 @@ object ExtensionQueries {
     "q111_transitions" -> (q111Transitions _),
     "q112_inverted_index" -> (q112InvertedIndex _),
     "q113_rate_anomaly" -> (q113RateAnomaly _),
+    "q115_blocklist" -> (q115Blocklist _),
+    "q116_winsorize" -> (q116Winsorize _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1442,6 +1463,28 @@ object ExtensionQueries {
         |  round(CASE WHEN v.variance > 0
         |    THEN (f.cnt - v.mean) / sqrt(v.variance) ELSE 0.0 END, 4) + 0.0 AS z
         |FROM f JOIN v ON v.g = f.g""".stripMargin,
+    "q115_blocklist" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_hits,
+         |  count(DISTINCT term)::BIGINT AS n_terms
+         |FROM toks WHERE list_contains(${markers("en")}, term)
+         |GROUP BY 1""".stripMargin,
+    "q116_winsorize" ->
+      // both cuts are the q103 type-1 rank walk
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT g, n, least(n, greatest(1, ceil(0.05::DOUBLE * n)::BIGINT)) AS rk_lo,
+        |    least(n, greatest(1, ceil(0.95::DOUBLE * n)::BIGINT)) AS rk_hi FROM n),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t),
+        |c AS (SELECT r.g, r.n, lo.v AS lo_cut, hi.v AS hi_cut FROM r
+        |  JOIN o lo ON lo.g = r.g AND lo.rn = r.rk_lo
+        |  JOIN o hi ON hi.g = r.g AND hi.rn = r.rk_hi)
+        |SELECT t.g AS l_returnflag, c.n::BIGINT AS n, c.lo_cut, c.hi_cut,
+        |  sum(CASE WHEN t.v < c.lo_cut THEN 1 ELSE 0 END)::BIGINT AS n_lo,
+        |  sum(CASE WHEN t.v > c.hi_cut THEN 1 ELSE 0 END)::BIGINT AS n_hi
+        |FROM t JOIN c ON c.g = t.g
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

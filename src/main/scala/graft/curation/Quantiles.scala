@@ -138,6 +138,43 @@ object Quantiles {
       outSchema)
   }
 
+  /** Winsorization report: per-group clip points at the `pLo`/`pHi`
+    * type-1 quantiles and how many rows each side would clip — the
+    * decision readout a pipeline inspects before clamping a reward /
+    * quality / length column (clip too little and the tail still
+    * dominates the loss; clip too much and the signal flattens).
+    *
+    * Both cuts come from ONE [[exactQuantiles]] run (two qs share every
+    * refinement round), so the cost is the q103 histogram passes plus a
+    * final map-combined count; the (group → cuts) relation broadcasts
+    * back at ≤ |groups| rows. Cuts are exact DATA values — apply the
+    * clamp downstream as `greatest(lo_cut, least(hi_cut, v))` and the
+    * result is engine-deterministic with no fp ambiguity.
+    */
+  def winsorizeReport(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99
+  ): DataFrame = {
+    require(pLo > 0 && pLo < pHi && pHi <= 1,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val cuts = exactQuantiles(base, col("g"), col("v"), Seq(pLo, pHi))
+    val lo = cuts.where(col("q") === pLo).select(col("g"), col("value").as("lo_cut"))
+    val hi = cuts.where(col("q") === pHi).select(col("g"), col("value").as("hi_cut"))
+    base.join(broadcast(lo), Seq("g")).join(broadcast(hi), Seq("g"))
+      .groupBy(col("g"), col("lo_cut"), col("hi_cut"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo_cut"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi_cut"), 1L).otherwise(0L)).as("n_hi"))
+      .select(col("g"), col("n"), col("lo_cut"), col("hi_cut"),
+        col("n_lo"), col("n_hi"))
+  }
+
   /** Robust per-group outlier report: median / MAD (median absolute
     * deviation) / outlier count at `|v − median| > k·MAD` — the
     * quality-score outlier screen that mean/stddev z-scores get wrong on

@@ -228,6 +228,37 @@ object TextFunctions {
     df.groupBy(group.as("group")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Blocklist screen — the C4 "bad words" stage: per-document hit
+    * counts against a dictionary RELATION (one lowercase string column
+    * `term`; [[wsTokens]] lowercases the text side to match). Returns
+    * `(doc_id, n_hits, n_terms)` for documents with ≥ 1 hit — join it
+    * back anti/semi to drop or quarantine, or threshold on `n_hits`.
+    *
+    * The dictionary is a relation, not a regex, deliberately: real
+    * blocklists are thousands of terms (a single alternation regex
+    * degrades to linear-scan-per-pattern), they are maintained as data
+    * (versioned tables, per-locale variants), and the relational form
+    * broadcasts.
+    *
+    * Scale shape: the token explode meets the BROADCAST dictionary in a
+    * hash join BEFORE any exchange — only matching token rows cross the
+    * wire into the per-document count (blocklist hits are rare by
+    * construction, so the shuffle is tiny however large the corpus).
+    */
+  def blocklistScreen(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      terms: DataFrame
+  ): DataFrame = {
+    val dict = broadcast(terms.select(col("term")).distinct())
+    df.select(id.as("doc_id"), explode(wsTokens(text)).as("term"))
+      .join(dict, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("term")).as("n_terms"))
+  }
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric-non-space characters — a cheap deterministic proxy for
     * subword tokenizer counts.

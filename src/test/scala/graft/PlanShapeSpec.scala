@@ -277,5 +277,12 @@ class PlanShapeSpec extends SparkSpec {
     val s113 = simplePlan("q113_rate_anomaly")
     assert(s113.contains("BroadcastExchange"), s113)
     assert(!s113.matches("(?s).*Sort .*global=true.*"), s113)
+    // q115: the dictionary meets the token explode in a BROADCAST hash
+    // join BEFORE any exchange — only matching tokens cross the wire
+    val s115 = simplePlan("q115_blocklist")
+    assert(s115.contains("BroadcastHashJoin"), s115)
+    // q116: same no-global-sort law as q109 (shared quantile machinery)
+    val s116 = simplePlan("q116_winsorize")
+    assert(!s116.matches("(?s).*Sort .*global=true.*"), s116)
   }
 }

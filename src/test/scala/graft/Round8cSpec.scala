@@ -106,6 +106,37 @@ class Round8cSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (1L, 11L)))
   }
 
+  // --- blocklistScreen ----------------------------------------------------
+
+  test("blocklistScreen: per-doc hit/term counts, case-insensitive, clean docs absent") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "Bad things happen"),
+      (2L, "all clean here"),
+      (3L, "bad bad worse")
+    ).toDF("doc_id", "text")
+    val dict = Seq("bad", "worse", "worse").toDF("term") // dup must not double-count
+    val got = TextFunctions.blocklistScreen(docs, $"text", $"doc_id", dict)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 1L), (3L, 3L, 2L)))
+  }
+
+  // --- winsorizeReport ----------------------------------------------------
+
+  test("winsorizeReport: cuts at the type-1 quantiles, clip counts exact") {
+    val df = (1 to 20).map(i => ("a", i.toDouble)).toDF("g", "v")
+    val r = Quantiles.winsorizeReport(df, $"g", $"v", pLo = 0.1, pHi = 0.9)
+      .collect().head
+    assert(r.getAs[Long]("n") == 20)
+    assert(r.getAs[Double]("lo_cut") == 2.0) // rank ceil(0.1*20)=2
+    assert(r.getAs[Double]("hi_cut") == 18.0) // rank ceil(0.9*20)=18
+    assert(r.getAs[Long]("n_lo") == 1) // v < 2
+    assert(r.getAs[Long]("n_hi") == 2) // v > 18
+    intercept[IllegalArgumentException] {
+      Quantiles.winsorizeReport(df, $"g", $"v", pLo = 0.9, pHi = 0.1)
+    }
+  }
+
   // --- transitionCounts ---------------------------------------------------
 
   test("transitionCounts: consecutive pairs count, session gaps break the chain") {
