@@ -131,6 +131,15 @@ object GraftExtensions {
     v.toInt
   }
 
+  private def strLit(e: Expression, name: String): String = {
+    require(e.foldable, s"graft kernel argument '$name' must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft kernel argument '$name' must be a string literal, got $other")
+    }
+  }
+
   private def info(cls: Class[_], name: String) = new ExpressionInfo(cls.getName, name)
 
   /** The full native-function surface, shared by the
@@ -179,6 +188,11 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_byte_entropy expects (string)")
         ByteEntropyF(exprs.head)
+      }),
+    ("graft_dedup_segments", info(classOf[DedupSegmentsF], "graft_dedup_segments"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dedup_segments expects (string, delimiter)")
+        DedupSegmentsF(exprs.head, strLit(exprs(1), "delimiter"))
       })
   )
 

@@ -273,6 +273,65 @@ object TextKernel {
     Math.log(n.toDouble) / ln2 - acc / n
   }
 
+  /** WITHIN-document segment dedup in one O(n) pass — the kernel form of
+    * the declarative `split → filter(array_position == i+1) → concat_ws`
+    * (which is O(segments²): an `array_position` scan per element — the
+    * q101 gate measured 2.2 s at sf0.1 on it). Split is LITERAL (the
+    * declarative form `Pattern.quote`s the delimiter), first occurrences
+    * keep their order via a hash set, and the result is byte-identical:
+    * trailing/consecutive delimiters produce empty segments exactly like
+    * Java's `split(..., -1)`, and the first empty segment survives like
+    * any other first occurrence. UTF-8 is self-synchronizing, so literal
+    * byte search can't match across a character boundary.
+    */
+  def dedupSegments(s: UTF8String, delim: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val d = delim.getBytes
+    val n = bytes.length
+    val m = d.length
+    if (m == 0 || n == 0) return s
+    // segment [start, end) offsets, leftmost non-overlapping literal split
+    var offs = new Array[Int](16)
+    var len = 0
+    var start = 0
+    var i = 0
+    def push(a: Int, b: Int): Unit = {
+      if (len + 2 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(len) = a; offs(len + 1) = b; len += 2
+    }
+    while (i <= n - m) {
+      var j = 0
+      while (j < m && bytes(i + j) == d(j)) j += 1
+      if (j == m) { push(start, i); i += m; start = i }
+      else i += 1
+    }
+    push(start, n)
+    if (len == 2) return s // no delimiter hit: the document is one segment
+    val seen = new java.util.HashSet[UTF8String](len)
+    val kept = new Array[Int](len)
+    var keptLen = 0
+    var outBytes = 0
+    var t = 0
+    while (t < len) {
+      val seg = UTF8String.fromBytes(bytes, offs(t), offs(t + 1) - offs(t))
+      if (seen.add(seg)) {
+        kept(keptLen) = offs(t); kept(keptLen + 1) = offs(t + 1); keptLen += 2
+        outBytes += offs(t + 1) - offs(t)
+      }
+      t += 2
+    }
+    val out = new Array[Byte](outBytes + m * (keptLen / 2 - 1))
+    var pos = 0
+    t = 0
+    while (t < keptLen) {
+      if (t > 0) { System.arraycopy(d, 0, out, pos, m); pos += m }
+      val l = kept(t + 1) - kept(t)
+      System.arraycopy(bytes, kept(t), out, pos, l); pos += l
+      t += 2
+    }
+    UTF8String.fromBytes(out)
+  }
+
   // Codegen entry points --------------------------------------------------
 
   def minhashSigData(s: UTF8String, w: Int, k: Int): ArrayData =
@@ -377,6 +436,30 @@ case class RepStatsF(child: Expression) extends StringKernelExpression {
     nullSafeCodeGen(ctx, ev, input =>
       s"${ev.value} = graft.plans.TextKernel.repStatsRow($input);")
   override protected def withNewChildInternal(newChild: Expression): RepStatsF =
+    copy(child = newChild)
+}
+
+/** WITHIN-document segment dedup as one per-row O(n) expression — see
+  * [[TextKernel.dedupSegments]]. The delimiter is a plan-time constant
+  * (like the kernel widths), shipped to generated code as a reference
+  * object so arbitrary delimiter bytes never round-trip through Java
+  * source escaping.
+  */
+case class DedupSegmentsF(child: Expression, delimiter: String)
+    extends StringKernelExpression {
+  require(delimiter.nonEmpty, "graft_dedup_segments delimiter must be non-empty")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_dedup_segments"
+  @transient private lazy val delimU8 = UTF8String.fromString(delimiter)
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.dedupSegments(v.asInstanceOf[UTF8String], delimU8)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dRef = ctx.addReferenceObj("graftDedupDelim", UTF8String.fromString(delimiter),
+      classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.plans.TextKernel.dedupSegments($input, $dRef);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): DedupSegmentsF =
     copy(child = newChild)
 }
 

@@ -265,4 +265,35 @@ class CodegenSpec extends SparkSpec {
     }
     assert(missing == 0, "compiled and interpreted paths must agree everywhere")
   }
+
+  test("DedupSegmentsF generated Java compiles; byte-identical to the declarative form") {
+    import graft.plans.DedupSegmentsF
+    import graft.functions.TextFunctions
+    import spark.implicits._
+    GenerateUnsafeProjection.generate( // throws on compile error
+      Seq(DedupSegmentsF(BoundReference(0, StringType, nullable = true), "\n")))
+    // the tricky shapes: empties from consecutive/trailing delimiters,
+    // first-empty survival, delimiter absent, multi-char and multi-byte
+    // delimiters, unicode segments
+    val texts = Seq(
+      "", "a", "a\na", "a\n\na\nb\n\nb", "\na\n", "\n\n", "a\nb\na\nc\nb",
+      "no delim here", "é\nü\né", "x", "a\nb\n")
+    for (delim <- Seq("\n", " ", "||", "é")) {
+      val df = texts.toDF("text")
+      val diff = df.select(
+        TextFunctions.dedupSegments(col("text"), delim).as("k"),
+        TextFunctions.dedupSegmentsDeclarative(col("text"), delim).as("d"))
+        .where(not(col("k") <=> col("d")))
+      assert(diff.isEmpty, s"delim=${delim.replace("\n", "\\n")}: " +
+        diff.collect().mkString(" | "))
+    }
+    // SQL surface + literal-only delimiter enforcement
+    Seq(("a\na\nb", "\n")).toDF("t", "d").createOrReplaceTempView("dedupseg")
+    assert(spark.sql("""SELECT graft_dedup_segments(t, '\n') FROM dedupseg""")
+      .head().getString(0) == "a\nb")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dedup_segments(t, d) FROM dedupseg").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
 }
