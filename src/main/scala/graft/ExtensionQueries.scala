@@ -903,6 +903,24 @@ object ExtensionQueries {
       .select(col("g").as("l_returnflag"), col("n"), col("lo_cut"),
         col("hi_cut"), col("n_lo"), col("n_hi"))
 
+  /** view→click→purchase funnel within 7 days of entry
+    * ([[graft.operators.Sequences.funnelReport]]).
+    */
+  private def q117Funnel(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.funnelReport(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+      steps = Seq("view", "click", "purchase"), windowSeconds = Some(604800L))
+
+  /** Weekly retention cohorts over the event stream
+    * ([[graft.operators.Sequences.retention]]); cohort shipped as epoch
+    * seconds for the cross-engine hash compare.
+    */
+  private def q118Retention(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.retention(
+      Tables.events(s, d), col("user_id"), col("ts"))
+      .select(unix_timestamp(col("cohort")).as("cohort_week"),
+        col("week_offset"), col("n_users"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -993,6 +1011,8 @@ object ExtensionQueries {
     "q113_rate_anomaly" -> (q113RateAnomaly _),
     "q115_blocklist" -> (q115Blocklist _),
     "q116_winsorize" -> (q116Winsorize _),
+    "q117_funnel" -> (q117Funnel _),
+    "q118_retention" -> (q118Retention _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1485,6 +1505,34 @@ object ExtensionQueries {
         |  sum(CASE WHEN t.v > c.hi_cut THEN 1 ELSE 0 END)::BIGINT AS n_hi
         |FROM t JOIN c ON c.g = t.g
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q117_funnel" ->
+      // step i = earliest event of its type strictly after step i-1,
+      // whole funnel within 7 floored-second days of t1 (engine parity:
+      // epoch_ns // 1e9 matches Spark's unix_timestamp floor)
+      """WITH b AS (SELECT user_id AS k, ts AS t, event_type AS s FROM events),
+        |s1 AS (SELECT k, min(t) AS t1 FROM b WHERE s = 'view' GROUP BY 1),
+        |s2 AS (SELECT b.k, min(b.t) AS t2 FROM b JOIN s1 ON s1.k = b.k
+        |  WHERE b.s = 'click' AND b.t > s1.t1
+        |    AND epoch_ns(b.t) // 1000000000 - epoch_ns(s1.t1) // 1000000000 <= 604800
+        |  GROUP BY 1),
+        |s3 AS (SELECT b.k, min(b.t) AS t3 FROM b JOIN s2 ON s2.k = b.k
+        |  JOIN s1 ON s1.k = b.k
+        |  WHERE b.s = 'purchase' AND b.t > s2.t2
+        |    AND epoch_ns(b.t) // 1000000000 - epoch_ns(s1.t1) // 1000000000 <= 604800
+        |  GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s1)::BIGINT AS n_step1,
+        |  (SELECT count(*) FROM s2)::BIGINT AS n_step2,
+        |  (SELECT count(*) FROM s3)::BIGINT AS n_step3""".stripMargin,
+    "q118_retention" ->
+      """WITH f AS (SELECT user_id AS k, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT b.user_id AS k, f.cohort,
+        |    (epoch_ns(date_trunc('week', b.ts)) // 1000000000
+        |      - epoch_ns(f.cohort) // 1000000000) // 604800 AS week_offset
+        |  FROM events b JOIN f ON f.k = b.user_id)
+        |SELECT epoch_ns(cohort) // 1000000000 AS cohort_week, week_offset,
+        |  count(DISTINCT k)::BIGINT AS n_users
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -54,4 +54,92 @@ object Sequences {
       .groupBy(col("__ps").as("from_state"), col("s").as("to_state"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Ordered funnel completion times: for each key, step i completes at
+    * the EARLIEST event of `steps(i)` strictly after step i−1's
+    * completion (step 0: the key's earliest such event). Returns one row
+    * per key that completed step 1, with `t1..tn` columns — `t(i)` null
+    * once the chain breaks. `windowSeconds` bounds the whole funnel
+    * relative to t1 (the "converted within 7 days of entering" form),
+    * in floored epoch seconds like every gap predicate here.
+    *
+    * Scale shape: one filtered min-agg per step plus one equi-join per
+    * step, ALL keyed on the same column — after the first exchange every
+    * stage reuses the hash partitioning (ENSURE_REQUIREMENTS inserts no
+    * further data exchange; the per-key relation is |keys| rows, smaller
+    * at every stage). No windows, no sorts, no per-key iteration.
+    */
+  def funnelTimes(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      steps: Seq[String],
+      windowSeconds: Option[Long] = None
+  ): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.distinct == steps, s"funnel steps must be distinct: $steps")
+    windowSeconds.foreach(w => require(w > 0, s"windowSeconds must be positive: $w"))
+    val base = df.select(key.as("k"), ts.as("t"), state.as("s"))
+    var acc = base.where(col("s") === steps.head)
+      .groupBy(col("k")).agg(min(col("t")).as("t1"))
+    for (i <- 2 to steps.size) {
+      val prevT = col(s"t${i - 1}")
+      val winOk = windowSeconds match {
+        case Some(w) =>
+          unix_timestamp(col("t")) - unix_timestamp(col("t1")) <= w
+        case None => lit(true)
+      }
+      val next = base.where(col("s") === steps(i - 1))
+        .join(acc.select((1 until i).map(j => col(s"t$j")) :+ col("k"): _*), Seq("k"))
+        .where(col("t") > prevT && winOk)
+        .groupBy(col("k")).agg(min(col("t")).as(s"t$i"))
+      acc = acc.join(next, Seq("k"), "left")
+    }
+    acc
+  }
+
+  /** Per-step completion counts over [[funnelTimes]] — the one-row
+    * funnel readout (`n_step1..n_stepN`).
+    */
+  def funnelReport(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      steps: Seq[String],
+      windowSeconds: Option[Long] = None
+  ): DataFrame = {
+    val times = funnelTimes(df, key, ts, state, steps, windowSeconds)
+    times.agg(
+      count(col("t1")).as("n_step1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"n_step$i")): _*)
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST
+    * event, counted distinctly in every later week they appear —
+    * `(cohort, week_offset, n_users)`, the standard retention triangle.
+    *
+    * Week truncation and the offset are integer-exact (`date_trunc` to
+    * the week on both sides, offset = floored-second difference div
+    * 604800 — both instants are week-aligned, so the division is exact).
+    *
+    * Scale shape: one key agg for first-events, one key equi-join
+    * (partitioning reused), one (cohort, offset) distinct-count — the
+    * exchange carries (cohort, offset, key) distinct triples.
+    */
+  def retention(
+      df: DataFrame,
+      key: Column,
+      ts: Column
+  ): DataFrame = {
+    val firsts = df.groupBy(key.as("k"))
+      .agg(date_trunc("week", min(ts)).as("cohort"))
+    df.select(key.as("k"), date_trunc("week", ts).as("w"))
+      .join(firsts, Seq("k"))
+      .select(col("k"), col("cohort"),
+        expr("(unix_timestamp(w) - unix_timestamp(cohort)) div 604800").as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(countDistinct(col("k")).as("n_users"))
+  }
 }

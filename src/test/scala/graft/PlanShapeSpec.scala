@@ -284,5 +284,16 @@ class PlanShapeSpec extends SparkSpec {
     // q116: same no-global-sort law as q109 (shared quantile machinery)
     val s116 = simplePlan("q116_winsorize")
     assert(!s116.matches("(?s).*Sort .*global=true.*"), s116)
+    // q117: every exchange hashes on the funnel key — per-step min-aggs
+    // and joins reuse one partitioning; no window, no sort anywhere
+    val s117 = simplePlan("q117_funnel")
+    assert(!s117.contains("Window"), s117)
+    assert(!s117.matches("(?s).*Sort .*global=true.*"), s117)
+    for (l <- s117.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(l.contains("k#"), s"funnel exchange not on the key: $l")
+    // q118: the (cohort, offset) distinct-count is the only non-key
+    // exchange; no global sort
+    val s118 = simplePlan("q118_retention")
+    assert(!s118.matches("(?s).*Sort .*global=true.*"), s118)
   }
 }

@@ -165,6 +165,70 @@ class Round8cSpec extends SparkSpec {
     }
   }
 
+  // --- funnel -------------------------------------------------------------
+
+  test("funnelTimes/funnelReport: strict ordering, entry window, chain breaks stay null") {
+    val df = Seq(
+      // completes all three
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // click BEFORE the first view: step 2 never completes
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // click at the same instant as view: not strictly after
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // click 8 days after entry: outside the 7-day window
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-09 11:00:00"), "click")
+    ).toDF("k", "t", "s")
+    val steps = Seq("view", "click", "purchase")
+    val times = graft.operators.Sequences.funnelTimes(
+      df, $"k", $"t", $"s", steps, windowSeconds = Some(604800L))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(times.keySet == Set(1L, 2L, 3L, 4L)) // every entrant has a row
+    assert(times(1L)._1.isDefined && times(1L)._2.isDefined)
+    assert(times(2L) == ((None, None)))
+    assert(times(3L) == ((None, None)))
+    assert(times(4L) == ((None, None)))
+    val rep = graft.operators.Sequences.funnelReport(
+      df, $"k", $"t", $"s", steps, windowSeconds = Some(604800L)).collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((4L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Sequences.funnelTimes(df, $"k", $"t", $"s", Seq("a", "a"))
+    }
+  }
+
+  test("funnelTimes picks the EARLIEST qualifying event per step, not any") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 10:20:00"), "click") // earlier qualifying click wins
+    ).toDF("k", "t", "s")
+    val r = graft.operators.Sequences.funnelTimes(
+      df, $"k", $"t", $"s", Seq("view", "click")).collect().head
+    assert(r.getTimestamp(2) == ts("2024-01-01 10:20:00"))
+  }
+
+  // --- retention ----------------------------------------------------------
+
+  test("retention: cohort = first-event week, distinct users per offset") {
+    // 2024-01-01 is a Monday: week boundaries are exact
+    val df = Seq(
+      (1L, ts("2024-01-02 10:00:00")), // cohort W0
+      (1L, ts("2024-01-16 10:00:00")), // W0 offset 2
+      (1L, ts("2024-01-17 10:00:00")), // same week: still one distinct user
+      (2L, ts("2024-01-10 10:00:00"))  // cohort W1
+    ).toDF("k", "t")
+    val got = graft.operators.Sequences.retention(df, $"k", $"t")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (ts("2024-01-01 00:00:00"), 0L, 1L),
+      (ts("2024-01-01 00:00:00"), 2L, 1L),
+      (ts("2024-01-08 00:00:00"), 0L, 1L)))
+  }
+
   // --- invertedIndex ------------------------------------------------------
 
   test("invertedIndex: df, tf-ranked postings, topK and minDf cuts") {
