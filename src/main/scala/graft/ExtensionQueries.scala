@@ -921,6 +921,27 @@ object ExtensionQueries {
       .select(unix_timestamp(col("cohort")).as("cohort_week"),
         col("week_offset"), col("n_users"))
 
+  /** PSI length-distribution drift: yesterday's corpus (doc_id < 250)
+    * is the frozen reference, the rest is the current batch
+    * ([[Corpus.psiDrift]]).
+    */
+  private def q119Psi(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.psiDrift(
+      docs.where(col("doc_id") < 250), col("n_chars"),
+      docs.where(col("doc_id") >= 250), col("n_chars"),
+      bins = 10, lo = 0.0, hi = 600.0)
+  }
+
+  /** Cluster-size profile over the q36 near-dup clustering
+    * ([[Dedup.clusterSizeProfile]]).
+    */
+  private def q120ClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, col("text"), col("doc_id"))
+    Dedup.clusterSizeProfile(Dedup.nearDupClusters(docs, col("doc_id"), pairs))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1013,6 +1034,8 @@ object ExtensionQueries {
     "q116_winsorize" -> (q116Winsorize _),
     "q117_funnel" -> (q117Funnel _),
     "q118_retention" -> (q118Retention _),
+    "q119_psi" -> (q119Psi _),
+    "q120_cluster_sizes" -> (q120ClusterSizes _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1533,6 +1556,42 @@ object ExtensionQueries {
         |SELECT epoch_ns(cohort) // 1000000000 AS cohort_week, week_offset,
         |  count(DISTINCT k)::BIGINT AS n_users
         |FROM e GROUP BY 1, 2""".stripMargin,
+    "q119_psi" ->
+      // every float input is forced ::DOUBLE (bare 0.5 is DECIMAL in
+      // DuckDB, whose exact arithmetic would diverge from Spark's IEEE);
+      // the term uses the UNROUNDED shares, like the Spark side
+      """WITH r AS (SELECT least(9, greatest(0,
+        |    floor((n_chars::DOUBLE - 0.0::DOUBLE) / 60.0::DOUBLE)::INT)) AS bin
+        |  FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL),
+        |rc AS (SELECT bin, count(*)::BIGINT AS n_ref FROM r GROUP BY 1),
+        |c AS (SELECT least(9, greatest(0,
+        |    floor((n_chars::DOUBLE - 0.0::DOUBLE) / 60.0::DOUBLE)::INT)) AS bin
+        |  FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL),
+        |cc AS (SELECT bin, count(*)::BIGINT AS n_cur FROM c GROUP BY 1),
+        |spine AS (SELECT unnest(range(10))::INT AS bin),
+        |j AS (SELECT s.bin, coalesce(rc.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(cc.n_cur, 0)::BIGINT AS n_cur
+        |  FROM spine s LEFT JOIN rc ON rc.bin = s.bin LEFT JOIN cc ON cc.bin = s.bin),
+        |t AS (SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur FROM j),
+        |e AS (SELECT bin, n_ref, n_cur,
+        |    (n_ref::DOUBLE + 0.5::DOUBLE) / (t_ref::DOUBLE + 5.0::DOUBLE) AS p,
+        |    (n_cur::DOUBLE + 0.5::DOUBLE) / (t_cur::DOUBLE + 5.0::DOUBLE) AS q
+        |  FROM j CROSS JOIN t)
+        |SELECT bin, n_ref, n_cur,
+        |  round(p, 6) + 0.0 AS p_ref, round(q, 6) + 0.0 AS p_cur,
+        |  round((q - p) * ln(q / p), 6) + 0.0 AS term
+        |FROM e""".stripMargin,
+    "q120_cluster_sizes" ->
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.t FROM reach r JOIN edges e ON r.b = e.s),
+         |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+         |sz AS (SELECT cluster_id, count(*)::BIGINT AS size FROM cl GROUP BY 1)
+         |SELECT size, count(*)::BIGINT AS n_clusters FROM sz GROUP BY 1""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

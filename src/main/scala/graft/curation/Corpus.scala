@@ -70,6 +70,67 @@ object Corpus {
       .select(col("term"), col("df"), col("doc_id"), col("tf"), col("rank"))
   }
 
+  /** Population Stability Index drift between a REFERENCE corpus and the
+    * current batch over a binned numeric column — the numeric-feature
+    * complement of [[sourceDivergence]]'s vocabulary KL: lengths, quality
+    * scores, and perplexities drift long before the vocabulary does, and
+    * PSI over fixed bins is the standard monitoring statistic for them
+    * (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 act — credit-scoring
+    * practice, adopted by ML monitoring).
+    *
+    * Bins are `bins` equal-width cells over the CALLER-FIXED `[lo, hi)`
+    * (out-of-range values clamp into the edge bins — drift monitoring
+    * needs the bin edges frozen across runs, which data-derived ranges
+    * would break); counts get add-half (Jeffreys) smoothing so empty
+    * bins contribute finite terms with no arbitrary epsilon.
+    *
+    * Output is PER-BIN: `(bin, n_ref, n_cur, p_ref, p_cur, term)` with
+    * `term = (p_cur − p_ref)·ln(p_cur / p_ref)`; `PSI = Σ term`. The
+    * per-bin form is deliberate — each term is one fixed double
+    * expression over integer counts (engine-deterministic), while a
+    * cross-bin sum would depend on float summation order; callers sum
+    * the handful of bins.
+    *
+    * Scale shape: one map-combined bin count per side (exchanges carry
+    * ≤ `bins` rows), totals via scalar aggregate, the bins spine
+    * generated — never a data shuffle.
+    */
+  def psiDrift(
+      ref: DataFrame,
+      refValue: Column,
+      cur: DataFrame,
+      curValue: Column,
+      bins: Int,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins: $bins")
+    require(lo < hi, s"need lo < hi: [$lo, $hi)")
+    val width = (hi - lo) / bins
+    def binned(df: DataFrame, v: Column, name: String): DataFrame =
+      df.select(least(lit(bins - 1), greatest(lit(0),
+          floor((v.cast("double") - lo) / width).cast("int"))).as("bin"))
+        .where(v.isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(name))
+    val spark = ref.sparkSession
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(ref, refValue, "n_ref"), Seq("bin"), "left")
+      .join(binned(cur, curValue, "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val p = (col("n_ref") + 0.5) / (col("t_ref") + 0.5 * bins)
+    val q = (col("n_cur") + 0.5) / (col("t_cur") + 0.5 * bins)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        (round(p, 6) + lit(0.0)).as("p_ref"),
+        (round(q, 6) + lit(0.0)).as("p_cur"),
+        (round((q - p) * log(q / p), 6) + lit(0.0)).as("term"))
+  }
+
   /** Corpus vocabulary: the `topN` terms by total occurrence count, with
     * document frequency and a dense 1-based rank (ties broken by term so
     * the cut is deterministic).

@@ -1481,6 +1481,21 @@ object Dedup {
         col("cos_centroid"), col("keep"))
   }
 
+  /** Cluster-size profile over a `(doc_id, cluster_id)` relation (the
+    * [[nearDupClusters]] output contract): how many clusters have each
+    * size — the observability readout every dedup run reads first. A
+    * fat tail (10⁴-member clusters) means template/boilerplate families
+    * and drives the `maxBucket`/winnowing tuning; a profile of all-1s
+    * means the pair stage found nothing and the thresholds are too
+    * tight. Two map-combined aggregations (cluster → size → histogram);
+    * the second exchange carries ≤ |distinct sizes| rows.
+    */
+  def clusterSizeProfile(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Blocked FUZZY pair matching — edit-distance record linkage, the
     * last dedup family the engine lacked: MinHash/SimHash find documents
     * sharing CONTENT, `fuzzyPairs` finds strings that are a few

@@ -249,6 +249,46 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- psiDrift -----------------------------------------------------------
+
+  test("psiDrift: hand-checked terms, add-half smoothing, clamped edge bins") {
+    val ref = Seq(10.0, 10.0, 10.0, 30.0).toDF("v") // bins(0)=3, bins(1)=1
+    val cur = Seq(10.0, 30.0, 30.0, 30.0, -5.0).toDF("v") // -5 clamps to bin 0
+    val got = graft.curation.Corpus.psiDrift(
+      ref, $"v", cur, $"v", bins = 2, lo = 0.0, hi = 40.0)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(got.size == 2)
+    assert(got(0)._1 == 3L && got(0)._2 == 2L) // 10,10,10 | 10,-5
+    assert(got(1)._1 == 1L && got(1)._2 == 3L)
+    def term(nr: Long, nc: Long, tr: Long, tc: Long): Double = {
+      val p = (nr + 0.5) / (tr + 1.0); val q = (nc + 0.5) / (tc + 1.0)
+      math.round((q - p) * math.log(q / p) * 1e6) / 1e6 + 0.0
+    }
+    assert(got(0)._3 == term(3, 2, 4, 5))
+    assert(got(1)._3 == term(1, 3, 4, 5))
+    // identical distributions: every term is exactly 0.0 (and never -0.0)
+    val same = graft.curation.Corpus.psiDrift(
+      ref, $"v", ref, $"v", bins = 4, lo = 0.0, hi = 40.0)
+      .collect().map(_.getDouble(5))
+    assert(same.forall(t => t == 0.0 && t.toString == "0.0"))
+    intercept[IllegalArgumentException] {
+      graft.curation.Corpus.psiDrift(ref, $"v", cur, $"v", 1, 0.0, 1.0)
+    }
+  }
+
+  // --- clusterSizeProfile -------------------------------------------------
+
+  test("clusterSizeProfile: histogram of cluster sizes") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // one 3-cluster
+      (4L, 4L), (5L, 5L)            // two singletons
+    ).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeProfile(clusters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((3L, 1L), (1L, 2L)))
+  }
+
   // --- seasonalAnomaly ----------------------------------------------------
 
   test("seasonalAnomaly: empty buckets count zero and score; formula hand-checked") {
