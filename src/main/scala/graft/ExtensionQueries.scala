@@ -942,6 +942,18 @@ object ExtensionQueries {
     Dedup.clusterSizeProfile(Dedup.nearDupClusters(docs, col("doc_id"), pairs))
   }
 
+  /** Vocabulary coverage curve: yesterday's corpus (doc_id < 250) ranks
+    * the candidate vocab, today's batch sweeps the size cuts
+    * ([[Corpus.coverageCurve]]).
+    */
+  private def q121CoverageCurve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Corpus.coverageCurve(
+      docs.where(col("doc_id") >= 250), col("text"), col("doc_id"),
+      Corpus.vocabulary(docs.where(col("doc_id") < 250), col("text"), col("doc_id"), topN = 200),
+      cuts = Seq(25, 50, 100, 200))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1036,6 +1048,7 @@ object ExtensionQueries {
     "q118_retention" -> (q118Retention _),
     "q119_psi" -> (q119Psi _),
     "q120_cluster_sizes" -> (q120ClusterSizes _),
+    "q121_coverage_curve" -> (q121CoverageCurve _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1592,6 +1605,20 @@ object ExtensionQueries {
          |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
          |sz AS (SELECT cluster_id, count(*)::BIGINT AS size FROM cl GROUP BY 1)
          |SELECT size, count(*)::BIGINT AS n_clusters FROM sz GROUP BY 1""".stripMargin,
+    "q121_coverage_curve" ->
+      s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |vc AS (SELECT term, count(*)::BIGINT AS tf FROM t WHERE doc_id < 250 GROUP BY 1),
+         |vr AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rank FROM vc),
+         |v AS (SELECT term, rank FROM vr WHERE rank <= 200),
+         |bt AS (SELECT term, count(*)::BIGINT AS tf FROM t WHERE doc_id >= 250 GROUP BY 1),
+         |j AS (SELECT bt.term, bt.tf, v.rank FROM bt LEFT JOIN v ON v.term = bt.term),
+         |cuts AS (SELECT unnest([25, 50, 100, 200]) AS cut)
+         |SELECT cut, sum(tf)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN rank IS NULL OR rank > cut THEN tf ELSE 0 END)::BIGINT AS n_oov,
+         |  CASE WHEN sum(tf) > 0 THEN round(
+         |    sum(CASE WHEN rank IS NULL OR rank > cut THEN tf ELSE 0 END) / sum(tf), 4)
+         |    ELSE 0.0 END AS oov_rate
+         |FROM j CROSS JOIN cuts GROUP BY cut""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -70,6 +70,46 @@ object Corpus {
       .select(col("term"), col("df"), col("doc_id"), col("tf"), col("rank"))
   }
 
+  /** Vocabulary coverage CURVE: corpus-level OOV rate at each candidate
+    * vocabulary-size cut in ONE pass — the "how big must the tokenizer
+    * vocab be" decision readout ([[vocabCoverage]] scores one frozen
+    * vocab per doc; this sweeps sizes over the whole batch). The vocab
+    * must carry the `rank` column [[vocabulary]] emits (1 = most
+    * frequent): a token is covered at cut c iff its rank ≤ c.
+    *
+    * Scale shape: the batch explodes once into map-combined (term, tf)
+    * counts, joins the broadcast-sized ranked vocab once, then ONE
+    * conditional-sum aggregate emits every cut (the cuts spine is a
+    * broadcast cross of ≤ |cuts| rows; the exchange after the map-side
+    * combine carries |cuts| partial rows). Never a pass per cut.
+    */
+  def coverageCurve(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      vocab: DataFrame,
+      cuts: Seq[Int]
+  ): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ > 0), s"cuts must be positive: $cuts")
+    require(cuts.distinct == cuts && cuts == cuts.sorted, s"cuts must be sorted distinct: $cuts")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranked = vocab.select(col("term"), col("rank"))
+    val termCounts = tokenRows(docs, text, id)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(ranked), Seq("term"), "left")
+    val cutsDf = broadcast(cuts.toDF("cut"))
+    termCounts.crossJoin(cutsDf)
+      .groupBy(col("cut"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("rank").isNull || col("rank") > col("cut"), col("tf"))
+          .otherwise(0L)).as("n_oov"))
+      .select(col("cut"), col("n_tokens"), col("n_oov"),
+        when(col("n_tokens") > 0, round(col("n_oov") / col("n_tokens"), 4))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
+
   /** Population Stability Index drift between a REFERENCE corpus and the
     * current batch over a binned numeric column — the numeric-feature
     * complement of [[sourceDivergence]]'s vocabulary KL: lengths, quality

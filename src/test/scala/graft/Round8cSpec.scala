@@ -249,6 +249,46 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- coverageCurve ------------------------------------------------------
+
+  test("coverageCurve: one-pass OOV sweep over vocab-size cuts") {
+    val ref = Seq((1L, "a a b")).toDF("doc_id", "text") // ranks: a=1, b=2
+    val batch = Seq((2L, "a a b c")).toDF("doc_id", "text")
+    val vocab = Corpus.vocabulary(ref, $"text", $"doc_id", topN = 10)
+    val got = Corpus.coverageCurve(batch, $"text", $"doc_id", vocab, Seq(1, 2))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1) == ((4L, 2L, 0.5)))  // only 'a' covered: b+c OOV
+    assert(got(2) == ((4L, 1L, 0.25))) // 'c' never in vocab
+    intercept[IllegalArgumentException] {
+      Corpus.coverageCurve(batch, $"text", $"doc_id", vocab, Seq(2, 1))
+    }
+  }
+
+  // --- bucketed funnel (the zero-exchange scale path) ----------------------
+
+  test("funnelTimes over a user-bucketed events table plans ZERO exchanges") {
+    import graft.sources.Storage
+    val events = (1L to 200L).flatMap(u => Seq(
+      (u, ts("2024-01-01 10:00:00"), "view"),
+      (u, ts("2024-01-01 10:05:00"), "click")
+    )).toDF("k", "t", "s")
+    Storage.writeBucketed(events, "graft_bkt_funnel", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val f = graft.operators.Sequences.funnelTimes(
+        spark.table("graft_bkt_funnel"), $"k", $"t", $"s", Seq("view", "click"))
+      val plan = f.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed funnel still shuffles:\n$plan")
+      assert(f.where($"t2".isNotNull).count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_funnel")
+    }
+  }
+
   // --- psiDrift -----------------------------------------------------------
 
   test("psiDrift: hand-checked terms, add-half smoothing, clamped edge bins") {
