@@ -954,6 +954,20 @@ object ExtensionQueries {
       cuts = Seq(25, 50, 100, 200))
   }
 
+  /** ANN quality observability as a GATE: recall@10 of the q31 LSH
+    * probe against the q25 brute-force truth, per query
+    * ([[KNN.recallAtK]]; the macro-average row is excluded — its
+    * `avg(double)` is float-summation-order sensitive, while the
+    * per-query rows are exact integer ratios).
+    */
+  private def q122AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.where(col("vec_id") < 5)
+    val truth = KNN.bruteForceTopK(emb, queries, col("vec_id"), col("embedding"), 10)
+    val approx = KNN.lshTopK(emb, queries, col("vec_id"), col("embedding"), 10, 4, 64)
+    KNN.recallAtK(truth, approx).where(col("q_id") >= 0)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1049,6 +1063,7 @@ object ExtensionQueries {
     "q119_psi" -> (q119Psi _),
     "q120_cluster_sizes" -> (q120ClusterSizes _),
     "q121_coverage_curve" -> (q121CoverageCurve _),
+    "q122_ann_recall" -> (q122AnnRecall _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1619,6 +1634,28 @@ object ExtensionQueries {
          |    sum(CASE WHEN rank IS NULL OR rank > cut THEN tf ELSE 0 END) / sum(tf), 4)
          |    ELSE 0.0 END AS oov_rate
          |FROM j CROSS JOIN cuts GROUP BY cut""".stripMargin,
+    "q122_ann_recall" ->
+      // truth = the q25 brute-force CTE, approx = the q31 bucket CTE;
+      // recall is an exact integer ratio per query
+      s"""WITH e AS (SELECT vec_id, embedding, $duckLshBucket AS bucket FROM embeddings),
+         |ts AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
+         |       FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |       WHERE a.vec_id < 5),
+         |tr AS (SELECT q_id, n_id,
+         |       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk FROM ts),
+         |truth AS (SELECT DISTINCT q_id, n_id FROM tr WHERE rk <= 10),
+         |aps AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
+         |       FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id != a.vec_id
+         |       WHERE a.vec_id < 5),
+         |apr AS (SELECT q_id, n_id,
+         |       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk FROM aps),
+         |appr AS (SELECT DISTINCT q_id, n_id FROM apr WHERE rk <= 10),
+         |g AS (SELECT t.q_id, count(*)::BIGINT AS n_truth,
+         |    sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+         |  FROM truth t LEFT JOIN appr a ON a.q_id = t.q_id AND a.n_id = t.n_id
+         |  GROUP BY 1)
+         |SELECT q_id, n_truth, n_hit, round(n_hit / n_truth, 4) AS recall
+         |FROM g""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),
