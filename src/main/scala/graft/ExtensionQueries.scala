@@ -968,6 +968,32 @@ object ExtensionQueries {
     KNN.recallAtK(truth, approx).where(col("q_id") >= 0)
   }
 
+  /** CDC apply-changes maintenance over the orders snapshot: every 3rd
+    * key gets a later-versioned change (every 9th a delete)
+    * ([[graft.sources.Storage.applyChanges]]). Prices stay unrounded —
+    * doubling is IEEE-exact, so the hash compare needs no rounding.
+    */
+  private def q123ApplyChanges(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").as("ver"))
+    val changes = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+        (col("ver") + expr("INTERVAL 1 DAY")).as("ver"),
+        when(col("o_orderkey") % 9 === 0, "delete").otherwise("upsert").as("op"))
+    graft.sources.Storage.applyChanges(orders, changes, col("o_orderkey"), col("ver"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("ver")).as("ver_s"))
+  }
+
+  /** Per-event session labeling over the event stream
+    * ([[graft.operators.Windows.sessionize]]).
+    */
+  private def q124Sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Windows.sessionize(
+      Tables.events(s, d), col("user_id"), col("ts"),
+      gapSeconds = 1800, tiebreak = Seq(col("event_id")))
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1064,6 +1090,8 @@ object ExtensionQueries {
     "q120_cluster_sizes" -> (q120ClusterSizes _),
     "q121_coverage_curve" -> (q121CoverageCurve _),
     "q122_ann_recall" -> (q122AnnRecall _),
+    "q123_apply_changes" -> (q123ApplyChanges _),
+    "q124_sessionize" -> (q124Sessionize _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1656,6 +1684,30 @@ object ExtensionQueries {
          |  GROUP BY 1)
          |SELECT q_id, n_truth, n_hit, round(n_hit / n_truth, 4) AS recall
          |FROM g""".stripMargin,
+    "q123_apply_changes" ->
+      """WITH snap AS (SELECT o_orderkey, o_totalprice, o_orderdate AS ver,
+        |    'upsert' AS op, 0 AS pri FROM orders),
+        |chg AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |    o_orderdate + INTERVAL 1 DAY AS ver,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 1 END AS pri
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (SELECT * FROM snap UNION ALL SELECT * FROM chg),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY ver DESC, pri DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_totalprice,
+        |  epoch_ns(ver) // 1000000000 AS ver_s
+        |FROM r WHERE rn = 1 AND op != 'delete'""".stripMargin,
+    "q124_sessionize" ->
+      """WITH o AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ns(ts) // 1000000000 - epoch_ns(lag(ts) OVER w) // 1000000000 > 1800
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+        |FROM o""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

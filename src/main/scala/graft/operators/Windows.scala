@@ -74,6 +74,41 @@ object Windows {
   def session(ts: Column, gap: String, keys: Seq[Column], aggs: Seq[Column]): DataFrame => DataFrame =
     df => df.groupBy(keys :+ session_window(ts, gap): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Per-EVENT session assignment — the labeling form of [[session]]:
+    * every row gets its key's 1-based `session_seq` (a new session
+    * starts when the gap to the previous event EXCEEDS `gapSeconds`,
+    * the strictly-greater break matching the aggregate form's merge-on-
+    * equal behavior and the reference's gap rule,
+    * `flow/session_window.go:81-97`). The aggregate form collapses
+    * sessions to one row; pipelines that need the session as a JOIN KEY
+    * (transitions per session, session-level features, leakage-safe
+    * splits by session) need the label on every event.
+    *
+    * Gap math in floored epoch seconds (integer-exact); `tiebreak`
+    * orders same-timestamp events deterministically. ONE key exchange:
+    * the lag and the running sum share the same window partition, so
+    * both run off one sort.
+    */
+  def sessionize(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      gapSeconds: Long,
+      tiebreak: Seq[Column] = Seq.empty
+  ): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val ord = ts +: tiebreak
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ord.map(_.asc): _*)
+    val newSession = when(
+      lag(ts, 1).over(w).isNull ||
+        unix_timestamp(ts) - unix_timestamp(lag(ts, 1).over(w)) > gapSeconds,
+      1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+  }
+
   /** The reference's literal `[]T`-per-window output shape
     * (`flow/tumbling_window.go:12`): window bounds + sorted element array.
     * Sorting matches SlidingWindow's in-window event-time sort

@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers — the parts of the 100 TB design that live in
   * how data is WRITTEN rather than how a query is planned.
@@ -22,4 +24,46 @@ object Storage {
     df.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** Apply a CDC change batch to a snapshot — the merge/upsert step that
+    * maintains a table from a change stream (the batch half of the
+    * [[Polling]] CDC source's contract) without a transactional table
+    * format: latest-wins per key by `(version, change-precedence)`,
+    * deletes drop the key.
+    *
+    * Contract: `snapshot` and `changes` share the payload schema;
+    * `changes` adds an `op` column (`"upsert"` | `"delete"`); `version`
+    * names a monotone column present in both (ingest timestamp or LSN).
+    * On a (key, version) TIE between a snapshot row and a change row,
+    * the CHANGE wins (re-applying a batch converges — idempotent
+    * replay); ties between two change rows are a malformed feed and
+    * break deterministically by op precedence (delete > upsert).
+    *
+    * Scale shape: union → one hash exchange on the key → rank-1 filter,
+    * which Catalyst rewrites to WindowGroupLimit, so map tasks pre-prune
+    * to one candidate row per key before the shuffle. Snapshot-over-
+    * snapshot like [[graft.dedup.Dedup.dropSeen]]: the output IS the new
+    * snapshot — write it bucketed by the key and the next apply's
+    * exchange disappears too.
+    */
+  def applyChanges(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      key: Column,
+      version: Column
+  ): DataFrame = {
+    val snap = snapshot
+      .withColumn("__op", lit("upsert"))
+      .withColumn("__pri", lit(0))
+    val chg = changes
+      .withColumn("__op", col("op"))
+      .withColumn("__pri", when(col("op") === "delete", 2).otherwise(1))
+      .drop("op")
+    val w = Window.partitionBy(key)
+      .orderBy(version.desc, col("__pri").desc)
+    snap.unionByName(chg)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__op") =!= "delete")
+      .drop("__rn", "__op", "__pri")
+  }
 }

@@ -295,5 +295,13 @@ class PlanShapeSpec extends SparkSpec {
     // exchange; no global sort
     val s118 = simplePlan("q118_retention")
     assert(!s118.matches("(?s).*Sort .*global=true.*"), s118)
+    // q123: the rank-1 merge prunes map-side (WindowGroupLimit) before
+    // the one key exchange
+    val s123 = simplePlan("q123_apply_changes")
+    assert(s123.contains("WindowGroupLimit"), s123)
+    assert(s123.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s123)
+    // q124: lag + running sum share ONE key exchange and one sort
+    val s124 = simplePlan("q124_sessionize")
+    assert(s124.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s124)
   }
 }

@@ -249,6 +249,53 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- applyChanges -------------------------------------------------------
+
+  test("applyChanges: latest-wins upserts, deletes drop, change wins version ties") {
+    import graft.sources.Storage
+    val snap = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (2L, "b", ts("2024-01-01 00:00:00")),
+      (3L, "c", ts("2024-01-05 00:00:00")) // NEWER than its change: snapshot wins
+    ).toDF("k", "v", "ver")
+    val chg = Seq(
+      (1L, "a2", ts("2024-01-02 00:00:00"), "upsert"), // newer: replaces
+      (2L, "x", ts("2024-01-02 00:00:00"), "delete"),  // newer: drops key 2
+      (3L, "c2", ts("2024-01-03 00:00:00"), "upsert"), // older: ignored
+      (4L, "d", ts("2024-01-02 00:00:00"), "upsert")   // brand-new key
+    ).toDF("k", "v", "ver", "op")
+    val got = Storage.applyChanges(snap, chg, $"k", $"ver")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+    // idempotent replay: applying the same batch to the result converges
+    val again = Storage.applyChanges(
+      Storage.applyChanges(snap, chg, $"k", $"ver"), chg, $"k", $"ver")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == got)
+    // exact version tie between snapshot and change: the change wins
+    val tieChg = Seq((3L, "c3", ts("2024-01-05 00:00:00"), "upsert"))
+      .toDF("k", "v", "ver", "op")
+    val tied = Storage.applyChanges(snap, tieChg, $"k", $"ver")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(tied(3L) == "c3")
+  }
+
+  // --- sessionize ---------------------------------------------------------
+
+  test("sessionize labels every event; strictly-greater gap starts a new session") {
+    import graft.operators.Windows
+    val df = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1L),
+      (7L, ts("2024-01-01 10:30:00"), 2L), // gap == 1800: SAME session
+      (7L, ts("2024-01-01 11:00:01"), 3L), // gap 1801: new session
+      (8L, ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("k", "t", "id")
+    val got = Windows.sessionize(df, $"k", $"t", 1800, Seq($"id"))
+      .collect().map(r => r.getLong(2) -> r.getAs[Long]("session_seq")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+    intercept[IllegalArgumentException] { Windows.sessionize(df, $"k", $"t", 0) }
+  }
+
   // --- coverageCurve ------------------------------------------------------
 
   test("coverageCurve: one-pass OOV sweep over vocab-size cuts") {
