@@ -417,7 +417,46 @@ object StreamingGates {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming per-event sessionization over the q124 inputs
+    * ([[StreamingFlows.sessionize]]): same sentinel plumbing as q114;
+    * sentinel rows (negative event ids on an unused key) are dropped
+    * from the readout, and the exact per-event session numbers must
+    * hash-match the batch q124 oracle.
+    */
+  private def q125SessionizeStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[TEv].collect()
+    if (events.isEmpty)
+      return s.createDataset(Seq.empty[(Long, Option[Long], Long)])
+        .toDF("event_id", "user_id", "session_seq")
+    val in = MemoryStream[TEv]
+    val labeled = StreamingFlows.sessionize[Option[Long], TEv, (Long, Option[Long], Long)](
+      in.toDS(), _.user_id, _.ts,
+      delay = "1 hour", gapSeconds = 1800, ord = _.event_id,
+      (e, seq) => (e.event_id, e.user_id, seq))
+    in.addData(events.toIndexedSeq)
+    val sink = sinkName("q125")
+    val q = labeled.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(TEv(-1L, Some(-1L), s1, "___sentinel"))
+      q.processAllAvailable()
+      in.addData(TEv(-2L, Some(-1L),
+        new java.sql.Timestamp(s1.getTime + 30L * 24 * 3600 * 1000), "___sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).toDF("event_id", "user_id", "session_seq")
+      .where(col("event_id") >= 0)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_sessionize_stream" -> (q125SessionizeStream _),
     "q114_transitions_stream" -> (q114TransitionsStream _),
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
@@ -433,6 +472,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),
     "q114_transitions_stream" -> ExtensionQueries.oracleSql("q111_transitions"),
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),

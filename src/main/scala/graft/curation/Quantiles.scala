@@ -82,15 +82,30 @@ object Quantiles {
       val (smallEnough, open) = fine.partition(_.getLong(5) <= maxFinal)
 
       if (smallEnough.nonEmpty) {
-        val smallDf = spark.createDataFrame(
+        // cells sharing a candidate RANGE share one sort: qs over the
+        // same (g, lo, hi) — always true in round 0, where every q of a
+        // group spans the full [min, max] — rank out of a single
+        // windowed pass instead of re-scanning the base once per q
+        // (measured 4.4 s → 1.8 s on the 3-quantile q103 gate at sf0.1)
+        val ranges = smallEnough
+          .map(r => (r.get(0), r.getDouble(3), r.getDouble(4))).distinct
+        val rangesDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ranges.toIndexedSeq.map(t => Row(t._1, t._2, t._3)), 1),
+          StructType(Seq(
+            StructField("g", base.schema("g").dataType),
+            StructField("lo", DoubleType), StructField("hi", DoubleType))))
+        val ranksDf = spark.createDataFrame(
           spark.sparkContext.parallelize(smallEnough.toIndexedSeq, 1),
           smallEnough.head.schema)
-        val w = Window.partitionBy(col("g"), col("q")).orderBy(col("v"))
+          .select(col("g"), col("q"), col("rank"), col("lo"), col("hi"))
+        val w = Window.partitionBy(col("g"), col("lo"), col("hi")).orderBy(col("v"))
         resolved ++= base
-          .join(broadcast(smallDf), base("g") === smallDf("g") &&
+          .join(broadcast(rangesDf), base("g") === rangesDf("g") &&
             col("v") >= col("lo") && col("v") <= col("hi"))
-          .select(base("g").as("g"), col("q"), col("v"), col("rank"))
+          .select(base("g").as("g"), col("lo"), col("hi"), col("v"))
           .withColumn("rn", row_number().over(w))
+          .join(broadcast(ranksDf), Seq("g", "lo", "hi"))
           .where(col("rn") === col("rank"))
           .select(col("g"), col("q"), col("v"))
           .collect()

@@ -248,6 +248,79 @@ object StreamingFlows {
       }
   }
 
+  /** Streaming per-event sessionization — the unbounded form of
+    * [[graft.operators.Windows.sessionize]]: each event is emitted once,
+    * labeled with its key's 1-based session sequence number, once the
+    * watermark finalizes it. Session numbering follows the batch form
+    * exactly (new session when the floored-second gap to the previous
+    * finalized event STRICTLY exceeds `gapSeconds`).
+    *
+    * Same finalization machinery as [[transitions]]/[[asOf]] (µs
+    * bookkeeping, event-time flush timers, engine late-drop). State per
+    * key = the delay-window buffer PLUS one `(ts, seq)` pair that is
+    * retained for the key's LIFETIME — unlike [[transitions]]' carried
+    * row it cannot be evicted, because the sequence number must keep
+    * incrementing across arbitrarily long idle gaps to match the batch
+    * numbering. That is O(1) per key and O(|keys|) overall — bounded by
+    * the entity population, not the stream — the honest cost of exact
+    * lifetime session numbering; cap it with a key-TTL upstream if the
+    * key space is unbounded and renumbering after long idleness is
+    * acceptable.
+    */
+  def sessionize[K: Encoder, E: Encoder, O: Encoder](
+      events: Dataset[E],
+      key: E => K,
+      ts: E => java.sql.Timestamp,
+      delay: String,
+      gapSeconds: Long,
+      ord: E => Long,
+      label: (E, Long) => O
+  ): Dataset[O] = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    import org.apache.spark.sql.Encoders
+    type Env = (K, java.sql.Timestamp, E)
+    implicit val envEnc: Encoder[Env] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.TIMESTAMP, implicitly[Encoder[E]])
+    type S = (List[(Long, Long, E)], Option[(Long, Long)]) // (pending, (lastUs, lastSeq))
+    implicit val stateEnc: Encoder[S] = Encoders.kryo[S]
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.map(e => (key(e), ts(e), e))
+      .withWatermark("_2", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
+        var (pending, last) = state.getOption.getOrElse((Nil, None): S)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        values.foreach { env =>
+          val us = micros(env._2)
+          if (us > wmUs) pending = (us, ord(env._3), env._3) :: pending
+        }
+        val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+        val out = Seq.newBuilder[O]
+        ready.sortBy(r => (r._1, r._2)).foreach { case (us, _, e) =>
+          val seq = last match {
+            case Some((pus, pseq)) if us / 1000000L - pus / 1000000L <= gapSeconds => pseq
+            case Some((_, pseq)) => pseq + 1
+            case None => 1L
+          }
+          out += label(e, seq)
+          last = Some((us, seq))
+        }
+        if (stillPending.isEmpty && last.isEmpty) state.remove()
+        else {
+          state.update((stillPending, last))
+          // only pending events need a flush timer; the (ts, seq) pair
+          // is lifetime state and needs no wake-up of its own
+          stillPending.map(_._1).minOption.foreach { earliest =>
+            state.setTimeoutTimestamp((earliest + 999L) / 1000L)
+          }
+        }
+        out.result().iterator
+      }
+  }
+
   /** Event-time tumbling window with lateness bound. */
   def tumbling(
       tsName: String,

@@ -323,4 +323,37 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_ == (("z", "z"))) >= 1) // sanity: the stream ran
     } finally q.stop()
   }
+
+  test("streaming sessionize: numbering continues across rounds and long idle gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp)] // (id, key, ts)
+    val labeled = StreamingFlows.sessionize[Long,
+        (Long, Long, java.sql.Timestamp), (Long, Long)](
+      in.toDS(), _._2, _._3, delay = "10 minutes", gapSeconds = 1800,
+      ord = _._1, (e, seq) => (e._1, seq))
+    val q = labeled.writeStream.format("memory").queryName("sess_lbl")
+      .outputMode("append").start()
+    try {
+      // session 1: two events 10 s apart
+      in.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+                 (2L, 7L, ts("2024-01-01 10:00:10")))
+      q.processAllAvailable()
+      // finalize them
+      in.addData((90L, 99L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData((91L, 99L, ts("2024-01-01 11:01:00")))
+      q.processAllAvailable()
+      // session 2: a DAY later — the (ts, seq) pair must have survived
+      // the idle gap so this is seq 2, not a restart at 1
+      in.addData((3L, 7L, ts("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+      in.addData((92L, 99L, ts("2024-01-02 13:00:00")))
+      q.processAllAvailable()
+      in.addData((93L, 99L, ts("2024-01-02 13:01:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_lbl").as[(Long, Long)].collect().toMap
+      assert(got(1L) == 1L && got(2L) == 1L)
+      assert(got(3L) == 2L, s"numbering restarted: $got")
+    } finally q.stop()
+  }
 }
