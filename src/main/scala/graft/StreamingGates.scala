@@ -44,6 +44,9 @@ object StreamingGates {
       event_id: Long, user_id: Option[Long],
       ts: java.sql.Timestamp, event_type: String)
   final case class TPair(from_state: String, to_state: String)
+  final case class COrd(
+      o_orderkey: Long, o_totalprice: Double,
+      ver: java.sql.Timestamp, op: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -455,7 +458,46 @@ object StreamingGates {
       .where(col("event_id") >= 0)
   }
 
+  /** Streaming CDC maintenance over the q123 inputs
+    * ([[graft.streaming.IngestUpsert]]): the snapshot table is
+    * bootstrapped from orders, the q123 change set arrives split across
+    * TWO micro-batches, and the maintained table must hash-match the
+    * one-shot batch merge (q123's oracle verbatim) — the cross-batch
+    * convergence law, proven at data scale. Timestamps are cast to the
+    * session-TZ type so the MemoryStream batch unions with the parquet
+    * snapshot (NTZ) cleanly; the readout compares floored epoch seconds
+    * either way.
+    */
+  private def q126UpsertStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ver"))
+    val table = sinkName("q126snap")
+    orders.write.mode("overwrite").format("parquet").saveAsTable(table)
+    val changes = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+        (col("ver") + expr("INTERVAL 1 DAY")).as("ver"),
+        when(col("o_orderkey") % 9 === 0, "delete").otherwise("upsert").as("op"))
+      .as[COrd].collect()
+    val (b1, b2) = changes.partition(_.o_orderkey % 2 == 0)
+    val in = MemoryStream[COrd]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestUpsert("o_orderkey", "ver", table))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(table).select(col("o_orderkey"), col("o_totalprice"),
+      unix_timestamp(col("ver")).as("ver_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_upsert_stream" -> (q126UpsertStream _),
     "q125_sessionize_stream" -> (q125SessionizeStream _),
     "q114_transitions_stream" -> (q114TransitionsStream _),
     "q63_asof_stream" -> (q63AsofStream _),
@@ -472,6 +514,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
     "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),
     "q114_transitions_stream" -> ExtensionQueries.oracleSql("q111_transitions"),
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
