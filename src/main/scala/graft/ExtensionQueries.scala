@@ -994,6 +994,36 @@ object ExtensionQueries {
       gapSeconds = 1800, tiebreak = Seq(col("event_id")))
       .select(col("event_id"), col("user_id"), col("session_seq"))
 
+  /** As-of with a 1-hour match window — pandas `merge_asof(tolerance=)`
+    * parity over the q55 inputs ([[graft.operators.Joins.asOfTolerance]]).
+    */
+  private def q127AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("value")).as("p_value"))
+    graft.operators.Joins.asOfTolerance(
+        clicks, purchases, "user_id", "p_user", "ts", "p_ts", Seq("p_value"),
+        toleranceMicros = 3600L * 1000000L)
+      .select(
+        col("event_id"), col("user_id"),
+        round(coalesce(col("p_value"), lit(-1.0)), 4).as("prior_value"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("asof_ts")), lit(-1L))
+          .as("gap_us"))
+  }
+
+  /** Linear-interpolation gap fill report on the hourly per-user grid
+    * ([[graft.operators.TimeSeries.gapFillLinearReport]]).
+    */
+  private def q128GapLinear(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.gapFillLinearReport(
+      Tables.events(s, d), col("user_id"), col("ts"), col("value"),
+      stepSeconds = 3600, probe = "2024-01-15 00:00:00")
+      .select(col("key").as("user_id"), col("n_slots"), col("n_obs"),
+        col("n_interp"), col("v_probe"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1092,6 +1122,8 @@ object ExtensionQueries {
     "q122_ann_recall" -> (q122AnnRecall _),
     "q123_apply_changes" -> (q123ApplyChanges _),
     "q124_sessionize" -> (q124Sessionize _),
+    "q127_asof_tolerance" -> (q127AsofTolerance _),
+    "q128_gap_linear" -> (q128GapLinear _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1708,6 +1740,49 @@ object ExtensionQueries {
         |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
         |FROM o""".stripMargin,
+    "q127_asof_tolerance" ->
+      // nearest-prior match nulled when older than the 1-hour window —
+      // pandas merge_asof(tolerance) semantics
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS p_user, ts AS p_ts, max(value) AS p_value
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, l.user_id, l.ts, r.p_ts, r.p_value,
+        |        (epoch_ns(l.ts) - epoch_ns(r.p_ts)) // 1000 AS gap
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts)
+        |SELECT event_id, user_id,
+        |  round(coalesce(CASE WHEN p_ts IS NOT NULL AND gap <= 3600000000
+        |    THEN p_value END, -1), 4) AS prior_value,
+        |  coalesce(CASE WHEN p_ts IS NOT NULL AND gap <= 3600000000
+        |    THEN gap END, -1)::BIGINT AS gap_us
+        |FROM j""".stripMargin,
+    "q128_gap_linear" ->
+      """WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS slot,
+        |    max(value) AS v_obs FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b),
+        |f AS (SELECT g.user_id, g.slot, o.v_obs
+        |  FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.slot = g.slot),
+        |w AS (SELECT user_id, slot, v_obs,
+        |    last_value(CASE WHEN v_obs IS NOT NULL THEN struct_pack(
+        |        t := epoch_ns(slot) // 1000000000, v := v_obs) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY slot
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    first_value(CASE WHEN v_obs IS NOT NULL THEN struct_pack(
+        |        t := epoch_ns(slot) // 1000000000, v := v_obs) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY slot
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+        |  FROM f),
+        |i AS (SELECT user_id, slot, v_obs,
+        |    CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |         WHEN p IS NOT NULL AND n IS NOT NULL THEN
+        |           p.v + (n.v - p.v) *
+        |             ((epoch_ns(slot) // 1000000000 - p.t)::DOUBLE / (n.t - p.t)::DOUBLE) + 0.0
+        |    END AS v_interp
+        |  FROM w)
+        |SELECT user_id, count(*)::BIGINT AS n_slots, count(v_obs)::BIGINT AS n_obs,
+        |  sum(CASE WHEN v_obs IS NULL AND v_interp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_interp,
+        |  max(CASE WHEN slot = TIMESTAMP '2024-01-15 00:00:00' THEN v_interp END) AS v_probe
+        |FROM i GROUP BY 1""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

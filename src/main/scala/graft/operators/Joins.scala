@@ -144,6 +144,44 @@ object Joins {
     * before deciding to route them. Null left keys count as a key here —
     * they form a window partition too, even though they never match.
     */
+  /** [[asOf]] with a match-window bound — pandas `merge_asof(tolerance=)`
+    * parity: the nearest prior (or next, forward) right row matches ONLY
+    * if it lies within `toleranceMicros` of the left timestamp;
+    * otherwise the left row passes through unmatched (null payload),
+    * exactly as if no right row existed. Since the as-of match IS the
+    * nearest candidate, "nearest within tolerance" reduces to one
+    * integer-µs gap test on the matched row — a pure post-projection on
+    * the [[asOf]] plan, no extra exchange, no change to the join shape.
+    */
+  def asOfTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceMicros: Long,
+      matchedTs: String = "asof_ts",
+      strict: Boolean = false,
+      direction: String = "backward",
+      maxKeyRows: Long = Long.MaxValue
+  ): DataFrame = {
+    require(toleranceMicros > 0, s"toleranceMicros must be positive: $toleranceMicros")
+    val joined = asOf(left, right, leftKey, rightKey, leftTs, rightTs,
+      payload, matchedTs, strict, direction, maxKeyRows)
+    val gap =
+      if (direction == "backward")
+        unix_micros(col(leftTs)) - unix_micros(col(matchedTs))
+      else unix_micros(col(matchedTs)) - unix_micros(col(leftTs))
+    val ok = col(matchedTs).isNotNull && gap <= toleranceMicros
+    val withFlag = joined.withColumn("__tol_ok", ok)
+    (matchedTs +: payload)
+      .foldLeft(withFlag)((df, c) =>
+        df.withColumn(c, when(col("__tol_ok"), col(c))))
+      .drop("__tol_ok")
+  }
+
   def asOfHotKeys(
       left: DataFrame,
       right: DataFrame,

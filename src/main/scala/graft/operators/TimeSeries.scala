@@ -94,6 +94,75 @@ object TimeSeries {
         max_by(round(col("v_filled"), 4), col("slot")).as("v_last"))
   }
 
+  /** Linear-interpolation gap fill over the same per-key slot grid as
+    * [[gapFillLocf]]: interior gaps get
+    * `v_prev + (v_next − v_prev) · (slot − t_prev)/(t_next − t_prev)`
+    * (slot arithmetic in epoch seconds — the fraction is a ratio of
+    * small integers, and the whole interpolation is ONE fixed double
+    * expression, engine-deterministic); observed slots keep their exact
+    * `v_obs` (no fp noise at observation points); leading and trailing
+    * gaps stay null (interpolation needs both ends — carry-forward
+    * semantics are [[gapFillLocf]]'s job).
+    *
+    * Scale shape identical to [[gapFillLocf]] plus one more window pass
+    * over the SAME (key, slot) partitioning — the forward-looking
+    * `first(ignoreNulls)` shares the exchange and sort.
+    */
+  def gapFillLinear(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      stepSeconds: Long = 3600,
+      maxSlotsPerKey: Long = 100000
+  ): DataFrame = {
+    val grid = gapFillLocf(df, key, ts, value, stepSeconds, maxSlotsPerKey)
+      .drop("v_filled")
+    val w = Window.partitionBy(col("key")).orderBy(col("slot"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsStruct = when(col("v_obs").isNotNull,
+      struct(unix_timestamp(col("slot")).as("t"), col("v_obs").as("v")))
+    val prev = last(obsStruct, ignoreNulls = true).over(back)
+    val next = first(obsStruct, ignoreNulls = true).over(fwd)
+    val slotS = unix_timestamp(col("slot"))
+    val frac = (slotS - col("__p.t")).cast("double") /
+      (col("__n.t") - col("__p.t")).cast("double")
+    grid
+      .withColumn("__p", prev).withColumn("__n", next)
+      // UNROUNDED deliberately: the expression shape is identical across
+      // engines, so the full double is bit-reproducible — while rounding
+      // to k decimals DIVERGES at exact decimal-tie boundaries (Spark
+      // HALF_UP vs DuckDB's scheme disagreed on a real sf0.1 row at
+      // ...75 ties); `+ 0.0` canonicalizes a possible −0.0
+      .withColumn("v_interp",
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .when(col("__p").isNotNull && col("__n").isNotNull,
+            col("__p.v") + (col("__n.v") - col("__p.v")) * frac + lit(0.0)))
+      .drop("__p", "__n")
+  }
+
+  /** Compact per-key interpolation report over [[gapFillLinear]] — the
+    * gate readout: slot/observation/interpolated counts plus the value
+    * at a fixed probe instant.
+    */
+  def gapFillLinearReport(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      value: Column,
+      stepSeconds: Long,
+      probe: String
+  ): DataFrame =
+    gapFillLinear(df, key, ts, value, stepSeconds).groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_slots"),
+        count(col("v_obs")).as("n_obs"),
+        sum(when(col("v_obs").isNull && col("v_interp").isNotNull, 1L)
+          .otherwise(0L)).as("n_interp"),
+        max(when(col("slot") === to_timestamp(lit(probe)), col("v_interp")))
+          .as("v_probe"))
+
   /** Seasonal (hour-of-day) volume anomaly screen: per (group,
     * hour-of-day) event counts scored as z-values against that group's
     * own 24-bucket profile — the "did the crawler die at 3am / is this

@@ -249,6 +249,52 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- asOfTolerance ------------------------------------------------------
+
+  test("asOfTolerance: in-window match survives, stale match nulls out, forward mirrors") {
+    import graft.operators.Joins
+    val l = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 13:00:00")) // nearest prior is 3h old
+    ).toDF("id", "k", "t")
+    val r = Seq((7L, ts("2024-01-01 09:30:00"), 5.0)).toDF("rk", "rt", "v")
+    val got = Joins.asOfTolerance(l, r, "k", "rk", "t", "rt", Seq("v"),
+      toleranceMicros = 3600L * 1000000L)
+      .collect().map(x => x.getLong(0) -> Option(x.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(got == Map(1L -> Some(5.0), 2L -> None)) // 30 min ok; 3.5 h stale
+    val fwd = Joins.asOfTolerance(l, r, "k", "rk", "t", "rt", Seq("v"),
+      toleranceMicros = 60L * 1000000L, direction = "forward")
+      .collect().map(x => x.getLong(0) -> Option(x.get(4))).toMap
+    assert(fwd(1L).isEmpty && fwd(2L).isEmpty) // no right row ahead within 60 s
+    intercept[IllegalArgumentException] {
+      Joins.asOfTolerance(l, r, "k", "rk", "t", "rt", Seq("v"), 0L)
+    }
+  }
+
+  // --- gapFillLinear ------------------------------------------------------
+
+  test("gapFillLinear: interior interpolation exact, edges null, observed slots untouched") {
+    import graft.operators.TimeSeries
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      (1L, ts("2024-01-01 03:20:00"), 40.0)
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.gapFillLinear(df, $"k", $"t", $"v", stepSeconds = 3600)
+      .orderBy($"slot")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double])).toSeq
+    // slots 00..03; obs at 00 (10.0) and 03 (40.0); linear at 01, 02
+    assert(got == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)))
+    // leading gap: a key whose first slot precedes its first obs cannot
+    // exist (grid starts at first obs) — trailing/leading nulls only
+    // arise with distinct obs columns; check the observed slot passes
+    // raw v_obs through, not a rounded copy
+    val r = TimeSeries.gapFillLinearReport(
+      df, $"k", $"t", $"v", 3600, "2024-01-01 01:00:00").collect().head
+    assert(r.getAs[Long]("n_slots") == 4 && r.getAs[Long]("n_obs") == 2)
+    assert(r.getAs[Long]("n_interp") == 2)
+    assert(r.getAs[Double]("v_probe") == 20.0)
+  }
+
   // --- applyChanges -------------------------------------------------------
 
   test("applyChanges: latest-wins upserts, deletes drop, change wins version ties") {
