@@ -25,6 +25,52 @@ object Storage {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Per-file row-count profile of a table — the "do I need to compact"
+    * readout, computed DISTRIBUTED via `input_file_name()` (one
+    * map-combined aggregation whose exchange carries distinct file
+    * names, never a driver-side listing): `(n_files, min_rows,
+    * avg_rows, max_rows, n_rows)`. A million 600-row files after a
+    * high-parallelism streaming ingest is the classic silent 100 TB
+    * tax — every scan pays open/footer costs per file and the driver
+    * pays the listing; this is the monitor that catches it.
+    */
+  def fileStats(spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    spark.table(table)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        min(col("n")).as("min_rows"),
+        round(avg(col("n")), 1).as("avg_rows"),
+        max(col("n")).as("max_rows"),
+        sum(col("n")).as("n_rows"))
+  }
+
+  /** Rewrite a managed parquet table into `ceil(rows / targetRowsPerFile)`
+    * files — small-files compaction, the maintenance sibling of
+    * [[fileStats]]. Round-robin repartition (no key: compaction must not
+    * skew on data) through a staging hop (Spark cannot overwrite a table
+    * it is reading; same discipline as the CDC loop). The repartition IS
+    * a full shuffle of the table — that is the price of compaction on
+    * any engine, paid once to stop paying per-file costs on every scan.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      targetRowsPerFile: Long
+  ): Unit = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive: $targetRowsPerFile")
+    spark.sql(s"REFRESH TABLE $table") // tolerate a prior rewrite in another session
+    val n = spark.table(table).count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    val staging = s"${table}__compact"
+    spark.table(table).repartition(files)
+      .write.mode("overwrite").format("parquet").saveAsTable(staging)
+    spark.table(staging)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    spark.sql(s"REFRESH TABLE $table")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
   /** Apply a CDC change batch to a snapshot — the merge/upsert step that
     * maintains a table from a change stream (the batch half of the
     * [[Polling]] CDC source's contract) without a transactional table

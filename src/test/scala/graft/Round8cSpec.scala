@@ -249,6 +249,33 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- compaction ---------------------------------------------------------
+
+  test("fileStats sees the fragmentation; compact rewrites to the target file count") {
+    import graft.sources.Storage
+    val table = "graft_compact_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    try {
+      // 40 files of ~25 rows each — the fragmented shape
+      spark.range(1000).toDF("id").repartition(40)
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+      val before = Storage.fileStats(spark, table).collect().head
+      assert(before.getAs[Long]("n_files") == 40)
+      assert(before.getAs[Long]("n_rows") == 1000)
+      Storage.compact(spark, table, targetRowsPerFile = 500)
+      val after = Storage.fileStats(spark, table).collect().head
+      assert(after.getAs[Long]("n_files") == 2, after.toString)
+      assert(after.getAs[Long]("n_rows") == 1000)
+      // content survives exactly
+      assert(spark.table(table).agg(sum($"id")).head().getLong(0) == 499500L)
+      intercept[IllegalArgumentException] { Storage.compact(spark, table, 0) }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}__compact")
+    }
+  }
+
   // --- asOfTolerance ------------------------------------------------------
 
   test("asOfTolerance: in-window match survives, stale match nulls out, forward mirrors") {
