@@ -1024,6 +1024,17 @@ object ExtensionQueries {
       .select(col("key").as("user_id"), col("n_slots"), col("n_obs"),
         col("n_interp"), col("v_probe"))
 
+  /** Overlapping audio analysis windows over the audio-modality media
+    * rows: 64-byte windows, 32-byte hop
+    * ([[Multimodal.audioWindows]]; energy spec-covered, the gate
+    * compares the window identities and hashes).
+    */
+  private def q129AudioWindows(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioWindows(
+      Multimodal.fromDocuments(Tables.documents(s, d)),
+      sampleRate = 8000, bytesPerSample = 1, winMs = 8, hopMs = 4)
+      .select(col("media_id"), col("window_idx"), col("start_byte"), col("window_hash"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1124,6 +1135,7 @@ object ExtensionQueries {
     "q124_sessionize" -> (q124Sessionize _),
     "q127_asof_tolerance" -> (q127AsofTolerance _),
     "q128_gap_linear" -> (q128GapLinear _),
+    "q129_audio_windows" -> (q129AudioWindows _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1783,6 +1795,18 @@ object ExtensionQueries {
         |  sum(CASE WHEN v_obs IS NULL AND v_interp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_interp,
         |  max(CASE WHEN slot = TIMESTAMP '2024-01-15 00:00:00' THEN v_interp END) AS v_probe
         |FROM i GROUP BY 1""".stripMargin,
+    "q129_audio_windows" ->
+      // ASCII payloads: char slicing == byte slicing (same contract the
+      // q38 frame oracle relies on); 64-byte windows, 32-byte hop, full
+      // windows only, audio modality = doc_id % 3 == 1
+      s"""WITH m AS (SELECT doc_id AS media_id, text,
+         |    octet_length(encode(text))::BIGINT AS n FROM documents
+         |  WHERE doc_id % 3 = 1),
+         |w AS (SELECT media_id, text, n,
+         |    unnest(range(0, (n - 64) // 32 + 1)) AS wi FROM m WHERE n >= 64)
+         |SELECT media_id, wi::BIGINT AS window_idx, (wi * 32)::BIGINT AS start_byte,
+         |  (${duckHash48("substr(text, (wi*32 + 1)::INT, 64)")})::BIGINT AS window_hash
+         |FROM w""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

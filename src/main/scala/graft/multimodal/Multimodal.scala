@@ -128,6 +128,74 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Overlapping audio analysis windows — the STFT framing shape
+    * (win/hop in milliseconds over a PCM byte stream): one output row
+    * per FULL window (`windowBytes = winMs·sampleRate·bytesPerSample /
+    * 1000`, stride `hopBytes` likewise; both must divide exactly —
+    * fractional-byte windows are a config error, loudly). Emitted per
+    * window: index, start byte, 48-bit content hash, and the byte-sum
+    * `energy` (the exact-integer stand-in for RMS — a real pipeline
+    * decodes samples and computes float energy here; the container
+    * ships no codecs, same stub discipline as [[fakeDecodeFeatures]]).
+    * Rows with `meta.kind != 'audio'` are ignored — the modality
+    * metadata is the dispatch, which is the point of carrying it.
+    *
+    * The 1→N explosion runs in `mapPartitions` (a real resampler/DSP
+    * frontend initializes once per partition); overlap means the output
+    * is `win/hop ×` the payload bytes — the factor is explicit in the
+    * parameters, the same honest-blowup contract as sliding windows.
+    */
+  def audioWindows(
+      media: DataFrame,
+      sampleRate: Int,
+      bytesPerSample: Int,
+      winMs: Int,
+      hopMs: Int
+  ): DataFrame = {
+    require(sampleRate > 0 && bytesPerSample > 0 && winMs > 0 && hopMs > 0,
+      "audio window parameters must be positive")
+    def bytesOf(ms: Int, what: String): Int = {
+      val num = ms.toLong * sampleRate * bytesPerSample
+      require(num % 1000 == 0,
+        s"$what of ${ms}ms at ${sampleRate}Hz x $bytesPerSample B/sample is not a whole byte count")
+      val b = num / 1000
+      require(b > 0 && b <= Int.MaxValue, s"$what byte size out of range: $b")
+      b.toInt
+    }
+    val winBytes = bytesOf(winMs, "window")
+    val hopBytes = bytesOf(hopMs, "hop")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("window_idx", LongType, nullable = false),
+      StructField("start_byte", LongType, nullable = false),
+      StructField("window_hash", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)
+    ))
+    val rdd = media
+      .where(col("meta.kind") === "audio")
+      .select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val nWin =
+            if (bytes.length < winBytes) 0
+            else (bytes.length - winBytes) / hopBytes + 1
+          (0 until nWin).iterator.map { w =>
+            val lo = w * hopBytes
+            md.reset()
+            md.update(bytes, lo, winBytes)
+            var e = 0L
+            var i = lo
+            while (i < lo + winBytes) { e += (bytes(i) & 0xff); i += 1 }
+            Row(id, w.toLong, lo.toLong, graft.plans.Hash48F.first48(md.digest()), e)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Resize stub: decimate the payload by keeping every `factor`-th byte —
     * the deterministic stand-in for an image/audio downsample (a real
     * implementation calls the codec's scaler here; the Spark-side contract

@@ -249,6 +249,37 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- audioWindows -------------------------------------------------------
+
+  test("audioWindows: overlapping full windows, modality dispatch, exact energy") {
+    import graft.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "abcdefgh", "en", "s", 8L),     // doc_id % 3 == 1 → audio
+      (2L, "abcdefgh", "en", "s", 8L),     // video: ignored
+      (4L, "abc", "en", "s", 3L),          // audio but shorter than a window
+      (7L, "abcdefghijkl", "en", "s", 12L) // audio, 12 bytes
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 4000 Hz × 1 B: win 2 ms = 8 bytes, hop 1 ms = 4 bytes — OVERLAPPING.
+    // doc 1 (8 B): one full window. doc 7 (12 B): windows at 0 and 4; the
+    // trailing 4 bytes never form a full window. doc 4: none.
+    val got = Multimodal.audioWindows(
+      Multimodal.fromDocuments(docs), sampleRate = 4000, bytesPerSample = 1,
+      winMs = 2, hopMs = 1).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 0L, 0L), (7L, 0L, 0L), (7L, 1L, 4L)))
+    // energy is the exact byte sum: 'a'..'h' = 97..104
+    val e1 = got.find(r => r.getLong(0) == 1L).get.getLong(4)
+    assert(e1 == (97 to 104).sum)
+    // overlapping windows of the same payload share bytes: doc 7's two
+    // windows hash differently but sum to overlapping ranges
+    val e7 = got.filter(_.getLong(0) == 7L).map(_.getLong(4)).toSet
+    assert(e7 == Set((97 to 104).sum.toLong, (101 to 108).sum.toLong))
+    intercept[IllegalArgumentException] {
+      // 1 ms at 8001 Hz is not a whole byte count
+      Multimodal.audioWindows(Multimodal.fromDocuments(docs), 8001, 1, 1, 1)
+    }
+  }
+
   // --- compaction ---------------------------------------------------------
 
   test("fileStats sees the fragmentation; compact rewrites to the target file count") {
