@@ -1035,6 +1035,35 @@ object ExtensionQueries {
       sampleRate = 8000, bytesPerSample = 1, winMs = 8, hopMs = 4)
       .select(col("media_id"), col("window_idx"), col("start_byte"), col("window_hash"))
 
+  /** Interval ANTI join over the q56 inputs: clicks NOT inside any
+    * 2-hour post-purchase window of their user
+    * ([[graft.operators.Joins.intervalAnti]]).
+    */
+  private def q130IntervalAnti(s: SparkSession, d: String): DataFrame = {
+    val twoHoursUs = 2L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val windows = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + twoHoursUs).as("w_end"))
+    graft.operators.Joins.intervalAnti(
+        clicks, windows, "click_id", "user_id", "p_user", "ts",
+        "w_start", "w_end", bucketMicros = twoHoursUs)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  /** Equi-depth deciles of line-item prices per return flag
+    * ([[graft.curation.Quantiles.equiDepthBuckets]]).
+    */
+  private def q131EquiDepth(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.equiDepthBuckets(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), nBuckets = 10)
+      .select(col("g").as("l_returnflag"), col("bucket"), col("n"))
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1136,6 +1165,8 @@ object ExtensionQueries {
     "q127_asof_tolerance" -> (q127AsofTolerance _),
     "q128_gap_linear" -> (q128GapLinear _),
     "q129_audio_windows" -> (q129AudioWindows _),
+    "q130_interval_anti" -> (q130IntervalAnti _),
+    "q131_equi_depth" -> (q131EquiDepth _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1807,6 +1838,35 @@ object ExtensionQueries {
          |SELECT media_id, wi::BIGINT AS window_idx, (wi * 32)::BIGINT AS start_byte,
          |  (${duckHash48("substr(text, (wi*32 + 1)::INT, 64)")})::BIGINT AS window_hash
          |FROM w""".stripMargin,
+    "q130_interval_anti" ->
+      // clicks with NO purchase window of the same user covering them —
+      // [w_start, w_start + 2h) half-open, mirroring the q56 bounds
+      """WITH l AS (SELECT event_id AS click_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT user_id AS p_user, ts AS p_ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT click_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        |FROM l WHERE NOT EXISTS (
+        |  SELECT 1 FROM r WHERE r.p_user = l.user_id
+        |    AND l.ts >= r.p_ts
+        |    AND epoch_ns(l.ts) // 1000 < epoch_ns(r.p_ts) // 1000 + 7200000000)""".stripMargin,
+    "q131_equi_depth" ->
+      // cuts are the q103 type-1 rank walk at k/10; bucket = 1 + |cuts < v|
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+        |qs AS (SELECT unnest([0.1::DOUBLE, 0.2::DOUBLE, 0.3::DOUBLE, 0.4::DOUBLE,
+        |    0.5::DOUBLE, 0.6::DOUBLE, 0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS q),
+        |r AS (SELECT g, q, least(n, greatest(1, ceil(q * n)::BIGINT)) AS rk
+        |  FROM n CROSS JOIN qs),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t),
+        |cuts AS (SELECT r.g, o.v AS cut FROM r JOIN o ON o.g = r.g AND o.rn = r.rk),
+        |tv AS (SELECT g, v, count(*)::BIGINT AS nrows FROM t GROUP BY 1, 2),
+        |lbl AS (SELECT tv.g, tv.v, tv.nrows,
+        |    1 + sum(CASE WHEN c.cut < tv.v THEN 1 ELSE 0 END) AS bucket
+        |  FROM tv JOIN cuts c ON c.g = tv.g GROUP BY tv.g, tv.v, tv.nrows)
+        |SELECT g AS l_returnflag, bucket::INT AS bucket, sum(nrows)::BIGINT AS n
+        |FROM lbl GROUP BY 1, 2""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

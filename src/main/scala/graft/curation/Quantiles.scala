@@ -153,6 +153,41 @@ object Quantiles {
       outSchema)
   }
 
+  /** Equi-depth (quantile) bucketing: per-group counts at each of
+    * `nBuckets` value-boundary buckets, with the boundaries the exact
+    * type-1 quantiles at k/n — the deterministic feature-binning
+    * transform (NTILE splits by RANK and breaks value ties arbitrarily
+    * across rows; value-boundary bucketing sends every equal value to
+    * the same bucket on every engine and every run, which is what a
+    * reproducible feature pipeline needs; the price is that heavy ties
+    * make bucket sizes uneven — that is the data telling the truth).
+    *
+    * `bucket(v) = 1 + |{cuts < v}|` over the n−1 interior cuts: a value
+    * EQUAL to a cut lands in the lower bucket. One [[exactQuantiles]]
+    * run resolves all cuts (shared refinement), the per-group cut
+    * arrays broadcast back (≤ |groups|·(n−1) values), labeling is a
+    * pure row expression, and the final count is one map-combined agg.
+    */
+  def equiDepthBuckets(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      nBuckets: Int
+  ): DataFrame = {
+    require(nBuckets >= 2, s"need >= 2 buckets: $nBuckets")
+    val base = df.select(group.as("g"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val qs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cuts = exactQuantiles(base, col("g"), col("v"), qs)
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(col("value"))).as("cuts"))
+    base.join(broadcast(cuts), Seq("g"))
+      .select(col("g"),
+        (size(filter(col("cuts"), c => c < col("v"))) + 1).as("bucket"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Winsorization report: per-group clip points at the `pLo`/`pHi`
     * type-1 quantiles and how many rows each side would clip — the
     * decision readout a pipeline inspects before clamping a reward /

@@ -281,6 +281,36 @@ object Joins {
     * the join key, and the watermark — not a bucket width — is what caps
     * memory. Inner semantics, append output mode.
     */
+  /** Interval ANTI join: the points NOT inside any interval of their
+    * key — the exclusion form of [[interval]] (drop events during
+    * incident windows, decontaminate training data around eval-period
+    * intervals, dead-time filtering). One distinct + left-anti on the
+    * caller-named point id, on top of the bucketed inner join's plan.
+    *
+    * Cap caveat, louder here than on the inner form: an interval dropped
+    * by `maxBuckets` EXCLUDES NOTHING — for an exclusion screen a missed
+    * interval is silent contamination, so size the cap with
+    * [[oversizedIntervals]] and treat a non-zero count as a failure, not
+    * a statistic.
+    */
+  def intervalAnti(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointId: String,
+      pointKey: String,
+      intervalKey: String,
+      pointTs: String,
+      start: String,
+      end: String,
+      bucketMicros: Long,
+      maxBuckets: Int = 1 << 12
+  ): DataFrame = {
+    val hit = interval(points, intervals, pointKey, intervalKey, pointTs,
+        start, end, bucketMicros, maxBuckets)
+      .select(col(pointId)).distinct()
+    points.join(hit, Seq(pointId), "left_anti")
+  }
+
   def intervalStream(
       points: DataFrame,
       intervals: DataFrame,

@@ -249,6 +249,40 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- intervalAnti -------------------------------------------------------
+
+  test("intervalAnti: points inside any interval are excluded; others survive") {
+    import graft.operators.Joins
+    val points = Seq(
+      (1L, 7L, ts("2024-01-01 10:30:00")), // inside [10:00, 11:00)
+      (2L, 7L, ts("2024-01-01 12:00:00")), // outside
+      (3L, 8L, ts("2024-01-01 10:30:00")), // other key: no interval
+      (4L, 7L, ts("2024-01-01 11:00:00"))  // AT the end bound: half-open, outside
+    ).toDF("pid", "k", "t")
+    val intervals = Seq(
+      (100L, 7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))
+    ).toDF("iid", "ik", "s", "e")
+    val got = Joins.intervalAnti(points, intervals, "pid", "k", "ik", "t",
+      "s", "e", bucketMicros = 3600L * 1000000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 4L))
+  }
+
+  // --- equiDepthBuckets ---------------------------------------------------
+
+  test("equiDepthBuckets: value-boundary buckets, ties stay together, counts exact") {
+    val df = ((1 to 8).map(v => ("a", v.toDouble)) ++ Seq(("a", 4.0), ("a", 4.0)))
+      .toDF("g", "v") // values 1..8 plus two extra 4s (10 rows)
+    val got = Quantiles.equiDepthBuckets(df, $"g", $"v", nBuckets = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // median cut (rank 5 of 1,2,3,4,4,4,5,6,7,8) = 4; bucket1 = v <= 4
+    // (all three 4s together: 1,2,3,4,4,4), bucket2 = 5..8
+    assert(got == Map(1 -> 6L, 2 -> 4L))
+    intercept[IllegalArgumentException] {
+      Quantiles.equiDepthBuckets(df, $"g", $"v", 1)
+    }
+  }
+
   // --- audioWindows -------------------------------------------------------
 
   test("audioWindows: overlapping full windows, modality dispatch, exact energy") {
