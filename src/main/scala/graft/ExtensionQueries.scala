@@ -1064,6 +1064,15 @@ object ExtensionQueries {
       col("l_returnflag"), col("l_extendedprice"), nBuckets = 10)
       .select(col("g").as("l_returnflag"), col("bucket"), col("n"))
 
+  /** The distinct-count cube: KMV per-day distinct active users over
+    * the event stream ([[graft.functions.Sketches.kmvDistinctByGroup]]).
+    */
+  private def q132KmvByDay(s: SparkSession, d: String): DataFrame =
+    graft.functions.Sketches.kmvDistinctByGroup(
+      Tables.events(s, d),
+      date_format(col("ts"), "yyyy-MM-dd"), col("user_id").cast("string"), k = 64)
+      .withColumnRenamed("g", "day")
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1167,6 +1176,7 @@ object ExtensionQueries {
     "q129_audio_windows" -> (q129AudioWindows _),
     "q130_interval_anti" -> (q130IntervalAnti _),
     "q131_equi_depth" -> (q131EquiDepth _),
+    "q132_kmv_by_day" -> (q132KmvByDay _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1867,6 +1877,16 @@ object ExtensionQueries {
         |  FROM tv JOIN cuts c ON c.g = tv.g GROUP BY tv.g, tv.v, tv.nrows)
         |SELECT g AS l_returnflag, bucket::INT AS bucket, sum(nrows)::BIGINT AS n
         |FROM lbl GROUP BY 1, 2""".stripMargin,
+    "q132_kmv_by_day" ->
+      s"""WITH h AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+         |    (${duckHash48("user_id::VARCHAR")})::BIGINT AS hv FROM events),
+         |r AS (SELECT day, hv,
+         |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+         |top AS (SELECT day, hv FROM r WHERE rn <= 64)
+         |SELECT day, count(*)::BIGINT AS k_used, max(hv)::BIGINT AS kth_hash,
+         |  (CASE WHEN count(*) < 64 THEN count(*)::BIGINT
+         |        ELSE (63::BIGINT << 48) // max(hv) END)::BIGINT AS est_distinct
+         |FROM top GROUP BY 1""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -75,6 +75,54 @@ object Sketches {
       .agg(sort_array(collect_list(col("h"))).as("hashes"))
   }
 
+  /** Per-GROUP KMV distinct-count estimates — the distinct-count CUBE
+    * primitive (distinct users per day, distinct tokens per source):
+    * one row `(g, k_used, kth_hash, est_distinct)` per group, same
+    * estimator law as [[kmvDistinct]], engine-portable like everything
+    * KMV here.
+    *
+    * Scale shape: distinct (group, hash) with map-side combine, then
+    * the per-group k-smallest via a rank<=k filter that Catalyst
+    * rewrites to WindowGroupLimit — map tasks ship at most k hashes per
+    * group into the one group exchange — then a per-group aggregate
+    * over ≤ k rows each. Persist the per-group states via
+    * [[kmvStateByGroup]] and roll buckets up (day → month) with
+    * [[kmvUnion]] per group — sketch once, merge forever.
+    */
+  def kmvDistinctByGroup(
+      df: DataFrame, group: Column, item: Column, k: Int = 256): DataFrame = {
+    requireK(k)
+    kSmallestDistinctByGroup(df, group, item, k)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+      .select(
+        col("g"), col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong << 48}L DIV kth_hash AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
+  /** Per-group sketch STATE (`(g, hashes)` rows) — the persistable,
+    * [[kmvUnion]]-mergeable form of [[kmvDistinctByGroup]].
+    */
+  def kmvStateByGroup(
+      df: DataFrame, group: Column, item: Column, k: Int = 256): DataFrame = {
+    requireK(k)
+    kSmallestDistinctByGroup(df, group, item, k)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("h"))).as("hashes"))
+  }
+
+  private def kSmallestDistinctByGroup(
+      df: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"))
+    df.select(group.as("g"), Hashing.hash48(item).as("h")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Merge sketch states (a DataFrame of `hashes` array rows, any number)
     * into the summary the union of their inputs would have produced:
     * the k smallest distinct hashes of a union are a subset of the union

@@ -249,6 +249,31 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- kmvDistinctByGroup -------------------------------------------------
+
+  test("kmvDistinctByGroup: each group equals the global sketch of its slice; states roll up") {
+    import graft.functions.Sketches
+    val rows = (1 to 200).map(i => ("big", s"item$i")) ++
+      (1 to 2).map(i => ("small", s"s$i"))
+    val df = rows.toDF("g", "item")
+    val byG = Sketches.kmvDistinctByGroup(df, $"g", $"item", k = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (g <- Seq("big", "small")) {
+      val solo = Sketches.kmvDistinct(df.where($"g" === g), $"item", k = 16)
+        .collect().head
+      assert(byG(g) == ((solo.getLong(0), solo.getLong(1), solo.getLong(2))), g)
+    }
+    assert(byG("small")._1 == 2L && byG("small")._3 == 2L) // under-k: exact
+    // the per-group states union to the whole corpus's sketch
+    val states = Sketches.kmvStateByGroup(df, $"g", $"item", k = 16)
+      .select($"hashes")
+    val merged = Sketches.kmvUnion(states, k = 16).collect().head
+    val whole = Sketches.kmvDistinct(df, $"item", k = 16).collect().head
+    assert((merged.getLong(0), merged.getLong(1), merged.getLong(2)) ==
+      ((whole.getLong(0), whole.getLong(1), whole.getLong(2))))
+  }
+
   // --- intervalAnti -------------------------------------------------------
 
   test("intervalAnti: points inside any interval are excluded; others survive") {
