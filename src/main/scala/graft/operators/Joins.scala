@@ -110,13 +110,23 @@ object Joins {
     val rightFirst = backward != strict
     val order = if (rightFirst) col("__side").asc else col("__side").desc
     val w0 = Window.partitionBy(col("__k")).orderBy(col("__t").asc, order)
+    // forward carry runs as last() over the REVERSED sort, not first()
+    // over an UnboundedFollowing frame: Spark's following-frame evaluator
+    // re-aggregates from every row to the partition end — O(n²) per key
+    // (the q128 lesson, SCALING.md) — while the reversed prefix frame is
+    // O(n) incremental and row-for-row identical (the descending
+    // (__t, side) order is the exact reverse of the ascending one)
     val carried =
       if (backward)
         last(col("__r"), ignoreNulls = true)
           .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      else
-        first(col("__r"), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else {
+        val orderRev = if (rightFirst) col("__side").desc else col("__side").asc
+        val wRev = Window.partitionBy(col("__k"))
+          .orderBy(col("__t").desc, orderRev)
+        last(col("__r"), ignoreNulls = true)
+          .over(wRev.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      }
     def finish(env: DataFrame): DataFrame = env
       .filter(col("__side") === 1)
       .select(leftCols.map(col) ++ (matchedTs +: payload).map(f => col(s"__m.$f").as(f)): _*)
