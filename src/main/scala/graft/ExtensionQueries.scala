@@ -1073,6 +1073,14 @@ object ExtensionQueries {
       date_format(col("ts"), "yyyy-MM-dd"), col("user_id").cast("string"), k = 64)
       .withColumnRenamed("g", "day")
 
+  /** Daily-volume trend per event type
+    * ([[graft.operators.TimeSeries.volumeTrend]]).
+    */
+  private def q133VolumeTrend(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.volumeTrend(
+      Tables.events(s, d), col("event_type"), col("ts"))
+      .withColumnRenamed("g", "event_type")
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1177,6 +1185,7 @@ object ExtensionQueries {
     "q130_interval_anti" -> (q130IntervalAnti _),
     "q131_equi_depth" -> (q131EquiDepth _),
     "q132_kmv_by_day" -> (q132KmvByDay _),
+    "q133_volume_trend" -> (q133VolumeTrend _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1887,6 +1896,24 @@ object ExtensionQueries {
          |  (CASE WHEN count(*) < 64 THEN count(*)::BIGINT
          |        ELSE (63::BIGINT << 48) // max(hv) END)::BIGINT AS est_distinct
          |FROM top GROUP BY 1""".stripMargin,
+    "q133_volume_trend" ->
+      // OLS over exact integer sums; empty days are zero-count rows
+      """WITH c AS (SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d FROM b),
+        |grid AS (SELECT g, s.d FROM (SELECT DISTINCT g FROM c) CROSS JOIN spine s),
+        |f AS (SELECT grid.g, (grid.d - b.d0)::BIGINT AS x,
+        |    coalesce(c.cnt, 0)::BIGINT AS y
+        |  FROM grid LEFT JOIN c ON c.g = grid.g AND c.d = grid.d CROSS JOIN b),
+        |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sx2 FROM f GROUP BY 1)
+        |SELECT g AS event_type, n, sy AS n_events,
+        |  round(CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    (n * sxy - sx * sy)::DOUBLE / (n * sx2 - sx * sx)::DOUBLE END, 6) + 0.0
+        |    AS slope_per_day
+        |FROM s""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

@@ -169,6 +169,49 @@ object TimeSeries {
         max(when(col("slot") === to_timestamp(lit(probe)), col("v_interp")))
           .as("v_probe"))
 
+  /** Per-group daily-volume trend: ordinary-least-squares slope of
+    * events-per-day against the day index, per group — the "is this
+    * source dying / exploding" monitor (the q94 Zipf-fit normal
+    * equations applied to ingest volume). Empty days count 0 via the
+    * spine (a dying source's silence IS the trend, not a missing row).
+    *
+    * All sums are EXACT integers (day indexes × counts in BIGINT — day
+    * spans and daily volumes keep the products far under 2⁶³; the one
+    * division at the end is a fixed double expression), so the slope is
+    * engine- and partitioning-deterministic. A single-day group has no
+    * slope (null), loudly distinguishable from a flat 0.0.
+    *
+    * Scale shape: one map-combined (group, day) count — the exchange
+    * carries ≤ \|groups\|·days rows — a broadcast day spine, and a
+    * per-group aggregate over the tiny counts relation.
+    */
+  def volumeTrend(
+      df: DataFrame,
+      group: Column,
+      ts: Column
+  ): DataFrame = {
+    val day = to_date(ts)
+    val counts = df.select(group.as("g"), day.as("d"))
+      .groupBy(col("g"), col("d")).agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val grid = counts.select(col("g")).distinct()
+      .crossJoin(broadcast(spine))
+    val full = grid.join(counts, Seq("g", "d"), "left")
+      .crossJoin(broadcast(bounds))
+      .select(col("g"), datediff(col("d"), col("d0")).cast("long").as("x"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    full.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"))
+      .select(col("g"), col("n"), col("sy").as("n_events"),
+        (round(when(col("n") * col("sx2") - col("sx") * col("sx") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sx2") - col("sx") * col("sx")).cast("double")), 6)
+          + lit(0.0)).as("slope_per_day"))
+  }
+
   /** Seasonal (hour-of-day) volume anomaly screen: per (group,
     * hour-of-day) event counts scored as z-values against that group's
     * own 24-bucket profile — the "did the crawler die at 3am / is this

@@ -249,6 +249,30 @@ class Round8cSpec extends SparkSpec {
       ("common", 2L, 2L, 1L, 1), ("common", 2L, 3L, 1L, 2)))
   }
 
+  // --- volumeTrend --------------------------------------------------------
+
+  test("volumeTrend: OLS slope on daily counts, zero-filled gaps, null for single-day") {
+    import graft.operators.TimeSeries
+    val rows =
+      // "up": 2, 4, 6 events on consecutive days → slope 2
+      (1 to 2).map(_ => ("up", ts("2024-01-01 10:00:00"))) ++
+      (1 to 4).map(_ => ("up", ts("2024-01-02 10:00:00"))) ++
+      (1 to 6).map(_ => ("up", ts("2024-01-03 10:00:00"))) ++
+      // "gap": 3 on day 0, silent day 1, 3 on day 2 → slope 0 (not -3!)
+      (1 to 3).map(_ => ("gap", ts("2024-01-01 10:00:00"))) ++
+      (1 to 3).map(_ => ("gap", ts("2024-01-03 10:00:00")))
+    val got = TimeSeries.volumeTrend(rows.toDF("g", "t"), $"g", $"t")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got("up") == ((3L, 12L, Some(2.0))))
+    assert(got("gap") == ((3L, 6L, Some(0.0))))
+    // a one-day span: no slope, loudly null (never a fake flat 0.0)
+    val one = TimeSeries.volumeTrend(
+      Seq(("x", ts("2024-01-01 10:00:00"))).toDF("g", "t"), $"g", $"t")
+      .collect().head
+    assert(one.isNullAt(3))
+  }
+
   // --- kmvDistinctByGroup -------------------------------------------------
 
   test("kmvDistinctByGroup: each group equals the global sketch of its slice; states roll up") {
