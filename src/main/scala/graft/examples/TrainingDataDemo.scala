@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline over the documents table —
   * the composition story the individual operators exist for:
   *
-  *   language filter → quality + repetition filters → exact dedup →
+  *   language filter → quality + repetition filters → blocklist screen
+  *   + within-doc segment dedup + per-domain cap → exact dedup →
   *   MinHash-LSH near-dup pairs → connected-component clusters →
   *   keeper selection → surprisal filter → cluster-keyed (leakage-safe)
   *   train/val/test split → test-in-train n-gram decontamination report →
@@ -42,12 +43,27 @@ object TrainingDataDemo {
       .where(col("n_tokens") > 0 &&
         (lit(1.0) - col("n_distinct") / col("n_tokens")) < 0.6)
 
+    // 2b. blocklist screen + within-doc segment dedup + per-domain cap:
+    // the C4/Gopher/RefinedWeb trio — drop dictionary-flagged docs,
+    // strip in-document repetition, cap any one source's share
+    val dict = {
+      import spark.implicits._
+      Seq("forbidden", "blockedterm").toDF("term")
+    }
+    val screened = clean
+      .join(TextFunctions.blocklistScreen(clean, col("text"), col("doc_id"), dict)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .withColumn("text", TextFunctions.dedupSegments(col("text"), " "))
+    val capped = graft.curation.Assembly.capPerGroup(
+      screened, col("source"), Seq(col("quality").desc, col("doc_id").asc), n = 1000)
+
     // 3. exact dedup (content hash), then near-dup dedup (LSH -> CC ->
     // keepers). The CC labels are computed ONCE and shared by the keeper
     // selection AND the cluster audit below — the ...ByClusters forms
     // exist so no consumer re-runs the iterative CC (hours at 100 TB)
-    val exactKept = clean.join(
-      Dedup.exact(clean, col("text"), col("doc_id"))
+    val exactKept = capped.join(
+      Dedup.exact(capped, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val pairs = Dedup.minhashLshPairs(exactKept, col("text"), col("doc_id"), maxBucket = 1000)
     val clusters = Dedup.nearDupClusters(exactKept, col("doc_id"), pairs)
@@ -178,7 +194,7 @@ object TrainingDataDemo {
 
     println(s"DEMO_INPUT_DOCS=${docs.count()}")
     println(s"DEMO_ENGLISH_DOCS=${english.count()}")
-    println(s"DEMO_CLEAN_DOCS=${clean.count()}")
+    println(s"DEMO_CLEAN_DOCS=${clean.count()} DEMO_SCREENED_DOCS=${capped.count()}")
     println(s"DEMO_EXACT_KEPT=${exactKept.count()}")
     println(s"DEMO_CURATED_DOCS=${curated.count()} DEMO_NEARDUP_GROUPS=${nearDupGroups.count()}")
     // 10. release audit: what this run changed relative to the
