@@ -303,5 +303,13 @@ class PlanShapeSpec extends SparkSpec {
     // q124: lag + running sum share ONE key exchange and one sort
     val s124 = simplePlan("q124_sessionize")
     assert(s124.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s124)
+    // q132: the per-group k-smallest prunes map-side (WindowGroupLimit —
+    // each task ships at most k hashes per group into the exchange)
+    val s132 = simplePlan("q132_kmv_by_day")
+    assert(s132.contains("WindowGroupLimit"), s132)
+    // q133: never a global sort; the spine and bounds come back broadcast
+    val s133 = simplePlan("q133_volume_trend")
+    assert(!s133.matches("(?s).*Sort .*global=true.*"), s133)
+    assert(s133.contains("BroadcastExchange"), s133)
   }
 }
