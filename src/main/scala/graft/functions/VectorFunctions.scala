@@ -63,17 +63,15 @@ object VectorFunctions {
     * (STOC'02).
     */
   def signRandomProjection(vec: Column, nBits: Int, dim: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      // The ±1 plane depends only on (b, i) — precomputed once at
-      // plan-build time as a float-array literal and folded with the fused
-      // native dot product, instead of evaluating dim modular-arithmetic
-      // expressions per row inside a zip_with lambda. Bit-identical to the
-      // lambda form: x·(±1.0) is exact in IEEE, same left-to-right
-      // accumulation — so the DuckDB bucket reproduction is unchanged.
-      val proj = dot(vec, lit(hyperplaneSigns(b, dim)))
-      when(proj > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    // The ±1 planes depend only on (b, i) — precomputed once at plan-build
+    // time and shipped as ONE broadcast bank folded by the fused
+    // [[graft.plans.SignPackB]] kernel, instead of nBits float-array plan
+    // Literals re-serialized into every task binary. Bit-identical to the
+    // per-plane when(dot > 0, 1L << b) sum it replaces: x·(±1.0) is exact
+    // in IEEE, same left-to-right double accumulation — so the DuckDB
+    // bucket reproduction is unchanged.
+    val planes = Array.tabulate(nBits)(b => hyperplaneSigns(b, dim))
+    graft.plans.SignBank.packColumn(vec, planes)
   }
 
   /** The ±1 hyperplane for sign bit `b`: component i is +1 iff

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** A fixed centroid matrix shipped to executors ONCE via broadcast, plus
+  * the fused scoring kernel [[CellScoresB]] evaluates against it.
+  *
+  * Scores are `dot(v, c_i) / ‖c_i‖` — bit-identical to the declarative
+  * per-centroid form `graft_dot(v, lit(c_i)) / sqrt(graft_dot(c_i, c_i))`
+  * ([[DotProductF]]'s left-to-right double accumulation; the norms are
+  * precomputed here with the same loop), so the DuckDB oracle parity of
+  * every IVF gate is preserved exactly.
+  *
+  * Null semantics match the `array(...)` of per-centroid divisions it
+  * replaces: a null vector or any null element yields an array of k null
+  * scores (the array itself is never null); a length mismatch against one
+  * centroid nulls only that centroid's score.
+  */
+final class CentroidBank(val centroids: Array[Array[Float]]) extends Serializable {
+
+  /** ‖c_i‖ via the same left-to-right double accumulation as
+    * `sqrt(graft_dot(c_i, c_i))` — last-ulp-identical to the plan-literal
+    * form this bank replaces.
+    */
+  val norms: Array[Double] = centroids.map { c =>
+    var acc = 0.0
+    var j = 0
+    while (j < c.length) { acc += c(j).toDouble * c(j).toDouble; j += 1 }
+    math.sqrt(acc)
+  }
+
+  def numCells: Int = centroids.length
+
+  /** k null scores — what a null / null-element vector scores as. */
+  def allNullScores(): ArrayData = new GenericArrayData(new Array[Any](centroids.length))
+
+  /** One fused pass: k dot products + divisions per row, no per-centroid
+    * Literal and no per-element lambda dispatch.
+    */
+  def scores(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j)) return allNullScores()
+      j += 1
+    }
+    val out = new Array[Any](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      if (c.length == n) {
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += v.getFloat(k).toDouble * c(k).toDouble; k += 1 }
+        out(i) = java.lang.Double.valueOf(acc / norms(i))
+      } // else: leave null, matching graft_dot's unequal-length null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object CentroidBank {
+
+  /** One broadcast per (SparkContext, centroid contents): repeated plan
+    * builds over the same pretrained matrix — every IVF gate, every CC
+    * round — reuse a single executor-resident copy instead of registering
+    * a new broadcast (or worse, a new plan Literal) per call.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[CentroidBank]]
+
+  def broadcastFor(
+      spark: SparkSession, centroids: Array[Array[Float]]): Broadcast[CentroidBank] = {
+    val key = (spark.sparkContext, centroids.map(_.toVector).toVector)
+    cache.computeIfAbsent(
+      key, _ => spark.sparkContext.broadcast(new CentroidBank(centroids.map(_.clone()))))
+  }
+
+  /** Column of per-cell scores `dot(v, c_i) / ‖c_i‖` against a BROADCAST
+    * centroid bank — the drop-in replacement for the Literal-shipping
+    * `array(graft_dot(vec, lit(c_i)) / ...)` form (the round-8 "6 MiB task
+    * binary" finding): the plan carries one broadcast handle however many
+    * times the scores appear in it.
+    */
+  def scoresColumn(vec: Column, centroids: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.GraftBridge
+    val bc = broadcastFor(SparkSession.active, centroids)
+    GraftBridge.column(CellScoresB(bc, GraftBridge.expression(vec)))
+  }
+}
+
+/** Per-cell centroid scores against a BROADCAST [[CentroidBank]] — the IVF
+  * sibling of [[BloomMightContainB]]: tasks pull the matrix once per
+  * executor from the block manager; the serialized plan carries only the
+  * broadcast handle. Output is `array<double>` of `dot(v, c_i) / ‖c_i‖`,
+  * never null itself (see [[CentroidBank]] for the element-null contract).
+  */
+case class CellScoresB(bc: Broadcast[CentroidBank], child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_cell_scores"
+
+  @transient private lazy val bank: CentroidBank = bc.value
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) bank.allNullScores()
+    else bank.scores(v.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj(
+      "graftCentroidsBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val bankVar = ctx.addMutableState(
+      "graft.plans.CentroidBank", "graftCentroidBank",
+      v => s"$v = (graft.plans.CentroidBank) $bcRef.value();")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        |  ${childGen.isNull} ? $bankVar.allNullScores() : $bankVar.scores(${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellScoresB =
+    copy(child = newChild)
+}

@@ -180,17 +180,21 @@ object IVF {
   def pretrainedCentroids: Array[Array[Float]] =
     PretrainedCentroidNumerators.map(_.map(_ / 1024.0f))
 
-  /** Per-cell scores `dot(v, c) / ‖c‖` against fixed centroid literals —
-    * the ONE scoring formula both cell assignment ([[literalCell]]) and
-    * probe selection ([[literalTopK]]) must share: the tie contract
-    * between them (first-max assignment == probe ORDER BY score DESC,
-    * cell) only holds if they compute identical scores.
+  /** Per-cell scores `dot(v, c) / ‖c‖` — the ONE scoring formula both cell
+    * assignment ([[literalCell]]) and probe selection ([[literalTopK]])
+    * must share: the tie contract between them (first-max assignment ==
+    * probe ORDER BY score DESC, cell) only holds if they compute identical
+    * scores.
+    *
+    * Evaluated by [[graft.plans.CellScoresB]] against a BROADCAST
+    * [[graft.plans.CentroidBank]] (bit-identical accumulation to the
+    * per-centroid `graft_dot(vec, lit(c)) / sqrt(graft_dot(c, c))` form it
+    * replaced): the centroid matrix rides the block manager once per
+    * executor instead of being inlined as expression Literals into every
+    * task's serialized plan — the round-8 6 MiB-task-binary finding.
     */
   private def literalCellScores(vec: Column, centroids: Array[Array[Float]]): Column =
-    array(centroids.map { c =>
-      val cl = lit(c)
-      VectorFunctions.dot(vec, cl) / sqrt(VectorFunctions.dot(cl, cl))
-    }: _*)
+    graft.plans.CentroidBank.scoresColumn(vec, centroids)
 
   /** Cell-assignment column against FIXED centroid literals — the
     * blocking key for IVF-bucketed operators (e.g.

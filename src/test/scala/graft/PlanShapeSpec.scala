@@ -312,4 +312,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s133.matches("(?s).*Sort .*global=true.*"), s133)
     assert(s133.contains("BroadcastExchange"), s133)
   }
+
+  test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    def literals(name: String): Seq[Literal] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Literal]
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.foreach { node =>
+        node.expressions.foreach(_.foreach { case l: Literal => buf += l; case _ => () })
+      }
+      buf.toSeq
+    }
+    def approxBytes(l: Literal): Long = l.value match {
+      case a: ArrayData => a.numElements().toLong * 8L
+      case s: UTF8String => s.numBytes().toLong
+      case b: Array[Byte] => b.length.toLong
+      case _ => 8L
+    }
+    // the round-8 finding: centroid matrices (and any filter/sketch blob)
+    // must ride broadcasts, never the serialized plan. A >1 MB Literal is
+    // re-shipped inside EVERY task binary that evaluates it.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted; l <- literals(name))
+      assert(approxBytes(l) < (1L << 20),
+        s"$name inlines a ${approxBytes(l)}-byte Literal into the plan: ${l.dataType}")
+    // the six IVF gates specifically: no float-array Literal of embedding
+    // width anywhere (a reintroduced `lit(centroid)` re-creates the 6 MiB
+    // task binaries even though each single literal is small)
+    for (name <- Seq("q25_ann_topk", "q31_ann_lsh", "q32_ann_ivf",
+        "q52_quantized_ann", "q91_semantic_dedup", "q122_ann_recall")) {
+      val centroidish = literals(name).filter { l =>
+        l.dataType match {
+          case ArrayType(FloatType, _) =>
+            l.value.asInstanceOf[ArrayData].numElements() >= 64
+          case _ => false
+        }
+      }
+      assert(centroidish.isEmpty,
+        s"$name inlines ${centroidish.size} embedding-width float-array Literal(s) " +
+          "— centroids/hyperplanes must ride a broadcast bank (CellScoresB)")
+    }
+  }
 }
