@@ -1081,6 +1081,42 @@ object ExtensionQueries {
       Tables.events(s, d), col("event_type"), col("ts"))
       .withColumnRenamed("g", "event_type")
 
+  /** End-to-end incremental-compaction gate
+    * ([[graft.sources.Storage.fileStats]]/[[graft.sources.Storage.compact]]):
+    * supplier lands as ONE right-sized file (the lower-key half — exactly
+    * `target` rows, so it is NOT under-target) plus a fragmented tail of
+    * small files; compact merges ONLY the tail. The gate returns the full
+    * table content (the hash-match proves no row was lost or duplicated
+    * through the file surgery) plus the post-compaction file count, which
+    * is 2 at every SF: the untouched large file + one merged replacement.
+    */
+  private def q134Compact(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Storage
+    val sup = Tables.load(s, d, "supplier")
+    val half = sup.count() / 2 // suppkeys are contiguous 0..n-1, n even
+    val table = "graft_q134_compact"
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // a previous session's run leaves the location on disk without a
+    // catalog entry (in-memory metastore) — clear it, plus any staging
+    locally {
+      import org.apache.hadoop.fs.Path
+      val loc = new Path(s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(loc, true)
+      fs.delete(new Path(loc.getParent, s".${loc.getName}__graft_compact"), true)
+    }
+    sup.where(col("s_suppkey") < half).repartition(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    sup.where(col("s_suppkey") >= half).repartition(8)
+      .write.mode("append").format("parquet").saveAsTable(table)
+    val res = Storage.compact(s, table, targetRowsPerFile = half)
+    require(res.filesWritten == 1L && res.rowsCompacted == half,
+      s"q134: expected the $half-row fragmented tail to merge into 1 file, got $res")
+    s.table(table).crossJoin(
+      broadcast(Storage.fileStats(s, table).select(col("n_files"))))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1186,6 +1222,7 @@ object ExtensionQueries {
     "q131_equi_depth" -> (q131EquiDepth _),
     "q132_kmv_by_day" -> (q132KmvByDay _),
     "q133_volume_trend" -> (q133VolumeTrend _),
+    "q134_compact" -> (q134Compact _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1914,6 +1951,12 @@ object ExtensionQueries {
         |    (n * sxy - sx * sy)::DOUBLE / (n * sx2 - sx * sx)::DOUBLE END, 6) + 0.0
         |    AS slope_per_day
         |FROM s""".stripMargin,
+    "q134_compact" ->
+      // content must survive the file surgery row-for-row; n_files = 2 =
+      // the untouched right-sized file + the one merged replacement (the
+      // Spark side measures it with fileStats after compact)
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 2::BIGINT AS n_files
+        |FROM supplier""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

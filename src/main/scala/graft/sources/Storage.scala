@@ -45,30 +45,115 @@ object Storage {
         sum(col("n")).as("n_rows"))
   }
 
-  /** Rewrite a managed parquet table into `ceil(rows / targetRowsPerFile)`
-    * files — small-files compaction, the maintenance sibling of
-    * [[fileStats]]. Round-robin repartition (no key: compaction must not
-    * skew on data) through a staging hop (Spark cannot overwrite a table
-    * it is reading; same discipline as the CDC loop). The repartition IS
-    * a full shuffle of the table — that is the price of compaction on
-    * any engine, paid once to stop paying per-file costs on every scan.
+  /** What one [[compact]] run did: how many under-target files were
+    * merged, how many rows they held, and how many files replaced them.
+    * All-zero = no-op (nothing worth merging).
+    */
+  final case class CompactResult(
+      filesCompacted: Long, rowsCompacted: Long, filesWritten: Long)
+
+  /** INCREMENTAL small-files compaction, the maintenance sibling of
+    * [[fileStats]]: merge ONLY the files holding fewer than
+    * `targetRowsPerFile` rows into `ceil(smallRows / targetRowsPerFile)`
+    * replacements; right-sized files are never read, never rewritten.
+    * Bytes written ≈ small-file bytes — at 100 TB with a healthy table
+    * that is the fragmented tail, not 2× the table (the round-8
+    * full-rewrite write-amplification finding). Round-robin repartition
+    * (no key: compaction must not skew on data).
+    *
+    * Write path: ONE data write to a hidden staging directory beside the
+    * table, then a metadata-only swap — staged files rename into the
+    * table directory and the merged originals are deleted. A
+    * `_GRAFT_MANIFEST` written AFTER the staged write certifies it is
+    * complete, which makes the swap resumable: a later [[compact]] call
+    * finding staging WITH a manifest finishes the swap (renames and
+    * deletes are idempotent); staging WITHOUT a manifest is a dead
+    * partial write and is discarded untouched — the table never loses a
+    * row either way.
+    *
+    * Crash-safety contract (plain parquet has no transaction log): a
+    * crash mid-swap can leave BOTH a merged replacement and some of its
+    * originals visible — transient DUPLICATES, healed by the next
+    * [[compact]] call — never data loss. Run compaction in a maintenance
+    * window, or on a snapshot path, if readers cannot tolerate that
+    * window.
+    *
+    * Bucketed tables ([[writeBucketed]]) are REFUSED: merging files
+    * ignores bucket boundaries, and a rewrite that drops `bucketBy` would
+    * silently discard the exchange-elision layout this same file
+    * advertises. Re-write those with [[writeBucketed]] at a larger
+    * bucket size instead.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
       targetRowsPerFile: Long
-  ): Unit = {
+  ): CompactResult = {
+    import org.apache.hadoop.fs.Path
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive: $targetRowsPerFile")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    require(meta.bucketSpec.isEmpty,
+      s"refusing to compact bucketed table '$table' (${meta.bucketSpec.get}): a plain " +
+        "rewrite would discard the bucket layout; re-write with writeBucketed instead")
     spark.sql(s"REFRESH TABLE $table") // tolerate a prior rewrite in another session
-    val n = spark.table(table).count()
-    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    val staging = s"${table}__compact"
-    spark.table(table).repartition(files)
-      .write.mode("overwrite").format("parquet").saveAsTable(staging)
-    spark.table(staging)
-      .write.mode("overwrite").format("parquet").saveAsTable(table)
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(loc.getParent, s".${loc.getName}__graft_compact")
+    val manifest = new Path(staging, "_GRAFT_MANIFEST")
+    if (fs.exists(staging)) {
+      // finish a crashed swap (manifest present = staged data is complete)
+      // or discard a dead partial write (no manifest = nothing swapped yet)
+      if (fs.exists(manifest)) finishSwap(fs, staging, manifest, loc)
+      else fs.delete(staging, true)
+      spark.sql(s"REFRESH TABLE $table")
+    }
+    // the work list is the SMALL-file set (name, rows) — driver memory is
+    // bounded by the fragmented tail being repaired, not by table rows
+    val small = spark.table(table)
+      .groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n"))
+      .where(col("n") < targetRowsPerFile)
+      .collect()
+    val smallRows = small.map(_.getAs[Long]("n")).sum
+    val k = math.max(1L, (smallRows + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    if (small.length <= 1 || k >= small.length)
+      return CompactResult(0L, 0L, 0L) // merging cannot reduce the file count
+    val smallFiles = small.map(_.getAs[String]("file"))
+    spark.read.schema(spark.table(table).schema).parquet(smallFiles.toIndexedSeq: _*)
+      .repartition(k)
+      .write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(manifest, true)
+    out.write(smallFiles.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    finishSwap(fs, staging, manifest, loc)
     spark.sql(s"REFRESH TABLE $table")
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    CompactResult(small.length.toLong, smallRows, k.toLong)
+  }
+
+  /** Complete a staged compaction: move staged data files into the table
+    * directory, delete the manifest's originals, drop staging. Every step
+    * is idempotent, so this can resume after a crash at any point.
+    */
+  private def finishSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      staging: org.apache.hadoop.fs.Path,
+      manifest: org.apache.hadoop.fs.Path,
+      loc: org.apache.hadoop.fs.Path
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    fs.listStatus(staging)
+      .filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .foreach(s => fs.rename(s.getPath, new Path(loc, s.getPath.getName)))
+    val in = fs.open(manifest)
+    val originals =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+      finally in.close()
+    originals.filter(_.nonEmpty).foreach { uri =>
+      val p = new Path(new java.net.URI(uri))
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.delete(staging, true)
   }
 
   /** Apply a CDC change batch to a snapshot — the merge/upsert step that
