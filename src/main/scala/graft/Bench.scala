@@ -25,6 +25,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // contention telemetry, sampled BEFORE Spark spins up so it measures
+    // load from OTHER processes: rounds 6/7 showed up to 2× same-code
+    // swing between contended and idle machines, and a totals-only record
+    // can't distinguish that from a regression. -1.0 = unavailable.
+    val preLoad = {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val la = os.getSystemLoadAverage
+      if (la < 0) -1.0 else la / math.max(1, os.getAvailableProcessors)
+    }
+    val contended = preLoad > 0.5
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,7 +101,7 @@ object Bench {
     // queries happened to shorten it
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
     println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

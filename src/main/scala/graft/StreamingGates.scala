@@ -346,36 +346,111 @@ object StreamingGates {
         col("event_type"), col("n"), col("total"))
   }
 
-  /** Streaming keyed aggregation over the q12 events
-    * ([[graft.operators.Keyed.aggregate]]'s streaming form: unbounded
-    * per-key state in COMPLETE mode — the reference's `flow/keyed.go`
-    * forever-running per-key aggregation): one micro-batch, no
-    * watermark, the sink holds the full latest result. `countDistinct`
-    * is unsupported over streams, so the distinct-type count is
-    * `size(collect_set(...))` — same value (both ignore nulls), state
-    * bounded by the per-key distinct cardinality. Compared against
-    * q12's batch oracle verbatim.
+  /** Streaming keyed aggregation over the q12 events, on Spark 4's
+    * `transformWithState` ([[StreamingFlows.keyedFoldEmitTWS]] — the
+    * SURVEY-designated target for the reference's forever-running per-key
+    * chains, flow/keyed.go:131-158): every event folds into a typed
+    * per-key accumulator (count, sum, distinct-type set, max ts) in the
+    * RocksDB state store; one micro-batch means one APPEND emission per
+    * key carrying its final aggregate — no COMPLETE-mode sink holding
+    * the result set. The distinct-type set skips nulls like
+    * `countDistinct`. Compared against q12's batch oracle verbatim.
     */
   private def q83KeyedStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val events = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("value"))
       .as[Kv].collect()
     val in = MemoryStream[Kv]
     in.addData(events.toIndexedSeq)
-    val agg = in.toDF().groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("total_value"),
-        size(collect_set(col("event_type"))).cast("long").as("n_types"),
-        max(col("ts")).cast("long").as("last_seen"))
+    implicit val accEnc: org.apache.spark.sql.Encoder[(Long, Double, Set[String], Long)] =
+      org.apache.spark.sql.Encoders.kryo[(Long, Double, Set[String], Long)]
+    val out = StreamingFlows.keyedFoldEmitTWS[
+        Option[Long], Kv, (Long, Double, Set[String], Long),
+        (Option[Long], Long, Double, Long, Long)](
+      keyFn = _.user_id,
+      init = (0L, 0.0, Set.empty[String], Long.MinValue),
+      step = (st, v) => (
+        st._1 + 1L,
+        st._2 + v.value,
+        if (v.event_type == null) st._3 else st._3 + v.event_type,
+        math.max(st._4, v.ts.getTime)),
+      finish = (k, st) => (k, st._1, st._2, st._3.size.toLong,
+        java.lang.Math.floorDiv(st._4, 1000L))
+    ).apply(in.toDS())
     val sink = sinkName("q83")
-    val q = agg.writeStream.format("memory").queryName(sink)
-      .outputMode("complete").start()
+    val q = out.toDF("user_id", "n_events", "total_raw", "n_types", "last_seen")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
     try q.processAllAvailable()
     finally q.stop()
-    s.table(sink)
+    s.table(sink).select(
+      col("user_id"), col("n_events"),
+      round(col("total_raw"), 4).as("total_value"),
+      col("n_types"), col("last_seen"))
+  }
+
+  final case class BOrd(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
+
+  /** q07's streaming twin: the count-OR-time Batch trigger on
+    * `transformWithState` ([[StreamingFlows.batchCountOrTimeTWS]] — real
+    * per-key timers). Orders arrive as ONE micro-batch pre-sorted by
+    * (custkey, orderkey) from a single-partition source, so each key's
+    * iterator preserves orderkey order and the count trigger (5) flushes
+    * exactly the oracle's chunks inline; each key's partial tail stays
+    * buffered until its 1 s timer fires, which sentinel micro-batches on
+    * fresh NEGATIVE keys nudge the engine into evaluating (the poll-with-
+    * deadline pattern — `processAllAvailable` makes no timer promises).
+    * Sentinels never reach the result: distinct keys keep them under the
+    * count trigger and the final select filters custkey < 0. batch_id is
+    * reconstructed per key by first-orderkey order — chunks of an ordered
+    * stream are contiguous, so rank(min orderkey) IS the chunk index.
+    * Compared against q07's batch oracle verbatim.
+    */
+  private def q135BatchStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .as[BOrd].collect().sortBy(o => (o.o_custkey, o.o_orderkey))
+    val expected = orders.groupBy(_.o_custkey).valuesIterator
+      .map(g => (g.size + 4) / 5).sum.toLong
+    val in = MemoryStream[BOrd]
+    in.addData(orders.toIndexedSeq)
+    val chunks = StreamingFlows.batchCountOrTimeTWS[Long, BOrd](
+      _.o_custkey, maxBatchSize = 5, maxLatencyMs = 1000L).apply(in.toDS())
+    val flat = chunks.map { case (k, vs) =>
+      (k, vs.size.toLong, vs.map(_.o_totalprice).sum,
+        vs.map(_.o_orderkey).min, vs.map(_.o_orderkey).max)
+    }
+    val sink = sinkName("q135")
+    val q = flat.toDF("o_custkey", "n", "total_raw", "first_key", "last_key")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      // NEVER processAllAvailable here: with ProcessingTime timers the
+      // engine self-schedules batches and PAV may not settle (the SKILL
+      // gotcha) — poll the sink with a deadline instead
+      def landed() = s.table(sink).where(col("o_custkey") >= 0).count()
+      val deadline = System.currentTimeMillis() + 120000L
+      var nudge = 0L
+      while (landed() < expected && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300L)
+        nudge += 1
+        in.addData(BOrd(-nudge, 0L, 0.0)) // force a batch → due timers fire
+      }
+      assert(landed() == expected, s"q135: ${landed()} of $expected chunks after deadline")
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("first_key"))
+    s.table(sink).where(col("o_custkey") >= 0)
+      .withColumn("batch_id", row_number().over(w).cast("long") - 1L)
+      .select(col("o_custkey"), col("batch_id"), col("n"),
+        round(col("total_raw"), 2).as("batch_total"),
+        col("first_key"), col("last_key"))
   }
 
   /** Streaming session-transition mining over the q111 inputs
@@ -507,7 +582,8 @@ object StreamingGates {
     "q78_window_stream" -> (q78WindowStream _),
     "q80_session_stream" -> (q80SessionStream _),
     "q83_keyed_stream" -> (q83KeyedStream _),
-    "q86_sliding_stream" -> (q86SlidingStream _)
+    "q86_sliding_stream" -> (q86SlidingStream _),
+    "q135_batch_stream" -> (q135BatchStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -526,6 +602,7 @@ object StreamingGates {
     "q78_window_stream" -> SparkEntry.coreOracleSql("q09_tumbling"),
     "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session"),
     "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed"),
-    "q86_sliding_stream" -> SparkEntry.coreOracleSql("q10_sliding")
+    "q86_sliding_stream" -> SparkEntry.coreOracleSql("q10_sliding"),
+    "q135_batch_stream" -> SparkEntry.coreOracleSql("q07_batch")
   )
 }

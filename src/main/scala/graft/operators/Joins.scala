@@ -154,6 +154,20 @@ object Joins {
     * before deciding to route them. Null left keys count as a key here —
     * they form a window partition too, even though they never match.
     */
+  def asOfHotKeys(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      maxKeyRows: Long
+  ): DataFrame = {
+    require(maxKeyRows > 0, "maxKeyRows must be positive")
+    left.select(col(leftKey).as("key"))
+      .unionByName(right.filter(col(rightKey).isNotNull).select(col(rightKey).as("key")))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > maxKeyRows)
+  }
+
   /** [[asOf]] with a match-window bound — pandas `merge_asof(tolerance=)`
     * parity: the nearest prior (or next, forward) right row matches ONLY
     * if it lies within `toleranceMicros` of the left timestamp;
@@ -190,20 +204,6 @@ object Joins {
       .foldLeft(withFlag)((df, c) =>
         df.withColumn(c, when(col("__tol_ok"), col(c))))
       .drop("__tol_ok")
-  }
-
-  def asOfHotKeys(
-      left: DataFrame,
-      right: DataFrame,
-      leftKey: String,
-      rightKey: String,
-      maxKeyRows: Long
-  ): DataFrame = {
-    require(maxKeyRows > 0, "maxKeyRows must be positive")
-    left.select(col(leftKey).as("key"))
-      .unionByName(right.filter(col(rightKey).isNotNull).select(col(rightKey).as("key")))
-      .groupBy(col("key")).agg(count(lit(1)).as("n_rows"))
-      .where(col("n_rows") > maxKeyRows)
   }
 
   /** Point-in-interval join: every (point, interval) pair with equal keys
@@ -291,11 +291,42 @@ object Joins {
     * the join key, and the watermark — not a bucket width — is what caps
     * memory. Inner semantics, append output mode.
     */
+  def intervalStream(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      pointTs: String,
+      start: String,
+      end: String,
+      maxLength: String
+  ): DataFrame = {
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
+    points.join(intervals,
+      points(pointKey) === intervals(intervalKey) &&
+        points(pointTs) >= intervals(start) &&
+        points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
+        points(pointTs) < intervals(end))
+  }
+
   /** Interval ANTI join: the points NOT inside any interval of their
     * key — the exclusion form of [[interval]] (drop events during
     * incident windows, decontaminate training data around eval-period
     * intervals, dead-time filtering). One distinct + left-anti on the
     * caller-named point id, on top of the bucketed inner join's plan.
+    *
+    * `pointId` contract: it must be NON-NULL and UNIQUELY identify point
+    * rows, and the contract is ENFORCED — a null id raises a loud runtime
+    * error (baked into the join key, so it cannot be optimized away)
+    * instead of the two silent failure modes an id-based anti join has
+    * with nulls: plain equality never matches a null key, so a null-id
+    * point inside an interval would LEAK through the screen; null-safe
+    * equality conflates every null-id row into one identity and
+    * over-drops them all. Rows merely SHARING a non-null id are excluded
+    * together (if any falls inside an interval, all go) — over-drop is
+    * the safe direction for an exclusion screen, but synthesize a unique
+    * id rather than rely on it.
     *
     * Cap caveat, louder here than on the inner form: an interval dropped
     * by `maxBuckets` EXCLUDES NOTHING — for an exclusion screen a missed
@@ -317,27 +348,17 @@ object Joins {
   ): DataFrame = {
     val hit = interval(points, intervals, pointKey, intervalKey, pointTs,
         start, end, bucketMicros, maxBuckets)
-      .select(col(pointId)).distinct()
-    points.join(hit, Seq(pointId), "left_anti")
-  }
-
-  def intervalStream(
-      points: DataFrame,
-      intervals: DataFrame,
-      pointKey: String,
-      intervalKey: String,
-      pointTs: String,
-      start: String,
-      end: String,
-      maxLength: String
-  ): DataFrame = {
-    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
-    points.join(intervals,
-      points(pointKey) === intervals(intervalKey) &&
-        points(pointTs) >= intervals(start) &&
-        points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
-        points(pointTs) < intervals(end))
+      .select(col(pointId).as("__hit_id")).distinct()
+    // the null check lives INSIDE the join key: the anti join evaluates
+    // it for every point row, so a null id fails the job loudly — it
+    // cannot be silently retained (plain-equality leak) or conflated
+    // with other null ids (null-safe over-drop)
+    val guardedId = when(col(pointId).isNotNull, col(pointId))
+      .otherwise(raise_error(lit(
+        s"intervalAnti: null $pointId — the exclusion screen requires a " +
+          "non-null unique point id; a null id would leak through or " +
+          "over-drop (see scaladoc)")))
+    points.join(hit, guardedId === col("__hit_id"), "left_anti")
   }
 
   /** Join-key skew diagnostics — the report to run BEFORE a big shuffle

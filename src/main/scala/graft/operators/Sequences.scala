@@ -120,9 +120,13 @@ object Sequences {
     * event, counted distinctly in every later week they appear —
     * `(cohort, week_offset, n_users)`, the standard retention triangle.
     *
-    * Week truncation and the offset are integer-exact (`date_trunc` to
-    * the week on both sides, offset = floored-second difference div
-    * 604800 — both instants are week-aligned, so the division is exact).
+    * Week truncation and the offset are CALENDAR-exact: both instants are
+    * `date_trunc`'d to their week start, the offset is
+    * `datediff(day) div 7` on the resulting dates — always a whole number
+    * of weeks, in ANY session timezone. (A raw epoch-second difference
+    * div 604800 only works under a fixed-offset zone: with DST, two week
+    * starts can sit 604800±3600 s apart and the division floors to the
+    * wrong offset.)
     *
     * Scale shape: one key agg for first-events, one key equi-join
     * (partitioning reused), one (cohort, offset) distinct-count — the
@@ -138,7 +142,7 @@ object Sequences {
     df.select(key.as("k"), date_trunc("week", ts).as("w"))
       .join(firsts, Seq("k"))
       .select(col("k"), col("cohort"),
-        expr("(unix_timestamp(w) - unix_timestamp(cohort)) div 604800").as("week_offset"))
+        expr("datediff(to_date(w), to_date(cohort)) div 7").as("week_offset"))
       .groupBy(col("cohort"), col("week_offset"))
       .agg(countDistinct(col("k")).as("n_users"))
   }

@@ -175,6 +175,16 @@ object TimeSeries {
     * equations applied to ingest volume). Empty days count 0 via the
     * spine (a dying source's silence IS the trend, not a missing row).
     *
+    * Spine semantics — SHARED window by default: every group is regressed
+    * over the GLOBAL [min day, max day] range, so a source that starts
+    * late carries leading zero-count days (which bias its slope upward)
+    * and one that dies early carries trailing zeros (downward). That is
+    * the intended monitor reading — "volume relative to the whole
+    * corpus's observation window" — and what the q133 oracle pins. Pass
+    * `perGroupBounds = true` to regress each group over ITS OWN
+    * [first day, last day] instead: the "trend while alive" reading,
+    * with no synthetic leading/trailing zeros.
+    *
     * All sums are EXACT integers (day indexes × counts in BIGINT — day
     * spans and daily volumes keep the products far under 2⁶³; the one
     * division at the end is a fixed double expression), so the slope is
@@ -182,25 +192,42 @@ object TimeSeries {
     * slope (null), loudly distinguishable from a flat 0.0.
     *
     * Scale shape: one map-combined (group, day) count — the exchange
-    * carries ≤ \|groups\|·days rows — a broadcast day spine, and a
-    * per-group aggregate over the tiny counts relation.
+    * carries ≤ \|groups\|·days rows — a broadcast day spine (per-group
+    * bounds: a broadcast per-group bounds relation and the spine exploded
+    * from each group's own range), and a per-group aggregate over the
+    * tiny counts relation.
     */
   def volumeTrend(
       df: DataFrame,
       group: Column,
-      ts: Column
+      ts: Column,
+      perGroupBounds: Boolean = false
   ): DataFrame = {
     val day = to_date(ts)
     val counts = df.select(group.as("g"), day.as("d"))
       .groupBy(col("g"), col("d")).agg(count(lit(1)).as("cnt"))
-    val bounds = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
-    val grid = counts.select(col("g")).distinct()
-      .crossJoin(broadcast(spine))
-    val full = grid.join(counts, Seq("g", "d"), "left")
-      .crossJoin(broadcast(bounds))
-      .select(col("g"), datediff(col("d"), col("d0")).cast("long").as("x"),
-        coalesce(col("cnt"), lit(0L)).as("y"))
+    val full =
+      if (perGroupBounds) {
+        // each group's spine from its OWN bounds: the bounds relation is
+        // one row per group (broadcast), the explode fans out only that
+        // group's day range
+        val gBounds = counts.groupBy(col("g"))
+          .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val grid = gBounds
+          .select(col("g"), col("d0"), explode(sequence(col("d0"), col("d1"))).as("d"))
+        grid.join(counts, Seq("g", "d"), "left")
+          .select(col("g"), datediff(col("d"), col("d0")).cast("long").as("x"),
+            coalesce(col("cnt"), lit(0L)).as("y"))
+      } else {
+        val bounds = counts.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+        val grid = counts.select(col("g")).distinct()
+          .crossJoin(broadcast(spine))
+        grid.join(counts, Seq("g", "d"), "left")
+          .crossJoin(broadcast(bounds))
+          .select(col("g"), datediff(col("d"), col("d0")).cast("long").as("x"),
+            coalesce(col("cnt"), lit(0L)).as("y"))
+      }
     full.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),

@@ -96,7 +96,11 @@ object IVF {
     // dotFold, not the fused graft_dot kernel: the kernel is float-only,
     // and float-cast centroids could flip near-tie assignments away from
     // the KMeans double-precision argmin (FuseDotProduct leaves double
-    // arrays unfused, so this stays the declarative double path)
+    // arrays unfused, so this stays the declarative double path).
+    // Literal shipping is DELIBERATE here, unlike the query path's
+    // broadcast CellScoresB bank: this is a per-append maintenance job
+    // (one plan, k×dim doubles once), not a predicate re-serialized into
+    // every task of every query stage.
     val scores = array(cents.map { c =>
       VectorFunctions.dotFold(vec.cast("array<double>"), lit(c)) -
         lit(c.map(x => x * x).sum / 2.0)

@@ -23,12 +23,18 @@ import org.apache.spark.util.sketch.BloomFilter
   *     anti-join; only "possibly seen" rows confirm against the bucketed
   *     index (no index-side exchange);
   *  3. the novelty goes to `sink`, is appended to the index
-  *     ([[graft.dedup.Dedup.saveSeen]]), and its hashes are collected to
-  *     the driver (micro-batch-bounded — one long per novel row) and
-  *     `putLong` into the filter, which is re-broadcast — per-batch
-  *     maintenance is O(batch) work and O(batch) driver bytes (building a
-  *     delta FILTER instead would cost full index geometry per batch:
-  *     merge compatibility forces the delta to the same bit width).
+  *     ([[graft.dedup.Dedup.saveSeen]]), and the filter is maintained by
+  *     batch size: a micro-batch's hashes are collected to the driver
+  *     (one long per novel row) and `putLong` into the filter — building
+  *     a delta FILTER instead would cost full index geometry per batch
+  *     (merge compatibility forces the delta to the same bit width). A
+  *     backfill-sized batch (over `collectThreshold` novel rows) flips to
+  *     the other side of that trade: executor-side partial filters at the
+  *     standing geometry, tree-merged and OR-ed into the driver copy —
+  *     one geometry-sized allocation per partition instead of an
+  *     O(batch)-byte driver transfer (a 10⁸-row replay batch would
+  *     otherwise push ~1 GB of hashes through the driver). Either way the
+  *     merged filter is re-broadcast for the next batch.
   *
   * Bootstrap: before the first [[graft.dedup.Dedup.saveSeen]] the index
   * table does not exist — the filter starts EMPTY and the whole first batch
@@ -58,6 +64,7 @@ final class IngestDedup private (
     expectedItems: Long,
     fpp: Double,
     buckets: Int,
+    collectThreshold: Long,
     sink: (DataFrame, Long) => Unit
 ) extends ((DataFrame, Long) => Unit) {
 
@@ -65,6 +72,12 @@ final class IngestDedup private (
   // at a time — no synchronization or serialization concerns
   @transient private var filter: BloomFilter = _
   @transient private var bcast: Broadcast[BloomFilter] = _
+
+  /** Which maintenance path the last batch took ("collect" |
+    * "treeReduce" | "" before any batch) — test observability for the
+    * bounded-driver contract.
+    */
+  @transient private[graft] var lastFilterMaintenance: String = ""
 
   override def apply(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -88,11 +101,33 @@ final class IngestDedup private (
       sink(fresh, batchId)
       try {
         Dedup.saveSeen(fresh, content, table, buckets)
-        // O(batch) filter maintenance: the batch's hashes come back as
-        // bare longs (xxhash64 of the stored md5 — the same key the
-        // filter indexes) and feed the driver copy directly
-        fresh.select(xxhash64(md5(content)).as("h"))
-          .collect().foreach(r => filter.putLong(r.getLong(0)))
+        // filter maintenance, sized to the batch (`fresh` is persisted, so
+        // the count and the hash scan both read the cache): micro-batches
+        // collect bare longs (xxhash64 of the stored md5 — the same key
+        // the filter indexes) into the driver copy; a backfill batch
+        // over the threshold builds executor-side partial filters at the
+        // standing geometry and tree-merges them — O(geometry) driver
+        // bytes instead of O(batch)
+        val hashes = fresh.select(xxhash64(md5(content)).as("h"))
+        if (fresh.count() <= collectThreshold) {
+          lastFilterMaintenance = "collect"
+          hashes.collect().foreach(r => filter.putLong(r.getLong(0)))
+        } else {
+          lastFilterMaintenance = "treeReduce"
+          val items = expectedItems
+          val p = fpp
+          val delta = hashes.queryExecution.toRdd.map(_.getLong(0))
+            .mapPartitions { it =>
+              if (it.isEmpty) Iterator.empty
+              else {
+                val bf = BloomFilter.create(items, p)
+                it.foreach(bf.putLong)
+                Iterator.single(bf)
+              }
+            }
+            .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+          filter.mergeInPlace(delta)
+        }
         val old = bcast
         bcast = spark.sparkContext.broadcast(filter)
         old.destroy()
@@ -121,16 +156,22 @@ object IngestDedup {
     * }}}
     * Size `expectedItems` for the FINAL index cardinality: the filter and
     * every per-batch delta share that geometry so they can OR-merge.
+    * `collectThreshold` is the novel-row count above which filter
+    * maintenance switches from a driver-side hash collect (8 B/row) to
+    * executor-side partial filters tree-merged at the standing geometry —
+    * the default keeps the driver transfer under ~16 MB.
     */
   def apply(
       content: Column,
       table: String,
       expectedItems: Long,
       fpp: Double = 0.01,
-      buckets: Int = 64
+      buckets: Int = 64,
+      collectThreshold: Long = 2L * 1000 * 1000
   )(sink: (DataFrame, Long) => Unit): IngestDedup = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1,
       s"need expectedItems > 0 and fpp in (0,1): $expectedItems, $fpp")
-    new IngestDedup(content, table, expectedItems, fpp, buckets, sink)
+    require(collectThreshold >= 0, s"collectThreshold must be >= 0: $collectThreshold")
+    new IngestDedup(content, table, expectedItems, fpp, buckets, collectThreshold, sink)
   }
 }

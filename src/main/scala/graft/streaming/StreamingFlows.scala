@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming profile of the graft operators (Structured Streaming).
   *
@@ -636,5 +636,125 @@ object StreamingFlows {
     val timeMode = if (ttl != null) TimeMode.ProcessingTime() else TimeMode.None()
     ds.groupByKey(keyFn)
       .transformWithState(processor, timeMode, OutputMode.Append())
+  }
+
+  /** Keyed fold with BATCH-granular emission on `transformWithState`: fold
+    * every arriving row into per-key state, emit `finish(key, state)` once
+    * per key per micro-batch that touched it — the "current aggregate per
+    * key" shape (the reference's forever-running keyed aggregation,
+    * flow/keyed.go:131-158, read at its natural batch cadence) without a
+    * COMPLETE-mode sink holding the whole result. With `ttl` set the
+    * per-key state is evicted after that much processing-time idleness
+    * (TTLConfig — the high-cardinality guard [[keyedTransformWithState]]
+    * documents).
+    */
+  def keyedFoldEmitTWS[K: Encoder, V: Encoder, S: Encoder, O: Encoder](
+      keyFn: V => K,
+      init: S,
+      step: (S, V) => S,
+      finish: (K, S) => O,
+      ttl: java.time.Duration = null
+  ): Dataset[V] => Dataset[O] = { ds =>
+    val sEnc = implicitly[Encoder[S]]
+    val initialState = init
+    val ttlConfig = Option(ttl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val processor = new StatefulProcessor[K, V, O] {
+      @transient private var state: ValueState[S] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[S]("graft_keyed_fold", sEnc, ttlConfig)
+      override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[O] = {
+        var s = if (state.exists()) state.get() else initialState
+        rows.foreach(v => s = step(s, v))
+        state.update(s)
+        Iterator.single(finish(key, s))
+      }
+    }
+    val timeMode = if (ttl != null) TimeMode.ProcessingTime() else TimeMode.None()
+    ds.groupByKey(keyFn)
+      .transformWithState(processor, timeMode, OutputMode.Append())
+  }
+
+  /** Batch's count-OR-time trigger (flow/batch.go:83-113) on
+    * `transformWithState` — the SURVEY-designated target for the hybrid
+    * trigger (real per-key TIMERS instead of [[batchCountOrTime]]'s
+    * whole-group ProcessingTimeTimeout): a batch opens when its first
+    * element lands, a processing-time timer is registered for
+    * `maxLatencyMs` later, and the batch flushes on whichever fires
+    * first — the count threshold (emitted inline, timer deleted) or the
+    * timer ([[StatefulProcessor.handleExpiredTimer]]). With `stateTtl`
+    * set, an idle key's leftover buffer is evicted after the TTL — which
+    * is why the TTL must be >= the latency: the timer flushes the buffer
+    * long before a sane TTL could evict it, so eviction only ever
+    * touches state a crash left behind.
+    *
+    * Timer discipline: ONE live timer per key, tracked in state. A flush
+    * (count- or timer-triggered) deletes/clears it; the NEXT leftover
+    * re-registers from its own arrival time — deadline is
+    * batch-open + latency, never sliding with each row.
+    */
+  def batchCountOrTimeTWS[K: Encoder, V: Encoder](
+      keyFn: V => K,
+      maxBatchSize: Int,
+      maxLatencyMs: Long,
+      stateTtl: java.time.Duration = null
+  )(implicit pairEnc: Encoder[(K, Seq[V])]): Dataset[V] => Dataset[(K, Seq[V])] = {
+    require(maxBatchSize > 0, "batch size must be positive") // flow/batch.go:34-36
+    require(stateTtl == null || stateTtl.toMillis >= maxLatencyMs,
+      s"stateTtl ($stateTtl) must be >= maxLatencyMs ($maxLatencyMs): a shorter TTL would " +
+        "evict a live batch before its time trigger fires")
+    ds =>
+    val bufEnc: Encoder[Seq[V]] = org.apache.spark.sql.Encoders.kryo[Seq[V]]
+    val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    val ttlConfig = Option(stateTtl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val processor = new StatefulProcessor[K, V, (K, Seq[V])] {
+      @transient private var buf: ValueState[Seq[V]] = _
+      @transient private var timerAt: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        buf = getHandle.getValueState[Seq[V]]("graft_batch_buf", bufEnc, ttlConfig)
+        timerAt = getHandle.getValueState[Long]("graft_batch_timer", longEnc, ttlConfig)
+      }
+      private def dropTimer(): Unit = if (timerAt.exists()) {
+        getHandle.deleteTimer(timerAt.get())
+        timerAt.clear()
+      }
+      override def handleInputRows(
+          key: K, rows: Iterator[V], tv: TimerValues): Iterator[(K, Seq[V])] = {
+        // Vector: `:+` must stay O(1) — a List would be O(n²) per batch
+        var b: Vector[V] = if (buf.exists()) buf.get().toVector else Vector.empty
+        var flushed = false
+        val out = Seq.newBuilder[(K, Seq[V])]
+        rows.foreach { v =>
+          b = b :+ v
+          if (b.size >= maxBatchSize) { // count trigger (flow/batch.go:86-88)
+            out += ((key, b))
+            b = Vector.empty
+            flushed = true
+          }
+        }
+        if (b.nonEmpty) {
+          buf.update(b)
+          if (flushed) dropTimer() // the leftover opened a NEW batch
+          if (!timerAt.exists()) {
+            val at = tv.getCurrentProcessingTimeInMs() + maxLatencyMs
+            getHandle.registerTimer(at)
+            timerAt.update(at)
+          }
+        } else {
+          buf.clear()
+          dropTimer()
+        }
+        out.result().iterator
+      }
+      override def handleExpiredTimer(
+          key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[(K, Seq[V])] = {
+        // time trigger: flush whatever accumulated (flow/batch.go:89-96)
+        val b = if (buf.exists()) buf.get() else null
+        buf.clear()
+        timerAt.clear()
+        if (b != null && b.nonEmpty) Iterator((key, b)) else Iterator.empty
+      }
+    }
+    ds.groupByKey(keyFn)
+      .transformWithState(processor, TimeMode.ProcessingTime(), OutputMode.Append())
   }
 }

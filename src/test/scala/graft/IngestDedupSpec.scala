@@ -89,4 +89,34 @@ class IngestDedupSpec extends SparkSpec {
       assert(spark.table(table).distinct().count() == 3)
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("backfill batch over the threshold maintains the filter executor-side — no O(batch) driver collect") {
+    val table = "graft_ingest_backfill_idx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    var delivered = 0L
+    val ingest = IngestDedup(col("text"), table,
+      expectedItems = 2000000L, collectThreshold = 100000L) {
+      (novel, _) => delivered += novel.count()
+    }
+    def docs(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"), concat(lit("doc-"), col("id")).as("text"))
+    try {
+      // 10⁶ novel rows in one batch: over the threshold → partial filters
+      // tree-merged at the standing geometry, never 10⁶ hashes through
+      // the driver
+      ingest(docs(0L, 1000000L).toDF(), 0L)
+      assert(ingest.lastFilterMaintenance == "treeReduce")
+      assert(delivered == 1000000L)
+      // a full replay is dropped THROUGH THE MERGED FILTER (proves the
+      // tree-merged delta actually reached the driver copy + broadcast);
+      // its 0 novel rows take the micro-batch collect path
+      ingest(docs(0L, 1000000L).toDF(), 1L)
+      assert(delivered == 1000000L)
+      assert(ingest.lastFilterMaintenance == "collect")
+      // mixed batch: only the 10 genuinely new rows deliver
+      ingest(docs(999990L, 1000010L).toDF(), 2L)
+      assert(delivered == 1000010L)
+      assert(spark.table(table).distinct().count() == 1000010L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -133,4 +133,69 @@ class Round9Spec extends SparkSpec {
     assert(rows.length == 10) // sf0.001 supplier
     assert(rows.forall(_.getAs[Long]("n_files") == 2L))
   }
+
+  test("intervalAnti: a NULL point id fails LOUDLY instead of leaking or over-dropping") {
+    import graft.operators.Joins
+    def run(points: org.apache.spark.sql.DataFrame) = {
+      val intervals = Seq(
+        (10L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00"))
+      ).toDF("ik", "i_start", "i_end")
+      Joins.intervalAnti(points, intervals, "point_id", "k", "ik",
+        "p_ts", "i_start", "i_end", bucketMicros = 3600L * 1000000L)
+    }
+    // clean ids: inside dropped, outside kept
+    val clean = run(Seq(
+      (Some(1L), 10L, ts("2024-01-01 10:00:00")), // inside → dropped
+      (Some(2L), 10L, ts("2024-01-01 20:00:00")), // outside → kept
+      (Some(3L), 20L, ts("2024-01-01 10:30:00"))  // no interval on key → kept
+    ).toDF("point_id", "k", "p_ts"))
+      .select(col("point_id")).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L), clean.toString)
+    // a null id anywhere in points = contract violation, raised loudly
+    val err = intercept[Exception] {
+      run(Seq(
+        (Some(1L), 10L, ts("2024-01-01 10:00:00")),
+        (None, 10L, ts("2024-01-01 10:30:00"))
+      ).toDF("point_id", "k", "p_ts")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("non-null unique point id")), err.toString)
+  }
+
+  test("retention week_offset is calendar-exact across a DST spring-forward") {
+    import graft.operators.Sequences
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      // US DST starts 2025-03-09: the Mar 3 → Mar 10 week starts are
+      // 604800 − 3600 s apart; an epoch div 604800 floors to offset 0
+      val df = Seq(
+        (1L, ts("2025-03-03 12:00:00")),
+        (1L, ts("2025-03-10 12:00:00"))
+      ).toDF("user_id", "ts")
+      val rows = Sequences.retention(df, col("user_id"), col("ts"))
+        .select(col("week_offset"), col("n_users")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((0L, 1L), (1L, 1L)), rows.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("volumeTrend perGroupBounds: a late-starting group carries no leading zeros") {
+    import graft.operators.TimeSeries
+    // group "a": days 0..4 at constant 2/day (slope 0)
+    // group "b": starts day 3, constant 2/day for 2 days (slope 0 while alive)
+    val rows = (0 until 5).flatMap(d => Seq.fill(2)(("a", ts(f"2024-01-0${d + 1}%d 01:00:00")))) ++
+      (3 until 5).flatMap(d => Seq.fill(2)(("b", ts(f"2024-01-0${d + 1}%d 01:00:00"))))
+    val df = rows.toDF("g", "ts")
+    def slopes(per: Boolean) =
+      TimeSeries.volumeTrend(df, col("g"), col("ts"), perGroupBounds = per)
+        .collect().map(r => r.getAs[String]("g") ->
+          Option(r.getAs[java.lang.Double]("slope_per_day"))).toMap
+    val shared = slopes(per = false)
+    val own = slopes(per = true)
+    assert(own("a").contains(0.0) && own("b").contains(0.0), own.toString)
+    // shared window: b's three leading zero days bias its slope upward
+    assert(shared("b").exists(_ > 0.0), shared.toString)
+  }
 }

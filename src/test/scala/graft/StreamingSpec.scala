@@ -211,6 +211,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("batchCountOrTimeTWS: count trigger flushes inline, the per-key TIMER flushes the partial tail") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // a TTL shorter than the latency would evict a live batch before its
+      // time trigger — rejected at construction
+      intercept[IllegalArgumentException] {
+        StreamingFlows.batchCountOrTimeTWS[Int, (Int, String)](
+          _._1, 3, 1000L, stateTtl = java.time.Duration.ofMillis(500))
+      }
+      val in = MemoryStream[(Int, String)]
+      val out = StreamingFlows.batchCountOrTimeTWS[Int, (Int, String)](
+        _._1, maxBatchSize = 3, maxLatencyMs = 700L,
+        stateTtl = java.time.Duration.ofSeconds(60)).apply(in.toDS())
+      val q = out.map { case (k, vs) => (k, vs.map(_._2).mkString) }.toDF("k", "chunk")
+        .writeStream.format("memory").queryName("tws_batch_out").outputMode("append").start()
+      try {
+        def chunks() = spark.table("tws_batch_out").as[(Int, String)].collect().toSet
+        // ProcessingTime timers: poll with a deadline, never
+        // processAllAvailable (it may not settle — the SKILL gotcha)
+        val deadline = System.currentTimeMillis() + 90000
+        in.addData((1, "a"), (1, "b"), (1, "c"), (1, "d"))
+        // count trigger: "abc" flushes inline within the arrival batch
+        while (!chunks().contains((1, "abc")) && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(chunks().contains((1, "abc")), chunks().toString)
+        // time trigger: the "d" tail flushes once its 700 ms timer fires —
+        // nudge micro-batches on fresh keys give the engine batch cadence
+        var nudge = 100
+        while (!chunks().contains((1, "d")) && System.currentTimeMillis() < deadline) {
+          Thread.sleep(250)
+          nudge += 1
+          in.addData((nudge, "x"))
+        }
+        assert(chunks().contains((1, "d")), chunks().toString)
+        // never a double flush: "d" appears exactly once
+        assert(spark.table("tws_batch_out").where("k = 1").count() == 2)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session window streaming closes after gap + watermark (flow/session_window.go:102-125)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
