@@ -1117,6 +1117,41 @@ object ExtensionQueries {
       broadcast(Storage.fileStats(s, table).select(col("n_files"))))
   }
 
+  /** Span-level n-gram contamination report
+    * ([[graft.dedup.Dedup.contaminationSpans]]) over the q39 inputs:
+    * where in each document the benchmark overlap sits.
+    */
+  private def q136ContaminationSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.dedup.Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") < 3), col("text"), col("doc_id"),
+      n = 8, minShared = 3)
+  }
+
+  /** Surgical decontamination ([[graft.dedup.Dedup.exciseSpans]]): cut the
+    * q136 overlap spans (gram start → last gram start + 8, ± 2 bytes pad)
+    * out of each document instead of dropping it.
+    *
+    * The oracle replays the surgery on VARCHAR, which equals the Spark
+    * side's byte surgery ONLY on single-byte text — guarded here with a
+    * loud failure so a testdata regeneration introducing multi-byte docs
+    * surfaces as an error, not a silent hash drift (the round-7 lesson).
+    */
+  private def q137Excise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nonAscii = docs.where(octet_length(col("text")) =!= length(col("text"))).count()
+    require(nonAscii == 0L,
+      s"q137: $nonAscii multi-byte documents — the VARCHAR oracle no longer matches byte surgery")
+    val spans = graft.dedup.Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") < 3), col("text"), col("doc_id"),
+      n = 8, minShared = 3)
+    graft.dedup.Dedup.exciseSpans(
+      docs, col("text"), col("doc_id"),
+      spans, col("doc_id"), col("first_byte"), col("last_byte") + 8L, pad = 2)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1223,6 +1258,8 @@ object ExtensionQueries {
     "q132_kmv_by_day" -> (q132KmvByDay _),
     "q133_volume_trend" -> (q133VolumeTrend _),
     "q134_compact" -> (q134Compact _),
+    "q136_contamination_spans" -> (q136ContaminationSpans _),
+    "q137_excise" -> (q137Excise _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1957,6 +1994,57 @@ object ExtensionQueries {
       // Spark side measures it with fileStats after compact)
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 2::BIGINT AS n_files
         |FROM supplier""".stripMargin,
+    "q136_contamination_spans" ->
+      // q39's gram replay, keeping 1-based positions p: n_hits counts doc
+      // POSITIONS (no DISTINCT on the doc side), offsets back to 0-based
+      s"""WITH m AS ($duckByteView),
+         |dg AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
+         |bg AS (
+         |  SELECT DISTINCT doc_id AS bench_id, h FROM dg WHERE doc_id < 3)
+         |SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS n_hits,
+         |  (min(dg.p) - 1)::BIGINT AS first_byte,
+         |  (max(dg.p) - 1)::BIGINT AS last_byte
+         |FROM dg JOIN bg ON dg.h = bg.h
+         |GROUP BY dg.doc_id, bg.bench_id
+         |HAVING count(*) >= 3""".stripMargin,
+    "q137_excise" ->
+      // q136's spans (end = last gram start + 8, pad 2) → island merge via
+      // the running-max window → rebuild the kept text from the gaps.
+      // VARCHAR surgery == the Spark side's byte surgery because the
+      // corpus is single-byte (gate-guarded).
+      s"""WITH m AS ($duckByteView),
+         |dg AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
+         |bg AS (
+         |  SELECT DISTINCT doc_id AS bench_id, h FROM dg WHERE doc_id < 3),
+         |sp0 AS (
+         |  SELECT dg.doc_id, (min(dg.p) - 1)::BIGINT AS fb, (max(dg.p) - 1)::BIGINT AS lb
+         |  FROM dg JOIN bg ON dg.h = bg.h
+         |  GROUP BY dg.doc_id, bg.bench_id HAVING count(*) >= 3),
+         |sp AS (SELECT DISTINCT doc_id, greatest(fb - 2, 0) AS s, lb + 8 + 2 AS e FROM sp0),
+         |i0 AS (SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+         |  FROM sp),
+         |i1 AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i0),
+         |isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM i1 GROUP BY 1, 2),
+         |seg AS (SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+         |  FROM isl),
+         |cut AS (SELECT seg.doc_id,
+         |    string_agg(substr(d.text, (pe + 1)::INT, greatest(s - pe, 0)::INT), ''
+         |      ORDER BY s) || substr(any_value(d.text), (max(e) + 1)::INT) AS clean_text,
+         |    count(*)::BIGINT AS n_spans
+         |  FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(c.clean_text, d.text) AS clean_text,
+         |  coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+         |  (length(d.text) - length(coalesce(c.clean_text, d.text)))::BIGINT AS n_cut_bytes
+         |FROM documents d LEFT JOIN cut c USING (doc_id)""".stripMargin,
     "q98_temperature" ->
       s"""WITH c AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens
          |  FROM documents GROUP BY 1),

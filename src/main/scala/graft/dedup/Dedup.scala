@@ -870,6 +870,141 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Span-level contamination report — [[contamination]] with POSITIONS:
+    * for every (document, benchmark item) pair sharing at least
+    * `minShared` byte-gram HIT POSITIONS, the number of matching gram
+    * positions in the document and the first/last matching byte offset.
+    * This is the surgical decontamination readout: [[contamination]]
+    * says WHICH documents to drop; this says WHERE the overlap sits, so
+    * a pipeline can excise the span (the GPT-3 appendix-C practice of
+    * removing a window around the collision) instead of discarding a
+    * whole book for one quoted benchmark line.
+    *
+    * Position semantics: offsets are 0-based BYTE indexes of the n-gram
+    * start ([[graft.plans.RollingHash48]] grams are byte grams);
+    * `n_hits` counts document POSITIONS (a doc repeating a contaminated
+    * gram k times scores k — repetition widens the excision window),
+    * while the benchmark side is distinct-gram as in [[contamination]].
+    *
+    * Scale shape: identical to [[contamination]] — benchmark grams
+    * broadcast, corpus gram stream prefiltered map-side by a broadcast
+    * left-semi BEFORE anything shuffles, one (doc, bench) exchange
+    * carrying only matching positions.
+    */
+  def contaminationSpans(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      benchmark: DataFrame,
+      benchText: Column,
+      benchId: Column,
+      n: Int = 8,
+      minShared: Int = 1
+  ): DataFrame = {
+    val benchGrams = gramHashRows(benchmark, benchText, benchId, "bench_id", n)
+      .select(col("bench_id"), col("h")).distinct()
+    docs.select(id.as("doc_id"),
+        posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
+      .join(broadcast(benchGrams.select(col("h")).distinct()), Seq("h"), "left_semi")
+      .join(broadcast(benchGrams), Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(
+        count(lit(1)).as("n_hits"),
+        min(col("pos")).cast("long").as("first_byte"),
+        max(col("pos")).cast("long").as("last_byte"))
+      .where(col("n_hits") >= minShared)
+  }
+
+  /** Surgical span EXCISION — the action side of [[contaminationSpans]]:
+    * cut the given byte ranges (± `pad` bytes) out of each document's
+    * text instead of dropping the document. Overlapping/adjacent spans
+    * are merged into islands first, so the output is the document with
+    * each contaminated island removed once —
+    * `(doc_id, clean_text, n_spans, n_cut_bytes)`; a document with no
+    * spans passes through untouched with zero counts.
+    *
+    * Byte semantics: spans address BYTES (`[start, end)`, matching
+    * [[contaminationSpans]]'s offsets — pass `last_byte + n` as the end),
+    * and the surgery runs on the UTF-8 bytes, so offsets never drift on
+    * multi-byte text; a span boundary that splits a codepoint yields
+    * replacement characters on decode — pad generously or align spans to
+    * codepoint boundaries if that matters downstream.
+    *
+    * Scale shape: island-merging is two windows + one aggregate over the
+    * SPANS relation (tiny — contamination hits, not the corpus), the
+    * span lists ride a (doc_id) join back onto the corpus, and the cut
+    * itself is a pure per-row fold over the sorted island array — the
+    * corpus is never exploded or shuffled beyond the one id join.
+    */
+  def exciseSpans(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      spans: DataFrame,
+      spanDocId: Column,
+      spanStart: Column,
+      spanEnd: Column,
+      pad: Int = 0
+  ): DataFrame = {
+    require(pad >= 0, s"pad must be non-negative: $pad")
+    import org.apache.spark.sql.expressions.Window
+    // DISTINCT before island detection: several benchmark items often
+    // yield the IDENTICAL padded span, and duplicate (s, e) rows make the
+    // two window passes tie-ambiguous — an engine is free to order exact
+    // ties differently in the island-flag pass and the cumulative-sum
+    // pass, splitting one island into two nondeterministically (observed
+    // in the q137 oracle). With duplicates removed, (s, e) is unique per
+    // doc and the ordering is total.
+    val sp = spans.select(
+        spanDocId.as("doc_id"),
+        greatest(spanStart.cast("long") - pad, lit(0L)).as("s"),
+        (spanEnd.cast("long") + pad).as("e"))
+      .where(col("e") > col("s"))
+      .distinct()
+    // island merge: a span opens a new island iff it starts past every
+    // prior span's end (runs per doc over the SPAN relation only)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val runMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = sp
+      .withColumn("__new",
+        when(col("s") > coalesce(runMax, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__isl",
+        sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val lists = islands.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"))
+    val withBin = docs.select(id.as("doc_id"), text.as("__text"))
+      .join(lists, Seq("doc_id"), "left")
+      .withColumn("__bin", encode(col("__text"), "UTF-8"))
+    // fold over the sorted islands: carry (cut position p, kept bytes acc);
+    // each island appends the gap [p, s) and advances p to its end
+    val cleanBin = aggregate(
+      col("__ivs"),
+      struct(lit(0L).as("p"), lit(Array.emptyByteArray).as("acc")),
+      (st, iv) => struct(
+        iv.getField("e").as("p"),
+        concat(st.getField("acc"),
+          col("__bin").substr(
+            (st.getField("p") + 1).cast("int"),
+            greatest(iv.getField("s") - st.getField("p"), lit(0L)).cast("int")))
+          .as("acc")),
+      st => concat(st.getField("acc"),
+        col("__bin").substr(
+          (st.getField("p") + 1).cast("int"),
+          greatest(octet_length(col("__bin")) - st.getField("p"), lit(0L)).cast("int"))))
+    withBin
+      .withColumn("__clean", when(col("__ivs").isNull, col("__bin")).otherwise(cleanBin))
+      .select(
+        col("doc_id"),
+        decode(col("__clean"), "UTF-8").as("clean_text"),
+        // size(null) is -1 under the default legacy conf — branch explicitly
+        when(col("__ivs").isNull, lit(0L))
+          .otherwise(size(col("__ivs")).cast("long")).as("n_spans"),
+        (octet_length(col("__bin")) - octet_length(col("__clean")))
+          .cast("long").as("n_cut_bytes"))
+  }
+
   /** Embedding-space contamination screen — the SEMANTIC complement of
     * the n-gram [[contamination]] screen: which corpus vectors sit within
     * `minCosine` of which benchmark vectors. Paraphrased or re-formatted

@@ -247,6 +247,47 @@ class CodegenSpec extends SparkSpec {
     assert(got.toSeq === vecs.map(expectedBucket))
   }
 
+  test("CellScoresB: bit-identical to the per-centroid literal formula; null/ragged contract holds") {
+    import spark.implicits._
+    val cents: Array[Array[Float]] = Array(
+      Array.tabulate(8)(i => (i - 3) * 0.25f),
+      Array.tabulate(8)(i => math.cos(i + 1).toFloat),
+      Array.fill(8)(0.125f))
+    val vecs: Seq[Array[Float]] = Seq(
+      Array.tabulate(8)(i => math.sin(i * 2 + 1).toFloat),
+      Array.fill(8)(0f),
+      Array.tabulate(8)(i => (i + 1) * 1e-3f))
+    // the pre-bank semantics: graft_dot(v, lit(c)) / sqrt(graft_dot(c, c)),
+    // strict left-to-right double accumulation
+    def expected(v: Array[Float]): Seq[Double] = cents.toSeq.map { c =>
+      var dot = 0.0; var nn = 0.0
+      for (i <- 0 until 8) { dot += v(i).toDouble * c(i).toDouble; nn += c(i).toDouble * c(i).toDouble }
+      dot / math.sqrt(nn)
+    }
+    val got = vecs.toDF("v")
+      .select(graft.plans.CentroidBank.scoresColumn(col("v"), cents).as("s"))
+      .collect().map(_.getSeq[Double](0))
+    vecs.zip(got).foreach { case (v, g) =>
+      // java.lang.Double.equals semantics — BIT identity, not approximate
+      assert(g.toSeq == expected(v), s"scores diverge for ${v.toSeq}")
+    }
+    // ragged vector: every score null (graft_dot's unequal-length null)
+    val ragged = Seq(Array(1f, 2f)).toDF("v")
+      .select(graft.plans.CentroidBank.scoresColumn(col("v"), cents).as("s"))
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(ragged.size == 3 && ragged.forall(_ == null))
+    // null vector: a non-null array of k nulls, matching array(null, ...)
+    val nullVec = Seq(Option.empty[Array[Float]]).toDF("v")
+      .select(graft.plans.CentroidBank.scoresColumn(col("v"), cents).as("s"))
+      .collect().head
+    assert(!nullVec.isNullAt(0) && nullVec.getSeq[java.lang.Double](0).forall(_ == null))
+    // the broadcast is cached per (context, contents): a second column over
+    // an equal-but-distinct matrix reuses the same broadcast id
+    val bc1 = graft.plans.CentroidBank.broadcastFor(spark, cents)
+    val bc2 = graft.plans.CentroidBank.broadcastFor(spark, cents.map(_.clone()))
+    assert(bc1.id == bc2.id, "equal centroid contents must reuse one broadcast")
+  }
+
   test("BloomMightContainB generated Java compiles; broadcast filter agrees with interpreted eval") {
     import graft.plans.BloomMightContainB
     import org.apache.spark.util.sketch.BloomFilter

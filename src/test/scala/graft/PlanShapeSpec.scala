@@ -313,6 +313,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(s133.contains("BroadcastExchange"), s133)
   }
 
+  test("round-9 gates: q134 broadcasts the file-count scalar; q136 broadcasts bench grams and shuffles once") {
+    // q134: table content cross-joined with the 1-row fileStats aggregate —
+    // the scalar comes back broadcast, never a wide-side shuffle
+    val s134 = simplePlan("q134_compact")
+    assert(s134.contains("BroadcastNestedLoopJoin") || s134.contains("BroadcastExchange"), s134)
+    assert(!s134.contains("CartesianProduct"), s134)
+    // q136: bench grams broadcast (semi prefilter + id join); exactly ONE
+    // exchange carries CORPUS rows — the (doc, bench) aggregate — while
+    // the remaining exchanges are the eval-set-sized bench distincts
+    val s136 = simplePlan("q136_contamination_spans")
+    assert(s136.contains("BroadcastHashJoin"), s136)
+    val exchanges136 = s136.linesIterator.filter(_.contains("Exchange hashpartitioning")).toVector
+    assert(exchanges136.count(_.contains("doc_id")) == 1, s136)
+    assert(exchanges136.forall(l => l.contains("doc_id") || l.contains("h#") || l.contains("bench_id")), s136)
+    assert(!s136.matches("(?s).*Sort .*global=true.*"), s136)
+    // q137: the surgery is a per-row fold — the CORPUS is never exploded
+    // or globally sorted; islands ride a doc_id join back
+    val s137 = simplePlan("q137_excise")
+    assert(!s137.matches("(?s).*Sort .*global=true.*"), s137)
+    assert(!s137.contains("CartesianProduct"), s137)
+  }
+
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -181,6 +181,59 @@ class Round9Spec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("contaminationSpans: positions, repetition counting, and the minShared floor") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (0L, "SECRET_PHRASE"),                       // the benchmark item
+      (1L, "xx SECRET_PHRASE yy"),                 // one embedded copy
+      (2L, "SECRET_PHRASE..SECRET_PHRASE"),        // repeated copy
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") === 0L), col("text"), col("doc_id"),
+      n = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // "SECRET_PHRASE" has 13 bytes → 6 grams of 8 bytes
+    // doc 1: copy starts at byte 3 → first_byte 3, last gram starts at 8
+    // doc 2: two copies (offsets 0 and 15) → 12 position hits
+    assert(out.contains((0L, 0L, 6L, 0L, 5L)), out.toString)   // self
+    assert(out.contains((1L, 0L, 6L, 3L, 8L)), out.toString)
+    assert(out.contains((2L, 0L, 12L, 0L, 20L)), out.toString)
+    assert(!out.exists(_._1 == 3L), out.toString)
+    // the floor drops sparse overlaps
+    val floored = Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") === 0L), col("text"), col("doc_id"),
+      n = 8, minShared = 7)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(floored == Set(2L), floored.toString)
+  }
+
+  test("exciseSpans: island merge, pad clamp, byte surgery, and the no-span passthrough") {
+    import graft.dedup.Dedup
+    val docs = Seq(
+      (1L, "0123456789ABCDEF"), // two overlapping + one separate span
+      (2L, "hello world"),      // no spans → untouched
+      (3L, "tiny")              // span past the end → clamped
+    ).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2L, 5L),   // pad 1 → [1, 6)
+      (1L, 4L, 7L),   // pad 1 → [3, 8)  — overlaps → one island [1, 8)
+      (1L, 4L, 7L),   // exact duplicate (two benches) — must not split islands
+      (1L, 12L, 14L), // pad 1 → [11, 15) — second island
+      (3L, 1L, 99L)   // pad 1 → [0, 100) clamped to the doc
+    ).toDF("doc_id", "s", "e")
+    val out = Dedup.exciseSpans(docs, col("text"), col("doc_id"),
+        spans, col("doc_id"), col("s"), col("e"), pad = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: cut [1,8) and [11,15) from "0123456789ABCDEF" → "0" + "89A" + "F"
+    assert(out(1L) == (("089AF", 2L, 11L)), out(1L).toString)
+    assert(out(2L) == (("hello world", 0L, 0L)), out(2L).toString)
+    assert(out(3L) == (("", 1L, 4L)), out(3L).toString)
+  }
+
   test("volumeTrend perGroupBounds: a late-starting group carries no leading zeros") {
     import graft.operators.TimeSeries
     // group "a": days 0..4 at constant 2/day (slope 0)
