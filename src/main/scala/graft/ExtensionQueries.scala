@@ -985,6 +985,25 @@ object ExtensionQueries {
         unix_timestamp(col("ver")).as("ver_s"))
   }
 
+  /** SCD2 historization over the q123 change feed
+    * ([[graft.sources.Storage.historize]]): validity intervals per order
+    * version; deletes close intervals without emitting.
+    */
+  private def q138Historize(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").as("ver"))
+    val feed = orders.withColumn("op", lit("upsert"))
+      .unionByName(orders.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+          (col("ver") + expr("INTERVAL 1 DAY")).as("ver"),
+          when(col("o_orderkey") % 9 === 0, "delete").otherwise("upsert").as("op")))
+    graft.sources.Storage.historize(feed, col("o_orderkey"), col("ver"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        unix_timestamp(col("valid_from")).as("valid_from_s"),
+        unix_timestamp(col("valid_to")).as("valid_to_s"),
+        col("is_current"))
+  }
+
   /** Per-event session labeling over the event stream
     * ([[graft.operators.Windows.sessionize]]).
     */
@@ -1260,6 +1279,7 @@ object ExtensionQueries {
     "q134_compact" -> (q134Compact _),
     "q136_contamination_spans" -> (q136ContaminationSpans _),
     "q137_excise" -> (q137Excise _),
+    "q138_historize" -> (q138Historize _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1866,6 +1886,19 @@ object ExtensionQueries {
         |SELECT o_orderkey, o_totalprice,
         |  epoch_ns(ver) // 1000000000 AS ver_s
         |FROM r WHERE rn = 1 AND op != 'delete'""".stripMargin,
+    "q138_historize" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderdate AS ver, 'upsert' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, o_orderdate + INTERVAL 1 DAY,
+        |    CASE WHEN o_orderkey % 9 = 0 THEN 'delete' ELSE 'upsert' END
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |r AS (SELECT *, lead(ver) OVER (PARTITION BY o_orderkey ORDER BY ver) AS vto FROM u)
+        |SELECT o_orderkey, o_totalprice,
+        |  epoch_ns(ver) // 1000000000 AS valid_from_s,
+        |  epoch_ns(vto) // 1000000000 AS valid_to_s,
+        |  (vto IS NULL) AS is_current
+        |FROM r WHERE op != 'delete'""".stripMargin,
     "q124_sessionize" ->
       """WITH o AS (SELECT event_id, user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

@@ -177,6 +177,40 @@ object Storage {
     * snapshot — write it bucketed by the key and the next apply's
     * exchange disappears too.
     */
+  /** SCD2 historization — the VALIDITY-INTERVAL complement of
+    * [[applyChanges]]'s latest-wins snapshot: turn a change feed into one
+    * row per version with `[valid_from, valid_to)` bounds (`valid_to`
+    * null = still current) and an `is_current` flag — the "what did this
+    * dimension row look like when that training example was sampled"
+    * lineage artifact. A `delete` change CLOSES the prior version's
+    * interval and emits no row of its own: the key simply has no current
+    * version after it.
+    *
+    * Contract mirrors [[applyChanges]]: rows carry the payload plus an
+    * `op` column (`"upsert"` | `"delete"`) and a monotone `version`;
+    * (key, version) pairs must be unique — two changes at the same
+    * instant have no defined order, and unlike the snapshot merge there
+    * is no precedence rule that can hide that (the feed is malformed).
+    *
+    * Scale shape: ONE hash exchange on the key + in-partition sort
+    * (`lead` over the key window); Catalyst plans a single WindowExec.
+    * Write the output partitioned by `is_current` and current-state
+    * readers scan one partition.
+    */
+  def historize(
+      changes: DataFrame,
+      key: Column,
+      version: Column
+  ): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(version.asc)
+    changes
+      .withColumn("valid_from", version)
+      .withColumn("valid_to", lead(version, 1).over(w))
+      .where(col("op") =!= "delete")
+      .drop("op")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def applyChanges(
       snapshot: DataFrame,
       changes: DataFrame,

@@ -333,6 +333,10 @@ class PlanShapeSpec extends SparkSpec {
     val s137 = simplePlan("q137_excise")
     assert(!s137.matches("(?s).*Sort .*global=true.*"), s137)
     assert(!s137.contains("CartesianProduct"), s137)
+    // q138: historization is ONE key exchange + in-partition sort (lead)
+    val s138 = simplePlan("q138_historize")
+    assert(s138.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s138)
+    assert(!s138.matches("(?s).*Sort .*global=true.*"), s138)
   }
 
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {

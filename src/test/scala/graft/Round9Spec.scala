@@ -234,6 +234,26 @@ class Round9Spec extends SparkSpec {
     assert(out(3L) == (("", 1L, 4L)), out(3L).toString)
   }
 
+  test("historize: validity intervals chain per key; a delete closes without emitting") {
+    import graft.sources.Storage
+    val feed = Seq(
+      (1L, 10.0, ts("2024-01-01 00:00:00"), "upsert"),
+      (1L, 20.0, ts("2024-01-03 00:00:00"), "upsert"),
+      (2L, 5.0, ts("2024-01-02 00:00:00"), "upsert"),
+      (2L, 0.0, ts("2024-01-05 00:00:00"), "delete"), // closes key 2, emits none
+      (3L, 7.0, ts("2024-01-04 00:00:00"), "delete")  // delete-only key: nothing
+    ).toDF("k", "v", "ver", "op")
+    val out = Storage.historize(feed, col("k"), col("ver"))
+      .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, 10.0, ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, 20.0, ts("2024-01-03 00:00:00"), None, true),
+      (2L, 5.0, ts("2024-01-02 00:00:00"), Some(ts("2024-01-05 00:00:00")), false)
+    ), out.toString)
+  }
+
   test("volumeTrend perGroupBounds: a late-starting group carries no leading zeros") {
     import graft.operators.TimeSeries
     // group "a": days 0..4 at constant 2/day (slope 0)
