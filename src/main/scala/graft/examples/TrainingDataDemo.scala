@@ -105,6 +105,21 @@ object TrainingDataDemo {
     val meanSeenFrac = novelty
       .agg(coalesce(avg(col("seen_frac")), lit(0.0))).head().getDouble(0)
 
+    // 5c. surgical decontamination: instead of DROPPING a train doc for
+    // one overlapping test span, find WHERE the overlap sits and cut it
+    // out (±2 bytes) — the readout is how many train docs needed surgery
+    // and how many bytes came out (report here; `excised.clean_text` is
+    // the would-be replacement column)
+    val spans = Dedup.contaminationSpans(
+      train, col("text"), col("doc_id"),
+      labeled.where(col("split") === "test"), col("text"), col("doc_id"),
+      n = 8, minShared = 3)
+    val excised = Dedup.exciseSpans(train, col("text"), col("doc_id"),
+      spans, col("doc_id"), col("first_byte"), col("last_byte") + 8L, pad = 2)
+    val surgery = excised.where(col("n_spans") > 0)
+      .agg(count(lit(1)).as("docs"), coalesce(sum(col("n_cut_bytes")), lit(0L)).as("bytes"))
+      .head()
+
     // 6. calibrate a min-length threshold from the histogram (the p10
     // bin floor: first bin where the cumulative fraction clears 10%) —
     // a one-pass aggregate over bins, never a corpus sort
@@ -207,6 +222,7 @@ object TrainingDataDemo {
 
     println(s"DEMO_INFORMATIVE_DOCS=${informative.count()}")
     println(f"DEMO_TEST_NGRAM_SEEN_FRAC=$meanSeenFrac%.4f")
+    println(s"DEMO_EXCISED_DOCS=${surgery.getLong(0)} DEMO_CUT_BYTES=${surgery.getLong(1)}")
     println(s"DEMO_MIN_LEN=$minLen DEMO_BUDGETED_DOCS=${budgeted.count()}")
     val row = stats.head()
     println(s"DEMO_TRAIN_DOCS=${row.getLong(0)} WS_TOKENS=${row.getLong(1)} BPE_TOKENS=${row.getLong(2)}")
