@@ -312,4 +312,64 @@ class PropertySpec extends SparkSpec {
       } finally spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
+
+  test("exciseSpans law: equals a brute-force byte mask for any random span set") {
+    val spanGen = Gen.listOfN(6,
+      Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(1, 12)).map { case (s, len) => (s, s + len) })
+    val textGen = Gen.chooseNum(10, 50)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    samples(Gen.zip(textGen, spanGen), 8).foreach { case (text, spans) =>
+      val pad = 1
+      def brute(t: String, sp: Seq[(Int, Int)]): (String, Long) = {
+        val keep = Array.fill(t.length)(true)
+        sp.foreach { case (s, e) =>
+          (math.max(0, s - pad) until math.min(t.length, e + pad)).foreach(keep(_) = false)
+        }
+        (t.zipWithIndex.collect { case (c, i) if keep(i) => c }.mkString,
+          keep.count(!_).toLong)
+      }
+      val (expText, expCut) = brute(text, spans)
+      val out = graft.dedup.Dedup.exciseSpans(
+          Seq((1L, text)).toDF("doc_id", "text"), col("text"), col("doc_id"),
+          spans.map { case (s, e) => (1L, s.toLong, e.toLong) }.toDF("doc_id", "s", "e"),
+          col("doc_id"), col("s"), col("e"), pad = pad)
+        .select(col("clean_text"), col("n_cut_bytes")).head()
+      assert(out.getString(0) == expText, s"text=$text spans=$spans")
+      assert(out.getLong(1) == expCut, s"text=$text spans=$spans")
+    }
+  }
+
+  test("historize law: per key, intervals chain (valid_to = next valid_from), exactly one current unless deleted last") {
+    val feedGen = Gen.listOfN(12, Gen.zip(
+      Gen.chooseNum(1, 3),                      // key
+      Gen.chooseNum(0, 1000),                   // version offset (deduped below)
+      Gen.oneOf("upsert", "upsert", "delete"))) // deletes at ~1/3
+    samples(feedGen, 8).foreach { raw =>
+      // unique (key, version) per the operator contract
+      val feed = raw.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val df = feed.map { case (k, v, op) =>
+        (k.toLong, s"p$v", new java.sql.Timestamp(86400000L * v), op)
+      }.toDF("k", "payload", "ver", "op")
+      val out = graft.sources.Storage.historize(df, col("k"), col("ver"))
+        .select(col("k"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)), r.getBoolean(3)))
+        .groupBy(_._1)
+      feed.groupBy(_._1).foreach { case (k, rows) =>
+        val ordered = rows.sortBy(_._2)
+        val got = out.getOrElse(k.toLong, Array.empty).sortBy(_._2.getTime)
+        // non-delete rows emit, in version order; each interval closes at
+        // the NEXT change's version (upsert or delete alike)
+        val expected = ordered.zipWithIndex.collect {
+          case ((_, v, op), i) if op != "delete" =>
+            (new java.sql.Timestamp(86400000L * v),
+              ordered.lift(i + 1).map(t => new java.sql.Timestamp(86400000L * t._2)))
+        }
+        assert(got.map(g => (g._2, g._3)).toSeq == expected, s"k=$k feed=$ordered got=${got.toSeq}")
+        // exactly one current iff the LAST change is not a delete
+        val expectCurrent = ordered.lastOption.exists(_._3 != "delete")
+        assert(got.count(_._4) == (if (expectCurrent) 1 else 0), s"k=$k feed=$ordered")
+      }
+    }
+  }
 }
