@@ -985,6 +985,21 @@ object ExtensionQueries {
         unix_timestamp(col("ver")).as("ver_s"))
   }
 
+  /** Corpus-internal exact-substring dedup, end to end
+    * ([[graft.dedup.Dedup.repeatedSpans]] → [[graft.dedup.Dedup.exciseSpans]]):
+    * every byte span whose 8-gram appears in ≥ 2 distinct documents is
+    * cut out — the Lee et al. repeated-substring removal, gated on the
+    * full cleaned text per document.
+    */
+  private def q139RepeatedExcise(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val spans = graft.dedup.Dedup.repeatedSpans(
+      docs, col("text"), col("doc_id"), n = 8, minDf = 2L)
+    graft.dedup.Dedup.exciseSpans(
+      docs, col("text"), col("doc_id"),
+      spans, col("doc_id"), col("s"), col("e"), pad = 0)
+  }
+
   /** SCD2 historization over the q123 change feed
     * ([[graft.sources.Storage.historize]]): validity intervals per order
     * version; deletes close intervals without emitting.
@@ -1280,6 +1295,7 @@ object ExtensionQueries {
     "q136_contamination_spans" -> (q136ContaminationSpans _),
     "q137_excise" -> (q137Excise _),
     "q138_historize" -> (q138Historize _),
+    "q139_repeated_excise" -> (q139RepeatedExcise _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -2058,6 +2074,37 @@ object ExtensionQueries {
          |  FROM dg JOIN bg ON dg.h = bg.h
          |  GROUP BY dg.doc_id, bg.bench_id HAVING count(*) >= 3),
          |sp AS (SELECT DISTINCT doc_id, greatest(fb - 2, 0) AS s, lb + 8 + 2 AS e FROM sp0),
+         |i0 AS (SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw
+         |  FROM sp),
+         |i1 AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM i0),
+         |isl AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM i1 GROUP BY 1, 2),
+         |seg AS (SELECT doc_id, s, e,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+         |  FROM isl),
+         |cut AS (SELECT seg.doc_id,
+         |    string_agg(substr(d.text, (pe + 1)::INT, greatest(s - pe, 0)::INT), ''
+         |      ORDER BY s) || substr(any_value(d.text), (max(e) + 1)::INT) AS clean_text,
+         |    count(*)::BIGINT AS n_spans
+         |  FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(c.clean_text, d.text) AS clean_text,
+         |  coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+         |  (length(d.text) - length(coalesce(c.clean_text, d.text)))::BIGINT AS n_cut_bytes
+         |FROM documents d LEFT JOIN cut c USING (doc_id)""".stripMargin,
+    "q139_repeated_excise" ->
+      // hot grams = in >= 2 distinct docs; each hit position is an
+      // [p-1, p-1+8) span (pad 0), islands merged, text rebuilt from gaps
+      s"""WITH m AS ($duckByteView),
+         |dg AS (
+         |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
+         |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
+         |hot AS (SELECT h FROM (
+         |  SELECT h, count(DISTINCT doc_id) AS df FROM dg GROUP BY h) WHERE df >= 2),
+         |sp AS (SELECT DISTINCT doc_id, (p - 1)::BIGINT AS s, (p - 1 + 8)::BIGINT AS e
+         |  FROM dg JOIN hot USING (h)),
          |i0 AS (SELECT doc_id, s, e,
          |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS nw

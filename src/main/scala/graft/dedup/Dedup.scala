@@ -915,6 +915,55 @@ object Dedup {
       .where(col("n_hits") >= minShared)
   }
 
+  /** Corpus-INTERNAL repeated-span detection — the "exact substring
+    * duplication" signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22: repeated spans are memorization
+    * fuel even when whole documents differ): every byte position whose
+    * n-gram occurs in at least `minDf` DISTINCT documents, emitted as
+    * `(doc_id, s, e = pos + n)` spans ready for [[exciseSpans]] (which
+    * merges runs of adjacent hit positions into one island and cuts it).
+    * [[contaminationSpans]] screens against an external benchmark; this
+    * screens the corpus against itself.
+    *
+    * Scale shape: the gram stream never shuffles raw — a Count–Min
+    * sketch built in one scan screens candidates MAP-SIDE first (an
+    * n-gram in ≥ minDf docs has ≥ minDf occurrences, so
+    * `CMS(h) >= minDf` has no false negatives; the
+    * [[graft.functions.Sketches.heavyHitters]] discipline), and only
+    * survivors pay the exact distinct-doc count and the hot-gram join.
+    * On a boilerplate-heavy corpus most positions genuinely are
+    * repeated — then the volume is the data's truth, and the excision
+    * downstream is exactly the point.
+    */
+  def repeatedSpans(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      n: Int = 8,
+      minDf: Long = 2L,
+      depth: Int = 5,
+      width: Int = 1 << 18,
+      seed: Int = 42
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf below 2 would flag every position: $minDf")
+    val spark = docs.sparkSession
+    val grams = docs.select(id.as("doc_id"),
+      posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.Sketches.cmsSketch(grams, col("h"), depth, width, seed))
+    val candidate = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CmsCountGteB(
+        bc, minDf, org.apache.spark.sql.GraftBridge.expression(xxhash64(col("h")))))
+    val cand = grams.where(candidate)
+    val hot = cand.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+      .select(col("h"))
+    cand.join(hot, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + n).cast("long").as("e"))
+  }
+
   /** Surgical span EXCISION — the action side of [[contaminationSpans]]:
     * cut the given byte ranges (± `pad` bytes) out of each document's
     * text instead of dropping the document. Overlapping/adjacent spans

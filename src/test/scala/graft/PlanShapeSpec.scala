@@ -337,6 +337,12 @@ class PlanShapeSpec extends SparkSpec {
     val s138 = simplePlan("q138_historize")
     assert(s138.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s138)
     assert(!s138.matches("(?s).*Sort .*global=true.*"), s138)
+    // q139: the CMS candidate screen runs at the SCAN side (a Filter over
+    // the generate, before any exchange), and no global sort anywhere
+    val s139 = simplePlan("q139_repeated_excise")
+    assert(s139.contains("graft_cms_count_gte"), s139)
+    assert(!s139.matches("(?s).*Sort .*global=true.*"), s139)
+    assert(!s139.contains("CartesianProduct"), s139)
   }
 
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {

@@ -234,6 +234,30 @@ class Round9Spec extends SparkSpec {
     assert(out(3L) == (("", 1L, 4L)), out(3L).toString)
   }
 
+  test("repeatedSpans law: exactly the positions whose 8-gram lives in >= minDf distinct docs") {
+    import graft.dedup.Dedup
+    val texts = Map(
+      1L -> "the quick brown fox jumps",
+      2L -> "see the quick brown cat",
+      3L -> "jumps the shark precisely",
+      4L -> "zzzzzzzzzzzz") // self-repeats only — one doc, never flagged
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    // brute force: per doc, gram positions present in >= 2 docs' gram sets
+    val gramDocs = texts.toSeq.flatMap { case (id, t) =>
+      t.sliding(8).toSeq.distinct.map(g => (g, id))
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = texts.toSeq.flatMap { case (id, t) =>
+      t.sliding(8).zipWithIndex.collect {
+        case (g, p) if gramDocs(g) >= 2 => (id, p.toLong, p.toLong + 8L)
+      }
+    }.toSet
+    val got = Dedup.repeatedSpans(docs, col("text"), col("doc_id"), n = 8, minDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L), got.toString)
+    assert(!got.exists(_._1 == 4L), "within-doc repeats must not count toward df")
+  }
+
   test("historize: validity intervals chain per key; a delete closes without emitting") {
     import graft.sources.Storage
     val feed = Seq(
