@@ -159,6 +159,68 @@ object StreamingGates {
       (unix_micros(col("ts")) - unix_micros(col("w_start"))).as("gap_us"))
   }
 
+  /** Streaming interval ANTI over the q130 inputs
+    * ([[graft.operators.Joins.intervalAntiStream]]): clicks with NO
+    * purchase window of the same user covering them, decided exactly
+    * once per click when the watermark proves no window can still
+    * arrive. Real rows arrive as one micro-batch; sentinel rows far in
+    * the future on BOTH inputs (negative ids, filtered from the result)
+    * advance the joint watermark past every real click so the
+    * null-augmented anti rows flush. Compared against q130's batch
+    * oracle verbatim.
+    */
+  private def q140IntervalAntiStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val twoHoursUs = 2L * 3600 * 1000000
+    val ev = Tables.events(s, d)
+    // null-key clicks survive the anti join trivially in both engines
+    // (an equi-join never matches a null key) — route them around the
+    // non-null encoder like q63 does and union them back at the end
+    val nullClicks = ev
+      .where(col("event_type") === "click" && col("user_id").isNull)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val clicks = ev.where(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      .as[Point].collect()
+    val windows = ev.where(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + twoHoursUs).as("w_end"))
+      .as[Iv].collect()
+    val pIn = MemoryStream[Point]
+    val iIn = MemoryStream[Iv]
+    val anti = graft.operators.Joins.intervalAntiStream(
+      pIn.toDF().withWatermark("ts", "1 hour"),
+      iIn.toDF().withWatermark("w_start", "1 hour"),
+      "user_id", "p_user", "ts", "w_start", "w_end", maxLength = "2 hours")
+    pIn.addData(clicks.toIndexedSeq)
+    iIn.addData(windows.toIndexedSeq)
+    val sink = sinkName("q140")
+    val q = anti.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = (clicks.iterator.map(_.ts.getTime) ++
+        windows.iterator.map(_.w_start.getTime)).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      pIn.addData(Point(-1L, -1L, s1))
+      iIn.addData(Iv(-1L, -1L, s1, new java.sql.Timestamp(s1.getTime + 1000L)))
+      q.processAllAvailable() // watermark passes every real click
+      val s2 = new java.sql.Timestamp(s1.getTime + 60000L)
+      pIn.addData(Point(-2L, -1L, s2))
+      iIn.addData(Iv(-2L, -1L, s2, new java.sql.Timestamp(s2.getTime + 1000L)))
+      q.processAllAvailable() // the batch that emits the remainder
+    } finally q.stop()
+    s.table(sink).where(col("click_id") >= 0)
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .unionByName(nullClicks)
+  }
+
   /** Streaming exact dedup over the q20 corpus
     * ([[StreamingFlows.dedupBySignature]] on the content hash): all
     * documents arrive as one micro-batch with a synthetic event time,
@@ -583,7 +645,8 @@ object StreamingGates {
     "q80_session_stream" -> (q80SessionStream _),
     "q83_keyed_stream" -> (q83KeyedStream _),
     "q86_sliding_stream" -> (q86SlidingStream _),
-    "q135_batch_stream" -> (q135BatchStream _)
+    "q135_batch_stream" -> (q135BatchStream _),
+    "q140_interval_anti_stream" -> (q140IntervalAntiStream _)
   )
 
   /** The batch queries' oracles, verbatim: equivalence means "same rows,
@@ -603,6 +666,7 @@ object StreamingGates {
     "q80_session_stream" -> SparkEntry.coreOracleSql("q11_session"),
     "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed"),
     "q86_sliding_stream" -> SparkEntry.coreOracleSql("q10_sliding"),
-    "q135_batch_stream" -> SparkEntry.coreOracleSql("q07_batch")
+    "q135_batch_stream" -> SparkEntry.coreOracleSql("q07_batch"),
+    "q140_interval_anti_stream" -> ExtensionQueries.oracleSql("q130_interval_anti")
   )
 }

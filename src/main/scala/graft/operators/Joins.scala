@@ -310,6 +310,48 @@ object Joins {
         points(pointTs) < intervals(end))
   }
 
+  /** Streaming interval ANTI — the unbounded form of [[intervalAnti]]:
+    * points that NO interval of their key covers, on a live stream.
+    * Expressed as a LEFT OUTER stream-stream join with
+    * [[intervalStream]]'s exact time-bound condition, then keeping only
+    * the null-augmented rows: Structured Streaming emits a left row with
+    * null right columns precisely when the watermark proves no matching
+    * interval can still arrive — which IS the anti-join decision, made
+    * exactly once per point. Both inputs must carry watermarks;
+    * `maxLength` is the same correctness contract as [[intervalStream]]
+    * (a longer interval is truncated, so a point covered only past
+    * `start + maxLength` is NOT considered covered). Null-key points
+    * never match and therefore survive, as in the batch form.
+    *
+    * Emission latency is the price of exactness: a clean point emits
+    * only once the watermark passes its match window, not on arrival —
+    * the same buffer-until-final contract as the streaming as-of join.
+    */
+  def intervalAntiStream(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointKey: String,
+      intervalKey: String,
+      pointTs: String,
+      start: String,
+      end: String,
+      maxLength: String
+  ): DataFrame = {
+    val dup = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(dup.isEmpty, s"point/interval column names collide: ${dup.mkString(", ")}")
+    val joined = points.join(intervals,
+      points(pointKey) === intervals(intervalKey) &&
+        points(pointTs) >= intervals(start) &&
+        points(pointTs) < intervals(start) + expr(s"INTERVAL $maxLength") &&
+        points(pointTs) < intervals(end),
+      "left_outer")
+    // a matched row always has a non-null interval start (the join
+    // condition compared it), so null start ⇔ the watermark-final
+    // "no interval ever covered this point" row
+    joined.where(intervals(start).isNull)
+      .select(points.columns.map(c => points(c)).toIndexedSeq: _*)
+  }
+
   /** Interval ANTI join: the points NOT inside any interval of their
     * key — the exclusion form of [[interval]] (drop events during
     * incident windows, decontaminate training data around eval-period
