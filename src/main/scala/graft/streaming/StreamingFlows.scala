@@ -674,6 +674,54 @@ object StreamingFlows {
       .transformWithState(processor, timeMode, OutputMode.Append())
   }
 
+  /** Throttler Discard (flow/throttler.go:21-25, 119-124) on
+    * `transformWithState` — completes the stateful-operator trio on the
+    * Spark 4 state API (Batch: [[batchCountOrTimeTWS]], Keyed:
+    * [[keyedTransformWithState]]/[[keyedFoldEmitTWS]]): ≤ `quota`
+    * elements per key per processing-time period, excess silently
+    * dropped, the per-key `(period, used)` counter in RocksDB-backed
+    * ValueState with an optional TTL instead of
+    * [[throttleDiscard]]'s ProcessingTimeTimeout. The TTL must cover the
+    * period: eviction may only drop counters the period rollover would
+    * reset anyway, never refresh a live quota mid-period.
+    */
+  def throttleDiscardTWS[K: Encoder, V: Encoder](
+      keyFn: V => K,
+      quota: Int,
+      periodMs: Long,
+      stateTtl: java.time.Duration = null
+  ): Dataset[V] => Dataset[V] = {
+    require(quota > 0, "throttler elements must be positive")
+    require(periodMs > 0, s"periodMs must be positive: $periodMs")
+    require(stateTtl == null || stateTtl.toMillis >= periodMs,
+      s"stateTtl ($stateTtl) must be >= periodMs ($periodMs) — a shorter TTL refreshes " +
+        "quotas mid-period")
+    ds =>
+    val stEnc: Encoder[(Long, Int)] = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt)
+    val ttlConfig = Option(stateTtl).map(TTLConfig.apply).getOrElse(TTLConfig.NONE)
+    val processor = new StatefulProcessor[K, V, V] {
+      @transient private var state: ValueState[(Long, Int)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[(Long, Int)]("graft_throttle", stEnc, ttlConfig)
+      override def handleInputRows(key: K, rows: Iterator[V], tv: TimerValues): Iterator[V] = {
+        val period = tv.getCurrentProcessingTimeInMs() / periodMs
+        var (curPeriod, used) =
+          if (state.exists()) state.get() else (period, 0)
+        if (curPeriod != period) { curPeriod = period; used = 0 } // ticker reset
+        val out = Seq.newBuilder[V]
+        rows.foreach { v =>
+          if (used < quota) { out += v; used += 1 }
+          // else: discard (flow/throttler.go:119-124)
+        }
+        state.update((curPeriod, used))
+        out.result().iterator
+      }
+    }
+    ds.groupByKey(keyFn)
+      .transformWithState(processor, TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Batch's count-OR-time trigger (flow/batch.go:83-113) on
     * `transformWithState` — the SURVEY-designated target for the hybrid
     * trigger (real per-key TIMERS instead of [[batchCountOrTime]]'s

@@ -211,6 +211,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("throttleDiscardTWS: per-key quota within a period; TTL below the period refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      intercept[IllegalArgumentException] {
+        StreamingFlows.throttleDiscardTWS[Int, (Int, String)](
+          _._1, quota = 3, periodMs = 3600000L,
+          stateTtl = java.time.Duration.ofMillis(500))
+      }
+      val in = MemoryStream[(Int, String)]
+      val out = StreamingFlows.throttleDiscardTWS[Int, (Int, String)](
+        _._1, quota = 3, periodMs = 3600000L,
+        stateTtl = java.time.Duration.ofHours(2)).apply(in.toDS())
+      val q = out.toDF("k", "v").writeStream.format("memory")
+        .queryName("tws_thr_out").outputMode("append").start()
+      try {
+        // ProcessingTime mode: NEVER processAllAvailable (it may not
+        // settle — the SKILL gotcha); poll the sink with a deadline
+        def rows() = spark.table("tws_thr_out").as[(Int, String)].collect()
+        val deadline = System.currentTimeMillis() + 90000
+        in.addData((1, "a"), (1, "b"), (1, "c"), (1, "d"), (2, "x"))
+        while (rows().length < 4 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        // quota persists ACROSS batches within the hour-long period
+        in.addData((1, "e"), (2, "y"))
+        while (rows().count(_._1 == 2) < 2 && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        val got = rows()
+        assert(got.count(_._1 == 1) == 3, got.toSeq.toString)
+        assert(got.count(_._1 == 2) == 2, got.toSeq.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batchCountOrTimeTWS: count trigger flushes inline, the per-key TIMER flushes the partial tail") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
