@@ -633,7 +633,47 @@ object StreamingGates {
       unix_timestamp(col("ver")).as("ver_s"))
   }
 
+  /** Streaming SCD2 maintenance over the q138 change feed
+    * ([[graft.streaming.IngestHistorize]]): the base orders bootstrap the
+    * change log as upserts; the q138 changes stream in TWO micro-batches
+    * (split by key parity) and the derived validity-interval view must
+    * hash-match the one-shot q138 historization — the log-then-derive
+    * equivalence, engine-checked.
+    */
+  private def q141HistorizeStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val orders = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("ver"))
+    val log = sinkName("q141log")
+    val table = sinkName("q141hist")
+    orders.withColumn("op", lit("upsert"))
+      .write.mode("overwrite").format("parquet").saveAsTable(log)
+    val changes = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+        (col("ver") + expr("INTERVAL 1 DAY")).as("ver"),
+        when(col("o_orderkey") % 9 === 0, "delete").otherwise("upsert").as("op"))
+      .as[COrd].collect()
+    val (b1, b2) = changes.partition(_.o_orderkey % 2 == 0)
+    val in = MemoryStream[COrd]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestHistorize("o_orderkey", "ver", log, table))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(table).select(col("o_orderkey"), col("o_totalprice"),
+      unix_timestamp(col("valid_from")).as("valid_from_s"),
+      unix_timestamp(col("valid_to")).as("valid_to_s"),
+      col("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_historize_stream" -> (q141HistorizeStream _),
     "q126_upsert_stream" -> (q126UpsertStream _),
     "q125_sessionize_stream" -> (q125SessionizeStream _),
     "q114_transitions_stream" -> (q114TransitionsStream _),
@@ -667,6 +707,7 @@ object StreamingGates {
     "q83_keyed_stream" -> SparkEntry.coreOracleSql("q12_keyed"),
     "q86_sliding_stream" -> SparkEntry.coreOracleSql("q10_sliding"),
     "q135_batch_stream" -> SparkEntry.coreOracleSql("q07_batch"),
-    "q140_interval_anti_stream" -> ExtensionQueries.oracleSql("q130_interval_anti")
+    "q140_interval_anti_stream" -> ExtensionQueries.oracleSql("q130_interval_anti"),
+    "q141_historize_stream" -> ExtensionQueries.oracleSql("q138_historize")
   )
 }

@@ -278,6 +278,40 @@ class Round9Spec extends SparkSpec {
     ), out.toString)
   }
 
+  test("IngestHistorize: batch replay is a no-op; split feed equals the one-shot historization") {
+    import graft.sources.Storage
+    val log = "graft_r9_hist_log"
+    val table = "graft_r9_hist_view"
+    Seq(log, s"${table}__staging", table).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val base = Seq(
+        (1L, 10.0, ts("2024-01-01 00:00:00"), "upsert"),
+        (2L, 5.0, ts("2024-01-02 00:00:00"), "upsert")
+      ).toDF("k", "v", "ver", "op")
+      base.write.format("parquet").saveAsTable(log)
+      val b1 = Seq((1L, 20.0, ts("2024-01-03 00:00:00"), "upsert"))
+        .toDF("k", "v", "ver", "op")
+      val b2 = Seq((2L, 0.0, ts("2024-01-05 00:00:00"), "delete"))
+        .toDF("k", "v", "ver", "op")
+      val loop = new graft.streaming.IngestHistorize("k", "ver", log, table)
+      loop(b1, 0L)
+      loop(b1, 0L) // redelivered batch: byte-identical rows, distinct'd away
+      loop(b2, 1L)
+      val got = spark.table(table)
+        .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+      val oneShot = Storage.historize(base.unionByName(b1).unionByName(b2),
+          col("k"), col("ver"))
+        .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+      assert(got == oneShot, s"got=$got oneShot=$oneShot")
+      assert(got.count(_._5) == 1) // key 1 current; key 2 deleted
+    } finally Seq(log, s"${table}__staging", table)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("volumeTrend perGroupBounds: a late-starting group carries no leading zeros") {
     import graft.operators.TimeSeries
     // group "a": days 0..4 at constant 2/day (slope 0)
