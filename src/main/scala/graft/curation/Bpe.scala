@@ -97,7 +97,7 @@ object Bpe {
       .limit(maxVocabWords)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    trainFromWordCounts(words, maxMerges, minCount)
+    trainFromWordCounts(words.toIndexedSeq, maxMerges, minCount)
   }
 
   /** The driver-side merge loop over a bounded (word, freq) aggregate —

@@ -76,7 +76,7 @@ object Topology {
   def withPositionalIndex(df: DataFrame, ord: Seq[Column], as: String = "__idx"): DataFrame = {
     val sorted = df.orderBy(ord: _*)
     val schema = StructType(sorted.schema.fields :+ StructField(as, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 

@@ -101,7 +101,7 @@ object IVF {
     // broadcast CellScoresB bank: this is a per-append maintenance job
     // (one plan, k×dim doubles once), not a predicate re-serialized into
     // every task of every query stage.
-    val scores = array(cents.map { c =>
+    val scores = array(cents.toIndexedSeq.map { c =>
       VectorFunctions.dotFold(vec.cast("array<double>"), lit(c)) -
         lit(c.map(x => x * x).sum / 2.0)
     }: _*)
