@@ -1186,6 +1186,58 @@ object ExtensionQueries {
       spans, col("doc_id"), col("first_byte"), col("last_byte") + 8L, pad = 2)
   }
 
+  /** Concat-and-chunk sequence packing ([[graft.curation.Assembly.packChunks]]):
+    * the GPT-style fixed-length training-sequence manifest over the
+    * whitespace token counts, 512-token sequences.
+    */
+  private def q142PackChunks(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.packChunks(
+      Tables.documents(s, d), col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")), seqLen = 512L)
+
+  /** Document-preserving first-fit packing
+    * ([[graft.curation.Assembly.packGreedy]]): per-source greedy bins of
+    * 512 tokens, 4 shard-parallel walks per source.
+    */
+  private def q143PackGreedy(s: SparkSession, d: String): DataFrame =
+    graft.curation.Assembly.packGreedy(
+      Tables.documents(s, d), col("doc_id"), col("source"),
+      TextFunctions.wsTokenCount(col("text")), binCapacity = 512L, subShards = 4)
+
+  /** Both-sides-large kNN JOIN ([[graft.similarity.IVF.joinTopK]]): every
+    * vector gets its top-5 neighbours from the whole corpus with NEITHER
+    * side broadcast — the corpus-vs-corpus scale path [[q32AnnIvf]]'s
+    * broadcast probe set cannot take.
+    */
+  private def q144KnnJoin(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.IVF.joinTopK(
+      emb, emb, col("vec_id"), col("embedding"),
+      k = 5, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids)
+  }
+
+  /** Adaptive per-domain floor
+    * ([[graft.curation.Quantiles.adaptiveThresholdFilter]]): drop each
+    * source's shortest quartile — the per-domain form of a length screen.
+    */
+  private def q145AdaptiveFilter(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.adaptiveThresholdFilter(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("n_chars"), q = 0.25)
+
+  /** Snapshot diff ([[graft.sources.Storage.diffSnapshots]]): the change
+    * report between two deterministic derived corpus versions (removals,
+    * additions, and in-place text edits).
+    */
+  private def q146SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val a = docs.where(col("doc_id") % 11 =!= 3)
+    val b = docs.where(col("doc_id") % 13 =!= 5)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+    graft.sources.Storage.diffSnapshots(a, b, "doc_id", Seq("text", "lang", "source"))
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1296,6 +1348,11 @@ object ExtensionQueries {
     "q137_excise" -> (q137Excise _),
     "q138_historize" -> (q138Historize _),
     "q139_repeated_excise" -> (q139RepeatedExcise _),
+    "q142_pack_chunks" -> (q142PackChunks _),
+    "q143_pack_greedy" -> (q143PackGreedy _),
+    "q144_knn_join" -> (q144KnnJoin _),
+    "q145_adaptive_filter" -> (q145AdaptiveFilter _),
+    "q146_snapshot_diff" -> (q146SnapshotDiff _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -2790,6 +2847,79 @@ object ExtensionQueries {
          |mx AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_count FROM bc GROUP BY 1)
          |SELECT base.doc_id, n_tokens, n_distinct,
          |       coalesce(top_bigram_count, 0)::BIGINT AS top_bigram_count
-         |FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id""".stripMargin
+         |FROM base LEFT JOIN mx ON base.doc_id = mx.doc_id""".stripMargin,
+    "q142_pack_chunks" ->
+      // the packing prefix sum replayed as one global ordered window (the
+      // oracle may serialize; the engine range-buckets) + per-doc span math
+      s"""WITH t AS (SELECT doc_id, len($duckToks)::BIGINT AS n,
+         |    (${duckHash48("(doc_id::VARCHAR || ':pack-v1')")})::BIGINT AS sk
+         |  FROM documents),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY sk, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+         |  FROM t WHERE n > 0),
+         |sp AS (SELECT doc_id, n, e::BIGINT AS e, (e - n)::BIGINT AS st FROM c)
+         |SELECT k::BIGINT AS seq_id, doc_id,
+         |  (greatest(st, k*512) - st)::BIGINT AS tok_from,
+         |  (least(e, (k+1)*512) - st)::BIGINT AS tok_to,
+         |  (greatest(st, k*512) - k*512)::BIGINT AS pos
+         |FROM sp, lateral unnest(generate_series(st // 512, (e - 1) // 512)) u(k)""".stripMargin,
+    "q143_pack_greedy" ->
+      // the sequential first-fit walk replayed as a recursive CTE: all
+      // (stratum, shard) walks advance in lockstep, one row per step
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, source AS stratum,
+         |    len($duckToks)::BIGINT AS n,
+         |    (${duckHash48("(doc_id::VARCHAR || ':pack-v1')")})::BIGINT AS sk
+         |  FROM documents),
+         |t AS (SELECT doc_id, stratum, n, (sk % 4)::INT AS shard,
+         |    row_number() OVER (PARTITION BY stratum, sk % 4 ORDER BY sk, doc_id) AS rn
+         |  FROM t0 WHERE n > 0),
+         |r AS (
+         |  SELECT stratum, shard, doc_id, n, rn, 0::BIGINT AS bin, n AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.stratum, t.shard, t.doc_id, t.n, t.rn,
+         |    CASE WHEN r.fill + t.n <= 512 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + t.n <= 512 THEN r.fill + t.n ELSE t.n END
+         |  FROM r JOIN t ON t.stratum = r.stratum AND t.shard = r.shard AND t.rn = r.rn + 1)
+         |SELECT stratum, shard, doc_id, n AS n_tokens, bin, fill AS bin_fill FROM r""".stripMargin,
+    "q144_knn_join" ->
+      // q32's IVF arithmetic with EVERY vector as a query and no
+      // vec_id < 5 probe restriction
+      s"""WITH $duckIvfAssignedCtes,
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+         |  WHERE rn <= 2),
+         |s AS (SELECT p.q_id, a.vec_id AS n_id, $duckCosPA AS cosine
+         |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+         |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "q145_adaptive_filter" ->
+      // per-source type-1 p25 (the q103 rank walk) as the keep floor
+      s"""WITH t AS (SELECT source AS g, n_chars::DOUBLE AS v FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+         |r AS (SELECT g, least(n, greatest(1, ceil(0.25 * n)::BIGINT)) AS rk FROM n),
+         |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t),
+         |thr AS (SELECT r.g, o.v AS threshold FROM r JOIN o ON o.g = r.g AND o.rn = r.rk)
+         |SELECT d.doc_id, d.source, d.n_chars, thr.threshold
+         |FROM documents d JOIN thr ON thr.g = d.source
+         |WHERE d.n_chars >= thr.threshold""".stripMargin,
+    "q146_snapshot_diff" ->
+      s"""WITH a AS (SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 11 != 3),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text, lang, source
+         |  FROM documents WHERE doc_id % 13 != 5),
+         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NULL THEN 'removed'
+         |       WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN (a.text IS DISTINCT FROM b.text) OR (a.lang IS DISTINCT FROM b.lang)
+         |            OR (a.source IS DISTINCT FROM b.source) THEN 'changed'
+         |       ELSE 'unchanged' END AS change,
+         |  CASE WHEN a.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN concat_ws(',',
+         |    CASE WHEN a.lang IS DISTINCT FROM b.lang THEN 'lang' END,
+         |    CASE WHEN a.source IS DISTINCT FROM b.source THEN 'source' END,
+         |    CASE WHEN a.text IS DISTINCT FROM b.text THEN 'text' END) ELSE '' END AS changed_cols
+         |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, change, changed_cols FROM j WHERE change != 'unchanged'""".stripMargin
   )
 }

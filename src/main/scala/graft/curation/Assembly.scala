@@ -658,4 +658,132 @@ object Assembly {
       .where(col("cum_tokens") <= budgetCol)
       .select(col("doc_id"), col("stratum"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Sequence PACKING, concat-and-chunk form — the GPT-style pretraining
+    * layout: walk the corpus in a deterministic salted-hash order (the
+    * shuffled order training wants anyway), concatenate every document's
+    * tokens into one global stream, and cut the stream into fixed-length
+    * training sequences of `seqLen` tokens. The output is the packing
+    * MANIFEST a shard loader consumes: one row per (sequence, document)
+    * overlap with the document's token slice (`tok_from`, `tok_to`,
+    * half-open, doc-relative) and where that slice lands inside the
+    * sequence (`pos`). A document longer than `seqLen` spans several
+    * sequences; a short document shares its sequence with neighbours —
+    * zero padding waste by construction (only the final sequence can be
+    * short). Zero-token documents are dropped (they occupy no stream
+    * positions).
+    *
+    * Scale shape: the only global state is each document's EXCLUSIVE
+    * prefix sum of token counts in walk order — computed with the same
+    * two-pass range-bucketed plan as [[shuffleOrder]] (the salted key is
+    * uniform, so fixed top-bit buckets balance; per-bucket token totals
+    * materialize ONCE and the offset self-join runs on that constant-size
+    * relation) — never `sum() OVER (ORDER BY …)` serializing the corpus
+    * through one task. The explode emits `n/seqLen + 1` rows per doc —
+    * output is O(corpus tokens / seqLen + docs), a constant factor of the
+    * input.
+    */
+  def packChunks(
+      df: DataFrame,
+      id: Column,
+      tokens: Column,
+      seqLen: Long,
+      salt: String = "pack-v1",
+      nBuckets: Int = 256
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(nBuckets > 0 && nBuckets <= (1 << 24), "nBuckets must be in [1, 2^24]")
+    val shift = 48 - (32 - Integer.numberOfLeadingZeros(nBuckets - 1 max 1))
+    val keyed = df.select(id.as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("sort_key", Hashing.hash48(concat(col("doc_id").cast("string"), lit(s":$salt"))))
+      .withColumn("__b", shiftright(col("sort_key"), shift).cast("int"))
+    val counts = graft.Materialize(
+      keyed.groupBy(col("__b")).agg(sum(col("n_tokens")).as("cnt")))
+    val offsets = counts.as("b")
+      .join(broadcast(counts.as("p")), col("p.__b") < col("b.__b"), "left")
+      .groupBy(col("b.__b").as("ob"))
+      .agg(coalesce(sum(col("p.cnt")), lit(0L)).as("offset"))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(col("sort_key").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = lit(seqLen)
+    keyed
+      .withColumn("__run", sum(col("n_tokens")).over(w))
+      .join(broadcast(offsets), col("__b") === col("ob"))
+      .withColumn("__e", col("offset") + col("__run"))   // exclusive end in the token stream
+      .withColumn("__s", col("__e") - col("n_tokens"))   // inclusive start
+      .withColumn("seq_id", explode(sequence(floor(col("__s") / L).cast("long"),
+        floor((col("__e") - 1) / L).cast("long"))))
+      .select(
+        col("seq_id"), col("doc_id"),
+        (greatest(col("__s"), col("seq_id") * L) - col("__s")).as("tok_from"),
+        (least(col("__e"), (col("seq_id") + 1) * L) - col("__s")).as("tok_to"),
+        (greatest(col("__s"), col("seq_id") * L) - col("seq_id") * L).as("pos"))
+  }
+
+  /** Sequence packing, DOCUMENT-PRESERVING form — first-fit-contiguous
+    * bin packing: walk each stratum's documents in the deterministic
+    * salted-hash order and close the current bin whenever the next
+    * document would overflow `binCapacity`; a document larger than the
+    * capacity gets a bin of its own. Documents are never split across
+    * bins (the layout for SFT / contrastive training, where truncating a
+    * document mid-thought poisons the example — accept padding waste to
+    * keep each document whole; [[packChunks]] is the zero-waste
+    * stream-chunking alternative). Emits one row per kept document with
+    * its `(stratum, shard, bin)` assignment and the bin's running fill.
+    *
+    * The greedy walk is inherently sequential, so the parallel unit is
+    * the (stratum × shard) group: `subShards` splits each stratum into
+    * that many independent walks keyed on the salted hash (shard =
+    * `sort_key mod subShards`). Packing within a shard is still valid
+    * packing — every bin stays within capacity; the only cost is up to
+    * one partially-filled TAIL bin per shard instead of one per stratum,
+    * a bounded waste that buys shard-parallelism. Each walk streams its
+    * group through an O(1)-state fold (sorted-group iterator — nothing
+    * accumulates in memory), so a shard of any length packs in one pass.
+    * Size `subShards` so the biggest stratum's shards are task-sized
+    * (e.g. 100 TB / 5 strata / 4096 shards ≈ 5 GB walks).
+    *
+    * Zero- and negative-token documents are dropped, like [[packChunks]].
+    */
+  def packGreedy(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      tokens: Column,
+      binCapacity: Long,
+      salt: String = "pack-v1",
+      subShards: Int = 1
+  ): DataFrame = {
+    require(binCapacity > 0, "binCapacity must be positive")
+    require(subShards > 0, "subShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+      id.cast("long").as("doc_id"), stratum.cast("string").as("stratum"),
+      tokens.cast("long").as("n_tokens"),
+      Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("sort_key"), lit(subShards.toLong)).cast("int"))
+      .as[PackDoc]
+    keyed
+      .groupByKey(r => (Option(r.stratum).getOrElse(""), r.shard))
+      .flatMapSortedGroups($"sort_key", $"doc_id") { case ((_, _), docs) =>
+        var bin = -1L
+        var fill = 0L
+        docs.map { r =>
+          if (bin >= 0 && fill + r.n_tokens <= binCapacity) fill += r.n_tokens
+          else { bin += 1; fill = r.n_tokens }
+          PackAssign(r.stratum, r.shard, r.doc_id, r.n_tokens, bin, fill)
+        }
+      }
+      .toDF()
+  }
 }
+
+private[curation] case class PackDoc(
+    doc_id: Long, stratum: String, n_tokens: Long, sort_key: Long, shard: Int)
+
+private[curation] case class PackAssign(
+    stratum: String, shard: Int, doc_id: Long, n_tokens: Long, bin: Long, bin_fill: Long)

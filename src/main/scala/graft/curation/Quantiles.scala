@@ -266,4 +266,35 @@ object Quantiles {
           .otherwise(0L)).as("n_outliers"))
       .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
   }
+
+  /** ADAPTIVE per-group threshold filter — "keep each domain's rows at or
+    * above that domain's own q-quantile of `value`": the per-source
+    * quality floor a curation pipeline applies instead of one global
+    * cutoff (a global floor empties low-scoring domains and keeps every
+    * head-domain row; the adaptive floor trims each domain's own tail).
+    * Keeps rows with `value >= quantile_q(value | group)`; rows with a
+    * null value, and groups whose values are all null, are dropped (no
+    * threshold exists to compare against — a silent keep would defeat the
+    * screen). The group's threshold is appended as `threshold`.
+    *
+    * Scale shape: thresholds come from [[exactQuantiles]] (distributed
+    * histogram refinement — never a whole-group sort), yielding a
+    * ≤ #groups-row relation that broadcast-joins back onto the corpus —
+    * the corpus itself is scanned for the histogram passes and filtered
+    * once, with no corpus-side shuffle beyond the quantile aggregation.
+    */
+  def adaptiveThresholdFilter(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      q: Double
+  ): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    val thr = exactQuantiles(df, group, value, Seq(q))
+      .select(col("g").as("__tg"), col("value").as("threshold"))
+    df.withColumn("__g", group).withColumn("__v", value.cast("double"))
+      .join(broadcast(thr), col("__g") <=> col("__tg"))
+      .where(col("__v") >= col("threshold"))
+      .drop("__g", "__v", "__tg")
+  }
 }

@@ -264,6 +264,60 @@ object IVF {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** kNN JOIN — [[literalTopK]]'s both-sides-LARGE sibling: every row of
+    * `queries` gets its approximate top-k cosine neighbours from
+    * `corpus`, with NEITHER side broadcast. [[literalTopK]] ships the
+    * probe set to every executor, which is right for "a few thousand
+    * queries against a big corpus" and wrong for "re-rank all 10 B
+    * documents against each other" (cross-snapshot linkage, corpus-wide
+    * SemDeDup candidate feeds, embedding-join of two whole corpora).
+    * Here both sides hash-PARTITION on the IVF cell: corpus rows land in
+    * their assigned cell, queries land in their `nProbe` best cells
+    * (probe fan-out ×nProbe is the only row growth), the per-cell
+    * shuffled join scores candidates, and a per-query top-k
+    * (`row_number` ≤ k — Spark plans a WindowGroupLimit, so partial
+    * top-ks prune map-side before the rank shuffle) finishes.
+    *
+    * Scale shape: two exchanges (cell join, per-query rank), both keyed
+    * and map-combined; no broadcast of anything but the centroid bank.
+    * Cell population skew is bounded by the centroid fit (cells are
+    * k-means-balanced); [[cellProfile]] is the pre-flight skew readout,
+    * and a hot cell splits by re-fitting with more centroids — the same
+    * remedy as re-bucketing a skewed hash join. Self-matches (same id on
+    * both sides) are excluded, so a table can join against itself.
+    */
+  def joinTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      nProbe: Int,
+      centroids: Array[Array[Float]]
+  ): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val assigned = corpus.select(
+      id.as("n_id"), vec.as("n_vec"), literalCell(vec, centroids).as("cell"),
+      VectorFunctions.norm2(vec).as("n_nrm"))
+    val probeW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cell").asc)
+    val probes = queries
+      .select(id.as("q_id"), vec.as("q_vec"), VectorFunctions.norm2(vec).as("q_nrm"),
+        posexplode(literalCellScores(vec, centroids)).as(Seq("cell", "score")))
+      .withColumn("__pr", row_number().over(probeW))
+      .where(col("__pr") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
+    val nn = col("q_nrm") * col("n_nrm")
+    val scored = assigned
+      .join(probes, Seq("cell")) // shuffled join on cell — NOT broadcast
+      .where(col("q_id") =!= col("n_id"))
+      .select(
+        col("q_id"), col("n_id"),
+        round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
+          .as("cosine"))
+    val w2 = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
+  }
+
   /** Corpus diversity profile by nearest centroid — the coverage report a
     * training-mix owner reads before sampling: one row per k-means cell
     * with its population, corpus share, cohesion (mean cosine to the

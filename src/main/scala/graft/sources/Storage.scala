@@ -231,4 +231,46 @@ object Storage {
       .where(col("__rn") === 1 && col("__op") =!= "delete")
       .drop("__rn", "__op", "__pri")
   }
+
+  /** Snapshot DIFF — the change report between two corpus versions ("what
+    * did the new crawl / the re-run pipeline actually change?"): one row
+    * per key that differs, tagged `added` (only in `b`), `removed` (only
+    * in `a`) or `changed` (present in both, some compared column differs),
+    * with the sorted list of differing columns in `changed_cols`
+    * (comma-joined; null-safe comparison, so null→value and value→null
+    * both count as a change). Unchanged keys are dropped — at 100 TB the
+    * interesting output is the delta, which is typically orders of
+    * magnitude smaller than either snapshot.
+    *
+    * Scale shape: ONE full-outer hash join on the key (both sides shuffle
+    * once on `keyCol`; snapshots bucket-written by the key via
+    * [[writeBucketed]] diff with NO exchange at all), then pure per-row
+    * expressions — no window, no second pass. `keyCol` must be unique per
+    * snapshot (it is a snapshot key); duplicate keys would cross-multiply
+    * in the join.
+    */
+  def diffSnapshots(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      compareCols: Seq[String]
+  ): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val al = a.select((keyCol +: compareCols).map(col): _*).as("a")
+    val bl = b.select((keyCol +: compareCols).map(col): _*).as("b")
+    val joined = al.join(bl, col(s"a.$keyCol") === col(s"b.$keyCol"), "full_outer")
+    val inA = col(s"a.$keyCol").isNotNull
+    val inB = col(s"b.$keyCol").isNotNull
+    val diffs = compareCols.sorted.map { c =>
+      when(!(col(s"a.$c") <=> col(s"b.$c")), lit(c))
+    }
+    joined.select(
+      coalesce(col(s"a.$keyCol"), col(s"b.$keyCol")).as(keyCol),
+      when(inA && !inB, lit("removed"))
+        .when(!inA && inB, lit("added"))
+        .when(compareCols.map(c => !(col(s"a.$c") <=> col(s"b.$c"))).reduce(_ || _), lit("changed"))
+        .otherwise(lit("unchanged")).as("change"),
+      when(inA && inB, array_join(array(diffs: _*), ",")).otherwise(lit("")).as("changed_cols"))
+      .where(col("change") =!= "unchanged")
+  }
 }

@@ -345,6 +345,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s139.contains("CartesianProduct"), s139)
   }
 
+  test("round-9b shapes: packing scans once and buckets; knn join degrades to a shuffled join; diff is one full-outer join") {
+    // q142: ONE corpus scan (the bucket token totals come from the
+    // materialized counts relation), ONE bucket exchange for the
+    // in-bucket running sum, offsets broadcast back
+    val p142 = plan("q142_pack_chunks")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p142).size == 1, p142)
+    // corpus bucket exchange + the ≤nBuckets-row offset aggregate's own
+    // shuffle (constant-size relation, then broadcast back)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p142).size <= 2, p142)
+    assert(!simplePlan("q142_pack_chunks").matches("(?s).*Sort .*global=true.*"))
+    // q143: the greedy walk is ONE (stratum, shard) exchange into the
+    // sorted-group fold — never a global sort
+    val s143 = simplePlan("q143_pack_greedy")
+    assert(s143.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, s143)
+    assert(!s143.matches("(?s).*Sort .*global=true.*"), s143)
+    // q144: with broadcast disabled (the 100 TB situation — neither side
+    // fits), the cell join MUST plan as a shuffled join, not fall back to
+    // a nested-loop/cartesian
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val s144 = simplePlan("q144_knn_join")
+      assert(s144.contains("SortMergeJoin") || s144.contains("ShuffledHashJoin"), s144)
+      assert(!s144.contains("CartesianProduct") && !s144.contains("BroadcastNestedLoopJoin"), s144)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // q145: corpus filtered via the broadcast ≤#groups threshold relation
+    val s145 = simplePlan("q145_adaptive_filter")
+    assert(s145.contains("BroadcastHashJoin"), s145)
+    assert(!s145.matches("(?s).*Sort .*global=true.*"), s145)
+    // q146: one full-outer key join, pure projections after
+    val s146 = simplePlan("q146_snapshot_diff")
+    assert(s146.contains("FullOuter"), s146)
+    assert(!s146.contains("CartesianProduct"), s146)
+  }
+
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
