@@ -2102,19 +2102,30 @@ object ExtensionQueries {
         |FROM supplier""".stripMargin,
     "q136_contamination_spans" ->
       // q39's gram replay, keeping 1-based positions p: n_hits counts doc
-      // POSITIONS (no DISTINCT on the doc side), offsets back to 0-based
+      // POSITIONS (no DISTINCT on the doc side), offsets back to 0-based.
+      // PER-RUN spans: a gap > 8 bytes between consecutive hit positions
+      // starts a new row; minShared=3 screens on the PAIR total.
       s"""WITH m AS ($duckByteView),
          |dg AS (
          |  SELECT doc_id, p, ${duckGramHash("p", 8)} AS h
          |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
          |bg AS (
-         |  SELECT DISTINCT doc_id AS bench_id, h FROM dg WHERE doc_id < 3)
-         |SELECT dg.doc_id, bg.bench_id, count(*)::BIGINT AS n_hits,
-         |  (min(dg.p) - 1)::BIGINT AS first_byte,
-         |  (max(dg.p) - 1)::BIGINT AS last_byte
-         |FROM dg JOIN bg ON dg.h = bg.h
-         |GROUP BY dg.doc_id, bg.bench_id
-         |HAVING count(*) >= 3""".stripMargin,
+         |  SELECT DISTINCT doc_id AS bench_id, h FROM dg WHERE doc_id < 3),
+         |hit AS (SELECT dg.doc_id, bg.bench_id, dg.p FROM dg JOIN bg ON dg.h = bg.h),
+         |r0 AS (SELECT doc_id, bench_id, p,
+         |    CASE WHEN p - coalesce(lag(p) OVER (PARTITION BY doc_id, bench_id
+         |      ORDER BY p), p - 9) > 8 THEN 1 ELSE 0 END AS nw,
+         |    count(*) OVER (PARTITION BY doc_id, bench_id) AS pair_hits
+         |  FROM hit),
+         |r1 AS (SELECT doc_id, bench_id, p, pair_hits,
+         |    sum(nw) OVER (PARTITION BY doc_id, bench_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM r0)
+         |SELECT doc_id, bench_id, count(*)::BIGINT AS n_hits,
+         |  (min(p) - 1)::BIGINT AS first_byte,
+         |  (max(p) - 1)::BIGINT AS last_byte
+         |FROM r1 WHERE pair_hits >= 3
+         |GROUP BY doc_id, bench_id, run""".stripMargin,
     "q137_excise" ->
       // q136's spans (end = last gram start + 8, pad 2) → island merge via
       // the running-max window → rebuild the kept text from the gaps.
@@ -2126,10 +2137,20 @@ object ExtensionQueries {
          |  FROM m, lateral unnest(range(1, greatest(nb - 6, 1))) t(p)),
          |bg AS (
          |  SELECT DISTINCT doc_id AS bench_id, h FROM dg WHERE doc_id < 3),
+         |hit AS (SELECT dg.doc_id, bg.bench_id, dg.p FROM dg JOIN bg ON dg.h = bg.h),
+         |r0 AS (SELECT doc_id, bench_id, p,
+         |    CASE WHEN p - coalesce(lag(p) OVER (PARTITION BY doc_id, bench_id
+         |      ORDER BY p), p - 9) > 8 THEN 1 ELSE 0 END AS nw,
+         |    count(*) OVER (PARTITION BY doc_id, bench_id) AS pair_hits
+         |  FROM hit),
+         |r1 AS (SELECT doc_id, bench_id, p, pair_hits,
+         |    sum(nw) OVER (PARTITION BY doc_id, bench_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM r0),
          |sp0 AS (
-         |  SELECT dg.doc_id, (min(dg.p) - 1)::BIGINT AS fb, (max(dg.p) - 1)::BIGINT AS lb
-         |  FROM dg JOIN bg ON dg.h = bg.h
-         |  GROUP BY dg.doc_id, bg.bench_id HAVING count(*) >= 3),
+         |  SELECT doc_id, (min(p) - 1)::BIGINT AS fb, (max(p) - 1)::BIGINT AS lb
+         |  FROM r1 WHERE pair_hits >= 3
+         |  GROUP BY doc_id, bench_id, run),
          |sp AS (SELECT DISTINCT doc_id, greatest(fb - 2, 0) AS s, lb + 8 + 2 AS e FROM sp0),
          |i0 AS (SELECT doc_id, s, e,
          |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e

@@ -701,13 +701,33 @@ object Dedup {
     * the convergence check is
     * an `observe()` metric folded into the label-update plan itself, so
     * each iteration is ONE job (the update join materialization), not an
-    * update job plus a separate changed-count job.
+    * update job plus a separate changed-count job. The loop iterates only
+    * EDGE-TOUCHED vertices (≤ 2·|pairs| rows — the duplicate closure, not
+    * the corpus); untouched vertices are provably self-labeled singletons
+    * and re-enter through one post-convergence anti-join.
+    *
+    * Small-graph fast path: when |pairs| ≤ `localPairs` (default 2M —
+    * the same bounded-driver-aggregate budget as
+    * [[graft.streaming.IngestDedup]]'s collectThreshold) and the id type
+    * has a driver ordering matching Spark's (integral/string), the
+    * components are solved by one driver union-find over the collected
+    * pair list instead of the iterative loop: the loop costs a full Spark
+    * job PER iteration (scheduling + shuffles + label checkpoint), which
+    * for a graph this size is two orders of magnitude more wall time than
+    * the milliseconds of driver CPU the union-find needs — and a 14-round
+    * convergence becomes one collect. Label semantics are identical
+    * (cluster_id = component minimum under Spark's own ordering for the
+    * type; union-by-min roots + path compression). Above the threshold —
+    * the only regime a 100 TB corpus's pair stage lands in — the
+    * distributed loop runs exactly as documented. `localPairs = 0`
+    * forces the distributed path (the equivalence spec does).
     */
   def nearDupClusters(
       vertices: DataFrame,
       id: Column,
       pairs: DataFrame,
-      maxIter: Int = 25
+      maxIter: Int = 25,
+      localPairs: Long = 2000000L
   ): DataFrame = {
     // Constraint propagation is OFF for the duration of the loop: the
     // materialized labels' LogicalRDD snapshots alias-equality
@@ -738,7 +758,7 @@ object Dedup {
       val cpKey = "spark.sql.constraintPropagation.enabled"
       val cpPrev = session.conf.getOption(cpKey)
       session.conf.set(cpKey, "false")
-      try nearDupClustersImpl(vertices, id, pairs, maxIter)
+      try nearDupClustersImpl(vertices, id, pairs, maxIter, localPairs)
       finally cpPrev match {
         case Some(v) => session.conf.set(cpKey, v)
         case None    => session.conf.unset(cpKey)
@@ -746,11 +766,80 @@ object Dedup {
     }
   }
 
+  /** A driver ordering that matches Spark's own min-aggregate ordering for
+    * the id type, or None if the type has no such guarantee here (the
+    * distributed loop then runs regardless of pair count). Strings compare
+    * as UTF8 binary — Spark's StringType ordering — NOT Java's UTF-16
+    * `compareTo`, which diverges on supplementary-plane code points.
+    */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType    => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte]))
+      case ShortType   => Some(Ordering.by((a: Any) => a.asInstanceOf[Short]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case LongType    => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case StringType  => Some(new Ordering[Any] {
+        override def compare(x: Any, y: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y.asInstanceOf[String]))
+      })
+      case _ => None
+    }
+  }
+
+  /** Driver union-find over a collected pair list: union-by-min roots (the
+    * component minimum is ALWAYS the root, so no second min pass) + path
+    * compression. Returns the touched-vertex labeling `(doc_id,
+    * cluster_id)` as a DataFrame of the original id type — bit-identical
+    * to what the distributed min-label loop converges to.
+    */
+  private def localUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      pairRows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]
+  ): DataFrame = {
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) { x = p; p = parent.get(x) }
+      val root = x
+      // path compression
+      x = x0
+      p = parent.get(x)
+      while (p != null && p != root) { parent.put(x, root); x = p; p = parent.get(x) }
+      root
+    }
+    pairRows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // the smaller root stays root — the component min is the root
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) {
+      val v = it.next()
+      out.add(org.apache.spark.sql.Row(v, find(v)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", idType, nullable = false)))
+    spark.createDataFrame(out, schema)
+  }
+
   private def nearDupClustersImpl(
       vertices: DataFrame,
       id: Column,
       pairs: DataFrame,
-      maxIter: Int
+      maxIter: Int,
+      localPairs: Long
   ): DataFrame = {
     val vertexIds = vertices.select(id.as("doc_id"))
     // Edges are restricted to the vertex universe FIRST: a pair citing an
@@ -768,14 +857,41 @@ object Dedup {
     val inUniverse = graft.Materialize(pairs
       .join(vertexIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
       .join(vertexIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi"))
+    // Small-graph fast path (see the public scaladoc): one bounded collect
+    // + driver union-find replaces a jobs-per-iteration loop. The count is
+    // a cheap single job over the just-materialized (lineage-free) pairs.
+    val ord = idOrdering(inUniverse.schema("doc_a").dataType)
+    if (ord.isDefined && localPairs > 0 && inUniverse.count() <= localPairs) {
+      val labels = localUnionFind(
+        vertices.sparkSession,
+        inUniverse.select(col("doc_a"), col("doc_b")).collect(),
+        inUniverse.schema("doc_a").dataType, ord.get)
+      inUniverse.unpersist()
+      return labels.unionByName(
+        vertexIds.join(labels, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    }
     val edges = graft.Materialize(
       inUniverse.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(inUniverse.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     inUniverse.unpersist()
-    var labels = vertexIds.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // The loop runs over EDGE-TOUCHED vertices only: a vertex in no pair
+    // has no incoming propagation, so its label is provably self forever —
+    // iterating it just reshuffles it maxIter times. Touched vertices are
+    // bounded by 2·|pairs| (the duplicate closure), which at 100 TB is
+    // orders of magnitude below |corpus|: every per-iteration exchange
+    // (neighborhood min, pointer-doubling self-join) now carries the
+    // near-dup candidates, not the corpus. Untouched vertices re-enter
+    // with self-labels AFTER convergence via one anti-join (below) — the
+    // returned relation still labels every vertex, exactly as before.
+    // (src covers both endpoints because `edges` holds both directions.)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var changed = 1L
     var i = 0
+    val dbg = sys.env.contains("GRAFT_CC_DEBUG")
     while (changed > 0 && i < maxIter) {
+      val tIter0 = System.nanoTime()
       // Each label row is tagged __own=true before the union, so the SAME
       // min-aggregate that computes the neighborhood minimum also carries
       // each doc's previous label out (min over the one tagged row) — the
@@ -799,6 +915,7 @@ object Dedup {
       // convergence check ([[graft.Materialize]]: localCheckpoint by
       // default, reliable checkpoint under graft.checkpointDir).
       val obs = org.apache.spark.sql.Observation()
+      val tMat0 = System.nanoTime()
       val updated = graft.Materialize(neighborMin
         .join(
           neighborMin.select(col("doc_id").as("__cid"), col("cluster_id").as("__cid2")),
@@ -810,6 +927,7 @@ object Dedup {
       // obs.get would then hang this loop forever. Bounded wait; on miss,
       // fall back to an explicit count over the two MATERIALIZED datasets
       // (one cheap extra job, never a hang, never a wrong answer).
+      val tMat1 = System.nanoTime()
       changed =
         try {
           import scala.concurrent.duration.DurationInt
@@ -821,13 +939,23 @@ object Dedup {
               .where(col("cluster_id") =!= col("__old"))
               .count()
         }
+      if (dbg) println(f"cc iter $i: mat ${(tMat1 - tMat0) / 1e9}%.3f s, " +
+        f"obs ${(System.nanoTime() - tMat1) / 1e9}%.3f s, " +
+        f"total ${(System.nanoTime() - tIter0) / 1e9}%.3f s, changed=$changed")
       if (i > 0) labels.unpersist() // drop the superseded checkpoint's blocks
       labels = updated
       i += 1
     }
-    edges.unpersist()
     require(changed == 0, s"nearDupClusters did not converge in $maxIter iterations")
-    labels
+    // Untouched vertices (no pair) are singleton clusters labeled self.
+    // One anti-join against the converged (materialized, lineage-free)
+    // labels — paid once, not per iteration. `labels` covers exactly the
+    // touched set, so the union is a disjoint, total labeling.
+    val out = labels.unionByName(
+      vertexIds.join(labels, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    edges.unpersist()
+    out
   }
 
   /** Benchmark-contamination screen: which corpus documents share at least
@@ -872,24 +1000,38 @@ object Dedup {
 
   /** Span-level contamination report — [[contamination]] with POSITIONS:
     * for every (document, benchmark item) pair sharing at least
-    * `minShared` byte-gram HIT POSITIONS, the number of matching gram
-    * positions in the document and the first/last matching byte offset.
-    * This is the surgical decontamination readout: [[contamination]]
-    * says WHICH documents to drop; this says WHERE the overlap sits, so
-    * a pipeline can excise the span (the GPT-3 appendix-C practice of
-    * removing a window around the collision) instead of discarding a
-    * whole book for one quoted benchmark line.
+    * `minShared` byte-gram HIT POSITIONS, one row PER COLLISION RUN —
+    * hit positions clustered so that a gap larger than `runGap` bytes
+    * between consecutive hits starts a new span. This is the surgical
+    * decontamination readout: [[contamination]] says WHICH documents to
+    * drop; this says WHERE each overlap sits, so a pipeline can excise
+    * the spans (the GPT-3 appendix-C practice of removing a window
+    * around EACH collision) instead of discarding a whole book for one
+    * quoted benchmark line. Per-run emission matters on long documents:
+    * two 8-byte collisions at bytes 10 and 4,000 are two small spans,
+    * not one 4,000-byte hull — the min/max ENVELOPE form (one row per
+    * pair) destroyed the clean text between distant collisions (the
+    * round-9 weak finding) and remains available as
+    * `runGap = Long.MaxValue`.
     *
     * Position semantics: offsets are 0-based BYTE indexes of the n-gram
     * start ([[graft.plans.RollingHash48]] grams are byte grams);
-    * `n_hits` counts document POSITIONS (a doc repeating a contaminated
-    * gram k times scores k — repetition widens the excision window),
-    * while the benchmark side is distinct-gram as in [[contamination]].
+    * `n_hits` counts document POSITIONS within the run (a doc repeating
+    * a contaminated gram k times scores k — repetition widens the
+    * excision window), while the benchmark side is distinct-gram as in
+    * [[contamination]]. `minShared` screens on the PAIR total (the
+    * "is this pair contaminated" threshold), not per run — a pair
+    * passing the screen emits all of its runs. `runGap < 0` (default)
+    * means `n` — adjacent/overlapping grams chain, anything further
+    * apart splits.
     *
     * Scale shape: identical to [[contamination]] — benchmark grams
     * broadcast, corpus gram stream prefiltered map-side by a broadcast
-    * left-semi BEFORE anything shuffles, one (doc, bench) exchange
-    * carrying only matching positions.
+    * left-semi BEFORE anything shuffles, ONE (doc, bench) exchange
+    * carrying only matching positions; the run-clustering window and
+    * both aggregates reuse that one partitioning (HashPartitioning on
+    * (doc, bench) satisfies the (doc, bench, run) clustering — no
+    * second exchange).
     */
   def contaminationSpans(
       docs: DataFrame,
@@ -899,20 +1041,32 @@ object Dedup {
       benchText: Column,
       benchId: Column,
       n: Int = 8,
-      minShared: Int = 1
+      minShared: Int = 1,
+      runGap: Long = -1L
   ): DataFrame = {
+    val effGap = if (runGap < 0) n.toLong else runGap
     val benchGrams = gramHashRows(benchmark, benchText, benchId, "bench_id", n)
       .select(col("bench_id"), col("h")).distinct()
-    docs.select(id.as("doc_id"),
+    val hits = docs.select(id.as("doc_id"),
         posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
       .join(broadcast(benchGrams.select(col("h")).distinct()), Seq("h"), "left_semi")
       .join(broadcast(benchGrams), Seq("h"))
-      .groupBy(col("doc_id"), col("bench_id"))
+    val wOrd = Window.partitionBy(col("doc_id"), col("bench_id")).orderBy(col("pos"))
+    val wPair = Window.partitionBy(col("doc_id"), col("bench_id"))
+    hits
+      .withColumn("__prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("__nw",
+        when(col("__prev").isNull || (col("pos") - col("__prev")) > effGap, 1).otherwise(0))
+      .withColumn("__run", sum(col("__nw")).over(wOrd))
+      .withColumn("__pair_hits", count(lit(1)).over(wPair))
+      .where(col("__pair_hits") >= minShared)
+      .groupBy(col("doc_id"), col("bench_id"), col("__run"))
       .agg(
         count(lit(1)).as("n_hits"),
         min(col("pos")).cast("long").as("first_byte"),
         max(col("pos")).cast("long").as("last_byte"))
-      .where(col("n_hits") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_hits"),
+        col("first_byte"), col("last_byte"))
   }
 
   /** Corpus-INTERNAL repeated-span detection — the "exact substring

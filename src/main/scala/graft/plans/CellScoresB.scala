@@ -39,11 +39,28 @@ final class CentroidBank(val centroids: Array[Array[Float]]) extends Serializabl
 
   def numCells: Int = centroids.length
 
+  /** The single dimensionality shared by EVERY centroid, or -1 if ragged —
+    * gates the primitive-output fast path in [[scores]] (a vector of the
+    * uniform length can produce no per-centroid nulls).
+    */
+  private val uniformLen: Int =
+    if (centroids.nonEmpty && centroids.forall(_.length == centroids(0).length))
+      centroids(0).length
+    else -1
+
   /** k null scores — what a null / null-element vector scores as. */
   def allNullScores(): ArrayData = new GenericArrayData(new Array[Any](centroids.length))
 
   /** One fused pass: k dot products + divisions per row, no per-centroid
-    * Literal and no per-element lambda dispatch.
+    * Literal and no per-element lambda dispatch. When the vector's length
+    * matches a uniform centroid dimensionality (the always-case in
+    * practice), the row's floats are bulk-copied ONCE (`toFloatArray` is a
+    * single memcpy off UnsafeArrayData) and the result is an UNBOXED
+    * `UnsafeArrayData.fromPrimitiveArray` — no per-element `getFloat`
+    * dispatch in the k×n hot loop and no k boxed Doubles per row, which
+    * was the measured ~15% regression vs the fused-literal form this bank
+    * replaced (round-9 verdict). Accumulation order is unchanged —
+    * bit-identical to the `graft_dot(v, lit(c)) / ‖c‖` contract.
     */
   def scores(v: ArrayData): ArrayData = {
     val n = v.numElements()
@@ -52,6 +69,7 @@ final class CentroidBank(val centroids: Array[Array[Float]]) extends Serializabl
       if (v.isNullAt(j)) return allNullScores()
       j += 1
     }
+    if (n == uniformLen) return scoresDense(v.toFloatArray())
     val out = new Array[Any](centroids.length)
     var i = 0
     while (i < centroids.length) {
@@ -65,6 +83,23 @@ final class CentroidBank(val centroids: Array[Array[Float]]) extends Serializabl
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Primitive-only kernel: every centroid matches `v.length`, so no score
+    * is null and the output array is written unboxed.
+    */
+  private def scoresDense(v: Array[Float]): ArrayData = {
+    val out = new Array[Double](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var acc = 0.0
+      var k = 0
+      while (k < v.length) { acc += v(k).toDouble * c(k).toDouble; k += 1 }
+      out(i) = acc / norms(i)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
 
@@ -80,6 +115,10 @@ object CentroidBank {
 
   def broadcastFor(
       spark: SparkSession, centroids: Array[Array[Float]]): Broadcast[CentroidBank] = {
+    // evict entries whose context has stopped: a long-lived multi-session
+    // application otherwise pins every dead context's broadcast (and the
+    // context object itself) in driver memory for the JVM lifetime
+    cache.keySet.removeIf(_._1.isStopped)
     val key = (spark.sparkContext, centroids.map(_.toVector).toVector)
     cache.computeIfAbsent(
       key, _ => spark.sparkContext.broadcast(new CentroidBank(centroids.map(_.clone()))))

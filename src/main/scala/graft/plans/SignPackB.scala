@@ -28,6 +28,14 @@ final class SignBank(val planes: Array[Array[Float]]) extends Serializable {
 
   def nBits: Int = planes.length
 
+  /** Single dimensionality shared by every plane, or -1 if ragged — gates
+    * the bulk-copy fast path (same discipline as CentroidBank).
+    */
+  private val uniformLen: Int =
+    if (planes.nonEmpty && planes.forall(_.length == planes(0).length))
+      planes(0).length
+    else -1
+
   def pack(v: ArrayData): Long = {
     val n = v.numElements()
     var j = 0
@@ -35,6 +43,7 @@ final class SignBank(val planes: Array[Array[Float]]) extends Serializable {
       if (v.isNullAt(j)) return 0L
       j += 1
     }
+    if (n == uniformLen) return packDense(v.toFloatArray())
     var bits = 0L
     var b = 0
     while (b < planes.length) {
@@ -49,6 +58,23 @@ final class SignBank(val planes: Array[Array[Float]]) extends Serializable {
     }
     bits
   }
+
+  /** Primitive-only kernel over the one bulk-copied float array: no
+    * per-element ArrayData dispatch in the nBits×n hot loop.
+    */
+  private def packDense(v: Array[Float]): Long = {
+    var bits = 0L
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var acc = 0.0
+      var k = 0
+      while (k < v.length) { acc += v(k).toDouble * p(k).toDouble; k += 1 }
+      if (acc > 0) bits += 1L << b
+      b += 1
+    }
+    bits
+  }
 }
 
 object SignBank {
@@ -57,6 +83,8 @@ object SignBank {
     (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[SignBank]]
 
   def broadcastFor(spark: SparkSession, planes: Array[Array[Float]]): Broadcast[SignBank] = {
+    // evict stopped-context entries — same leak guard as CentroidBank
+    cache.keySet.removeIf(_._1.isStopped)
     val key = (spark.sparkContext, planes.map(_.toVector).toVector)
     cache.computeIfAbsent(
       key, _ => spark.sparkContext.broadcast(new SignBank(planes.map(_.clone()))))

@@ -82,7 +82,12 @@ object Storage {
     * ignores bucket boundaries, and a rewrite that drops `bucketBy` would
     * silently discard the exchange-elision layout this same file
     * advertises. Re-write those with [[writeBucketed]] at a larger
-    * bucket size instead.
+    * bucket size instead. Catalog-PARTITIONED tables are refused for the
+    * same class of reason: partition values are directory-encoded, so the
+    * merged replacements (renamed into the table root) would carry null
+    * partition columns while their originals vanish from partition
+    * directories — silent row loss to partition-aware readers. Point
+    * compaction at one partition's path instead.
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -96,6 +101,12 @@ object Storage {
     require(meta.bucketSpec.isEmpty,
       s"refusing to compact bucketed table '$table' (${meta.bucketSpec.get}): a plain " +
         "rewrite would discard the bucket layout; re-write with writeBucketed instead")
+    require(meta.partitionColumnNames.isEmpty,
+      s"refusing to compact partitioned table '$table' " +
+        s"(partitioned by ${meta.partitionColumnNames.mkString(", ")}): the merged " +
+        "replacements would land in the table root with null partition values while the " +
+        "originals are deleted inside partition directories — partition-aware readers " +
+        "would silently lose those rows; compact each partition's path directly instead")
     spark.sql(s"REFRESH TABLE $table") // tolerate a prior rewrite in another session
     val loc = new Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())

@@ -247,6 +247,28 @@ class CodegenSpec extends SparkSpec {
     assert(got.toSeq === vecs.map(expectedBucket))
   }
 
+  test("CellScoresB generated Java compiles; compiled values match interpreted eval") {
+    val cents: Array[Array[Float]] = Array(
+      Array.tabulate(6)(i => (i - 2) * 0.5f),
+      Array.tabulate(6)(i => math.sin(i + 1).toFloat))
+    val bc = spark.sparkContext.broadcast(new graft.plans.CentroidBank(cents))
+    val expr = graft.plans.CellScoresB(
+      bc, BoundReference(0, ArrayType(FloatType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    def arr(xs: Float*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    val v = arr(1f, -2f, 3f, 0.5f, -0.25f, 4f)
+    val compiled = proj(InternalRow(v)).getArray(0).toDoubleArray().toSeq
+    val interpreted = expr.eval(InternalRow(arr(1f, -2f, 3f, 0.5f, -0.25f, 4f)))
+      .asInstanceOf[ArrayData].toDoubleArray().toSeq
+    assert(compiled == interpreted && compiled.size == 2)
+    // ragged input through the COMPILED path: per-centroid nulls
+    val ragged = proj(InternalRow(arr(1f, 2f))).getArray(0)
+    assert(ragged.numElements() == 2 && ragged.isNullAt(0) && ragged.isNullAt(1))
+    // null vector through the compiled path: non-null array of nulls
+    val nv = proj(InternalRow(null)).getArray(0)
+    assert(nv.numElements() == 2 && nv.isNullAt(0) && nv.isNullAt(1))
+  }
+
   test("CellScoresB: bit-identical to the per-centroid literal formula; null/ragged contract holds") {
     import spark.implicits._
     val cents: Array[Array[Float]] = Array(

@@ -292,6 +292,31 @@ class DedupKnnSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L))
   }
 
+  test("nearDupClusters: driver union-find fast path ≡ distributed loop (random graphs, long + string ids)") {
+    val rng = new scala.util.Random(421)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 13
+      val vertices = (1L to n.toLong).map(Tuple1(_)).toDF("doc_id")
+      val pairs = Seq.fill(n)((rng.nextInt(n) + 1L, rng.nextInt(n) + 1L))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val fast = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+        .as[(Long, Long)].collect().toMap
+      val loop = Dedup.nearDupClusters(vertices, col("doc_id"), pairs, localPairs = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == loop, s"trial $trial: fast-path labels diverge from the distributed loop")
+    }
+    // string ids: cluster_id is the UTF8-binary minimum in both paths
+    val sv = Seq("b", "a", "c", "z", "m").map(Tuple1(_)).toDF("doc_id")
+    val sp = Seq(("b", "z"), ("z", "a")).toDF("doc_a", "doc_b")
+    val sFast = Dedup.nearDupClusters(sv, col("doc_id"), sp)
+      .as[(String, String)].collect().toMap
+    val sLoop = Dedup.nearDupClusters(sv, col("doc_id"), sp, localPairs = 0L)
+      .as[(String, String)].collect().toMap
+    assert(sFast == Map("a" -> "a", "b" -> "a", "z" -> "a", "c" -> "c", "m" -> "m"))
+    assert(sFast == sLoop)
+  }
+
   test("nearDupClusters ignores pairs citing ids outside the vertex universe (no keeperless clusters)") {
     val vertices = Seq(2L, 3L, 4L).map(Tuple1(_)).toDF("doc_id")
     // pair (1,2) cites doc 1, which is NOT in the universe (pairs computed
@@ -569,7 +594,10 @@ class DedupKnnSpec extends SparkSpec {
     val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 6L, 7L -> 6L, 8L -> 8L)
     spark.conf.set(graft.Materialize.ConfKey, dir.getAbsolutePath)
     try {
-      val out = Dedup.nearDupClusters(vertices, col("doc_id"), pairs)
+      // localPairs = 0 forces the DISTRIBUTED loop — this test is about
+      // the loop's checkpoint durability, which the small-graph driver
+      // fast path never touches
+      val out = Dedup.nearDupClusters(vertices, col("doc_id"), pairs, localPairs = 0L)
         .as[(Long, Long)].collect().toMap
       assert(out == expected) // identical labels under either durability mode
       // reliable checkpoint = RDD blocks written to the checkpoint FS

@@ -86,6 +86,19 @@ class Round9Spec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compact refuses PARTITIONED tables (root-renamed replacements would null the " +
+      "partition columns and vanish from partition-aware readers)") {
+    val table = "graft_r10_compact_partitioned"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      import spark.implicits._
+      (0 until 100).map(i => (i.toLong, i % 4)).toDF("id", "p")
+        .write.partitionBy("p").format("parquet").saveAsTable(table)
+      val e = intercept[IllegalArgumentException] { Storage.compact(spark, table, 10) }
+      assert(e.getMessage.contains("partitioned"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("a crashed swap (staging + manifest) is completed by the next compact; dead staging is discarded") {
     val table = "graft_r9_compact_crash"
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -197,18 +210,51 @@ class Round9Spec extends SparkSpec {
       .toSet
     // "SECRET_PHRASE" has 13 bytes → 6 grams of 8 bytes
     // doc 1: copy starts at byte 3 → first_byte 3, last gram starts at 8
-    // doc 2: two copies (offsets 0 and 15) → 12 position hits
+    // doc 2: two copies (offsets 0 and 15): hit positions 0–5 and 15–20,
+    // gap 10 > n=8 → TWO span rows, not one 0–20 hull (the round-9 weak
+    // finding: the envelope would excise the clean ".." between them)
     assert(out.contains((0L, 0L, 6L, 0L, 5L)), out.toString)   // self
     assert(out.contains((1L, 0L, 6L, 3L, 8L)), out.toString)
-    assert(out.contains((2L, 0L, 12L, 0L, 20L)), out.toString)
+    assert(out.contains((2L, 0L, 6L, 0L, 5L)), out.toString)
+    assert(out.contains((2L, 0L, 6L, 15L, 20L)), out.toString)
+    assert(out.count(_._1 == 2L) == 2, out.toString)
     assert(!out.exists(_._1 == 3L), out.toString)
-    // the floor drops sparse overlaps
+    // the floor screens on the PAIR total (12 for doc 2), and a passing
+    // pair emits ALL its runs
     val floored = Dedup.contaminationSpans(
       docs, col("text"), col("doc_id"),
       docs.where(col("doc_id") === 0L), col("text"), col("doc_id"),
       n = 8, minShared = 7)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(floored == Set(2L), floored.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(floored == Set((2L, 6L, 0L, 5L), (2L, 6L, 15L, 20L)), floored.toString)
+    // envelope opt-in: runGap = Long.MaxValue reproduces the one-row hull
+    val hull = Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") === 0L), col("text"), col("doc_id"),
+      n = 8, minShared = 1, runGap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(hull.contains((2L, 12L, 0L, 20L)), hull.toString)
+  }
+
+  test("per-run spans + exciseSpans retain the clean text BETWEEN distant collisions") {
+    import graft.dedup.Dedup
+    // two 13-byte benchmark quotes embedded far apart in a long document:
+    // the envelope would have cut the entire middle; per-run surgery must
+    // keep it
+    val middle = "This long stretch of perfectly clean prose sits between the two quotes."
+    val doc = s"SECRET_PHRASE $middle SECRET_PHRASE"
+    val docs = Seq((0L, "SECRET_PHRASE"), (10L, doc)).toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(
+      docs, col("text"), col("doc_id"),
+      docs.where(col("doc_id") === 0L), col("text"), col("doc_id"),
+      n = 8, minShared = 1)
+    val out = Dedup.exciseSpans(
+      docs.where(col("doc_id") === 10L), col("text"), col("doc_id"),
+      spans.where(col("doc_id") === 10L),
+      col("doc_id"), col("first_byte"), col("last_byte") + 8L, pad = 0)
+      .select(col("clean_text"), col("n_spans")).collect().head
+    assert(out.getString(0).contains(middle.trim), out.toString)
+    assert(out.getLong(1) == 2L, out.toString)
   }
 
   test("exciseSpans: island merge, pad clamp, byte surgery, and the no-span passthrough") {
