@@ -421,8 +421,14 @@ object StreamingGates {
   private def q83KeyedStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // RocksDB is required by transformWithState; scoped with restore so
+    // later gates on the shared session keep their own provider (the
+    // round-9 cross-gate-interference finding)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val events = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("value"))
       .as[Kv].collect()
@@ -452,19 +458,25 @@ object StreamingGates {
       col("user_id"), col("n_events"),
       round(col("total_raw"), 4).as("total_value"),
       col("n_types"), col("last_seen"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   final case class BOrd(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
 
   /** q07's streaming twin: the count-OR-time Batch trigger on
     * `transformWithState` ([[StreamingFlows.batchCountOrTimeTWS]] — real
-    * per-key timers). Orders arrive as ONE micro-batch pre-sorted by
+    * per-key timers). Orders arrive as TWO micro-batches pre-sorted by
     * (custkey, orderkey) from a single-partition source, so each key's
     * iterator preserves orderkey order and the count trigger (5) flushes
-    * exactly the oracle's chunks inline; each key's partial tail stays
-    * buffered until its 1 s timer fires, which sentinel micro-batches on
-    * fresh NEGATIVE keys nudge the engine into evaluating (the poll-with-
-    * deadline pattern — `processAllAvailable` makes no timer promises).
+    * exactly the oracle's chunks — the key spanning the batch boundary
+    * proves the cross-batch partial-buffer append; each key's partial
+    * tail stays buffered until its 5 s timer fires, which sentinel
+    * micro-batches on fresh NEGATIVE keys nudge the engine into
+    * evaluating (the poll-with-deadline pattern — `processAllAvailable`
+    * makes no timer promises).
     * Sentinels never reach the result: distinct keys keep them under the
     * count trigger and the final select filters custkey < 0. batch_id is
     * reconstructed per key by first-orderkey order — chunks of an ordered
@@ -474,17 +486,31 @@ object StreamingGates {
   private def q135BatchStream(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // RocksDB scoped-with-restore, as in q83 (no provider leakage into
+    // later gates on the shared session)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
     val orders = Tables.load(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .as[BOrd].collect().sortBy(o => (o.o_custkey, o.o_orderkey))
     val expected = orders.groupBy(_.o_custkey).valuesIterator
       .map(g => (g.size + 4) / 5).sum.toLong
     val in = MemoryStream[BOrd]
-    in.addData(orders.toIndexedSeq)
+    // TWO micro-batches, split mid-stream (and, for the boundary key,
+    // mid-key): the second half lands on top of first-half partial
+    // buffers, exercising the processor's cross-batch buffer append —
+    // and halving the driver rows any one task serializes (the round-9
+    // 7 MiB task-binary note). maxLatencyMs = 5 s keeps the boundary
+    // key's timer from firing in the gap between the two feeds (the
+    // second feed follows ~0.3 s after the first batch processes), so
+    // chunk boundaries equal the contiguous chunking the oracle replays.
+    val (firstHalf, secondHalf) = orders.toIndexedSeq.splitAt(orders.length / 2)
+    in.addData(firstHalf)
     val chunks = StreamingFlows.batchCountOrTimeTWS[Long, BOrd](
-      _.o_custkey, maxBatchSize = 5, maxLatencyMs = 1000L).apply(in.toDS())
+      _.o_custkey, maxBatchSize = 5, maxLatencyMs = 5000L).apply(in.toDS())
     val flat = chunks.map { case (k, vs) =>
       (k, vs.size.toLong, vs.map(_.o_totalprice).sum,
         vs.map(_.o_orderkey).min, vs.map(_.o_orderkey).max)
@@ -497,10 +523,12 @@ object StreamingGates {
       // engine self-schedules batches and PAV may not settle (the SKILL
       // gotcha) — poll the sink with a deadline instead
       def landed() = s.table(sink).where(col("o_custkey") >= 0).count()
-      val deadline = System.currentTimeMillis() + 120000L
+      val deadline = System.currentTimeMillis() + 180000L
       var nudge = 0L
+      var fedSecond = false
       while (landed() < expected && System.currentTimeMillis() < deadline) {
         Thread.sleep(300L)
+        if (!fedSecond) { in.addData(secondHalf); fedSecond = true }
         nudge += 1
         in.addData(BOrd(-nudge, 0L, 0.0)) // force a batch → due timers fire
       }
@@ -513,6 +541,10 @@ object StreamingGates {
       .select(col("o_custkey"), col("batch_id"), col("n"),
         round(col("total_raw"), 2).as("batch_total"),
         col("first_key"), col("last_key"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
   }
 
   /** Streaming session-transition mining over the q111 inputs

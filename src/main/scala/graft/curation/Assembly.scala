@@ -746,6 +746,13 @@ object Assembly {
     * (e.g. 100 TB / 5 strata / 4096 shards ≈ 5 GB walks).
     *
     * Zero- and negative-token documents are dropped, like [[packChunks]].
+    *
+    * Id contract: `id` must be integral (the manifest carries `doc_id`
+    * as long). A null or NON-NUMERIC id (string/UUID ids are common)
+    * fails LOUDLY at execution — the silent alternative packs every row
+    * with `doc_id = null` and the bin manifest is useless with no error.
+    * String-id corpora should pack a surrogate (`xxhash64(id)`) and keep
+    * the mapping, or use [[packChunks]], which preserves the id as-is.
     */
   def packGreedy(
       df: DataFrame,
@@ -761,7 +768,13 @@ object Assembly {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df.select(
-      id.cast("long").as("doc_id"), stratum.cast("string").as("stratum"),
+      when(id.cast("long").isNull,
+        raise_error(concat(
+          lit("packGreedy: null or non-numeric document id cannot pack "
+            + "(the long cast would silently null the manifest): "),
+          coalesce(id.cast("string"), lit("NULL")))))
+        .otherwise(id.cast("long")).as("doc_id"),
+      stratum.cast("string").as("stratum"),
       tokens.cast("long").as("n_tokens"),
       Hashing.hash48(concat(id.cast("string"), lit(s":$salt"))).as("sort_key"))
       .where(col("n_tokens") > 0)

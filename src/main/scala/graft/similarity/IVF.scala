@@ -285,6 +285,17 @@ object IVF {
     * and a hot cell splits by re-fitting with more centroids — the same
     * remedy as re-bucketing a skewed hash join. Self-matches (same id on
     * both sides) are excluded, so a table can join against itself.
+    *
+    * `maxCell` (off by default) drops corpus cells holding MORE than
+    * `maxCell` rows from the join — the [[graft.dedup.Dedup.embeddingNearDups]]
+    * skew cap, because no fit promise survives corpus drift: a cell the
+    * centroids were never re-fit for can concentrate arbitrarily, and one
+    * hot cell × its probing queries is the quadratic blow-up every other
+    * pair generator here already guards against. Queries probing a
+    * dropped cell simply lose that cell's candidates (they keep their
+    * other probes); [[oversizedCells]] reports what a given cap excludes
+    * so it can be sized from data, and a standing hot cell means re-fit
+    * with more centroids.
     */
   def joinTopK(
       corpus: DataFrame,
@@ -293,12 +304,20 @@ object IVF {
       vec: Column,
       k: Int,
       nProbe: Int,
-      centroids: Array[Array[Float]]
+      centroids: Array[Array[Float]],
+      maxCell: Int = Int.MaxValue
   ): DataFrame = {
     require(k > 0 && nProbe > 0, "k and nProbe must be positive")
-    val assigned = corpus.select(
+    require(maxCell > 0, s"maxCell must be positive: $maxCell")
+    val assignedAll = corpus.select(
       id.as("n_id"), vec.as("n_vec"), literalCell(vec, centroids).as("cell"),
       VectorFunctions.norm2(vec).as("n_nrm"))
+    val assigned =
+      if (maxCell == Int.MaxValue) assignedAll
+      else assignedAll
+        .join(assignedAll.groupBy(col("cell")).agg(count(lit(1)).as("__n")), Seq("cell"))
+        .where(col("__n") <= maxCell)
+        .drop("__n")
     val probeW = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("cell").asc)
     val probes = queries
       .select(id.as("q_id"), vec.as("q_vec"), VectorFunctions.norm2(vec).as("q_nrm"),
@@ -317,6 +336,24 @@ object IVF {
     val w2 = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
     scored.withColumn("rank", row_number().over(w2)).where(col("rank") <= k)
   }
+
+  /** The cells a given [[joinTopK]] `maxCell` cap would drop, with member
+    * counts — the observability half of the cap (parity with
+    * [[graft.dedup.Dedup.embeddingOversizedBuckets]]): one map-combined
+    * aggregate over the cell assignment, no pair expansion. Run it to
+    * size the cap; a standing entry here means the centroid fit has
+    * drifted and the index wants re-fitting with more cells.
+    */
+  def oversizedCells(
+      corpus: DataFrame,
+      vec: Column,
+      centroids: Array[Array[Float]],
+      maxCell: Int
+  ): DataFrame =
+    corpus.select(literalCell(vec, centroids).as("cell"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxCell)
 
   /** Corpus diversity profile by nearest centroid — the coverage report a
     * training-mix owner reads before sampling: one row per k-means cell

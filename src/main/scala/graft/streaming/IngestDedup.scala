@@ -116,7 +116,18 @@ final class IngestDedup private (
           lastFilterMaintenance = "treeReduce"
           val items = expectedItems
           val p = fpp
-          val delta = hashes.queryExecution.toRdd.map(_.getLong(0))
+          // Each non-empty partition allocates a FULL-geometry filter
+          // (≈ 1.1 GB at 1e9 items / 1% fpp): a many-partition backfill
+          // batch would otherwise hold several concurrent geometry-sized
+          // filters per executor and OOM exactly on the replay batches
+          // this path exists for. Coalesce (no shuffle — partitions merge
+          // locally) to ~2 per executor slot-group so at most a couple of
+          // partial filters are live per executor at once.
+          val raw = hashes.queryExecution.toRdd.map(_.getLong(0))
+          val execs = math.max(1, spark.sparkContext.getExecutorMemoryStatus.size - 1)
+          val bound = math.max(2, 2 * execs)
+          val parts = if (raw.getNumPartitions > bound) raw.coalesce(bound) else raw
+          val delta = parts
             .mapPartitions { it =>
               if (it.isEmpty) Iterator.empty
               else {

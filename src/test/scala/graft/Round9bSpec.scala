@@ -101,6 +101,30 @@ class Round9bSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("packGreedy fails LOUDLY on null / non-numeric ids (never a doc_id=null manifest)") {
+    val bad = Seq(("not-a-number", "a", 10L), ("2", "a", 10L)).toDF("id", "src", "n")
+    val e = intercept[Exception] {
+      Assembly.packGreedy(bad, $"id", $"src", $"n", binCapacity = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // ANSI sessions throw on the malformed cast itself; non-ANSI sessions
+    // reach the raise_error guard — either way, LOUD, never doc_id=null
+    assert(messages(e).exists(m =>
+      m.contains("non-numeric document id") || m.contains("CAST_INVALID_INPUT")), e.toString)
+    // a NULL id reaches the guard in both modes (casting null never throws)
+    val withNull = Seq((Some(1L), "a", 10L), (None, "a", 10L))
+      .toDF("id", "src", "n")
+    val e2 = intercept[Exception] {
+      Assembly.packGreedy(withNull, $"id", $"src", $"n", binCapacity = 100L).collect()
+    }
+    assert(messages(e2).exists(_.contains("null or non-numeric document id")), e2.toString)
+    // NUMERIC strings cast cleanly and pack normally
+    val ok = Seq(("7", "a", 10L)).toDF("id", "src", "n")
+    val out = Assembly.packGreedy(ok, $"id", $"src", $"n", binCapacity = 100L).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 7L)
+  }
+
   test("packGreedy: an oversized document gets a bin of its own") {
     val df = Seq((1L, "a", 10L), (2L, "a", 999L), (3L, "a", 10L), (4L, "a", 0L))
       .toDF("id", "src", "n")
@@ -122,6 +146,43 @@ class Round9bSpec extends SparkSpec {
       k = 10, nProbe = 2, centroids = IVF.pretrainedCentroids)
     assert(viaJoin.exceptAll(viaBcast).count() == 0 &&
       viaBcast.exceptAll(viaJoin).count() == 0)
+  }
+
+  test("joinTopK maxCell cap law: hot cells dropped, small cells untouched, default unchanged; " +
+      "oversizedCells reports what a cap excludes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.where(col("vec_id") < 5)
+    val cents = IVF.pretrainedCentroids
+    // cell populations, to pick a cap that splits them
+    val sizes = emb.select(IVF.literalCell(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cap = (sizes.values.max - 1).toInt // drops exactly the hottest cell(s)
+    val hot = sizes.filter(_._2 > cap).keySet
+    assert(hot.nonEmpty)
+    // the report names exactly the cells above the cap, with their counts
+    val reported = IVF.oversizedCells(emb, col("embedding"), cents, cap)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(reported.keySet == hot && reported.forall { case (c, n) => sizes(c) == n })
+    // capped join = uncapped join minus every neighbour living in a hot cell
+    val uncapped = IVF.joinTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2, centroids = cents)
+    val capped = IVF.joinTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2, centroids = cents, maxCell = cap)
+    val cellOf = emb.select(col("vec_id").as("n_id"),
+      IVF.literalCell(col("embedding"), cents).as("n_cell"))
+    assert(capped.join(cellOf, Seq("n_id")).where(col("n_cell").isInCollection(hot)).count() == 0,
+      "capped join surfaced a neighbour from a dropped cell")
+    // survivors' candidate sets shrink, so ranks can only move up — every
+    // capped (q_id, n_id) pair must exist in the uncapped candidate pool
+    assert(capped.select("q_id", "n_id")
+      .exceptAll(
+        IVF.joinTopK(emb, q, col("vec_id"), col("embedding"),
+          k = Int.MaxValue - 1, nProbe = 2, centroids = cents).select("q_id", "n_id"))
+      .count() == 0)
+    // default cap adds nothing: same result object shape, same rows
+    val default = IVF.joinTopK(emb, q, col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2, centroids = cents, maxCell = Int.MaxValue)
+    assert(default.exceptAll(uncapped).count() == 0 && uncapped.exceptAll(default).count() == 0)
   }
 
   // --- adaptiveThresholdFilter --------------------------------------------
