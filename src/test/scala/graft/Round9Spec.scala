@@ -358,6 +358,59 @@ class Round9Spec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("IngestHistorize: replay converges after a mid-loop crash at EITHER hop " +
+      "(after log append; after staging, before the view rewrite)") {
+    import graft.sources.Storage
+    val log = "graft_r10_hist_log"
+    val table = "graft_r10_hist_view"
+    Seq(log, s"${table}__staging", table).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      val base = Seq((1L, 10.0, ts("2024-01-01 00:00:00"), "upsert"))
+        .toDF("k", "v", "ver", "op")
+      base.write.format("parquet").saveAsTable(log)
+      val loop = new graft.streaming.IngestHistorize("k", "ver", log, table)
+      loop(base.limit(0), -1L) // bootstrap the view from the base log
+      val b1 = Seq((1L, 20.0, ts("2024-01-03 00:00:00"), "upsert"))
+        .toDF("k", "v", "ver", "op")
+      // CRASH SHAPE 1: the batch appended to the log, then the process
+      // died before deriving — the view is stale. The restarted query
+      // redelivers b1: the log gets byte-identical rows (distinct'd at
+      // read) and the derive step catches the view up.
+      b1.write.mode("append").format("parquet").saveAsTable(log)
+      assert(spark.table(table).where(col("v") === 20.0).count() == 0, "view must be stale")
+      loop(b1, 0L) // redelivery after restart
+      val expected = Storage.historize(base.unionByName(b1), col("k"), col("ver"))
+        .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+      def view() = spark.table(table)
+        .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+      assert(view() == expected, s"crash-1 replay did not converge: ${view()}")
+      // CRASH SHAPE 2: a later batch appended AND staged, but the main
+      // rewrite never ran — staging holds the new derivation, the view is
+      // one batch behind. Redelivery must heal (log append is a no-op
+      // through distinct, staging is overwritten, the view catches up).
+      val b2 = Seq((1L, 0.0, ts("2024-01-05 00:00:00"), "delete"))
+        .toDF("k", "v", "ver", "op")
+      b2.write.mode("append").format("parquet").saveAsTable(log)
+      Storage.historize(
+          spark.table(log).distinct(), col("k"), col("ver"))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${table}__staging")
+      assert(view() == expected, "view must still be pre-b2") // crash here
+      loop(b2, 1L) // redelivery after restart
+      val expected2 = Storage.historize(
+          base.unionByName(b1).unionByName(b2), col("k"), col("ver"))
+        .select(col("k"), col("v"), col("valid_from"), col("valid_to"), col("is_current"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(4))).toSet
+      assert(view() == expected2, s"crash-2 replay did not converge: ${view()}")
+      assert(view().count(_._5) == 0, "key 1 ends deleted — nothing current")
+    } finally Seq(log, s"${table}__staging", table)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("volumeTrend perGroupBounds: a late-starting group carries no leading zeros") {
     import graft.operators.TimeSeries
     // group "a": days 0..4 at constant 2/day (slope 0)
