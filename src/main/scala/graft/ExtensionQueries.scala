@@ -1238,6 +1238,44 @@ object ExtensionQueries {
     graft.sources.Storage.diffSnapshots(a, b, "doc_id", Seq("text", "lang", "source"))
   }
 
+  /** kNN label propagation ([[graft.similarity.NeighborOps.labelPropagate]]):
+    * the seed set (vec_id < 400) auto-labels the rest by 5-NN majority
+    * vote; majorities under 60% abstain (null label_pred).
+    */
+  private def q147LabelPropagate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.NeighborOps.labelPropagate(
+      emb.where(col("vec_id") < 400), emb.where(col("vec_id") >= 400),
+      col("vec_id"), col("embedding"), col("label"),
+      k = 5, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids,
+      minAgreement = 0.6)
+  }
+
+  /** Hard-negative mining ([[graft.similarity.NeighborOps.hardNegatives]]):
+    * every vector's top-3 nearest OTHER-label neighbours — the
+    * contrastive-training manifest.
+    */
+  private def q148HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.NeighborOps.hardNegatives(
+      emb, col("vec_id"), col("embedding"), col("label"),
+      k = 3, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids)
+  }
+
+  /** Quality-signal rank ensemble ([[graft.curation.Quantiles.cdfBlend]]):
+    * length and whitespace-token count rank-normalized onto [0,1] via
+    * 256-bin exact-quantile CDFs and blended 0.75/0.25 into one
+    * composite. The gate weights are deliberately DYADIC: cdfs are k/256,
+    * so the composite (3k₀+k₁)/1024 is exactly representable and the
+    * 4-dp round has no FP-dependent ties for the DuckDB replay to
+    * disagree on (0.6/0.4 failed on exactly such a boundary).
+    */
+  private def q149CdfBlend(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.cdfBlend(
+      Tables.documents(s, d), col("doc_id"),
+      Seq(col("n_chars") -> 0.75, TextFunctions.wsTokenCount(col("text")) -> 0.25),
+      bins = 256)
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1353,6 +1391,9 @@ object ExtensionQueries {
     "q144_knn_join" -> (q144KnnJoin _),
     "q145_adaptive_filter" -> (q145AdaptiveFilter _),
     "q146_snapshot_diff" -> (q146SnapshotDiff _),
+    "q147_label_propagate" -> (q147LabelPropagate _),
+    "q148_hard_negatives" -> (q148HardNegatives _),
+    "q149_cdf_blend" -> (q149CdfBlend _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -2914,6 +2955,66 @@ object ExtensionQueries {
          |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 5""".stripMargin,
+    "q147_label_propagate" ->
+      // q144's kNN restricted to labeled corpus (< 400) vs unlabeled
+      // queries (>= 400), then majority vote with pair-total agreement:
+      // ties to the LOWEST label; < 60% majority abstains (null)
+      s"""WITH $duckIvfAssignedCtes,
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+         |  WHERE rn <= 2 AND vec_id >= 400),
+         |s AS (SELECT p.q_id, a.vec_id AS n_id, $duckCosPA AS cosine
+         |      FROM probes p JOIN assigned a
+         |        ON a.cell = p.cell AND a.vec_id != p.q_id AND a.vec_id < 400),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s),
+         |nn AS (SELECT q_id, n_id FROM r WHERE rank <= 5),
+         |v AS (SELECT nn.q_id, e.label AS n_label, count(*)::BIGINT AS votes
+         |      FROM nn JOIN embeddings e ON e.vec_id = nn.n_id GROUP BY 1, 2),
+         |t AS (SELECT *, sum(votes) OVER (PARTITION BY q_id)::BIGINT AS n_neighbors,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn FROM v)
+         |SELECT q_id AS vec_id,
+         |  CASE WHEN votes >= n_neighbors * 0.6 THEN n_label END AS label_pred,
+         |  votes, n_neighbors,
+         |  round(votes / n_neighbors, 4) AS confidence
+         |FROM t WHERE rn = 1""".stripMargin,
+    "q148_hard_negatives" ->
+      // q144's arithmetic with the SAME-label candidates excluded BEFORE
+      // the per-query top-k rank
+      s"""WITH $duckIvfAssignedCtes,
+         |probes AS (SELECT t.vec_id AS q_id, t.embedding AS q_vec, e.label AS q_label, t.cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc) t
+         |  JOIN embeddings e ON e.vec_id = t.vec_id
+         |  WHERE t.rn <= 2),
+         |s AS (SELECT p.q_id, p.q_label, a.vec_id AS n_id, e2.label AS n_label, $duckCosPA AS cosine
+         |      FROM probes p
+         |      JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id
+         |      JOIN embeddings e2 ON e2.vec_id = a.vec_id
+         |      WHERE e2.label != p.q_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
+         |SELECT q_id, q_label, n_id, n_label, cosine, rank::INT AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q149_cdf_blend" ->
+      // per signal: 255 type-1 cut points at j/256 (the q103 rank walk),
+      // cdf = |{cuts <= v}| / 256 (multiset count), composite =
+      // cdf_0*0.75 + cdf_1*0.25 in that order (unrounded cdfs; dyadic
+      // weights so the value is exact — see the q149 gate scaladoc)
+      s"""WITH t AS (SELECT doc_id, n_chars::DOUBLE AS v0,
+         |    len($duckToks)::DOUBLE AS v1 FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |qj AS (SELECT unnest(range(1, 256)) AS j),
+         |rk AS (SELECT j, least(n, greatest(1, ceil(j / 256.0 * n)::BIGINT)) AS rk
+         |  FROM n CROSS JOIN qj),
+         |o0 AS (SELECT v0 AS v, row_number() OVER (ORDER BY v0) AS rn FROM t),
+         |o1 AS (SELECT v1 AS v, row_number() OVER (ORDER BY v1) AS rn FROM t),
+         |c0 AS (SELECT rk.j, o0.v FROM rk JOIN o0 ON o0.rn = rk.rk),
+         |c1 AS (SELECT rk.j, o1.v FROM rk JOIN o1 ON o1.rn = rk.rk),
+         |f AS (SELECT doc_id,
+         |    (SELECT count(*) FROM c0 WHERE c0.v <= t.v0) / 256.0 AS cdf_0,
+         |    (SELECT count(*) FROM c1 WHERE c1.v <= t.v1) / 256.0 AS cdf_1
+         |  FROM t)
+         |SELECT doc_id, round(cdf_0, 4) AS cdf_0, round(cdf_1, 4) AS cdf_1,
+         |  round(cdf_0 * 0.75 + cdf_1 * 0.25, 4) AS composite
+         |FROM f""".stripMargin,
     "q145_adaptive_filter" ->
       // per-source type-1 p25 (the q103 rank walk) as the keep floor
       s"""WITH t AS (SELECT source AS g, n_chars::DOUBLE AS v FROM documents

@@ -297,4 +297,59 @@ object Quantiles {
       .where(col("__v") >= col("threshold"))
       .drop("__g", "__v", "__tg")
   }
+
+  /** QUALITY-SIGNAL RANK ENSEMBLE: blend heterogeneous quality signals
+    * (length, token count, entropy, model score …) into ONE composite by
+    * first rank-normalizing each signal onto [0, 1] and then taking the
+    * weighted average — raw signals live on incomparable scales
+    * (characters vs nats vs logits), so averaging them directly lets the
+    * widest-ranged signal drown the rest; CDF positions are
+    * scale-free. This is the signal-combination step quality-filtered
+    * corpora document (multiple heuristic scores → one keep/rank score).
+    *
+    * Rank normalization is the BINNED CDF, not an exact percent_rank:
+    * each signal's [[exactQuantiles]] cut points at `j/bins`
+    * (j = 1 … bins-1, type-1) are computed by distributed histogram
+    * refinement, and a row's position is `#{cuts ≤ v} / bins` — exact to
+    * 1/`bins` resolution. The deliberate trade: a true `percent_rank()`
+    * is a per-signal GLOBAL sort (single-partition window — the one
+    * shape this codebase bans at 100 TB), while the binned form costs
+    * the refinement passes plus one map-side expression against a
+    * ≤ `bins`-value broadcastable cut array per signal, and a composite
+    * that ranks documents is insensitive to sub-1/256 CDF error.
+    *
+    * Output: the input row (`id` as `doc_id`) + `cdf_i` per signal (4 dp)
+    * + `composite` (the weight-normalized blend, 4 dp). Rows where ANY
+    * signal is null get a null composite (that signal's CDF is
+    * undefined — an arbitrary 0 would silently sink the row's rank).
+    */
+  def cdfBlend(
+      df: DataFrame,
+      id: Column,
+      signals: Seq[(Column, Double)],
+      bins: Int = 256
+  ): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    require(signals.forall(_._2 > 0), s"weights must be positive: ${signals.map(_._2)}")
+    require(bins >= 2 && bins <= 65536, s"bins out of range: $bins")
+    val wTotal = signals.map(_._2).sum
+    val qs = (1 until bins).map(_.toDouble / bins)
+    val cdfCols = signals.zipWithIndex.map { case ((sig, _), i) =>
+      val cuts = exactQuantiles(df, lit(0), sig, qs)
+        .select(col("value")).collect().map(_.getDouble(0)).sorted
+      val cutsCol = lit(cuts) // ≤ bins doubles — a few KB, never a big Literal
+      val v = sig.cast("double")
+      when(v.isNotNull,
+        size(filter(cutsCol, c => c <= v)).cast("double") / bins)
+        .as(s"cdf_$i")
+    }
+    val composite = signals.zipWithIndex
+      .map { case ((_, w), i) => col(s"cdf_$i") * (w / wTotal) }
+      .reduce(_ + _)
+    df.select((id.as("doc_id") +: cdfCols): _*)
+      .select(
+        (col("doc_id") +:
+          signals.indices.map(i => round(col(s"cdf_$i"), 4).as(s"cdf_$i"))) :+
+          round(composite, 4).as("composite"): _*)
+  }
 }

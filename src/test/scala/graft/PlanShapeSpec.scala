@@ -380,6 +380,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s146.contains("CartesianProduct"), s146)
   }
 
+  test("round-10 shapes: q147/q148 ride the shuffled cell join with broadcast disabled; " +
+      "q149's blend is a pure per-row projection") {
+    // q147/q148 inherit q144's both-sides-large contract: no broadcast
+    // available → keyed shuffled join, never a nested-loop fallback
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("q147_label_propagate", "q148_hard_negatives")) {
+        val s = simplePlan(name)
+        assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s"$name: $s")
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$name: $s")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // q149: the quantile refinement runs eagerly at build time (bounded
+    // driver cut points); the RESULT plan is one scan + per-row CDF
+    // expressions — zero exchanges, zero sorts, nothing wide
+    val s149 = simplePlan("q149_cdf_blend")
+    assert(!s149.contains("Exchange"), s149)
+    assert(!s149.contains("Sort"), s149)
+    assert("Scan parquet".r.findAllIn(s149).size == 1, s149)
+  }
+
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
@@ -409,7 +432,8 @@ class PlanShapeSpec extends SparkSpec {
     // width anywhere (a reintroduced `lit(centroid)` re-creates the 6 MiB
     // task binaries even though each single literal is small)
     for (name <- Seq("q25_ann_topk", "q31_ann_lsh", "q32_ann_ivf",
-        "q52_quantized_ann", "q91_semantic_dedup", "q122_ann_recall")) {
+        "q52_quantized_ann", "q91_semantic_dedup", "q122_ann_recall",
+        "q144_knn_join", "q147_label_propagate", "q148_hard_negatives")) {
       val centroidish = literals(name).filter { l =>
         l.dataType match {
           case ArrayType(FloatType, _) =>
