@@ -1276,6 +1276,33 @@ object ExtensionQueries {
       Seq(col("n_chars") -> 0.75, TextFunctions.wsTokenCount(col("text")) -> 0.25),
       bins = 256)
 
+  /** Reciprocal-rank fusion ([[graft.similarity.Ranking.rrfFuse]]): the
+    * IVF-ANN ranking fused with a 16-dim-truncated brute-force ranking
+    * (standing in for any second retriever) for a 5-query panel.
+    */
+  private def q150RrfFuse(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") < 5)
+    val ann = graft.similarity.IVF.joinTopK(
+      emb, q, col("vec_id"), col("embedding"),
+      k = 10, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids)
+    val truncated = graft.similarity.KNN.bruteForceTopK(
+      emb, q, col("vec_id"), slice(col("embedding"), 1, 16), 10)
+    graft.similarity.Ranking.rrfFuse(Seq(ann, truncated), k = 10)
+  }
+
+  /** Dimension-ablation recall curve
+    * ([[graft.similarity.Ranking.dimAblationRecall]]): micro recall@10 of
+    * first-d-dims brute force vs full-width truth, d ∈ {8, 16, 32, 64}
+    * (64 = full width — its row is the recall-1.0 sanity anchor).
+    */
+  private def q151DimAblation(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    graft.similarity.Ranking.dimAblationRecall(
+      emb, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      dims = Seq(8, 16, 32, 64), k = 10)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1394,6 +1421,8 @@ object ExtensionQueries {
     "q147_label_propagate" -> (q147LabelPropagate _),
     "q148_hard_negatives" -> (q148HardNegatives _),
     "q149_cdf_blend" -> (q149CdfBlend _),
+    "q150_rrf_fuse" -> (q150RrfFuse _),
+    "q151_dim_ablation" -> (q151DimAblation _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -2993,6 +3022,63 @@ object ExtensionQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, q_label, n_id, n_label, cosine, rank::INT AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q150_rrf_fuse" ->
+      // list A: q144's IVF arithmetic with probes restricted to the
+      // 5-query panel; list B: brute-force cosine over the FIRST 16 dims;
+      // fuse: 1/(60+rank) per list, fixed-order sum, top-10 per query.
+      // rrf_score ships UNROUNDED — both engines compute the identical
+      // doubles, and rounding identical doubles is where they disagree
+      s"""WITH $duckIvfAssignedCtes,
+         |probes AS (SELECT vec_id AS q_id, embedding AS q_vec, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn FROM sc)
+         |  WHERE rn <= 2 AND vec_id < 5),
+         |sA AS (SELECT p.q_id, a.vec_id AS n_id, $duckCosPA AS cosine
+         |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
+         |rA AS (SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk FROM sA),
+         |sB AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |      round(list_sum(list_transform(range(1, 17), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |        / (sqrt(list_sum(list_transform(range(1, 17), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         |         * sqrt(list_sum(list_transform(range(1, 17), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine
+         |      FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < 5),
+         |rB AS (SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk FROM sB),
+         |u AS (SELECT q_id, n_id,
+         |      max(CASE WHEN lst = 0 THEN 1.0 / (60 + rk) END) AS s0,
+         |      max(CASE WHEN lst = 1 THEN 1.0 / (60 + rk) END) AS s1
+         |  FROM (SELECT q_id, n_id, rk, 0 AS lst FROM rA WHERE rk <= 10
+         |        UNION ALL SELECT q_id, n_id, rk, 1 FROM rB WHERE rk <= 10)
+         |  GROUP BY 1, 2),
+         |f AS (SELECT q_id, n_id, coalesce(s0, 0.0) + coalesce(s1, 0.0) AS rrf_score FROM u),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rrf_score DESC, n_id) AS rank FROM f)
+         |SELECT q_id, n_id, rrf_score, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q151_dim_ablation" ->
+      // truth = full-width brute force top-10 (the q25 CTE); per d: the
+      // same ranking over the first d dims; micro recall = exact hit
+      // totals over truth totals
+      s"""WITH ds(d) AS (SELECT unnest([8, 16, 32, 64])),
+         |ts AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, $duckCos AS cosine
+         |       FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |       WHERE a.vec_id < 5),
+         |truth AS (SELECT q_id, n_id FROM
+         |  (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk FROM ts)
+         |  WHERE rk <= 10),
+         |aps AS (SELECT ds.d, a.vec_id AS q_id, b.vec_id AS n_id,
+         |      round(list_sum(list_transform(range(1, ds.d + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         |        / (sqrt(list_sum(list_transform(range(1, ds.d + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+         |         * sqrt(list_sum(list_transform(range(1, ds.d + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))), 4) AS cosine
+         |      FROM ds CROSS JOIN embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+         |      WHERE a.vec_id < 5),
+         |appr AS (SELECT d, q_id, n_id FROM
+         |  (SELECT d, q_id, n_id, row_number() OVER (PARTITION BY d, q_id ORDER BY cosine DESC, n_id) AS rk FROM aps)
+         |  WHERE rk <= 10)
+         |SELECT ds.d AS n_dims, count(*)::BIGINT AS n_truth,
+         |  sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+         |  round(sum(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 4) AS recall
+         |FROM ds CROSS JOIN truth t
+         |LEFT JOIN appr ap ON ap.d = ds.d AND ap.q_id = t.q_id AND ap.n_id = t.n_id
+         |GROUP BY 1""".stripMargin,
     "q149_cdf_blend" ->
       // per signal: 255 type-1 cut points at j/256 (the q103 rank walk),
       // cdf = |{cuts <= v}| / 256 (multiset count), composite =

@@ -337,10 +337,15 @@ object Quantiles {
     val cdfCols = signals.zipWithIndex.map { case ((sig, _), i) =>
       val cuts = exactQuantiles(df, lit(0), sig, qs)
         .select(col("value")).collect().map(_.getDouble(0)).sorted
-      val cutsCol = lit(cuts) // ≤ bins doubles — a few KB, never a big Literal
+      // binary-search count of cuts <= v ([[graft.plans.SearchSortedCountF]]):
+      // evaluates the signal ONCE per row (a HOF filter lambda re-evaluates
+      // it per cut — bins−1 tokenizer passes per row, profiled 15× slower)
+      // and costs O(log bins), allocation-free, inside codegen
       val v = sig.cast("double")
-      when(v.isNotNull,
-        size(filter(cutsCol, c => c <= v)).cast("double") / bins)
+      (org.apache.spark.sql.GraftBridge.column(
+        graft.plans.SearchSortedCountF(
+          cuts, org.apache.spark.sql.GraftBridge.expression(v)))
+        .cast("double") / bins)
         .as(s"cdf_$i")
     }
     val composite = signals.zipWithIndex

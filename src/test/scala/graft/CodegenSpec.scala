@@ -359,4 +359,28 @@ class CodegenSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("literal"))
   }
+
+  test("SearchSortedCountF generated Java compiles; count matches the HOF filter form it replaced") {
+    import graft.plans.SearchSortedCountF
+    val cuts = Array(1.0, 3.0, 3.0, 7.5, 10.0) // duplicates on purpose — ties count
+    val expr = SearchSortedCountF(cuts, BoundReference(0, DoubleType, nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr))
+    // (value, expected #{cuts <= v}) — below-min 0, above-max len, exact-tie
+    // includes ALL equal cuts (type-1 quantile semantics, same as `c <= v`)
+    val cases = Seq(0.5 -> 0, 1.0 -> 1, 2.9 -> 1, 3.0 -> 3, 7.5 -> 4, 9.0 -> 4, 10.0 -> 5, 99.0 -> 5)
+    for ((v, expected) <- cases) {
+      assert(proj(InternalRow(v)).getInt(0) === expected, s"compiled v=$v")
+      assert(expr.eval(InternalRow(v)) === expected, s"interpreted v=$v")
+    }
+    assert(proj(InternalRow(null)).isNullAt(0))
+    // end-to-end parity: the expression inside a Dataset plan agrees with
+    // size(filter(...)) — the exact form cdfBlend used before the swap
+    import spark.implicits._
+    val vals = Seq(0.5, 1.0, 3.0, 8.0, 11.0).toDF("v")
+    val viaExpr = vals.select(org.apache.spark.sql.GraftBridge.column(
+      SearchSortedCountF(cuts, org.apache.spark.sql.GraftBridge.expression(col("v").cast("double"))))
+      .as("n")).as[Int].collect()
+    val viaHof = vals.select(size(filter(lit(cuts), c => c <= col("v"))).as("n")).as[Int].collect()
+    assert(viaExpr.toSeq === viaHof.toSeq)
+  }
 }

@@ -401,6 +401,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s149.contains("Exchange"), s149)
     assert(!s149.contains("Sort"), s149)
     assert("Scan parquet".r.findAllIn(s149).size == 1, s149)
+    // q149's CDF kernel is the codegen'd binary-search expression
+    // (evaluates the signal ONCE per row), not a HOF filter over the cut
+    // array (which re-evaluates the signal per cut — the 15 s regression
+    // this expression replaced; the signal itself may still contain HOFs)
+    assert(s149.contains("graft_search_sorted_count"), s149)
+  }
+
+  test("round-10 shapes: q150's fusion is one aggregate over top-k lists with a " +
+      "group-limited rank; q151 joins the corpus only against the broadcast probe panel") {
+    // q150: inputs are top-k LISTS (≈ queries·k rows each), so the fuse
+    // itself must be one hash aggregate + WindowGroupLimit — the heavy
+    // lifting stays inside the upstream retrievers
+    val s150 = simplePlan("q150_rrf_fuse")
+    assert(s150.contains("WindowGroupLimit"), s150)
+    assert(!s150.contains("CartesianProduct"), s150)
+    assert(!s150.matches("(?s).*Sort .*global=true.*"), s150)
+    // q151: every ablation width scans the corpus against the ≤|panel|-row
+    // broadcast query side (q25's contract) — never a corpus-vs-corpus join
+    val s151 = simplePlan("q151_dim_ablation")
+    assert(!s151.contains("CartesianProduct"), s151)
+    assert(!s151.contains("SortMergeJoin"), s151)
+    assert(s151.contains("BroadcastNestedLoopJoin") || s151.contains("BroadcastHashJoin"), s151)
   }
 
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {

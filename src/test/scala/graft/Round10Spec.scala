@@ -113,4 +113,54 @@ class Round10Spec extends SparkSpec {
       assert(math.abs(c - r) < 0.02, s"doc $id: composite $c vs exact $r")
     }
   }
+
+  test("rrfFuse: hand-checked scores; a doc missing from one list contributes 0 from it; " +
+      "score ties break to the LOWEST n_id") {
+    import graft.similarity.Ranking
+    // list A ranks (n1, n2, n3); list B ranks (n2, n1, n4) — n3/n4 each
+    // appear in only one list
+    def lst(rows: (Long, Long, Int)*) = rows.toSeq.toDF("q_id", "n_id", "rank")
+    val a = lst((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+    val b = lst((0L, 2L, 1), (0L, 1L, 2), (0L, 4L, 3))
+    val out = Ranking.rrfFuse(Seq(a, b), k = 10, c = 60)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val s1 = 1.0 / 61 + 1.0 / 62 // n1: rank 1 in A, 2 in B
+    val s2 = 1.0 / 62 + 1.0 / 61 // n2: mirror — EXACT tie with n1
+    val s3 = 1.0 / 63            // n3: only in A
+    val s4 = 1.0 / 63            // n4: only in B — ties n3, lower id first
+    assert(out === Seq((1L, s1, 1), (2L, s2, 2), (3L, s3, 3), (4L, s4, 4)))
+  }
+
+  test("rrfFuse: fixed fold order — score is bit-identical regardless of input row order") {
+    import graft.similarity.Ranking
+    val rng = new scala.util.Random(41)
+    def panel(seed: Int) = (0 until 3).flatMap { q =>
+      rng.shuffle((1 to 20).toList).take(10).zipWithIndex.map { case (n, i) =>
+        (q.toLong, n.toLong, i + 1)
+      }
+    }.toDF("q_id", "n_id", "rank")
+    val (a, b) = (panel(1), panel(2))
+    val once = Ranking.rrfFuse(Seq(a, b), k = 5).orderBy("q_id", "rank").collect().toSeq
+    val again = Ranking.rrfFuse(Seq(a.repartition(7), b.orderBy(rand(9))), k = 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(once === again)
+  }
+
+  test("dimAblationRecall: full-width row anchors at recall 1.0; recall is non-decreasing " +
+      "in dims on a monotone hand corpus") {
+    import graft.similarity.Ranking
+    val rng = new scala.util.Random(5)
+    val corpus = (1L to 40L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "vec")
+    val out = Ranking.dimAblationRecall(
+      corpus, corpus.where(col("vec_id") <= 3), col("vec_id"), col("vec"),
+      dims = Seq(2, 8), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(out.size == 2)
+    val full = out.last
+    assert(full._1 == 8 && full._2 == 15 && full._3 == 15 && full._4 == 1.0,
+      s"full-width row must be exact recall 1.0: $full")
+    assert(out.head._3 <= full._3)
+  }
 }
