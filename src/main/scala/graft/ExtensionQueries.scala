@@ -1303,6 +1303,27 @@ object ExtensionQueries {
       dims = Seq(8, 16, 32, 64), k = 10)
   }
 
+  /** MMR diversity re-rank ([[graft.similarity.Ranking.mmrRerank]]): the
+    * 5-query panel's brute-force top-20 re-ordered greedily at λ = 0.75,
+    * k = 5 — relevance traded against redundancy with prior picks. The
+    * oracle replays the greedy exactly (unrolled k steps over the same
+    * 4-dp score grid), so rank AND score hash-match.
+    */
+  private def q152MmrRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.where(col("vec_id") < 5)
+    val cand = graft.similarity.KNN.bruteForceTopK(
+      emb, q, col("vec_id"), col("embedding"), 20)
+    // fetch each candidate's vector: ≤ |panel|·20 rows broadcast against
+    // the corpus scan — the corpus is never shuffled
+    val withVec = emb
+      .select(col("vec_id").as("n_id"), col("embedding").as("vec"))
+      .join(broadcast(cand.select(col("q_id"), col("n_id"), col("cosine").as("rel"))), Seq("n_id"))
+    graft.similarity.Ranking.mmrRerank(
+      withVec.select(col("q_id"), col("n_id"), col("rel"), col("vec")),
+      k = 5, lambda = 0.75)
+  }
+
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1423,6 +1444,7 @@ object ExtensionQueries {
     "q149_cdf_blend" -> (q149CdfBlend _),
     "q150_rrf_fuse" -> (q150RrfFuse _),
     "q151_dim_ablation" -> (q151DimAblation _),
+    "q152_mmr_rerank" -> (q152MmrRerank _),
     "q85_drop_seen" -> (q85DropSeen _)
   )
 
@@ -1526,6 +1548,52 @@ object ExtensionQueries {
     "round(list_sum(list_transform(range(1, 65), i -> p.q_vec[i]::DOUBLE * a.embedding[i]::DOUBLE))" +
       " / (sqrt(list_sum(list_transform(p.q_vec, x -> x::DOUBLE * x::DOUBLE)))" +
       " * sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))), 4)"
+
+  /** Unrolled MMR greedy for the q152 oracle: step i picks, per query, the
+    * argmax of `0.75·rel − (1−0.75)·maxsim-to-picked` among unpicked
+    * candidates (ties → lowest n_id) — k plain CTE hops, no recursion, on
+    * the same 4-dp rel/sim grid the Spark greedy walks.
+    */
+  private def duckMmrSql(k: Int): String = {
+    val steps = (2 to k).map { i =>
+      s"""c$i AS (
+         |  SELECT c.q_id, c.n_id, max(c.rel) AS rel, max(s.sim) AS ms
+         |  FROM cands c
+         |  JOIN sel${i - 1} sp ON sp.q_id = c.q_id
+         |  JOIN psim s ON s.q_id = c.q_id AND s.ai = c.n_id AND s.bi = sp.n_id
+         |  LEFT JOIN sel${i - 1} ex ON ex.q_id = c.q_id AND ex.n_id = c.n_id
+         |  WHERE ex.n_id IS NULL
+         |  GROUP BY 1, 2),
+         |p$i AS (
+         |  SELECT q_id, n_id, round(0.75 * rel - (1 - 0.75) * ms, 4) AS mmr_score, $i AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY 0.75 * rel - (1 - 0.75) * ms DESC, n_id) AS rn
+         |    FROM c$i)
+         |  WHERE rn = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT q_id, n_id FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")
+    s"""WITH ts AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS n_id, b.embedding AS n_vec, $duckCos AS rel
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+       |  WHERE a.vec_id < 5),
+       |cands AS (
+       |  SELECT q_id, n_id, n_vec, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rk FROM ts)
+       |  WHERE rk <= 20),
+       |psim AS (
+       |  SELECT x.q_id, x.n_id AS ai, y.n_id AS bi,
+       |    round(list_sum(list_transform(range(1, 65), i -> x.n_vec[i]::DOUBLE * y.n_vec[i]::DOUBLE))
+       |      / (sqrt(list_sum(list_transform(x.n_vec, v -> v::DOUBLE * v::DOUBLE)))
+       |       * sqrt(list_sum(list_transform(y.n_vec, v -> v::DOUBLE * v::DOUBLE)))), 4) AS sim
+       |  FROM cands x JOIN cands y ON y.q_id = x.q_id AND y.n_id != x.n_id),
+       |p1 AS (
+       |  SELECT q_id, n_id, round(0.75 * rel, 4) AS mmr_score, 1 AS rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn FROM cands)
+       |  WHERE rn = 1),
+       |sel1 AS (SELECT q_id, n_id FROM p1),
+       |$steps
+       |SELECT q_id, n_id, mmr_score, rank::INT AS rank FROM ($union)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -3079,6 +3147,7 @@ object ExtensionQueries {
          |FROM ds CROSS JOIN truth t
          |LEFT JOIN appr ap ON ap.d = ds.d AND ap.q_id = t.q_id AND ap.n_id = t.n_id
          |GROUP BY 1""".stripMargin,
+    "q152_mmr_rerank" -> duckMmrSql(5),
     "q149_cdf_blend" ->
       // per signal: 255 type-1 cut points at j/256 (the q103 rank walk),
       // cdf = |{cuts <= v}| / 256 (multiset count), composite =

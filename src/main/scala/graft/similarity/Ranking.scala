@@ -123,7 +123,10 @@ object Ranking {
           if (nn > 0) r4(dot / nn) else 0.0
         }
         val picked = new Array[Boolean](n)
-        val maxSim = new Array[Double](n) // max cosine to the picked set
+        // max cosine to the picked set — a genuine max (cosines can be
+        // NEGATIVE; a 0.0 floor would hide anti-correlated redundancy).
+        // −∞ marks "picked set empty so far": the term is 0 by convention.
+        val maxSim = Array.fill(n)(Double.NegativeInfinity)
         val out = Seq.newBuilder[(Long, Long, Double, Int)]
         var step = 1
         val kk = math.min(k, n)
@@ -133,7 +136,8 @@ object Ranking {
           var i = 0
           while (i < n) {
             if (!picked(i)) {
-              val score = lambda * c(i)._3 - oneMinus * maxSim(i)
+              val red = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+              val score = lambda * c(i)._3 - oneMinus * red
               // strict > plus sorted-by-n_id scan = lowest-id tie-break
               if (score > bestScore) { best = i; bestScore = score }
             }

@@ -423,6 +423,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s151.contains("CartesianProduct"), s151)
     assert(!s151.contains("SortMergeJoin"), s151)
     assert(s151.contains("BroadcastNestedLoopJoin") || s151.contains("BroadcastHashJoin"), s151)
+    // q152: the candidate-fetch join rides a broadcast of the ≤ panel·n
+    // top-k list (the corpus scan is never shuffled); the greedy itself
+    // exchanges only the candidate rows on q_id into MapGroups
+    val s152 = simplePlan("q152_mmr_rerank")
+    assert(s152.contains("BroadcastHashJoin"), s152)
+    assert(!s152.contains("CartesianProduct"), s152)
+    assert(s152.contains("MapGroups"), s152)
   }
 
   test("no gated query plan inlines a large Literal; IVF gates carry no centroid Literals") {

@@ -146,6 +146,52 @@ class Round10Spec extends SparkSpec {
     assert(once === again)
   }
 
+  test("mmrRerank: hand-walked greedy — redundancy flips the relevance order; negative " +
+      "cosines are real maxima (no 0 floor); λ=1 degenerates to pure relevance order") {
+    import graft.similarity.Ranking
+    // q0's candidates: n1 and n2 are near-duplicates of each other with top
+    // relevance; n3 is orthogonal with lower relevance. Pure relevance
+    // order is (n1, n2, n3); MMR at λ=0.5 must demote the duplicate n2.
+    val cands = Seq(
+      (0L, 1L, 0.90, Array(1.0f, 0.0f)),
+      (0L, 2L, 0.89, Array(0.999f, 0.01f)),
+      (0L, 3L, 0.50, Array(0.0f, 1.0f))
+    ).toDF("q_id", "n_id", "rel", "vec")
+    val picks = Ranking.mmrRerank(cands, k = 3, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // step1: n1 (0.5·0.90 = 0.45); step2: n2 scores 0.5·0.89 − 0.5·~1.0 ≈
+    // −0.055, n3 scores 0.5·0.50 − 0.5·0 = 0.25 → n3; step3: n2 last
+    assert(picks.map(_._1) === Seq(1L, 3L, 2L), picks)
+    assert(picks.head._2 === 0.45)
+    assert(picks(1)._2 === 0.25)
+    // negative max-sim: opposite vectors REWARD diversity (score above
+    // λ·rel) — a 0.0 floor would clamp this away
+    val neg = Seq(
+      (1L, 1L, 0.80, Array(1.0f, 0.0f)),
+      (1L, 2L, 0.10, Array(-1.0f, 0.0f))
+    ).toDF("q_id", "n_id", "rel", "vec")
+    val negPicks = Ranking.mmrRerank(neg, k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(negPicks(1) === ((2L, 0.5 * 0.10 - 0.5 * (-1.0))), negPicks) // 0.55 > λ·rel
+    // λ=1: exactly the relevance ranking, ties to lowest n_id
+    val flat = Seq(
+      (2L, 5L, 0.7, Array(1.0f, 0.0f)), (2L, 4L, 0.7, Array(0.0f, 1.0f)),
+      (2L, 6L, 0.9, Array(1.0f, 1.0f))
+    ).toDF("q_id", "n_id", "rel", "vec")
+    val ordered = Ranking.mmrRerank(flat, k = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(ordered === Seq(6L, 4L, 5L))
+    // oversized candidate lists fail loudly — this is a re-ranker
+    val big = (1 to 40).map(i => (9L, i.toLong, 0.5, Array(1.0f, 0.0f)))
+      .toDF("q_id", "n_id", "rel", "vec")
+    val err = intercept[Exception] {
+      Ranking.mmrRerank(big, k = 2, maxCandidates = 10).collect()
+    }
+    assert(err.getMessage.contains("re-orders a top-n list")
+      || err.getCause != null && err.getCause.getMessage.contains("re-orders a top-n list"),
+      err.getMessage)
+  }
+
   test("dimAblationRecall: full-width row anchors at recall 1.0; recall is non-decreasing " +
       "in dims on a monotone hand corpus") {
     import graft.similarity.Ranking
