@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextFunctions
 import graft.sources.Tables
 import graft.streaming.StreamingFlows
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -704,7 +705,61 @@ object StreamingGates {
       col("is_current"))
   }
 
+  /** Streaming φ-heavy hitters over the q102 token stream
+    * ([[StreamingFlows.heavyHittersTWS]] — Misra–Gries, bounded state):
+    * document texts arrive as FOUR micro-batches, tokenized INSIDE the
+    * stream with the exact q102 tokenizer column, and each shard's
+    * bounded summary re-emits per touching batch. The readout takes the
+    * union of emitted items as the candidate set (a superset of every
+    * final summary) and recounts them EXACTLY over the same corpus at
+    * q102's threshold: capacity 34 > 1/0.03 − 1, so MG's one-sided
+    * error guarantees no heavy term is missed and the HAVING removes
+    * every light candidate — the result must hash-match q102's batch
+    * oracle verbatim. TimeMode.None (no timers), so
+    * `processAllAvailable` is safe.
+    */
+  private def q153HeavyStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // transformWithState requires RocksDB (column families); scoped with
+    // restore as in q83/q135 — no provider leakage into later gates
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val texts = Tables.documents(s, d).select(col("text")).as[String].collect()
+    val in = MemoryStream[String]
+    val terms = in.toDF()
+      .select(explode(TextFunctions.wsTokens(col("value"))).as("term")).as[String]
+    val summaries = StreamingFlows
+      .heavyHittersTWS[String](identity, capacity = 34, shards = 32)
+      .apply(terms)
+    val sink = sinkName("q153")
+    val q = summaries.toDF("shard", "item", "mg_cnt")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      texts.grouped(math.max(1, texts.length / 4 + 1)).foreach { chunk =>
+        in.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val candidates = s.table(sink).select(col("item").as("term")).distinct()
+    val toks = Tables.documents(s, d)
+      .select(explode(TextFunctions.wsTokens(col("text"))).as("term"))
+    val n = toks.count()
+    val thr = math.max(1L, math.ceil(0.03 * n).toLong) // q102's exact arithmetic
+    toks.join(candidates, Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= thr)
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_heavy_stream" -> (q153HeavyStream _),
     "q141_historize_stream" -> (q141HistorizeStream _),
     "q126_upsert_stream" -> (q126UpsertStream _),
     "q125_sessionize_stream" -> (q125SessionizeStream _),
@@ -725,6 +780,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
     "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),
     "q114_transitions_stream" -> ExtensionQueries.oracleSql("q111_transitions"),

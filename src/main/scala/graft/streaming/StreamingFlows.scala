@@ -805,4 +805,79 @@ object StreamingFlows {
     ds.groupByKey(keyFn)
       .transformWithState(processor, TimeMode.ProcessingTime(), OutputMode.Append())
   }
+
+  /** MISRA–GRIES heavy-hitter summary on `transformWithState` — the
+    * STREAMING side of the two-pass heavy-hitter discipline
+    * ([[graft.functions.Sketches.heavyHitters]] is the batch side, CMS +
+    * exact recount): per-key state is a BOUNDED map of `capacity`
+    * counters, never the full term dictionary, so state size is
+    * O(shards · capacity) regardless of stream cardinality — the only
+    * shape that survives an unbounded vocabulary.
+    *
+    * Sharding: items hash to `shards` keys, so EVERY occurrence of a term
+    * lands in one shard and the term's in-shard frequency equals its
+    * global count. The Misra–Gries invariant (any item with in-shard
+    * frequency > N_shard/(capacity+1) is in that shard's summary, and
+    * N_shard ≤ N) then gives the NO-FALSE-NEGATIVE guarantee: every term
+    * with global count ≥ N/(capacity+1) is in some emitted summary. Pick
+    * `capacity ≥ 1/φ − 1` for φ-heavy hitters and recount the candidates
+    * exactly — identical one-sided-error contract as the CMS prefilter.
+    *
+    * Emission: each micro-batch that touches a shard re-emits that
+    * shard's CURRENT summary `(shard, item, cnt)` (`cnt` is the MG lower
+    * bound, an undercount by ≤ N_shard/(capacity+1) — a candidate
+    * screen, not a count). The union of emissions across batches is a
+    * superset of every final summary, so `SELECT DISTINCT item` over the
+    * sink is the candidate set. Volume: ≤ shards·capacity rows per
+    * batch.
+    */
+  def heavyHittersTWS[V: Encoder](
+      itemFn: V => String,
+      capacity: Int,
+      shards: Int = 32
+  )(implicit outEnc: Encoder[(Int, String, Long)]): Dataset[V] => Dataset[(Int, String, Long)] = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(shards > 0, s"shards must be positive: $shards")
+    ds =>
+    // native Catalyst map encoder (kryo trips Java-17 module access on
+    // the immutable-Map internals; a MapType state row needs neither),
+    // resolved+bound up front — the state API consumes it as-is
+    val mapEnc: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+        .resolveAndBind()
+    val processor = new StatefulProcessor[Int, V, (Int, String, Long)] {
+      @transient private var state: ValueState[Map[String, Long]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Map[String, Long]](
+          "graft_mg_summary", mapEnc, TTLConfig.NONE)
+      override def handleInputRows(
+          key: Int, rows: Iterator[V], tv: TimerValues): Iterator[(Int, String, Long)] = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        if (state.exists()) m ++= state.get()
+        rows.foreach { v =>
+          val t = itemFn(v)
+          m.get(t) match {
+            case Some(c) => m.update(t, c + 1)
+            case None if m.size < capacity => m.update(t, 1L)
+            case None =>
+              // the MG step: a miss with a full table decrements EVERY
+              // counter — one stream element cancels against `capacity`
+              // others, which is where the N/(capacity+1) bound comes from
+              val dead = List.newBuilder[String]
+              m.keysIterator.foreach { k =>
+                val c = m(k) - 1
+                if (c == 0) dead += k else m.update(k, c)
+              }
+              dead.result().foreach(m.remove)
+          }
+        }
+        state.update(m.toMap)
+        // deterministic emission order (map order is not)
+        m.toSeq.sortBy(_._1).iterator.map { case (t, c) => (key, t, c) }
+      }
+    }
+    ds.groupByKey(v => math.floorMod(itemFn(v).hashCode, shards))(
+        org.apache.spark.sql.Encoders.scalaInt)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -441,4 +441,48 @@ class StreamingSpec extends SparkSpec {
       assert(got(3L) == 2L, s"numbering restarted: $got")
     } finally q.stop()
   }
+
+  test("heavyHittersTWS: Misra–Gries decrements on a full table, state stays bounded at " +
+      "capacity, and the heavy item survives eviction pressure across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[String]
+      // ONE shard: every item shares a counter table of capacity 2, so the
+      // uniques ("u1".."u4") repeatedly force the decrement-all step
+      val out = StreamingFlows.heavyHittersTWS[String](identity, capacity = 2, shards = 1)
+        .apply(in.toDS())
+      val q = out.toDF("shard", "item", "cnt").writeStream.format("memory")
+        .queryName("tws_mg_out").outputMode("append").start()
+      try {
+        // batch 1: a=3, b=1, u1, u2 (N=7). capacity 2: after a,a,b the
+        // table is {a:2+1=3? walk: a->1, a->2, b->1, u1 decrements both
+        // -> {a:2}, u2 joins -> {a:2, u2:1}}
+        in.addData("a", "a", "b", "u1", "a", "u2")
+        q.processAllAvailable()
+        val batch1 = spark.table("tws_mg_out").as[(Int, String, Long)].collect()
+        assert(batch1.length <= 2, s"summary exceeds capacity: ${batch1.toSeq}")
+        assert(batch1.exists(_._2 == "a"), batch1.toSeq.toString)
+        // batch 2: more a's + fresh uniques — counts continue from STATE
+        // (not from zero), a must survive and dominate
+        in.addData("u3", "a", "a", "u4", "a")
+        q.processAllAvailable()
+        val all = spark.table("tws_mg_out").as[(Int, String, Long)].collect()
+        // final emission = rows of the 2nd batch; per-batch emission ≤ capacity
+        assert(all.length - batch1.length <= 2, all.toSeq.toString)
+        val finalA = all.drop(batch1.length).find(_._2 == "a")
+        assert(finalA.isDefined, s"heavy item evicted: ${all.toSeq}")
+        // MG undercount bound: true count 6, error ≤ N/(capacity+1) = 11/3
+        assert(finalA.get._3 >= 6 - 11 / 3 && finalA.get._3 <= 6, finalA.toString)
+        // candidate-union contract: DISTINCT over every emission contains
+        // the heavy item — the q153 readout's exact recount then fixes cnt
+        assert(all.map(_._2).distinct.contains("a"))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
