@@ -1,0 +1,171 @@
+package graft
+
+import graft.graphs.Graphs
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics gates (q154–q156): PageRank, triangle counting, and
+  * frontier BFS over edge relations derived from the TPC-H-ish tables.
+  *
+  * The graphs are built from `lineitem`:
+  *  - the SUPPLIER TRANSITION digraph — within each order, an edge from the
+  *    supplier of line `i` to the supplier of line `i+1` (by
+  *    `l_linenumber`); a stand-in for the navigation/link graphs a
+  *    source-quality ranker scores;
+  *  - the PART CO-ORDER graph — an undirected edge between two parts that
+  *    appear in the same order; a stand-in for co-occurrence graphs.
+  *
+  * The DuckDB oracles replay the algorithms exactly — PageRank as five
+  * unrolled iteration CTEs on the same 10^-7 rank grid, BFS as four
+  * frontier CTEs, triangles as the same degree-oriented wedge join — so
+  * the gates hash-compare full result sets, not summaries.
+  */
+object GraphGates {
+
+  private val PrIters = 5
+  private val PrScale = 7
+  private val KhopQty = 48
+  private val KhopSeeds = 5
+  private val KhopMax = 3
+
+  /** Supplier transition edges (src, dst); `minQty` filters lines first so
+    * the k-hop gate runs on a sparse graph with real hop diversity.
+    *
+    * `(l_orderkey, l_linenumber)` is NOT unique in the driver data, so the
+    * window orders by `(l_linenumber, l_suppkey)`: rows tying on both keys
+    * carry the SAME suppkey, which makes the per-order supplier SEQUENCE —
+    * and therefore the edge set — deterministic and engine-independent
+    * even though the row order among ties is not.
+    */
+  private def transitions(s: SparkSession, d: String, minQty: Option[Int]): DataFrame = {
+    val li0 = Tables.lineitem(s, d)
+    val li = minQty.fold(li0)(q => li0.where(col("l_quantity") >= q))
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_suppkey"))
+    li.select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+  }
+
+  /** q154 — PageRank over the supplier transition digraph, 5 iterations,
+    * d=0.85, ranks on the 10^-7 grid. One join + one aggregate + one
+    * bounded dangling scalar per iteration ([[Graphs.pageRank]]).
+    */
+  private def q154PageRank(s: SparkSession, d: String): DataFrame =
+    Graphs.pageRank(
+      Tables.supplier(s, d), col("s_suppkey"),
+      transitions(s, d, None), col("src"), col("dst"),
+      iters = PrIters, damping = 0.85, scale = PrScale)
+
+  /** q155 — per-part triangle counts on the part co-order graph via the
+    * degree-oriented wedge join ([[Graphs.triangleCounts]]): out-degrees
+    * bounded ≤ O(√E) under the orientation, so hub parts cannot generate
+    * quadratic wedges.
+    */
+  private def q155Triangles(s: SparkSession, d: String): DataFrame = {
+    val lp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = lp.as("x").join(lp.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+    Graphs.triangleCounts(pairs, col("pa"), col("pb"))
+  }
+
+  /** q156 — minimum hop distance (≤ 3) from suppliers 0–5 over the SPARSE
+    * transition graph (lines with `l_quantity ≥ 48` only). Frontier-only
+    * expansion: each round joins just the newly-reached vertices
+    * ([[Graphs.kHopMinDist]]).
+    */
+  private def q156KHop(s: SparkSession, d: String): DataFrame =
+    Graphs.kHopMinDist(
+      transitions(s, d, Some(KhopQty)), col("src"), col("dst"),
+      Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
+      maxHops = KhopMax)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_pagerank" -> (q154PageRank _),
+    "q155_triangles" -> (q155Triangles _),
+    "q156_khop" -> (q156KHop _)
+  )
+
+  // --- oracles ----------------------------------------------------------
+
+  /** The transition-edge CTEs shared by q154/q156. */
+  private def duckTransitions(filter: String): String =
+    s"""seq AS (SELECT l_orderkey, l_suppkey,
+       |  lead(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS nxt
+       |  FROM lineitem $filter),
+       |e AS (SELECT DISTINCT l_suppkey::BIGINT AS src, nxt::BIGINT AS dst
+       |  FROM seq WHERE nxt IS NOT NULL AND nxt != l_suppkey)""".stripMargin
+
+  /** Five unrolled PageRank iterations on the same grid the engine uses:
+    * per iteration a dangling-mass scalar, an inflow aggregate, and the
+    * damped update rounded to 10^-7.
+    */
+  private def pagerankSql: String = {
+    val prelude =
+      s"""WITH nodes AS (SELECT s_suppkey::BIGINT AS node FROM supplier),
+         |${duckTransitions("")},
+         |od AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT node, round(1.0/(SELECT n FROM nn), $PrScale) AS rank FROM nodes)""".stripMargin
+    val iterations = (1 to PrIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dang FROM $p r
+         |  LEFT JOIN od ON r.node = od.node WHERE od.node IS NULL),
+         |inf$i AS (SELECT e.dst AS node, sum(r.rank/od.outdeg) AS inflow
+         |  FROM e JOIN $p r ON e.src = r.node JOIN od ON od.node = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |  round((1.0-0.85)/(SELECT n FROM nn)
+         |        + 0.85*(coalesce(i.inflow, 0.0) + (SELECT dang FROM d$i)/(SELECT n FROM nn)),
+         |        $PrScale) AS rank
+         |  FROM nodes n LEFT JOIN inf$i i ON n.node = i.node)""".stripMargin
+    }
+    prelude + ",\n" + iterations.mkString(",\n") + s"\nSELECT node, rank FROM r$PrIters"
+  }
+
+  /** The same degree-oriented wedge enumeration as the engine: orient each
+    * edge low-(deg,id) → high-(deg,id); wedges close v1 → v2; every
+    * triangle found once, then counted at all three corners.
+    */
+  private def trianglesSql: String =
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |canon AS (SELECT DISTINCT a.l_partkey::BIGINT AS lo, b.l_partkey::BIGINT AS hi
+      |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (SELECT node, count(*)::BIGINT AS deg
+      |  FROM (SELECT lo AS node FROM canon UNION ALL SELECT hi FROM canon) GROUP BY node),
+      |o AS (SELECT CASE WHEN (dl.deg, lo) < (dh.deg, hi) THEN lo ELSE hi END AS u,
+      |             CASE WHEN (dl.deg, lo) < (dh.deg, hi) THEN hi ELSE lo END AS v,
+      |             CASE WHEN (dl.deg, lo) < (dh.deg, hi) THEN dh.deg ELSE dl.deg END AS dv
+      |  FROM canon JOIN deg dl ON dl.node = lo JOIN deg dh ON dh.node = hi),
+      |tri AS (SELECT e1.u, e1.v AS v1, e2.v AS v2 FROM o e1 JOIN o e2 ON e1.u = e2.u
+      |  AND ((e1.dv, e1.v) < (e2.dv, e2.v))
+      |  WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v))
+      |SELECT node, count(*)::BIGINT AS triangles
+      |FROM (SELECT unnest([u, v1, v2]) AS node FROM tri) GROUP BY node""".stripMargin
+
+  /** Four frontier CTEs with min-hop semantics (a node joins at its first
+    * reachable hop only).
+    */
+  private def khopSql: String =
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |h0 AS (SELECT s_suppkey::BIGINT AS node FROM supplier WHERE s_suppkey <= $KhopSeeds),
+       |h1 AS (SELECT DISTINCT dst AS node FROM e JOIN h0 ON e.src = h0.node
+       |  WHERE dst NOT IN (SELECT node FROM h0)),
+       |h2 AS (SELECT DISTINCT dst AS node FROM e JOIN h1 ON e.src = h1.node
+       |  WHERE dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1)),
+       |h3 AS (SELECT DISTINCT dst AS node FROM e JOIN h2 ON e.src = h2.node
+       |  WHERE dst NOT IN (SELECT node FROM h0 UNION ALL SELECT node FROM h1
+       |                    UNION ALL SELECT node FROM h2))
+       |SELECT node, 0::INT AS hops FROM h0
+       |UNION ALL SELECT node, 1::INT FROM h1
+       |UNION ALL SELECT node, 2::INT FROM h2
+       |UNION ALL SELECT node, 3::INT FROM h3""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q154_pagerank" -> pagerankSql,
+    "q155_triangles" -> trianglesSql,
+    "q156_khop" -> khopSql
+  )
+}

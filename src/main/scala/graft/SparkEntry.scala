@@ -234,7 +234,8 @@ object SparkEntry {
   // --- registry ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ ExtensionQueries.queries ++ StreamingGates.queries
+    coreQueries ++ ExtensionQueries.queries ++ StreamingGates.queries ++
+      GraphGates.queries ++ AnalyticsGates.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_map" -> (q01Map _),
@@ -259,7 +260,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ ExtensionQueries.oracleSql ++ StreamingGates.oracleSql
+    coreOracleSql ++ ExtensionQueries.oracleSql ++ StreamingGates.oracleSql ++
+      GraphGates.oracleSql ++ AnalyticsGates.oracleSql
 
   // private[graft]: StreamingGates shares q09's oracle verbatim (q78)
   private[graft] def coreOracleSql: Map[String, String] = Map(

@@ -1,0 +1,96 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed k-means (Lloyd's algorithm) with
+  * grid-rounded state — the clustering primitive behind IVF coarse
+  * quantizers, SemDeDup cell assignment, and data-mixture analysis.
+  *
+  * Each iteration is the canonical two-job Spark shape:
+  *  1. ASSIGN — a pure map: per-row squared-L2 distance to each of the k
+  *     driver-held centroids (k·dim doubles — broadcast-trivial), argmin
+  *     with ties to the lowest cluster index;
+  *  2. UPDATE — one partial-aggregated shuffle: `avg` of every dimension
+  *     grouped by cluster (k·dim running sums per map task — the shuffle
+  *     carries k rows per partition, never the corpus), k rows collected
+  *     to the driver for the next round's literals.
+  *
+  * Nothing driver-side ever exceeds k·dim; at 100 TB the cost is
+  * `iters` corpus scans with map-side combine, which is Lloyd's lower
+  * bound. (Contrast [[graft.FitCentroids]], which delegates to MLlib for
+  * the one-off IVF bank fit — this operator exists for PIPELINES that
+  * need the fit to be reproducible cross-engine, row-for-row.)
+  *
+  * Determinism: initial centroids are the `k` rows with the smallest ids
+  * (no RNG); distances and centroid coordinates are rounded onto fixed
+  * decimal grids after every step, so double-summation order differences
+  * between partitions (or engines — the DuckDB oracle replays iterations
+  * exactly) never flip an argmin or drift a coordinate.
+  */
+object Clustering {
+
+  /** Final assignment after `iters` Lloyd rounds: one row per input row —
+    * (id, cluster INT, dist DOUBLE on the 10^-distScale grid).
+    *
+    * Empty clusters keep their previous centroid (standard Lloyd
+    * convention; no re-seeding, which would need RNG).
+    */
+  def lloyd(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      distScale: Int = 6,
+      centroidScale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+
+    val rows = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    val dim = {
+      val d = rows.select(size(col("v"))).head().getInt(0)
+      require(d >= 1, "lloyd: empty vectors")
+      d
+    }
+
+    def grid(x: Double, scale: Int): Double = {
+      val f = math.pow(10, scale)
+      math.round(x * f) / f
+    }
+
+    // Seed: the k smallest-id rows, coordinates on the centroid grid.
+    var centroids: Array[Array[Double]] = rows.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray.map(grid(_, centroidScale)))
+    require(centroids.length == k, s"lloyd: need >= $k rows, got ${centroids.length}")
+
+    // (cluster, dist) for the current centroid set: k fused expressions —
+    // literal arrays of k·dim doubles, far below any task-binary concern.
+    def assign(cs: Array[Array[Double]]): DataFrame = {
+      val dists = cs.map { c =>
+        round(
+          aggregate(zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x),
+          distScale)
+      }
+      val dArr = array(dists: _*)
+      rows.select(col("id"), col("v"),
+        (array_position(dArr, array_min(dArr)) - 1).cast("int").as("cluster"),
+        array_min(dArr).as("dist"))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assign(centroids)
+      // ONE aggregate: per-cluster mean of every dimension (map-side
+      // combine; k rows out), collected for the next round.
+      val dimAvgs = (0 until dim).map(p => avg(element_at(col("v"), p + 1)).as(s"p$p"))
+      val updated = assigned.groupBy(col("cluster")).agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect().map { r =>
+          r.getInt(0) -> (0 until dim).map(p => grid(r.getDouble(p + 1), centroidScale)).toArray
+        }.toMap
+      centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
+    }
+
+    assign(centroids).select(col("id"), col("cluster"), col("dist"))
+  }
+}

@@ -284,4 +284,71 @@ object Storage {
       when(inA && inB, array_join(array(diffs: _*), ",")).otherwise(lit("")).as("changed_cols"))
       .where(col("change") =!= "unchanged")
   }
+
+  /** Incremental maintenance of a per-key aggregate view — update
+    * `(key, n, total, mx)` for a batch of row inserts and deletes WITHOUT
+    * re-aggregating the base table.
+    *
+    * The production IVM pattern for a 100-TB base: `count` and `sum` are
+    * self-maintainable (pure delta arithmetic — the base is never
+    * touched); `max` is self-maintainable under inserts
+    * (`greatest(mx, max(inserted))`) but NOT under deletes — if the
+    * deleted row WAS the max, the new max is unknowable from the state.
+    * For exactly the keys with a delete (the "dirty" keys), the new max
+    * is recomputed from surviving base rows — and that recompute scan is
+    * SEMI-JOIN-restricted to dirty keys, so its cost is proportional to
+    * the dirty keys' row share, not the base size (with the base
+    * partitioned/bucketed by key, partition pruning makes it near-free).
+    * Keys whose rows are all deleted leave the view.
+    *
+    * @param state   the maintained view: (`key`, n, total, mx)
+    * @param base    the base row store BEFORE this batch: (`rowId`, `key`,
+    *                `value`); `rowId` unique
+    * @param inserts new rows (`rowId`, `key`, `value`)
+    * @param deleteIds row ids to remove (single column `rowId`)
+    * @return the updated view, same schema as `state`
+    */
+  def mergeAggDelta(
+      state: DataFrame,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame,
+      rowId: String,
+      key: String,
+      value: String
+  ): DataFrame = {
+    val insAgg = inserts.groupBy(col(key))
+      .agg(count(lit(1)).as("__ni"), sum(col(value)).as("__ti"), max(col(value)).as("__mi"))
+    // Deleted rows' (key, value): the delete-id relation is the small side
+    // — a semi join the optimizer can broadcast, keeping the base scan
+    // filter-pruned rather than shuffled.
+    val delRows = base.join(deleteIds.select(col(rowId)), Seq(rowId), "left_semi")
+    val delAgg = delRows.groupBy(col(key))
+      .agg(count(lit(1)).as("__nd"), sum(col(value)).as("__td"))
+    val dirty = delAgg.select(col(key))
+
+    // Surviving rows of dirty keys only: base ∖ deletes ∪ inserts, each
+    // side semi-restricted BEFORE any aggregation.
+    val survivors = base
+      .join(dirty, Seq(key), "left_semi")
+      .join(deleteIds.select(col(rowId)), Seq(rowId), "left_anti")
+      .select(col(key), col(value))
+      .unionByName(inserts.join(dirty, Seq(key), "left_semi").select(col(key), col(value)))
+    val dirtyMax = survivors.groupBy(col(key)).agg(max(col(value)).as("__mx_re"))
+
+    state
+      .join(insAgg, Seq(key), "full_outer")
+      .join(delAgg, Seq(key), "full_outer")
+      .join(dirtyMax, Seq(key), "left")
+      .select(
+        col(key),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__ni"), lit(0L))
+          - coalesce(col("__nd"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0.0)) + coalesce(col("__ti"), lit(0.0))
+          - coalesce(col("__td"), lit(0.0))).as("total"),
+        when(col("__nd").isNotNull, col("__mx_re"))
+          .otherwise(greatest(coalesce(col("mx"), col("__mi")), coalesce(col("__mi"), col("mx"))))
+          .as("mx"))
+      .where(col("n") > 0)
+  }
 }

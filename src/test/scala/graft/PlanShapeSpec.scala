@@ -475,4 +475,46 @@ class PlanShapeSpec extends SparkSpec {
           "— centroids/hyperplanes must ride a broadcast bank (CellScoresB)")
     }
   }
+
+  test("round-10 graph shapes: iterative state is materialized (lineage cut); " +
+      "the triangle wedge join is keyed, never nested-loop") {
+    // q154/q156 return ITERATED state: the result plan must scan the
+    // materialized (checkpointed) rank/reached relation, not replay a
+    // 5-iteration join lineage — a replayed lineage would re-execute every
+    // round on each downstream action, exactly the scale bug Materialize
+    // exists to prevent.
+    for (name <- Seq("q154_pagerank", "q156_khop")) {
+      val s = simplePlan(name)
+      assert(s.contains("ExistingRDD") || s.contains("LocalTableScan"), s"$name: $s")
+      assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
+        s"$name result plan should read materialized state, not replay the loop: $s")
+    }
+    // q155: wedge generation + closing check are keyed equi-joins over the
+    // materialized oriented-edge relation — shuffled or broadcast hash is
+    // fine, a nested-loop fallback is not.
+    val s155 = simplePlan("q155_triangles")
+    assert(!s155.contains("BroadcastNestedLoopJoin") && !s155.contains("CartesianProduct"), s155)
+    assert(s155.contains("SortMergeJoin") || s155.contains("ShuffledHashJoin") ||
+      s155.contains("BroadcastHashJoin"), s155)
+    // the closing check is a SEMI join (probe, not multiply)
+    assert(s155.contains("LeftSemi"), s155)
+  }
+
+  test("round-10 maintenance shapes: q157's max recompute is dirty-key-restricted; " +
+      "q158's assignment is a single pure-map scan") {
+    // q157: the IVM contract — deletes reach the base only through
+    // semi/anti joins (dirty-restricted recompute), never a second full
+    // re-aggregate of every key.
+    val s157 = simplePlan("q157_delta_agg")
+    assert(s157.contains("LeftSemi"), s157)
+    assert(s157.contains("LeftAnti"), s157)
+    assert(!s157.contains("CartesianProduct") && !s157.contains("BroadcastNestedLoopJoin"), s157)
+    // q158: after the Lloyd rounds run (driver-held k·dim state), the
+    // RETURNED assignment is one parquet scan + per-row distance
+    // expressions — no join, no exchange, no window.
+    val s158 = simplePlan("q158_kmeans")
+    assert("Scan parquet".r.findAllIn(s158).size == 1, s158)
+    assert(!s158.contains("Exchange"), s158)
+    assert(!s158.contains("Join"), s158)
+  }
 }
