@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsGates {
 
-  private val Cutoff = "2000-01-01 00:00:00"
-  private val DeleteMod = 97
+  // shared with q159's streaming equivalence gate (StreamingGates)
+  private[graft] val Cutoff = "2000-01-01 00:00:00"
+  private[graft] val DeleteMod = 97
   private val KmK = 8
   private val KmIters = 3
 

@@ -63,14 +63,25 @@ object GraphGates {
     * bounded ≤ O(√E) under the orientation, so hub parts cannot generate
     * quadratic wedges.
     */
-  private def q155Triangles(s: SparkSession, d: String): DataFrame = {
-    val lp = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = lp.as("x").join(lp.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-    Graphs.triangleCounts(pairs, col("pa"), col("pb"))
-  }
+  private def q155Triangles(s: SparkSession, d: String): DataFrame =
+    Graphs.triangleCounts(coOrderPairs(s, d), col("pa"), col("pb"))
+
+  /** Part co-order pairs, generated MAP-SIDE after one per-order
+    * aggregate: `collect_set` the parts of each order (bounded by lines
+    * per order), then emit the C(n,2) combinations with a fused
+    * transform/slice HOF — one exchange, where a self-join on the order
+    * key would pay three. Equivalent to
+    * `lp JOIN lp ON same order AND pa < pb` (sorted set ⇒ pa < pb).
+    */
+  private def coOrderPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
+          y => struct(x.as("pa"), y.as("pb"))))))
+        .as("e"))
+      .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
 
   /** q156 — minimum hop distance (≤ 3) from suppliers 0–5 over the SPARSE
     * transition graph (lines with `l_quantity ≥ 48` only). Frontier-only
@@ -83,10 +94,33 @@ object GraphGates {
       Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
       maxHops = KhopMax)
 
+  /** q160 — TrustRank: personalized PageRank with teleport concentrated on
+    * the "trusted" seed suppliers (suppkey ≡ 0 mod 10) over the same
+    * transition digraph as q154 ([[Graphs.personalizedPageRank]]) — the
+    * seed-propagated quality score a web-corpus ranker assigns from a
+    * hand-audited whitelist.
+    */
+  private def q160TrustRank(s: SparkSession, d: String): DataFrame =
+    Graphs.personalizedPageRank(
+      Tables.supplier(s, d), col("s_suppkey"),
+      transitions(s, d, None), col("src"), col("dst"),
+      Tables.supplier(s, d).where(col("s_suppkey") % 10 === 0), col("s_suppkey"),
+      iters = PrIters, damping = 0.85, scale = PrScale)
+
+  /** q161 — per-edge structural similarity (common neighbors + Jaccard)
+    * on the part co-order graph ([[Graphs.edgeJaccard]]) — the
+    * sparsification signal: an edge whose endpoints share no context is
+    * incidental co-occurrence, not structure.
+    */
+  private def q161EdgeJaccard(s: SparkSession, d: String): DataFrame =
+    Graphs.edgeJaccard(coOrderPairs(s, d), col("pa"), col("pb"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
-    "q156_khop" -> (q156KHop _)
+    "q156_khop" -> (q156KHop _),
+    "q160_trustrank" -> (q160TrustRank _),
+    "q161_edge_jaccard" -> (q161EdgeJaccard _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -125,11 +159,38 @@ object GraphGates {
     prelude + ",\n" + iterations.mkString(",\n") + s"\nSELECT node, rank FROM r$PrIters"
   }
 
-  /** The same degree-oriented wedge enumeration as the engine: orient each
-    * edge low-(deg,id) → high-(deg,id); wedges close v1 → v2; every
-    * triangle found once, then counted at all three corners.
+  /** Five unrolled personalized-PageRank iterations: teleport vector `t`
+    * concentrated on the mod-10 seed suppliers, dangling mass returned
+    * t-weighted, same 10^-7 grid as the engine.
     */
-  private def trianglesSql: String =
+  private def trustrankSql: String = {
+    val prelude =
+      s"""WITH nodes AS (SELECT s_suppkey::BIGINT AS node FROM supplier),
+         |${duckTransitions("")},
+         |od AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |ns AS (SELECT count(*)::DOUBLE AS n FROM nodes WHERE node % 10 = 0),
+         |tt AS (SELECT node, CASE WHEN node % 10 = 0
+         |  THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS t FROM nodes),
+         |r0 AS (SELECT node, round(t, $PrScale) AS rank FROM tt)""".stripMargin
+    val iterations = (1 to PrIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dang FROM $p r
+         |  LEFT JOIN od ON r.node = od.node WHERE od.node IS NULL),
+         |inf$i AS (SELECT e.dst AS node, sum(r.rank/od.outdeg) AS inflow
+         |  FROM e JOIN $p r ON e.src = r.node JOIN od ON od.node = e.src GROUP BY e.dst),
+         |r$i AS (SELECT tt.node,
+         |  round((1.0-0.85)*tt.t
+         |        + 0.85*(coalesce(i.inflow, 0.0) + tt.t*(SELECT dang FROM d$i)),
+         |        $PrScale) AS rank
+         |  FROM tt LEFT JOIN inf$i i ON tt.node = i.node)""".stripMargin
+    }
+    prelude + ",\n" + iterations.mkString(",\n") + s"\nSELECT node, rank FROM r$PrIters"
+  }
+
+  /** The degree-oriented CTE chain shared by the triangle/edge-similarity
+    * oracles, through the once-per-triangle `tri` relation.
+    */
+  private val triangleCtes: String =
     """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |canon AS (SELECT DISTINCT a.l_partkey::BIGINT AS lo, b.l_partkey::BIGINT AS hi
       |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -141,9 +202,33 @@ object GraphGates {
       |  FROM canon JOIN deg dl ON dl.node = lo JOIN deg dh ON dh.node = hi),
       |tri AS (SELECT e1.u, e1.v AS v1, e2.v AS v2 FROM o e1 JOIN o e2 ON e1.u = e2.u
       |  AND ((e1.dv, e1.v) < (e2.dv, e2.v))
-      |  WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v))
-      |SELECT node, count(*)::BIGINT AS triangles
-      |FROM (SELECT unnest([u, v1, v2]) AS node FROM tri) GROUP BY node""".stripMargin
+      |  WHERE EXISTS (SELECT 1 FROM o c WHERE c.u = e1.v AND c.v = e2.v))""".stripMargin
+
+  /** Per-node counts: every triangle counted at all three corners. */
+  private def trianglesSql: String =
+    triangleCtes + "\n" +
+      """SELECT node, count(*)::BIGINT AS triangles
+        |FROM (SELECT unnest([u, v1, v2]) AS node FROM tri) GROUP BY node""".stripMargin
+
+  /** Per-edge common-neighbor count + neighborhood Jaccard, zero-common
+    * edges included with jaccard 0 (and the degenerate 0/0 edge as 0).
+    */
+  private def edgeJaccardSql: String =
+    triangleCtes + ",\n" +
+      """tri3 AS (
+        |  SELECT least(u, v1) AS lo, greatest(u, v1) AS hi FROM tri
+        |  UNION ALL SELECT least(u, v2), greatest(u, v2) FROM tri
+        |  UNION ALL SELECT least(v1, v2), greatest(v1, v2) FROM tri),
+        |pe AS (SELECT lo, hi, count(*)::BIGINT AS common FROM tri3 GROUP BY lo, hi)
+        |SELECT c.lo, c.hi, coalesce(pe.common, 0)::BIGINT AS common,
+        |  CASE WHEN (dl.deg - 1) + (dh.deg - 1) - coalesce(pe.common, 0) > 0
+        |    THEN round(coalesce(pe.common, 0)
+        |               / ((dl.deg - 1) + (dh.deg - 1) - coalesce(pe.common, 0)), 4)
+        |    ELSE 0.0 END AS jaccard
+        |FROM canon c
+        |LEFT JOIN pe ON pe.lo = c.lo AND pe.hi = c.hi
+        |JOIN deg dl ON dl.node = c.lo
+        |JOIN deg dh ON dh.node = c.hi""".stripMargin
 
   /** Four frontier CTEs with min-hop semantics (a node joins at its first
     * reachable hop only).
@@ -166,6 +251,8 @@ object GraphGates {
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
-    "q156_khop" -> khopSql
+    "q156_khop" -> khopSql,
+    "q160_trustrank" -> trustrankSql,
+    "q161_edge_jaccard" -> edgeJaccardSql
   )
 }

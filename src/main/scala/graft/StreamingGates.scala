@@ -48,6 +48,7 @@ object StreamingGates {
   final case class COrd(
       o_orderkey: Long, o_totalprice: Double,
       ver: java.sql.Timestamp, op: String)
+  final case class Chg(row_id: Long, key: Long, value: Double, op: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -758,7 +759,53 @@ object StreamingGates {
     }
   }
 
+  /** Streaming IVM over the q157 change set
+    * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
+    * the bucketed base table and the aggregate view; the inserts + deletes
+    * stream in TWO micro-batches (split by row-id parity), each updating
+    * the view by delta arithmetic (dirty-key max recompute) and rebuilding
+    * only the base buckets its keys touch. The final view must hash-match
+    * q157's one-shot merge — oracle shared verbatim.
+    */
+  private def q159DeltaAggStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("key"), col("o_totalprice").as("value"), col("o_orderdate"))
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q159base")
+    val viewTable = sinkName("q159view")
+    base.withColumn("bkt", pmod(hash(col("key")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"), max(col("value")).as("mx"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(viewTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[Chg].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[Chg]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestAggView(
+        "row_id", "key", "value", baseTable, viewTable, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(viewTable).select(col("key").as("o_custkey"), col("n").as("n_orders"),
+      round(col("total"), 2).as("total_r"), col("mx").as("max_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_delta_agg_stream" -> (q159DeltaAggStream _),
     "q153_heavy_stream" -> (q153HeavyStream _),
     "q141_historize_stream" -> (q141HistorizeStream _),
     "q126_upsert_stream" -> (q126UpsertStream _),
@@ -780,6 +827,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
     "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),

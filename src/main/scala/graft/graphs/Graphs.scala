@@ -88,33 +88,114 @@ object Graphs {
       v.join(outdeg, Seq("node"), "left").na.fill(0L, Seq("outdeg")))
 
     val init = round(lit(1.0 / n), scale)
-    var ranks = Materialize(withDeg.select(col("node"), col("outdeg"), init.as("rank")))
+    val out = prIterations(
+      withDeg.select(col("node"), col("outdeg"), init.as("rank")), e, iters,
+      (inflow, dangling) =>
+        round(
+          lit((1.0 - damping) / n) +
+            lit(damping) * (inflow + dangling / lit(n)),
+          scale))
+    // the returned state is checkpointed — the loop inputs are dead
+    v.unpersist(); e.unpersist(); withDeg.unpersist()
+    out
+  }
 
+  /** Personalized PageRank (TrustRank): the teleport distribution is
+    * concentrated on a SEED set instead of uniform — the web-corpus
+    * quality-propagation algorithm (Gyöngyi et al.'s TrustRank): rank
+    * flows out from trusted seeds along links, and both the teleport and
+    * the dangling mass return to the seeds:
+    *
+    * {{{ rank'(v) = (1-d)·t(v) + d · (Σ_{u→v} rank(u)/outdeg(u) + D·t(v)) }}}
+    *
+    * with `t(v) = 1/|seeds|` on seeds and 0 elsewhere. Nodes unreachable
+    * from the seeds hold rank 0 (they are reported — a corpus ranker
+    * treats them as "no trust signal", distinct from "low trust").
+    *
+    * Same per-iteration shape and grid discipline as [[pageRank]].
+    */
+  def personalizedPageRank(
+      nodes: DataFrame,
+      node: Column,
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      seeds: DataFrame,
+      seed: Column,
+      iters: Int,
+      damping: Double = 0.85,
+      scale: Int = 7): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+
+    val v = Materialize(nodes.select(node.cast("long").as("node")).where(col("node").isNotNull).distinct())
+    val e = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val sd = seeds.select(seed.cast("long").as("node")).where(col("node").isNotNull).distinct()
+    val ns = sd.count().toDouble
+    require(ns > 0, "personalizedPageRank: empty seed set")
+
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val withT = Materialize(
+      v.join(outdeg, Seq("node"), "left").na.fill(0L, Seq("outdeg"))
+        .join(sd.withColumn("__isSeed", lit(true)), Seq("node"), "left")
+        .withColumn("t", when(col("__isSeed"), lit(1.0 / ns)).otherwise(lit(0.0)))
+        .drop("__isSeed"))
+
+    val out = prIterations(
+      withT.select(col("node"), col("outdeg"), col("t"), round(col("t"), scale).as("rank")),
+      e, iters,
+      (inflow, dangling) =>
+        round(
+          lit(1.0 - damping) * col("t") +
+            lit(damping) * (inflow + col("t") * dangling),
+          scale))
+    v.unpersist(); e.unpersist(); withT.unpersist()
+    out
+  }
+
+  /** The synchronous rank loop shared by [[pageRank]] and
+    * [[personalizedPageRank]]: `state0` carries `node`, `outdeg`, `rank`
+    * plus any teleport columns `update` references; each round computes
+    * the dangling scalar (bounded driver state) and the inflow aggregate,
+    * applies `update(coalesced inflow, dangling)`, and re-materializes —
+    * lineage cut per round, superseded blocks unpersisted.
+    */
+  private def prIterations(
+      state0: DataFrame,
+      e: DataFrame,
+      iters: Int,
+      update: (Column, Column) => Column): DataFrame = {
+    val carried = state0.columns.filterNot(_ == "rank").map(col).toSeq
+    var state = Materialize(state0)
     for (_ <- 1 to iters) {
-      // Bounded driver scalar per round (like the CC convergence count):
-      // the summed rank of dangling nodes, redistributed uniformly.
-      val danglingRow = ranks.where(col("outdeg") === 0).agg(sum(col("rank"))).head()
-      val dangling = if (danglingRow.isNullAt(0)) 0.0 else danglingRow.getDouble(0)
+      // The dangling mass rides as a broadcast ONE-ROW relation instead of
+      // a per-iteration driver collect: the whole round is a single job
+      // (the scalar aggregate is a broadcast subtree of it), which halves
+      // the scheduling round-trips the loop pays on small graphs and
+      // changes nothing at scale.
+      val dangDf = state.where(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
 
       val contrib = e
-        .join(ranks.where(col("outdeg") > 0).select(col("node").as("src"),
+        .join(state.where(col("outdeg") > 0).select(col("node").as("src"),
           (col("rank") / col("outdeg")).as("share")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
 
-      val next = withDeg
+      val next = state.drop("rank")
         .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("outdeg"),
-          round(
-            lit((1.0 - damping) / n) +
-              lit(damping) * (coalesce(col("inflow"), lit(0.0)) + lit(dangling / n)),
-            scale).as("rank"))
+        .crossJoin(broadcast(dangDf))
+        .select(carried :+
+          update(coalesce(col("inflow"), lit(0.0)), col("__dang")).as("rank"): _*)
 
-      val prev = ranks
-      ranks = Materialize(next)
+      val prev = state
+      state = Materialize(next)
       prev.unpersist()
     }
-    ranks.select(col("node"), col("rank"))
+    state.select(col("node"), col("rank"))
   }
 
   /** Minimum hop distance from a seed set, frontier BFS up to `maxHops`.
@@ -151,23 +232,31 @@ object Graphs {
 
     var h = 1
     var exhausted = frontier.isEmpty
+    var prevFresh: Option[DataFrame] = None
     while (h <= maxHops && !exhausted) {
       val expanded = e.join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
       val fresh = Materialize(
         expanded.join(reached.select(col("node")), Seq("node"), "left_anti")
           .withColumn("hops", lit(h)))
+      // the previous frontier fed `expanded`, which is now materialized
+      // into `fresh` — its blocks are dead
+      prevFresh.foreach(_.unpersist())
       if (fresh.isEmpty) {
         exhausted = true
         fresh.unpersist()
+        prevFresh = None
       } else {
         val prev = reached
         reached = Materialize(prev.unionByName(fresh))
         frontier = fresh.select(col("node"))
+        prevFresh = Some(fresh)
         prev.unpersist()
       }
       h += 1
     }
+    prevFresh.foreach(_.unpersist())
+    e.unpersist()
     reached
   }
 
@@ -192,6 +281,61 @@ object Graphs {
     * exchange) → explode the 3 corners → count per vertex.
     */
   def triangleCounts(edges: DataFrame, endA: Column, endB: Column): DataFrame = {
+    val (_, _, triangles) = triangleMachinery(edges, endA, endB)
+    triangles
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
+
+  /** Per-EDGE neighborhood-overlap (structural similarity): for every
+    * undirected edge {a, b}, the number of common neighbors
+    * (= triangles through the edge) and the Jaccard of the endpoint
+    * neighborhoods excluding each other,
+    * `common / ((deg(a)-1) + (deg(b)-1) - common)` — the SCAN structural
+    * similarity, the standard signal for graph SPARSIFICATION (keep
+    * edges whose endpoints share context; drop incidental ones).
+    *
+    * Cost is the same degree-oriented wedge enumeration as
+    * [[triangleCounts]] — hub-safe — plus one aggregate keyed on the
+    * edge and two degree joins. Edges with no common neighbor report
+    * common = 0, jaccard = 0 (isolated-pair edges where both endpoints
+    * are degree 1 also report 0 — the 0/0 case carries no overlap
+    * signal).
+    *
+    * @param scale decimal grid for the reported jaccard
+    * @return (lo, hi, common LONG, jaccard DOUBLE), one row per edge
+    */
+  def edgeJaccard(edges: DataFrame, endA: Column, endB: Column, scale: Int = 4): DataFrame = {
+    val (canon, deg, triangles) = triangleMachinery(edges, endA, endB)
+    // Each triangle contributes one common neighbor to each of its three
+    // edges; u ≺ v1/v2 holds only in ORIENTATION order, so re-canonicalize
+    // by id for the edge key.
+    val perEdge = triangles.select(explode(array(
+        struct(least(col("u"), col("v1")).as("lo"), greatest(col("u"), col("v1")).as("hi")),
+        struct(least(col("u"), col("v2")).as("lo"), greatest(col("u"), col("v2")).as("hi")),
+        struct(least(col("v1"), col("v2")).as("lo"), greatest(col("v1"), col("v2")).as("hi"))
+      )).as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"))
+      .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("common"))
+
+    val denom = (col("dlo") - 1) + (col("dhi") - 1) - col("common")
+    canon
+      .join(perEdge, Seq("lo", "hi"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(col("lo"), col("hi"), col("common"),
+        when(denom > 0, round(col("common") / denom, scale)).otherwise(lit(0.0)).as("jaccard"))
+  }
+
+  /** Shared by [[triangleCounts]] and [[edgeJaccard]]: canonical edge set,
+    * degrees, and the triangle relation (u, v1, v2) — each triangle
+    * exactly once — from the degree-oriented wedge join.
+    */
+  private def triangleMachinery(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column): (DataFrame, DataFrame, DataFrame) = {
     // Canonical undirected edges: (lo, hi) with lo < hi, deduplicated.
     val canon = Materialize(
       edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"))
@@ -220,13 +364,51 @@ object Graphs {
     val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     val wedges = e1.join(e2, Seq("u"))
       .where(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
-    val triangles = wedges
-      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
 
-    triangles
-      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    // Bloom PREFILTER before the closing join: wedges outnumber triangles
+    // by orders of magnitude (Σ outdeg² candidates vs the true count), and
+    // every one of them would otherwise shuffle on (v1, v2) into the semi
+    // join. A Bloom filter over the oriented edges' 64-bit hashes drops
+    // non-closing wedges MAP-SIDE at ~1% false positives — the exact join
+    // that follows clears those, so the result is identical (no false
+    // negatives, spec-asserted) while the exchange carries ~|triangles|
+    // rows instead of ~|wedges|. Skipped above [[BloomEdgeCap]] edges,
+    // where the filter's broadcast would stop being cheap.
+    val nEdges = canon.count()
+    val candidates =
+      if (nEdges > 0 && nEdges <= BloomEdgeCap) {
+        import org.apache.spark.util.sketch.BloomFilter
+        // bounded partial-filter count: each partial allocates full
+        // geometry (the IngestDedup backfill discipline)
+        val merged = oriented.select(xxhash64(col("u"), col("v")).as("h"))
+          .coalesce(8)
+          .queryExecution.toRdd.map(_.getLong(0))
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              val bf = BloomFilter.create(nEdges, 0.01)
+              it.foreach(bf.putLong)
+              Iterator.single(bf)
+            }
+          }
+          .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+        val bc = canon.sparkSession.sparkContext.broadcast(merged)
+        import org.apache.spark.sql.GraftBridge
+        wedges.where(GraftBridge.column(graft.plans.BloomMightContainB(
+          bc, GraftBridge.expression(xxhash64(col("v1"), col("v2"))))))
+      } else wedges
+
+    val triangles = candidates
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
+    (canon, deg, triangles)
   }
+
+  /** Above this edge count the wedge Bloom prefilter is skipped: the
+    * filter broadcast grows ~1.2 MB per million edges (1% fpp), and past
+    * ~60 MB the executor-resident blob plus the build pass cost more than
+    * the exchange rows they save.
+    */
+  private val BloomEdgeCap: Long = 50000000L
 
   /** Top-`k` rows by `orderCol` descending with deterministic tiebreak —
     * convenience used by the graph gates; rank assigned over a single

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.sources.Storage
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Cross-batch streaming maintenance of a per-key aggregate VIEW — the
+  * streaming face of [[graft.sources.Storage.mergeAggDelta]], run as a
+  * `foreachBatch` body: each micro-batch of row-level changes
+  * (`rowId`, `key`, `value`, `op` ∈ insert|delete) updates
+  *
+  *  1. the aggregate view (`key`, n, total, mx) by IVM delta arithmetic —
+  *     the base is touched only through `mergeAggDelta`'s semi-restricted
+  *     dirty-key max recompute, never re-aggregated;
+  *  2. the BASE row store itself, a parquet table partitioned by a hash
+  *     bucket of the key: only the buckets containing this batch's keys
+  *     are rebuilt (partition-pruned read, dynamic-partition-overwrite
+  *     write through a staging hop) — per-batch base write cost is
+  *     proportional to touched buckets, not base size.
+  *
+  * Replay safety (foreachBatch is at-least-once): the view carries the
+  * last applied `__batch` id; a redelivered batch with
+  * `batchId <= max(__batch)` SKIPS the view update — IVM arithmetic is
+  * not idempotent, so the guard, not the merge, provides exactly-once.
+  * The base rebuild IS idempotent (inserts are anti-joined on `rowId`
+  * before the union; deleting an absent row is a no-op), so it re-runs
+  * unconditionally. Crash analysis: view-first ordering means a crash
+  * before the view swap replays everything; a crash between view swap
+  * and base rebuild replays with the view skipped and the base healed;
+  * both converge (spec-proven at either hop).
+  *
+  * Bootstrap both tables before the stream starts: the base partitioned
+  * by `bkt = pmod(hash(key), buckets)`, the view with `__batch = -1`.
+  */
+final class IngestAggView(
+    rowId: String,
+    key: String,
+    value: String,
+    baseTable: String,
+    viewTable: String,
+    buckets: Int
+) extends ((DataFrame, Long) => Unit) with Serializable {
+
+  override def apply(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(spark.catalog.tableExists(baseTable) && spark.catalog.tableExists(viewTable),
+      s"IngestAggView: '$baseTable' and '$viewTable' must be initialized before the stream starts")
+    def pathOf(name: String): String =
+      spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(name))
+        .location.toString
+
+    val changes = batch.persist()
+    try {
+      val inserts = changes.where(col("op") === "insert")
+        .select(col(rowId), col(key), col(value))
+      val deleteIds = changes.where(col("op") === "delete").select(col(rowId))
+      val base = spark.read.parquet(pathOf(baseTable))
+
+      // 1) view update, guarded for replay
+      val view = spark.read.parquet(pathOf(viewTable))
+      val lastRow = view.agg(max(col("__batch"))).head()
+      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
+      if (batchId > lastApplied) {
+        val next = Storage.mergeAggDelta(
+            view.drop("__batch"), base, inserts, deleteIds, rowId, key, value)
+          .withColumn("__batch", lit(batchId))
+        val staging = s"${viewTable}__staging"
+        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
+        spark.read.parquet(pathOf(staging))
+          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(viewTable)
+        spark.sql(s"REFRESH TABLE $viewTable")
+      }
+
+      // 2) base rebuild, touched buckets only, idempotent
+      val touched = changes.select(pmod(hash(col(key)), lit(buckets)).as("bkt"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (touched.nonEmpty) {
+        val withBkt = inserts.withColumn("bkt", pmod(hash(col(key)), lit(buckets)))
+        val rebuilt = base.where(col("bkt").isin(touched: _*))
+          .join(deleteIds, Seq(rowId), "left_anti")
+          .join(inserts.select(col(rowId)), Seq(rowId), "left_anti")
+          .unionByName(withBkt.select(col(rowId), col(key), col(value), col("bkt")))
+        val baseStaging = s"${baseTable}__staging"
+        rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
+        // insertInto is positional and must not re-declare partitioning.
+        // Dynamic mode scopes the overwrite to the buckets present in the
+        // staging data — untouched partitions stay byte-identical. The
+        // session conf is set (and restored — no cross-query leakage)
+        // alongside the writer option: the option alone is not honored on
+        // every table provider path, and a silently-static overwrite here
+        // DELETES every untouched bucket.
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prevMode = spark.conf.getOption(modeKey)
+        try {
+          spark.conf.set(modeKey, "dynamic")
+          spark.read.parquet(pathOf(baseStaging))
+            .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+            .insertInto(baseTable)
+        } finally prevMode match {
+          case Some(v) => spark.conf.set(modeKey, v)
+          case None    => spark.conf.unset(modeKey)
+        }
+        spark.sql(s"REFRESH TABLE $baseTable")
+      }
+    } finally changes.unpersist()
+  }
+}

@@ -496,8 +496,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s155.contains("BroadcastNestedLoopJoin") && !s155.contains("CartesianProduct"), s155)
     assert(s155.contains("SortMergeJoin") || s155.contains("ShuffledHashJoin") ||
       s155.contains("BroadcastHashJoin"), s155)
-    // the closing check is a SEMI join (probe, not multiply)
+    // the closing check is a SEMI join (probe, not multiply), and the
+    // wedge stream is Bloom-prefiltered BEFORE it (wedges outnumber
+    // triangles by orders of magnitude; without the map-side drop they
+    // all shuffle into the closing join)
     assert(s155.contains("LeftSemi"), s155)
+    assert(s155.contains("graft_bloom_might_contain"), s155)
+    // q160 follows q154's contract (materialized iterated state); q161
+    // follows q155's (keyed joins only, bloom-prefiltered closing probe)
+    val s160 = simplePlan("q160_trustrank")
+    assert(s160.contains("ExistingRDD") || s160.contains("LocalTableScan"), s160)
+    assert(!s160.contains("SortMergeJoin") && !s160.contains("BroadcastHashJoin"), s160)
+    val s161 = simplePlan("q161_edge_jaccard")
+    assert(!s161.contains("BroadcastNestedLoopJoin") && !s161.contains("CartesianProduct"), s161)
+    assert(s161.contains("LeftSemi"), s161)
+    assert(s161.contains("graft_bloom_might_contain"), s161)
   }
 
   test("round-10 maintenance shapes: q157's max recompute is dirty-key-restricted; " +
