@@ -48,9 +48,33 @@ object AnalyticsGates {
         k = KmK, iters = KmIters)
       .select(col("id").as("vec_id"), col("cluster"), col("dist"))
 
+  /** q162 — leave-one-out source ablation on document length
+    * ([[graft.curation.Corpus.leaveOneOutAblation]]): per source, the
+    * corpus mean with and without it, algebraically from one grouped
+    * aggregate + broadcast totals — never an N× re-aggregation.
+    */
+  private def q162SourceAblation(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.leaveOneOutAblation(
+        Tables.documents(s, d), col("source"), col("n_chars"))
+      .select(col("group").as("source"), col("n"), col("mean_in"),
+        col("mean_rest"), col("delta"))
+
+  /** q164 — greedy k-center coreset over the embeddings
+    * ([[Clustering.kCenter]]): 8 farthest-point selections, each round a
+    * pure map + TakeOrdered(1) argmax on the 10^-6 distance grid. The
+    * oracle unrolls the same 8 selections.
+    */
+  private def q164Coreset(s: SparkSession, d: String): DataFrame =
+    Clustering.kCenter(Tables.embeddings(s, d), col("vec_id"), col("embedding"), k = KcK)
+      .select(col("sel_rank"), col("id").as("vec_id"), col("dist"))
+
+  private val KcK = 8
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_delta_agg" -> (q157DeltaAgg _),
-    "q158_kmeans" -> (q158Kmeans _)
+    "q158_kmeans" -> (q158Kmeans _),
+    "q162_source_ablation" -> (q162SourceAblation _),
+    "q164_coreset" -> (q164Coreset _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -108,8 +132,50 @@ object AnalyticsGates {
     prelude + ",\n" + rounds.mkString(",\n") + ",\n" + epilogue
   }
 
+  /** Same algebra as the engine: per-group partials, totals from the
+    * partials, rest mean = (T−S)/(N−n); delta from the RAW ratios (not
+    * the rounded reports).
+    */
+  private def sourceAblationSql: String =
+    """WITH g AS (SELECT source, count(*)::BIGINT AS n, sum(n_chars::DOUBLE) AS s
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(n)::BIGINT AS tn, sum(s) AS ts FROM g)
+      |SELECT g.source, g.n, round(g.s/g.n, 6) AS mean_in,
+      |  CASE WHEN t.tn > g.n THEN round((t.ts - g.s)/(t.tn - g.n), 6) END AS mean_rest,
+      |  CASE WHEN t.tn > g.n
+      |    THEN round(g.s/g.n - (t.ts - g.s)/(t.tn - g.n), 6) END AS delta
+      |FROM g CROSS JOIN t""".stripMargin
+
+  /** Eight unrolled farthest-point selections: round r takes the argmax
+    * of the running min distance (grid-rounded, ties to the lowest id)
+    * and folds its distance column in with `least`.
+    */
+  private def coresetSql: String = {
+    val prelude =
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s0 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),
+        |m0 AS (SELECT v.vec_id, v.v,
+        |  round(list_sum(list_transform(range(1, len(v.v)+1),
+        |    j -> (v.v[j] - s0.v[j]) * (v.v[j] - s0.v[j]))), 6) AS d
+        |  FROM v CROSS JOIN s0)""".stripMargin
+    val rounds = (1 until KcK).map { i =>
+      val p = s"m${i - 1}"
+      s"""s$i AS (SELECT vec_id, v, d FROM $p ORDER BY d DESC, vec_id LIMIT 1),
+         |m$i AS (SELECT $p.vec_id, $p.v,
+         |  least($p.d, round(list_sum(list_transform(range(1, len($p.v)+1),
+         |    j -> ($p.v[j] - s$i.v[j]) * ($p.v[j] - s$i.v[j]))), 6)) AS d
+         |  FROM $p CROSS JOIN s$i)""".stripMargin
+    }
+    val epilogue =
+      ("SELECT 0::INT AS sel_rank, vec_id, 0.0 AS dist FROM s0" +:
+        (1 until KcK).map(i => s"SELECT $i::INT, vec_id, d FROM s$i")).mkString("\nUNION ALL ")
+    prelude + ",\n" + rounds.mkString(",\n") + "\n" + epilogue
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q157_delta_agg" -> deltaAggSql,
-    "q158_kmeans" -> kmeansSql
+    "q158_kmeans" -> kmeansSql,
+    "q162_source_ablation" -> sourceAblationSql,
+    "q164_coreset" -> coresetSql
   )
 }

@@ -57,6 +57,21 @@ object ExtensionQueries {
   private def q22Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** Cross-split leakage audit — the eval-hygiene composition of the two
+    * primitives: q21's MinHash-LSH candidate pairs × q43's deterministic
+    * split labels, keeping pairs whose members landed in DIFFERENT
+    * train/val/test splits. Every such pair is a potential answer leak
+    * (a near-duplicate of a test document sitting in train). The split
+    * label is a pure row expression ([[graft.curation.Assembly.splitLabel]]),
+    * so the audit adds ZERO exchanges on top of the pair pipeline.
+    */
+  private def q163SplitLeakage(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d), col("text"), col("doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        graft.curation.Assembly.splitLabel(col("doc_a")).as("split_a"),
+        graft.curation.Assembly.splitLabel(col("doc_b")).as("split_b"))
+      .where(col("split_a") =!= col("split_b"))
+
   /** SimHash candidate-pair join (hamming ≤ 3) — the pigeonhole chunk
     * blocking makes it an equijoin on (chunk, chunk_val); any pair within
     * the radius shares at least one exact chunk, so the blocked join finds
@@ -1329,6 +1344,7 @@ object ExtensionQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_dedup_minhash" -> (q21MinhashLsh _),
+    "q163_split_leakage" -> (q163SplitLeakage _),
     "q22_dedup_simhash" -> (q22Simhash _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
@@ -1599,6 +1615,19 @@ object ExtensionQueries {
     "q20_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*)::BIGINT AS n_dups FROM documents GROUP BY 1",
     "q21_dedup_minhash" -> duckMinhashPairsSql,
+    "q163_split_leakage" ->
+      s"""WITH labels AS (
+         |  SELECT doc_id,
+         |    CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |    ((${duckHash48("(doc_id::VARCHAR || ':split-v1')")}) % 100)::BIGINT AS b
+         |    FROM documents)),
+         |pairs AS ($duckMinhashPairsSql)
+         |SELECT p.doc_a, p.doc_b, la.split AS split_a, lb.split AS split_b
+         |FROM pairs p
+         |JOIN labels la ON la.doc_id = p.doc_a
+         |JOIN labels lb ON lb.doc_id = p.doc_b
+         |WHERE la.split != lb.split""".stripMargin,
     "q36_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

@@ -1026,4 +1026,43 @@ object Corpus {
       .orderBy(col("key").asc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Leave-one-out group ablation — "what happens to the corpus-level
+    * mean of `metric` if this source is removed?", for every group at
+    * once. The data-curation question behind source pruning ("does
+    * dropping this crawl raise average quality?"), answered ALGEBRAICALLY:
+    * mean-without-group = (T − S_g) / (N − n_g) needs only the per-group
+    * partial sums and the corpus totals, so the whole report is ONE
+    * grouped aggregate plus a broadcast 1-row totals relation — no
+    * per-group second pass, no N× re-aggregation (the naive
+    * leave-one-out loop a 100-TB corpus cannot afford).
+    *
+    * `delta` = group mean − rest mean: positive means the group runs
+    * above the rest of the corpus on this metric. A group covering the
+    * whole corpus reports a null rest mean (nothing remains).
+    *
+    * @return (group, n, mean_in, mean_rest, delta) on the 10^-scale grid
+    */
+  def leaveOneOutAblation(
+      df: DataFrame,
+      group: Column,
+      metric: Column,
+      scale: Int = 6): DataFrame = {
+    // materialized so the totals aggregate reads the |groups|-row partials
+    // instead of re-deriving them — ONE corpus scan, not two
+    val perGroup = graft.Materialize(
+      df.select(group.as("group"), metric.cast("double").as("m"))
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s")))
+    val totals = perGroup.agg(sum(col("n")).as("tn"), sum(col("s")).as("ts"))
+    perGroup.crossJoin(broadcast(totals))
+      .select(
+        col("group"), col("n"),
+        round(col("s") / col("n"), scale).as("mean_in"),
+        when(col("tn") > col("n"),
+          round((col("ts") - col("s")) / (col("tn") - col("n")), scale)).as("mean_rest"),
+        when(col("tn") > col("n"),
+          round(col("s") / col("n") - (col("ts") - col("s")) / (col("tn") - col("n")), scale))
+          .as("delta"))
+  }
 }

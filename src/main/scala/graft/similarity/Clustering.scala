@@ -93,4 +93,65 @@ object Clustering {
 
     assign(centroids).select(col("id"), col("cluster"), col("dist"))
   }
+
+  /** Greedy k-center coreset selection (farthest-point traversal): start
+    * from the smallest id, then repeatedly select the point FARTHEST from
+    * every already-selected center (squared L2, ties to the lowest id) —
+    * the classic 2-approximation to the k-center cover, and the standard
+    * diversity-coreset heuristic for training-data selection ("cover the
+    * embedding space, don't re-sample the densest blob").
+    *
+    * Scale shape: each of the k−1 rounds is a pure map over the corpus —
+    * `least(dist-so-far, dist-to-newest-center)` with the newest center a
+    * k·dim-bounded literal — plus one `TakeOrdered(1)` argmax
+    * (O(partitions) driver work, never a global sort). The running
+    * min-distance column is re-materialized per round
+    * ([[graft.Materialize]]), so round r does ONE distance evaluation,
+    * not r of them. Distances live on the 10^-distScale grid, which
+    * makes the argmax (and thus the whole selection) deterministic
+    * cross-engine.
+    *
+    * @return the selected coreset: (sel_rank INT from 0, id, dist DOUBLE
+    *         — the point's min distance to the PRIOR centers at
+    *         selection time; 0.0 for the seed)
+    */
+  def kCenter(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      distScale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rows = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    def distTo(center: Array[Double]): Column =
+      round(
+        aggregate(zip_with(col("v"), lit(center), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x),
+        distScale)
+
+    val seedRow = rows.orderBy(col("id")).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenter: empty input")
+    var selected = Vector((seedRow(0).getLong(0), 0.0))
+    var center = seedRow(0).getSeq[Double](1).toArray
+
+    var state = graft.Materialize(
+      rows.select(col("id"), col("v"), distTo(center).as("d")))
+    for (_ <- 1 until k) {
+      val next = state.orderBy(col("d").desc, col("id").asc).limit(1)
+        .select(col("id"), col("v"), col("d")).collect()(0)
+      selected = selected :+ (next.getLong(0) -> next.getDouble(2))
+      center = next.getSeq[Double](1).toArray
+      val prev = state
+      state = graft.Materialize(
+        prev.select(col("id"), col("v"), least(col("d"), distTo(center)).as("d")))
+      prev.unpersist()
+    }
+    state.unpersist()
+    selected.zipWithIndex
+      .map { case ((i, d), r) => (r, i, d) }
+      .toDF("sel_rank", "id", "dist")
+  }
 }

@@ -529,5 +529,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(s158).size == 1, s158)
     assert(!s158.contains("Exchange"), s158)
     assert(!s158.contains("Join"), s158)
+    // q162: the totals ride a broadcast 1-row cross join over the
+    // MATERIALIZED per-group partials — one corpus scan total, never two
+    val s162 = simplePlan("q162_source_ablation")
+    assert(!s162.contains("Scan parquet"), s162) // partials are checkpointed
+    assert(s162.contains("BroadcastNestedLoopJoin") || s162.contains("BroadcastHashJoin"), s162)
+    // q163 = q21's pair pipeline + pure row expressions: the split labels
+    // must add ZERO exchanges over the q21 plan
+    val ex163 = "Exchange".r.findAllIn(simplePlan("q163_split_leakage")).size
+    val ex21 = "Exchange".r.findAllIn(simplePlan("q21_dedup_minhash")).size
+    assert(ex163 == ex21, s"q163 adds exchanges over q21: $ex163 vs $ex21")
+    // q164: the selection ran at build time (k·dim driver state); the
+    // result is a driver-local k-row relation
+    val s164 = simplePlan("q164_coreset")
+    assert(s164.contains("LocalTableScan") || s164.contains("LocalRelation"), s164)
   }
 }

@@ -130,6 +130,58 @@ class Round10bSpec extends SparkSpec {
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("leaveOneOutAblation: hand-checked algebra; a whole-corpus group reports null rest") {
+    import graft.curation.Corpus
+    val df = Seq(("a", 10.0), ("a", 20.0), ("b", 40.0), ("b", 60.0), ("b", 50.0))
+      .toDF("src", "m")
+    val got = Corpus.leaveOneOutAblation(df, $"src", $"m")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // a: in 15, rest (40+60+50)/3 = 50, delta -35; b: in 50, rest 15, delta 35
+    assert(got("a") == ((2L, 15.0, 50.0, -35.0)), got.toString)
+    assert(got("b") == ((3L, 50.0, 15.0, 35.0)), got.toString)
+
+    val solo = Corpus.leaveOneOutAblation(Seq(("only", 7.0)).toDF("src", "m"), $"src", $"m")
+      .collect()(0)
+    assert(solo.isNullAt(3) && solo.isNullAt(4), "whole-corpus group has no rest")
+  }
+
+  test("kCenter: farthest-point selections match a driver reference; seed is the smallest id; " +
+      "selection distances are non-increasing is NOT required but spread is maximal on a line") {
+    import graft.similarity.Clustering
+    // points on a line: 0, 1, 2, ..., 9, 100 — seed id 0 at x=0; first pick
+    // must be x=100, second x≈ the midpoint farthest from {0,100} = 9? no:
+    // min-dist to {0,100} maximized at x=9? d(9)=81 vs others smaller? x=5:
+    // min(25, 9025)=25; x=9: min(81, 8281)=81 → pick 9; then x=4 or 5...
+    val pts = ((0 until 10).map(i => (i.toLong, Array(i.toDouble))) :+ (10L, Array(100.0)))
+    val got = Clustering.kCenter(pts.toDF("id", "v"), $"id", $"v", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got(0) == ((0, 0L, 0.0)))
+    assert(got(1)._2 == 10L && got(1)._3 == 10000.0)
+    assert(got(2)._2 == 9L && got(2)._3 == 81.0)
+
+    // driver reference on pseudo-random vectors
+    val dim = 5
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => ((i * 11 + j * 17) % 19).toDouble / 3.0)))
+    val eng = Clustering.kCenter(rows.toDF("id", "v"), $"id", $"v", k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    def g6(x: Double) = math.round(x * 1e6) / 1e6
+    def d2(a: Array[Double], b: Array[Double]) =
+      g6(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    var centers = Vector(rows.minBy(_._1))
+    var want = Vector((0, rows.head._1, 0.0))
+    var mind = rows.map(p => p._1 -> d2(p._2, centers.head._2)).toMap
+    for (r <- 1 until 6) {
+      val pick = rows.map(p => (p._1, mind(p._1))).maxBy { case (i, dd) => (dd, -i) }
+      val pr = rows.find(_._1 == pick._1).get
+      want = want :+ ((r, pick._1, pick._2))
+      centers = centers :+ pr
+      mind = rows.map(p => p._1 -> math.min(mind(p._1), d2(p._2, pr._2))).toMap
+    }
+    assert(eng == want, s"got $eng\nwant $want")
+  }
+
   test("IngestAggView: untouched base buckets keep their exact file set") {
     val baseT = "graft_r10b_aggv_files"
     val viewT = "graft_r10b_aggv_files_view"
