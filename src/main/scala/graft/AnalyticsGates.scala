@@ -70,11 +70,24 @@ object AnalyticsGates {
 
   private val KcK = 8
 
+  /** q166 — autoregressive sequence-dataset construction
+    * ([[graft.operators.Sequences.nextEventPairs]]): per user, each event
+    * with ≥ 3 predecessors becomes one (h1,h2,h3 → label) training
+    * example; one keyed exchange, three lags over one window.
+    */
+  private def q166NextEvent(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.nextEventPairs(
+        Tables.events(s, d).where(col("user_id").isNotNull),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"), history = 3)
+      .select(col("key").as("user_id"), col("seq_id").as("event_id"),
+        col("h1"), col("h2"), col("h3"), col("label"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_delta_agg" -> (q157DeltaAgg _),
     "q158_kmeans" -> (q158Kmeans _),
     "q162_source_ablation" -> (q162SourceAblation _),
-    "q164_coreset" -> (q164Coreset _)
+    "q164_coreset" -> (q164Coreset _),
+    "q166_next_event" -> (q166NextEvent _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -176,6 +189,15 @@ object AnalyticsGates {
     "q157_delta_agg" -> deltaAggSql,
     "q158_kmeans" -> kmeansSql,
     "q162_source_ablation" -> sourceAblationSql,
-    "q164_coreset" -> coresetSql
+    "q164_coreset" -> coresetSql,
+    "q166_next_event" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE user_id IS NOT NULL),
+        |l AS (SELECT user_id, event_id, event_type AS label,
+        |  lag(event_type, 3) OVER w AS h1,
+        |  lag(event_type, 2) OVER w AS h2,
+        |  lag(event_type, 1) OVER w AS h3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, h1, h2, h3, label FROM l WHERE h1 IS NOT NULL""".stripMargin
   )
 }

@@ -57,6 +57,41 @@ object ExtensionQueries {
   private def q22Simhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(s, d), col("text"), col("doc_id"))
 
+  /** Perceptual frame dedup — the multimodal near-dup pipeline end to end:
+    * payload → frame sampling → 48-bit aHash per frame
+    * ([[graft.multimodal.Multimodal.frameAHash]]: locality-preserving, so
+    * lightly-edited frames land within a small hamming radius) → blocked
+    * hamming pairs ([[Dedup.hammingPairs]], bucket cap 64 with the
+    * oversized buckets reportable). The video-frame dedup shape: repeated
+    * intro/boilerplate frames across media surface as pairs.
+    */
+  private def q165FrameDedup(s: SparkSession, d: String): DataFrame = {
+    val frames = Multimodal.frameAHash(
+      Multimodal.fromDocuments(Tables.documents(s, d)), frameBytes = 256, everyK = 2)
+    Dedup.hammingPairs(frames, col("fid"), col("ahash48"),
+        bits = 48, maxHamming = 3, maxBucket = 64)
+      .select(col("doc_a").as("fid_a"), col("doc_b").as("fid_b"), col("hamming"))
+  }
+
+  /** Sharded export manifest: deterministic hash sharding (64 shards) with
+    * per-shard row count, byte size, and an ORDER-INDEPENDENT content
+    * checksum (sum of the rows' 48-bit hashes — exact in BIGINT at any
+    * realistic shard size). The export-validation primitive: a re-run, a
+    * different cluster, or a resharded copy must reproduce the manifest
+    * bit-for-bit, and any dropped/duplicated/corrupted row moves exactly
+    * one (shard, checksum) cell. One grouped aggregate — nothing wide.
+    */
+  private def q167ShardManifest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        pmod(Hashing.hash48(concat(col("doc_id").cast("string"), lit(":shard-v1"))), lit(64L))
+          .as("shard"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("nb"),
+        Hashing.hash48(col("text")).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
+        sum(col("h")).as("checksum"))
+
   /** Cross-split leakage audit — the eval-hygiene composition of the two
     * primitives: q21's MinHash-LSH candidate pairs × q43's deterministic
     * split labels, keeping pairs whose members landed in DIFFERENT
@@ -1345,6 +1380,8 @@ object ExtensionQueries {
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_dedup_minhash" -> (q21MinhashLsh _),
     "q163_split_leakage" -> (q163SplitLeakage _),
+    "q165_frame_dedup" -> (q165FrameDedup _),
+    "q167_shard_manifest" -> (q167ShardManifest _),
     "q22_dedup_simhash" -> (q22Simhash _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
@@ -1628,6 +1665,33 @@ object ExtensionQueries {
          |JOIN labels la ON la.doc_id = p.doc_a
          |JOIN labels lb ON lb.doc_id = p.doc_b
          |WHERE la.split != lb.split""".stripMargin,
+    "q165_frame_dedup" ->
+      s"""WITH m AS ($duckByteView),
+         |f AS (SELECT doc_id AS media_id, hx, nb,
+         |  unnest(range(0, (nb + 255) // 256)) AS fi FROM m),
+         |px AS (SELECT media_id, fi,
+         |  list_transform(range(0, 48), j -> CASE WHEN fi*256 + j + 1 <= nb
+         |    THEN ${duckByteAt("fi*256 + j + 1")} ELSE 0 END) AS px
+         |  FROM f WHERE fi % 2 = 0),
+         |mn AS (SELECT media_id, fi, px, list_sum(px) // 48 AS mean FROM px),
+         |sig AS (SELECT media_id*1048576 + fi AS fid,
+         |  list_sum(list_transform(range(0, 48),
+         |    j -> CASE WHEN px[(j+1)::INT] > mean THEN (1::BIGINT << j::INT) ELSE 0 END)) AS ahash
+         |  FROM mn),
+         |ch AS (SELECT fid, ahash, c, (ahash >> (c*12)::INT) & 4095 AS cv
+         |  FROM sig, lateral unnest(range(0, 4)) t(c)),
+         |big AS (SELECT c, cv FROM ch GROUP BY c, cv HAVING count(*) > 64),
+         |cand AS (SELECT DISTINCT a.fid AS fid_a, a.ahash AS ha, b.fid AS fid_b, b.ahash AS hb
+         |  FROM ch a JOIN ch b ON a.c = b.c AND a.cv = b.cv AND a.fid < b.fid
+         |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.c = a.c AND big.cv = a.cv))
+         |SELECT fid_a, fid_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "q167_shard_manifest" ->
+      s"""SELECT ((${duckHash48("(doc_id::VARCHAR || ':shard-v1')")}) % 64)::BIGINT AS shard,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(octet_length(encode(text)))::BIGINT AS n_bytes,
+         |  sum(${duckHash48("text")})::BIGINT AS checksum
+         |FROM documents GROUP BY 1""".stripMargin,
     "q36_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

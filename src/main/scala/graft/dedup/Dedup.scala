@@ -627,27 +627,39 @@ object Dedup {
   def simhashSignatures(df: DataFrame, text: Column, id: Column): DataFrame =
     df.select(id.as("doc_id"), coalesce(Hashing.simhashDoc(text), lit(0L)).as("simhash"))
 
-  def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, text, id)
-    val chunks = maxHamming + 1
-    val bitsPerChunk = Hashing.HashBits / chunks
-    val chunked = sigs.select(
-      col("doc_id"),
-      col("simhash"),
-      posexplode(
-        array((0 until chunks).map { c =>
-          shiftright(col("simhash"), c * bitsPerChunk)
-            .bitwiseAND(lit((1L << bitsPerChunk) - 1))
-        }: _*)
-      ).as(Seq("chunk", "chunk_val"))
-    )
-    // Bucket-and-expand, like minhashLshPairs: ONE shuffle on the chunk
-    // key and the signature pipeline evaluated once — a self-join would
-    // recompute the whole explode+hash+agg plan for the second side.
+  def simhashPairs(df: DataFrame, text: Column, id: Column, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(df, text, id), col("doc_id"), col("simhash"),
+      Hashing.HashBits, maxHamming)
+
+  /** Hamming-radius candidate pairs over ANY precomputed bit signature —
+    * the pigeonhole chunk blocking behind [[simhashPairs]], factored out
+    * so other signature families (perceptual frame hashes, feature
+    * sketches) reuse it: split the `bits`-wide signature into
+    * `maxHamming + 1` chunks; any pair within the radius must agree on at
+    * least one whole chunk, so a bucket join on (chunk, value) finds
+    * EXACTLY the pairs an all-pairs scan would.
+    *
+    * Scale shape: bucket-and-expand — ONE shuffle on the chunk key, the
+    * signature relation evaluated once, pair generation a per-bucket
+    * array expansion. `maxBucket` bounds the worst case (a degenerate
+    * chunk value shared corpus-wide would otherwise expand
+    * quadratically): larger buckets are dropped BEFORE expansion, and
+    * [[hammingOversizedBuckets]] reports what was excluded — the
+    * [[minhashLshPairs]] discipline.
+    */
+  def hammingPairs(
+      sigRel: DataFrame,
+      id: Column,
+      sig: Column,
+      bits: Int,
+      maxHamming: Int,
+      maxBucket: Int = Int.MaxValue
+  ): DataFrame = {
+    val chunked = hammingChunks(sigRel, id, sig, bits, maxHamming)
     val buckets = chunked
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ms"))
-      .where(size(col("ms")) > 1)
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(
         col("ms"),
@@ -663,6 +675,46 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Buckets [[hammingPairs]] dropped at `maxBucket` — the observability
+    * half of the cap (cf. [[minhashOversizedBuckets]]).
+    */
+  def hammingOversizedBuckets(
+      sigRel: DataFrame,
+      id: Column,
+      sig: Column,
+      bits: Int,
+      maxHamming: Int,
+      maxBucket: Int
+  ): DataFrame =
+    hammingChunks(sigRel, id, sig, bits, maxHamming)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+
+  private def hammingChunks(
+      sigRel: DataFrame,
+      id: Column,
+      sig: Column,
+      bits: Int,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    // floor division: any remainder bits go unchecked, which only COARSENS
+    // buckets (more candidates, same exactness) — the pigeonhole argument
+    // needs agreement on one chunk, not full coverage
+    val bitsPerChunk = bits / chunks
+    require(bitsPerChunk > 0, s"maxHamming $maxHamming too large for a $bits-bit signature")
+    sigRel.select(id.as("doc_id"), sig.as("simhash")).select(
+      col("doc_id"),
+      col("simhash"),
+      posexplode(
+        array((0 until chunks).map { c =>
+          shiftright(col("simhash"), c * bitsPerChunk)
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1))
+        }: _*)
+      ).as(Seq("chunk", "chunk_val"))
+    )
   }
 
   /** Document fingerprints: minimum ROLLING n-byte-gram hash per doc

@@ -128,6 +128,59 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Per-frame PERCEPTUAL hash (aHash shape): cut the payload into
+    * `frameBytes` frames (every `everyK`-th kept, like [[sampleFrames]])
+    * and hash each frame's first 48 "pixels" by mean threshold — bit `j`
+    * set iff pixel `j` exceeds the frame's pixel mean (integer division;
+    * bytes past the frame end count 0). With a real codec the pixels
+    * would come from an 8×6 grayscale downsample of the DECODED frame;
+    * the stub reads raw payload bytes (unsigned), which preserves the
+    * property that matters for the pipeline: NEARBY frames get NEARBY
+    * hashes, so small payload edits leave the hash within a small
+    * hamming radius — the locality a perceptual dedup needs and an
+    * exact content hash ([[sampleFrames]]' `frame_hash`) destroys.
+    *
+    * Emits `fid = media_id · 2^20 + frame_idx` alongside: a single
+    * sortable frame identity for the pair machinery
+    * ([[graft.dedup.Dedup.hammingPairs]]). Payloads are capped at 2^20
+    * frames, loudly.
+    */
+  def frameAHash(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("fid", LongType, nullable = false),
+      StructField("ahash48", LongType, nullable = false)
+    ))
+    val pixels = 48
+    val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        require(nFrames < (1 << 20), s"media $id: $nFrames frames exceeds the 2^20 fid budget")
+        (0 until nFrames).iterator.collect {
+          case f if f % everyK == 0 =>
+            val lo = f * frameBytes
+            val px = Array.tabulate(pixels) { j =>
+              if (lo + j < bytes.length) bytes(lo + j) & 0xFF else 0
+            }
+            val mean = px.sum / pixels
+            var h = 0L
+            var j = 0
+            while (j < pixels) {
+              if (px(j) > mean) h |= 1L << j
+              j += 1
+            }
+            Row(id, f.toLong, id * (1L << 20) + f, h)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Overlapping audio analysis windows — the STFT framing shape
     * (win/hop in milliseconds over a PCM byte stream): one output row
     * per FULL window (`windowBytes = winMs·sampleRate·bytesPerSample /

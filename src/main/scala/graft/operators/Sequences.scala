@@ -33,6 +33,35 @@ object Sequences {
     * around via pre-filtering on [[Joins.skewReport]]'s output, the same
     * cap-and-observe pattern as `Joins.asOf(maxKeyRows)`.
     */
+  /** Next-event training pairs — the sequence-dataset constructor: for
+    * every event with at least `history` same-key predecessors (in
+    * (ts, tiebreak) order), emit the `history` preceding states as flat
+    * context columns `h1..hN` (oldest first) plus the event's own state
+    * as `label`. The autoregressive (context → next token) shape, built
+    * from event logs: each row is one supervised example.
+    *
+    * Flat columns, not an array: the downstream join/export surface and
+    * the cross-engine oracle both prefer fixed-width columns, and
+    * `history` is a small constant.
+    *
+    * Scale shape: ONE hash exchange on the key, `history` lag
+    * expressions over the single sorted window — same cost as one lag.
+    */
+  def nextEventPairs(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      tiebreak: Column,
+      history: Int = 3): DataFrame = {
+    require(history >= 1, s"history must be >= 1, got $history")
+    val w = Window.partitionBy(key).orderBy(ts.asc, tiebreak.asc)
+    val hist = (1 to history).map(i => lag(state, history - i + 1).over(w).as(s"h$i"))
+    df.select(
+        (Seq(key.as("key"), tiebreak.as("seq_id"), state.as("label")) ++ hist): _*)
+      .where(col(s"h1").isNotNull) // oldest lag present ⇒ all present
+  }
+
   def transitionCounts(
       df: DataFrame,
       key: Column,

@@ -543,5 +543,20 @@ class PlanShapeSpec extends SparkSpec {
     // result is a driver-local k-row relation
     val s164 = simplePlan("q164_coreset")
     assert(s164.contains("LocalTableScan") || s164.contains("LocalRelation"), s164)
+    // q165: frame hashes come off the mapPartitions codec pass, pairs off
+    // the ONE bucket shuffle — never a frame self-join
+    val s165 = simplePlan("q165_frame_dedup")
+    assert(s165.contains("ExistingRDD"), s165)
+    assert(!s165.contains("CartesianProduct") && !s165.contains("BroadcastNestedLoopJoin")
+      && !s165.contains("SortMergeJoin"), s165)
+    // q166: one keyed exchange feeding one Window — no join, no second sort
+    val s166 = simplePlan("q166_next_event")
+    assert("Exchange".r.findAllIn(s166).size == 1, s166)
+    assert(!s166.contains("Join"), s166)
+    assert("Window".r.findAllIn(s166).size >= 1, s166)
+    // q167: one pruned scan into one grouped aggregate
+    val s167 = simplePlan("q167_shard_manifest")
+    assert("Scan parquet".r.findAllIn(s167).size == 1, s167)
+    assert(!s167.contains("Join") && !s167.contains("Window"), s167)
   }
 }
