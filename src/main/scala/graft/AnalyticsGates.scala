@@ -82,7 +82,23 @@ object AnalyticsGates {
       .select(col("key").as("user_id"), col("seq_id").as("event_id"),
         col("h1"), col("h2"), col("h3"), col("label"))
 
+  /** q168 — salted skew join ([[graft.operators.Joins.saltedEquiJoin]]):
+    * lineitem scattered over 8 sub-keys, orders replicated ×8, joined on
+    * (key, salt) — row-identical to the plain join (the oracle IS the
+    * plain join), with hot keys spread over 8 tasks.
+    */
+  private def q168SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.Joins.saltedEquiJoin(li, o, "o_orderkey", saltBuckets = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_salted_join" -> (q168SaltedJoin _),
     "q157_delta_agg" -> (q157DeltaAgg _),
     "q158_kmeans" -> (q158Kmeans _),
     "q162_source_ablation" -> (q162SourceAblation _),
@@ -186,6 +202,11 @@ object AnalyticsGates {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q168_salted_join" ->
+      """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "q157_delta_agg" -> deltaAggSql,
     "q158_kmeans" -> kmeansSql,
     "q162_source_ablation" -> sourceAblationSql,

@@ -435,4 +435,43 @@ object Joins {
       .orderBy(col("cnt").desc, col("key").asc)
       .limit(topK)
   }
+
+  /** Salted inner equi-join — the manual skew rewrite for the cases AQE's
+    * skew-join split can't reach (a skewed key feeding a non-sort-merge
+    * path, a downstream operator pinned to the join's partitioning, or a
+    * key whose skew is known a priori from [[skewReport]]): the LARGE
+    * side's rows scatter across `saltBuckets` sub-keys by row hash; the
+    * SMALL-but-not-broadcastable side replicates once per sub-key
+    * (`explode` of a `saltBuckets`-literal array — a per-row expression,
+    * no shuffle multiplier beyond the intended ×S on that side only).
+    * Join on (key, salt), then drop the salt: result row-identical to the
+    * plain inner join (spec-asserted), but the hot key's rows now spread
+    * over S tasks instead of one straggler.
+    *
+    * `saltBuckets` comes from [[skewReport]]'s `salt_buckets` column —
+    * size it so hotKeyRows / S ≤ targetRowsPerTask. Replication cost is
+    * S × |small side|, which is why this beats broadcast only when the
+    * small side exceeds the broadcast budget.
+    */
+  def saltedEquiJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(large.columns.contains(key) && small.columns.contains(key),
+      s"join key '$key' must exist on both sides")
+    val overlap = (large.columns.toSet & small.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"non-key columns shared by both sides would collide post-join: ${overlap.mkString(", ")}")
+    // row-content hash scatters a hot key's rows evenly; any per-row
+    // expression works — determinism of the JOIN RESULT doesn't depend on
+    // the salt assignment
+    val salted = large.withColumn("__salt",
+      pmod(hash(large.columns.map(col).toSeq: _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(lit((0 until saltBuckets).toArray)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -558,5 +558,11 @@ class PlanShapeSpec extends SparkSpec {
     val s167 = simplePlan("q167_shard_manifest")
     assert("Scan parquet".r.findAllIn(s167).size == 1, s167)
     assert(!s167.contains("Join") && !s167.contains("Window"), s167)
+    // q168: the small side replicates via Generate (explode), the join
+    // keys carry the salt — never a nested-loop
+    val s168 = simplePlan("q168_salted_join")
+    assert(s168.contains("Generate"), s168)
+    assert(s168.contains("__salt"), s168)
+    assert(!s168.contains("CartesianProduct") && !s168.contains("BroadcastNestedLoopJoin"), s168)
   }
 }

@@ -96,4 +96,28 @@ class Round10cSpec extends SparkSpec {
       (1L, 14L, "b", "c", "d", "e"),
       (3L, 34L, "p", "q", "r", "s")), got.toString)
   }
+
+  test("saltedEquiJoin: row-multiset-identical to the plain inner join under a hot key; " +
+      "degenerate saltBuckets=1; colliding non-key columns rejected") {
+    import graft.operators.Joins
+    // hot key 7 dominates the large side
+    val large = ((0 until 200).map(i => (7L, s"L$i")) ++
+      (0 until 30).map(i => (i.toLong % 5, s"S$i"))).toDF("k", "lv")
+    val small = Seq((7L, "seven"), (0L, "zero"), (2L, "two"), (99L, "unmatched"))
+      .toDF("k", "rv")
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"lv", $"rv").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = multiset(large.join(small, Seq("k")))
+    assert(multiset(Joins.saltedEquiJoin(large, small, "k", 8)) == plain)
+    assert(multiset(Joins.saltedEquiJoin(large, small, "k", 1)) == plain)
+    assert(plain.values.sum == 200 + (0 until 30).count(i => Set(0L, 2L)(i % 5)))
+
+    val colliding = small.withColumnRenamed("rv", "lv")
+    val err = intercept[IllegalArgumentException] {
+      Joins.saltedEquiJoin(large, colliding, "k", 4)
+    }
+    assert(err.getMessage.contains("lv"))
+  }
 }
