@@ -92,6 +92,40 @@ object ExtensionQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
         sum(col("h")).as("checksum"))
 
+  /** Per-language Pearson correlation between quality signals (here:
+    * characters vs whitespace tokens) — the signal-redundancy check run
+    * before blending filters ([[graft.curation.Quantiles.cdfBlend]]-style
+    * ensembles): two signals correlating at ~1 add no information, and
+    * the algebraic `corr` aggregate answers it in ONE grouped pass
+    * (map-combined partial moments; nothing wide).
+    */
+  private def q169SignalCorr(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars").cast("double").as("x"),
+        TextFunctions.wsTokenCount(col("text")).cast("double").as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), round(corr(col("x"), col("y")), 6).as("chars_tokens_corr"))
+
+  /** Exact-quota deterministic sampling: the `n`-PER-STRATUM complement
+    * of q44's rate-based form — each language keeps exactly
+    * min(n, |stratum|) docs, chosen by salted-hash order (re-running
+    * over a grown corpus keeps an existing doc in the sample unless a
+    * smaller-hash newcomer displaces it — bounded churn, vs the full
+    * reshuffle a random_split would cause). One keyed exchange; Spark
+    * plans WindowGroupLimit, so each partition holds back all but its
+    * top-n before the shuffle.
+    */
+  private def q170QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("__t").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        Hashing.hash48(concat(col("doc_id").cast("string"), lit(":quota-v1"))).as("__t"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 50)
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Cross-split leakage audit — the eval-hygiene composition of the two
     * primitives: q21's MinHash-LSH candidate pairs × q43's deterministic
     * split labels, keeping pairs whose members landed in DIFFERENT
@@ -1382,6 +1416,8 @@ object ExtensionQueries {
     "q163_split_leakage" -> (q163SplitLeakage _),
     "q165_frame_dedup" -> (q165FrameDedup _),
     "q167_shard_manifest" -> (q167ShardManifest _),
+    "q169_signal_corr" -> (q169SignalCorr _),
+    "q170_quota_sample" -> (q170QuotaSample _),
     "q22_dedup_simhash" -> (q22Simhash _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
@@ -1686,6 +1722,16 @@ object ExtensionQueries {
          |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.c = a.c AND big.cv = a.cv))
          |SELECT fid_a, fid_b, bit_count(xor(ha, hb))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "q169_signal_corr" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+         |  round(corr(len($duckToks)::DOUBLE, n_chars::DOUBLE), 6) AS chars_tokens_corr
+         |FROM documents GROUP BY lang""".stripMargin,
+    "q170_quota_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |  (${duckHash48("(doc_id::VARCHAR || ':quota-v1')")}) AS tk FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang ORDER BY tk, doc_id) AS rn FROM t)
+         |SELECT doc_id, lang FROM r WHERE rn <= 50""".stripMargin,
     "q167_shard_manifest" ->
       s"""SELECT ((${duckHash48("(doc_id::VARCHAR || ':shard-v1')")}) % 64)::BIGINT AS shard,
          |  count(*)::BIGINT AS n_docs,

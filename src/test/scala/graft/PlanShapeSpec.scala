@@ -564,5 +564,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(s168.contains("Generate"), s168)
     assert(s168.contains("__salt"), s168)
     assert(!s168.contains("CartesianProduct") && !s168.contains("BroadcastNestedLoopJoin"), s168)
+    // q169: one scan into one grouped aggregate (algebraic corr moments)
+    val s169 = simplePlan("q169_signal_corr")
+    assert("Scan parquet".r.findAllIn(s169).size == 1, s169)
+    assert(!s169.contains("Join") && !s169.contains("Window"), s169)
+    // q170: the per-stratum top-n holds back rows BEFORE the exchange
+    val s170 = simplePlan("q170_quota_sample")
+    assert(s170.contains("WindowGroupLimit"), s170)
+    assert(!s170.contains("Join"), s170)
   }
 }
