@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** The lambda-HOF distance form the [[graft.plans.SqDistsB]] kernel
+    * replaced — kept (not dead code) as the cross-checkable semantic
+    * specification: `ClusteringKernelSpec` asserts the codegen bank is
+    * bit-identical to this on real embeddings plus null/ragged edges.
+    */
+  private[graft] def declarativeSqDists(
+      v: Column, cs: Array[Array[Double]], distScale: Int): Column =
+    array(cs.map { c =>
+      round(
+        aggregate(zip_with(v, lit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x),
+        distScale)
+    }: _*)
+
   /** Final assignment after `iters` Lloyd rounds: one row per input row —
     * (id, cluster INT, dist DOUBLE on the 10^-distScale grid).
     *
@@ -64,16 +78,15 @@ object Clustering {
       .map(_.getSeq[Double](1).toArray.map(grid(_, centroidScale)))
     require(centroids.length == k, s"lloyd: need >= $k rows, got ${centroids.length}")
 
-    // (cluster, dist) for the current centroid set: k fused expressions —
-    // literal arrays of k·dim doubles, far below any task-binary concern.
+    // (cluster, dist) for the current centroid set: ONE fused codegen
+    // kernel against a broadcast k·dim bank ([[graft.plans.SqDistsB]]) —
+    // bit-identical to the per-centroid zip_with/aggregate lambda form
+    // ([[declarativeSqDists]], parity-spec'd) but a primitive loop inside
+    // whole-stage codegen instead of k·dim interpreted HOF dispatches per
+    // row, which at production dims × corpus scale made ASSIGN the
+    // bottleneck.
     def assign(cs: Array[Array[Double]]): DataFrame = {
-      val dists = cs.map { c =>
-        round(
-          aggregate(zip_with(col("v"), lit(c), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x),
-          distScale)
-      }
-      val dArr = array(dists: _*)
+      val dArr = graft.plans.DistBank.distsColumn(col("v"), cs, distScale)
       rows.select(col("id"), col("v"),
         (array_position(dArr, array_min(dArr)) - 1).cast("int").as("cluster"),
         array_min(dArr).as("dist"))
@@ -126,11 +139,11 @@ object Clustering {
     import spark.implicits._
 
     val rows = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    // 1-centroid bank through the same codegen kernel as lloyd's ASSIGN —
+    // one primitive loop per row instead of a per-element interpreted
+    // lambda (parity with the zip_with form is spec'd bit-exact).
     def distTo(center: Array[Double]): Column =
-      round(
-        aggregate(zip_with(col("v"), lit(center), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x),
-        distScale)
+      element_at(graft.plans.DistBank.distsColumn(col("v"), Array(center), distScale), 1)
 
     val seedRow = rows.orderBy(col("id")).limit(1).collect()
     require(seedRow.nonEmpty, "kCenter: empty input")

@@ -383,4 +383,68 @@ class CodegenSpec extends SparkSpec {
     val viaHof = vals.select(size(filter(lit(cuts), c => c <= col("v"))).as("n")).as[Int].collect()
     assert(viaExpr.toSeq === viaHof.toSeq)
   }
+
+  test("SqDistsB generated Java compiles; compiled values match interpreted eval; null/ragged contract") {
+    val cents: Array[Array[Double]] = Array(
+      Array.tabulate(6)(i => (i - 2) * 0.5),
+      Array.tabulate(6)(i => math.sin(i + 1)))
+    val bc = spark.sparkContext.broadcast(new graft.plans.DistBank(cents, 6))
+    val expr = graft.plans.SqDistsB(
+      bc, BoundReference(0, ArrayType(DoubleType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    def arr(xs: Double*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    val v = arr(1.0, -2.0, 3.0, 0.5, -0.25, 4.0)
+    val compiled = proj(InternalRow(v)).getArray(0).toDoubleArray().toSeq
+    val interpreted = expr.eval(InternalRow(arr(1.0, -2.0, 3.0, 0.5, -0.25, 4.0)))
+      .asInstanceOf[ArrayData].toDoubleArray().toSeq
+    assert(compiled == interpreted && compiled.size == 2)
+    // ragged input through the COMPILED path: per-centroid nulls
+    val ragged = proj(InternalRow(arr(1.0, 2.0))).getArray(0)
+    assert(ragged.numElements() == 2 && ragged.isNullAt(0) && ragged.isNullAt(1))
+    // null vector through the compiled path: non-null array of nulls
+    val nv = proj(InternalRow(null)).getArray(0)
+    assert(nv.numElements() == 2 && nv.isNullAt(0) && nv.isNullAt(1))
+  }
+
+  test("SqDistsB: bit-identical to the zip_with/aggregate/round lambda form incl. rounding edges") {
+    import graft.similarity.Clustering
+    import spark.implicits._
+    val dim = 8
+    val cents: Array[Array[Double]] = Array(
+      Array.tabulate(dim)(i => (i - 3) * 0.25),
+      Array.tabulate(dim)(i => math.cos(i + 1)),
+      Array.fill(dim)(0.125))
+    // vectors engineered to land distances near 10^-6 grid boundaries
+    // (HALF_UP ties) as well as generic irrational sums
+    val vecs: Seq[Seq[Double]] = Seq(
+      Seq.tabulate(dim)(i => math.sin(i * 2 + 1)),
+      Seq.fill(dim)(0.0),
+      Seq.tabulate(dim)(i => (i + 1) * 1e-3),
+      Seq.tabulate(dim)(i => if (i == 0) 0.2500005 else 0.0),
+      Seq.tabulate(dim)(i => i * 0.0000005))
+    val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v"))
+    val viaKernel = df.select(
+      graft.plans.DistBank.distsColumn(col("v"), cents, 6).as("d"))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    val viaLambda = df.select(
+      Clustering.declarativeSqDists(col("v"), cents, 6).as("d"))
+      .collect().map(_.getSeq[Double](0).toSeq)
+    // java.lang.Double.equals — BIT identity, not approximate
+    assert(viaKernel.toSeq == viaLambda.toSeq)
+    // ragged vector: every distance null in BOTH forms (zip_with pads null)
+    val rdf = Seq(Seq(1.0, 2.0)).toDF("v").select(col("v").cast("array<double>").as("v"))
+    val rk = rdf.select(graft.plans.DistBank.distsColumn(col("v"), cents, 6).as("d"))
+      .collect().head.getSeq[java.lang.Double](0)
+    val rl = rdf.select(Clustering.declarativeSqDists(col("v"), cents, 6).as("d"))
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(rk.size == 3 && rk.forall(_ == null) && rk.toSeq == rl.toSeq)
+    // null-element vector: every distance null in both forms
+    val ndf = spark.sql(
+      "select array(1.0d, cast(null as double), 3.0d, 4.0d, 5.0d, 6.0d, 7.0d, 8.0d) as v")
+    val nk = ndf.select(graft.plans.DistBank.distsColumn(col("v"), cents, 6).as("d"))
+      .collect().head.getSeq[java.lang.Double](0)
+    val nl = ndf.select(Clustering.declarativeSqDists(col("v"), cents, 6).as("d"))
+      .collect().head.getSeq[java.lang.Double](0)
+    assert(nk.size == 3 && nk.forall(_ == null) && nk.toSeq == nl.toSeq)
+  }
 }
