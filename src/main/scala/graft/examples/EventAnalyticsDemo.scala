@@ -61,6 +61,28 @@ object EventAnalyticsDemo {
       stepSeconds = 3600, probe = "2024-01-15 00:00:00")
       .orderBy("key").show(5, truncate = false)
 
+    // 6. interaction-graph structure, BOTH readouts from one wedge join:
+    // co-session user pairs -> triangleAnalysis gives per-user embedding
+    // in the community structure (triangle counts) AND the edges worth
+    // keeping under sparsification (structural similarity) without paying
+    // the wedge enumeration twice
+    println("== interaction graph: triangles + edge similarity (one machinery build) ==")
+    val copresence = events
+      .select(col("user_id"), window(col("ts"), "6 hours").getField("start").as("w"))
+      .distinct()
+    // co-occurrence blocking with the hammingPairs bucket-cap discipline:
+    // a window is a pair BUCKET, and an unbounded bucket is quadratic —
+    // cap it and move on (a flash-crowd window carries no pair signal)
+    val bounded = copresence.join(
+      copresence.groupBy("w").agg(count(lit(1)).as("nw")).where(col("nw") <= 64), Seq("w"))
+    val pairs = bounded.as("a").join(bounded.as("b"), Seq("w"))
+      .where(col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("ua"), col("b.user_id").as("ub"))
+    val (triCounts, edgeSim) = graft.graphs.Graphs.triangleAnalysis(
+      pairs, col("ua"), col("ub"))
+    triCounts.orderBy(desc("triangles")).show(5, truncate = false)
+    edgeSim.orderBy(desc("jaccard"), asc("lo"), asc("hi")).show(5, truncate = false)
+
     spark.stop()
   }
 }

@@ -58,6 +58,10 @@ object Graphs {
     *              `node`); duplicates tolerated (distinct applied)
     * @param edges directed edge relation
     * @param scale decimal grid for per-round rank rounding
+    * @param convergeEarly stop once a round leaves every rank unchanged on
+    *                      the grid — bit-identical to running all `iters`
+    *                      (grid fixed points are exact); one extra bounded
+    *                      scalar aggregate per round
     * @return (node LONG, rank DOUBLE) — one row per distinct node
     */
   def pageRank(
@@ -68,7 +72,8 @@ object Graphs {
       dst: Column,
       iters: Int,
       damping: Double = 0.85,
-      scale: Int = 7): DataFrame = {
+      scale: Int = 7,
+      convergeEarly: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
     val spark = nodes.sparkSession
@@ -94,7 +99,8 @@ object Graphs {
         round(
           lit((1.0 - damping) / n) +
             lit(damping) * (inflow + dangling / lit(n)),
-          scale))
+          scale),
+      convergeEarly)
     // the returned state is checkpointed — the loop inputs are dead
     v.unpersist(); e.unpersist(); withDeg.unpersist()
     out
@@ -124,7 +130,8 @@ object Graphs {
       seed: Column,
       iters: Int,
       damping: Double = 0.85,
-      scale: Int = 7): DataFrame = {
+      scale: Int = 7,
+      convergeEarly: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
@@ -133,9 +140,14 @@ object Graphs {
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
         .distinct())
+    // Normalize the teleport vector by |seeds ∩ nodes|, not |seeds|: a
+    // seed absent from the node set carries no `t` mass, and dividing by
+    // the raw seed count would leave Σt < 1 — total rank silently leaking
+    // out of the system instead of failing or renormalizing.
     val sd = seeds.select(seed.cast("long").as("node")).where(col("node").isNotNull).distinct()
+      .join(v, Seq("node"), "left_semi")
     val ns = sd.count().toDouble
-    require(ns > 0, "personalizedPageRank: empty seed set")
+    require(ns > 0, "personalizedPageRank: no seed is present in the node set")
 
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val withT = Materialize(
@@ -151,7 +163,8 @@ object Graphs {
         round(
           lit(1.0 - damping) * col("t") +
             lit(damping) * (inflow + col("t") * dangling),
-          scale))
+          scale),
+      convergeEarly)
     v.unpersist(); e.unpersist(); withT.unpersist()
     out
   }
@@ -162,15 +175,28 @@ object Graphs {
     * the dangling scalar (bounded driver state) and the inflow aggregate,
     * applies `update(coalesced inflow, dangling)`, and re-materializes —
     * lineage cut per round, superseded blocks unpersisted.
+    *
+    * `convergeEarly` stops as soon as a round leaves every rank UNCHANGED
+    * on the 10^-scale grid (`max|rank' − rank| = 0` — one bounded scalar
+    * aggregate per round over the already-materialized state, the CC
+    * loop's convergence convention). Because ranks live on the grid after
+    * every round, a fixed point is EXACT — once a round is a no-op, all
+    * later rounds are too, so the early exit returns bit-identical output
+    * to running the full `iters`. Production runs set it to skip dead
+    * rounds; the cross-engine gates keep the default (fixed `iters`) so
+    * the DuckDB oracle unrolls the same round count.
     */
   private def prIterations(
       state0: DataFrame,
       e: DataFrame,
       iters: Int,
-      update: (Column, Column) => Column): DataFrame = {
+      update: (Column, Column) => Column,
+      convergeEarly: Boolean = false): DataFrame = {
     val carried = state0.columns.filterNot(_ == "rank").map(col).toSeq
     var state = Materialize(state0)
-    for (_ <- 1 to iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
       // The dangling mass rides as a broadcast ONE-ROW relation instead of
       // a per-iteration driver collect: the whole round is a single job
       // (the scalar aggregate is a broadcast subtree of it), which halves
@@ -185,15 +211,22 @@ object Graphs {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
 
-      val next = state.drop("rank")
+      val prevRank = if (convergeEarly) Seq(col("__prev")) else Nil
+      val next = state.drop("__prev").withColumnRenamed("rank", "__prev")
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangDf))
-        .select(carried :+
+        .select(carried ++ prevRank :+
           update(coalesce(col("inflow"), lit(0.0)), col("__dang")).as("rank"): _*)
 
       val prev = state
       state = Materialize(next)
+      if (convergeEarly) {
+        // grid-exact delta over the state this round materialized anyway
+        val delta = state.agg(max(abs(col("rank") - col("__prev")))).head().getDouble(0)
+        fixed = delta == 0.0
+      }
       prev.unpersist()
+      round += 1
     }
     state.select(col("node"), col("rank"))
   }
@@ -282,10 +315,34 @@ object Graphs {
     */
   def triangleCounts(edges: DataFrame, endA: Column, endB: Column): DataFrame = {
     val (_, _, triangles) = triangleMachinery(edges, endA, endB)
+    triangleCountsFrom(triangles)
+  }
+
+  /** BOTH triangle readouts — per-vertex counts and per-edge structural
+    * similarity — from ONE machinery build: canon/degrees/orientation/
+    * wedge-join run once, the triangle relation is materialized once
+    * (eager checkpoint), and the two readouts are cheap aggregates over
+    * it. [[triangleCounts]] + [[edgeJaccard]] called separately each pay
+    * a full wedge enumeration — the single most expensive exchange in the
+    * graph layer — so a consumer wanting both (the
+    * `TrainingDataDemo`/`EventAnalyticsDemo` composition) must come
+    * through here; the same shared-labels discipline as
+    * `Dedup.dropByClusters`/`keepBestByClusters` over one CC run.
+    */
+  def triangleAnalysis(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      scale: Int = 4): (DataFrame, DataFrame) = {
+    val (canon, deg, tri0) = triangleMachinery(edges, endA, endB)
+    val triangles = Materialize(tri0)
+    (triangleCountsFrom(triangles), edgeJaccardFrom(canon, deg, triangles, scale))
+  }
+
+  private def triangleCountsFrom(triangles: DataFrame): DataFrame =
     triangles
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
-  }
 
   /** Per-EDGE neighborhood-overlap (structural similarity): for every
     * undirected edge {a, b}, the number of common neighbors
@@ -307,6 +364,14 @@ object Graphs {
     */
   def edgeJaccard(edges: DataFrame, endA: Column, endB: Column, scale: Int = 4): DataFrame = {
     val (canon, deg, triangles) = triangleMachinery(edges, endA, endB)
+    edgeJaccardFrom(canon, deg, triangles, scale)
+  }
+
+  private def edgeJaccardFrom(
+      canon: DataFrame,
+      deg: DataFrame,
+      triangles: DataFrame,
+      scale: Int): DataFrame = {
     // Each triangle contributes one common neighbor to each of its three
     // edges; u ≺ v1/v2 holds only in ORIENTATION order, so re-canonicalize
     // by id for the edge key.
@@ -410,13 +475,124 @@ object Graphs {
     */
   private val BloomEdgeCap: Long = 50000000L
 
-  /** Top-`k` rows by `orderCol` descending with deterministic tiebreak —
-    * convenience used by the graph gates; rank assigned over a single
-    * window (Spark plans WindowGroupLimit: per-partition top-k before the
-    * single-reducer final rank, so no global sort of the full relation).
+  /** Synchronous label propagation (community detection) on the simple
+    * undirected graph, `rounds` rounds, fully deterministic: every node
+    * starts labeled with its own id; each round RE-labels every node with
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label (Raghavan et al.'s LPA with the async coin flips
+    * replaced by the min-label tiebreak, so two engines agree round by
+    * round). Isolated nodes keep their own label. Synchronous LPA can
+    * two-cycle on bipartite structures — `rounds` is a hard cap by
+    * design, and the cross-engine gate unrolls the same count.
+    *
+    * Scale shape per round: ONE shuffled join (labels ⋈ adjacency on the
+    * label owner) + one map-side-combined (node, label) count + one
+    * argmax aggregate (max of a (count, −label) struct — no window, no
+    * sort) + a left join back to the node set for isolated nodes. Label
+    * state is re-materialized per round (lineage cut), superseded blocks
+    * unpersisted — the [[pageRank]] loop discipline.
+    *
+    * @return (node LONG, label LONG) — one row per distinct node
     */
-  private[graft] def topK(df: DataFrame, orderCol: Column, tiebreak: Column, k: Int): DataFrame =
-    df.withColumn("rank",
-        row_number().over(Window.orderBy(orderCol.desc, tiebreak.asc)).cast("int"))
-      .where(col("rank") <= k)
+  def labelPropagation(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val canon = Materialize(
+      edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct())
+    val adj = Materialize(
+      canon.select(col("lo").as("node"), col("hi").as("nbr"))
+        .unionAll(canon.select(col("hi").as("node"), col("lo").as("nbr"))))
+    val nodes = Materialize(adj.select(col("node")).distinct())
+
+    var labels = Materialize(nodes.select(col("node"), col("node").as("label")))
+    for (_ <- 1 to rounds) {
+      // labels of my neighbors: adjacency keyed by the NEIGHBOR, joined to
+      // that neighbor's current label
+      val nbrLabels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+      // argmax by (count desc, label asc) as ONE aggregate: max of the
+      // (cnt, −label) struct orders lexicographically, so the winning
+      // struct carries the smallest label among the most frequent
+      val winner = nbrLabels
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("label"))
+      val next = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      val prev = labels
+      labels = Materialize(next)
+      prev.unpersist()
+    }
+    val out = labels
+    canon.unpersist(); adj.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** The k-core of the simple undirected graph: the maximal subgraph in
+    * which every vertex has degree ≥ `k`, by iterative peeling — each
+    * round drops every vertex whose CURRENT degree is below `k` and
+    * removes its edges, until stable (or `maxRounds`, whichever first).
+    * Peeling is monotone (dropped vertices never return), so stopping at
+    * a fixed round cap is a PREFIX of the fixpoint every engine agrees
+    * on — the cross-engine gate unrolls the same cap; production calls
+    * give the cap headroom and the early exit skips the dead rounds.
+    *
+    * The standard corpus-graph curation primitive: the 2-core of a
+    * citation/link graph strips pendant chains, higher cores isolate the
+    * dense communities worth mining.
+    *
+    * Scale shape per round: one map-side-combined degree aggregate over
+    * the surviving edges + two semi-joins (edges whose BOTH endpoints
+    * survive) + one bounded count for the exit test; the edge relation is
+    * re-materialized per round (lineage cut), superseded blocks
+    * unpersisted.
+    *
+    * @return (node LONG, deg LONG) — core membership with the degree
+    *         inside the core
+    */
+  def kCore(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = Materialize(
+      edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct())
+    var eCount = e.count()
+    var round = 0
+    var stable = false
+    while (round < maxRounds && !stable) {
+      val deg = e.select(col("lo").as("node")).unionAll(e.select(col("hi").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select(col("node"))
+      val next = Materialize(
+        e.join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+          .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+          .select(col("lo"), col("hi")))
+      // bounded exit test: peeling strictly shrinks the edge set until the
+      // fixpoint, so |edges| unchanged <=> stable (one count per round —
+      // the previous round's is carried, not recomputed)
+      val nextCount = next.count()
+      stable = nextCount == eCount
+      eCount = nextCount
+      e.unpersist()
+      e = next
+      round += 1
+    }
+    val out = e.select(col("lo").as("node")).unionAll(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    out
+  }
 }

@@ -147,6 +147,36 @@ object Multimodal {
     */
   def frameAHash(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
     require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    // frame-index generation and the per-frame hash both stay inside
+    // whole-stage codegen: sequence+explode for the 1→N frame fan-out and
+    // the AHash48F kernel for the pure arithmetic ([[frameAHashRdd]] is
+    // the parity-spec'd reference). The `.rdd` escape hatch is reserved
+    // for the real-codec stubs — an aHash is just byte math.
+    val nRaw = (length(col("payload")).cast("long") + lit(frameBytes - 1).cast("long"))
+      .divide(lit(frameBytes)).cast("long")
+    val n = when(nRaw >= lit(1L << 20),
+        raise_error(concat(lit("media "), col("media_id").cast("string"),
+          lit(": "), nRaw.cast("string"), lit(" frames exceeds the 2^20 fid budget")))
+          .cast("long"))
+      .otherwise(nRaw)
+    media.select(col("media_id"), col("payload"))
+      .withColumn("frame_idx",
+        explode(when(n > 0, sequence(lit(0L), n - 1, lit(everyK.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        (col("media_id") * lit(1L << 20) + col("frame_idx")).as("fid"),
+        graft.plans.AHash48F.column(col("payload"), col("frame_idx"), frameBytes).as("ahash48"))
+  }
+
+  /** The `mapPartitions` form [[frameAHash]] replaced — kept (not dead
+    * code) as the cross-checkable semantic reference: `Round11Spec`
+    * asserts the codegen pipeline is row-identical to this on real
+    * payloads plus the null/empty/short-frame edges.
+    */
+  private[graft] def frameAHashRdd(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -154,7 +184,6 @@ object Multimodal {
       StructField("fid", LongType, nullable = false),
       StructField("ahash48", LongType, nullable = false)
     ))
-    val pixels = 48
     val rdd = media.select(col("media_id"), col("payload")).rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
@@ -164,13 +193,13 @@ object Multimodal {
         (0 until nFrames).iterator.collect {
           case f if f % everyK == 0 =>
             val lo = f * frameBytes
-            val px = Array.tabulate(pixels) { j =>
+            val px = Array.tabulate(48) { j =>
               if (lo + j < bytes.length) bytes(lo + j) & 0xFF else 0
             }
-            val mean = px.sum / pixels
+            val mean = px.sum / 48
             var h = 0L
             var j = 0
-            while (j < pixels) {
+            while (j < 48) {
               if (px(j) > mean) h |= 1L << j
               j += 1
             }

@@ -301,6 +301,18 @@ object Storage {
     * partitioned/bucketed by key, partition pruning makes it near-free).
     * Keys whose rows are all deleted leave the view.
     *
+    * Batch collision contract: within one batch `inserts` and `deleteIds`
+    * are UNORDERED sets, not a sequenced CDC log. A `rowId` appearing in
+    * BOTH is a REPLACE — the delete applies to the pre-batch base row (if
+    * any) and the insert always lands, so the view counts the inserted
+    * value. [[graft.streaming.IngestAggView]]'s base rebuild implements
+    * the same rule (base rows anti-joined on both id sets, inserts
+    * unioned in), so view and base stay consistent under every collision:
+    * insert-then-delete of a never-stored row keeps the row in both;
+    * delete-then-reinsert replaces it in both. Producers needing
+    * sequenced same-batch semantics must collapse ops per rowId upstream
+    * (emit only the net op) before calling this.
+    *
     * @param state   the maintained view: (`key`, n, total, mx)
     * @param base    the base row store BEFORE this batch: (`rowId`, `key`,
     *                `value`); `rowId` unique

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *     bucket of the key: only the buckets containing this batch's keys
   *     are rebuilt (partition-pruned read, dynamic-partition-overwrite
   *     write through a staging hop) — per-batch base write cost is
-  *     proportional to touched buckets, not base size.
+  *     proportional to touched buckets, not base size. Touched buckets
+  *     the batch's deletes fully EMPTIED are explicitly dropped: dynamic
+  *     overwrite only replaces partitions present in the staging data,
+  *     so without the drop an emptied bucket's stale rows would survive.
   *
   * Replay safety (foreachBatch is at-least-once): the view carries the
   * last applied `__batch` id; a redelivered batch with
@@ -45,20 +48,22 @@ final class IngestAggView(
     val spark = batch.sparkSession
     require(spark.catalog.tableExists(baseTable) && spark.catalog.tableExists(viewTable),
       s"IngestAggView: '$baseTable' and '$viewTable' must be initialized before the stream starts")
-    def pathOf(name: String): String =
-      spark.sessionState.catalog
-        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(name))
-        .location.toString
 
     val changes = batch.persist()
     try {
       val inserts = changes.where(col("op") === "insert")
         .select(col(rowId), col(key), col(value))
       val deleteIds = changes.where(col("op") === "delete").select(col(rowId))
-      val base = spark.read.parquet(pathOf(baseTable))
+      // Catalog-backed reads throughout (never raw path scans): both the
+      // base and the view may legitimately reach ZERO rows (every row /
+      // every key deleted), and a bare parquet directory with no data
+      // files cannot infer a schema — the catalog always knows it.
+      spark.sql(s"REFRESH TABLE $baseTable")
+      val base = spark.table(baseTable)
 
       // 1) view update, guarded for replay
-      val view = spark.read.parquet(pathOf(viewTable))
+      spark.sql(s"REFRESH TABLE $viewTable")
+      val view = spark.table(viewTable)
       val lastRow = view.agg(max(col("__batch"))).head()
       val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
       if (batchId > lastApplied) {
@@ -67,7 +72,11 @@ final class IngestAggView(
           .withColumn("__batch", lit(batchId))
         val staging = s"${viewTable}__staging"
         next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.read.parquet(pathOf(staging))
+        // catalog-backed read (not a raw path scan): the staging table may
+        // legitimately hold ZERO rows (every key deleted), and a bare
+        // parquet directory with no data files cannot infer a schema.
+        spark.sql(s"REFRESH TABLE $staging")
+        spark.table(staging)
           .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(viewTable)
         spark.sql(s"REFRESH TABLE $viewTable")
       }
@@ -83,6 +92,8 @@ final class IngestAggView(
           .unionByName(withBkt.select(col(rowId), col(key), col(value), col("bkt")))
         val baseStaging = s"${baseTable}__staging"
         rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
+        spark.sql(s"REFRESH TABLE $baseStaging")
+        val stagingDf = spark.table(baseStaging)
         // insertInto is positional and must not re-declare partitioning.
         // Dynamic mode scopes the overwrite to the buckets present in the
         // staging data — untouched partitions stay byte-identical. The
@@ -94,12 +105,24 @@ final class IngestAggView(
         val prevMode = spark.conf.getOption(modeKey)
         try {
           spark.conf.set(modeKey, "dynamic")
-          spark.read.parquet(pathOf(baseStaging))
+          stagingDf
             .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
             .insertInto(baseTable)
         } finally prevMode match {
           case Some(v) => spark.conf.set(modeKey, v)
           case None    => spark.conf.unset(modeKey)
+        }
+        // Dynamic overwrite only replaces partitions PRESENT in the staging
+        // data. A touched bucket that this batch's deletes fully emptied
+        // (no survivors, no inserts hashing to it) is absent from `rebuilt`
+        // — without an explicit drop its stale rows would silently survive
+        // and later dirty-key max recomputes would read resurrected deleted
+        // rows. `touched` is already a bounded driver list, so the
+        // emptied-bucket set is one distinct over the staging data away.
+        val present = stagingDf
+          .select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
+        touched.filterNot(present).foreach { b =>
+          spark.sql(s"ALTER TABLE $baseTable DROP IF EXISTS PARTITION (bkt=$b)")
         }
         spark.sql(s"REFRESH TABLE $baseTable")
       }

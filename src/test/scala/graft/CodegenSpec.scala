@@ -406,6 +406,25 @@ class CodegenSpec extends SparkSpec {
     assert(nv.numElements() == 2 && nv.isNullAt(0) && nv.isNullAt(1))
   }
 
+  test("AHash48F generated Java compiles; compiled values match interpreted eval and the " +
+      "shared compute reference; past-end pixels read 0") {
+    val expr = graft.plans.AHash48F(
+      BoundReference(0, BinaryType, nullable = true),
+      BoundReference(1, LongType, nullable = false), 64)
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    val payload = Array.tabulate(200)(i => ((i * 53 + 7) % 256 - 128).toByte)
+    for (f <- 0L to 3L) { // frame 3 starts at byte 192 -> 40 past-end pixels
+      val compiled = proj(InternalRow(payload, f)).getLong(0)
+      val interpreted = expr.eval(InternalRow(payload, f)).asInstanceOf[Long]
+      val reference = graft.plans.AHash48F.compute(payload, f, 64)
+      assert(compiled == interpreted && compiled == reference, s"frame $f")
+    }
+    // a fully-past-end frame is all-zero pixels -> mean 0 -> no bit set
+    assert(proj(InternalRow(payload, 99L)).getLong(0) == 0L)
+    // null payload -> null result through the compiled path
+    assert(proj(InternalRow(null, 0L)).isNullAt(0))
+  }
+
   test("SqDistsB: bit-identical to the zip_with/aggregate/round lambda form incl. rounding edges") {
     import graft.similarity.Clustering
     import spark.implicits._
