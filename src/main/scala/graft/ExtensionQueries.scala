@@ -75,11 +75,23 @@ object ExtensionQueries {
 
   /** Sharded export manifest: deterministic hash sharding (64 shards) with
     * per-shard row count, byte size, and an ORDER-INDEPENDENT content
-    * checksum (sum of the rows' 48-bit hashes — exact in BIGINT at any
-    * realistic shard size). The export-validation primitive: a re-run, a
+    * checksum — the MODULAR sum of the rows' 48-bit hashes,
+    * `Σ h mod 2^48`, computed overflow-free by splitting each hash into
+    * 24-bit halves and summing the halves separately:
+    *
+    * {{{ (Σ lo24(h) + 2^24 · (Σ hi24(h) mod 2^24)) mod 2^48 }}}
+    *
+    * Each half-sum is ≤ 2^24·n, so every intermediate stays exact in
+    * BIGINT up to n ≈ 2^38 (~275 billion) rows per shard — far past any
+    * 100-TB shard — with no reliance on silent Long wraparound (which
+    * ANSI mode turns into an error, and which DuckDB's HUGEINT `sum`
+    * never performs, so a raw `sum(h)::BIGINT` oracle would error at
+    * ~2^16 rows/shard). The export-validation primitive: a re-run, a
     * different cluster, or a resharded copy must reproduce the manifest
     * bit-for-bit, and any dropped/duplicated/corrupted row moves exactly
-    * one (shard, checksum) cell. One grouped aggregate — nothing wide.
+    * one (shard, checksum) cell (a single-row change shifts the mod-2^48
+    * sum unless the hash delta is ≡ 0, probability 2^-48). One grouped
+    * aggregate — nothing wide.
     */
   private def q167ShardManifest(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -90,7 +102,10 @@ object ExtensionQueries {
         Hashing.hash48(col("text")).as("h"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"),
-        sum(col("h")).as("checksum"))
+        pmod(
+          sum(col("h").bitwiseAND(lit((1L << 24) - 1))) +
+            shiftleft(pmod(sum(shiftright(col("h"), 24)), lit(1L << 24)), 24),
+          lit(1L << 48)).as("checksum"))
 
   /** Per-language Pearson correlation between quality signals (here:
     * characters vs whitespace tokens) — the signal-redundancy check run
@@ -125,6 +140,51 @@ object ExtensionQueries {
       .where(col("__rn") <= 50)
       .select(col("doc_id"), col("lang"))
   }
+
+  /** BM25 top-20 retrieval for a fixed 3-term query
+    * ([[graft.curation.Corpus.bm25]]) — the corpus-search / example-mining
+    * readout. The explode is pruned to the query's posting lists BEFORE
+    * any aggregation; ranking is on the 4-dp rounded score so the cut is
+    * engine-independent.
+    */
+  private def q171Bm25(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.bm25(
+      Tables.documents(s, d), col("text"), col("doc_id"),
+      queryTerms = Seq("spark", "join", "window"), topK = 20)
+
+  /** Exact per-source Kolmogorov–Smirnov drift of the document-length
+    * distribution vs the rest of the corpus
+    * ([[graft.curation.Corpus.ksDrift]]) — the shape-sensitive
+    * complement of the PSI gate (q119): KS catches a drifted mode PSI's
+    * fixed bins smear out.
+    */
+  private def q172KsDrift(s: SparkSession, d: String): DataFrame =
+    graft.curation.Corpus.ksDrift(
+      Tables.documents(s, d), col("source"), col("n_chars"))
+
+  /** EXACT token-set Jaccard join at t = 0.5 via prefix filtering
+    * ([[Dedup.jaccardJoin]], the PPJoin/AllPairs family): candidates come
+    * from an equi-join on each set's RAREST-token prefix, verification is
+    * an exact intersection count — no false negatives, blocked by
+    * theorem rather than sketch. The oracle is the brute-force all-pairs
+    * scan, proving the recall guarantee at sf scale.
+    */
+  private def q175JaccardJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardJoin(Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+
+  /** Last-touch attribution: every purchase credited to the user's latest
+    * view/click at-or-before it within 24 h
+    * ([[graft.operators.Sequences.lastTouchAttribution]]) — one running
+    * `last(_, ignoreNulls)` carry per user, no self-join. Organic
+    * purchases (no in-window touch) report null attribution.
+    */
+  private def q176Attribution(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sequences.lastTouchAttribution(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+      col("event_id"), conversion = "purchase", touches = Seq("view", "click"),
+      windowSeconds = 86400L)
+      .select(col("key").as("user_id"), col("conversion_id"),
+        col("touch_id"), col("touch_state"), col("delay_seconds"))
 
   /** Cross-split leakage audit — the eval-hygiene composition of the two
     * primitives: q21's MinHash-LSH candidate pairs × q43's deterministic
@@ -1418,6 +1478,10 @@ object ExtensionQueries {
     "q167_shard_manifest" -> (q167ShardManifest _),
     "q169_signal_corr" -> (q169SignalCorr _),
     "q170_quota_sample" -> (q170QuotaSample _),
+    "q171_bm25" -> (q171Bm25 _),
+    "q172_ks_drift" -> (q172KsDrift _),
+    "q175_jaccard_join" -> (q175JaccardJoin _),
+    "q176_attribution" -> (q176Attribution _),
     "q22_dedup_simhash" -> (q22Simhash _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
@@ -1732,12 +1796,71 @@ object ExtensionQueries {
          |r AS (SELECT doc_id, lang,
          |  row_number() OVER (PARTITION BY lang ORDER BY tk, doc_id) AS rn FROM t)
          |SELECT doc_id, lang FROM r WHERE rn <= 50""".stripMargin,
+    "q171_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |dt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         |  WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |dfr AS (SELECT term, count(*)::BIGINT AS df FROM dt GROUP BY 1),
+         |dl AS (SELECT doc_id, len($duckToks)::DOUBLE AS dl FROM documents),
+         |sc AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+         |s AS (SELECT dt.doc_id,
+         |    round(sum(ln(1 + (sc.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         |      * dt.tf * 2.2 / (dt.tf + 1.2 * (0.25 + 0.75 * dl.dl / sc.avgdl))), 4) AS score,
+         |    count(*)::BIGINT AS n_terms_hit
+         |  FROM dt JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN sc
+         |  GROUP BY dt.doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM s)
+         |SELECT doc_id, score, n_terms_hit, rank::INT AS rank FROM r WHERE rank <= 20""".stripMargin,
+    "q172_ks_drift" ->
+      """WITH gv AS (SELECT source AS grp, n_chars::DOUBLE AS v, count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT grp, sum(c)::BIGINT AS n_in FROM gv GROUP BY 1),
+        |vals AS (SELECT v, sum(c)::BIGINT AS cv FROM gv GROUP BY 1),
+        |t AS (SELECT sum(n_in)::BIGINT AS n_all FROM g),
+        |grid AS (SELECT g.grp, g.n_in, t.n_all, vals.v, vals.cv, coalesce(gv.c, 0)::BIGINT AS c
+        |  FROM vals CROSS JOIN g CROSS JOIN t
+        |  LEFT JOIN gv ON gv.grp = g.grp AND gv.v = vals.v),
+        |cum AS (SELECT grp, n_in, (n_all - n_in)::BIGINT AS n_rest,
+        |    sum(c) OVER w AS ci, sum(cv) OVER w AS ca
+        |  FROM grid WINDOW w AS (PARTITION BY grp ORDER BY v ROWS UNBOUNDED PRECEDING))
+        |SELECT grp AS "group", n_in, n_rest,
+        |  CASE WHEN n_rest > 0
+        |    THEN round(max(abs(ci / n_in - (ca - ci) / n_rest)), 6) END AS ks
+        |FROM cum GROUP BY grp, n_in, n_rest""".stripMargin,
+    "q175_jaccard_join" ->
+      s"""WITH s AS (SELECT doc_id, list_distinct($duckToks) AS st FROM documents),
+         |s2 AS (SELECT doc_id, st, len(st)::BIGINT AS sz FROM s WHERE len(st) > 0),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
+         |    len(list_filter(a.st, x -> list_contains(b.st, x)))::BIGINT AS inter
+         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, (sa + sb - inter)::BIGINT AS n_union,
+         |  round(inter / (sa + sb - inter), 4) AS jaccard
+         |FROM p WHERE inter * 10000 >= (sa + sb - inter) * 5000""".stripMargin,
+    "q176_attribution" ->
+      """WITH w AS (SELECT user_id, ts, event_type, event_id,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)
+        |      OVER win AS tt,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_id END IGNORE NULLS)
+        |      OVER win AS tid,
+        |    last_value(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+        |      OVER win AS tstate
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)),
+        |c AS (SELECT user_id, event_id, tid, tstate,
+        |    epoch_ns(ts) // 1000000000 - epoch_ns(tt) // 1000000000 AS d
+        |  FROM w WHERE event_type = 'purchase')
+        |SELECT user_id, event_id AS conversion_id,
+        |  CASE WHEN d <= 86400 THEN tid END AS touch_id,
+        |  CASE WHEN d <= 86400 THEN tstate END AS touch_state,
+        |  CASE WHEN d <= 86400 THEN d END AS delay_seconds
+        |FROM c""".stripMargin,
     "q167_shard_manifest" ->
-      s"""SELECT ((${duckHash48("(doc_id::VARCHAR || ':shard-v1')")}) % 64)::BIGINT AS shard,
-         |  count(*)::BIGINT AS n_docs,
-         |  sum(octet_length(encode(text)))::BIGINT AS n_bytes,
-         |  sum(${duckHash48("text")})::BIGINT AS checksum
-         |FROM documents GROUP BY 1""".stripMargin,
+      s"""WITH h AS (SELECT ((${duckHash48("(doc_id::VARCHAR || ':shard-v1')")}) % 64)::BIGINT AS shard,
+         |  octet_length(encode(text))::BIGINT AS nb,
+         |  (${duckHash48("text")}) AS h FROM documents)
+         |SELECT shard, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS n_bytes,
+         |  ((sum(h % 16777216) + ((sum(h // 16777216) % 16777216) * 16777216)) % 281474976710656)::BIGINT AS checksum
+         |FROM h GROUP BY shard""".stripMargin,
     "q36_neardup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
          |edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs

@@ -29,6 +29,12 @@ object GraphGates {
   private val KhopQty = 48
   private val KhopSeeds = 5
   private val KhopMax = 3
+  private val LpaRounds = 4
+  // k chosen against the sf0.01 co-order degree profile (median ~115):
+  // the 80-core peels 143 parts over SIX cascading rounds — a real
+  // peel, where a small k keeps everything and k ≥ 95 cascades to empty
+  private val CoreK = 80
+  private val CoreRounds = 8
 
   /** Supplier transition edges (src, dst); `minQty` filters lines first so
     * the k-hop gate runs on a sparse graph with real hop diversity.
@@ -115,12 +121,31 @@ object GraphGates {
   private def q161EdgeJaccard(s: SparkSession, d: String): DataFrame =
     Graphs.edgeJaccard(coOrderPairs(s, d), col("pa"), col("pb"))
 
+  /** q173 — synchronous label-propagation communities (4 rounds,
+    * min-label tiebreak) over the UNDIRECTED view of the sparse supplier
+    * transition graph ([[Graphs.labelPropagation]]): the deterministic
+    * LPA whose per-round argmax is one struct-max aggregate, no window.
+    */
+  private def q173Communities(s: SparkSession, d: String): DataFrame =
+    Graphs.labelPropagation(
+      transitions(s, d, Some(KhopQty)), col("src"), col("dst"), rounds = LpaRounds)
+
+  /** q174 — the k-core of the part co-order graph ([[Graphs.kCore]]),
+    * k = 80 (a six-round cascading peel at sf0.01 — see [[CoreK]]),
+    * capped at 8 rounds (the oracle unrolls the same cap; peeling is
+    * monotone so the capped prefix is engine-exact at ANY sf).
+    */
+  private def q174KCore(s: SparkSession, d: String): DataFrame =
+    Graphs.kCore(coOrderPairs(s, d), col("pa"), col("pb"), k = CoreK, maxRounds = CoreRounds)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
     "q156_khop" -> (q156KHop _),
     "q160_trustrank" -> (q160TrustRank _),
-    "q161_edge_jaccard" -> (q161EdgeJaccard _)
+    "q161_edge_jaccard" -> (q161EdgeJaccard _),
+    "q173_communities" -> (q173Communities _),
+    "q174_kcore" -> (q174KCore _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -248,11 +273,69 @@ object GraphGates {
        |UNION ALL SELECT node, 2::INT FROM h2
        |UNION ALL SELECT node, 3::INT FROM h3""".stripMargin
 
+  /** `LpaRounds` unrolled synchronous LPA rounds: per round a neighbor
+    * label count and the (count desc, label asc) argmax, exactly the
+    * engine's update rule.
+    */
+  private def communitiesSql: String = {
+    // MATERIALIZED throughout — DuckDB inlines plain CTEs, and a chained
+    // round structure re-evaluates the whole prefix per reference (see
+    // kcoreSql, where the inlined form exhausted file handles)
+    val prelude =
+      s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+         |canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM e),
+         |adj AS MATERIALIZED (SELECT lo AS node, hi AS nbr FROM canon UNION ALL SELECT hi, lo FROM canon),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM adj),
+         |l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)""".stripMargin
+    val rounds = (1 to LpaRounds).map { i =>
+      val p = s"l${i - 1}"
+      s"""c$i AS MATERIALIZED (SELECT a.node, l.label, count(*)::BIGINT AS cnt
+         |  FROM adj a JOIN $p l ON a.nbr = l.node GROUP BY 1, 2),
+         |w$i AS MATERIALIZED (SELECT node, label FROM (SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+         |  FROM c$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT n.node, coalesce(w.label, n.node) AS label
+         |  FROM nodes n LEFT JOIN w$i w ON n.node = w.node)""".stripMargin
+    }
+    prelude + ",\n" + rounds.mkString(",\n") +
+      s"\nSELECT node, label FROM l$LpaRounds"
+  }
+
+  /** `CoreRounds` unrolled peeling rounds on the part co-order graph:
+    * each round keeps edges whose BOTH endpoints currently have degree
+    * ≥ `CoreK`; the final degree readout is over the surviving edges.
+    */
+  /** Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and an
+    * 8-round chain of inlined self-references re-evaluates (and re-opens)
+    * the lineitem scan exponentially — the un-materialized form dies with
+    * "Too many open files" before it dies of the blow-up.
+    */
+  private def kcoreSql: String = {
+    val prelude =
+      """WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey::BIGINT AS lo, b.l_partkey::BIGINT AS hi
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+    val rounds = (1 to CoreRounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, count(*)::BIGINT AS deg
+         |  FROM (SELECT lo AS node FROM $p UNION ALL SELECT hi FROM $p) GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $CoreK),
+         |e$i AS MATERIALIZED (SELECT e.lo, e.hi FROM $p e
+         |  JOIN k$i ka ON e.lo = ka.node JOIN k$i kb ON e.hi = kb.node)""".stripMargin
+    }
+    prelude + ",\n" + rounds.mkString(",\n") +
+      s"""\nSELECT node, count(*)::BIGINT AS deg
+         |FROM (SELECT lo AS node FROM e$CoreRounds UNION ALL SELECT hi FROM e$CoreRounds)
+         |GROUP BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
     "q156_khop" -> khopSql,
     "q160_trustrank" -> trustrankSql,
-    "q161_edge_jaccard" -> edgeJaccardSql
+    "q161_edge_jaccard" -> edgeJaccardSql,
+    "q173_communities" -> communitiesSql,
+    "q174_kcore" -> kcoreSql
   )
 }

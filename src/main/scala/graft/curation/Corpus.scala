@@ -1065,4 +1065,142 @@ object Corpus {
           round(col("s") / col("n") - (col("ts") - col("s")) / (col("tn") - col("n")), scale))
           .as("delta"))
   }
+
+  /** BM25 retrieval: score every document against a fixed bag of query
+    * terms and return the top `topK` — the corpus-search / example-mining
+    * readout served from the same token statistics the inverted index
+    * ([[invertedIndex]]) is built on.
+    *
+    * Scoring is the classic Robertson/Sparck-Jones form with Lucene's
+    * non-negative idf:
+    *
+    * {{{ Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) ·
+    *         tf_td·(k1+1) / (tf_td + k1·(1 − b + b·dl_d/avgdl)) }}}
+    *
+    * Ranking is by the ROUNDED score (the [[tfIdf]] cross-engine
+    * discipline: transcendentals may differ in the last ulp between
+    * engines; rounding before ranking makes the cut reproducible), ties
+    * by doc id.
+    *
+    * Plan shape: the token explode is FILTERED to the query terms before
+    * anything aggregates (a `topK`-independent isin prune on the exploded
+    * relation — at 100 TB the shuffle carries only query-term postings,
+    * not the corpus vocabulary); doc length comes from the `wsTokenCount`
+    * kernel over the raw doc table (a scan, no second explode); `avgdl`
+    * and `N` ride as a broadcast 1-row relation; the final top-K is a
+    * single `TakeOrderedAndProject`-shaped window cut (WindowGroupLimit
+    * prunes per-partition before the single-reducer rank).
+    */
+  def bm25(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      queryTerms: Seq[String],
+      topK: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      scale: Int = 4
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25: empty query")
+    require(topK >= 1, "topK must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+
+    // query-term postings only: prune the exploded relation BEFORE the
+    // (doc, term) aggregation so the shuffle is proportional to the
+    // query's posting lists, not the corpus token count
+    val dt = tokenRows(docs, text, id)
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df per query term (≤ |terms| rows) — broadcast side of the score join
+    val dfr = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // doc length from the kernel scan (no second explode); corpus scalars
+    // as a broadcast 1-row relation
+    val dl = docs.select(id.as("doc_id"),
+      graft.functions.TextFunctions.wsTokenCount(text).cast("double").as("dl"))
+    val scalars = dl.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = dt
+      .join(broadcast(dfr), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(idf * tfNorm), scale).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    // top-K via orderBy+limit (TakeOrderedAndProject: each task ships at
+    // most topK rows, no single-partition exchange of the scored
+    // relation), THEN the rank window over the ≤ topK survivors — the
+    // [[vocabulary]] cut structure
+    val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"), col("n_terms_hit"), col("rank"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov drift per group: for every group,
+    * the KS statistic `D = max_x |CDF_in(x) − CDF_rest(x)|` between the
+    * group's distribution of `value` and the REST of the corpus — the
+    * distribution-drift screen that catches shape changes PSI's fixed
+    * binning ([[psi]]-style) smears out. 0 = identical distributions,
+    * 1 = disjoint supports.
+    *
+    * `value` must be discrete or pre-binned (quantize continuous signals
+    * first — [[graft.curation.Quantiles]]): the CDF axis is the distinct
+    * value set, and the method materializes a |groups| × |values| grid.
+    * With bounded groups and a binned axis that grid is small by
+    * construction; the corpus itself is touched by ONE (group, value)
+    * aggregate.
+    *
+    * Plan shape: one map-side-combined (group, value) count over the
+    * data, MATERIALIZED — group totals, value totals, and the grand total
+    * all aggregate from those partials, never from the corpus again →
+    * broadcast values-axis cross join (|G|·|V| rows, data-independent) →
+    * one cumulative window per group → one max aggregate. Groups with an
+    * empty complement (single-group corpus) report null.
+    */
+  def ksDrift(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      scale: Int = 6
+  ): DataFrame = {
+    // one corpus-touching aggregate: counts per (group, value)
+    val gv = graft.Materialize(
+      df.select(group.as("group"), value.cast("double").as("v"))
+        .where(col("group").isNotNull && col("v").isNotNull)
+        .groupBy(col("group"), col("v")).agg(count(lit(1)).as("c")))
+
+    val groups = gv.groupBy(col("group")).agg(sum(col("c")).as("n_in"))
+    val vals = gv.groupBy(col("v")).agg(sum(col("c")).as("cv"))
+    val totals = groups.agg(sum(col("n_in")).as("n_all"))
+
+    // data-independent grid: every group × every value, so each group's
+    // CDF is sampled at every jump point of either distribution
+    val grid = vals.crossJoin(broadcast(groups)).crossJoin(broadcast(totals))
+      .join(gv, Seq("group", "v"), "left")
+      .na.fill(0L, Seq("c"))
+
+    val w = Window.partitionBy(col("group")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIn = sum(col("c")).over(w)
+    val cumAll = sum(col("cv")).over(w)
+    grid
+      .select(col("group"), col("n_in"), (col("n_all") - col("n_in")).as("n_rest"),
+        cumIn.as("ci"), cumAll.as("ca"))
+      .groupBy(col("group"), col("n_in"), col("n_rest"))
+      // the zero-complement guard sits INSIDE the aggregate: ANSI mode
+      // evaluates the aggregate child on every row even when an outer
+      // `when` would discard the result, so a bare /n_rest would throw
+      // DIVIDE_BY_ZERO on a single-group corpus
+      .agg(round(max(when(col("n_rest") > 0,
+        abs(col("ci") / col("n_in") - (col("ca") - col("ci")) / col("n_rest")))), scale)
+        .as("ks"))
+      .select(col("group"), col("n_in"), col("n_rest"), col("ks"))
+  }
 }

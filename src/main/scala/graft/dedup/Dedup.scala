@@ -1933,4 +1933,94 @@ object Dedup {
       .where(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** EXACT token-set Jaccard join above `threshold`, by prefix filtering —
+    * the PPJoin/AllPairs family (Bayardo et al., "Scaling up all pairs
+    * similarity search"; Xiao et al., PPJoin): where MinHash-LSH
+    * ([[minhashLshPairs]]) trades exactness for bounded candidates, this
+    * keeps the result EXACT and bounds candidates by a theorem instead of
+    * a sketch.
+    *
+    * Principle: order the vocabulary globally by document frequency
+    * ascending (rarest first, term as tiebreak). If two token sets of
+    * sizes sa, sb have Jaccard ≥ t, they must overlap in at least
+    * ⌈t·max(sa,sb)⌉ tokens, so each set's PREFIX — its first
+    * `s − ⌈t·s⌉ + 1` tokens in global order — must share at least one
+    * token with the other's. Candidate pairs therefore come from an
+    * equi-join on PREFIX tokens only, and prefixes are built from the
+    * RAREST tokens, so join buckets are small by construction (the
+    * frequent tokens that would blow up a posting-list join never enter
+    * a prefix unless a set is nearly all-frequent). Exact verification
+    * (one intersection count per candidate) then clears false positives
+    * — no false negatives, so the output is the true Jaccard-join.
+    *
+    * Scale shape: one token-key aggregate for df, one window for the
+    * global rank (vocabulary-sized relation, not corpus-sized), one
+    * per-doc window for prefix selection, ONE equi-join on the prefix
+    * token, one (pair)-key count for the intersection, one broadcast-able
+    * join back to set sizes. Everything is blocked; nothing is all-pairs.
+    *
+    * @return (doc_a, doc_b, inter, n_union, jaccard) for every unordered
+    *         pair with jaccard ≥ threshold, jaccard on the 10^-4 grid
+    */
+  def jaccardJoin(
+      docs: DataFrame,
+      text: Column,
+      id: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    // the threshold as an exact rational m/10000: ceil(t·s) and the final
+    // cut are INTEGER arithmetic on both engines — a double `0.1·30 =
+    // 3.0000000000000004` must never shorten a prefix (false negative) or
+    // flip a boundary pair
+    val m = math.round(threshold * 10000).toInt
+    require(math.abs(m / 10000.0 - threshold) < 1e-12,
+      s"threshold must be expressible in 4 decimals, got $threshold")
+
+    // distinct (doc, term) + set sizes; one explode, map-side combined
+    val dt = graft.Materialize(
+      docs.select(id.as("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.wsTokens(text))).as("term")))
+    val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    // global token order = (df asc, term asc). The ORDER itself is what
+    // the prefix lemma needs — never a dense global rank (a
+    // row_number() over an unpartitioned window is a single-partition
+    // exchange, the one shape banned repo-wide): the per-doc window
+    // orders by the (df, term) pair directly
+    val order = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // per-doc prefix: first (sz - ceil(t·sz) + 1) tokens in global order;
+    // ceil(t·sz) = (sz·m + 9999) div 10000, exact
+    val ceilTs = expr(s"(sz * $m + 9999) div 10000")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+    val prefix = dt.join(order, Seq("term"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("pos", row_number().over(byDoc))
+      .where(col("pos") <= col("sz") - ceilTs + 1)
+      .select(col("term"), col("doc_id"), col("sz"))
+
+    // candidates: pairs sharing a prefix token (dedup'd), then EXACT
+    // intersection via one pair-keyed count over the full sets
+    val cand = prefix.select(col("term"), col("doc_id").as("doc_a"), col("sz").as("sa"))
+      .join(prefix.select(col("term"), col("doc_id").as("doc_b"), col("sz").as("sb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+    val inter = cand
+      .join(dt.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+      .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+
+    val unionSz = col("sa") + col("sb") - col("inter")
+    inter
+      .withColumn("n_union", unionSz)
+      .withColumn("jaccard", round(col("inter") / unionSz, 4))
+      // the cut is the integer form of inter/union >= m/10000 — exact on
+      // both engines; the rounded ratio is only the reported value
+      .where(col("inter") * 10000 >= unionSz * m)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_union"), col("jaccard"))
+  }
 }

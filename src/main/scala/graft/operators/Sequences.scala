@@ -175,4 +175,58 @@ object Sequences {
       .groupBy(col("cohort"), col("week_offset"))
       .agg(countDistinct(col("k")).as("n_users"))
   }
+
+  /** Last-touch attribution: every `conversion` event, attributed to the
+    * LATEST same-key `touches` event at-or-before it and within
+    * `windowSeconds` — the credit-assignment readout a funnel
+    * ([[funnelTimes]]) doesn't give (the funnel says WHETHER the chain
+    * completed; attribution says WHICH touch gets the credit).
+    *
+    * Ordering is (ts, tiebreak) — a touch sharing the conversion's exact
+    * timestamp counts as preceding it iff its tiebreak is smaller, so two
+    * engines pair identically. Conversions with no in-window touch are
+    * reported with null attribution (organic conversions are signal, not
+    * rows to drop). The window predicate is floored epoch seconds, the
+    * gap convention of every sequence operator here.
+    *
+    * Scale shape: ONE hash exchange on the key; the carry is a single
+    * `last(_, ignoreNulls)` running window over each key's sorted events
+    * (no self-join, no per-conversion scan), then a row filter — the
+    * LOCF shape of `TimeSeries.gapFill`, pointed at credit assignment.
+    */
+  def lastTouchAttribution(
+      df: DataFrame,
+      key: Column,
+      ts: Column,
+      state: Column,
+      tiebreak: Column,
+      conversion: String,
+      touches: Seq[String],
+      windowSeconds: Long
+  ): DataFrame = {
+    require(touches.nonEmpty, "need at least one touch state")
+    require(!touches.contains(conversion), "a conversion cannot be its own touch")
+    require(windowSeconds > 0, s"windowSeconds must be positive: $windowSeconds")
+    val base = df.select(
+      key.as("k"), ts.as("t"), state.as("s"), tiebreak.as("tb"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t").asc, col("tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touchStruct = when(col("s").isin(touches: _*),
+      struct(col("t").as("tt"), col("tb").as("tid"), col("s").as("tstate")))
+    base
+      .withColumn("__touch", last(touchStruct, ignoreNulls = true).over(w))
+      .where(col("s") === conversion)
+      .select(
+        col("k").as("key"),
+        col("tb").as("conversion_id"),
+        col("t").as("conversion_ts"),
+        when(unix_timestamp(col("t")) - unix_timestamp(col("__touch.tt")) <= windowSeconds,
+          col("__touch")).as("a"))
+      .select(
+        col("key"), col("conversion_id"), col("conversion_ts"),
+        col("a.tid").as("touch_id"),
+        col("a.tstate").as("touch_state"),
+        (unix_timestamp(col("conversion_ts")) - unix_timestamp(col("a.tt")))
+          .as("delay_seconds"))
+  }
 }

@@ -543,10 +543,13 @@ class PlanShapeSpec extends SparkSpec {
     // result is a driver-local k-row relation
     val s164 = simplePlan("q164_coreset")
     assert(s164.contains("LocalTableScan") || s164.contains("LocalRelation"), s164)
-    // q165: frame hashes come off the mapPartitions codec pass, pairs off
-    // the ONE bucket shuffle — never a frame self-join
+    // q165: the frame fan-out and the aHash are DECLARATIVE since round 11
+    // (sequence+explode + the graft_ahash48 codegen kernel — no .rdd hop,
+    // so the parquet scan stays in the pipeline); pairs off the ONE bucket
+    // shuffle — never a frame self-join
     val s165 = simplePlan("q165_frame_dedup")
-    assert(s165.contains("ExistingRDD"), s165)
+    assert(!s165.contains("ExistingRDD"), s"q165 regressed to an RDD scan:\n$s165")
+    assert(s165.contains("graft_ahash48") && s165.contains("Scan parquet"), s165)
     assert(!s165.contains("CartesianProduct") && !s165.contains("BroadcastNestedLoopJoin")
       && !s165.contains("SortMergeJoin"), s165)
     // q166: one keyed exchange feeding one Window — no join, no second sort
@@ -572,5 +575,40 @@ class PlanShapeSpec extends SparkSpec {
     val s170 = simplePlan("q170_quota_sample")
     assert(s170.contains("WindowGroupLimit"), s170)
     assert(!s170.contains("Join"), s170)
+  }
+
+  test("round-11 shapes: bm25's top-k never global-sorts; ks/jaccard ride checkpointed " +
+      "partials; the graph loops return checkpointed state; attribution is one exchange, no join") {
+    // q171: the final cut is TakeOrderedAndProject (each task ships ≤ topK
+    // rows) — a row_number over the full scored relation would be the
+    // banned single-partition exchange
+    val s171 = simplePlan("q171_bm25")
+    assert(s171.contains("TakeOrderedAndProject"), s171)
+    assert(!s171.contains("CartesianProduct"), s171)
+    // q172: the (group, value) partials are checkpointed — the KS grid,
+    // cumulative window, and max aggregate never rescan the corpus
+    val s172 = simplePlan("q172_ks_drift")
+    assert(!s172.contains("Scan parquet"), s172)
+    assert(s172.contains("Window"), s172)
+    // q173/q174: the iterative loops ran at build time; the returned state
+    // is checkpointed (LPA) / a bounded aggregate over checkpointed edges
+    // (k-core) — no parquet rescan in either final plan
+    val s173 = simplePlan("q173_communities")
+    assert(s173.contains("ExistingRDD") || s173.contains("LocalTableScan"), s173)
+    val s174 = simplePlan("q174_kcore")
+    assert(!s174.contains("Scan parquet"), s174)
+    assert(s174.contains("HashAggregate"), s174)
+    // q175: candidates come from the prefix equi-join over checkpointed
+    // token partials — never a cartesian, never a corpus-side broadcast
+    // nested loop; the per-doc prefix window is doc-partitioned
+    val s175 = simplePlan("q175_jaccard_join")
+    assert(!s175.contains("Scan parquet"), s175)
+    assert(!s175.contains("CartesianProduct") && !s175.contains("BroadcastNestedLoopJoin"), s175)
+    // q176: ONE keyed exchange for the running-carry window; the
+    // attribution is a filter over the carry — no self-join
+    val s176 = simplePlan("q176_attribution")
+    assert(!s176.contains("Join"), s176)
+    assert("Exchange".r.findAllIn(s176).size == 1, s176)
+    assert(s176.contains("Window"), s176)
   }
 }
