@@ -440,8 +440,27 @@ object Graphs {
     // rows instead of ~|wedges|. Skipped above [[BloomEdgeCap]] edges,
     // where the filter's broadcast would stop being cheap.
     val nEdges = canon.count()
+    // The prefilter pays ONLY in the shuffle regime: when the oriented
+    // edge relation broadcasts into the closing semi-join, the wedge
+    // relation never crosses an exchange and the filter build is a pure
+    // extra pass (measured round 11: identical shuffle-record counts
+    // with and without it under broadcast; 48.2M → 9.4M exchange rows —
+    // 5.1× — with broadcast disabled, the 100-TB shape). Skip the build
+    // when the closing join will CLEARLY broadcast (2× margin on a
+    // 20 B/row estimate — a wrong guess in either direction costs one
+    // bounded pass or one missed prune, never correctness).
+    val bcThreshold = canon.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val closingWillBroadcast = bcThreshold >= 0 && nEdges * 20L * 2 <= bcThreshold
+    // ops/profiling escape hatch: -Dgraft.triangles.bloom=off|force
+    // (SCALING.md round-11 measurement); default = the regime heuristic
+    val bloomMode = System.getProperty("graft.triangles.bloom", "auto")
+    val bloomOn = bloomMode match {
+      case m if "off".equalsIgnoreCase(m)   => false
+      case m if "force".equalsIgnoreCase(m) => true
+      case _                                => !closingWillBroadcast
+    }
     val candidates =
-      if (nEdges > 0 && nEdges <= BloomEdgeCap) {
+      if (bloomOn && nEdges > 0 && nEdges <= BloomEdgeCap) {
         import org.apache.spark.util.sketch.BloomFilter
         // bounded partial-filter count: each partial allocates full
         // geometry (the IngestDedup backfill discipline)

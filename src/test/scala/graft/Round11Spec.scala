@@ -191,6 +191,34 @@ class Round11Spec extends SparkSpec {
     assert(sharedJacc((8L, 9L)) == ((0L, 0.0)))
   }
 
+  test("triangle Bloom prefilter: FORCED filter returns exactly the unfiltered result — " +
+      "no false negatives — on a graph with hubs, isolated triangles, and open wedges") {
+    import graft.graphs.Graphs
+    // hub star with two rim edges (each closes a hub triangle), K4, a
+    // separate triangle, many open wedges
+    val edges = (Seq.tabulate(12)(i => (100L, 200L + i)) ++
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (50L, 51L), (51L, 52L), (52L, 50L), (200L, 201L), (202L, 203L)))
+      .toDF("a", "b")
+    def counts(mode: String): Map[Long, Long] = {
+      val prev = System.getProperty("graft.triangles.bloom")
+      try {
+        System.setProperty("graft.triangles.bloom", mode)
+        Graphs.triangleCounts(edges, $"a", $"b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally {
+        if (prev == null) System.clearProperty("graft.triangles.bloom")
+        else System.setProperty("graft.triangles.bloom", prev)
+      }
+    }
+    val forced = counts("force")
+    val off = counts("off")
+    assert(forced == off, s"prefilter changed the result: $forced vs $off")
+    assert(forced == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      50L -> 1L, 51L -> 1L, 52L -> 1L, 100L -> 2L,
+      200L -> 1L, 201L -> 1L, 202L -> 1L, 203L -> 1L), forced.toString)
+  }
+
   test("frameAHash: declarative codegen pipeline is row-identical to the mapPartitions " +
       "reference — real payloads, null/empty payloads, short tails, everyK strides") {
     import graft.multimodal.Multimodal
