@@ -162,15 +162,21 @@ object ExtensionQueries {
     graft.curation.Corpus.ksDrift(
       Tables.documents(s, d), col("source"), col("n_chars"))
 
-  /** EXACT token-set Jaccard join at t = 0.5 via prefix filtering
-    * ([[Dedup.jaccardJoin]], the PPJoin/AllPairs family): candidates come
-    * from an equi-join on each set's RAREST-token prefix, verification is
-    * an exact intersection count — no false negatives, blocked by
-    * theorem rather than sketch. The oracle is the brute-force all-pairs
+  /** EXACT shingle-set Jaccard join at t = 0.5 via prefix filtering
+    * ([[Dedup.jaccardJoinSets]], the PPJoin/AllPairs family): candidates
+    * come from an equi-join on each set's RAREST-item prefix,
+    * verification is an exact intersection count — no false negatives,
+    * blocked by theorem rather than sketch. Items are the width-3
+    * shingle hashes (the near-dup granularity, and a diverse item space
+    * where prefix filtering actually prunes — unigram items on this
+    * synthetic ~50-word vocabulary make the TRUE result near-quadratic,
+    * measured 131 s at sf0.1). The oracle is the brute-force all-pairs
     * scan, proving the recall guarantee at sf scale.
     */
   private def q175JaccardJoin(s: SparkSession, d: String): DataFrame =
-    Dedup.jaccardJoin(Tables.documents(s, d), col("text"), col("doc_id"), threshold = 0.5)
+    Dedup.jaccardJoinSets(
+      Tables.documents(s, d),
+      Hashing.shingleHashSet(col("text"), 3), col("doc_id"), threshold = 0.5)
 
   /** Last-touch attribution: every purchase credited to the user's latest
     * view/click at-or-before it within 24 h
@@ -1828,8 +1834,14 @@ object ExtensionQueries {
         |    THEN round(max(abs(ci / n_in - (ca - ci) / n_rest)), 6) END AS ks
         |FROM cum GROUP BY grp, n_in, n_rest""".stripMargin,
     "q175_jaccard_join" ->
-      s"""WITH s AS (SELECT doc_id, list_distinct($duckToks) AS st FROM documents),
-         |s2 AS (SELECT doc_id, st, len(st)::BIGINT AS sz FROM s WHERE len(st) > 0),
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  ELSE [] END AS shingles FROM toks),
+         |s AS (SELECT doc_id,
+         |    list_distinct(list_transform(shingles, s -> ${duckHash48("s")})) AS st
+         |  FROM sh WHERE len(shingles) > 0),
+         |s2 AS (SELECT doc_id, st, len(st)::BIGINT AS sz FROM s),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
          |    len(list_filter(a.st, x -> list_contains(b.st, x)))::BIGINT AS inter
          |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)

@@ -1967,6 +1967,23 @@ object Dedup {
       docs: DataFrame,
       text: Column,
       id: Column,
+      threshold: Double): DataFrame =
+    jaccardJoinSets(docs, graft.functions.TextFunctions.wsTokens(text), id, threshold)
+
+  /** [[jaccardJoin]] over an ARBITRARY per-row item array (token hashes,
+    * shingle hashes, feature ids …) — the set-similarity join proper.
+    * Prefix filtering pays exactly when item frequencies are skewed
+    * (Zipf vocabularies, shingle spaces): the prefix is built from each
+    * set's RAREST items, so candidates collapse to near-output size. On
+    * a degenerate all-frequent vocabulary the candidate set approaches
+    * all-pairs — as it must, because the true RESULT is near-quadratic
+    * there too; pick the item granularity (e.g. width-3 shingles rather
+    * than unigrams) so that similar-means-something.
+    */
+  def jaccardJoinSets(
+      docs: DataFrame,
+      items: Column,
+      id: Column,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     // the threshold as an exact rational m/10000: ceil(t·s) and the final
@@ -1979,8 +1996,7 @@ object Dedup {
 
     // distinct (doc, term) + set sizes; one explode, map-side combined
     val dt = graft.Materialize(
-      docs.select(id.as("doc_id"),
-          explode(array_distinct(graft.functions.TextFunctions.wsTokens(text))).as("term")))
+      docs.select(id.as("doc_id"), explode(array_distinct(items)).as("term")))
     val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
 
     // global token order = (df asc, term asc). The ORDER itself is what
