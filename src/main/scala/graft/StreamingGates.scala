@@ -629,6 +629,52 @@ object StreamingGates {
       .where(col("event_id") >= 0)
   }
 
+  /** Streaming last-touch attribution over the q176 inputs
+    * ([[StreamingFlows.lastTouchAttribution]]): same sentinel plumbing
+    * as q125 (the sentinels' event_type is neither touch nor conversion,
+    * so they only advance the watermark); every finalized purchase is
+    * emitted exactly once with its in-window view/click attribution —
+    * and the result must hash-match the BATCH q176 oracle verbatim.
+    */
+  private def q177AttributionStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[TEv].collect()
+    if (events.isEmpty)
+      return s.createDataset(
+          Seq.empty[(Option[Long], Long, Option[Long], Option[String], Option[Long])])
+        .toDF("user_id", "conversion_id", "touch_id", "touch_state", "delay_seconds")
+    val in = MemoryStream[TEv]
+    val attributed = StreamingFlows.lastTouchAttribution[
+        Option[Long], TEv, (Option[Long], Long, Option[Long], Option[String], Option[Long])](
+      in.toDS(), _.user_id, _.ts,
+      delay = "1 hour", ord = _.event_id,
+      isTouch = e => e.event_type == "view" || e.event_type == "click",
+      isConversion = _.event_type == "purchase",
+      windowSeconds = 86400L,
+      (c, t) => (c.user_id, c.event_id,
+        t.map(_.event_id), t.map(_.event_type),
+        t.map(x => c.ts.getTime / 1000L - x.ts.getTime / 1000L)))
+    in.addData(events.toIndexedSeq)
+    val sink = sinkName("q177")
+    val q = attributed.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxMs = events.iterator.map(_.ts.getTime).max
+      val s1 = new java.sql.Timestamp(maxMs + 30L * 24 * 3600 * 1000)
+      in.addData(TEv(-1L, Some(-1L), s1, "___sentinel"))
+      q.processAllAvailable()
+      in.addData(TEv(-2L, Some(-1L),
+        new java.sql.Timestamp(s1.getTime + 30L * 24 * 3600 * 1000), "___sentinel"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .toDF("user_id", "conversion_id", "touch_id", "touch_state", "delay_seconds")
+  }
+
   /** Streaming CDC maintenance over the q123 inputs
     * ([[graft.streaming.IngestUpsert]]): the snapshot table is
     * bootstrapped from orders, the q123 change set arrives split across
@@ -811,6 +857,7 @@ object StreamingGates {
     "q126_upsert_stream" -> (q126UpsertStream _),
     "q125_sessionize_stream" -> (q125SessionizeStream _),
     "q114_transitions_stream" -> (q114TransitionsStream _),
+    "q177_attribution_stream" -> (q177AttributionStream _),
     "q63_asof_stream" -> (q63AsofStream _),
     "q64_interval_stream" -> (q64IntervalStream _),
     "q75_dedup_stream" -> (q75DedupStream _),
@@ -832,6 +879,7 @@ object StreamingGates {
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
     "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),
     "q114_transitions_stream" -> ExtensionQueries.oracleSql("q111_transitions"),
+    "q177_attribution_stream" -> ExtensionQueries.oracleSql("q176_attribution"),
     "q63_asof_stream" -> ExtensionQueries.oracleSql("q55_asof"),
     "q64_interval_stream" -> ExtensionQueries.oracleSql("q56_interval"),
     "q75_dedup_stream" ->

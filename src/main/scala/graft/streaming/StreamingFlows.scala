@@ -321,6 +321,83 @@ object StreamingFlows {
       }
   }
 
+  /** Streaming last-touch attribution — the unbounded form of
+    * [[graft.operators.Sequences.lastTouchAttribution]]: every
+    * finalized `isConversion` event is emitted once, attributed to the
+    * key's latest `isTouch` event at-or-before it (in (ts, ord) order)
+    * within `windowSeconds`, or to None. Finalization machinery as
+    * [[sessionize]] (µs bookkeeping, event-time flush timers, engine
+    * late-drop).
+    *
+    * State per key = the delay-window buffer PLUS at most ONE carried
+    * touch — and unlike [[sessionize]]'s lifetime (ts, seq) pair the
+    * carry is EVICTABLE: once the watermark passes `touch ts +
+    * windowSeconds`, no future finalized conversion can be within the
+    * window of that touch (a conversion finalizes only at ts ≤ wm), so
+    * the carry is dropped and idle keys leave the store entirely.
+    * Bounded by in-flight keys, not the entity population.
+    */
+  def lastTouchAttribution[K: Encoder, E: Encoder, O: Encoder](
+      events: Dataset[E],
+      key: E => K,
+      ts: E => java.sql.Timestamp,
+      delay: String,
+      ord: E => Long,
+      isTouch: E => Boolean,
+      isConversion: E => Boolean,
+      windowSeconds: Long,
+      attribute: (E, Option[E]) => O
+  ): Dataset[O] = {
+    require(windowSeconds > 0, s"windowSeconds must be positive: $windowSeconds")
+    import org.apache.spark.sql.Encoders
+    type Env = (K, java.sql.Timestamp, E)
+    implicit val envEnc: Encoder[Env] = Encoders.tuple(
+      implicitly[Encoder[K]], Encoders.TIMESTAMP, implicitly[Encoder[E]])
+    type S = (List[(Long, Long, E)], Option[(Long, E)]) // (pending, (touchUs, touch))
+    implicit val stateEnc: Encoder[S] = Encoders.kryo[S]
+    def micros(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events.map(e => (key(e), ts(e), e))
+      .withWatermark("_2", delay)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[S, O](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()
+      ) { (_: K, values: Iterator[Env], state: GroupState[S]) =>
+        var (pending, carry) = state.getOption.getOrElse((Nil, None): S)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        values.foreach { env =>
+          val us = micros(env._2)
+          if (us > wmUs) pending = (us, ord(env._3), env._3) :: pending
+        }
+        val (ready, stillPending) = pending.partition(_._1 <= wmUs)
+        val out = Seq.newBuilder[O]
+        ready.sortBy(r => (r._1, r._2)).foreach { case (us, _, e) =>
+          if (isConversion(e)) {
+            // the window test is in floored epoch SECONDS, the batch
+            // form's gap convention, so both forms pair identically
+            val inWindow = carry.collect {
+              case (tus, t) if us / 1000000L - tus / 1000000L <= windowSeconds => t
+            }
+            out += attribute(e, inWindow)
+          }
+          if (isTouch(e)) carry = Some((us, e))
+        }
+        // carry eviction: a touch the watermark has outrun by more than
+        // the window can never attribute a future finalized conversion
+        carry = carry.filter { case (tus, _) =>
+          wmUs / 1000000L - tus / 1000000L <= windowSeconds
+        }
+        if (stillPending.isEmpty && carry.isEmpty) state.remove()
+        else {
+          state.update((stillPending, carry))
+          stillPending.map(_._1).minOption.foreach { earliest =>
+            state.setTimeoutTimestamp((earliest + 999L) / 1000L)
+          }
+        }
+        out.result().iterator
+      }
+  }
+
   /** Event-time tumbling window with lateness bound. */
   def tumbling(
       tsName: String,

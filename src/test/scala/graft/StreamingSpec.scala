@@ -485,4 +485,63 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("lastTouchAttribution: cross-batch carry attributes a later conversion; the carry " +
+      "is evicted once the watermark outruns the window; organic conversions emit None") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // base offset keeps every event strictly above the initial watermark
+    // (epoch 0); delay 10 min, window 3600 s. Watermark after a batch =
+    // max event ts − 10 min; events at-or-under the CURRENT watermark are
+    // buffered only if strictly above it, finalized once a later batch's
+    // watermark passes them.
+    def ts(min: Long) = new java.sql.Timestamp(60000L * (1000 + min))
+    // (event_id, key, ts, type)
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val out = StreamingFlows.lastTouchAttribution[
+        Long, (Long, Long, java.sql.Timestamp, String), (Long, Option[Long], Option[Long])](
+      in.toDS(), _._2, _._3,
+      delay = "10 minutes", ord = _._1,
+      isTouch = _._4 == "touch",
+      isConversion = _._4 == "conv",
+      windowSeconds = 3600L, // 60 minutes
+      (c, t) => (c._1, t.map(_._1),
+        t.map(x => c._3.getTime / 1000L - x._3.getTime / 1000L)))
+    val q = out.writeStream.format("memory").queryName("tws_attr_out")
+      .outputMode("append").start()
+    try {
+      def emitted() = spark.table("tws_attr_out").as[(Long, Option[Long], Option[Long])]
+        .collect().toSet
+      // touch k1 @ +0, organic conv k2 @ +5; sentinels push wm to +10
+      // then +30 — both finalize (≤ +10 fires on the +30 batch's timers)
+      in.addData((10L, 1L, ts(0), "touch"), (20L, 2L, ts(5), "conv"))
+      q.processAllAvailable()
+      in.addData((90L, 9L, ts(20), "none")) // wm -> +10
+      q.processAllAvailable()
+      in.addData((91L, 9L, ts(40), "none")) // wm -> +30; fires ≤ +10
+      q.processAllAvailable()
+      assert(emitted() == Set((20L, None, None)), s"organic conversion: ${emitted()}")
+
+      // conv k1 @ +35 (above wm +30): the CROSS-BATCH carry (touch @ +0,
+      // 2100 s earlier, inside the window) must attribute once finalized
+      in.addData((11L, 1L, ts(35), "conv"))
+      q.processAllAvailable()
+      in.addData((92L, 9L, ts(60), "none")) // wm -> +50
+      q.processAllAvailable()
+      in.addData((93L, 9L, ts(80), "none")) // wm -> +70; fires ≤ +50
+      q.processAllAvailable()
+      assert(emitted().contains((11L, Some(10L), Some(2100L))),
+        s"cross-batch carry: ${emitted()}")
+
+      // conv k1 @ +80: the touch is 4800 s old — outside the window and
+      // past the eviction horizon (wm +70 − touch +0 = 4200 s > 3600)
+      in.addData((12L, 1L, ts(80), "conv"))
+      q.processAllAvailable()
+      in.addData((94L, 9L, ts(120), "none")) // wm -> +110
+      q.processAllAvailable()
+      in.addData((95L, 9L, ts(160), "none")) // fires ≤ +110
+      q.processAllAvailable()
+      assert(emitted().contains((12L, None, None)),
+        s"stale touch must not attribute: ${emitted()}")
+    } finally q.stop()
+  }
 }
