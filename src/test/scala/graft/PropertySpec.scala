@@ -372,4 +372,50 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("jaccardJoinSets law: equals driver brute force on random long-item sets " +
+      "at a random 4-dp threshold (the prefix-filter completeness property)") {
+    import graft.dedup.Dedup
+    val setGen = Gen.listOfN(18, Gen.zip(
+      Gen.chooseNum(3, 9),
+      Gen.chooseNum(0L, 100000L)))
+    for ((raw, i) <- samples(Gen.zip(setGen, Gen.chooseNum(2000, 9000)), 4).zipWithIndex) {
+      val (spec, tRaw) = raw
+      val t = tRaw / 10000.0
+      // items drawn from a small pool so intersections actually occur
+      val docs = spec.zipWithIndex.map { case ((k, seed), id) =>
+        (id.toLong, (0 until k).map(j => (seed + j * 37) % 50).map(_.toLong).distinct.toArray)
+      }
+      val df = docs.toDF("doc_id", "items")
+      val got = Dedup.jaccardJoinSets(df, col("items"), col("doc_id"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val sets = docs.map { case (id, xs) => id -> xs.toSet }.toMap
+      val m = math.round(t * 10000).toInt
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size
+        uni = sets(a).size + sets(b).size - inter
+        if inter * 10000 >= uni * m
+      } yield (a, b, inter.toLong, uni.toLong)).toSet
+      assert(got == want, s"case $i t=$t: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("ksDrift laws: shift- and duplication-invariant; zero against an identical complement") {
+    import graft.curation.Corpus
+    val gvGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1, 12)))
+    for (rows <- samples(gvGen, 4) if rows.map(_._1).distinct.size >= 2) {
+      def ks(data: Seq[(String, Int)]): Map[String, Double] =
+        Corpus.ksDrift(data.toDF("g", "v"), col("g"), col("v"))
+          .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val base = ks(rows)
+      // CDFs are location-invariant: adding a constant changes nothing
+      assert(ks(rows.map { case (g, v) => (g, v + 7) }) == base, "shift invariance")
+      // duplicating every row scales both counts equally: D unchanged
+      assert(ks(rows ++ rows) == base, "duplication invariance")
+      // a group distributed exactly like its complement scores 0
+      val mirrored = rows.map { case (_, v) => ("x", v) } ++ rows.map { case (_, v) => ("y", v) }
+      assert(ks(mirrored).values.forall(_ == 0.0), "identical complement")
+    }
+  }
 }
