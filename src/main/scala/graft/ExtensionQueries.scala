@@ -184,6 +184,16 @@ object ExtensionQueries {
     * `last(_, ignoreNulls)` carry per user, no self-join. Organic
     * purchases (no in-window touch) report null attribution.
     */
+  /** Frequent co-ordered part pairs with support ≥ 5 and lift
+    * ([[graft.operators.Baskets.frequentPairs]]) — pair-level
+    * association mining over orders as baskets: one per-basket
+    * aggregate, map-side C(n,2) fan-out, support filter BEFORE the
+    * item-count joins.
+    */
+  private def q178FrequentPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Baskets.frequentPairs(
+      Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"), minSupport = 5L)
+
   private def q176Attribution(s: SparkSession, d: String): DataFrame =
     graft.operators.Sequences.lastTouchAttribution(
       Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
@@ -1488,6 +1498,7 @@ object ExtensionQueries {
     "q172_ks_drift" -> (q172KsDrift _),
     "q175_jaccard_join" -> (q175JaccardJoin _),
     "q176_attribution" -> (q176Attribution _),
+    "q178_frequent_pairs" -> (q178FrequentPairs _),
     "q22_dedup_simhash" -> (q22Simhash _),
     "q23_ngram_jaccard" -> (q23NgramJaccard _),
     "q24_embed_neardup" -> (q24EmbedNearDup _),
@@ -1848,6 +1859,16 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, inter, (sa + sb - inter)::BIGINT AS n_union,
          |  round(inter / (sa + sb - inter), 4) AS jaccard
          |FROM p WHERE inter * 10000 >= (sa + sb - inter) * 5000""".stripMargin,
+    "q178_frequent_pairs" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS b, l_partkey::BIGINT AS i FROM lineitem),
+        |nb AS (SELECT count(DISTINCT b)::DOUBLE AS n_baskets FROM lp),
+        |ic AS (SELECT i, count(*)::BIGINT AS c FROM lp GROUP BY i),
+        |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS c_ab
+        |  FROM lp a JOIN lp b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b,
+        |  round(nb.n_baskets * c_ab / (ca.c * cb.c), 4) AS lift
+        |FROM pc JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN nb""".stripMargin,
     "q176_attribution" ->
       """WITH w AS (SELECT user_id, ts, event_type, event_id,
         |    last_value(CASE WHEN event_type IN ('view', 'click') THEN ts END IGNORE NULLS)

@@ -624,5 +624,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s176.contains("Join"), s176)
     assert("Exchange".r.findAllIn(s176).size == 1, s176)
     assert(s176.contains("Window"), s176)
+    // q178: the pair fan-out is MAP-SIDE off the MATERIALIZED per-basket
+    // sets (a Generate over the collected set — a basket-key self-join
+    // would pay three exchanges; un-checkpointed, each consumer would
+    // re-scan the input); no cartesian anywhere
+    val s178 = simplePlan("q178_frequent_pairs")
+    assert(s178.contains("Generate"), s178)
+    assert(!s178.contains("Scan parquet"), s178)
+    assert(!s178.contains("CartesianProduct"), s178)
   }
 }

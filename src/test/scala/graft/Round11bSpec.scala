@@ -177,6 +177,40 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs: hand-checked counts and lift; within-basket duplicates count once; " +
+      "support filters; oversized baskets are dropped and reported") {
+    import graft.operators.Baskets
+    // baskets: {1,2,3} ×3, {1,2} ×1, {4,5} ×1, plus dup items in one basket
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 1L), // dup item 1
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 1L), (13L, 2L),
+      (14L, 4L), (14L, 5L)
+    ).toDF("b", "i")
+    val got = Baskets.frequentPairs(rows, $"b", $"i", minSupport = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // n_baskets 5; c_1 = 4, c_2 = 4, c_3 = 3; pairs: (1,2)=4, (1,3)=3, (2,3)=3
+    // lift(1,2) = 5·4/(4·4) = 1.25; lift(1,3) = 5·3/(4·3) = 1.25;
+    // lift(2,3) = 5·3/(4·3) = 1.25; (4,5) support 1 < 3 filtered
+    assert(got == Map(
+      (1L, 2L) -> ((4L, 4L, 4L, 1.25)),
+      (1L, 3L) -> ((3L, 4L, 3L, 1.25)),
+      (2L, 3L) -> ((3L, 4L, 3L, 1.25))), got.toString)
+
+    // a giant basket is dropped (its pairs AND its basket count) and shows
+    // up in the observability readout
+    val giant = (0 until 40).map(j => (99L, j.toLong)).toDF("b", "i")
+    val capped = Baskets.frequentPairs(rows.unionByName(giant), $"b", $"i",
+      minSupport = 3L, maxBasket = 10)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == got.keySet, "giant basket must not contribute pairs")
+    val over = Baskets.oversizedBaskets(rows.unionByName(giant), $"b", $"i", maxBasket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(over.toSeq == Seq((99L, 40L)))
+  }
+
   test("lastTouchAttribution: latest in-window touch wins; same-ts tiebreak; organic " +
       "conversions report null; out-of-window touches do not attribute") {
     import graft.operators.Sequences
