@@ -138,6 +138,14 @@ object GraphGates {
   private def q174KCore(s: SparkSession, d: String): DataFrame =
     Graphs.kCore(coOrderPairs(s, d), col("pa"), col("pb"), k = CoreK, maxRounds = CoreRounds)
 
+  /** q179 — connected components of the sparse supplier transition graph
+    * ([[Graphs.connectedComponents]]): min-member component labels, the
+    * public graph face of the CC engine every dedup cluster gate already
+    * exercises at corpus shape.
+    */
+  private def q179Components(s: SparkSession, d: String): DataFrame =
+    Graphs.connectedComponents(transitions(s, d, Some(KhopQty)), col("src"), col("dst"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
@@ -145,7 +153,8 @@ object GraphGates {
     "q160_trustrank" -> (q160TrustRank _),
     "q161_edge_jaccard" -> (q161EdgeJaccard _),
     "q173_communities" -> (q173Communities _),
-    "q174_kcore" -> (q174KCore _)
+    "q174_kcore" -> (q174KCore _),
+    "q179_components" -> (q179Components _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -329,6 +338,20 @@ object GraphGates {
          |GROUP BY node""".stripMargin
   }
 
+  /** Transitive closure by recursive CTE over the undirected edge set,
+    * component = min reachable node — the q36 oracle convention on the
+    * transition graph.
+    */
+  private def componentsSql: String =
+    s"""WITH RECURSIVE ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |ed AS (SELECT src AS s, dst AS t FROM e UNION SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT s AS node FROM ed),
+       |reach(a, b) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.a, ed.t FROM reach r JOIN ed ON r.b = ed.s)
+       |SELECT a AS node, min(b) AS component FROM reach GROUP BY a""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
@@ -336,6 +359,7 @@ object GraphGates {
     "q160_trustrank" -> trustrankSql,
     "q161_edge_jaccard" -> edgeJaccardSql,
     "q173_communities" -> communitiesSql,
-    "q174_kcore" -> kcoreSql
+    "q174_kcore" -> kcoreSql,
+    "q179_components" -> componentsSql
   )
 }

@@ -554,6 +554,27 @@ object Graphs {
     out
   }
 
+  /** Connected components of the simple undirected graph: every node of
+    * the edge-induced vertex set labeled with its component's MINIMUM
+    * node id — the public graph face of the near-dup clustering engine
+    * ([[graft.dedup.Dedup.nearDupClusters]]): bounded driver union-find
+    * below the `localPairs` threshold, the touched-vertex-only
+    * distributed min-label loop above it, identical output either way
+    * (its equivalence spec). Direction, duplicate edges, and self-loops
+    * are ignored; isolated vertices (no surviving edge) do not appear —
+    * union the node relation back in with `coalesce(component, node)`
+    * when singletons matter.
+    */
+  def connectedComponents(edges: DataFrame, endA: Column, endB: Column): DataFrame = {
+    val e = edges
+      .select(endA.cast("long").as("doc_a"), endB.cast("long").as("doc_b"))
+      .where(col("doc_a").isNotNull && col("doc_b").isNotNull && col("doc_a") =!= col("doc_b"))
+    val nodes = e.select(col("doc_a").as("node"))
+      .unionAll(e.select(col("doc_b").as("node"))).distinct()
+    graft.dedup.Dedup.nearDupClusters(nodes, col("node"), e)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component"))
+  }
+
   /** The k-core of the simple undirected graph: the maximal subgraph in
     * which every vertex has degree ≥ `k`, by iterative peeling — each
     * round drops every vertex whose CURRENT degree is below `k` and

@@ -632,5 +632,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(s178.contains("Generate"), s178)
     assert(!s178.contains("Scan parquet"), s178)
     assert(!s178.contains("CartesianProduct"), s178)
+    // q179: the CC engine returns driver-resolved labels at gate scale
+    // (bounded union-find below localPairs) — a local relation, no scan
+    val s179 = simplePlan("q179_components")
+    assert(s179.contains("LocalTableScan") || s179.contains("ExistingRDD")
+      || s179.contains("LocalRelation"), s179)
   }
 }

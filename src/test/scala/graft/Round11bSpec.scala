@@ -177,6 +177,16 @@ class Round11bSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: min-member labels on a multi-component graph; direction, " +
+      "dups, and self-loops ignored; self-loop-only nodes absent") {
+    import graft.graphs.Graphs
+    val edges = Seq((5L, 3L), (3L, 7L), (10L, 11L), (11L, 10L), (20L, 20L), (5L, 3L))
+      .toDF("a", "b")
+    val got = Graphs.connectedComponents(edges, $"a", $"b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 11L -> 10L), got.toString)
+  }
+
   test("frequentPairs: hand-checked counts and lift; within-basket duplicates count once; " +
       "support filters; oversized baskets are dropped and reported") {
     import graft.operators.Baskets
