@@ -237,6 +237,25 @@ object TrainingDataDemo {
     println(s"DEMO_DSIR_TOP100_MEAN_LOG_RATIO=$dsirMean")
     println(s"DEMO_SEMDEDUP_KEPT=$semKept/$semTotal")
     println(s"DEMO_VERSION_AUDIT $audit")
+
+    // 11. round-11 analysis passes over the curated corpus:
+    //  - distribution drift: which SOURCE's length profile diverges from
+    //    the rest (exact KS — what PSI's fixed bins smear out)
+    //  - retrieval QA: BM25 probe for a query the corpus should answer
+    //  - exact near-dup audit at shingle granularity: the PPJoin exact
+    //    join as a recall check on the sketch-based MinHash pipeline
+    val drift = graft.curation.Corpus.ksDrift(curated, col("source"), col("n_chars"))
+      .orderBy(desc("ks")).limit(3)
+      .collect().map(r => s"${r.getString(0)}=${r.getDouble(3)}").mkString(",")
+    println(s"DEMO_KS_DRIFT_TOP3=$drift")
+    val hits = graft.curation.Corpus.bm25(
+        curated, col("text"), col("doc_id"), Seq("spark", "join", "window"), topK = 5)
+      .collect().map(r => s"${r.getLong(0)}:${r.getDouble(1)}").mkString(",")
+    println(s"DEMO_BM25_TOP5=$hits")
+    val exactPairs = Dedup.jaccardJoinSets(
+      curated, graft.functions.Hashing.shingleHashSet(col("text"), 3),
+      col("doc_id"), threshold = 0.5)
+    println(s"DEMO_EXACT_JACCARD_PAIRS=${exactPairs.count()}")
     spark.stop()
   }
 }
