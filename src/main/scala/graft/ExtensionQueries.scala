@@ -184,7 +184,7 @@ object ExtensionQueries {
     * `last(_, ignoreNulls)` carry per user, no self-join. Organic
     * purchases (no in-window touch) report null attribution.
     */
-  /** Frequent co-ordered part pairs with support ≥ 5 and lift
+  /** Frequent co-ordered part pairs with support ≥ 2 and lift
     * ([[graft.operators.Baskets.frequentPairs]]) — pair-level
     * association mining over orders as baskets: one per-basket
     * aggregate, map-side C(n,2) fan-out, support filter BEFORE the
@@ -192,7 +192,7 @@ object ExtensionQueries {
     */
   private def q178FrequentPairs(s: SparkSession, d: String): DataFrame =
     graft.operators.Baskets.frequentPairs(
-      Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"), minSupport = 5L)
+      Tables.lineitem(s, d), col("l_orderkey"), col("l_partkey"), minSupport = 2L)
 
   private def q176Attribution(s: SparkSession, d: String): DataFrame =
     graft.operators.Sequences.lastTouchAttribution(
@@ -1865,7 +1865,7 @@ object ExtensionQueries {
         |ic AS (SELECT i, count(*)::BIGINT AS c FROM lp GROUP BY i),
         |pc AS (SELECT a.i AS item_a, b.i AS item_b, count(*)::BIGINT AS c_ab
         |  FROM lp a JOIN lp b ON a.b = b.b AND a.i < b.i
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT item_a, item_b, c_ab, ca.c AS c_a, cb.c AS c_b,
         |  round(nb.n_baskets * c_ab / (ca.c * cb.c), 4) AS lift
         |FROM pc JOIN ic ca ON ca.i = item_a JOIN ic cb ON cb.i = item_b CROSS JOIN nb""".stripMargin,
