@@ -108,20 +108,22 @@ object CentroidBank {
   /** One broadcast per (SparkContext, centroid contents): repeated plan
     * builds over the same pretrained matrix — every IVF gate, every CC
     * round — reuse a single executor-resident copy instead of registering
-    * a new broadcast (or worse, a new plan Literal) per call.
+    * a new broadcast (or worse, a new plan Literal) per call. Bounded LRU
+    * ([[BankCache]]) so sessions that retrain centroids many times don't
+    * pin every generation.
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[CentroidBank]]
+  private val cache = new BankCache[
+    (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[CentroidBank]](64)
 
   def broadcastFor(
       spark: SparkSession, centroids: Array[Array[Float]]): Broadcast[CentroidBank] = {
     // evict entries whose context has stopped: a long-lived multi-session
     // application otherwise pins every dead context's broadcast (and the
     // context object itself) in driver memory for the JVM lifetime
-    cache.keySet.removeIf(_._1.isStopped)
+    cache.evictWhere(_._1.isStopped)
     val key = (spark.sparkContext, centroids.map(_.toVector).toVector)
-    cache.computeIfAbsent(
-      key, _ => spark.sparkContext.broadcast(new CentroidBank(centroids.map(_.clone()))))
+    cache.getOrCreate(key)(
+      spark.sparkContext.broadcast(new CentroidBank(centroids.map(_.clone()))))
   }
 
   /** Column of per-cell scores `dot(v, c_i) / ‖c_i‖` against a BROADCAST

@@ -79,15 +79,17 @@ final class SignBank(val planes: Array[Array[Float]]) extends Serializable {
 
 object SignBank {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[SignBank]]
+  // bounded LRU — same eviction/ContextCleaner contract as the other
+  // banks ([[BankCache]])
+  private val cache = new BankCache[
+    (org.apache.spark.SparkContext, Vector[Vector[Float]]), Broadcast[SignBank]](64)
 
   def broadcastFor(spark: SparkSession, planes: Array[Array[Float]]): Broadcast[SignBank] = {
     // evict stopped-context entries — same leak guard as CentroidBank
-    cache.keySet.removeIf(_._1.isStopped)
+    cache.evictWhere(_._1.isStopped)
     val key = (spark.sparkContext, planes.map(_.toVector).toVector)
-    cache.computeIfAbsent(
-      key, _ => spark.sparkContext.broadcast(new SignBank(planes.map(_.clone()))))
+    cache.getOrCreate(key)(
+      spark.sparkContext.broadcast(new SignBank(planes.map(_.clone()))))
   }
 
   /** Packed sign-projection bucket against a BROADCAST plane bank — the

@@ -48,9 +48,15 @@ final class DistBank(val centroids: Array[Array[Double]], val scale: Int)
   /** k null distances — what a null / null-element vector maps to. */
   def allNullDists(): ArrayData = new GenericArrayData(new Array[Any](centroids.length))
 
-  /** Spark's DoubleType `Round(_, scale)` semantics: decimal HALF_UP. */
+  /** Spark's DoubleType `Round(_, scale)` semantics: decimal HALF_UP, with
+    * NaN/Infinity passed through unchanged — `RoundBase` guards on
+    * `isNaN || isInfinite` before touching BigDecimal (whose `valueOf`
+    * throws NumberFormatException on either), so a NaN embedding element
+    * or a +Inf squared sum must PROPAGATE, not crash the kernel.
+    */
   private def gridRound(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def dists(v: ArrayData): ArrayData = {
@@ -99,20 +105,21 @@ object DistBank {
   /** One broadcast per (SparkContext, contents, scale) — same reuse
     * discipline as [[CentroidBank.broadcastFor]]: Lloyd's per-iteration
     * plan rebuilds over an unchanged matrix hit the cache instead of
-    * re-registering.
+    * re-registering. Bounded LRU because Lloyd mints a new matrix per
+    * iteration — see [[BankCache]] for the eviction/ContextCleaner
+    * contract.
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.SparkContext, Vector[Vector[Double]], Int), Broadcast[DistBank]]
+  private val cache = new BankCache[
+    (org.apache.spark.SparkContext, Vector[Vector[Double]], Int), Broadcast[DistBank]](64)
 
   def broadcastFor(
       spark: SparkSession,
       centroids: Array[Array[Double]],
       scale: Int): Broadcast[DistBank] = {
-    cache.keySet.removeIf(_._1.isStopped)
+    cache.evictWhere(_._1.isStopped)
     val key = (spark.sparkContext, centroids.map(_.toVector).toVector, scale)
-    cache.computeIfAbsent(
-      key,
-      _ => spark.sparkContext.broadcast(new DistBank(centroids.map(_.clone()), scale)))
+    cache.getOrCreate(key)(
+      spark.sparkContext.broadcast(new DistBank(centroids.map(_.clone()), scale)))
   }
 
   /** Column of k grid-rounded squared-L2 distances of `vec`

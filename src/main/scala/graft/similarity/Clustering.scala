@@ -32,7 +32,8 @@ object Clustering {
 
   /** The lambda-HOF distance form the [[graft.plans.SqDistsB]] kernel
     * replaced — kept (not dead code) as the cross-checkable semantic
-    * specification: `ClusteringKernelSpec` asserts the codegen bank is
+    * specification: `CodegenSpec` ("SqDistsB: bit-identical to the
+    * zip_with/aggregate/round lambda form") asserts the codegen bank is
     * bit-identical to this on real embeddings plus null/ragged edges.
     */
   private[graft] def declarativeSqDists(

@@ -390,9 +390,20 @@ object StreamingFlows {
         if (stillPending.isEmpty && carry.isEmpty) state.remove()
         else {
           state.update((stillPending, carry))
-          stillPending.map(_._1).minOption.foreach { earliest =>
-            state.setTimeoutTimestamp((earliest + 999L) / 1000L)
+          // A timer must cover BOTH reasons to wake this key up again:
+          // the earliest pending event finalizing, and — crucially — the
+          // carry aging out. Without the carry timer an idle key (pending
+          // drained, one touch carried) is never re-invoked, the eviction
+          // branch above never runs, and the carry pins state forever.
+          // The carry expires when floor(wm_s) reaches floor(touch_s)+W+1
+          // (the floored-second window test above), which is strictly
+          // AFTER the current watermark while the carry survives — so the
+          // timestamp is always legal to set.
+          val pendingAt = stillPending.map(_._1).minOption.map(us => (us + 999L) / 1000L)
+          val carryAt = carry.map { case (tus, _) =>
+            (tus / 1000000L + windowSeconds + 1L) * 1000L
           }
+          (pendingAt.toSeq ++ carryAt.toSeq).minOption.foreach(state.setTimeoutTimestamp)
         }
         out.result().iterator
       }

@@ -466,4 +466,46 @@ class CodegenSpec extends SparkSpec {
       .collect().head.getSeq[java.lang.Double](0)
     assert(nk.size == 3 && nk.forall(_ == null) && nk.toSeq == nl.toSeq)
   }
+
+  test("SqDistsB: NaN/Infinity PROPAGATE like Spark's Round (no BigDecimal crash), " +
+      "bit-identical to the lambda form") {
+    import graft.similarity.Clustering
+    import spark.implicits._
+    val dim = 4
+    val cents: Array[Array[Double]] = Array(
+      Array.tabulate(dim)(i => i * 0.5),
+      Array.fill(dim)(-1.25))
+    // a NaN element, a -Inf element ((x-c)^2 = +Inf), and a magnitude
+    // whose squared sum overflows to +Inf — each used to throw
+    // NumberFormatException inside the kernel's BigDecimal rounding
+    val vecs: Seq[Seq[Double]] = Seq(
+      Seq(1.0, Double.NaN, 3.0, 4.0),
+      Seq(Double.NegativeInfinity, 0.0, 0.0, 0.0),
+      Seq(1e200, 1e200, 0.0, 0.0),
+      Seq(Double.PositiveInfinity, 1.0, 1.0, 1.0))
+    val df = vecs.toDF("v").select(col("v").cast("array<double>").as("v"))
+    // compare raw IEEE bit patterns: NaN == NaN is false under primitive
+    // equality, so Seq == would fail exactly on the case under test
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      df.collect().map(_.getSeq[Double](0).map(java.lang.Double.doubleToLongBits).toSeq).toSeq
+    val viaKernel = bits(df.select(
+      graft.plans.DistBank.distsColumn(col("v"), cents, 6).as("d")))
+    val viaLambda = bits(df.select(
+      Clustering.declarativeSqDists(col("v"), cents, 6).as("d")))
+    assert(viaKernel == viaLambda)
+    val nanBits = java.lang.Double.doubleToLongBits(Double.NaN)
+    val infBits = java.lang.Double.doubleToLongBits(Double.PositiveInfinity)
+    assert(viaKernel(0).forall(_ == nanBits) && viaKernel(1).forall(_ == infBits))
+  }
+
+  test("BankCache: bounded LRU — same key reuses, overflow evicts the least-recent entry") {
+    val c = new graft.plans.BankCache[Integer, String](3)
+    var built = 0
+    def get(k: Int): String = c.getOrCreate(k) { built += 1; s"v$k" }
+    assert(get(1) == "v1" && get(2) == "v2" && get(1) == "v1" && built == 2)
+    get(3); get(4) // 4 distinct keys, capacity 3: LRU key 2 evicted (1 was re-touched)
+    assert(c.size == 3)
+    get(1); assert(built == 4, "key 1 must still be cached")
+    get(2); assert(built == 5, "key 2 must have been evicted and rebuilt")
+  }
 }

@@ -544,4 +544,38 @@ class StreamingSpec extends SparkSpec {
         s"stale touch must not attribute: ${emitted()}")
     } finally q.stop()
   }
+
+  test("lastTouchAttribution: an IDLE key's carry is evicted by its own timer — " +
+      "state leaves the store with no further events on the key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(60000L * (2000 + min))
+    val in = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val out = StreamingFlows.lastTouchAttribution[
+        Long, (Long, Long, java.sql.Timestamp, String), (Long, Option[Long], Option[Long])](
+      in.toDS(), _._2, _._3,
+      delay = "10 minutes", ord = _._1,
+      isTouch = _._4 == "touch",
+      isConversion = _._4 == "conv",
+      windowSeconds = 3600L,
+      (c, t) => (c._1, t.map(_._1),
+        t.map(x => c._3.getTime / 1000L - x._3.getTime / 1000L)))
+    val q = out.writeStream.format("memory").queryName("tws_attr_idle")
+      .outputMode("append").start()
+    try {
+      def stateRows() = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // one touch on k1, then NOTHING more on k1 — each later batch uses a
+      // FRESH sentinel key so sentinels drain and only k1's fate is tested
+      in.addData((10L, 1L, ts(0), "touch"))
+      q.processAllAvailable()
+      in.addData((90L, 7L, ts(20), "none")); q.processAllAvailable() // wm -> +10
+      in.addData((91L, 8L, ts(40), "none")); q.processAllAvailable() // wm -> +30: k1 finalizes -> carry-only
+      // wm -> +70 outruns touch(+0) + window(3600 s) + 1 s: the carry's own
+      // timer (set when pending drained) must fire and REMOVE k1's state —
+      // without that timer the key is never re-invoked and pins the store
+      in.addData((92L, 6L, ts(80), "none")); q.processAllAvailable()
+      in.addData((93L, 5L, ts(120), "none")); q.processAllAvailable() // wm -> +110 drains k6 too
+      // only the newest sentinel (k5 @ +120, above wm) may remain pending
+      assert(stateRows() == 1L, s"idle carry must leave the store: ${stateRows()} state rows")
+    } finally q.stop()
+  }
 }
