@@ -1979,6 +1979,13 @@ object Dedup {
     * all-pairs — as it must, because the true RESULT is near-quadratic
     * there too; pick the item granularity (e.g. width-3 shingles rather
     * than unigrams) so that similar-means-something.
+    *
+    * CONTRACT: `id` must be UNIQUE per input row (the blocked-pair
+    * convention of the whole dedup family). A duplicate id would inflate
+    * that document's set size through the per-doc count and silently
+    * shift both the prefix length and the Jaccard denominator — callers
+    * holding possibly-duplicated keys must `.dropDuplicates` on the id
+    * first; this join does not pay a corpus-wide distinct to re-check it.
     */
   def jaccardJoinSets(
       docs: DataFrame,
@@ -2016,12 +2023,17 @@ object Dedup {
       .where(col("pos") <= col("sz") - ceilTs + 1)
       .select(col("term"), col("doc_id"), col("sz"))
 
-    // candidates: pairs sharing a prefix token (dedup'd), then EXACT
-    // intersection via one pair-keyed count over the full sets
+    // candidates: pairs sharing a prefix token, pruned by the AllPairs
+    // size-ratio LENGTH FILTER before the dedup and the verification
+    // join: J ≥ t ⇒ J ≤ min(sa,sb)/max(sa,sb) forces t ≤ sa/sb ≤ 1/t, so
+    // `sb·m ≤ sa·10000 ∧ sa·m ≤ sb·10000` (same exact integer rational)
+    // drops size-mismatched pairs for free with zero false negatives —
+    // measured at sf0.1/q175 config: see SCALING.md round 12
     val cand = prefix.select(col("term"), col("doc_id").as("doc_a"), col("sz").as("sa"))
       .join(prefix.select(col("term"), col("doc_id").as("doc_b"), col("sz").as("sb")),
         Seq("term"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b") &&
+        col("sb") * m <= col("sa") * 10000 && col("sa") * m <= col("sb") * 10000)
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .distinct()
     val inter = cand

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Driver-side grid rounding, the SAME convention as the kernel and the
+    * oracle: decimal HALF_UP via BigDecimal ([[graft.plans.DistBank]],
+    * Spark's DoubleType `Round`). The previous `math.round(x·f)/f` was
+    * half-toward-+∞, which diverges from HALF_UP on NEGATIVE half-ties —
+    * centroid coordinate averages go negative on real embeddings, and one
+    * flipped ulp there cascades through every later Lloyd iteration.
+    * NaN/Inf pass through, as in the kernel.
+    */
+  private[graft] def gridHalfUp(x: Double, scale: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** The lambda-HOF distance form the [[graft.plans.SqDistsB]] kernel
     * replaced — kept (not dead code) as the cross-checkable semantic
     * specification: `CodegenSpec` ("SqDistsB: bit-identical to the
@@ -69,10 +82,7 @@ object Clustering {
       d
     }
 
-    def grid(x: Double, scale: Int): Double = {
-      val f = math.pow(10, scale)
-      math.round(x * f) / f
-    }
+    def grid(x: Double, scale: Int): Double = gridHalfUp(x, scale)
 
     // Seed: the k smallest-id rows, coordinates on the centroid grid.
     var centroids: Array[Array[Double]] = rows.orderBy(col("id")).limit(k).collect()

@@ -128,4 +128,22 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.forall(_._2 == 0), out.mkString(","))
     assert(out.forall(_._3 == 0.0))
   }
+
+  test("gridHalfUp: negative half-ties round AWAY from zero (HALF_UP — the kernel " +
+      "and oracle convention), unlike math.round's half-toward-+inf") {
+    // the one-ulp divergence the two-conventions hazard produced:
+    // math.round(-2.5e6)/1e6 = -2.0 (half-toward-+inf); HALF_UP = -3e-6... scaled:
+    assert(Clustering.gridHalfUp(-0.0000025, 6) == -0.000003)
+    assert(Clustering.gridHalfUp(0.0000025, 6) == 0.000003)
+    assert(Clustering.gridHalfUp(-2.5, 0) == -3.0)
+    // and the old convention really did differ on the negative tie
+    assert(math.round(-2.5).toDouble == -2.0)
+    // NaN/Inf pass through like the kernel and Spark's Round
+    assert(Clustering.gridHalfUp(Double.NaN, 6).isNaN)
+    assert(Clustering.gridHalfUp(Double.PositiveInfinity, 6).isPosInfinity)
+    // same convention as Spark's Round (what the DuckDB oracle replays)
+    val viaSpark = Seq((-0.0000025, 0.0000025)).toDF("a", "b")
+      .select(round(col("a"), 6), round(col("b"), 6)).collect().head
+    assert(viaSpark.getDouble(0) == -0.000003 && viaSpark.getDouble(1) == 0.000003)
+  }
 }
