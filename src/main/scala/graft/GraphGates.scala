@@ -146,6 +146,34 @@ object GraphGates {
   private def q179Components(s: SparkSession, d: String): DataFrame =
     Graphs.connectedComponents(transitions(s, d, Some(KhopQty)), col("src"), col("dst"))
 
+  /** The NATION-ORDERED transition digraph for the SCC gate: transition
+    * edges kept only when `nation(src) ≤ nation(dst)` — cycles survive
+    * WITHIN a nation, cross-nation edges point one way, so the graph is
+    * weakly connected (q179 would call it one component) but decomposes
+    * into ~25 genuine SCCs plus tendrils: the structure that separates an
+    * SCC engine from a CC engine.
+    */
+  private def nationOrderedTransitions(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    transitions(s, d, None)
+      .join(broadcast(sup.select(col("s_suppkey").as("src"), col("s_nationkey").as("na"))),
+        Seq("src"))
+      .join(broadcast(sup.select(col("s_suppkey").as("dst"), col("s_nationkey").as("nb"))),
+        Seq("dst"))
+      .where(col("na") <= col("nb"))
+      .select(col("src"), col("dst"))
+  }
+
+  /** q180 — strongly connected components of the nation-ordered supplier
+    * transition digraph ([[Graphs.stronglyConnectedComponents]]):
+    * trim + forward-coloring + color-local backward sweep to the EXACT
+    * fixpoint (min-member labels are canonical, so the recursive-CTE
+    * mutual-reachability oracle agrees with any converged engine).
+    */
+  private def q180Scc(s: SparkSession, d: String): DataFrame =
+    Graphs.stronglyConnectedComponents(
+      nationOrderedTransitions(s, d), col("src"), col("dst"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
@@ -154,7 +182,8 @@ object GraphGates {
     "q161_edge_jaccard" -> (q161EdgeJaccard _),
     "q173_communities" -> (q173Communities _),
     "q174_kcore" -> (q174KCore _),
-    "q179_components" -> (q179Components _)
+    "q179_components" -> (q179Components _),
+    "q180_scc" -> (q180Scc _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -352,6 +381,25 @@ object GraphGates {
        |  SELECT r.a, ed.t FROM reach r JOIN ed ON r.b = ed.s)
        |SELECT a AS node, min(b) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** SCC by definition: transitive closure (recursive CTE) over the
+    * nation-ordered digraph, SCC(v) = min of the mutually-reachable set —
+    * the canonical label the engine's decomposition must converge to.
+    */
+  private def sccSql: String =
+    s"""WITH RECURSIVE ${duckTransitions("")},
+       |sup AS (SELECT s_suppkey::BIGINT AS k, s_nationkey::BIGINT AS n FROM supplier),
+       |eo AS (SELECT e.src, e.dst FROM e
+       |  JOIN sup sa ON sa.k = e.src JOIN sup sb ON sb.k = e.dst
+       |  WHERE sa.n <= sb.n),
+       |nodes AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),
+       |reach(a, b) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.a, eo.dst FROM reach r JOIN eo ON r.b = eo.src)
+       |SELECT r1.a AS node, min(r1.b)::BIGINT AS scc
+       |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+       |GROUP BY r1.a""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
@@ -360,6 +408,7 @@ object GraphGates {
     "q161_edge_jaccard" -> edgeJaccardSql,
     "q173_communities" -> communitiesSql,
     "q174_kcore" -> kcoreSql,
-    "q179_components" -> componentsSql
+    "q179_components" -> componentsSql,
+    "q180_scc" -> sccSql
   )
 }

@@ -635,4 +635,171 @@ object Graphs {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     out
   }
+
+  /** Strongly connected components of the DIRECTED graph: every node of
+    * the edge-induced vertex set labeled with its SCC's MINIMUM member id
+    * — the directed complement of [[connectedComponents]], what real
+    * link/citation analysis needs (a page cluster is mutual reachability,
+    * not shared ancestry). Exact fixpoint, not round-capped: the label is
+    * canonical, so any engine computing SCCs agrees bit-for-bit.
+    *
+    * Algorithm — trim + forward-coloring + color-local backward sweep
+    * (the FW-BW/coloring family: Fleischer-Hendrickson-Pinar's
+    * divide-and-conquer, Orzan's coloring; the standard Pregel-era
+    * decomposition). Per outer round:
+    *
+    *  1. TRIM to fixpoint: a node with no in-edge or no out-edge in the
+    *     remaining graph cannot sit in a multi-node SCC — emit it as a
+    *     singleton, drop its edges (kills tendrils/chains, the worst
+    *     case for pure coloring).
+    *  2. FORWARD COLORING to fixpoint: `color(v)` = min node id that
+    *     reaches v, by frontier-only min-label pushes (each round joins
+    *     just the nodes whose color improved last round — the
+    *     touched-vertex discipline of [[kHopMinDist]]).
+    *  3. BACKWARD SWEEP within each color class: a class's root `c`
+    *     (`color(c) = c`) is the minimum of its own SCC, and every
+    *     member's path back to `c` stays inside the class (a node on it
+    *     with a smaller color would have recolored the whole downstream
+    *     path) — so flagging backward from the roots along SAME-COLOR
+    *     edges finds exactly `SCC(c)` for every root simultaneously.
+    *  4. Emit flagged SCCs, remove them, repeat on the remainder.
+    *
+    * Every round removes at least one whole SCC per color class, so the
+    * outer loop terminates in ≤ #SCC rounds — in practice a handful, the
+    * chains having gone to TRIM. `maxOuterRounds` is a runaway backstop:
+    * exceeding it THROWS (an incomplete decomposition must never be
+    * returned as if it converged — unlike [[kCore]]'s capped peel, a
+    * capped SCC prefix is not engine-canonical).
+    *
+    * Scale shape: every step is frontier-bounded joins + map-side-combined
+    * aggregates over the REMAINING edge relation; state is re-materialized
+    * per round (lineage cut), superseded blocks unpersisted. Isolated
+    * vertices (no edge) do not appear — the [[connectedComponents]]
+    * convention.
+    *
+    * @return (node LONG, scc LONG) — one row per distinct endpoint
+    */
+  def stronglyConnectedComponents(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      maxOuterRounds: Int = 100): DataFrame = {
+    require(maxOuterRounds >= 1, s"maxOuterRounds must be >= 1, got $maxOuterRounds")
+    var e = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val spark = e.sparkSession
+    val allNodes = Materialize(
+      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node"))).distinct())
+
+    // accumulated (node, scc) assignments
+    var done = Materialize(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("scc", org.apache.spark.sql.types.LongType)))))
+    def emit(assign: DataFrame): Unit = {
+      val prev = done
+      done = Materialize(prev.unionByName(assign))
+      prev.unpersist()
+    }
+
+    var eCount = e.count()
+    var outer = 0
+    while (eCount > 0 && outer < maxOuterRounds) {
+      // ---- 1. trim to fixpoint --------------------------------------
+      var trimming = true
+      while (trimming && eCount > 0) {
+        val srcs = e.select(col("src").as("node")).distinct()
+        val dsts = e.select(col("dst").as("node")).distinct()
+        val t = Materialize(
+          srcs.join(dsts, Seq("node"), "left_anti") // out-edges, no in-edge
+            .unionByName(dsts.join(srcs, Seq("node"), "left_anti"))) // in, no out
+        if (t.isEmpty) { trimming = false; t.unpersist() }
+        else {
+          emit(t.select(col("node"), col("node").as("scc")))
+          val prevE = e
+          e = Materialize(prevE
+            .join(t.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+            .join(t.withColumnRenamed("node", "dst"), Seq("dst"), "left_anti")
+            .select(col("src"), col("dst")))
+          eCount = e.count()
+          prevE.unpersist(); t.unpersist()
+        }
+      }
+      if (eCount > 0) {
+        // ---- 2. forward min-label coloring to fixpoint ----------------
+        val nodes = Materialize(
+          e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node"))).distinct())
+        var colors = Materialize(nodes.select(col("node"), col("node").as("color")))
+        var frontier = colors // every node is "freshly colored" initially
+        var moving = true
+        while (moving) {
+          val pushed = e
+            .join(frontier.select(col("node").as("src"), col("color")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(min(col("color")).as("cand"))
+          val improved = Materialize(pushed.join(colors, Seq("node"))
+            .where(col("cand") < col("color"))
+            .select(col("node"), col("cand").as("color")))
+          if (improved.isEmpty) { moving = false; improved.unpersist() }
+          else {
+            val prevC = colors
+            colors = Materialize(prevC
+              .join(improved.withColumnRenamed("color", "__c"), Seq("node"), "left")
+              .select(col("node"), coalesce(col("__c"), col("color")).as("color")))
+            if (frontier ne prevC) frontier.unpersist()
+            prevC.unpersist()
+            frontier = improved
+          }
+        }
+        if (frontier ne colors) frontier.unpersist()
+
+        // ---- 3. backward sweep along SAME-COLOR edges from the roots --
+        var flagged = Materialize(colors.where(col("node") === col("color")))
+        var bFront = flagged
+        var growing = true
+        while (growing) {
+          val cands = e
+            .join(bFront.select(col("node").as("dst"), col("color")), Seq("dst"))
+            .select(col("src").as("node"), col("color")).distinct()
+          val fresh = Materialize(cands
+            .join(colors.withColumnRenamed("color", "__uc"), Seq("node"))
+            .where(col("color") === col("__uc"))
+            .select(col("node"), col("color"))
+            .join(flagged.select(col("node")), Seq("node"), "left_anti"))
+          if (fresh.isEmpty) { growing = false; fresh.unpersist() }
+          else {
+            val prevF = flagged
+            flagged = Materialize(prevF.unionByName(fresh))
+            if (bFront ne prevF) bFront.unpersist()
+            prevF.unpersist()
+            bFront = fresh
+          }
+        }
+        if (bFront ne flagged) bFront.unpersist()
+
+        // ---- 4. emit the flagged SCCs, peel them off ------------------
+        emit(flagged.select(col("node"), col("color").as("scc")))
+        val prevE = e
+        e = Materialize(prevE
+          .join(flagged.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(flagged.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+        eCount = e.count()
+        prevE.unpersist(); nodes.unpersist(); colors.unpersist(); flagged.unpersist()
+      }
+      outer += 1
+    }
+    if (eCount > 0)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents did not converge in $maxOuterRounds outer rounds " +
+          s"($eCount edges remain) — raise maxOuterRounds; a truncated decomposition " +
+          "is not a canonical answer and will not be returned as one")
+    e.unpersist()
+    // endpoints never emitted lost all their edges to removed neighbors:
+    // singletons in every remaining view, scc = self
+    done.unionByName(
+      allNodes.join(done.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc")))
+  }
 }

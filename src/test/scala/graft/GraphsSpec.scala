@@ -117,4 +117,105 @@ class GraphsSpec extends SparkSpec {
     val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
     assert(Graphs.triangleCounts(edgeDf(tree), $"src", $"dst").isEmpty)
   }
+
+  private def sccOf(es: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.stronglyConnectedComponents(edgeDf(es), $"src", $"dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("stronglyConnectedComponents: known multi-SCC digraph — cycles, tendrils, " +
+      "DAG edges between SCCs; direction matters (CC would merge everything)") {
+    // {1,2} 2-cycle -> {3,4,5} 3-cycle via 2->3; tendril 6->1 (no in);
+    // sink 7 (no out); {8,9,10} 3-cycle attached nowhere; dup edge + self-loop noise
+    val es = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L),
+      (6L, 1L), (5L, 7L), (8L, 9L), (9L, 10L), (10L, 8L), (1L, 2L), (4L, 4L))
+    val got = sccOf(es)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L,
+      6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 8L, 10L -> 8L)
+    assert(got == want, s"got $got")
+    // the UNDIRECTED engine would fuse {1..7} into one component — prove
+    // the directed decomposition is genuinely finer
+    val cc = Graphs.connectedComponents(edgeDf(es), $"src", $"dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.filterKeys(_ <= 7L).values.toSet.size == 1)
+  }
+
+  test("stronglyConnectedComponents: a pure DAG trims to all singletons; " +
+      "two SCCs sharing one color class need a second peel round") {
+    // chain DAG
+    assert(sccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // {1,2} and {3,4} both colored by root 1 (1 reaches everything): the
+    // backward sweep finds only {1,2} in round 1; {3,4} must be peeled in
+    // round 2 — the multi-outer-round path
+    assert(sccOf(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("stronglyConnectedComponents: matches a driver-side Tarjan reference on a " +
+      "pseudo-random digraph; maxOuterRounds overrun THROWS rather than truncating") {
+    val es = pseudoGraph(60, 2) ++ Seq((7L, 61L), (61L, 62L)) // plus a tendril
+    val got = sccOf(es)
+    // driver-side reference: iterative Tarjan over the same edge set
+    val adj = es.filter(e => e._1 != e._2).distinct.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sorted }
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var idx = 0L
+    val index = scala.collection.mutable.Map[Long, Long]()
+    val low = scala.collection.mutable.Map[Long, Long]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.ArrayBuffer[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    def strongconnect(v0: Long): Unit = {
+      // explicit work stack (node, child iterator position)
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.last
+        if (pi == 0) {
+          index(v) = idx; low(v) = idx; idx += 1; stack += v; onStack += v
+        }
+        val kids = adj.getOrElse(v, Seq.empty)
+        var advanced = false
+        var i = pi
+        while (i < kids.length && !advanced) {
+          val w = kids(i)
+          if (!index.contains(w)) {
+            work(work.length - 1) = (v, i + 1)
+            work += ((w, 0))
+            advanced = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!advanced) {
+          if (i >= kids.length) {
+            if (low(v) == index(v)) {
+              var done = false
+              val members = scala.collection.mutable.ArrayBuffer[Long]()
+              while (!done) {
+                val w = stack.remove(stack.length - 1); onStack -= w
+                members += w
+                done = w == v
+              }
+              val label = members.min
+              members.foreach(m => comp(m) = label)
+            }
+            work.remove(work.length - 1)
+            if (work.nonEmpty) {
+              val (p, _) = work.last
+              low(p) = math.min(low(p), low(v))
+            }
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+    assert(got == comp.toMap, s"engine vs Tarjan:\n got=$got\nwant=${comp.toMap}")
+    // overrun: 1 outer round cannot finish the two-SCC chain from above
+    intercept[IllegalStateException] {
+      Graphs.stronglyConnectedComponents(
+        edgeDf(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))),
+        $"src", $"dst", maxOuterRounds = 1).collect()
+    }
+  }
 }

@@ -638,4 +638,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(s179.contains("LocalTableScan") || s179.contains("ExistingRDD")
       || s179.contains("LocalRelation"), s179)
   }
+
+  test("round-12 shapes: scc returns checkpointed assignments + a bounded anti-join " +
+      "sweep — no parquet rescan, no cartesian, no single-partition exchange") {
+    val s180 = simplePlan("q180_scc")
+    assert(!s180.contains("Scan parquet"), s180)
+    assert(!s180.contains("CartesianProduct") && !s180.contains("BroadcastNestedLoopJoin"), s180)
+    assert(!s180.contains("Exchange SinglePartition"), s180)
+    assert(s180.contains("ExistingRDD") || s180.contains("LocalTableScan"), s180)
+  }
 }
