@@ -805,6 +805,51 @@ object StreamingGates {
     }
   }
 
+  /** q181 — STREAMING exact KS drift: the documents' (source, n_chars)
+    * rows arrive in two micro-batches; [[StreamingFlows.histogramTWS]]
+    * holds each source's value histogram in the state store (the
+    * sufficient statistic — state is bounded by distinct values, not
+    * stream length) and emits the touched (group, v, c) entries per
+    * batch; `max(c)` per pair replays the exact final histogram (counts
+    * are monotone), which feeds
+    * [[graft.curation.Corpus.ksDriftFromCounts]] — the same statistic
+    * engine q172 uses, fed from the state store instead of the corpus.
+    * Must hash-match q172's one-shot batch oracle verbatim.
+    */
+  private def q181KsStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // transformWithState requires RocksDB; scoped with restore (q153 idiom)
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").cast("long"))
+        .as[(String, Long)].collect()
+      val in = MemoryStream[(String, Long)]
+      val hist = StreamingFlows
+        .histogramTWS[(String, Long), String](_._1, _._2.toDouble)
+        .apply(in.toDS())
+      val sink = sinkName("q181")
+      val q = hist.toDF("group", "v", "c").writeStream.format("memory")
+        .queryName(sink).outputMode("append").start()
+      try {
+        rows.grouped(math.max(1, rows.length / 2 + 1)).foreach { chunk =>
+          in.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val counts = s.table(sink)
+        .groupBy(col("group"), col("v")).agg(max(col("c")).as("c"))
+      graft.curation.Corpus.ksDriftFromCounts(counts)
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -852,6 +897,7 @@ object StreamingGates {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q159_delta_agg_stream" -> (q159DeltaAggStream _),
+    "q181_ks_stream" -> (q181KsStream _),
     "q153_heavy_stream" -> (q153HeavyStream _),
     "q141_historize_stream" -> (q141HistorizeStream _),
     "q126_upsert_stream" -> (q126UpsertStream _),
@@ -875,6 +921,7 @@ object StreamingGates {
     */
   def oracleSql: Map[String, String] = Map(
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
+    "q181_ks_stream" -> ExtensionQueries.oracleSql("q172_ks_drift"),
     "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
     "q125_sessionize_stream" -> ExtensionQueries.oracleSql("q124_sessionize"),

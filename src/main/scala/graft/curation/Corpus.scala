@@ -1169,12 +1169,27 @@ object Corpus {
       group: Column,
       value: Column,
       scale: Int = 6
-  ): DataFrame = {
+  ): DataFrame =
     // one corpus-touching aggregate: counts per (group, value)
-    val gv = graft.Materialize(
+    ksDriftFromCounts(
       df.select(group.as("group"), value.cast("double").as("v"))
         .where(col("group").isNotNull && col("v").isNotNull)
-        .groupBy(col("group"), col("v")).agg(count(lit(1)).as("c")))
+        .groupBy(col("group"), col("v")).agg(count(lit(1)).as("c")),
+      scale)
+
+  /** The KS statistic from (group, v, c) COUNT PARTIALS — the shared
+    * engine behind [[ksDrift]] (which aggregates the corpus once and
+    * delegates) and the streaming histogram path
+    * ([[graft.streaming.StreamingFlows.histogramTWS]] holds the per-group
+    * value histogram in the state store; its final counts feed this
+    * verbatim, the q159-over-q157 equivalence pattern). `gv` must carry
+    * `group`, `v` (double), `c` (long ≥ 1 per present pair); it is
+    * materialized HERE so the grid, axis totals, and grand total all
+    * aggregate from the checkpointed partials, never the source again.
+    */
+  def ksDriftFromCounts(counts: DataFrame, scale: Int = 6): DataFrame = {
+    val gv = graft.Materialize(
+      counts.select(col("group"), col("v").cast("double").as("v"), col("c").cast("long").as("c")))
 
     val groups = gv.groupBy(col("group")).agg(sum(col("c")).as("n_in"))
     val vals = gv.groupBy(col("v")).agg(sum(col("c")).as("cv"))

@@ -968,4 +968,57 @@ object StreamingFlows {
         org.apache.spark.sql.Encoders.scalaInt)
       .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Per-group VALUE HISTOGRAM on `transformWithState` — the streaming
+    * side of the exact KS drift
+    * ([[graft.curation.Corpus.ksDriftFromCounts]] is the shared statistic
+    * engine; [[graft.curation.Corpus.ksDrift]] feeds it one batch
+    * aggregate, this feeds it incrementally): state per group is the
+    * `Map(value → count)` histogram — the sufficient statistic for any
+    * CDF-based test, so nothing else about the stream needs retaining.
+    *
+    * Emission per micro-batch: the `(group, v, c)` entries TOUCHED by
+    * that batch, in deterministic value order. Counts are monotone, so
+    * `max(c)` per `(group, v)` over the sink reconstructs the exact final
+    * histogram — the q159-over-q157 replay convention.
+    *
+    * State bound: distinct values per group (the histogram itself), NOT
+    * the stream length. Over an unbounded continuous domain, quantize
+    * the value first (`round(v, k)` / bucket id) — the same resolution
+    * decision any histogram at 100 TB makes.
+    */
+  def histogramTWS[V: Encoder, G: Encoder](
+      groupFn: V => G,
+      valueFn: V => Double
+  )(implicit outEnc: Encoder[(G, Double, Long)]): Dataset[V] => Dataset[(G, Double, Long)] = {
+    ds =>
+    // the state-store Avro encoder accepts only STRING map keys: the
+    // double bin rides as its canonical Double.toString, an exact
+    // round-trip (toString emits enough digits to reparse bit-identically)
+    val mapEnc: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+        .resolveAndBind()
+    val processor = new StatefulProcessor[G, V, (G, Double, Long)] {
+      @transient private var state: ValueState[Map[String, Long]] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Map[String, Long]](
+          "graft_histogram", mapEnc, TTLConfig.NONE)
+      override def handleInputRows(
+          key: G, rows: Iterator[V], tv: TimerValues): Iterator[(G, Double, Long)] = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        if (state.exists()) m ++= state.get()
+        val touched = scala.collection.mutable.SortedSet.empty[Double]
+        rows.foreach { v =>
+          val x = valueFn(v)
+          val k = java.lang.Double.toString(x)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+          touched += x
+        }
+        state.update(m.toMap)
+        touched.iterator.map(x => (key, x, m(java.lang.Double.toString(x))))
+      }
+    }
+    ds.groupByKey(groupFn)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -545,6 +545,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histogramTWS: histograms accumulate across batches; emissions are touched " +
+      "entries only; state is ONE row per group; max-replay = exact final histogram") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Long)]
+      val out = StreamingFlows.histogramTWS[(String, Long), String](_._1, _._2.toDouble)
+        .apply(in.toDS())
+      val q = out.toDF("group", "v", "c").writeStream.format("memory")
+        .queryName("tws_hist_out").outputMode("append").start()
+      try {
+        in.addData(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L))
+        q.processAllAvailable()
+        val b1 = spark.table("tws_hist_out").as[(String, Double, Long)].collect().toSet
+        assert(b1 == Set(("a", 1.0, 2L), ("a", 2.0, 1L), ("b", 5.0, 1L)), b1)
+        // batch 2 touches (a,1), (b,5), (b,7): counts CONTINUE from state,
+        // and the untouched (a,2) is NOT re-emitted
+        in.addData(("a", 1L), ("b", 5L), ("b", 7L))
+        q.processAllAvailable()
+        val all = spark.table("tws_hist_out").as[(String, Double, Long)].collect().toSeq
+        val batch2 = all.diff(b1.toSeq)
+        assert(batch2.toSet == Set(("a", 1.0, 3L), ("b", 5.0, 2L), ("b", 7.0, 1L)), batch2)
+        // state = one histogram row per group, not per (group, value)
+        assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2L)
+        // max-replay reconstructs the exact final histogram
+        val replay = all.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+          (k._1, k._2, rs.map(_._3).max) }.toSet
+        assert(replay == Set(("a", 1.0, 3L), ("a", 2.0, 1L), ("b", 5.0, 2L), ("b", 7.0, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("lastTouchAttribution: an IDLE key's carry is evicted by its own timer — " +
       "state leaves the store with no further events on the key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
