@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.Clustering
+import graft.similarity.{Clustering, PQ}
 import graft.sources.{Storage, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -97,13 +97,38 @@ object AnalyticsGates {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  // PQ gate shape: 4 subspaces of width 16 over the 64-dim embeddings,
+  // 4 codewords each, 2 Lloyd rounds, the 5 smallest vec_ids as queries
+  private val PqM = 4
+  private val PqK = 4
+  private val PqIters = 2
+  private val PqQ = 5
+  private val PqTopK = 10
+
+  /** q182 — product-quantization ANN ([[graft.similarity.PQ]]): train one
+    * deterministic codebook per subspace, ENCODE the corpus as
+    * nearest-codeword indices, and serve top-k by ASYMMETRIC distance —
+    * per query a broadcast m·k lookup table, per code row m table reads
+    * in one codegen kernel ([[graft.plans.AdcDistsB]]). The oracle
+    * replays training, encoding, and the j-ordered ADC sums in SQL.
+    */
+  private def q182PqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = PQ.trainCodebooks(emb, col("vec_id"), col("embedding"),
+      m = PqM, k = PqK, iters = PqIters)
+    val codes = PQ.encode(emb, col("vec_id"), col("embedding"), cb)
+    val queries = emb.orderBy(col("vec_id")).limit(PqQ)
+    PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_salted_join" -> (q168SaltedJoin _),
     "q157_delta_agg" -> (q157DeltaAgg _),
     "q158_kmeans" -> (q158Kmeans _),
     "q162_source_ablation" -> (q162SourceAblation _),
     "q164_coreset" -> (q164Coreset _),
-    "q166_next_event" -> (q166NextEvent _)
+    "q166_next_event" -> (q166NextEvent _),
+    "q182_pq_ann" -> (q182PqAnn _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -201,6 +226,67 @@ object AnalyticsGates {
     prelude + ",\n" + rounds.mkString(",\n") + "\n" + epilogue
   }
 
+  /** The full PQ pipeline replayed in SQL with a subspace axis `j`:
+    * per-subspace Lloyd training (same seeds/grids/tiebreaks as the
+    * engine — the kmeansSql rounds with `j` carried through), encoding
+    * by per-subspace argmin, per-query lookup tables off the final
+    * codebooks, and the ADC total as `list_sum(list(d ORDER BY j))` —
+    * the j-ASCENDING order the kernel's accumulation loop uses (fp
+    * addition is not associative; the order is part of the contract).
+    */
+  private def pqAnnSql: String = {
+    val sd = 16 // 64-dim embeddings split into PqM=4 subspaces
+    def sqd(vecExpr: String, cvExpr: String): String =
+      s"round(list_sum(list_transform(range(1, $sd + 1), " +
+        s"t -> ($vecExpr[t] - $cvExpr[t]) * ($vecExpr[t] - $cvExpr[t]))), 6)"
+    val prelude =
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |js AS (SELECT unnest(range(0, $PqM))::INT AS j),
+         |sub AS (SELECT vec_id, j, v[j*$sd + 1 : j*$sd + $sd] AS vj FROM v CROSS JOIN js),
+         |pos AS (SELECT unnest(range(1, $sd + 1))::INT AS p),
+         |seedids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $PqK),
+         |c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c,
+         |    list_transform(vj, x -> round(x, 6)) AS cv
+         |  FROM sub WHERE vec_id IN (SELECT vec_id FROM seedids))""".stripMargin
+    val rounds = (1 to PqIters).map { i =>
+      val p = s"c${i - 1}"
+      s"""a$i AS (SELECT s.vec_id, s.j, p.c, ${sqd("s.vj", "p.cv")} AS dist
+         |  FROM sub s JOIN $p p ON p.j = s.j),
+         |b$i AS (SELECT vec_id, j, c,
+         |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM a$i),
+         |m$i AS (SELECT vec_id, j, c FROM b$i WHERE rn = 1),
+         |u$i AS (SELECT m.j, m.c, pos.p, round(avg(s.vj[pos.p]), 6) AS val
+         |  FROM m$i m JOIN sub s ON s.vec_id = m.vec_id AND s.j = m.j CROSS JOIN pos
+         |  GROUP BY m.j, m.c, pos.p),
+         |c$i AS (SELECT pc.j, pc.c,
+         |    coalesce(list(u.val ORDER BY u.p) FILTER (u.val IS NOT NULL), pc.cv) AS cv
+         |  FROM $p pc LEFT JOIN u$i u ON u.j = pc.j AND u.c = pc.c
+         |  GROUP BY pc.j, pc.c, pc.cv)""".stripMargin
+    }
+    val cf = s"c$PqIters"
+    val epilogue =
+      s"""ea AS (SELECT s.vec_id, s.j, cf.c, ${sqd("s.vj", "cf.cv")} AS dist
+         |  FROM sub s JOIN $cf cf ON cf.j = s.j),
+         |eb AS (SELECT vec_id, j, c,
+         |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM ea),
+         |code AS (SELECT vec_id, j, c FROM eb WHERE rn = 1),
+         |qids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $PqQ),
+         |qsub AS (SELECT vec_id AS q_id, j, vj FROM sub
+         |  WHERE vec_id IN (SELECT vec_id FROM qids)),
+         |tqd AS (SELECT q.q_id, q.j, cf.c, ${sqd("q.vj", "cf.cv")} AS td
+         |  FROM qsub q JOIN $cf cf ON cf.j = q.j),
+         |adc AS (SELECT t.q_id, cd.vec_id AS n_id,
+         |    round(list_sum(list(t.td ORDER BY t.j)), 6) AS dist
+         |  FROM code cd JOIN tqd t ON t.j = cd.j AND t.c = cd.c
+         |  WHERE cd.vec_id != t.q_id
+         |  GROUP BY t.q_id, cd.vec_id),
+         |rk AS (SELECT q_id, n_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM adc)
+         |SELECT q_id, n_id, rnk::INT AS rank, dist FROM rk WHERE rnk <= $PqTopK""".stripMargin
+    prelude + ",\n" + rounds.mkString(",\n") + ",\n" + epilogue
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q168_salted_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
@@ -211,6 +297,7 @@ object AnalyticsGates {
     "q158_kmeans" -> kmeansSql,
     "q162_source_ablation" -> sourceAblationSql,
     "q164_coreset" -> coresetSql,
+    "q182_pq_ann" -> pqAnnSql,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

@@ -72,6 +72,45 @@ object Clustering {
       iters: Int,
       distScale: Int = 6,
       centroidScale: Int = 6): DataFrame = {
+    val (rows, centroids) = train(df, id, vec, k, iters, distScale, centroidScale)
+    assignTo(rows, centroids, distScale).select(col("id"), col("cluster"), col("dist"))
+  }
+
+  /** The TRAINED centroid matrix after `iters` Lloyd rounds — same
+    * seeding, grids, and update rule as [[lloyd]] (which delegates here),
+    * exposed for consumers that need the model rather than the
+    * assignment: product quantization trains one codebook per subspace
+    * ([[PQ.trainCodebooks]]), IVF cell builds, coreset pipelines.
+    * Row k·dim-bounded driver-side result.
+    */
+  def lloydCentroids(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      distScale: Int = 6,
+      centroidScale: Int = 6): Array[Array[Double]] =
+    train(df, id, vec, k, iters, distScale, centroidScale)._2
+
+  /** (cluster, dist) of every row against a FIXED centroid matrix — one
+    * fused [[graft.plans.SqDistsB]] kernel evaluation per row.
+    */
+  private def assignTo(rows: DataFrame, cs: Array[Array[Double]], distScale: Int): DataFrame = {
+    val dArr = graft.plans.DistBank.distsColumn(col("v"), cs, distScale)
+    rows.select(col("id"), col("v"),
+      (array_position(dArr, array_min(dArr)) - 1).cast("int").as("cluster"),
+      array_min(dArr).as("dist"))
+  }
+
+  private def train(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      distScale: Int,
+      centroidScale: Int): (DataFrame, Array[Array[Double]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
 
@@ -89,22 +128,14 @@ object Clustering {
       .map(_.getSeq[Double](1).toArray.map(grid(_, centroidScale)))
     require(centroids.length == k, s"lloyd: need >= $k rows, got ${centroids.length}")
 
-    // (cluster, dist) for the current centroid set: ONE fused codegen
-    // kernel against a broadcast k·dim bank ([[graft.plans.SqDistsB]]) —
-    // bit-identical to the per-centroid zip_with/aggregate lambda form
-    // ([[declarativeSqDists]], parity-spec'd) but a primitive loop inside
-    // whole-stage codegen instead of k·dim interpreted HOF dispatches per
-    // row, which at production dims × corpus scale made ASSIGN the
-    // bottleneck.
-    def assign(cs: Array[Array[Double]]): DataFrame = {
-      val dArr = graft.plans.DistBank.distsColumn(col("v"), cs, distScale)
-      rows.select(col("id"), col("v"),
-        (array_position(dArr, array_min(dArr)) - 1).cast("int").as("cluster"),
-        array_min(dArr).as("dist"))
-    }
-
+    // ASSIGN rides ONE fused codegen kernel against a broadcast k·dim
+    // bank ([[graft.plans.SqDistsB]]) — bit-identical to the per-centroid
+    // zip_with/aggregate lambda form ([[declarativeSqDists]],
+    // parity-spec'd) but a primitive loop inside whole-stage codegen
+    // instead of k·dim interpreted HOF dispatches per row, which at
+    // production dims × corpus scale made ASSIGN the bottleneck.
     for (_ <- 1 to iters) {
-      val assigned = assign(centroids)
+      val assigned = assignTo(rows, centroids, distScale)
       // ONE aggregate: per-cluster mean of every dimension (map-side
       // combine; k rows out), collected for the next round.
       val dimAvgs = (0 until dim).map(p => avg(element_at(col("v"), p + 1)).as(s"p$p"))
@@ -114,8 +145,7 @@ object Clustering {
         }.toMap
       centroids = Array.tabulate(k)(c => updated.getOrElse(c, centroids(c)))
     }
-
-    assign(centroids).select(col("id"), col("cluster"), col("dist"))
+    (rows, centroids)
   }
 
   /** Greedy k-center coreset selection (farthest-point traversal): start

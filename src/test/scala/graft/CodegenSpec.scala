@@ -498,6 +498,36 @@ class CodegenSpec extends SparkSpec {
     assert(viaKernel(0).forall(_ == nanBits) && viaKernel(1).forall(_ == infBits))
   }
 
+  test("AdcDistsB generated Java compiles; compiled values match interpreted eval and a " +
+      "driver reference; malformed codes null every query") {
+    // 2 queries, m=3 subspaces, k=2 codewords: tables(q)(j)(c)
+    val tables: Array[Array[Array[Double]]] = Array(
+      Array(Array(0.25, 1.5), Array(2.0, 0.125), Array(3.5, 0.75)),
+      Array(Array(1.0, 0.5), Array(0.0625, 4.0), Array(0.25, 2.25)))
+    val bc = spark.sparkContext.broadcast(new graft.plans.AdcBank(tables))
+    val expr = graft.plans.AdcDistsB(
+      bc, BoundReference(0, ArrayType(IntegerType), nullable = true))
+    val proj = GenerateUnsafeProjection.generate(Seq(expr)) // throws on compile error
+    def arr(xs: Int*): ArrayData = ArrayData.toArrayData(xs.toArray)
+    val code = arr(1, 0, 1)
+    val compiled = proj(InternalRow(code)).getArray(0).toDoubleArray().toSeq
+    val interpreted = expr.eval(InternalRow(arr(1, 0, 1)))
+      .asInstanceOf[ArrayData].toDoubleArray().toSeq
+    // j-ascending left-to-right accumulation — the documented order
+    val reference = tables.map(t => ((0.0 + t(0)(1)) + t(1)(0)) + t(2)(1)).toSeq
+    assert(compiled == interpreted && compiled == reference)
+    // malformed codes: wrong length, out-of-range, null element, null input
+    for (bad <- Seq(arr(1, 0), arr(1, 0, 2), arr(-1, 0, 1))) {
+      val out = proj(InternalRow(bad)).getArray(0)
+      assert(out.numElements() == 2 && out.isNullAt(0) && out.isNullAt(1), bad)
+    }
+    val nullElem = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](1, null, 0))
+    assert(proj(InternalRow(nullElem)).getArray(0).isNullAt(1))
+    val nv = proj(InternalRow(null)).getArray(0)
+    assert(nv.numElements() == 2 && nv.isNullAt(0) && nv.isNullAt(1))
+  }
+
   test("BankCache: bounded LRU — same key reuses, overflow evicts the least-recent entry") {
     val c = new graft.plans.BankCache[Integer, String](3)
     var built = 0

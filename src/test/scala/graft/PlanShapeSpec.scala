@@ -647,4 +647,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s180.contains("Exchange SinglePartition"), s180)
     assert(s180.contains("ExistingRDD") || s180.contains("LocalTableScan"), s180)
   }
+
+  test("round-12 shapes: pq ann scores CODES through the broadcast ADC bank — one " +
+      "corpus scan, the kernel in-plan (no Q·m·k literal), no cartesian") {
+    val s182 = simplePlan("q182_pq_ann")
+    // the serving scan: the corpus is read once for the encode+score pass
+    assert("Scan parquet".r.findAllIn(s182).size == 1, s182)
+    // distances come from the broadcast-bank kernel, not a shipped literal
+    assert(s182.contains("graft_adc_dists"), s182)
+    assert(!s182.contains("CartesianProduct") && !s182.contains("BroadcastNestedLoopJoin"), s182)
+    // per-query top-k is a q_id-partitioned window, never a global sort
+    assert(!s182.contains("Exchange SinglePartition"), s182)
+    assert(s182.contains("Window"), s182)
+  }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.similarity.PQ
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-12 operators: product quantization ([[graft.similarity.PQ]]) —
+  * encode semantics, ADC arithmetic vs a driver reference, and the
+  * measured recall readout against exact L2 truth (the q122 "measure,
+  * don't guess" convention).
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val cb2 = PQ.Codebooks(Array(
+    Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+    Array(Array(0.0, 0.0), Array(-10.0, -10.0))), subDim = 2)
+
+  test("PQ.encode: nearest codeword per subspace; exact ties go to the SMALLEST codeword") {
+    val df = Seq(
+      (1L, Seq(0.1, 0.2, -9.0, -9.0)),
+      (2L, Seq(9.0, 9.0, 0.5, 0.0)),
+      (3L, Seq(5.0, 5.0, -5.0, -5.0)) // equidistant in BOTH subspaces
+    ).toDF("id", "v")
+    val got = PQ.encode(df, $"id", $"v", cb2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(got == Map(1L -> Seq(0, 1), 2L -> Seq(1, 0), 3L -> Seq(0, 0)))
+  }
+
+  test("PQ.adcTopK: hand-checked ADC sums; self excluded; distance ties break to the " +
+      "smallest neighbor id") {
+    val df = Seq(
+      (1L, Seq(0.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(10.0, 10.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, -10.0, -10.0)),
+      (4L, Seq(10.0, 10.0, -10.0, -10.0))).toDF("id", "v")
+    val codes = PQ.encode(df, $"id", $"v", cb2)
+    val got = PQ.adcTopK(codes, df.where($"id" === 1L), $"id", $"v", cb2, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._3)
+    // query [0,0,0,0]: table j0 = (0, 200), j1 = (0, 200); codes 2=(1,0),
+    // 3=(0,1), 4=(1,1); self (dist 0) excluded
+    assert(got.toSeq == Seq((1L, 2L, 1, 200.0), (1L, 3L, 2, 200.0), (1L, 4L, 3, 400.0)))
+  }
+
+  test("PQ: contracts — dim must split into m; the query set is bounded") {
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      PQ.trainCodebooks(df, $"id", $"v", m = 2, k = 1, iters = 1)
+    }
+    val codes = PQ.encode(Seq((1L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v"), $"id", $"v", cb2)
+    val manyQ = (1L to 5L).map(i => (i, Seq(0.0, 0.0, 0.0, 0.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      PQ.adcTopK(codes, manyQ, $"id", $"v", cb2, topK = 1, maxQueries = 3)
+    }
+  }
+
+  /** Exact L2 top-10 per query — truth computed with the query vectors
+    * AS the distance bank, one kernel pass.
+    */
+  private def exactTop10(
+      emb: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+    val qs = queries.select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dArr = graft.plans.DistBank.distsColumn(
+      $"embedding".cast("array<double>"), qs.map(_._2), 6)
+    val w = Window.partitionBy($"q_id").orderBy($"dist".asc, $"n_id".asc)
+    emb.select($"vec_id".cast("long").as("n_id"), posexplode(dArr))
+      .select(element_at(lit(qs.map(_._1)), col("pos") + 1).as("q_id"),
+        $"n_id", col("col").as("dist"))
+      .where($"n_id" =!= $"q_id")
+      .withColumn("rank", row_number().over(w)).where($"rank" <= 10)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+  }
+
+  /** Mean raw-ADC recall@10 against exact L2 truth on the sf0.001 embeddings. */
+  private def pqRecall(m: Int, k: Int): Double = {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = PQ.trainCodebooks(emb, $"vec_id", $"embedding", m = m, k = k, iters = 2)
+    val codes = PQ.encode(emb, $"vec_id", $"embedding", cb)
+    val queries = emb.orderBy($"vec_id").limit(5)
+    val pq = PQ.adcTopK(codes, queries, $"vec_id", $"embedding", cb, topK = 10)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = exactTop10(emb, queries)
+    val recalls = exact.keys.toSeq.sorted.map(q => (pq(q) intersect exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.length
+    info(f"PQ m=$m k=$k ADC recall@10 over exact L2: $mean%.2f " +
+      s"(per query: ${recalls.mkString(", ")})")
+    mean
+  }
+
+  test("PQ: recall@10 vs exact L2 on the sf0.001 embeddings — the codebook-resolution " +
+      "lever works, and the ADC-shortlist + exact-rerank serving shape clears 0.8") {
+    // the GATE's shape (m=4/k=4) exists for oracle tractability: 256
+    // effective cells over isotropic synthetic vectors is a parity test,
+    // not a serving config — measure it, then prove the two levers a real
+    // deployment turns: finer codebooks, and exact rerank of a shortlist
+    val coarse = pqRecall(m = 4, k = 4)
+    val fine = pqRecall(m = 16, k = 16)
+    assert(fine > coarse, f"resolution lever inverted: m16k16 $fine%.2f <= m4k4 $coarse%.2f")
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = PQ.trainCodebooks(emb, $"vec_id", $"embedding", m = 16, k = 16, iters = 2)
+    val codes = PQ.encode(emb, $"vec_id", $"embedding", cb)
+    val queries = emb.orderBy($"vec_id").limit(5)
+    val reranked = PQ.adcTopKReranked(codes, emb, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", cb, topK = 10, shortlist = 50)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val exact = exactTop10(emb, queries)
+    val recalls = exact.keys.toSeq.sorted.map(q =>
+      (reranked(q) intersect exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.length
+    info(f"PQ m=16 k=16 + rerank(50) recall@10: $mean%.2f (per query: ${recalls.mkString(", ")})")
+    assert(mean >= 0.8, f"reranked recall@10 $mean%.2f below 0.8 floor")
+  }
+}
