@@ -95,12 +95,43 @@ object Multimodal {
   /** Frame sampling: cut the payload into fixed-size frames and keep every
     * `everyK`-th (a video keyframe-sampling shape; with a real codec the
     * frame boundary comes from the container format instead of a fixed
-    * stride). One output row per sampled frame — the 1→N explosion runs in
-    * `mapPartitions` so a real demuxer is initialized once per partition.
-    * Emitted per frame: index, byte length, and the 48-bit content hash
-    * (exact integers — oracle-comparable without binary-blob compare).
+    * stride). One output row per sampled frame: index, byte length, and
+    * the 48-bit content hash (exact integers — oracle-comparable without
+    * binary-blob compare).
+    *
+    * Fully DECLARATIVE like [[frameAHash]]: sequence+explode for the 1→N
+    * fan-out and `md5(substring(payload, …))` + a 12-hex-digit `conv` for
+    * the hash — the parquet scan stays in the pipeline and the whole row
+    * is whole-stage codegen. The `.rdd` escape hatch
+    * ([[sampleFramesRdd]], the parity-spec'd reference) is reserved for
+    * real-codec stubs that genuinely need per-partition session setup;
+    * slicing and hashing bytes is not that.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
+    require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
+    val len = length(col("payload")).cast("long")
+    val n = (len + lit(frameBytes - 1).cast("long")).divide(lit(frameBytes)).cast("long")
+    val lo = col("frame_idx") * lit(frameBytes.toLong)
+    media.select(col("media_id"), col("payload"))
+      .withColumn("frame_idx",
+        explode(when(n > 0, sequence(lit(0L), n - 1, lit(everyK.toLong)))
+          .otherwise(array().cast("array<bigint>"))))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        least(lit(frameBytes.toLong), len - lo).as("frame_len"),
+        // first 6 digest bytes as a big-endian long = first 12 hex chars
+        // of md5 — exactly Hash48F.first48(md.digest())
+        conv(substring(md5(col("payload").substr((lo + 1).cast("int"), lit(frameBytes))), 1, 12),
+          16, 10).cast("long").as("frame_hash"))
+  }
+
+  /** The `mapPartitions` form [[sampleFrames]] replaced — kept (not dead
+    * code) as the cross-checkable semantic reference: `MultimodalSpec`
+    * asserts the codegen pipeline is row-identical to this on real
+    * payloads plus the null/empty/ragged-tail edges.
+    */
+  private[graft] def sampleFramesRdd(media: DataFrame, frameBytes: Int, everyK: Int): DataFrame = {
     require(frameBytes > 0 && everyK > 0, "frameBytes and everyK must be positive")
     val spark = media.sparkSession
     val outSchema = StructType(Seq(

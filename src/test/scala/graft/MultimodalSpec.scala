@@ -31,6 +31,20 @@ class MultimodalSpec extends SparkSpec {
     assert(h == expect)
   }
 
+  test("sampleFrames: the declarative pipeline is row-identical to the mapPartitions " +
+      "reference — real payloads plus empty/ragged/stride edges") {
+    val media = mediaOf(
+      (1L, "a" * 25), (2L, "xy"), (3L, ""), (4L, "z" * 64),
+      (5L, (0 until 97).map(i => ('a' + i % 26).toChar).mkString))
+    for ((fb, k) <- Seq((10, 2), (7, 1), (64, 3))) {
+      val got = Multimodal.sampleFrames(media, fb, k)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val want = Multimodal.sampleFramesRdd(media, fb, k)
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"frameBytes=$fb everyK=$k")
+    }
+  }
+
   test("resizeStub: byte decimation with metadata kept consistent") {
     val media = mediaOf((1L, "abcdefghij"))
     val out = Multimodal.resizeStub(media, factor = 3)

@@ -648,6 +648,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(s180.contains("ExistingRDD") || s180.contains("LocalTableScan"), s180)
   }
 
+  test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +
+      "sequence+explode fan-out, no RDD boundary") {
+    val s38 = simplePlan("q38_media_frames")
+    assert(s38.contains("Scan parquet"), s38)
+    assert(s38.contains("Generate"), s38)
+    assert(!s38.contains("ExistingRDD"), s38)
+  }
+
   test("round-12 shapes: pq ann scores CODES through the broadcast ADC bank — one " +
       "corpus scan, the kernel in-plan (no Q·m·k literal), no cartesian") {
     val s182 = simplePlan("q182_pq_ann")
