@@ -90,18 +90,29 @@ object Bench {
     val timed = names.filter(timings(_).nonEmpty)
     val med = timed.map(n => n -> median(timings(n)))
     val mins = timed.map(n => n -> timings(n).min)
+    // numeric query order, NEWEST (highest-numbered) last: a bounded tail
+    // capture that truncates the map loses the oldest entries, never the
+    // queries added this round
+    def qNum(name: String): Int = name.drop(1).takeWhile(_.isDigit) match {
+      case "" => Int.MaxValue
+      case ds => ds.toInt
+    }
     def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
+      kvs.sortBy { case (k, _) => (qNum(k), k) }
+        .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // detail lines first (full per-query medians and minimums); the LAST
-    // line is totals-only and stays under ~200 bytes REGARDLESS of suite
-    // width, so a bounded tail capture always contains a complete,
+    // totals-only line FIRST: it stays under ~200 bytes regardless of
+    // suite width, so a bounded tail capture always contains a complete,
     // parseable record — round 7's line survived only because 9 crashed
-    // queries happened to shorten it
+    // queries happened to shorten it. The per-query detail lines follow,
+    // NEWEST queries last: a tail cap that truncates the map then drops
+    // the oldest entries, not the ones added this round (the round-11
+    // verdict's housekeeping ask — q100+ fell off the driver's 2000-char
+    // tail when the detail printed first).
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
     println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

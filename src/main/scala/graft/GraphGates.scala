@@ -174,6 +174,38 @@ object GraphGates {
     Graphs.stronglyConnectedComponents(
       nationOrderedTransitions(s, d), col("src"), col("dst"))
 
+  private val SsspHops = 4
+
+  /** WEIGHTED transition edges: like [[transitions]] but each edge carries
+    * the quantity of its DESTINATION line, parallel edges collapsed to
+    * the CHEAPEST (min) — exact integer weights for the min-plus gate.
+    * The window adds `l_quantity` to the tie order so the lead pair is
+    * fully deterministic; tied (linenumber, suppkey) rows share a suppkey,
+    * so the edge SET matches [[transitions]] and only the weight needs
+    * the extra key.
+    */
+  private def weightedTransitions(s: SparkSession, d: String, minQty: Int): DataFrame = {
+    val li = Tables.lineitem(s, d).where(col("l_quantity") >= minQty)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
+    li.select(col("l_suppkey").as("src"),
+        lead(col("l_suppkey"), 1).over(w).as("dst"),
+        lead(col("l_quantity"), 1).over(w).as("nq"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+      .groupBy(col("src"), col("dst")).agg(min(col("nq")).cast("long").as("w"))
+  }
+
+  /** q183 — hop-capped weighted shortest paths ([[Graphs.shortestPaths]]):
+    * min total weight over ≤ 4 directed hops from suppliers 0–5 on the
+    * sparse weighted transition graph — frontier Bellman–Ford, exact
+    * integer min-plus. The oracle unrolls the same relaxation rounds.
+    */
+  private def q183Sssp(s: SparkSession, d: String): DataFrame =
+    Graphs.shortestPaths(
+      weightedTransitions(s, d, KhopQty), col("src"), col("dst"), col("w"),
+      Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
+      maxHops = SsspHops)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
@@ -183,7 +215,8 @@ object GraphGates {
     "q173_communities" -> (q173Communities _),
     "q174_kcore" -> (q174KCore _),
     "q179_components" -> (q179Components _),
-    "q180_scc" -> (q180Scc _)
+    "q180_scc" -> (q180Scc _),
+    "q183_sssp" -> (q183Sssp _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -400,6 +433,33 @@ object GraphGates {
        |FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
        |GROUP BY r1.a""".stripMargin
 
+  /** `SsspHops` unrolled Bellman–Ford relaxation rounds over the weighted
+    * sparse transition graph: d_i(n) = min cost over paths of ≤ i edges
+    * (exact BIGINT min-plus), seeds at 0.
+    */
+  private def ssspSql: String = {
+    val prelude =
+      s"""WITH seq AS (SELECT l_orderkey, l_suppkey, l_quantity,
+         |  lead(l_suppkey) OVER w AS nxt, lead(l_quantity) OVER w AS nq
+         |  FROM lineitem WHERE l_quantity >= $KhopQty
+         |  WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey, l_quantity)),
+         |e AS MATERIALIZED (SELECT l_suppkey::BIGINT AS src, nxt::BIGINT AS dst,
+         |  min(nq)::BIGINT AS w
+         |  FROM seq WHERE nxt IS NOT NULL AND nxt != l_suppkey GROUP BY 1, 2),
+         |d0 AS (SELECT s_suppkey::BIGINT AS node, 0::BIGINT AS dist
+         |  FROM supplier WHERE s_suppkey <= $KhopSeeds)""".stripMargin
+    val rounds = (1 to SsspHops).map { i =>
+      val p = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM (
+         |  SELECT node, dist FROM $p
+         |  UNION ALL
+         |  SELECT e.dst, p.dist + e.w FROM $p p JOIN e ON e.src = p.node)
+         |  GROUP BY node)""".stripMargin
+    }
+    prelude + ",\n" + rounds.mkString(",\n") +
+      s"\nSELECT node, dist FROM d$SsspHops"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
@@ -409,6 +469,7 @@ object GraphGates {
     "q173_communities" -> communitiesSql,
     "q174_kcore" -> kcoreSql,
     "q179_components" -> componentsSql,
-    "q180_scc" -> sccSql
+    "q180_scc" -> sccSql,
+    "q183_sssp" -> ssspSql
   )
 }

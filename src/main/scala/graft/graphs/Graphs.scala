@@ -636,6 +636,77 @@ object Graphs {
     out
   }
 
+  /** Weighted single-source (multi-seed) shortest paths, hop-capped:
+    * minimum TOTAL EDGE WEIGHT over directed paths of at most `maxHops`
+    * edges from any seed — the weighted complement of [[kHopMinDist]]
+    * (which is this with unit weights), by frontier Bellman–Ford
+    * relaxation: round `h` relaxes ONLY the nodes whose distance improved
+    * in round `h−1` against the edge list, so total work is proportional
+    * to the relaxations that actually happen, not rounds × |E|.
+    *
+    * Weights are LONG (exact min-plus arithmetic — no fp accumulation to
+    * diverge cross-engine); parallel edges collapse to their CHEAPEST
+    * weight up front. The hop cap bounds the computation on any input —
+    * including negative weights, where "min cost using ≤ H edges" is
+    * still well-defined (no negative-cycle blowup to chase); the loop
+    * also exits early once no distance improves (the fixpoint, reached
+    * at ≤ diameter rounds on non-negative weights).
+    *
+    * Scale shape per round: one join of the FRONTIER against the edge
+    * relation + one map-side-combined min aggregate + one full-outer
+    * merge into the distance state; state re-materialized per round
+    * (lineage cut), superseded blocks unpersisted.
+    *
+    * @return (node LONG, dist LONG) — every node reachable within
+    *         `maxHops` hops, seeds at 0
+    */
+  def shortestPaths(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      seeds: DataFrame,
+      seed: Column,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
+          weight.cast("long").as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull &&
+          col("src") =!= col("dst") && col("w").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")))
+
+    var dist = Materialize(
+      seeds.select(seed.cast("long").as("node")).where(col("node").isNotNull)
+        .distinct().withColumn("dist", lit(0L)))
+    var frontier = dist
+    var h = 1
+    var live = !frontier.isEmpty
+    while (h <= maxHops && live) {
+      val cand = e
+        .join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("dist") + col("w")).as("cand"))
+      val improved = Materialize(
+        cand.join(dist, Seq("node"), "left")
+          .where(col("dist").isNull || col("cand") < col("dist"))
+          .select(col("node"), col("cand").as("dist")))
+      if (improved.isEmpty) { live = false; improved.unpersist() }
+      else {
+        val prev = dist
+        dist = Materialize(
+          prev.join(improved.withColumnRenamed("dist", "__d"), Seq("node"), "full_outer")
+            .select(col("node"), coalesce(col("__d"), col("dist")).as("dist")))
+        if (frontier ne prev) frontier.unpersist()
+        prev.unpersist()
+        frontier = improved
+      }
+      h += 1
+    }
+    if (frontier ne dist) frontier.unpersist()
+    e.unpersist()
+    dist
+  }
+
   /** Strongly connected components of the DIRECTED graph: every node of
     * the edge-induced vertex set labeled with its SCC's MINIMUM member id
     * — the directed complement of [[connectedComponents]], what real

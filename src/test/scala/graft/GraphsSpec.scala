@@ -118,6 +118,48 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.triangleCounts(edgeDf(tree), $"src", $"dst").isEmpty)
   }
 
+  test("shortestPaths: min-plus over a known weighted digraph — a cheap long detour " +
+      "beats the direct edge; hop cap truncates it; unreachable nodes absent") {
+    // 0 -> 3 direct costs 100; 0->1->2->3 costs 3; 4 unreachable from 0
+    val es = Seq((0L, 3L, 100L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (4L, 0L, 5L))
+    val seeds = Seq(0L).toDF("s")
+    def run(h: Int): Map[Long, Long] =
+      Graphs.shortestPaths(es.toDF("src", "dst", "w"), $"src", $"dst", $"w",
+        seeds, $"s", maxHops = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // ≤ 2 hops: the detour is out of budget, the direct edge wins
+    assert(run(2) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 100L))
+    // parallel edges collapse to the cheapest; early exit past the fixpoint
+    val dup = Seq((0L, 1L, 9L), (0L, 1L, 2L))
+    assert(Graphs.shortestPaths(dup.toDF("src", "dst", "w"), $"src", $"dst", $"w",
+      seeds, $"s", maxHops = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(0L -> 0L, 1L -> 2L))
+  }
+
+  test("shortestPaths: matches a driver-side Bellman–Ford on a pseudo-random weighted " +
+      "digraph, at the hop cap and at the fixpoint") {
+    val es = pseudoGraph(40, 3).map { case (a, b) => (a, b, 1L + (a * 3 + b) % 7) }
+    val seeds = Seq(0L, 5L).toDF("s")
+    def reference(h: Int): Map[Long, Long] = {
+      var d = Map(0L -> 0L, 5L -> 0L)
+      for (_ <- 1 to h) {
+        val relaxed = es.flatMap { case (a, b, w) => d.get(a).map(da => b -> (da + w)) }
+          .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+        d = (d.keySet ++ relaxed.keySet).map { n =>
+          n -> math.min(d.getOrElse(n, Long.MaxValue), relaxed.getOrElse(n, Long.MaxValue))
+        }.toMap
+      }
+      d
+    }
+    for (h <- Seq(2, 4, 40)) {
+      val got = Graphs.shortestPaths(es.toDF("src", "dst", "w"), $"src", $"dst", $"w",
+        seeds, $"s", maxHops = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(h), s"maxHops=$h")
+    }
+  }
+
   private def sccOf(es: Seq[(Long, Long)]): Map[Long, Long] =
     Graphs.stronglyConnectedComponents(edgeDf(es), $"src", $"dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -646,6 +646,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s180.contains("CartesianProduct") && !s180.contains("BroadcastNestedLoopJoin"), s180)
     assert(!s180.contains("Exchange SinglePartition"), s180)
     assert(s180.contains("ExistingRDD") || s180.contains("LocalTableScan"), s180)
+    // q183: the Bellman–Ford loop ran at build time; the returned distance
+    // state is checkpointed — no parquet rescan, no cartesian
+    val s183 = simplePlan("q183_sssp")
+    assert(!s183.contains("Scan parquet"), s183)
+    assert(!s183.contains("CartesianProduct"), s183)
+    assert(s183.contains("ExistingRDD") || s183.contains("LocalTableScan"), s183)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +
