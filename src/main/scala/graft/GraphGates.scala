@@ -206,6 +206,31 @@ object GraphGates {
       Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
       maxHops = SsspHops)
 
+  /** Transition edges weighted by MULTIPLICITY: how many times supplier
+    * `src` hands off to `dst` across all orders — the natural link
+    * strength for the weighted ranker (tie order deterministic as in
+    * [[transitions]]; tied rows share a suppkey, so the pair multiset is
+    * engine-independent).
+    */
+  private def countTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("src"), lead(col("l_suppkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  /** q184 — WEIGHTED PageRank over the multiplicity-weighted supplier
+    * transition digraph ([[Graphs.weightedPageRank]]): rank flows in
+    * proportion to hand-off volume, same grid/iteration discipline as
+    * q154 — the oracle unrolls the same five weighted rounds.
+    */
+  private def q184WeightedPagerank(s: SparkSession, d: String): DataFrame =
+    Graphs.weightedPageRank(
+      Tables.supplier(s, d), col("s_suppkey"),
+      countTransitions(s, d), col("src"), col("dst"), col("w"),
+      iters = PrIters, damping = 0.85, scale = PrScale)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
@@ -216,7 +241,8 @@ object GraphGates {
     "q174_kcore" -> (q174KCore _),
     "q179_components" -> (q179Components _),
     "q180_scc" -> (q180Scc _),
-    "q183_sssp" -> (q183Sssp _)
+    "q183_sssp" -> (q183Sssp _),
+    "q184_weighted_pagerank" -> (q184WeightedPagerank _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -460,6 +486,37 @@ object GraphGates {
       s"\nSELECT node, dist FROM d$SsspHops"
   }
 
+  /** Five unrolled WEIGHTED PageRank iterations: per-edge share fraction
+    * `w/outw` staged once (the engine's edge prep, verbatim), inflow =
+    * Σ rank·fr, dangling = nodes with no positive out-edge.
+    */
+  private def weightedPagerankSql: String = {
+    val prelude =
+      s"""WITH nodes AS (SELECT s_suppkey::BIGINT AS node FROM supplier),
+         |seq AS (SELECT l_orderkey, l_suppkey,
+         |  lead(l_suppkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_suppkey) AS nxt
+         |  FROM lineitem),
+         |e AS (SELECT l_suppkey::BIGINT AS src, nxt::BIGINT AS dst, count(*)::DOUBLE AS w
+         |  FROM seq WHERE nxt IS NOT NULL AND nxt != l_suppkey GROUP BY 1, 2),
+         |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+         |ef AS (SELECT e.src, e.dst, e.w / ow.outw AS fr FROM e JOIN ow ON ow.src = e.src),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         |r0 AS (SELECT node, round(1.0/(SELECT n FROM nn), $PrScale) AS rank FROM nodes)""".stripMargin
+    val iterations = (1 to PrIters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT coalesce(sum(r.rank), 0.0) AS dang FROM $p r
+         |  LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+         |inf$i AS (SELECT ef.dst AS node, sum(r.rank * ef.fr) AS inflow
+         |  FROM ef JOIN $p r ON ef.src = r.node GROUP BY ef.dst),
+         |r$i AS (SELECT n.node,
+         |  round((1.0-0.85)/(SELECT n FROM nn)
+         |        + 0.85*(coalesce(i.inflow, 0.0) + (SELECT dang FROM d$i)/(SELECT n FROM nn)),
+         |        $PrScale) AS rank
+         |  FROM nodes n LEFT JOIN inf$i i ON n.node = i.node)""".stripMargin
+    }
+    prelude + ",\n" + iterations.mkString(",\n") + s"\nSELECT node, rank FROM r$PrIters"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
@@ -470,6 +527,7 @@ object GraphGates {
     "q174_kcore" -> kcoreSql,
     "q179_components" -> componentsSql,
     "q180_scc" -> sccSql,
-    "q183_sssp" -> ssspSql
+    "q183_sssp" -> ssspSql,
+    "q184_weighted_pagerank" -> weightedPagerankSql
   )
 }

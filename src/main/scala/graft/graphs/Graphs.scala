@@ -106,6 +106,69 @@ object Graphs {
     out
   }
 
+  /** WEIGHTED PageRank: rank flows along each edge in proportion to its
+    * weight instead of uniformly —
+    *
+    * {{{ rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)·w(u,v)/outw(u) + D/N) }}}
+    *
+    * with `outw(u) = Σ_v w(u,v)`. The natural model when links carry
+    * strength (co-occurrence counts, click volumes, citation
+    * multiplicities): a page handing 99% of its traffic to one neighbor
+    * should not rank that neighbor like the 1% one.
+    *
+    * Edge prep: weights must be POSITIVE — null/zero/negative rows are
+    * dropped (a zero-weight link is no link, and it must not make its
+    * source non-dangling); parallel edges' weights ADD (multiplicity is
+    * affinity — contrast [[shortestPaths]], where parallel edges keep the
+    * cheapest). The per-edge share fraction `w/outw` is staged ONCE on
+    * the edge relation, so each iteration is the same one-join-one-
+    * aggregate shape as [[pageRank]] (whose loop this reuses).
+    */
+  def weightedPageRank(
+      nodes: DataFrame,
+      node: Column,
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      weight: Column,
+      iters: Int,
+      damping: Double = 0.85,
+      scale: Int = 7,
+      convergeEarly: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+
+    val v = Materialize(nodes.select(node.cast("long").as("node")).where(col("node").isNotNull).distinct())
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
+        weight.cast("double").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst") &&
+        col("w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = Materialize(
+      e0.join(outw, Seq("src")).select(col("src"), col("dst"), (col("w") / col("outw")).as("fr")))
+    val n = v.count().toDouble
+    require(n > 0, "weightedPageRank: empty node set")
+
+    // `outdeg` doubles as the dangling test: out-WEIGHT here (0 ⇔ no
+    // positive out-edge), the share itself rides the edge relation
+    val withDeg = Materialize(
+      v.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outdeg")))
+
+    val init = round(lit(1.0 / n), scale)
+    val out = prIterations(
+      withDeg.select(col("node"), col("outdeg"), init.as("rank")), e, iters,
+      (inflow, dangling) =>
+        round(
+          lit((1.0 - damping) / n) +
+            lit(damping) * (inflow + dangling / lit(n)),
+          scale),
+      convergeEarly)
+    v.unpersist(); e.unpersist(); withDeg.unpersist()
+    out
+  }
+
   /** Personalized PageRank (TrustRank): the teleport distribution is
     * concentrated on a SEED set instead of uniform — the web-corpus
     * quality-propagation algorithm (Gyöngyi et al.'s TrustRank): rank
@@ -205,9 +268,16 @@ object Graphs {
       val dangDf = state.where(col("outdeg") === 0)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
 
-      val contrib = e
-        .join(state.where(col("outdeg") > 0).select(col("node").as("src"),
-          (col("rank") / col("outdeg")).as("share")), Seq("src"))
+      // weighted graphs stage the per-edge share FRACTION (w / out-weight)
+      // on the edge relation once ([[weightedPageRank]]); the unweighted
+      // path keeps rank/outdeg exactly as before
+      val contrib = (if (e.columns.contains("fr"))
+        e.join(state.where(col("outdeg") > 0)
+            .select(col("node").as("src"), col("rank")), Seq("src"))
+          .withColumn("share", col("rank") * col("fr"))
+      else
+        e.join(state.where(col("outdeg") > 0).select(col("node").as("src"),
+          (col("rank") / col("outdeg")).as("share")), Seq("src")))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
 

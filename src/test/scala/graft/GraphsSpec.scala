@@ -118,6 +118,34 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.triangleCounts(edgeDf(tree), $"src", $"dst").isEmpty)
   }
 
+  test("weightedPageRank: uniform weights reproduce pageRank bit-for-bit; a heavy edge " +
+      "pulls rank; zero/negative weights are dropped (source goes dangling)") {
+    val nodes = nodeDf(Seq(0L, 1L, 2L, 3L))
+    val es = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 0L))
+    val uni = es.map { case (a, b) => (a, b, 7L) } // any constant weight
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = ranks(Graphs.pageRank(nodes, $"node", edgeDf(es), $"src", $"dst", iters = 5))
+    val wUni = ranks(Graphs.weightedPageRank(nodes, $"node",
+      uni.toDF("src", "dst", "w"), $"src", $"dst", $"w", iters = 5))
+    assert(wUni == plain, s"uniform weights must reduce to pageRank:\n $wUni\n $plain")
+
+    // 0 hands 99% of its mass to 1: rank(1) must beat the uniform split
+    val skew = Seq((0L, 1L, 99L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (3L, 0L, 1L))
+    val wSkew = ranks(Graphs.weightedPageRank(nodes, $"node",
+      skew.toDF("src", "dst", "w"), $"src", $"dst", $"w", iters = 5))
+    assert(wSkew(1L) > wUni(1L) && wSkew(2L) < wUni(2L), s"$wSkew vs $wUni")
+
+    // dropping non-positive weights: node 3's only out-edge has w=0, so 3
+    // is DANGLING — identical to pageRank on the graph without that edge
+    val zeroed = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L), (2L, 0L, 1L), (3L, 0L, 0L))
+    val wZero = ranks(Graphs.weightedPageRank(nodes, $"node",
+      zeroed.toDF("src", "dst", "w"), $"src", $"dst", $"w", iters = 5))
+    val plainNo3 = ranks(Graphs.pageRank(nodes, $"node",
+      edgeDf(es.filterNot(_._1 == 3L)), $"src", $"dst", iters = 5))
+    assert(wZero == plainNo3, s"zero-weight edge must be no edge:\n $wZero\n $plainNo3")
+  }
+
   test("shortestPaths: min-plus over a known weighted digraph — a cheap long detour " +
       "beats the direct edge; hop cap truncates it; unreachable nodes absent") {
     // 0 -> 3 direct costs 100; 0->1->2->3 costs 3; 4 unreachable from 0
