@@ -178,6 +178,17 @@ object ExtensionQueries {
       Tables.documents(s, d),
       Hashing.shingleHashSet(col("text"), 3), col("doc_id"), threshold = 0.5)
 
+  /** EXACT shingle-set COSINE join at t = 0.6 ([[Dedup.cosineJoinSets]]
+    * — the PPJoin family's cosine variant, sharing q175's staging): the
+    * t²-prefix lemma, the t² length filter, and the α²·10^8 ≥ m²·sa·sb
+    * cut are all exact integer arithmetic. Same brute-force oracle shape
+    * as q175, proving the recall guarantee at sf scale.
+    */
+  private def q185CosineJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.cosineJoinSets(
+      Tables.documents(s, d),
+      Hashing.shingleHashSet(col("text"), 3), col("doc_id"), threshold = 0.6)
+
   /** Last-touch attribution: every purchase credited to the user's latest
     * view/click at-or-before it within 24 h
     * ([[graft.operators.Sequences.lastTouchAttribution]]) — one running
@@ -1497,6 +1508,7 @@ object ExtensionQueries {
     "q171_bm25" -> (q171Bm25 _),
     "q172_ks_drift" -> (q172KsDrift _),
     "q175_jaccard_join" -> (q175JaccardJoin _),
+    "q185_cosine_join" -> (q185CosineJoin _),
     "q176_attribution" -> (q176Attribution _),
     "q178_frequent_pairs" -> (q178FrequentPairs _),
     "q22_dedup_simhash" -> (q22Simhash _),
@@ -1859,6 +1871,20 @@ object ExtensionQueries {
          |SELECT doc_a, doc_b, inter, (sa + sb - inter)::BIGINT AS n_union,
          |  round(inter / (sa + sb - inter), 4) AS jaccard
          |FROM p WHERE inter * 10000 >= (sa + sb - inter) * 5000""".stripMargin,
+    "q185_cosine_join" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+         |  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]
+         |  ELSE [] END AS shingles FROM toks),
+         |s AS (SELECT doc_id,
+         |    list_distinct(list_transform(shingles, s -> ${duckHash48("s")})) AS st
+         |  FROM sh WHERE len(shingles) > 0),
+         |s2 AS (SELECT doc_id, st, len(st)::BIGINT AS sz FROM s),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sa, b.sz AS sb,
+         |    len(list_filter(a.st, x -> list_contains(b.st, x)))::BIGINT AS inter
+         |  FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, round(inter / sqrt(sa * sb), 4) AS cosine
+         |FROM p WHERE inter * inter * 100000000 >= sa * sb * 36000000""".stripMargin,
     "q178_frequent_pairs" ->
       """WITH lp AS (SELECT DISTINCT l_orderkey AS b, l_partkey::BIGINT AS i FROM lineitem),
         |nb AS (SELECT count(DISTINCT b)::DOUBLE AS n_baskets FROM lp),

@@ -2001,27 +2001,11 @@ object Dedup {
     require(math.abs(m / 10000.0 - threshold) < 1e-12,
       s"threshold must be expressible in 4 decimals, got $threshold")
 
-    // distinct (doc, term) + set sizes; one explode, map-side combined
-    val dt = graft.Materialize(
-      docs.select(id.as("doc_id"), explode(array_distinct(items)).as("term")))
-    val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-
-    // global token order = (df asc, term asc). The ORDER itself is what
-    // the prefix lemma needs — never a dense global rank (a
-    // row_number() over an unpartitioned window is a single-partition
-    // exchange, the one shape banned repo-wide): the per-doc window
-    // orders by the (df, term) pair directly
-    val order = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (dt, sizes, order) = setJoinStaging(docs, items, id)
 
     // per-doc prefix: first (sz - ceil(t·sz) + 1) tokens in global order;
     // ceil(t·sz) = (sz·m + 9999) div 10000, exact
-    val ceilTs = expr(s"(sz * $m + 9999) div 10000")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
-    val prefix = dt.join(order, Seq("term"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("pos", row_number().over(byDoc))
-      .where(col("pos") <= col("sz") - ceilTs + 1)
-      .select(col("term"), col("doc_id"), col("sz"))
+    val prefix = prefixOf(dt, sizes, order, expr(s"sz - (sz * $m + 9999) div 10000 + 1"))
 
     // candidates: pairs sharing a prefix token, pruned by the AllPairs
     // size-ratio LENGTH FILTER before the dedup and the verification
@@ -2029,18 +2013,9 @@ object Dedup {
     // `sb·m ≤ sa·10000 ∧ sa·m ≤ sb·10000` (same exact integer rational)
     // drops size-mismatched pairs for free with zero false negatives —
     // measured at sf0.1/q175 config: see SCALING.md round 12
-    val cand = prefix.select(col("term"), col("doc_id").as("doc_a"), col("sz").as("sa"))
-      .join(prefix.select(col("term"), col("doc_id").as("doc_b"), col("sz").as("sb")),
-        Seq("term"))
-      .where(col("doc_a") < col("doc_b") &&
-        col("sb") * m <= col("sa") * 10000 && col("sa") * m <= col("sb") * 10000)
-      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .distinct()
-    val inter = cand
-      .join(dt.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
-      .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+    val cand = candidatesOf(prefix,
+      col("sb") * m <= col("sa") * 10000 && col("sa") * m <= col("sb") * 10000)
+    val inter = intersectionsOf(cand, dt)
 
     val unionSz = col("sa") + col("sb") - col("inter")
     inter
@@ -2051,4 +2026,102 @@ object Dedup {
       .where(col("inter") * 10000 >= unionSz * m)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("n_union"), col("jaccard"))
   }
+
+  /** SET-COSINE join above `threshold` — the PPJoin family's cosine
+    * variant ([[jaccardJoinSets]] shares all of this machinery):
+    * `cos(A,B) = |A∩B| / √(|A|·|B|)`, the normalized-overlap measure
+    * retrieval stacks use where Jaccard over-punishes size asymmetry.
+    *
+    * Prefix lemma (Xiao et al.): cos ≥ t ⇒ α ≥ t·√(sa·sb) ≥ t²·sa
+    * (since sb ≥ α), so the prefix is the first `s − ⌈t²·s⌉ + 1` tokens;
+    * length filter: cos ≤ √(min/max) forces t² ≤ sa/sb ≤ 1/t². Both —
+    * and the final cut `α²·10^8 ≥ m²·sa·sb` — are exact INTEGER
+    * arithmetic on the rational t = m/10^4; the rounded cosine is only
+    * the reported value. The integer forms bound set sizes at ~3·10^5
+    * items (α²·10^8 must fit a long) — enforced loudly, chunk
+    * book-length documents first.
+    *
+    * Same unique-id contract as [[jaccardJoinSets]].
+    *
+    * @return (doc_a, doc_b, inter, cosine) for every unordered pair with
+    *         cosine ≥ threshold, cosine on the 10^-4 grid
+    */
+  def cosineJoinSets(
+      docs: DataFrame,
+      items: Column,
+      id: Column,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val m = math.round(threshold * 10000).toInt
+    require(math.abs(m / 10000.0 - threshold) < 1e-12,
+      s"threshold must be expressible in 4 decimals, got $threshold")
+    val m2 = m.toLong * m // t² as m2 / 10^8
+    val T = 100000000L
+
+    val (dt, sizes, order) = setJoinStaging(docs, items, id)
+    val maxSz = sizes.agg(max(col("sz"))).head().getLong(0)
+    require(maxSz <= 300000,
+      s"cosineJoinSets: a $maxSz-item set overflows the exact integer cut " +
+        "(inter^2 * 10^8 must fit a long) — chunk oversized documents first")
+
+    // prefix: first (sz - ceil(t²·sz) + 1); ceil(t²·s) = (s·m² + 10^8−1) div 10^8
+    val prefix = prefixOf(dt, sizes, order, expr(s"sz - (sz * $m2 + ${T - 1}) div $T + 1"))
+    val cand = candidatesOf(prefix,
+      col("sb") * m2 <= col("sa") * T && col("sa") * m2 <= col("sb") * T)
+    intersectionsOf(cand, dt)
+      .withColumn("cosine", round(col("inter") / sqrt(col("sa") * col("sb")), 4))
+      .where(col("inter") * col("inter") * T >= col("sa") * col("sb") * m2)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("cosine"))
+  }
+
+  /** Shared staging of the prefix-filtered set joins: distinct
+    * (doc, term) pairs (ONE explode, materialized — every later stage
+    * aggregates from the checkpointed partials), per-doc set sizes, and
+    * the global term order (df asc, term asc). The ORDER itself is what
+    * the prefix lemma needs — never a dense global rank (a row_number
+    * over an unpartitioned window is a single-partition exchange, the
+    * one shape banned repo-wide).
+    */
+  private def setJoinStaging(
+      docs: DataFrame, items: Column, id: Column): (DataFrame, DataFrame, DataFrame) = {
+    val dt = graft.Materialize(
+      docs.select(id.as("doc_id"), explode(array_distinct(items)).as("term")))
+    val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val order = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    (dt, sizes, order)
+  }
+
+  /** Per-doc prefix: the first `keepLen` tokens in global (df, term)
+    * order, carried with the doc's set size.
+    */
+  private def prefixOf(
+      dt: DataFrame, sizes: DataFrame, order: DataFrame, keepLen: Column): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
+    dt.join(order, Seq("term"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("pos", row_number().over(byDoc))
+      .where(col("pos") <= keepLen)
+      .select(col("term"), col("doc_id"), col("sz"))
+  }
+
+  /** Candidate pairs sharing a prefix token, pruned by `lengthPred`
+    * BEFORE the dedup and the verification join.
+    */
+  private def candidatesOf(prefix: DataFrame, lengthPred: Column): DataFrame =
+    prefix.select(col("term"), col("doc_id").as("doc_a"), col("sz").as("sa"))
+      .join(prefix.select(col("term"), col("doc_id").as("doc_b"), col("sz").as("sb")),
+        Seq("term"))
+      .where(col("doc_a") < col("doc_b") && lengthPred)
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .distinct()
+
+  /** Exact intersection sizes for the candidates: one pair-keyed count
+    * over the full (doc, term) relation.
+    */
+  private def intersectionsOf(cand: DataFrame, dt: DataFrame): DataFrame =
+    cand
+      .join(dt.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+      .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
 }

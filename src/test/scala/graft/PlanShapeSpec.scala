@@ -657,6 +657,11 @@ class PlanShapeSpec extends SparkSpec {
     val s184 = simplePlan("q184_weighted_pagerank")
     assert(!s184.contains("Scan parquet"), s184)
     assert(!s184.contains("CartesianProduct"), s184)
+    // q185: the cosine join rides the same checkpointed prefix machinery
+    // as q175 — no corpus rescan, no cartesian, no broadcast nested loop
+    val s185 = simplePlan("q185_cosine_join")
+    assert(!s185.contains("Scan parquet"), s185)
+    assert(!s185.contains("CartesianProduct") && !s185.contains("BroadcastNestedLoopJoin"), s185)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +

@@ -401,6 +401,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cosineJoinSets law: equals driver brute force on random long-item sets " +
+      "at a random 4-dp threshold (the t²-prefix completeness property)") {
+    import graft.dedup.Dedup
+    val setGen = Gen.listOfN(18, Gen.zip(
+      Gen.chooseNum(3, 9),
+      Gen.chooseNum(0L, 100000L)))
+    for ((raw, i) <- samples(Gen.zip(setGen, Gen.chooseNum(2000, 9000)), 4).zipWithIndex) {
+      val (spec, tRaw) = raw
+      val t = tRaw / 10000.0
+      val docs = spec.zipWithIndex.map { case ((k, seed), id) =>
+        (id.toLong, (0 until k).map(j => (seed + j * 37) % 50).map(_.toLong).distinct.toArray)
+      }
+      val df = docs.toDF("doc_id", "items")
+      val got = Dedup.cosineJoinSets(df, col("items"), col("doc_id"), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sets = docs.map { case (id, xs) => id -> xs.toSet }.toMap
+      val m2 = math.round(t * 10000) * math.round(t * 10000)
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b && sets(a).nonEmpty && sets(b).nonEmpty
+        inter = (sets(a) & sets(b)).size.toLong
+        if inter * inter * 100000000L >= sets(a).size.toLong * sets(b).size * m2
+      } yield (a, b, inter)).toSet
+      assert(got == want, s"case $i t=$t: got ${got.size} want ${want.size}")
+    }
+  }
+
   test("ksDrift laws: shift- and duplication-invariant; zero against an identical complement") {
     import graft.curation.Corpus
     val gvGen = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1, 12)))
