@@ -121,8 +121,46 @@ object AnalyticsGates {
     PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
   }
 
+  private val BDeleteMod = 89
+
+  /** q186 — incremental JOIN-view maintenance
+    * ([[Storage.mergeJoinViewDelta]]): the per-customer line-revenue view
+    * over orders ⋈ lineitem maintained through signed inserts AND deletes
+    * on BOTH base tables at once — Δ(A⋈B) = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, signs
+    * multiplying through the cross term (an order deleted in the same
+    * batch as its lines must not double-remove). The oracle re-joins the
+    * final row sets from scratch; the gate proves the delta path lands on
+    * the identical view.
+    */
+  private def q186JoinView(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    // an exact INTEGER measure: the gate tests the delta-join ALGEBRA,
+    // and fp revenue sums grouped differently (base + delta vs scratch)
+    // can land a half-cent apart at the rounding boundary — quantity
+    // sums are associative-exact on both engines
+    val value = col("l_quantity").cast("long").as("value")
+    val aOld = o.where(col("o_orderdate") < cut)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("grp"))
+    val bOld = li.where(col("l_linenumber") <= 4)
+      .select(col("l_orderkey").as("key"), value)
+    val aDelta = o.where(col("o_orderdate") >= cut)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("grp"), lit(1).as("sign"))
+      .unionByName(aOld.where(col("key") % DeleteMod === 0).withColumn("sign", lit(-1)))
+    val bDelta = li.where(col("l_linenumber") > 4)
+      .select(col("l_orderkey").as("key"), value, lit(1).as("sign"))
+      .unionByName(bOld.where(col("key") % BDeleteMod === 0).withColumn("sign", lit(-1)))
+    val view = aOld.join(bOld, Seq("key"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    Storage.mergeJoinViewDelta(view, aOld, bOld, aDelta, bDelta)
+      .select(col("grp").as("o_custkey"), col("n").as("n_lines"),
+        col("total").cast("long").as("qty_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_salted_join" -> (q168SaltedJoin _),
+    "q186_join_view" -> (q186JoinView _),
     "q157_delta_agg" -> (q157DeltaAgg _),
     "q158_kmeans" -> (q158Kmeans _),
     "q162_source_ablation" -> (q162SourceAblation _),
@@ -287,6 +325,22 @@ object AnalyticsGates {
     prelude + ",\n" + rounds.mkString(",\n") + ",\n" + epilogue
   }
 
+  /** From-scratch re-join of the FINAL row sets — what the delta path
+    * must land on exactly.
+    */
+  private def joinViewSql: String =
+    s"""WITH a AS (
+       |  SELECT o_orderkey AS key, o_custkey AS grp FROM orders
+       |  WHERE (o_orderdate < TIMESTAMP '$Cutoff' AND o_orderkey % $DeleteMod != 0)
+       |     OR o_orderdate >= TIMESTAMP '$Cutoff'),
+       |b AS (
+       |  SELECT l_orderkey AS key, l_quantity::BIGINT AS value
+       |  FROM lineitem
+       |  WHERE (l_linenumber <= 4 AND l_orderkey % $BDeleteMod != 0) OR l_linenumber > 4)
+       |SELECT a.grp AS o_custkey, count(*)::BIGINT AS n_lines,
+       |  sum(b.value)::BIGINT AS qty_sum
+       |FROM a JOIN b ON a.key = b.key GROUP BY a.grp""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q168_salted_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
@@ -298,6 +352,7 @@ object AnalyticsGates {
     "q162_source_ablation" -> sourceAblationSql,
     "q164_coreset" -> coresetSql,
     "q182_pq_ann" -> pqAnnSql,
+    "q186_join_view" -> joinViewSql,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

@@ -363,4 +363,66 @@ object Storage {
           .as("mx"))
       .where(col("n") > 0)
   }
+
+  /** Incremental maintenance of a JOIN view — the classic IVM step past
+    * the single-table aggregate ([[mergeAggDelta]]): maintain
+    *
+    * {{{ V = SELECT a.grp, count(*) AS n, sum(b.value) AS total
+    *     FROM a JOIN b ON a.key = b.key GROUP BY a.grp }}}
+    *
+    * through SIGNED deltas on BOTH base tables, without re-joining them:
+    * with `A' = A + ΔA` (insert = +1, delete = −1),
+    *
+    * {{{ Δ(A ⋈ B) = ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB }}}
+    *
+    * — each term a delta-side join (the optimizer broadcasts the small
+    * delta; the base scan is join-pruned, never re-aggregated), signs
+    * multiplying through the cross term, and the view updated by pure
+    * delta arithmetic (`n += Σ sign`, `total += Σ sign·value`; groups
+    * reaching n = 0 leave the view — the q157 emptied-bucket contract).
+    * COUNT/SUM only by design: a MAX through deletes needs the dirty-key
+    * recompute [[mergeAggDelta]] already implements.
+    *
+    * At 100 TB this is the difference between touching |Δ|·fanout rows
+    * and re-joining two base tables: the three delta joins are all keyed
+    * on the join key, partial-aggregated map-side, and the view merge is
+    * one full-outer join on the group key.
+    *
+    * @param view   current view (grp, n LONG, total DOUBLE)
+    * @param aOld   pre-batch A rows (key, grp)
+    * @param bOld   pre-batch B rows (key, value)
+    * @param aDelta signed A changes (key, grp, sign ∈ {+1, −1})
+    * @param bDelta signed B changes (key, value, sign ∈ {+1, −1})
+    * @return the maintained view (grp, n, total), n > 0 rows only
+    */
+  def mergeJoinViewDelta(
+      view: DataFrame,
+      aOld: DataFrame,
+      bOld: DataFrame,
+      aDelta: DataFrame,
+      bDelta: DataFrame
+  ): DataFrame = {
+    // the three delta terms, each (grp, sign, value)
+    val dAxB = aDelta.select(col("key"), col("grp"), col("sign").as("__s"))
+      .join(bOld.select(col("key"), col("value")), Seq("key"))
+      .select(col("grp"), col("__s").as("sign"), col("value"))
+    val AxdB = bDelta.select(col("key"), col("value"), col("sign"))
+      .join(aOld.select(col("key"), col("grp")), Seq("key"))
+      .select(col("grp"), col("sign"), col("value"))
+    val dAxdB = aDelta.select(col("key"), col("grp"), col("sign").as("__sa"))
+      .join(bDelta.select(col("key"), col("value"), col("sign").as("__sb")), Seq("key"))
+      .select(col("grp"), (col("__sa") * col("__sb")).as("sign"), col("value"))
+
+    val delta = dAxB.unionByName(AxdB).unionByName(dAxdB)
+      .groupBy(col("grp"))
+      .agg(sum(col("sign")).cast("long").as("__dn"),
+        sum(col("sign") * col("value")).as("__dt"))
+
+    view.join(delta, Seq("grp"), "full_outer")
+      .select(
+        col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0.0)) + coalesce(col("__dt"), lit(0.0))).as("total"))
+      .where(col("n") > 0)
+  }
 }

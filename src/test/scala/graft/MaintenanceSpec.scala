@@ -129,6 +129,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.forall(_._3 == 0.0))
   }
 
+  test("mergeJoinViewDelta: signed delta-join algebra — cross term stops double-removal, " +
+      "both-side inserts compose, groups draining to n=0 leave the view") {
+    import graft.sources.Storage
+    // A: orders (key, grp); B: lines (key, value)
+    val aOld = Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("key", "grp")
+    val bOld = Seq((1L, 5L), (1L, 7L), (2L, 11L), (3L, 13L)).toDF("key", "value")
+    val view = aOld.join(bOld, Seq("key"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+    // batch: delete order 1 AND both its lines (the cross term must add
+    // back what both single-side terms removed); delete order 3 (group 20
+    // drains to n=0); insert order 4 (grp 30) AND its line in the same
+    // batch (pure cross-term contribution); insert a line for order 2
+    val aDelta = Seq((1L, 10L, -1), (3L, 20L, -1), (4L, 30L, 1)).toDF("key", "grp", "sign")
+    val bDelta = Seq((1L, 5L, -1), (1L, 7L, -1), (4L, 17L, 1), (2L, 19L, 1))
+      .toDF("key", "value", "sign")
+    val got = Storage.mergeJoinViewDelta(view, aOld, bOld, aDelta, bDelta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // reference: re-join the final row sets from scratch
+    // A' = {2->10, 4->30}; B' = {2:[11,19], 4:[17]}
+    assert(got == Set((10L, 2L, 30.0), (30L, 1L, 17.0)), got.toString)
+  }
+
   test("gridHalfUp: negative half-ties round AWAY from zero (HALF_UP — the kernel " +
       "and oracle convention), unlike math.round's half-toward-+inf") {
     // the one-ulp divergence the two-conventions hazard produced:

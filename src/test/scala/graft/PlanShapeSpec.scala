@@ -662,6 +662,11 @@ class PlanShapeSpec extends SparkSpec {
     val s185 = simplePlan("q185_cosine_join")
     assert(!s185.contains("Scan parquet"), s185)
     assert(!s185.contains("CartesianProduct") && !s185.contains("BroadcastNestedLoopJoin"), s185)
+    // q186: the delta-join view merge is keyed joins + one full-outer on
+    // the group key — never a cartesian, never a single-partition exchange
+    val s186 = simplePlan("q186_join_view")
+    assert(!s186.contains("CartesianProduct") && !s186.contains("BroadcastNestedLoopJoin"), s186)
+    assert(!s186.contains("Exchange SinglePartition"), s186)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +
