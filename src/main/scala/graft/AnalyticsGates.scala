@@ -121,7 +121,7 @@ object AnalyticsGates {
     PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
   }
 
-  private val BDeleteMod = 89
+  private[graft] val BDeleteMod = 89
 
   /** q186 — incremental JOIN-view maintenance
     * ([[Storage.mergeJoinViewDelta]]): the per-customer line-revenue view

@@ -49,6 +49,7 @@ object StreamingGates {
       o_orderkey: Long, o_totalprice: Double,
       ver: java.sql.Timestamp, op: String)
   final case class Chg(row_id: Long, key: Long, value: Double, op: String)
+  final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -895,7 +896,72 @@ object StreamingGates {
       round(col("total"), 2).as("total_r"), col("mx").as("max_price"))
   }
 
+  /** q187 — streaming JOIN-view maintenance
+    * ([[graft.streaming.IngestJoinView]]): the q186 change set — inserts
+    * and deletes on BOTH orders and lineitem — streams in TWO
+    * micro-batches (split by row-id parity, so an order and its lines can
+    * land in different batches, exercising every delta-term pairing); each
+    * batch updates the view by the signed delta-join algebra against the
+    * pre-batch bases and rebuilds only the touched base buckets. The
+    * final view must hash-match q186's from-scratch oracle — shared
+    * verbatim.
+    */
+  private def q187JoinViewStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val aAll = Tables.orders(s, d).select(col("o_orderkey").as("key"),
+      col("o_custkey").as("grp"), col("o_orderdate"))
+    val aOld = aAll.where(col("o_orderdate") < cut).drop("o_orderdate")
+      .withColumn("row_id", col("key"))
+    val bAll = Tables.lineitem(s, d).select(col("l_orderkey").as("key"),
+      col("l_quantity").cast("long").as("value"), col("l_linenumber"),
+      (col("l_orderkey") * 16 + col("l_linenumber")).cast("long").as("row_id"))
+    val bOld = bAll.where(col("l_linenumber") <= 4).drop("l_linenumber")
+
+    val aTable = sinkName("q187a")
+    val bTable = sinkName("q187b")
+    val viewTable = sinkName("q187view")
+    aOld.withColumn("bkt", pmod(hash(col("key")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(aTable)
+    bOld.withColumn("bkt", pmod(hash(col("key")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(bTable)
+    aOld.join(bOld.select(col("key"), col("value")), Seq("key"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(viewTable)
+
+    val changes: Array[ChgJ] =
+      (aAll.where(col("o_orderdate") >= cut)
+        .select(lit("a").as("side"), col("key").as("row_id"), col("key"), col("grp"),
+          lit(0L).as("value"), lit("insert").as("op"))
+      .unionByName(aOld.where(col("key") % AnalyticsGates.DeleteMod === 0)
+        .select(lit("a").as("side"), col("row_id"), lit(0L).as("key"), lit(0L).as("grp"),
+          lit(0L).as("value"), lit("delete").as("op")))
+      .unionByName(bAll.where(col("l_linenumber") > 4)
+        .select(lit("b").as("side"), col("row_id"), col("key"), lit(0L).as("grp"),
+          col("value"), lit("insert").as("op")))
+      .unionByName(bOld.where(col("key") % AnalyticsGates.BDeleteMod === 0)
+        .select(lit("b").as("side"), col("row_id"), lit(0L).as("key"), lit(0L).as("grp"),
+          lit(0L).as("value"), lit("delete").as("op"))))
+      .as[ChgJ].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgJ]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestJoinView(aTable, bTable, viewTable, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(viewTable).select(col("grp").as("o_custkey"), col("n").as("n_lines"),
+      col("total").cast("long").as("qty_sum"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_join_view_stream" -> (q187JoinViewStream _),
     "q159_delta_agg_stream" -> (q159DeltaAggStream _),
     "q181_ks_stream" -> (q181KsStream _),
     "q153_heavy_stream" -> (q153HeavyStream _),
@@ -921,6 +987,7 @@ object StreamingGates {
     */
   def oracleSql: Map[String, String] = Map(
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
+    "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q181_ks_stream" -> ExtensionQueries.oracleSql("q172_ks_drift"),
     "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),

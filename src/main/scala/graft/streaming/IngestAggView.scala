@@ -86,10 +86,16 @@ final class IngestAggView(
         .distinct().collect().map(_.getInt(0)).toSeq
       if (touched.nonEmpty) {
         val withBkt = inserts.withColumn("bkt", pmod(hash(col(key)), lit(buckets)))
+        // pin the table's read order before the positional insertInto: a
+        // USING-column join moves `rowId` to the front, which here happens
+        // to BE the table order — the explicit select makes that survive
+        // any schema whose rowId is not the first column (the
+        // IngestJoinView column-rotation bug, hardened against here too)
         val rebuilt = base.where(col("bkt").isin(touched: _*))
           .join(deleteIds, Seq(rowId), "left_anti")
           .join(inserts.select(col(rowId)), Seq(rowId), "left_anti")
           .unionByName(withBkt.select(col(rowId), col(key), col(value), col("bkt")))
+          .select(base.columns.map(col).toIndexedSeq: _*)
         val baseStaging = s"${baseTable}__staging"
         rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
         spark.sql(s"REFRESH TABLE $baseStaging")

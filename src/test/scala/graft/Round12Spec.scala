@@ -56,6 +56,44 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("IngestJoinView: a REDELIVERED batch skips the view update (delta math is not " +
+      "idempotent) while the base rebuild re-runs harmlessly") {
+    import org.apache.spark.sql.SaveMode
+    for (t <- Seq("r12_jv_a", "r12_jv_b", "r12_jv_view",
+        "r12_jv_a__staging", "r12_jv_b__staging", "r12_jv_view__staging")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val a = Seq((1L, 1L, 10L), (2L, 2L, 10L), (3L, 3L, 20L)).toDF("row_id", "key", "grp")
+    val b = Seq((101L, 1L, 5L), (102L, 2L, 7L), (103L, 3L, 11L)).toDF("row_id", "key", "value")
+    a.withColumn("bkt", pmod(hash($"key"), lit(4)))
+      .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet").saveAsTable("r12_jv_a")
+    b.withColumn("bkt", pmod(hash($"key"), lit(4)))
+      .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet").saveAsTable("r12_jv_b")
+    a.join(b.select($"key", $"value"), Seq("key"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r12_jv_view")
+    // batch 0: delete order 3, insert a line for order 1
+    val batch = Seq(
+      ("a", 3L, 0L, 0L, 0L, "delete"),
+      ("b", 104L, 1L, 0L, 9L, "insert")
+    ).toDF("side", "row_id", "key", "grp", "value", "op")
+    val handler = new graft.streaming.IngestJoinView("r12_jv_a", "r12_jv_b", "r12_jv_view", 4)
+    handler(batch, 0L)
+    def viewNow() = spark.table("r12_jv_view")
+      .select($"grp", $"n", $"total".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val after = viewNow()
+    assert(after == Set((10L, 3L, 21L)), after.toString) // grp 20 drained, grp 10 gained line 9
+    handler(batch, 0L) // redelivery: view must NOT double-apply
+    assert(viewNow() == after, s"replayed batch double-applied: ${viewNow()}")
+    // base rebuild idempotent: row 3 still gone, line 104 present exactly once
+    assert(spark.table("r12_jv_a").where($"row_id" === 3L).isEmpty)
+    assert(spark.table("r12_jv_b").where($"row_id" === 104L).count() == 1L)
+  }
+
   /** Exact L2 top-10 per query — truth computed with the query vectors
     * AS the distance bank, one kernel pass.
     */
