@@ -812,11 +812,23 @@ object Graphs {
     * returned as if it converged — unlike [[kCore]]'s capped peel, a
     * capped SCC prefix is not engine-canonical).
     *
-    * Scale shape: every step is frontier-bounded joins + map-side-combined
-    * aggregates over the REMAINING edge relation; state is re-materialized
-    * per round (lineage cut), superseded blocks unpersisted. Isolated
-    * vertices (no edge) do not appear — the [[connectedComponents]]
-    * convention.
+    * BOUNDED FAST PATH — the [[graft.dedup.Dedup.nearDupClusters]]
+    * convention: once the remaining edge relation fits `localEdges`
+    * (checked up front and after every peel round), the decomposition
+    * finishes with one driver-side iterative Tarjan pass over the
+    * collected remainder — identical output (equivalence spec'd with the
+    * threshold forced to 0). Chains of SCCs cost the distributed loop
+    * one OUTER round each (min-coloring collapses a chain into one basin
+    * whose root SCC alone is removable per round), so on the post-trim,
+    * post-giant-SCC remainder — which at any scale is small — the
+    * driver pass replaces O(chain) round-trip-bound rounds with one
+    * bounded collect, the same shape discipline as the CC engine.
+    *
+    * Scale shape above the threshold: every step is frontier-bounded
+    * joins + map-side-combined aggregates over the REMAINING edge
+    * relation; state is re-materialized per round (lineage cut),
+    * superseded blocks unpersisted. Isolated vertices (no edge) do not
+    * appear — the [[connectedComponents]] convention.
     *
     * @return (node LONG, scc LONG) — one row per distinct endpoint
     */
@@ -824,7 +836,8 @@ object Graphs {
       edges: DataFrame,
       src: Column,
       dst: Column,
-      maxOuterRounds: Int = 100): DataFrame = {
+      maxOuterRounds: Int = 100,
+      localEdges: Long = 2000000L): DataFrame = {
     require(maxOuterRounds >= 1, s"maxOuterRounds must be >= 1, got $maxOuterRounds")
     var e = Materialize(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
@@ -849,6 +862,14 @@ object Graphs {
     var eCount = e.count()
     var outer = 0
     while (eCount > 0 && outer < maxOuterRounds) {
+      if (eCount <= localEdges) {
+        // ---- bounded driver finish: one iterative Tarjan pass ---------
+        val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val comp = tarjanScc(pairs)
+        import spark.implicits._
+        emit(comp.toSeq.toDF("node", "scc"))
+        eCount = 0
+      } else {
       // ---- 1. trim to fixpoint --------------------------------------
       var trimming = true
       while (trimming && eCount > 0) {
@@ -929,6 +950,7 @@ object Graphs {
         eCount = e.count()
         prevE.unpersist(); nodes.unpersist(); colors.unpersist(); flagged.unpersist()
       }
+      }
       outer += 1
     }
     if (eCount > 0)
@@ -942,5 +964,64 @@ object Graphs {
     done.unionByName(
       allNodes.join(done.select(col("node")), Seq("node"), "left_anti")
         .select(col("node"), col("node").as("scc")))
+  }
+
+  /** Iterative Tarjan over a collected edge list — the bounded driver
+    * finish of [[stronglyConnectedComponents]] (explicit work stack, no
+    * recursion: a long chain must not blow the driver's call stack).
+    * Returns min-member SCC labels for every endpoint.
+    */
+  private def tarjanScc(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    var idx = 0L
+    val index = scala.collection.mutable.Map[Long, Long]()
+    val low = scala.collection.mutable.Map[Long, Long]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.ArrayBuffer[Long]()
+    val comp = scala.collection.mutable.Map[Long, Long]()
+    def strongconnect(v0: Long): Unit = {
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.last
+        if (pi == 0) {
+          index(v) = idx; low(v) = idx; idx += 1; stack += v; onStack += v
+        }
+        val kids = adj.getOrElse(v, Array.empty[Long])
+        var advanced = false
+        var i = pi
+        while (i < kids.length && !advanced) {
+          val w = kids(i)
+          if (!index.contains(w)) {
+            work(work.length - 1) = (v, i + 1)
+            work += ((w, 0))
+            advanced = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!advanced && i >= kids.length) {
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer[Long]()
+            var finished = false
+            while (!finished) {
+              val w = stack.remove(stack.length - 1); onStack -= w
+              members += w
+              finished = w == v
+            }
+            val label = members.min
+            members.foreach(m => comp(m) = label)
+          }
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
+    comp.toMap
   }
 }

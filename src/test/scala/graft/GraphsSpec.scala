@@ -188,9 +188,19 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
-  private def sccOf(es: Seq[(Long, Long)]): Map[Long, Long] =
-    Graphs.stronglyConnectedComponents(edgeDf(es), $"src", $"dst")
+  /** Both engine paths: the default bounded-driver Tarjan finish AND the
+    * distributed trim/color/sweep loop (threshold forced to 0) — every
+    * SCC test asserts they agree, the nearDupClusters equivalence
+    * convention.
+    */
+  private def sccOf(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = Graphs.stronglyConnectedComponents(edgeDf(es), $"src", $"dst")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Graphs.stronglyConnectedComponents(edgeDf(es), $"src", $"dst", localEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist, s"driver/distributed paths disagree:\n $local\n $dist")
+    local
+  }
 
   test("stronglyConnectedComponents: known multi-SCC digraph — cycles, tendrils, " +
       "DAG edges between SCCs; direction matters (CC would merge everything)") {
@@ -282,10 +292,11 @@ class GraphsSpec extends SparkSpec {
     nodes.foreach(v => if (!index.contains(v)) strongconnect(v))
     assert(got == comp.toMap, s"engine vs Tarjan:\n got=$got\nwant=${comp.toMap}")
     // overrun: 1 outer round cannot finish the two-SCC chain from above
+    // (distributed path forced — the driver finish needs no rounds)
     intercept[IllegalStateException] {
       Graphs.stronglyConnectedComponents(
         edgeDf(Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))),
-        $"src", $"dst", maxOuterRounds = 1).collect()
+        $"src", $"dst", maxOuterRounds = 1, localEdges = 0L).collect()
     }
   }
 }
