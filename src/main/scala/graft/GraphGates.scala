@@ -231,6 +231,16 @@ object GraphGates {
       countTransitions(s, d), col("src"), col("dst"), col("w"),
       iters = PrIters, damping = 0.85, scale = PrScale)
 
+  /** q188 — hop-capped harmonic closeness over the sparse transition
+    * graph ([[Graphs.harmonicCloseness]], ≤ 3 hops): multi-source
+    * frontier BFS, per-distance counts, ordered harmonic fold — the
+    * centrality complement of the rank family (q154/q160/q184 measure
+    * inflow importance, this measures OUTREACH efficiency).
+    */
+  private def q188Closeness(s: SparkSession, d: String): DataFrame =
+    Graphs.harmonicCloseness(
+      transitions(s, d, Some(KhopQty)), col("src"), col("dst"), maxHops = KhopMax)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
@@ -242,7 +252,8 @@ object GraphGates {
     "q179_components" -> (q179Components _),
     "q180_scc" -> (q180Scc _),
     "q183_sssp" -> (q183Sssp _),
-    "q184_weighted_pagerank" -> (q184WeightedPagerank _)
+    "q184_weighted_pagerank" -> (q184WeightedPagerank _),
+    "q188_closeness" -> (q188Closeness _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -517,6 +528,35 @@ object GraphGates {
     prelude + ",\n" + iterations.mkString(",\n") + s"\nSELECT node, rank FROM r$PrIters"
   }
 
+  /** All-roots min-hop distances ≤ `KhopMax` by unrolled (root, node)
+    * rounds, per-distance counts, and the same ascending-distance ordered
+    * harmonic fold the engine uses (`list_sum(list(cnt/dist ORDER BY
+    * dist))` — fp addition order is part of the contract).
+    */
+  private def closenessSql: String = {
+    val rounds = (1 to KhopMax).map { i =>
+      val p = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (SELECT root, node, min(dist)::INT AS dist FROM (
+         |  SELECT root, node, dist FROM $p
+         |  UNION ALL
+         |  SELECT p.root, e.dst AS node, $i AS dist
+         |  FROM $p p JOIN e ON e.src = p.node WHERE p.dist = ${i - 1})
+         |  GROUP BY root, node)""".stripMargin
+    }
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT node AS root, node, 0::INT AS dist FROM nodes),
+       |${rounds.mkString(",\n")},
+       |cd AS (SELECT root, dist, count(*)::BIGINT AS cnt FROM r$KhopMax
+       |  WHERE dist > 0 GROUP BY root, dist),
+       |hc AS (SELECT root, sum(cnt)::BIGINT AS n_reached,
+       |    round(list_sum(list(cnt / dist ORDER BY dist)), 6) AS harmonic
+       |  FROM cd GROUP BY root)
+       |SELECT n.node, coalesce(hc.n_reached, 0)::BIGINT AS n_reached,
+       |  coalesce(hc.harmonic, 0.0) AS harmonic
+       |FROM nodes n LEFT JOIN hc ON hc.root = n.node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
@@ -528,6 +568,7 @@ object GraphGates {
     "q179_components" -> componentsSql,
     "q180_scc" -> sccSql,
     "q183_sssp" -> ssspSql,
-    "q184_weighted_pagerank" -> weightedPagerankSql
+    "q184_weighted_pagerank" -> weightedPagerankSql,
+    "q188_closeness" -> closenessSql
   )
 }

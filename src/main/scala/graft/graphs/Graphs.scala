@@ -363,6 +363,89 @@ object Graphs {
     reached
   }
 
+  /** Hop-capped HARMONIC CLOSENESS centrality: for every node `v`,
+    * `H(v) = Σ_{u: 0 < d(v,u) ≤ maxHops} 1/d(v,u)` over directed min-hop
+    * distances — the centrality that handles disconnected graphs
+    * gracefully (unreachable nodes contribute 0 instead of poisoning a
+    * mean), hop-capped because the full closure is the one thing no
+    * 100 TB graph computes; the cap IS the operator's cost contract
+    * (reach pairs ≤ V · |k-hop ball|, explicit and bounded).
+    *
+    * Multi-source frontier BFS: state is the (root, node) pair relation
+    * at min distance, each round expanding ONLY last round's frontier
+    * pairs against the edge list and anti-joining the reached set — the
+    * [[kHopMinDist]] discipline with the root carried through.
+    *
+    * Determinism: the harmonic sum per node is computed from the
+    * per-distance COUNTS, accumulated in ascending-distance order over a
+    * sorted array (≤ maxHops terms) — never a row-order fp sum, so two
+    * engines agree to the grid.
+    *
+    * @return (node LONG, n_reached LONG, harmonic DOUBLE on the
+    *         10^-scale grid) — one row per node of the edge-induced set
+    */
+  def harmonicCloseness(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      maxHops: Int,
+      scale: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val nodes = Materialize(
+      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node"))).distinct())
+
+    var reached = Materialize(
+      nodes.select(col("node").as("root"), col("node"), lit(0).as("dist")))
+    var frontier = reached.select(col("root"), col("node"))
+    var h = 1
+    var exhausted = false
+    var prevFresh: Option[DataFrame] = None
+    while (h <= maxHops && !exhausted) {
+      val expanded = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+      val fresh = Materialize(
+        expanded.join(reached.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+          .withColumn("dist", lit(h)))
+      prevFresh.foreach(_.unpersist())
+      if (fresh.isEmpty) {
+        exhausted = true
+        fresh.unpersist()
+        prevFresh = None
+      } else {
+        val prev = reached
+        reached = Materialize(prev.unionByName(fresh))
+        frontier = fresh.select(col("root"), col("node"))
+        prevFresh = Some(fresh)
+        prev.unpersist()
+      }
+      h += 1
+    }
+    prevFresh.foreach(_.unpersist())
+    e.unpersist()
+
+    // per-distance counts, then an ORDERED fold over ≤ maxHops terms
+    val byDist = reached.where(col("dist") > 0)
+      .groupBy(col("root"), col("dist")).agg(count(lit(1)).as("cnt"))
+    val agg0 = byDist
+      .groupBy(col("root"))
+      .agg(sum(col("cnt")).as("n_reached"),
+        round(
+          aggregate(
+            sort_array(collect_list(struct(col("dist"), col("cnt")))),
+            lit(0.0),
+            (acc, x) => acc + x.getField("cnt") / x.getField("dist")),
+          scale).as("harmonic"))
+    // sinks (nothing reachable) report 0, not absence; `nodes` backs the
+    // returned plan and stays resident like kCore's final edge relation
+    nodes.join(agg0.withColumnRenamed("root", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
   /** Per-vertex triangle counts on the simple UNDIRECTED graph induced by
     * the edge relation (direction ignored, self-loops dropped, parallel
     * edges collapsed). Returns one row per vertex that belongs to at least

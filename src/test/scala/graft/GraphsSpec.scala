@@ -118,6 +118,38 @@ class GraphsSpec extends SparkSpec {
     assert(Graphs.triangleCounts(edgeDf(tree), $"src", $"dst").isEmpty)
   }
 
+  test("harmonicCloseness: hand-checked harmonic sums; the hop cap truncates; sinks " +
+      "report 0; matches a driver BFS on a pseudo-random digraph") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    def run(edges: Seq[(Long, Long)], h: Int): Map[Long, (Long, Double)] =
+      Graphs.harmonicCloseness(edgeDf(edges), $"src", $"dst", maxHops = h)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // from 1: 2@1, 3@1, 4@2 -> 1 + 1 + 0.5; from 4 (sink): zero row present
+    assert(run(es, 3) == Map(1L -> (3L, 2.5), 2L -> (2L, 1.5), 3L -> (1L, 1.0), 4L -> (0L, 0.0)))
+    assert(run(es, 1) == Map(1L -> (2L, 2.0), 2L -> (1L, 1.0), 3L -> (1L, 1.0), 4L -> (0L, 0.0)))
+
+    // driver reference on the pseudo-random digraph
+    val pes = pseudoGraph(50, 2)
+    val adj = pes.distinct.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val nodes = pes.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map { r =>
+      var dist = Map(r -> 0)
+      var frontier = Seq(r)
+      for (h <- 1 to 3) {
+        val nxt = frontier.flatMap(n => adj.getOrElse(n, Nil)).distinct
+          .filterNot(dist.contains)
+        nxt.foreach(n => dist += n -> h)
+        frontier = nxt
+      }
+      val ds = dist.values.filter(_ > 0).toSeq.sorted
+      val harm = ds.groupBy(identity).toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (d, xs)) => acc + xs.size.toDouble / d }
+      r -> (ds.size.toLong, math.BigDecimal(harm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(run(pes, 3) == want)
+  }
+
   test("weightedPageRank: uniform weights reproduce pageRank bit-for-bit; a heavy edge " +
       "pulls rank; zero/negative weights are dropped (source goes dangling)") {
     val nodes = nodeDf(Seq(0L, 1L, 2L, 3L))

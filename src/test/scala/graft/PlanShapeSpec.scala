@@ -667,6 +667,11 @@ class PlanShapeSpec extends SparkSpec {
     val s186 = simplePlan("q186_join_view")
     assert(!s186.contains("CartesianProduct") && !s186.contains("BroadcastNestedLoopJoin"), s186)
     assert(!s186.contains("Exchange SinglePartition"), s186)
+    // q188: the BFS loop ran at build time; the readout aggregates the
+    // checkpointed pair relation — no parquet rescan, no cartesian
+    val s188 = simplePlan("q188_closeness")
+    assert(!s188.contains("Scan parquet"), s188)
+    assert(!s188.contains("CartesianProduct"), s188)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +
