@@ -158,9 +158,25 @@ object AnalyticsGates {
         col("total").cast("long").as("qty_sum"))
   }
 
+  /** q189 — top-3 orders per customer by (price desc, orderkey asc)
+    * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
+    * O(k) state per group, map-side partials, no window sort anywhere —
+    * the oracle is the row_number idiom this replaces.
+    */
+  private def q189TopkGroup(s: SparkSession, d: String): DataFrame =
+    graft.operators.TopK.topKByGroup(
+      Tables.orders(s, d),
+      Seq(col("o_custkey")),
+      struct(col("o_totalprice").as("p"), (-col("o_orderkey")).as("nk"),
+        col("o_orderkey")),
+      k = 3)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"),
+        round(col("p"), 2).as("price"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q168_salted_join" -> (q168SaltedJoin _),
     "q186_join_view" -> (q186JoinView _),
+    "q189_topk_group" -> (q189TopkGroup _),
     "q157_delta_agg" -> (q157DeltaAgg _),
     "q158_kmeans" -> (q158Kmeans _),
     "q162_source_ablation" -> (q162SourceAblation _),
@@ -353,6 +369,12 @@ object AnalyticsGates {
     "q164_coreset" -> coresetSql,
     "q182_pq_ann" -> pqAnnSql,
     "q186_join_view" -> joinViewSql,
+    "q189_topk_group" ->
+      """SELECT o_custkey, rank, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
+        |  FROM orders) WHERE rank <= 3""".stripMargin,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

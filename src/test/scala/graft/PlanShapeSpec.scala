@@ -672,6 +672,12 @@ class PlanShapeSpec extends SparkSpec {
     val s188 = simplePlan("q188_closeness")
     assert(!s188.contains("Scan parquet"), s188)
     assert(!s188.contains("CartesianProduct"), s188)
+    // q189: the bounded top-k AGGREGATE — ObjectHashAggregate with O(k)
+    // state, never a Window (whose per-task full-group sort is the idiom
+    // this replaces)
+    val s189 = simplePlan("q189_topk_group")
+    assert(s189.contains("ObjectHashAggregate"), s189)
+    assert(!s189.contains("Window"), s189)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +

@@ -56,6 +56,30 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("TopK.topKByGroup: equals the window row_number idiom across shuffled partitions " +
+      "(serialize/merge path), ties total via the unique field; k > group size keeps all") {
+    import graft.operators.TopK
+    // deterministic data with REAL ties on the score: score = i % 7
+    val rows = (0L until 500L).map(i => (i % 13, (i % 7).toDouble, i))
+    val df = rows.toDF("g", "score", "id").repartition(16) // force partial merges
+    val got = TopK.topKByGroup(df, Seq($"g"),
+        struct($"score", (-$"id").as("nid"), $"id"), k = 4)
+      .select($"g", $"rank", $"id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id".asc)
+    val want = df.withColumn("rank", row_number().over(w)).where($"rank" <= 4)
+      .select($"g", $"rank".cast("int"), $"id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+    // k exceeding the group size: the whole group comes back, ranked
+    val tiny = Seq((1L, 2.0, 10L), (1L, 1.0, 11L)).toDF("g", "score", "id")
+    val all = TopK.topKByGroup(tiny, Seq($"g"),
+        struct($"score", (-$"id").as("nid"), $"id"), k = 99)
+      .select($"rank", $"id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(all == Set((1, 10L), (2, 11L)))
+  }
+
   test("IngestJoinView: a REDELIVERED batch skips the view update (delta math is not " +
       "idempotent) while the base rebuild re-runs harmlessly") {
     import org.apache.spark.sql.SaveMode
