@@ -2,7 +2,6 @@ package graft.similarity
 
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -42,11 +41,21 @@ object KNN {
         round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
           .as("cosine")
       )
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    perQueryTopK(scored, k)
   }
+
+  /** Per-query top-k cut shared by the exact/quantized/ADC searches: the
+    * BOUNDED aggregate ([[graft.operators.TopK]], O(k) state, map-side
+    * partials) in place of `row_number().over(partitionBy(q_id))`, whose
+    * per-task sort materializes every (query, corpus-row) score — at
+    * corpus scale the scored relation is the corpus × Q, and the window
+    * shuffles ALL of it while the aggregate ships ≤ k per query per
+    * mapper. Ordering identical: (cosine desc, n_id asc).
+    */
+  private[similarity] def perQueryTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.topKByGroup(scored, Seq(col("q_id")),
+        struct(col("cosine"), (-col("n_id")).as("__nid"), col("n_id")), k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
 
   /** Bucketed ANN: corpus and queries are both hashed to sign-projection
     * buckets; scoring happens only within a bucket. Returns the same schema
@@ -76,8 +85,7 @@ object KNN {
         round(when(nn > 0, VectorFunctions.dot(col("q_vec"), col("n_vec")) / nn).otherwise(lit(0.0)), 4)
           .as("cosine")
       )
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    perQueryTopK(scored, k)
   }
 
   /** Top-k search over int8-QUANTIZED embeddings — the serving path after
@@ -122,8 +130,7 @@ object KNN {
         col("n_id"),
         round(when(nn > 0, qdot.cast("double") / nn).otherwise(lit(0.0)), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    perQueryTopK(scored, k)
   }
 
   /** Recall@k of an approximate result set against exact truth — the

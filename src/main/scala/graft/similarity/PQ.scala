@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al., "Product quantization for nearest
@@ -140,10 +139,19 @@ object PQ {
       .select(element_at(lit(qids), col("pos") + 1).as("q_id"), col("n_id"),
         round(col("col"), distScale).as("dist"))
       .where(col("n_id") =!= col("q_id") && col("dist").isNotNull)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
-      .select(col("q_id"), col("n_id"), col("rank"), col("dist"))
+    perQueryTopKByDist(scored, topK)
   }
+
+  /** Per-query SMALLEST-distance top-k as the bounded aggregate
+    * ([[KNN.perQueryTopK]]'s min-dist sibling): greatest struct of
+    * (−dist, −n_id) = (dist asc, n_id asc), ≤ k rows per query per
+    * mapper across the exchange.
+    */
+  private def perQueryTopKByDist(scored: DataFrame, k: Int): DataFrame =
+    graft.operators.TopK.topKByGroup(scored, Seq(col("q_id")),
+        struct((-col("dist")).as("__nd"), (-col("n_id")).as("__ni"),
+          col("n_id"), col("dist")), k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("dist"))
 
   /** The PRODUCTION PQ serving shape: ADC shortlist, exact rerank — take
     * the ADC top-`shortlist` per query off the codes (never touching raw
@@ -185,8 +193,6 @@ object PQ {
       .join(vectors.select(vid.cast("long").as("n_id"), vvec.as("__v")), Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         element_at(dArr, array_position(lit(qids), col("q_id")).cast("int")).as("dist"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("dist").asc, col("n_id").asc)
-    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
-      .select(col("q_id"), col("n_id"), col("rank"), col("dist"))
+    perQueryTopKByDist(exact, topK)
   }
 }

@@ -696,8 +696,9 @@ class PlanShapeSpec extends SparkSpec {
     // distances come from the broadcast-bank kernel, not a shipped literal
     assert(s182.contains("graft_adc_dists"), s182)
     assert(!s182.contains("CartesianProduct") && !s182.contains("BroadcastNestedLoopJoin"), s182)
-    // per-query top-k is a q_id-partitioned window, never a global sort
+    // per-query top-k is the BOUNDED aggregate — never a window (whose
+    // per-task sort would materialize corpus × Q scores), never a global sort
     assert(!s182.contains("Exchange SinglePartition"), s182)
-    assert(s182.contains("Window"), s182)
+    assert(s182.contains("ObjectHashAggregate") && !s182.contains("Window"), s182)
   }
 }
