@@ -99,11 +99,11 @@ object AnalyticsGates {
 
   // PQ gate shape: 4 subspaces of width 16 over the 64-dim embeddings,
   // 4 codewords each, 2 Lloyd rounds, the 5 smallest vec_ids as queries
-  private val PqM = 4
-  private val PqK = 4
-  private val PqIters = 2
-  private val PqQ = 5
-  private val PqTopK = 10
+  private[graft] val PqM = 4
+  private[graft] val PqK = 4
+  private[graft] val PqIters = 2
+  private[graft] val PqQ = 5
+  private[graft] val PqTopK = 10
 
   /** q182 — product-quantization ANN ([[graft.similarity.PQ]]): train one
     * deterministic codebook per subspace, ENCODE the corpus as

@@ -851,6 +851,50 @@ object StreamingGates {
     }
   }
 
+  /** q190 — STREAMING PQ serving: the encoded corpus and the trained
+    * codebooks are static (the q182 model, built once and checkpointed);
+    * QUERIES arrive as a stream in two micro-batches, each served by one
+    * [[graft.similarity.PQ.adcTopK]] pass (per-batch lookup tables
+    * broadcast, results appended to a parquet sink). Per-query results
+    * are independent, so the union across batches must hash-match q182's
+    * one-shot batch oracle verbatim — the serve-as-they-arrive face of
+    * the PQ index.
+    */
+  private def q190PqStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = Tables.embeddings(s, d)
+    val cb = graft.similarity.PQ.trainCodebooks(emb, col("vec_id"), col("embedding"),
+      m = AnalyticsGates.PqM, k = AnalyticsGates.PqK, iters = AnalyticsGates.PqIters)
+    // the index: encoded ONCE, checkpointed — every batch serves off it
+    val codes = graft.Materialize(
+      graft.similarity.PQ.encode(emb, col("vec_id"), col("embedding"), cb))
+    val qs: Array[(Long, Seq[Double])] = emb.orderBy(col("vec_id")).limit(AnalyticsGates.PqQ)
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val sink = sinkName("q190")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = in.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.PQ.adcTopK(codes, batch, col("vec_id"), col("embedding"),
+              cb, topK = AnalyticsGates.PqTopK)
+            .write.mode("append").format("parquet").saveAsTable(sink)
+          ()
+        }
+      }
+      .start()
+    try {
+      val (b1, b2) = qs.partition(_._1 % 2 == 0)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    codes.unpersist()
+    s.table(sink).select(col("q_id"), col("n_id"), col("rank"), col("dist"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -962,6 +1006,7 @@ object StreamingGates {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_join_view_stream" -> (q187JoinViewStream _),
+    "q190_pq_stream" -> (q190PqStream _),
     "q159_delta_agg_stream" -> (q159DeltaAggStream _),
     "q181_ks_stream" -> (q181KsStream _),
     "q153_heavy_stream" -> (q153HeavyStream _),
@@ -988,6 +1033,7 @@ object StreamingGates {
   def oracleSql: Map[String, String] = Map(
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
+    "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),
     "q181_ks_stream" -> ExtensionQueries.oracleSql("q172_ks_drift"),
     "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),
