@@ -288,22 +288,29 @@ object AnalyticsGates {
     * the j-ASCENDING order the kernel's accumulation loop uses (fp
     * addition is not associative; the order is part of the contract).
     */
-  private def pqAnnSql: String = {
-    val sd = 16 // 64-dim embeddings split into PqM=4 subspaces
-    def sqd(vecExpr: String, cvExpr: String): String =
-      s"round(list_sum(list_transform(range(1, $sd + 1), " +
-        s"t -> ($vecExpr[t] - $cvExpr[t]) * ($vecExpr[t] - $cvExpr[t]))), 6)"
+  /** The per-subspace sq-dist expression shared by the PQ oracle CTEs. */
+  private[graft] def pqSqd(sd: Int)(vecExpr: String, cvExpr: String): String =
+    s"round(list_sum(list_transform(range(1, $sd + 1), " +
+      s"t -> ($vecExpr[t] - $cvExpr[t]) * ($vecExpr[t] - $cvExpr[t]))), 6)"
+
+  /** PQ TRAINING + ENCODING as a reusable CTE chain over a caller-provided
+    * `v(vec_id, v)` relation: subspace axis `js`/`sub`, smallest-id seeds,
+    * `iters` Lloyd rounds (argmin ties to the lowest codeword, per-position
+    * means on the centroid grid, empty codewords kept), final codebooks in
+    * `c$iters(j, c, cv)` and the encoding in `code(vec_id, j, c)` — shared
+    * verbatim by the flat-PQ (q182) and IVFPQ-residual (q191) oracles.
+    */
+  private[graft] def pqTrainCtes(m: Int, k: Int, iters: Int, sd: Int): String = {
+    val sqd = pqSqd(sd) _
     val prelude =
-      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-         |  FROM embeddings),
-         |js AS (SELECT unnest(range(0, $PqM))::INT AS j),
+      s"""js AS (SELECT unnest(range(0, $m))::INT AS j),
          |sub AS (SELECT vec_id, j, v[j*$sd + 1 : j*$sd + $sd] AS vj FROM v CROSS JOIN js),
          |pos AS (SELECT unnest(range(1, $sd + 1))::INT AS p),
-         |seedids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $PqK),
+         |seedids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $k),
          |c0 AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c,
          |    list_transform(vj, x -> round(x, 6)) AS cv
          |  FROM sub WHERE vec_id IN (SELECT vec_id FROM seedids))""".stripMargin
-    val rounds = (1 to PqIters).map { i =>
+    val rounds = (1 to iters).map { i =>
       val p = s"c${i - 1}"
       s"""a$i AS (SELECT s.vec_id, s.j, p.c, ${sqd("s.vj", "p.cv")} AS dist
          |  FROM sub s JOIN $p p ON p.j = s.j),
@@ -318,14 +325,22 @@ object AnalyticsGates {
          |  FROM $p pc LEFT JOIN u$i u ON u.j = pc.j AND u.c = pc.c
          |  GROUP BY pc.j, pc.c, pc.cv)""".stripMargin
     }
-    val cf = s"c$PqIters"
-    val epilogue =
+    val cf = s"c$iters"
+    val encode =
       s"""ea AS (SELECT s.vec_id, s.j, cf.c, ${sqd("s.vj", "cf.cv")} AS dist
          |  FROM sub s JOIN $cf cf ON cf.j = s.j),
          |eb AS (SELECT vec_id, j, c,
          |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM ea),
-         |code AS (SELECT vec_id, j, c FROM eb WHERE rn = 1),
-         |qids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $PqQ),
+         |code AS (SELECT vec_id, j, c FROM eb WHERE rn = 1)""".stripMargin
+    prelude + ",\n" + rounds.mkString(",\n") + ",\n" + encode
+  }
+
+  private def pqAnnSql: String = {
+    val sd = 16 // 64-dim embeddings split into PqM=4 subspaces
+    val sqd = pqSqd(sd) _
+    val cf = s"c$PqIters"
+    val epilogue =
+      s"""qids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $PqQ),
          |qsub AS (SELECT vec_id AS q_id, j, vj FROM sub
          |  WHERE vec_id IN (SELECT vec_id FROM qids)),
          |tqd AS (SELECT q.q_id, q.j, cf.c, ${sqd("q.vj", "cf.cv")} AS td
@@ -338,7 +353,10 @@ object AnalyticsGates {
          |rk AS (SELECT q_id, n_id, dist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM adc)
          |SELECT q_id, n_id, rnk::INT AS rank, dist FROM rk WHERE rnk <= $PqTopK""".stripMargin
-    prelude + ",\n" + rounds.mkString(",\n") + ",\n" + epilogue
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |${pqTrainCtes(PqM, PqK, PqIters, sd)},
+       |$epilogue""".stripMargin
   }
 
   /** From-scratch re-join of the FINAL row sets — what the delta path

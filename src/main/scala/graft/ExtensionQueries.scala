@@ -281,6 +281,26 @@ object ExtensionQueries {
       k = 10, nProbe = 2, centroids = graft.similarity.IVF.pretrainedCentroids)
   }
 
+  /** q191 — IVF+PQ composite ([[graft.similarity.IVFPQ]], the FAISS IVFPQ
+    * shape): coarse cells from the pretrained centroids, PQ codebooks
+    * trained on the RESIDUALS (v − cell centroid), serving = probe 2
+    * cells per query and ADC over only those cells' code lists — cell
+    * partition prunes the scan, codes shrink it, the tables ride one
+    * broadcast bank. The oracle composes the q32 assignment CTEs with the
+    * q182 training/encoding chain over the residual relation.
+    */
+  private def q191IvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = graft.similarity.IVF.pretrainedCentroids
+    val res = graft.similarity.IVFPQ.residuals(emb, col("vec_id"), col("embedding"), cents)
+    val cb = graft.similarity.IVFPQ.trainCodebooks(
+      res, AnalyticsGates.PqM, AnalyticsGates.PqK, AnalyticsGates.PqIters)
+    val codes = graft.similarity.IVFPQ.encode(res, cb)
+    graft.similarity.IVFPQ.adcTopK(
+      codes, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      cents, cb, topK = AnalyticsGates.PqTopK, nProbe = 2)
+  }
+
   // --- text analysis ----------------------------------------------------
 
   private def q26LangId(s: SparkSession, d: String): DataFrame =
@@ -1522,6 +1542,7 @@ object ExtensionQueries {
     "q30_multimodal" -> (q30Multimodal _),
     "q31_ann_lsh" -> (q31AnnLsh _),
     "q32_ann_ivf" -> (q32AnnIvf _),
+    "q191_ivfpq" -> (q191IvfPq _),
     "q33_simhash_pairs" -> (q33SimhashPairs _),
     "q34_winnowing" -> (q34Winnowing _),
     "q35_repetition" -> (q35Repetition _),
@@ -2082,6 +2103,39 @@ object ExtensionQueries {
          |      FROM probes p JOIN assigned a ON a.cell = p.cell AND a.vec_id != p.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM s)
          |SELECT q_id, n_id, cosine, rank::INT AS rank FROM r WHERE rank <= 10""".stripMargin,
+    "q191_ivfpq" -> {
+      val sd = 16
+      val sqd = AnalyticsGates.pqSqd(sd) _
+      val cf = s"c${AnalyticsGates.PqIters}"
+      s"""WITH $duckIvfAssignedCtes,
+         |v AS (SELECT a.vec_id,
+         |    list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.cv[i]) AS v
+         |  FROM assigned a JOIN cents c ON c.cell = a.cell),
+         |${AnalyticsGates.pqTrainCtes(
+              AnalyticsGates.PqM, AnalyticsGates.PqK, AnalyticsGates.PqIters, sd)},
+         |probes AS (SELECT vec_id AS q_id, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+         |   FROM sc WHERE vec_id < 5)
+         |  WHERE rn <= 2),
+         |qres AS (SELECT p.q_id, p.cell,
+         |    list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE - c.cv[i]) AS rv
+         |  FROM probes p JOIN embeddings e ON e.vec_id = p.q_id
+         |  JOIN cents c ON c.cell = p.cell),
+         |qsub2 AS (SELECT q_id, cell, j, rv[j*$sd + 1 : j*$sd + $sd] AS vj
+         |  FROM qres CROSS JOIN js),
+         |tqd AS (SELECT q.q_id, q.cell, q.j, cf.c, ${sqd("q.vj", "cf.cv")} AS td
+         |  FROM qsub2 q JOIN $cf cf ON cf.j = q.j),
+         |adc AS (SELECT t.q_id, cd.vec_id AS n_id,
+         |    round(list_sum(list(t.td ORDER BY t.j)), 6) AS dist
+         |  FROM code cd JOIN assigned a ON a.vec_id = cd.vec_id
+         |  JOIN tqd t ON t.j = cd.j AND t.c = cd.c AND t.cell = a.cell
+         |  WHERE cd.vec_id != t.q_id
+         |  GROUP BY t.q_id, cd.vec_id),
+         |rk AS (SELECT q_id, n_id, dist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM adc)
+         |SELECT q_id, n_id, rnk::INT AS rank, dist FROM rk
+         |WHERE rnk <= ${AnalyticsGates.PqTopK}""".stripMargin
+    },
     "q34_winnowing" ->
       s"""WITH m AS ($duckByteView),
          |pos AS (

@@ -75,14 +75,15 @@ object PQ {
       id: Column,
       vec: Column,
       cb: Codebooks,
-      distScale: Int = 6): DataFrame = {
+      distScale: Int = 6,
+      carry: Seq[Column] = Nil): DataFrame = {
     val v = vec.cast("array<double>")
     val codeCols = (0 until cb.m).map { j =>
       val d = graft.plans.DistBank.distsColumn(
         slice(v, j * cb.subDim + 1, cb.subDim), cb.books(j), distScale)
       (array_position(d, array_min(d)) - 1).cast("int")
     }
-    df.select(id.cast("long").as("id"), array(codeCols: _*).as("code"))
+    df.select(id.cast("long").as("id") +: array(codeCols: _*).as("code") +: carry: _*)
   }
 
   /** Asymmetric-distance top-k over an ENCODED corpus: per query the
@@ -116,21 +117,7 @@ object PQ {
     require(qs.forall(_._2.length == cb.m * cb.subDim),
       s"query vectors must have dim ${cb.m * cb.subDim}")
 
-    // per-query tables on the SAME grid as encode: table(q)(j)(c) =
-    // gridHalfUp(||q_j - books(j)(c)||^2) — the j-sliced sq-dist the
-    // corpus side saw at encode time
-    val tables: Array[Array[Array[Double]]] = qs.map { case (_, qv) =>
-      Array.tabulate(cb.m) { j =>
-        val qj = qv.slice(j * cb.subDim, (j + 1) * cb.subDim)
-        Array.tabulate(cb.k) { c =>
-          val cw = cb.books(j)(c)
-          var acc = 0.0
-          var i = 0
-          while (i < cb.subDim) { val d = qj(i) - cw(i); acc += d * d; i += 1 }
-          Clustering.gridHalfUp(acc, distScale)
-        }
-      }
-    }
+    val tables = adcTables(qs.map(_._2), cb, distScale)
     val qids: Array[Long] = qs.map(_._1)
 
     val scored = codes
@@ -147,7 +134,29 @@ object PQ {
     * (−dist, −n_id) = (dist asc, n_id asc), ≤ k rows per query per
     * mapper across the exchange.
     */
-  private def perQueryTopKByDist(scored: DataFrame, k: Int): DataFrame =
+  /** Per-query lookup tables on the SAME grid as encode: table(q)(j)(c) =
+    * gridHalfUp(||q_j − books(j)(c)||²) — the j-sliced sq-dist the corpus
+    * side saw at encode time. Shared with [[IVFPQ]] (whose "queries" are
+    * per-probe residuals).
+    */
+  private[similarity] def adcTables(
+      qvs: Array[Array[Double]],
+      cb: Codebooks,
+      distScale: Int): Array[Array[Array[Double]]] =
+    qvs.map { qv =>
+      Array.tabulate(cb.m) { j =>
+        val qj = qv.slice(j * cb.subDim, (j + 1) * cb.subDim)
+        Array.tabulate(cb.k) { c =>
+          val cw = cb.books(j)(c)
+          var acc = 0.0
+          var i = 0
+          while (i < cb.subDim) { val d = qj(i) - cw(i); acc += d * d; i += 1 }
+          Clustering.gridHalfUp(acc, distScale)
+        }
+      }
+    }
+
+  private[similarity] def perQueryTopKByDist(scored: DataFrame, k: Int): DataFrame =
     graft.operators.TopK.topKByGroup(scored, Seq(col("q_id")),
         struct((-col("dist")).as("__nd"), (-col("n_id")).as("__ni"),
           col("n_id"), col("dist")), k)

@@ -678,6 +678,14 @@ class PlanShapeSpec extends SparkSpec {
     val s189 = simplePlan("q189_topk_group")
     assert(s189.contains("ObjectHashAggregate"), s189)
     assert(!s189.contains("Window"), s189)
+    // q191: the IVFPQ serving plan — ONE corpus scan (residual + encode +
+    // score fused), the ADC bank kernel in-plan, the bounded top-k cut,
+    // no window, no cartesian
+    val s191 = simplePlan("q191_ivfpq")
+    assert("Scan parquet".r.findAllIn(s191).size == 1, s191)
+    assert(s191.contains("graft_adc_dists"), s191)
+    assert(s191.contains("ObjectHashAggregate") && !s191.contains("Window"), s191)
+    assert(!s191.contains("CartesianProduct"), s191)
   }
 
   test("round-12 shapes: sampleFrames keeps the parquet scan in the pipeline — " +

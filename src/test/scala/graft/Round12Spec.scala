@@ -155,6 +155,53 @@ class Round12Spec extends SparkSpec {
     mean
   }
 
+  test("IVFPQ.residuals: cell from the assignment kernel, residual = v − centroid exact") {
+    import graft.similarity.IVFPQ
+    val cents: Array[Array[Float]] = Array(Array(1f, 0f), Array(0f, 1f))
+    val df = Seq((1L, Seq(2.0, 1.0)), (2L, Seq(0.25, 3.0))).toDF("id", "v")
+    val got = IVFPQ.residuals(df, $"id", $"v", cents).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getSeq[Double](2).toSeq)).toMap
+    // id 1: scores (2, 1) -> cell 0, rv = (1, 1); id 2: scores (0.25, 3) -> cell 1, rv = (0.25, 2)
+    assert(got == Map(1L -> (0, Seq(1.0, 1.0)), 2L -> (1, Seq(0.25, 2.0))), got.toString)
+  }
+
+  test("IVFPQ: measured against flat PQ on the ISOTROPIC sf0.001 embeddings — the " +
+      "residual layout holds recall while cell pruning bounds the scan") {
+    import graft.similarity.{IVF, IVFPQ}
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.orderBy($"vec_id").limit(5)
+    val exact = exactTop10(emb, queries)
+    def recallOf(pq: Map[Long, Set[Long]]): Double = {
+      val rs = exact.keys.toSeq.sorted.map(q =>
+        (pq.getOrElse(q, Set.empty[Long]) intersect exact(q)).size / 10.0)
+      rs.sum / rs.length
+    }
+    val cents = IVF.pretrainedCentroids
+    val res = IVFPQ.residuals(emb, $"vec_id", $"embedding", cents)
+    val cb = IVFPQ.trainCodebooks(res, m = 16, k = 16, iters = 2)
+    val codes = IVFPQ.encode(res, cb)
+    def ivfpqRecall(nProbe: Int): Double = recallOf(
+      IVFPQ.adcTopK(codes, queries, $"vec_id", $"embedding",
+          cents, cb, topK = 10, nProbe = nProbe)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet })
+    val all = ivfpqRecall(8)
+    val pruned = ivfpqRecall(2)
+    val flat = pqRecall(m = 16, k = 16)
+    // HONEST finding (measure, don't guess): on isotropic synthetic
+    // vectors the residuals are no more concentrated than the raw data
+    // (there is no cluster structure for the coarse quantizer to strip),
+    // so residual encoding matches — does not beat — flat PQ at the same
+    // budget (measured 0.44 vs 0.46). The composite's value here is the
+    // CELL PRUNING: nProbe=2 scans a quarter of the cells and keeps most
+    // of the recall. On clustered real embeddings the residual term is
+    // where IVFPQ wins; that data does not exist in this container.
+    info(f"IVFPQ recall@10: all-cells $all%.2f, nProbe=2 $pruned%.2f, flat PQ $flat%.2f")
+    assert(math.abs(all - flat) <= 0.1,
+      f"residual layout should hold flat-PQ recall on isotropic data: $all%.2f vs $flat%.2f")
+    assert(pruned >= all - 0.25, f"cell pruning cost too much recall: $pruned%.2f vs $all%.2f")
+  }
+
   test("PQ: recall@10 vs exact L2 on the sf0.001 embeddings — the codebook-resolution " +
       "lever works, and the ADC-shortlist + exact-rerank serving shape clears 0.8") {
     // the GATE's shape (m=4/k=4) exists for oracle tractability: 256
