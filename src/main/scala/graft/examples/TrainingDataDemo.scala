@@ -256,6 +256,33 @@ object TrainingDataDemo {
       curated, graft.functions.Hashing.shingleHashSet(col("text"), 3),
       col("doc_id"), threshold = 0.5)
     println(s"DEMO_EXACT_JACCARD_PAIRS=${exactPairs.count()}")
+
+    // 12. round-12 passes:
+    //  - the PQ serving stack end-to-end on the embedding table: train
+    //    residual-free codebooks, encode, serve a 5-query probe through
+    //    the ADC shortlist + exact rerank (the production shape)
+    //  - the COSINE complement of the exact-Jaccard audit (size-asymmetric
+    //    near-dups Jaccard under-scores)
+    //  - per-source top-3 longest curated docs through the BOUNDED top-k
+    //    aggregate — no window, O(k) state per source
+    val emb = Tables.embeddings(spark, dir)
+    val pqCb = graft.similarity.PQ.trainCodebooks(
+      emb, col("vec_id"), col("embedding"), m = 16, k = 16, iters = 2)
+    val pqCodes = graft.similarity.PQ.encode(emb, col("vec_id"), col("embedding"), pqCb)
+    val probes = emb.orderBy(col("vec_id")).limit(5)
+    val served = graft.similarity.PQ.adcTopKReranked(
+      pqCodes, emb, col("vec_id"), col("embedding"),
+      probes, col("vec_id"), col("embedding"), pqCb, topK = 10, shortlist = 50)
+    val servedStats = served.agg(count(lit(1)), round(avg(col("dist")), 4)).head()
+    println(s"DEMO_PQ_SERVED=${servedStats.getLong(0)} MEAN_RERANKED_DIST=${servedStats.getDouble(1)}")
+    val cosPairs = Dedup.cosineJoinSets(
+      curated, graft.functions.Hashing.shingleHashSet(col("text"), 3),
+      col("doc_id"), threshold = 0.6)
+    println(s"DEMO_EXACT_COSINE_PAIRS=${cosPairs.count()}")
+    val topBySource = graft.operators.TopK.topKByGroup(
+      curated, Seq(col("source")),
+      struct(col("n_chars"), (-col("doc_id")).as("nd"), col("doc_id")), k = 3)
+    println(s"DEMO_TOP3_BY_SOURCE_ROWS=${topBySource.count()}")
     spark.stop()
   }
 }
