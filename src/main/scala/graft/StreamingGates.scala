@@ -895,6 +895,54 @@ object StreamingGates {
     s.table(sink).select(col("q_id"), col("n_id"), col("rank"), col("dist"))
   }
 
+  /** q192 — STREAMING per-group top-k ([[StreamingFlows.topKTWS]], the
+    * streaming face of the q189 bounded aggregate): orders arrive in two
+    * micro-batches; each group's state is the k-element heap (never the
+    * history), each touched group re-emits its complete current top-k
+    * with a monotone emitSeq, and the highest-emitSeq emission per group
+    * reconstructs the exact batch answer — hash-matched against q189's
+    * row_number oracle verbatim.
+    */
+  private def q192TopkStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.orders(s, d)
+        .select(col("o_custkey").cast("long"), col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("long"))
+        .as[(Long, Double, Long)].collect()
+      val in = MemoryStream[(Long, Double, Long)]
+      val out = StreamingFlows.topKTWS[(Long, Double, Long), Long](
+        _._1, _._2, _._3, k = 3).apply(in.toDS())
+      val sink = sinkName("q192")
+      val q = out.toDF("grp", "emit_seq", "rank", "price", "okey")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val (b1, b2) = rows.partition(_._3 % 2 == 0)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // the latest side re-projects under fresh names: a self-join of the
+      // memory-sink view on its own attributes trips reference dedup
+      val t = s.table(sink)
+      val latest = s.table(sink)
+        .select(col("grp").as("g2"), col("emit_seq").as("e2"))
+        .groupBy(col("g2")).agg(max(col("e2")).as("e2"))
+      t.join(latest, col("grp") === col("g2") && col("emit_seq") === col("e2"))
+        .select(col("grp").as("o_custkey"), col("rank"),
+          col("okey").as("o_orderkey"), round(col("price"), 2).as("price"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1007,6 +1055,7 @@ object StreamingGates {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
+    "q192_topk_stream" -> (q192TopkStream _),
     "q159_delta_agg_stream" -> (q159DeltaAggStream _),
     "q181_ks_stream" -> (q181KsStream _),
     "q153_heavy_stream" -> (q153HeavyStream _),
@@ -1034,6 +1083,7 @@ object StreamingGates {
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),
+    "q192_topk_stream" -> AnalyticsGates.oracleSql("q189_topk_group"),
     "q181_ks_stream" -> ExtensionQueries.oracleSql("q172_ks_drift"),
     "q153_heavy_stream" -> ExtensionQueries.oracleSql("q102_heavy_hitters"),
     "q126_upsert_stream" -> ExtensionQueries.oracleSql("q123_apply_changes"),

@@ -969,6 +969,61 @@ object StreamingFlows {
       .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-group TOP-K on `transformWithState` — the streaming face of the
+    * bounded top-k aggregate ([[graft.operators.TopK]] is the batch
+    * side): state per group is the k-element min-heap of the GREATEST
+    * sort keys seen so far, exactly the batch aggregate's buffer — never
+    * the group's history. Each micro-batch that touches a group re-emits
+    * that group's COMPLETE current top-k as `(group, emitSeq, rank,
+    * sortKey, payload)` rows, `emitSeq` a per-group monotone counter: the
+    * group's final top-k is its HIGHEST-emitSeq emission (an untouched
+    * group keeps its last one), so `max(emitSeq) per group` over the sink
+    * reconstructs the exact batch answer — the q181 replay convention
+    * with whole-snapshot rather than monotone-count emissions.
+    *
+    * Ordering: (sortKey desc, payload asc) — supply a UNIQUE payload (or
+    * encode a tiebreak into the key) for a total, cross-engine-stable
+    * order, the [[graft.plans.TopKStructs]] contract.
+    */
+  def topKTWS[V: Encoder, G: Encoder](
+      groupFn: V => G,
+      sortKeyFn: V => Double,
+      payloadFn: V => Long,
+      k: Int
+  )(implicit outEnc: Encoder[(G, Long, Int, Double, Long)])
+      : Dataset[V] => Dataset[(G, Long, Int, Double, Long)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    ds =>
+    val stateEnc: Encoder[(Long, Seq[(Double, Long)])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[(Double, Long)])]()
+        .resolveAndBind()
+    val processor = new StatefulProcessor[G, V, (G, Long, Int, Double, Long)] {
+      @transient private var state: ValueState[(Long, Seq[(Double, Long)])] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[(Long, Seq[(Double, Long)])](
+          "graft_topk", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(
+          key: G, rows: Iterator[V], tv: TimerValues): Iterator[(G, Long, Int, Double, Long)] = {
+        val (seq0, kept0) =
+          if (state.exists()) state.get() else (0L, Seq.empty[(Double, Long)])
+        // (sortKey desc, payload asc): kept sorted best-first, ≤ k entries
+        val ord = Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
+        var kept: Seq[(Double, Long)] = kept0
+        rows.foreach { v =>
+          val e = (sortKeyFn(v), payloadFn(v))
+          if (kept.size < k || ord.lt(e, kept.last)) {
+            kept = (kept :+ e).sorted(ord).take(k)
+          }
+        }
+        val seq = seq0 + 1
+        state.update((seq, kept))
+        kept.iterator.zipWithIndex.map { case ((s, p), i) => (key, seq, i + 1, s, p) }
+      }
+    }
+    ds.groupByKey(groupFn)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-group VALUE HISTOGRAM on `transformWithState` — the streaming
     * side of the exact KS drift
     * ([[graft.curation.Corpus.ksDriftFromCounts]] is the shared statistic

@@ -582,6 +582,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("topKTWS: heaps continue across batches; untouched groups keep their last " +
+      "emission; state is ONE row per group; emitSeq reconstruction is exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double, Long)]
+      val out = StreamingFlows.topKTWS[(Long, Double, Long), Long](_._1, _._2, _._3, k = 2)
+        .apply(in.toDS())
+      val q = out.toDF("g", "seq", "rank", "s", "p").writeStream.format("memory")
+        .queryName("tws_topk_out").outputMode("append").start()
+      try {
+        in.addData((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 6.0, 12L), (2L, 1.0, 20L))
+        q.processAllAvailable()
+        // batch 2 touches only group 1: a new best arrives, 6.0 falls out
+        in.addData((1L, 9.0, 13L))
+        q.processAllAvailable()
+        val all = spark.table("tws_topk_out").as[(Long, Long, Int, Double, Long)]
+          .collect().toSeq
+        val latest = all.groupBy(_._1).map { case (g, rs) =>
+          val mx = rs.map(_._2).max
+          g -> rs.filter(_._2 == mx).map(r => (r._3, r._4, r._5)).sortBy(_._1)
+        }
+        assert(latest(1L) == Seq((1, 9.0, 13L), (2, 7.0, 11L)), latest(1L).toString)
+        assert(latest(2L) == Seq((1, 1.0, 20L)), latest(2L).toString) // untouched, from batch 1
+        assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2L)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("lastTouchAttribution: an IDLE key's carry is evicted by its own timer — " +
       "state leaves the store with no further events on the key") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
