@@ -102,17 +102,16 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val failedJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // totals-only line FIRST: it stays under ~200 bytes regardless of
-    // suite width, so a bounded tail capture always contains a complete,
-    // parseable record — round 7's line survived only because 9 crashed
-    // queries happened to shorten it. The per-query detail lines follow,
-    // NEWEST queries last: a tail cap that truncates the map then drops
-    // the oldest entries, not the ones added this round (the round-11
-    // verdict's housekeeping ask — q100+ fell off the driver's 2000-char
-    // tail when the detail printed first).
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
+    // Per-query detail lines first (NEWEST queries last within each map so
+    // a truncating tail drops the oldest entries), then the compact
+    // totals-only line LAST: the driver captures a bounded TAIL of stdout,
+    // so the final ~200-byte total line always survives intact alongside
+    // the newest per-query entries (the round-12 verdict's housekeeping
+    // ask — when the total printed first, a 2000-char tail kept the map's
+    // end but dropped the total).
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
     println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

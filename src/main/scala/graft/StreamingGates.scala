@@ -984,8 +984,10 @@ object StreamingGates {
       in.addData(b2.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
-    s.table(viewTable).select(col("key").as("o_custkey"), col("n").as("n_orders"),
-      round(col("total"), 2).as("total_r"), col("mx").as("max_price"))
+    // n IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(viewTable).where(col("n").isNotNull)
+      .select(col("key").as("o_custkey"), col("n").as("n_orders"),
+        round(col("total"), 2).as("total_r"), col("mx").as("max_price"))
   }
 
   /** q187 — streaming JOIN-view maintenance
@@ -1006,9 +1008,19 @@ object StreamingGates {
       col("o_custkey").as("grp"), col("o_orderdate"))
     val aOld = aAll.where(col("o_orderdate") < cut).drop("o_orderdate")
       .withColumn("row_id", col("key"))
+    // the synthetic data CONTAINS duplicate (orderkey, linenumber) rows
+    // (11785 pairs at sf0.01, multiplicity ≤ 6) — exactly the colliding
+    // CDC feed the maintainer's row-id contract now rejects loudly. A real
+    // feed must mint unique ids; the gate does the same: an occurrence
+    // index per (orderkey, linenumber) pair folds into the id. Occurrence
+    // assignment among duplicate rows only affects the batch SPLIT below,
+    // never the final view the oracle hashes.
+    val occW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("l_linenumber")).orderBy(col("value"))
     val bAll = Tables.lineitem(s, d).select(col("l_orderkey").as("key"),
-      col("l_quantity").cast("long").as("value"), col("l_linenumber"),
-      (col("l_orderkey") * 16 + col("l_linenumber")).cast("long").as("row_id"))
+      col("l_quantity").cast("long").as("value"), col("l_linenumber"))
+      .withColumn("row_id",
+        (col("key").cast("long") * 16 + col("l_linenumber")) * 8 + row_number().over(occW))
     val bOld = bAll.where(col("l_linenumber") <= 4).drop("l_linenumber")
 
     val aTable = sinkName("q187a")
@@ -1048,8 +1060,10 @@ object StreamingGates {
       in.addData(b2.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
-    s.table(viewTable).select(col("grp").as("o_custkey"), col("n").as("n_lines"),
-      col("total").cast("long").as("qty_sum"))
+    // n IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(viewTable).where(col("n").isNotNull)
+      .select(col("grp").as("o_custkey"), col("n").as("n_lines"),
+        col("total").cast("long").as("qty_sum"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -95,10 +95,20 @@ object IVFPQ {
       s"adcTopK is a broadcast-table search: more than $maxQueries queries would " +
         "blow the bank — page the query set or raise maxQueries deliberately")
     require(probeRows.nonEmpty, "adcTopK: empty query set")
+    // dimension contract up front (the PQ.adcTopK discipline): a query
+    // vector longer than the centroid width would otherwise surface as an
+    // opaque ArrayIndexOutOfBounds in the residual tabulate, and a shorter
+    // one as a deeper failure inside PQ.adcTables
+    val dim = cents(0).length
+    require(dim == cb.m * cb.subDim,
+      s"adcTopK: centroid dim $dim != codebook m*subDim = ${cb.m}*${cb.subDim}")
 
     // per-(query, probe) residual → table; entry axis = Q·nProbe
     val entries = probeRows.map { r =>
       val qv = r.getSeq[Double](2).toArray
+      require(qv.length == dim,
+        s"adcTopK: query q_id=${r.getLong(0)} has dim ${qv.length}, " +
+          s"coarse centroids have dim $dim — the query set must match the index")
       val cell = r.getInt(1)
       val cw = cents(cell)
       val rv = Array.tabulate(qv.length)(i => qv(i) - cw(i))

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * last applied `__batch` id; a redelivered batch with
   * `batchId <= max(__batch)` SKIPS the view update — IVM arithmetic is
   * not idempotent, so the guard, not the merge, provides exactly-once.
+  * The watermark is persisted independently of the view's data rows:
+  * every view write appends one all-null SENTINEL row (`n IS NULL`)
+  * carrying `__batch`, so a batch that legitimately drains the view to
+  * zero data rows does not reset `max(__batch)` to -1 and let a
+  * redelivery re-apply the delta arithmetic ([[IngestJoinView]] is
+  * hardened identically). Readers of the maintained view filter
+  * `n IS NOT NULL`.
   * The base rebuild IS idempotent (inserts are anti-joined on `rowId`
   * before the union; deleting an absent row is a no-op), so it re-runs
   * unconditionally. Crash analysis: view-first ordering means a crash
@@ -67,9 +74,18 @@ final class IngestAggView(
       val lastRow = view.agg(max(col("__batch"))).head()
       val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
       if (batchId > lastApplied) {
-        val next = Storage.mergeAggDelta(
-            view.drop("__batch"), base, inserts, deleteIds, rowId, key, value)
+        val merged = Storage.mergeAggDelta(
+            view.where(col("n").isNotNull).drop("__batch"),
+            base, inserts, deleteIds, rowId, key, value)
           .withColumn("__batch", lit(batchId))
+        // exactly one sentinel per view version (class doc): the previous
+        // one is filtered out of the merge input above, this write adds new
+        val sentinel = spark.range(1).select(
+          merged.schema.fields.map { f =>
+            if (f.name == "__batch") lit(batchId).as("__batch")
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        val next = merged.unionByName(sentinel)
         val staging = s"${viewTable}__staging"
         next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
         // catalog-backed read (not a raw path scan): the staging table may

@@ -22,7 +22,28 @@ import org.apache.spark.sql.functions._
   *
   * Replay safety: the view carries `__batch`; a redelivered batch skips
   * the (non-idempotent) view update, the base rebuilds re-run
-  * unconditionally — the [[IngestAggView]] exactly-once contract.
+  * unconditionally — the [[IngestAggView]] exactly-once contract. The
+  * watermark is persisted INDEPENDENTLY of the view's data rows: every
+  * view write appends one all-null SENTINEL row (`n IS NULL`) carrying
+  * `__batch`, so a batch that legitimately drains the view to zero data
+  * rows does not reset `max(__batch)` to -1 and let a redelivery
+  * re-apply the delta arithmetic against already-rebuilt bases. Readers
+  * of the maintained view filter `n IS NOT NULL`.
+  *
+  * Row-id contract (LOUD, the `cosineJoinSets` overflow-guard
+  * discipline): within a batch, each side's insert `row_id`s must be
+  * unique, and an insert's `row_id` must not still exist in the
+  * pre-batch base unless the same batch deletes it (delete+insert = an
+  * update). A CDC feed with colliding ids would otherwise silently
+  * mis-maintain the view — the anti-join in the bucket rebuild keeps
+  * exactly one row while the delta algebra counted two. The
+  * existing-row check is bucket-pruned by the inserts' OWN keys: the
+  * motivating collision (two b-rows sharing (orderkey, linenumber))
+  * shares the key and therefore the bucket; a cross-key reuse of a
+  * row_id is out of this contract's reach and stays the caller's duty.
+  * The check runs only on FIRST delivery (inside the replay guard): a
+  * redelivered batch's inserts already live in the healed base by
+  * design, which is exactly what the idempotent rebuild expects.
   *
   * Bootstrap all three tables before the stream starts: bases partitioned
   * by `bkt = pmod(hash(key), buckets)`, the view with `__batch = -1`.
@@ -64,18 +85,34 @@ final class IngestJoinView(
         .unionByName(bOld.join(bDelIds, Seq("row_id"), "left_semi")
           .select(col("key"), col("value"), lit(-1).as("sign")))
 
-      // 1) view update, guarded for replay
+      // 1) view update, guarded for replay. The watermark is max(__batch)
+      // over ALL rows including the sentinel, so it survives a view that
+      // drains to zero data rows; the merge input is data rows only.
       spark.sql(s"REFRESH TABLE $viewTable")
       val view = spark.table(viewTable)
       val lastRow = view.agg(max(col("__batch"))).head()
       val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
       if (batchId > lastApplied) {
-        val next = Storage.mergeJoinViewDelta(
-            view.drop("__batch"),
+        // the row-id contract is checked only on FIRST delivery: on a
+        // redelivered batch the bases are already healed, so its inserts
+        // legitimately exist in the base — the idempotent rebuild
+        // anti-joins them, and the view guard above skips the math
+        assertUniqueRowIds("a", aOld, aIns, aDelIds)
+        assertUniqueRowIds("b", bOld, bIns, bDelIds)
+        val merged = Storage.mergeJoinViewDelta(
+            view.where(col("n").isNotNull).drop("__batch"),
             aOld.select(col("key"), col("grp")),
             bOld.select(col("key"), col("value")),
             aDelta, bDelta)
           .withColumn("__batch", lit(batchId))
+        // exactly one sentinel per view version: the previous one is a
+        // data-row-filtered non-participant above, this write adds the new
+        val sentinel = spark.range(1).select(
+          merged.schema.fields.map { f =>
+            if (f.name == "__batch") lit(batchId).as("__batch")
+            else lit(null).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        val next = merged.unionByName(sentinel)
         val staging = s"${viewTable}__staging"
         next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
         spark.sql(s"REFRESH TABLE $staging")
@@ -88,6 +125,40 @@ final class IngestJoinView(
       rebuildBuckets(spark, aTable, aOld, aIns, aDelIds, Seq("key", "grp"))
       rebuildBuckets(spark, bTable, bOld, bIns, bDelIds, Seq("key", "value"))
     } finally changes.unpersist()
+  }
+
+  /** The loud row-id contract (class doc): throws on (1) duplicate insert
+    * row_ids within the batch, (2) an insert row_id still present in the
+    * pre-batch base and not deleted by this same batch. Check (2) reads
+    * only the buckets the inserts' keys hash to — O(touched buckets), not
+    * O(base) — which covers the motivating same-key collision exactly.
+    */
+  private def assertUniqueRowIds(
+      side: String,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame): Unit = {
+    val dupRow = inserts.groupBy(col("row_id")).count()
+      .agg(count(when(col("count") > 1, 1)).as("dups")).head()
+    val dups = dupRow.getLong(0)
+    if (dups > 0) throw new IllegalStateException(
+      s"IngestJoinView: side '$side' batch carries $dups duplicate insert row_id(s) — " +
+        "row_id must uniquely identify a base row; a colliding CDC feed would " +
+        "silently mis-maintain the view (delta algebra counts each insert, the " +
+        "bucket rebuild keeps one row per id)")
+    val insBkts = inserts.select(pmod(hash(col("key")), lit(buckets)).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (insBkts.nonEmpty) {
+      val preexisting = base.where(col("bkt").isin(insBkts: _*))
+        .join(inserts.select(col("row_id")), Seq("row_id"), "left_semi")
+        .join(deleteIds, Seq("row_id"), "left_anti")
+        .count()
+      if (preexisting > 0) throw new IllegalStateException(
+        s"IngestJoinView: side '$side' batch inserts $preexisting row_id(s) already " +
+          "present in the pre-batch base without a same-batch delete — send " +
+          "delete+insert for updates, or the base rebuild drops the old row while " +
+          "the view delta never subtracted it")
+    }
   }
 
   /** The [[IngestAggView]] touched-bucket rebuild, generalized over the

@@ -1064,7 +1064,14 @@ object StreamingFlows {
         if (state.exists()) m ++= state.get()
         val touched = scala.collection.mutable.SortedSet.empty[Double]
         rows.foreach { v =>
-          val x = valueFn(v)
+          val x0 = valueFn(v)
+          // -0.0 and 0.0 are ONE bin: batch-side groupBy (Spark and the
+          // DuckDB oracle) normalizes negative zero, but Double.toString
+          // distinguishes them ("-0.0" vs "0.0") — without this an input
+          // stream containing -0.0 would split the bin and break the
+          // documented hash-equivalence with Corpus.ksDriftFromCounts.
+          // NaN stays a single bin (toString is the stable "NaN").
+          val x = if (x0 == 0.0) 0.0 else x0
           val k = java.lang.Double.toString(x)
           m.update(k, m.getOrElse(k, 0L) + 1L)
           touched += x

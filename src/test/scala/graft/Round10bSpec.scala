@@ -87,7 +87,7 @@ class Round10bSpec extends SparkSpec {
         .toDF("row_id", "key", "value", "op")
       loop(b1, 0L)
 
-      def viewNow() = spark.table(viewT)
+      def viewNow() = spark.table(viewT).where($"n".isNotNull) // drop watermark sentinel
         .select($"key", $"n", round($"total", 6).as("t"), $"mx")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
       def expect(rows: org.apache.spark.sql.DataFrame) = rows.groupBy($"key")
@@ -110,7 +110,7 @@ class Round10bSpec extends SparkSpec {
       val b2 = Seq((201L, 5L, 50.0, "insert"), (21L, 0L, 0.0, "delete"))
         .toDF("row_id", "key", "value", "op")
       val viewAfter2 = graft.sources.Storage.mergeAggDelta(
-          spark.table(viewT).drop("__batch"), spark.table(baseT),
+          spark.table(viewT).where($"n".isNotNull).drop("__batch"), spark.table(baseT),
           b2.where($"op" === "insert").select($"row_id", $"key", $"value"),
           b2.where($"op" === "delete").select($"row_id"),
           "row_id", "key", "value")

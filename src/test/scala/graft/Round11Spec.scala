@@ -81,7 +81,8 @@ class Round11Spec extends SparkSpec {
       val baseNow = spark.table(baseT).select($"row_id", $"value")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(baseNow == Set((0L, 6.0), (1L, 4.0), (7L, 99.0)), s"base: $baseNow")
-      val viewNow = spark.table(viewT).select($"key", $"n", $"total", $"mx").collect()
+      val viewNow = spark.table(viewT).where($"n".isNotNull) // drop watermark sentinel
+        .select($"key", $"n", $"total", $"mx").collect()
       assert(viewNow.length == 1 && viewNow(0) == org.apache.spark.sql.Row(1L, 3L, 109.0, 99.0),
         s"view: ${viewNow.mkString}")
     } finally all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

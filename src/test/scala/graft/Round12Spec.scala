@@ -106,7 +106,7 @@ class Round12Spec extends SparkSpec {
     ).toDF("side", "row_id", "key", "grp", "value", "op")
     val handler = new graft.streaming.IngestJoinView("r12_jv_a", "r12_jv_b", "r12_jv_view", 4)
     handler(batch, 0L)
-    def viewNow() = spark.table("r12_jv_view")
+    def viewNow() = spark.table("r12_jv_view").where($"n".isNotNull) // drop sentinel
       .select($"grp", $"n", $"total".cast("long")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val after = viewNow()

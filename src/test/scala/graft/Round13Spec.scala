@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Round-13 hardening: the view maintainers' drained-view watermark
+  * sentinel, [[graft.streaming.IngestJoinView]]'s loud row-id contract,
+  * histogramTWS's negative-zero bin normalization, and
+  * [[graft.similarity.IVFPQ]]'s query-dimension contract.
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def dropAll(tables: Seq[String]): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+  }
+
+  test("IngestJoinView: a batch that DRAINS the view to zero data rows still advances " +
+      "the watermark (sentinel row) — redelivery must not re-apply the delta math") {
+    val ts = Seq("r13_jv_a", "r13_jv_b", "r13_jv_view",
+      "r13_jv_a__staging", "r13_jv_b__staging", "r13_jv_view__staging")
+    dropAll(ts)
+    try {
+      // one joined group; deleting the only a-row drains the view entirely
+      val a = Seq((1L, 1L, 10L)).toDF("row_id", "key", "grp")
+      val b = Seq((101L, 1L, 5L)).toDF("row_id", "key", "value")
+      a.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_jv_a")
+      b.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_jv_b")
+      a.join(b.select($"key", $"value"), Seq("key"))
+        .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_jv_view")
+
+      val handler = new graft.streaming.IngestJoinView(
+        "r13_jv_a", "r13_jv_b", "r13_jv_view", 4)
+      val drain = Seq(("a", 1L, 0L, 0L, 0L, "delete"))
+        .toDF("side", "row_id", "key", "grp", "value", "op")
+      handler(drain, 0L)
+      def dataRows() = spark.table("r13_jv_view").where($"n".isNotNull).count()
+      assert(dataRows() == 0L, "view must drain to zero data rows")
+      // the watermark survives the drain: one sentinel row carries __batch=0
+      val wm = spark.table("r13_jv_view").agg(max($"__batch")).head().getLong(0)
+      assert(wm == 0L, s"sentinel must carry the applied batch id, got $wm")
+
+      // the ADVICE corruption scenario: batch 0 redelivered AFTER the bases
+      // were rebuilt. Without the sentinel, max(__batch) over an empty view
+      // was -1, the guard passed, and the delta math re-applied against the
+      // already-rebuilt base (the a-row is gone, so the -1 delta vanished
+      // but a's recovery found nothing — here it must simply be SKIPPED).
+      handler(drain, 0L)
+      assert(dataRows() == 0L, "redelivered drain must be a no-op")
+      assert(spark.table("r13_jv_view").agg(max($"__batch")).head().getLong(0) == 0L)
+
+      // the view re-enters through the normal delta path on a later batch
+      val reIns = Seq(("a", 2L, 1L, 20L, 0L, "insert"))
+        .toDF("side", "row_id", "key", "grp", "value", "op")
+      handler(reIns, 1L)
+      val rows = spark.table("r13_jv_view").where($"n".isNotNull)
+        .select($"grp", $"n", $"total".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((20L, 1L, 5L)), rows.toString)
+      // and exactly ONE sentinel is carried forward, stamped with batch 1
+      val sentinels = spark.table("r13_jv_view").where($"n".isNull)
+        .select($"__batch").collect().map(_.getLong(0)).toSeq
+      assert(sentinels == Seq(1L), sentinels.toString)
+    } finally dropAll(ts)
+  }
+
+  test("IngestAggView: drained view keeps its watermark too (hardened identically)") {
+    val ts = Seq("r13_av_base", "r13_av_view", "r13_av_base__staging", "r13_av_view__staging")
+    dropAll(ts)
+    try {
+      val base = Seq((0L, 3L, 9.0)).toDF("row_id", "key", "value")
+      base.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_av_base")
+      base.groupBy($"key")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total"), max($"value").as("mx"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_av_view")
+      val loop = new graft.streaming.IngestAggView(
+        "row_id", "key", "value", "r13_av_base", "r13_av_view", 4)
+      val drain = Seq((0L, 0L, 0.0, "delete")).toDF("row_id", "key", "value", "op")
+      loop(drain, 0L)
+      assert(spark.table("r13_av_view").where($"n".isNotNull).isEmpty)
+      assert(spark.table("r13_av_view").agg(max($"__batch")).head().getLong(0) == 0L)
+      loop(drain, 0L) // redelivery against the drained view: must skip
+      assert(spark.table("r13_av_view").where($"n".isNotNull).isEmpty)
+    } finally dropAll(ts)
+  }
+
+  test("IngestJoinView row-id contract: duplicate insert ids throw; an insert whose id " +
+      "still lives in the base throws; delete+insert of the same id is a legal update") {
+    val ts = Seq("r13_uc_a", "r13_uc_b", "r13_uc_view",
+      "r13_uc_a__staging", "r13_uc_b__staging", "r13_uc_view__staging")
+    dropAll(ts)
+    try {
+      val a = Seq((1L, 1L, 10L)).toDF("row_id", "key", "grp")
+      val b = Seq((101L, 1L, 5L)).toDF("row_id", "key", "value")
+      a.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_uc_a")
+      b.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_uc_b")
+      a.join(b.select($"key", $"value"), Seq("key"))
+        .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_uc_view")
+      val handler = new graft.streaming.IngestJoinView(
+        "r13_uc_a", "r13_uc_b", "r13_uc_view", 4)
+
+      // (1) the motivating collision: two b-side inserts sharing row_id
+      // (duplicate (orderkey, linenumber) in a CDC feed)
+      val dup = Seq(
+        ("b", 102L, 1L, 0L, 7L, "insert"),
+        ("b", 102L, 1L, 0L, 8L, "insert")
+      ).toDF("side", "row_id", "key", "grp", "value", "op")
+      val e1 = intercept[IllegalStateException](handler(dup, 0L))
+      assert(e1.getMessage.contains("duplicate insert row_id"), e1.getMessage)
+
+      // (2) an insert reusing a LIVE base row id without a same-batch delete
+      val reuse = Seq(("b", 101L, 1L, 0L, 9L, "insert"))
+        .toDF("side", "row_id", "key", "grp", "value", "op")
+      val e2 = intercept[IllegalStateException](handler(reuse, 0L))
+      assert(e2.getMessage.contains("already"), e2.getMessage)
+
+      // (3) delete+insert of the same id = a legal update, applies cleanly
+      val update = Seq(
+        ("b", 101L, 0L, 0L, 0L, "delete"),
+        ("b", 101L, 1L, 0L, 9L, "insert")
+      ).toDF("side", "row_id", "key", "grp", "value", "op")
+      handler(update, 0L)
+      val rows = spark.table("r13_uc_view").where($"n".isNotNull)
+        .select($"grp", $"n", $"total".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((10L, 1L, 9L)), rows.toString)
+    } finally dropAll(ts)
+  }
+
+  test("histogramTWS: -0.0 and 0.0 land in ONE bin (the batch-side groupBy/DuckDB " +
+      "normalization), keeping the documented ksDriftFromCounts equivalence") {
+    import graft.streaming.StreamingFlows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(String, Double)]
+      val out = StreamingFlows.histogramTWS[(String, Double), String](_._1, _._2)
+        .apply(in.toDS())
+      val q = out.toDF("group", "v", "c").writeStream.format("memory")
+        .queryName("r13_negzero").outputMode("append").start()
+      try {
+        in.addData(("a", -0.0), ("a", 0.0), ("a", -0.0))
+        q.processAllAvailable()
+        val got = spark.table("r13_negzero").as[(String, Double, Long)].collect().toSet
+        assert(got == Set(("a", 0.0, 3L)), s"one bin of 3 expected, got $got")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("IVFPQ.adcTopK: a query vector whose dim disagrees with the coarse centroids " +
+      "fails LOUDLY with the contract message, not an opaque index error") {
+    import graft.similarity.{IVFPQ, PQ}
+    val cb = PQ.Codebooks(Array(
+      Array(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Array(Array(0.0, 0.0), Array(1.0, 1.0))), subDim = 2)
+    val cents = Array(Array(0.0f, 0.0f, 0.0f, 0.0f))
+    val codes = Seq((1L, 0, Seq(0, 0)), (2L, 0, Seq(1, 1))).toDF("id", "cell", "code")
+    // 5-wide query against 4-wide centroids
+    val badQ = Seq((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      IVFPQ.adcTopK(codes, badQ, $"id", $"v", cents, cb, topK = 1, nProbe = 1)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+}
