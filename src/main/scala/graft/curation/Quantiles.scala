@@ -3,7 +3,7 @@ package graft.curation
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** EXACT per-group quantiles at corpus scale, by histogram refinement —
   * the distributed selection algorithm, not a sort.
@@ -14,17 +14,25 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * `percentile_approx` avoids it but is approximate. This operator is
   * both exact and shuffle-light:
   *
-  *   1. per group: `n`, `min`, `max` (one map-combined agg); target rank
-  *      `r = clamp(ceil(q·n), 1, n)` per (group, quantile) — the type-1 /
-  *      discrete quantile definition (the value AT rank r, no
-  *      interpolation), so the answer is always an element of the data
-  *      and ties make it deterministic regardless of row order.
-  *   2. refinement rounds: bucket the value range of each still-open
-  *      (group, q) into `buckets` equi-width cells, count rows per cell
-  *      (map-combined agg over a BROADCAST of the tiny state — never a
-  *      shuffle of the data), walk the cumulative counts to find the cell
-  *      holding the rank, recurse into it with the rank re-based. Each
-  *      round multiplies resolution by `buckets`; the per-round state is
+  *   1. seeding — ONE scan: per group, a bounded-state EXACT dyadic
+  *      histogram ([[graft.plans.DyadicHistAgg]], a
+  *      `TypedImperativeAggregate` with ≤ `seedCells` cells: exact
+  *      counts, exact per-cell min/max, map-side partial merge). That
+  *      single aggregate is simultaneously the group's `n`/`min`/`max`
+  *      AND a first refinement round — it replaces the former
+  *      count/min/max pass PLUS the first broadcast-histogram pass.
+  *      Target rank `r = clamp(ceil(q·n), 1, n)` per (group, quantile) —
+  *      the type-1 / discrete quantile definition (the value AT rank r,
+  *      no interpolation), so the answer is always an element of the
+  *      data and ties make it deterministic regardless of row order. The
+  *      driver walk over the ≤ |groups|·seedCells readout re-bases each
+  *      rank into its candidate cell `[cmin, cmax]`.
+  *   2. refinement rounds (only for cells still holding > `maxFinal`
+  *      rows — at 100 TB scale, not at gate scale): bucket each open
+  *      (group, q) cell into `buckets` equi-width sub-cells, count rows
+  *      per sub-cell (map-combined agg over a BROADCAST of the tiny
+  *      state — never a shuffle of the data), walk the cumulative
+  *      counts, recurse with the rank re-based. Per-round state is
   *      |groups|·|qs| rows (collected driver-side — the same bounded
   *      readout as IVF's centroid fetch, documented there).
   *   3. final pass: once a (group, q)'s candidate cell holds ≤
@@ -32,11 +40,12 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   *      sort JUST those rows per (group, q) and `row_number` out the
   *      answer — a partition bounded by `maxFinal`, not by group size.
   *
-  * Two rounds at the default 8192 buckets resolve 8192² ≈ 6.7·10⁷ cells;
-  * a 10¹²-row group then averages ~15k rows per cell, under the default
-  * `maxFinal`. Degenerate distributions (one value dominating a cell)
-  * cannot loop forever: a cell whose min == max IS the answer and closes
-  * immediately.
+  * The seed already resolves ~range/seedCells; one refinement round at
+  * the default 8192 buckets then reaches seedCells·8192 ≈ 8.4·10⁶ cells;
+  * a 10¹²-row group averages ~10⁵ rows per cell after one round, under
+  * the default `maxFinal`. Degenerate distributions (one value
+  * dominating a cell) cannot loop forever: a cell whose min == max IS
+  * the answer and closes immediately.
   */
 object Quantiles {
 
@@ -51,26 +60,41 @@ object Quantiles {
       qs: Seq[Double],
       buckets: Int = 8192,
       maxFinal: Long = 1L << 20,
-      maxRounds: Int = 8
+      maxRounds: Int = 8,
+      seedCells: Int = 1024
   ): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val spark = df.sparkSession
-    import spark.implicits._
 
     val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
       .where(col("v").isNotNull)
 
-    // round 0 state: one row per (group, q) — rank within [lo, hi]
-    val qsDf = qs.toDF("q")
-    var state = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .crossJoin(broadcast(qsDf))
-      .select(col("g"), col("q"),
-        least(col("n"), greatest(lit(1L), ceil(col("q") * col("n")).cast("long"))).as("rank"),
-        col("lo"), col("hi"), col("n").as("rows_in_range"))
+    val stateSchema = StructType(Seq(
+      StructField("g", base.schema("g").dataType),
+      StructField("q", DoubleType),
+      StructField("rank", LongType),
+      StructField("lo", DoubleType), StructField("hi", DoubleType),
+      StructField("rows_in_range", LongType)))
+
+    // seed state — ONE scan (scaladoc step 1): per (group, q), the rank
+    // re-based into the dyadic cell [cmin, cmax] that contains it
+    var state: Array[Row] = base.groupBy(col("g"))
+      .agg(graft.plans.DyadicHistAgg.column(col("v"), seedCells).as("h"))
       .collect()
+      .flatMap { r =>
+        val cells = r.getSeq[Row](1)
+        val n = cells.iterator.map(_.getLong(0)).sum
+        qs.map { q =>
+          val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
+          var cum = 0L
+          var i = 0
+          while (cum + cells(i).getLong(0) < rank) { cum += cells(i).getLong(0); i += 1 }
+          val c = cells(i)
+          Row(r.get(0), q, rank - cum, c.getDouble(1), c.getDouble(2), c.getLong(0))
+        }
+      }
 
     var resolved = Vector.empty[(Any, Double, Double)] // (g, q, value)
     var round = 0
@@ -96,8 +120,7 @@ object Quantiles {
             StructField("g", base.schema("g").dataType),
             StructField("lo", DoubleType), StructField("hi", DoubleType))))
         val ranksDf = spark.createDataFrame(
-          spark.sparkContext.parallelize(smallEnough.toIndexedSeq, 1),
-          smallEnough.head.schema)
+          spark.sparkContext.parallelize(smallEnough.toIndexedSeq, 1), stateSchema)
           .select(col("g"), col("q"), col("rank"), col("lo"), col("hi"))
         val w = Window.partitionBy(col("g"), col("lo"), col("hi")).orderBy(col("v"))
         resolved ++= base
@@ -116,7 +139,7 @@ object Quantiles {
         if (open.isEmpty) Array.empty
         else {
           val openDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(open.toIndexedSeq, 1), open.head.schema)
+            spark.sparkContext.parallelize(open.toIndexedSeq, 1), stateSchema)
           // histogram per open (g, q): bucket index within [lo, hi]
           val width = (col("hi") - col("lo")) / buckets
           val cell = least(lit(buckets - 1),

@@ -709,4 +709,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s182.contains("Exchange SinglePartition"), s182)
     assert(s182.contains("ObjectHashAggregate") && !s182.contains("Window"), s182)
   }
+
+  test("round-13 shapes: the quantile seed is ONE ObjectHashAggregate scan over the " +
+      "data (the dyadic histogram), and the q103 readout is a local relation") {
+    import org.apache.spark.sql.functions.col
+    // the seeding aggregation exactQuantiles issues: map-side partial +
+    // final ObjectHashAggregate around one exchange, the kernel in-plan,
+    // one parquet scan, never a Window or a single-partition exchange
+    val li = graft.sources.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val seed = li.groupBy(col("g"))
+      .agg(graft.plans.DyadicHistAgg.column(col("v"), 1024).as("h"))
+    val p = seed.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p) // partial + final
+    assert(p.contains("graft_dyadic_hist"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window") && !p.contains("Exchange SinglePartition"), p)
+    // the gate's returned relation: refinement ran at build time, the
+    // |groups|·|qs| readout is local — no parquet rescan at read time
+    val s103 = simplePlan("q103_quantiles")
+    assert(!s103.contains("Scan parquet"), s103)
+    assert(s103.contains("ExistingRDD") || s103.contains("LocalTableScan"), s103)
+  }
 }

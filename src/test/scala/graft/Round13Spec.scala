@@ -170,6 +170,83 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- exact quantiles over the DyadicHistAgg seed ----
+
+  /** Brute-force type-1 quantile: sort, pick rank ceil(q·n) clamped to [1, n]. */
+  private def bruteQ(vs: Seq[Double], q: Double): Double = {
+    val s = vs.sorted
+    val r = math.min(s.length.toLong, math.max(1L, math.ceil(q * s.length).toLong))
+    s((r - 1).toInt)
+  }
+
+  test("DyadicHist: exact counts and in-cell min/max under insert, coarsen, and merge; " +
+      "cells stay value-ordered and bounded by maxCells") {
+    import graft.plans.DyadicHist
+    val rnd = new scala.util.Random(13)
+    // mixed magnitudes force many coarsen steps; duplicates and zeros too
+    val vs = Seq.fill(2000)(rnd.nextInt(10) match {
+      case 0 => 0.0
+      case 1 => -0.0
+      case 2 => rnd.nextGaussian() * 1e9
+      case 3 => rnd.nextInt(5).toDouble // heavy duplicates
+      case _ => rnd.nextGaussian()
+    })
+    // merge path: 8 partial buffers merged pairwise, like map-side combine
+    val parts = vs.grouped(250).map { chunk =>
+      val h = new DyadicHist(64)
+      chunk.foreach(v => h.insert(v))
+      h
+    }.toSeq
+    val merged = parts.reduce { (a, b) => a.merge(b); a }
+    val cells = merged.sortedCells()
+    assert(cells.length <= 64, s"cap violated: ${cells.length}")
+    assert(cells.iterator.map(_._2.cnt).sum == vs.length)
+    // value-ordered, non-overlapping: each cell's cmax <= next cell's cmin
+    cells.toSeq.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a.cmax <= b.cmin, s"${a.cmax} > ${b.cmin}")
+      case _ =>
+    }
+    // per-cell min/max bracket exactly the values assigned to the cell:
+    // walking ranks through the cells must reproduce every brute quantile
+    for (q <- Seq(0.01, 0.25, 0.5, 0.9, 1.0)) {
+      val n = vs.length.toLong
+      val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
+      var cum = 0L; var i = 0
+      while (cum + cells(i)._2.cnt < rank) { cum += cells(i)._2.cnt; i += 1 }
+      val want = bruteQ(vs, q)
+      assert(want >= cells(i)._2.cmin && want <= cells(i)._2.cmax,
+        s"q=$q: $want outside [${cells(i)._2.cmin}, ${cells(i)._2.cmax}]")
+    }
+    // non-finite input is a loud contract
+    val e = intercept[IllegalArgumentException](new DyadicHist(8).insert(Double.NaN))
+    assert(e.getMessage.contains("finite"), e.getMessage)
+  }
+
+  test("exactQuantiles == brute-force type-1 on random multi-group data — default path, " +
+      "coarse seed (seedCells=2), and the refinement fallback (maxFinal=1)") {
+    import graft.curation.Quantiles
+    val rnd = new scala.util.Random(131)
+    val rows = (1 to 3).flatMap { g =>
+      Seq.fill(500 + g * 37)(
+        (g.toLong, if (rnd.nextBoolean()) rnd.nextInt(20).toDouble else rnd.nextGaussian() * 100))
+    }
+    val df = rows.toDF("g", "v").repartition(16)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99, 1.0)
+    val want = rows.groupBy(_._1).flatMap { case (g, vs) =>
+      qs.map(q => (g, q, bruteQ(vs.map(_._2), q)))
+    }.toSet
+    def got(maxFinal: Long, seedCells: Int) =
+      Quantiles.exactQuantiles(df, col("g"), col("v"), qs,
+          maxFinal = maxFinal, seedCells = seedCells, maxRounds = 24)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got(1L << 20, 1024) == want, "default path")
+    // a 2-cell seed forces the walk through maximally coarse cells
+    assert(got(1L << 20, 2) == want, "coarse seed")
+    // maxFinal=1 forces the equi-width refinement loop to carry every cell
+    // to collapse or singleton — the deep path, spec-forced
+    assert(got(1L, 1024) == want, "refinement fallback")
+  }
+
   test("IVFPQ.adcTopK: a query vector whose dim disagrees with the coarse centroids " +
       "fails LOUDLY with the contract message, not an opaque index error") {
     import graft.similarity.{IVFPQ, PQ}
