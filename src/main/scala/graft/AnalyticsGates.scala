@@ -121,6 +121,22 @@ object AnalyticsGates {
     PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
   }
 
+  /** q193 — OPQ-rotated PQ ANN ([[graft.similarity.OPQ]]): Walsh–Hadamard
+    * rotate (a fixed orthonormal ±1/√d matrix — the deterministic OPQ
+    * stand-in), then the q182 chain verbatim over the ROTATED relation:
+    * train per-subspace codebooks, encode, serve top-k by asymmetric
+    * distance. Rotation fuses into the encode scan (one corpus pass).
+    */
+  private def q193OpqAnn(s: SparkSession, d: String): DataFrame = {
+    val rot = graft.similarity.OPQ.rotate(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), dim = 64)
+    val cb = PQ.trainCodebooks(rot, col("vec_id"), col("embedding"),
+      m = PqM, k = PqK, iters = PqIters)
+    val codes = PQ.encode(rot, col("vec_id"), col("embedding"), cb)
+    val queries = rot.orderBy(col("vec_id")).limit(PqQ)
+    PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
+  }
+
   private[graft] val BDeleteMod = 89
 
   /** q186 — incremental JOIN-view maintenance
@@ -182,7 +198,8 @@ object AnalyticsGates {
     "q162_source_ablation" -> (q162SourceAblation _),
     "q164_coreset" -> (q164Coreset _),
     "q166_next_event" -> (q166NextEvent _),
-    "q182_pq_ann" -> (q182PqAnn _)
+    "q182_pq_ann" -> (q182PqAnn _),
+    "q193_opq_ann" -> (q193OpqAnn _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -335,7 +352,11 @@ object AnalyticsGates {
     prelude + ",\n" + rounds.mkString(",\n") + ",\n" + encode
   }
 
-  private def pqAnnSql: String = {
+  /** Train + encode + ADC-serve replay over a caller-provided CTE block
+    * that must END by defining `v(vec_id, v)` — shared verbatim by the
+    * flat-PQ (q182) and OPQ-rotated (q193) oracles.
+    */
+  private def pqServeSql(vCtes: String): String = {
     val sd = 16 // 64-dim embeddings split into PqM=4 subspaces
     val sqd = pqSqd(sd) _
     val cf = s"c$PqIters"
@@ -353,10 +374,34 @@ object AnalyticsGates {
          |rk AS (SELECT q_id, n_id, dist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS rnk FROM adc)
          |SELECT q_id, n_id, rnk::INT AS rank, dist FROM rk WHERE rnk <= $PqTopK""".stripMargin
-    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings),
+    s"""WITH $vCtes,
        |${pqTrainCtes(PqM, PqK, PqIters, sd)},
        |$epilogue""".stripMargin
+  }
+
+  private def pqAnnSql: String = pqServeSql(
+    """v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings)""".stripMargin)
+
+  /** The Walsh–Hadamard rotation replayed row-by-row: the ±1 matrix as a
+    * VALUES literal, each rotated component the same t-ascending
+    * `list_sum` / √d / round(…, 6) chain [[graft.similarity.OPQ.rotate]]
+    * evaluates, then the q182 train/encode/serve replay verbatim.
+    */
+  private def opqAnnSql: String = {
+    val dim = 64
+    val rows = graft.similarity.OPQ.hadamardRows(dim).zipWithIndex.map { case (r, i) =>
+      s"(${i + 1}, [${r.map(_.toInt).mkString(", ")}])"
+    }.mkString(",\n    ")
+    pqServeSql(
+      s"""v0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+         |  FROM embeddings),
+         |hrows AS (SELECT * FROM (VALUES
+         |    $rows) AS t(i, hr)),
+         |v AS (SELECT v0.vec_id,
+         |    list(round(list_sum(list_transform(range(1, ${dim + 1}),
+         |      t -> v0.v[t] * hr[t])) / 8.0, 6) ORDER BY hrows.i) AS v
+         |  FROM v0 CROSS JOIN hrows GROUP BY v0.vec_id)""".stripMargin)
   }
 
   /** From-scratch re-join of the FINAL row sets — what the delta path
@@ -386,6 +431,7 @@ object AnalyticsGates {
     "q162_source_ablation" -> sourceAblationSql,
     "q164_coreset" -> coresetSql,
     "q182_pq_ann" -> pqAnnSql,
+    "q193_opq_ann" -> opqAnnSql,
     "q186_join_view" -> joinViewSql,
     "q189_topk_group" ->
       """SELECT o_custkey, rank, o_orderkey, price FROM (

@@ -732,4 +732,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s103.contains("Scan parquet"), s103)
     assert(s103.contains("ExistingRDD") || s103.contains("LocalTableScan"), s103)
   }
+
+  test("round-13 shapes: OPQ rotation FUSES into the encode+serve scan — one corpus " +
+      "scan with the dot kernels in-plan, bounded top-k, no window, no cartesian") {
+    val s193 = simplePlan("q193_opq_ann")
+    // rotate → encode → ADC-score is one pass of the corpus (queries were
+    // collected at build time, the q182 convention)
+    assert("Scan parquet".r.findAllIn(s193).size == 1, s193)
+    assert(s193.contains("graft_dot"), s193)    // the rotation kernels
+    assert(s193.contains("graft_adc_dists"), s193)
+    assert(s193.contains("ObjectHashAggregate") && !s193.contains("Window"), s193)
+    assert(!s193.contains("CartesianProduct") && !s193.contains("BroadcastNestedLoopJoin"), s193)
+    assert(!s193.contains("Exchange SinglePartition"), s193)
+  }
 }
