@@ -174,6 +174,38 @@ object AnalyticsGates {
         col("total").cast("long").as("qty_sum"))
   }
 
+  /** q194 — the q186 join-view delta algebra on a MONEY measure carried
+    * as exact BIGINT cents: `round(price·100)::BIGINT` end-to-end, so
+    * the sum is associative-exact under ANY grouping and the base+delta
+    * path lands bit-identically on the from-scratch oracle — the fix the
+    * q186 gate documents for fp revenue (sums grouped differently land a
+    * half-cent apart at the 2-dp boundary; integers cannot).
+    */
+  private def q194JoinViewCents(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    // round BEFORE the long cast: the fp product of a 2-dp price sits
+    // within 1e-9 of an integer on either side, and a bare cast
+    // TRUNCATES on Spark while ::BIGINT ROUNDS on DuckDB
+    val value = round(col("l_extendedprice") * 100).cast("long").as("value")
+    val aOld = o.where(col("o_orderdate") < cut)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("grp"))
+    val bOld = li.where(col("l_linenumber") <= 4)
+      .select(col("l_orderkey").as("key"), value)
+    val aDelta = o.where(col("o_orderdate") >= cut)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("grp"), lit(1).as("sign"))
+      .unionByName(aOld.where(col("key") % DeleteMod === 0).withColumn("sign", lit(-1)))
+    val bDelta = li.where(col("l_linenumber") > 4)
+      .select(col("l_orderkey").as("key"), value, lit(1).as("sign"))
+      .unionByName(bOld.where(col("key") % BDeleteMod === 0).withColumn("sign", lit(-1)))
+    val view = aOld.join(bOld, Seq("key"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    Storage.mergeJoinViewDelta(view, aOld, bOld, aDelta, bDelta)
+      .select(col("grp").as("o_custkey"), col("n").as("n_lines"),
+        col("total").cast("long").as("cents_sum"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -199,7 +231,8 @@ object AnalyticsGates {
     "q164_coreset" -> (q164Coreset _),
     "q166_next_event" -> (q166NextEvent _),
     "q182_pq_ann" -> (q182PqAnn _),
-    "q193_opq_ann" -> (q193OpqAnn _)
+    "q193_opq_ann" -> (q193OpqAnn _),
+    "q194_join_view_cents" -> (q194JoinViewCents _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -433,6 +466,18 @@ object AnalyticsGates {
     "q182_pq_ann" -> pqAnnSql,
     "q193_opq_ann" -> opqAnnSql,
     "q186_join_view" -> joinViewSql,
+    "q194_join_view_cents" ->
+      s"""WITH a AS (
+         |  SELECT o_orderkey AS key, o_custkey AS grp FROM orders
+         |  WHERE (o_orderdate < TIMESTAMP '$Cutoff' AND o_orderkey % $DeleteMod != 0)
+         |     OR o_orderdate >= TIMESTAMP '$Cutoff'),
+         |b AS (
+         |  SELECT l_orderkey AS key, round(l_extendedprice * 100)::BIGINT AS value
+         |  FROM lineitem
+         |  WHERE (l_linenumber <= 4 AND l_orderkey % $BDeleteMod != 0) OR l_linenumber > 4)
+         |SELECT a.grp AS o_custkey, count(*)::BIGINT AS n_lines,
+         |  sum(b.value)::BIGINT AS cents_sum
+         |FROM a JOIN b ON a.key = b.key GROUP BY a.grp""".stripMargin,
     "q189_topk_group" ->
       """SELECT o_custkey, rank, o_orderkey, price FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
