@@ -241,7 +241,22 @@ object GraphGates {
     Graphs.harmonicCloseness(
       transitions(s, d, Some(KhopQty)), col("src"), col("dst"), maxHops = KhopMax)
 
+  private val BwHops = 4
+
+  /** q195 — hop-capped k-source Brandes betweenness over the sparse
+    * transition digraph ([[Graphs.betweennessKSources]]): the q183 seed
+    * set (suppkey ≤ 5) as sampled sources, 4 hops — forward σ counting
+    * in exact LONG sums, backward dependency accumulation as ordered
+    * grid-rounded folds. The oracle unrolls both sweeps level by level.
+    */
+  private def q195Betweenness(s: SparkSession, d: String): DataFrame =
+    Graphs.betweennessKSources(
+      transitions(s, d, Some(KhopQty)), col("src"), col("dst"),
+      Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
+      maxHops = BwHops)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_betweenness" -> (q195Betweenness _),
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
     "q156_khop" -> (q156KHop _),
@@ -557,7 +572,54 @@ object GraphGates {
        |FROM nodes n LEFT JOIN hc ON hc.root = n.node""".stripMargin
   }
 
+  /** Both Brandes sweeps unrolled: forward σ rounds (exact BIGINT path
+    * counts, NOT-EXISTS against the accumulated reach), backward δ
+    * rounds as the same ordered successor fold the engine evaluates
+    * (`list_sum(list(x ORDER BY w.node))`, grid-rounded per level), and
+    * the final per-node fold over roots.
+    */
+  private def betweennessSql: String = {
+    val forward = (1 to BwHops).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT p.root, e.dst AS node, sum(p.sigma)::BIGINT AS sigma
+         |  FROM l${i - 1} p JOIN e ON e.src = p.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM reach${i - 1} r
+         |    WHERE r.root = p.root AND r.node = e.dst)
+         |  GROUP BY p.root, e.dst),
+         |reach$i AS (SELECT root, node FROM reach${i - 1}
+         |  UNION ALL SELECT root, node FROM l$i)""".stripMargin
+    }
+    val backward = (BwHops - 1 to 1 by -1).map { hh =>
+      s"""t$hh AS (SELECT v.root, v.node,
+         |    floor(list_sum(list((v.sigma::DOUBLE / w.sigma::DOUBLE) * (1 + w.delta)
+         |      ORDER BY w.node)) * 1000000.0 + 0.5) / 1000000.0 AS delta
+         |  FROM l$hh v JOIN e ON e.src = v.node
+         |  JOIN d${hh + 1} w ON w.root = v.root AND w.node = e.dst
+         |  GROUP BY v.root, v.node),
+         |d$hh AS (SELECT v.root, v.node, v.sigma, coalesce(t.delta, 0.0) AS delta
+         |  FROM l$hh v LEFT JOIN t$hh t ON t.root = v.root AND t.node = v.node)""".stripMargin
+    }
+    val unionD = (1 until BwHops).map(i => s"SELECT root, node, delta FROM d$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |l0 AS (SELECT s_suppkey::BIGINT AS root, s_suppkey::BIGINT AS node, 1::BIGINT AS sigma
+       |  FROM supplier s WHERE s_suppkey <= $KhopSeeds
+       |    AND EXISTS (SELECT 1 FROM nodes n WHERE n.node = s.s_suppkey)),
+       |reach0 AS (SELECT root, node FROM l0),
+       |${forward.mkString(",\n")},
+       |d$BwHops AS (SELECT root, node, sigma, 0.0 AS delta FROM l$BwHops),
+       |${backward.mkString(",\n")},
+       |alldelta AS ($unionD),
+       |bw AS (SELECT node,
+       |    floor(list_sum(list(delta ORDER BY root)) * 1000000.0 + 0.5) / 1000000.0
+       |      AS betweenness
+       |  FROM alldelta GROUP BY node)
+       |SELECT n.node, coalesce(bw.betweenness, 0.0) AS betweenness
+       |FROM nodes n LEFT JOIN bw ON bw.node = n.node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q195_betweenness" -> betweennessSql,
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
     "q156_khop" -> khopSql,

@@ -446,6 +446,154 @@ object Graphs {
         coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
   }
 
+  /** Hop-capped K-SOURCE BRANDES betweenness approximation: for a fixed
+    * source set S and hop cap H,
+    *
+    * {{{ B(v) = Σ_{s ∈ S} Σ_{t ≠ s, t ≠ v, d(s,t) ≤ H} σ_st(v) / σ_st }}}
+    *
+    * — the pair-dependency of v restricted to shortest paths from the
+    * sampled sources, the standard betweenness approximation (Brandes &
+    * Pich 2007 sampling; exact Brandes is S = V, the one thing no 100-TB
+    * graph computes). Both restrictions ARE the cost contract: work is
+    * O(|S| · edges-within-H-hops), explicit and bounded.
+    *
+    * Two sweeps, both as per-level DataFrame joins with the root carried
+    * through (the [[harmonicCloseness]] discipline):
+    *
+    *  - FORWARD (path counting): level h's relation is (root, node,
+    *    σ LONG) with σ(v) = Σ over level-(h−1) predecessors u of σ(u) —
+    *    an exact integer aggregate, engine-independent by construction.
+    *    Frontier-only expansion, anti-join against the reached set.
+    *  - BACKWARD (dependency accumulation, Brandes' recursion):
+    *    δ_h(v) = Σ over DAG successors w at level h+1 of
+    *    (σ(v)/σ(w)) · (1 + δ_{h+1}(w)), evaluated level by level from
+    *    the deepest in. The per-node sum is an ORDERED fold over the
+    *    successors (sorted by w — never a row-order fp sum) snapped onto
+    *    the 10^-scale grid per level; level-h nodes with no level-(h+1)
+    *    successors carry δ=0. The grid snap is `floor(x·10^s + 0.5)/10^s`
+    *    rather than decimal `round`: σ ratios are small rationals whose
+    *    folds LAND EXACTLY ON half-boundaries of the grid, where Spark's
+    *    BigDecimal HALF_UP and DuckDB's multiply-then-std::round disagree
+    *    by one grid step (observed at sf0.01); the floor form is the same
+    *    IEEE multiply/add/floor/divide on both engines, so agreement is
+    *    structural, not probabilistic.
+    *
+    * B(v) is then the ordered fold of δ over (root, level) pairs; source
+    * rows themselves (level 0) are excluded — a source's own tree never
+    * contributes to its own score. Nodes covered by no tree report 0.
+    *
+    * σ overflow: path counts grow with depth; at the hop caps this
+    * operator is for (H ≤ ~6) a LONG overflows only past ~10^18 paths —
+    * `sum` would wrap silently, so the forward sweep guards with a loud
+    * per-level max check.
+    *
+    * @return (node LONG, betweenness DOUBLE on the grid) — one row per
+    *         node of the edge-induced vertex set
+    */
+  def betweennessKSources(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      sources: DataFrame,
+      sourceCol: Column,
+      maxHops: Int,
+      scale: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val gridP = math.pow(10, scale)
+    def gridFloor(c: Column): Column = floor(c * gridP + 0.5) / gridP
+    val e = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct())
+    val nodes = Materialize(
+      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node"))).distinct())
+
+    // ---- forward: per-level (root, node, sigma) ----
+    val l0 = Materialize(
+      sources.select(sourceCol.cast("long").as("root")).where(col("root").isNotNull)
+        .distinct()
+        .join(nodes, col("root") === col("node")) // sources outside the graph carry no tree
+        .select(col("root"), col("node"), lit(1L).as("sigma")))
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var reached = l0.select(col("root"), col("node"))
+    var h = 1
+    var exhausted = l0.isEmpty
+    while (h <= maxHops && !exhausted) {
+      val prev = levels.last
+      val cand = e.join(prev.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .join(reached, Seq("root", "node"), "left_anti")
+        .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
+      val fresh = Materialize(cand)
+      if (fresh.isEmpty) {
+        exhausted = true
+        fresh.unpersist()
+      } else {
+        // loud overflow guard: σ must stay far from Long.Max (sum wraps
+        // silently); trip at 2^62 so one more doubling cannot wrap
+        val mx = fresh.agg(max(col("sigma"))).head().getLong(0)
+        require(mx > 0 && mx < (1L << 62),
+          s"betweennessKSources: path counts overflow LONG at level $h (max σ = $mx) — " +
+            "lower maxHops or shrink the source ball")
+        levels += fresh
+        reached = reached.unionByName(fresh.select(col("root"), col("node")))
+        // reached grows each round; re-materialize to cut the union lineage
+        reached = Materialize(reached)
+      }
+      h += 1
+    }
+
+    // ---- backward: δ level by level, deepest first ----
+    val deepest = levels.length - 1
+    // the deepest level has no successors: δ = 0 (contributes nothing)
+    var dNext = levels(deepest).select(col("root"), col("node"), col("sigma"),
+      lit(0.0).as("delta"))
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // stop at level 1: level 0 = the sources themselves, whose δ is
+    // excluded from B and consumed by nothing
+    var lvl = deepest - 1
+    while (lvl >= 1) {
+      val v = levels(lvl)
+      val terms = v
+        .join(e, v("node") === e("src"))
+        .join(dNext.select(col("root").as("wr"), col("node").as("wn"),
+            col("sigma").as("wsig"), col("delta").as("wdelta")),
+          col("wr") === v("root") && col("wn") === e("dst"))
+        .select(v("root"), v("node"),
+          struct(col("wn"),
+            (col("sigma").cast("double") / col("wsig").cast("double")
+              * (lit(1.0) + col("wdelta"))).as("x")).as("t"))
+      val agg = terms.groupBy(col("root"), col("node"))
+        .agg(gridFloor(
+          aggregate(sort_array(collect_list(col("t"))), lit(0.0),
+            (acc, t) => acc + t.getField("x"))).as("delta"))
+      val dCur = Materialize(
+        v.join(agg, Seq("root", "node"), "left")
+          .select(col("root"), col("node"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+      deltas += dCur
+      dNext = dCur
+      lvl -= 1
+    }
+
+    // ---- accumulate: B(v) = ordered fold of δ over roots ----
+    val out =
+      if (deltas.isEmpty)
+        nodes.select(col("node"), lit(0.0).as("betweenness"))
+      else {
+        val allDeltas = deltas.reduce(_ unionByName _)
+        val bw = allDeltas
+          .groupBy(col("node"))
+          .agg(gridFloor(
+            aggregate(sort_array(collect_list(struct(col("root"), col("delta")))),
+              lit(0.0), (acc, t) => acc + t.getField("delta"))).as("betweenness"))
+        nodes.join(bw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("betweenness"), lit(0.0)).as("betweenness"))
+      }
+    e.unpersist()
+    out
+  }
+
   /** Per-vertex triangle counts on the simple UNDIRECTED graph induced by
     * the edge relation (direction ignored, self-loops dropped, parallel
     * edges collapsed). Returns one row per vertex that belongs to at least

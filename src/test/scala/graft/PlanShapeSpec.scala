@@ -744,5 +744,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(s193.contains("ObjectHashAggregate") && !s193.contains("Window"), s193)
     assert(!s193.contains("CartesianProduct") && !s193.contains("BroadcastNestedLoopJoin"), s193)
     assert(!s193.contains("Exchange SinglePartition"), s193)
+    // q195: both Brandes sweeps ran at build time over materialized
+    // levels; the readout folds the checkpointed delta relations — no
+    // parquet rescan, no cartesian (the q188/q183 convention)
+    val s195 = simplePlan("q195_betweenness")
+    assert(!s195.contains("Scan parquet"), s195)
+    assert(!s195.contains("CartesianProduct"), s195)
+    assert(s195.contains("ExistingRDD") || s195.contains("LocalTableScan"), s195)
   }
 }

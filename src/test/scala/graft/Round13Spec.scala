@@ -248,6 +248,77 @@ class Round13Spec extends SparkSpec {
     assert(got(1L, 1024) == want, "refinement fallback")
   }
 
+  // ---- k-source Brandes betweenness ----
+
+  /** Brute hop-capped pair-dependency: per source, BFS with path counts,
+    * then B(v) += Σ_{t≠s,t≠v, d(s,t)≤H} σ_st(v)/σ_st by direct
+    * enumeration over the level structure (the definition, no Brandes
+    * recursion — an independent derivation to test against).
+    */
+  private def bruteBetweenness(
+      edges: Seq[(Long, Long)], sources: Seq[Long], maxH: Int): Map[Long, Double] = {
+    val adj = edges.distinct.filter(e => e._1 != e._2)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val b = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (s <- sources if nodes.contains(s)) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      val preds = scala.collection.mutable.Map.empty[Long, Seq[Long]].withDefaultValue(Nil)
+      var frontier = Seq(s)
+      var h = 0
+      while (frontier.nonEmpty && h < maxH) {
+        val nextSigma = scala.collection.mutable.Map.empty[Long, Long]
+        for (u <- frontier; w <- adj.getOrElse(u, Nil) if !dist.contains(w)) {
+          nextSigma(w) = nextSigma.getOrElse(w, 0L) + sigma(u)
+          preds(w) = preds(w) :+ u
+        }
+        nextSigma.foreach { case (w, sg) => dist(w) = h + 1; sigma(w) = sg }
+        frontier = nextSigma.keys.toSeq.sorted
+        h += 1
+      }
+      // σ_st(v): paths s→t through v = σ_sv · (paths v→t in the DAG)
+      def pathsFrom(v: Long, t: Long): Long =
+        if (v == t) 1L
+        else preds(t).map(p => pathsFrom(v, p)).sum
+      for (t <- dist.keys if t != s; v <- dist.keys
+           if v != s && v != t && dist(v) < dist(t)) {
+        val through = sigma(v) * pathsFrom(v, t)
+        if (through > 0) b(v) += through.toDouble / sigma(t)
+      }
+    }
+    nodes.map(n => n -> b(n)).toMap
+  }
+
+  test("betweennessKSources == brute pair-dependency enumeration on a random digraph, " +
+      "plus the hand-checked diamond (two equal shortest paths split the credit)") {
+    import graft.graphs.Graphs
+    // diamond: 1→2→4, 1→3→4 — from source 1, σ_14 = 2, each middle node
+    // carries 0.5; plus 2 and 3 are full intermediaries to themselves' side
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dOut = Graphs.betweennessKSources(
+        diamond.toDF("s", "t"), col("s"), col("t"),
+        Seq(1L).toDF("n"), col("n"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dOut == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0), dOut.toString)
+
+    val rnd = new scala.util.Random(195)
+    val edges = Seq.fill(120)((rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 1L, 2L, 3L)
+    for (h <- Seq(1, 2, 4)) {
+      val want = bruteBetweenness(edges, sources, h)
+      val got = Graphs.betweennessKSources(
+          edges.toDF("s", "t"), col("s"), col("t"),
+          sources.toDF("n"), col("n"), maxHops = h)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"h=$h node sets differ")
+      for (n <- want.keys)
+        assert(math.abs(got(n) - want(n)) < 1e-4,
+          s"h=$h node $n: got ${got(n)}, brute ${want(n)}")
+    }
+  }
+
   test("OPQ.hadamardRows: rows are mutually orthogonal ±1 vectors, so H/√d is " +
       "orthonormal and the rotation preserves L2 distances (what ADC search needs)") {
     import graft.similarity.OPQ
