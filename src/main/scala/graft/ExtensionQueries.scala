@@ -932,6 +932,20 @@ object ExtensionQueries {
       col("l_returnflag"), col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
       .select(col("g").as("l_returnflag"), col("q"), col("value"))
 
+  /** q197 — WEIGHTED exact per-group quantiles
+    * ([[graft.curation.Quantiles.exactWeightedQuantiles]]): the value at
+    * weighted rank ceil(q·W) with quantity as the integer mass — the
+    * token-weighted percentile shape ("the price below which 25% of the
+    * UNITS sit", not 25% of the line items). Same dyadic-seed machinery
+    * as q103 with exact LONG mass end-to-end.
+    */
+  private def q197WeightedQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.exactWeightedQuantiles(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+      Seq(0.25, 0.5, 0.9))
+      .select(col("g").as("l_returnflag"), col("q"), col("value"))
+
   /** LOCF gap-fill report on an hourly per-user grid
     * ([[graft.operators.TimeSeries.gapFillReport]]).
     */
@@ -1605,6 +1619,7 @@ object ExtensionQueries {
     "q101_within_doc_dedup" -> (q101WithinDocDedup _),
     "q102_heavy_hitters" -> (q102HeavyHitters _),
     "q103_quantiles" -> (q103Quantiles _),
+    "q197_weighted_quantiles" -> (q197WeightedQuantiles _),
     "q104_gap_fill" -> (q104GapFill _),
     "q105_pii_report" -> (q105PiiReport _),
     "q106_fuzzy_pairs" -> (q106FuzzyPairs _),
@@ -2216,6 +2231,22 @@ object ExtensionQueries {
          |n AS (SELECT count(*) AS t FROM toks)
          |SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1
          |HAVING count(*) >= greatest(1, ceil(0.03::DOUBLE * (SELECT t FROM n)))""".stripMargin,
+    "q197_weighted_quantiles" ->
+      // weighted type-1: the smallest value whose CUMULATIVE WEIGHT
+      // reaches clamp(ceil(q·W), 1, W) — cum walked over distinct
+      // values, the same walk the engine's weighted refinement equals
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |    l_quantity::BIGINT AS w
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, sum(w)::BIGINT AS tw FROM t GROUP BY 1),
+        |qs AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS q),
+        |r AS (SELECT g, q, least(tw, greatest(1, ceil(q * tw)::BIGINT)) AS rk
+        |  FROM n CROSS JOIN qs),
+        |o AS (SELECT g, v, sum(w)::BIGINT AS wv FROM t GROUP BY g, v),
+        |c AS (SELECT g, v, wv,
+        |    sum(wv) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM o)
+        |SELECT r.g AS l_returnflag, r.q, c.v AS value
+        |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rk AND c.cum - c.wv < r.rk""".stripMargin,
     "q103_quantiles" ->
       // type-1 (discrete) quantile: the value AT rank
       // clamp(ceil(q·n), 1, n) — expressed here as the direct rank walk

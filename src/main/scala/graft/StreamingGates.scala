@@ -943,6 +943,72 @@ object StreamingGates {
     }
   }
 
+  /** q196 — streaming exact quantiles ([[StreamingFlows.dyadicHistTWS]]):
+    * lineitem prices stream per returnflag in TWO micro-batches with the
+    * bounded per-group dyadic histogram as the TWS state (1024 cells,
+    * exact counts + per-cell min/max — O(maxCells) over the unbounded
+    * price domain, where a value→count map would grow with distinct
+    * prices). Each batch emits the touched group's whole snapshot under
+    * a monotone emit_seq (the q192 replay convention); the LAST snapshot
+    * seeds the same rank walk + bounded final in-cell resolution the
+    * batch operator uses ([[graft.curation.Quantiles.walkCells]] +
+    * `refineAndResolve`) — the streamed bounded state must land on
+    * q103's oracle verbatim.
+    */
+  private def q196QuantileStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").cast("double").as("v"),
+          lit(1L).as("w"))
+        .where(col("v").isNotNull)
+      val rows = base.select(col("g"), col("v")).as[(String, Double)].collect()
+      val in = MemoryStream[(String, Double)]
+      val out = StreamingFlows.dyadicHistTWS[(String, Double), String](
+        _._1, _._2, maxCells = 1024).apply(in.toDS())
+      val sink = sinkName("q196")
+      val q = out.toDF("g", "emit_seq", "cell", "cnt", "cmin", "cmax")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        // split by the price's raw bits parity — group-blind, so both
+        // batches touch every group and the snapshots genuinely merge
+        val (b1, b2) = rows.partition(r =>
+          (java.lang.Double.doubleToLongBits(r._2) & 1L) == 0L)
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      val t = s.table(sink)
+      val latest = s.table(sink)
+        .select(col("g").as("g2"), col("emit_seq").as("e2"))
+        .groupBy(col("g2")).agg(max(col("e2")).as("e2"))
+      val snapshot = t.join(latest, col("g") === col("g2") && col("emit_seq") === col("e2"))
+        .select(col("g"), col("cell"), col("cnt"), col("cmin"), col("cmax"))
+        .collect()
+      val qs = Seq(0.5, 0.9, 0.99)
+      val seedState = snapshot.groupBy(_.getString(0)).toArray.flatMap { case (g, rs) =>
+        val cells = rs.sortBy(_.getLong(1))
+          .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+        graft.curation.Quantiles.walkCells(cells, qs).map {
+          case (qq, rank, lo, hi, cnt) =>
+            org.apache.spark.sql.Row(g, qq, rank, lo, hi, cnt)
+        }
+      }
+      graft.curation.Quantiles.refineAndResolve(
+          base, seedState, qs, buckets = 8192, maxFinal = 1L << 20, maxRounds = 8)
+        .select(col("g").as("l_returnflag"), col("q"), col("value"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1067,6 +1133,7 @@ object StreamingGates {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_quantile_stream" -> (q196QuantileStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1094,6 +1161,7 @@ object StreamingGates {
     * same hash, same SQL".
     */
   def oracleSql: Map[String, String] = Map(
+    "q196_quantile_stream" -> ExtensionQueries.oracleSql("q103_quantiles"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

@@ -68,33 +68,125 @@ object Quantiles {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val spark = df.sparkSession
 
-    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"),
+        lit(1L).as("w"))
       .where(col("v").isNotNull)
+    seedAndResolve(base, qs, buckets, maxFinal, maxRounds, seedCells)
+  }
 
+  /** WEIGHTED exact per-group quantiles: the value at weighted rank
+    * `clamp(ceil(q·W), 1, W)` where `W = Σ weight` — i.e. the smallest v
+    * whose cumulative weight reaches the rank; with all weights 1 this
+    * IS [[exactQuantiles]]'s type-1 definition. The curation use is
+    * token-weighted percentiles ("the quality score below which 10% of
+    * the CORPUS TOKENS sit", not 10% of documents) — document-weighted
+    * and token-weighted cuts diverge exactly when long documents skew
+    * the tail, which is when the distinction matters.
+    *
+    * Same machinery end-to-end: the dyadic seed aggregates exact
+    * weighted mass per cell ([[graft.plans.DyadicHistAgg]] with the
+    * weight child), refinement rounds aggregate `sum(w)`, and the final
+    * pass walks cumulative weight over DISTINCT values. Weights must be
+    * LONGs ≥ 1 (exact integer mass — fp weights would re-introduce the
+    * associativity hazard the integer algebra exists to avoid); scale
+    * fp weights to a fixed grid upstream. `maxFinal` bounds final-sort
+    * cells by MASS, a conservative row bound.
+    */
+  def exactWeightedQuantiles(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      weightCol: Column,
+      qs: Seq[Double],
+      buckets: Int = 8192,
+      maxFinal: Long = 1L << 20,
+      maxRounds: Int = 8,
+      seedCells: Int = 1024
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val base = df.select(groupCol.as("g"), valueCol.cast("double").as("v"),
+        weightCol.cast("long").as("w"))
+      .where(col("v").isNotNull)
+    seedAndResolve(base, qs, buckets, maxFinal, maxRounds, seedCells)
+  }
+
+  /** Shared engine: dyadic-histogram seed scan + rank walk, then
+    * [[refineAndResolve]]. `base` carries `(g, v, w)` with w = 1 for the
+    * unweighted form.
+    */
+  private def seedAndResolve(
+      base: DataFrame,
+      qs: Seq[Double],
+      buckets: Int,
+      maxFinal: Long,
+      maxRounds: Int,
+      seedCells: Int): DataFrame = {
+    // seed state — ONE scan (scaladoc step 1): per (group, q), the rank
+    // re-based into the dyadic cell [cmin, cmax] that contains it
+    val state: Array[Row] = base.groupBy(col("g"))
+      .agg(graft.plans.DyadicHistAgg.column(col("v"), seedCells, col("w")).as("h"))
+      .collect()
+      .flatMap { r =>
+        val cells = r.getSeq[Row](1)
+          .map(c => (c.getLong(0), c.getDouble(1), c.getDouble(2)))
+        walkCells(cells, qs).map { case (q, rank, lo, hi, cnt) =>
+          Row(r.get(0), q, rank, lo, hi, cnt)
+        }
+      }
+    refineAndResolve(base, state, qs, buckets, maxFinal, maxRounds)
+  }
+
+  /** Rank walk over one group's VALUE-ORDERED cells `(cnt, cmin, cmax)`:
+    * per q, the type-1 rank `clamp(ceil(q·n), 1, n)` re-based into its
+    * containing cell. Returns `(q, rank-in-cell, lo, hi, cnt)` rows —
+    * the refinement-state shape. Shared by the batch seed and the
+    * streaming snapshot gate.
+    */
+  private[graft] def walkCells(
+      cells: Seq[(Long, Double, Double)],
+      qs: Seq[Double]): Seq[(Double, Long, Double, Double, Long)] = {
+    val n = cells.iterator.map(_._1).sum
+    if (n == 0) Nil
+    else qs.map { q =>
+      val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
+      var cum = 0L
+      var i = 0
+      while (cum + cells(i)._1 < rank) { cum += cells(i)._1; i += 1 }
+      val c = cells(i)
+      (q, rank - cum, c._2, c._3, c._1)
+    }
+  }
+
+  /** Steps 2–3 of the scaladoc: equi-width refinement rounds for cells
+    * still holding > `maxFinal` mass, then the bounded final pass. Takes
+    * `base(g, v, w)` (w = 1 for unweighted) and the seed state as
+    * `(g, q, rank, lo, hi, rows_in_range)` rows — produced by the
+    * one-scan dyadic aggregate or by a streaming
+    * [[graft.plans.DyadicHist]] snapshot. The final pass walks
+    * CUMULATIVE WEIGHT over distinct values inside the candidate range
+    * (for w = 1 identical to the rank-r row of the sorted multiset, the
+    * type-1 answer, with no per-row tie arbitrariness).
+    */
+  private[graft] def refineAndResolve(
+      base: DataFrame,
+      seedState: Array[Row],
+      qs: Seq[Double],
+      buckets: Int,
+      maxFinal: Long,
+      maxRounds: Int
+  ): DataFrame = {
+    require(base.columns.toSeq == Seq("g", "v", "w"),
+      s"refineAndResolve: base must be (g, v, w), got ${base.columns.mkString(",")}")
+    val spark = base.sparkSession
     val stateSchema = StructType(Seq(
       StructField("g", base.schema("g").dataType),
       StructField("q", DoubleType),
       StructField("rank", LongType),
       StructField("lo", DoubleType), StructField("hi", DoubleType),
       StructField("rows_in_range", LongType)))
-
-    // seed state — ONE scan (scaladoc step 1): per (group, q), the rank
-    // re-based into the dyadic cell [cmin, cmax] that contains it
-    var state: Array[Row] = base.groupBy(col("g"))
-      .agg(graft.plans.DyadicHistAgg.column(col("v"), seedCells).as("h"))
-      .collect()
-      .flatMap { r =>
-        val cells = r.getSeq[Row](1)
-        val n = cells.iterator.map(_.getLong(0)).sum
-        qs.map { q =>
-          val rank = math.min(n, math.max(1L, math.ceil(q * n).toLong))
-          var cum = 0L
-          var i = 0
-          while (cum + cells(i).getLong(0) < rank) { cum += cells(i).getLong(0); i += 1 }
-          val c = cells(i)
-          Row(r.get(0), q, rank - cum, c.getDouble(1), c.getDouble(2), c.getLong(0))
-        }
-      }
+    var state: Array[Row] = seedState
 
     var resolved = Vector.empty[(Any, Double, Double)] // (g, q, value)
     var round = 0
@@ -122,14 +214,18 @@ object Quantiles {
         val ranksDf = spark.createDataFrame(
           spark.sparkContext.parallelize(smallEnough.toIndexedSeq, 1), stateSchema)
           .select(col("g"), col("q"), col("rank"), col("lo"), col("hi"))
+        // cumulative WEIGHT over distinct values: the bracketing value is
+        // the one whose cum first reaches the rank — deterministic under
+        // ties by construction (equal values are ONE row here)
         val w = Window.partitionBy(col("g"), col("lo"), col("hi")).orderBy(col("v"))
         resolved ++= base
           .join(broadcast(rangesDf), base("g") === rangesDf("g") &&
             col("v") >= col("lo") && col("v") <= col("hi"))
-          .select(base("g").as("g"), col("lo"), col("hi"), col("v"))
-          .withColumn("rn", row_number().over(w))
+          .groupBy(base("g").as("g"), col("lo"), col("hi"), col("v"))
+          .agg(sum(col("w")).as("wv"))
+          .withColumn("cum", sum(col("wv")).over(w))
           .join(broadcast(ranksDf), Seq("g", "lo", "hi"))
-          .where(col("rn") === col("rank"))
+          .where(col("cum") >= col("rank") && col("cum") - col("wv") < col("rank"))
           .select(col("g"), col("q"), col("v"))
           .collect()
           .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
@@ -149,7 +245,7 @@ object Quantiles {
               col("v") >= col("lo") && col("v") <= col("hi"))
             .groupBy(base("g").as("g"), col("q"), col("rank"), col("lo"), col("hi"),
               cell.as("cell"))
-            .agg(count(lit(1)).as("c"), min(col("v")).as("cmin"), max(col("v")).as("cmax"))
+            .agg(sum(col("w")).as("c"), min(col("v")).as("cmin"), max(col("v")).as("cmax"))
           // walk cumulative counts (≤ buckets rows per (g,q)) to the
           // cell holding the rank; re-base the rank into it
           val ws = Window.partitionBy(col("g"), col("q")).orderBy(col("cell"))

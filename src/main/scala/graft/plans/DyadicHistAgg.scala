@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 /** Mutable dyadic-histogram buffer: exact row counts and exact per-cell
@@ -43,10 +44,11 @@ final class DyadicHist(val maxCells: Int) {
 
   def isEmpty: Boolean = empty
 
-  /** Deserialization hook: adopt `(scale, cells)` wholesale — the indices
-    * are already cell indices at that scale.
+  /** Reconstruction hook (aggregate deserialization, streaming state
+    * rebuild): adopt `(scale, cells)` wholesale — the indices are already
+    * cell indices at that scale.
     */
-  private[plans] def adopt(atScale: Int, entries: Array[(Long, DyadicHist.Cell)]): Unit = {
+  private[graft] def adopt(atScale: Int, entries: Array[(Long, DyadicHist.Cell)]): Unit = {
     scale = atScale
     empty = false
     entries.foreach { case (idx, c) => cells.put(idx, c) }
@@ -156,31 +158,48 @@ object DyadicHist {
   * full passes) with one. Map-side partials combine before the exchange;
   * the shuffle carries ≤ maxCells cells per group per mapper, never rows.
   *
+  * `weight` (LONG ≥ 1, default 1) turns the counts into exact weighted
+  * mass — the token-weighted quantile seed
+  * ([[graft.curation.Quantiles.exactWeightedQuantiles]]); a null or
+  * non-positive weight is a loud error, a null value skips the row.
+  *
   * Output: array of `(cnt, cmin, cmax)` structs in ascending value
   * order. Runs on `ObjectHashAggregateExec` (the [[TopKStructs]]
   * execution shape; per-row cost is one hash probe + min/max update).
   */
 case class DyadicHistAgg(
     child: Expression,
+    weight: Expression,
     maxCells: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DyadicHist]
-  with UnaryLike[Expression] {
+  with BinaryLike[Expression] {
 
   require(maxCells >= 2 && maxCells <= (1 << 20),
     s"maxCells out of range [2, 2^20]: $maxCells")
 
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case DoubleType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires double, got $t")
-  }
+  override def left: Expression = child
+  override def right: Expression = weight
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, weight.dataType) match {
+      case (DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, bigint), got ($l, $r)")
+    }
 
   override def createAggregationBuffer(): DyadicHist = new DyadicHist(maxCells)
 
   override def update(buf: DyadicHist, input: InternalRow): DyadicHist = {
     val v = child.eval(input)
-    if (v != null) buf.insert(v.asInstanceOf[Double])
+    if (v != null) {
+      val w = weight.eval(input)
+      require(w != null && w.asInstanceOf[Long] >= 1L,
+        s"graft_dyadic_hist: weight must be a non-null LONG >= 1, got $w — " +
+          "a zero/negative/null weight has no rank mass; filter upstream")
+      buf.insert(v.asInstanceOf[Double], w.asInstanceOf[Long])
+    }
     buf
   }
 
@@ -249,16 +268,20 @@ case class DyadicHistAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): DyadicHistAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): DyadicHistAgg =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DyadicHistAgg =
+    copy(child = newLeft, weight = newRight)
 }
 
 object DyadicHistAgg {
 
-  /** Column form: `graft_dyadic_hist(value, maxCells)` — see class doc. */
-  def column(value: Column, maxCells: Int): Column = {
+  /** Column form: `graft_dyadic_hist(value, weight, maxCells)` — see the
+    * class doc; `weight` defaults to 1 per row (the unweighted form).
+    */
+  def column(value: Column, maxCells: Int, weight: Column = lit(1L)): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(
-      DyadicHistAgg(GraftBridge.expression(value), maxCells).toAggregateExpression())
+      DyadicHistAgg(GraftBridge.expression(value),
+        GraftBridge.expression(weight.cast("long")), maxCells).toAggregateExpression())
   }
 }

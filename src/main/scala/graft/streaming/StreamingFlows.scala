@@ -1083,4 +1083,72 @@ object StreamingFlows {
     ds.groupByKey(groupFn)
       .transformWithState(processor, TimeMode.None(), OutputMode.Append())
   }
+
+  /** Per-group BOUNDED dyadic histogram on `transformWithState` — the
+    * streaming face of the quantile seed aggregate
+    * ([[graft.plans.DyadicHistAgg]]): state per group is ONE
+    * [[graft.plans.DyadicHist]] (≤ `maxCells` cells of power-of-two
+    * width, EXACT counts and exact per-cell min/max — see its scaladoc
+    * for why every operation is lossless), which is a sufficient
+    * statistic for exact rank selection. Where [[histogramTWS]]'s
+    * value→count map grows with DISTINCT VALUES (right for drift tests
+    * over bounded domains), this state is O(maxCells) over any domain —
+    * the shape a quantile monitor over an unbounded continuous stream
+    * needs at 100 TB.
+    *
+    * Emission per micro-batch: the touched group's WHOLE current
+    * histogram (≤ maxCells rows, ascending cell order) stamped with a
+    * monotone `emit_seq` — the q192 snapshot-replay convention:
+    * `max(emit_seq)` per group over the sink IS the exact final state.
+    * [[graft.curation.Quantiles.walkCells]] +
+    * [[graft.curation.Quantiles.refineAndResolve]] turn that snapshot
+    * into exact type-1 quantiles (the q196 gate shares q103's oracle
+    * verbatim).
+    *
+    * Output: `(group, emit_seq, cell, cnt, cmin, cmax)`.
+    */
+  def dyadicHistTWS[V: Encoder, G: Encoder](
+      groupFn: V => G,
+      valueFn: V => Double,
+      maxCells: Int
+  )(implicit outEnc: Encoder[(G, Long, Long, Long, Double, Double)])
+      : Dataset[V] => Dataset[(G, Long, Long, Long, Double, Double)] = {
+    ds =>
+    // Avro state-store encoding: STRING map keys (the histogramTWS
+    // contract) — the Long cell index rides as its decimal string
+    val stateEnc: Encoder[(Long, Int, Map[String, (Long, Double, Double)])] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Int, Map[String, (Long, Double, Double)])]()
+        .resolveAndBind()
+    val processor = new StatefulProcessor[G, V, (G, Long, Long, Long, Double, Double)] {
+      @transient private var state: ValueState[(Long, Int, Map[String, (Long, Double, Double)])] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[(Long, Int, Map[String, (Long, Double, Double)])](
+          "graft_dyadic_hist", stateEnc, TTLConfig.NONE)
+      override def handleInputRows(
+          key: G, rows: Iterator[V], tv: TimerValues)
+          : Iterator[(G, Long, Long, Long, Double, Double)] = {
+        val h = new graft.plans.DyadicHist(maxCells)
+        val seq0 =
+          if (state.exists()) {
+            val (seq, scale, cells) = state.get()
+            if (cells.nonEmpty)
+              h.adopt(scale, cells.iterator.map { case (k, (cnt, lo, hi)) =>
+                (k.toLong, new graft.plans.DyadicHist.Cell(cnt, lo, hi))
+              }.toArray)
+            seq
+          } else 0L
+        rows.foreach(v => h.insert(valueFn(v)))
+        val snapshot = h.sortedCells()
+        val seq = seq0 + 1
+        state.update((seq, h.scale,
+          snapshot.iterator.map { case (idx, c) =>
+            idx.toString -> ((c.cnt, c.cmin, c.cmax))
+          }.toMap))
+        snapshot.iterator.map { case (idx, c) => (key, seq, idx, c.cnt, c.cmin, c.cmax) }
+      }
+    }
+    ds.groupByKey(groupFn)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -378,6 +378,102 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(opq - flat) <= 0.15, f"rotation should roughly hold recall: $opq vs $flat")
   }
 
+  /** Brute weighted type-1: smallest v whose cumulative weight reaches
+    * clamp(ceil(q·W), 1, W).
+    */
+  private def bruteWQ(vws: Seq[(Double, Long)], q: Double): Double = {
+    val s = vws.groupBy(_._1).map { case (v, g) => (v, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val tw = s.map(_._2).sum
+    val r = math.min(tw, math.max(1L, math.ceil(q * tw).toLong))
+    var cum = 0L; var i = 0
+    while (cum + s(i)._2 < r) { cum += s(i)._2; i += 1 }
+    s(i)._1
+  }
+
+  test("exactWeightedQuantiles == brute weighted rank walk on random data; unit " +
+      "weights degenerate to exactQuantiles exactly") {
+    import graft.curation.Quantiles
+    val rnd = new scala.util.Random(197)
+    val rows = (1 to 2).flatMap { g =>
+      Seq.fill(400)((g.toLong,
+        if (rnd.nextBoolean()) rnd.nextInt(15).toDouble else rnd.nextGaussian() * 50,
+        1L + rnd.nextInt(9)))
+    }
+    val df = rows.toDF("g", "v", "w").repartition(16)
+    val qs = Seq(0.25, 0.5, 0.9, 1.0)
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      qs.map(q => (g, q, bruteWQ(rs.map(r => (r._2, r._3)), q)))
+    }.toSet
+    val got = Quantiles.exactWeightedQuantiles(df, col("g"), col("v"), col("w"), qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == want, s"weighted:\n got $got\nwant $want")
+    // w = 1 everywhere ≡ the unweighted operator, row for row
+    val unit = Quantiles.exactWeightedQuantiles(df, col("g"), col("v"), lit(1L), qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val plain = Quantiles.exactQuantiles(df, col("g"), col("v"), qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(unit == plain)
+  }
+
+  test("dyadicHistTWS: the last snapshot is a valid EXACT histogram of everything " +
+      "streamed (counts conserve, cells value-ordered and bounded, every brute " +
+      "quantile bracketed by its walked cell); state is ONE row per group") {
+    import graft.streaming.StreamingFlows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(196)
+      val all = Seq.fill(400)((if (rnd.nextBoolean()) "a" else "b",
+        rnd.nextGaussian() * math.pow(10, rnd.nextInt(6))))
+      val in = MemoryStream[(String, Double)]
+      val out = StreamingFlows.dyadicHistTWS[(String, Double), String](_._1, _._2, maxCells = 16)
+        .apply(in.toDS())
+      val q = out.toDF("g", "emit_seq", "cell", "cnt", "cmin", "cmax")
+        .writeStream.format("memory").queryName("r13_dh").outputMode("append").start()
+      try {
+        val (b1, b2) = all.splitAt(150)
+        in.addData(b1)
+        q.processAllAvailable()
+        in.addData(b2)
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 2L)
+      } finally q.stop()
+      val t = spark.table("r13_dh")
+      val latest = t.groupBy($"g").agg(max($"emit_seq").as("e")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for (g <- Seq("a", "b")) {
+        // NOTE: the exact CELL LAYOUT is order-dependent (the scale
+        // trajectory follows insertion order, and groupByKey makes no
+        // order promise) — what IS invariant, and what quantile
+        // resolution relies on, is validity: exact total count,
+        // value-ordered non-overlapping cells within the bound, and the
+        // rank walk bracketing every true quantile.
+        val cells = t.where($"g" === g && $"emit_seq" === latest(g))
+          .select($"cell", $"cnt", $"cmin", $"cmax").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+          .sortBy(_._1).toSeq
+        val vs = all.filter(_._1 == g).map(_._2)
+        assert(cells.length <= 16, s"group $g cap violated: ${cells.length}")
+        assert(cells.iterator.map(_._2).sum == vs.length, s"group $g count drift")
+        cells.sliding(2).foreach {
+          case Seq(a, b) => assert(a._4 <= b._3, s"group $g overlap: ${a._4} > ${b._3}")
+          case _ =>
+        }
+        val walked = graft.curation.Quantiles.walkCells(
+          cells.map(c => (c._2, c._3, c._4)), Seq(0.1, 0.5, 0.99))
+        for (((q, _, lo, hi, _), want) <- walked.zip(
+            Seq(0.1, 0.5, 0.99).map(q => bruteQ(vs, q))))
+          assert(want >= lo && want <= hi, s"group $g q=$q: $want outside [$lo, $hi]")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("IVFPQ.adcTopK: a query vector whose dim disagrees with the coarse centroids " +
       "fails LOUDLY with the contract message, not an opaque index error") {
     import graft.similarity.{IVFPQ, PQ}
