@@ -19,13 +19,19 @@ object ProfileTopK {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.GraftSession.tune(spark)
-    val n = 20000000L
+    // row count as an optional arg: the round-13 verdict watch item asks
+    // for periodic re-measurement at LARGER scales before deciding on a
+    // two-level (primitive sort key) ordering variant
+    val n = args.headOption.map(_.toLong).getOrElse(20000000L)
     // half the rows land in group 0 (hot key), the rest spread over 10k
-    val df = spark.range(n).select(
+    // checkpoint the input only while it fits executor storage; above
+    // that, regenerate per rep — `range` is codegen'd and identical in
+    // both arms, so the comparison stays fair
+    val gen = spark.range(n).select(
       when(col("id") % 2 === 0, 0L).otherwise(pmod(col("id"), lit(10000L))).as("g"),
       (col("id") * 2654435761L % 1000003L).cast("double").as("score"),
       col("id"))
-      .localCheckpoint()
+    val df = if (n <= 20000000L) gen.localCheckpoint() else gen
     def time(tag: String)(f: => Long): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); val c = f; val s = (System.nanoTime() - t0) / 1e9
