@@ -242,6 +242,24 @@ object GraphGates {
       transitions(s, d, Some(KhopQty)), col("src"), col("dst"), maxHops = KhopMax)
 
   private val BwHops = 4
+  // truss gate shape probed against all three SFs (DuckDB, round 13):
+  // qty ≥ 46 + support ≥ 2 cascades 5/4/1 rounds to fixpoint with a
+  // non-empty survivor set — 8 unrolled oracle rounds leave margin
+  private val TrussQty = 46
+  private val TrussK = 4
+  private val TrussRounds = 8
+
+  /** q198 — 4-truss membership on the undirected supplier transition
+    * graph ([[Graphs.kTruss]]): iterative support peel through the
+    * degree-oriented wedge machinery — the cohesion screen between
+    * k-core and clique (a hub whose neighbors don't interlink survives
+    * q174's degree peel and dies here). The oracle unrolls the peel
+    * rounds and recomputes the fixpoint support.
+    */
+  private def q198KTruss(s: SparkSession, d: String): DataFrame =
+    Graphs.kTruss(
+      transitions(s, d, Some(TrussQty)), col("src"), col("dst"),
+      k = TrussK, maxRounds = TrussRounds)
 
   /** q195 — hop-capped k-source Brandes betweenness over the sparse
     * transition digraph ([[Graphs.betweennessKSources]]): the q183 seed
@@ -257,6 +275,7 @@ object GraphGates {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q195_betweenness" -> (q195Betweenness _),
+    "q198_ktruss" -> (q198KTruss _),
     "q154_pagerank" -> (q154PageRank _),
     "q155_triangles" -> (q155Triangles _),
     "q156_khop" -> (q156KHop _),
@@ -618,8 +637,40 @@ object GraphGates {
        |FROM nodes n LEFT JOIN bw ON bw.node = n.node""".stripMargin
   }
 
+  /** The peel unrolled: per round a triangle enumeration on the current
+    * canonical edge set (a < b < c via two ordered joins), per-edge
+    * support over the three corner pairs, and the `support ≥ k−2`
+    * filter; extra rounds past the fixpoint are no-ops, and the final
+    * support readout recomputes on the surviving set exactly like the
+    * engine.
+    */
+  private def ktrussSql: String = {
+    val triOf = (src: String, tag: String) =>
+      s"""tr$tag AS MATERIALIZED (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |  FROM $src e1 JOIN $src e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+         |  JOIN $src e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+         |sup$tag AS (SELECT lo, hi, count(*)::BIGINT AS c FROM (
+         |  SELECT a AS lo, b AS hi FROM tr$tag
+         |  UNION ALL SELECT a, c FROM tr$tag
+         |  UNION ALL SELECT b, c FROM tr$tag) GROUP BY lo, hi)""".stripMargin
+    val rounds = (1 to TrussRounds).map { i =>
+      s"""${triOf(s"t${i - 1}", s"$i")},
+         |t$i AS MATERIALIZED (SELECT t.lo, t.hi FROM t${i - 1} t
+         |  JOIN sup$i s ON s.lo = t.lo AND s.hi = t.hi
+         |  WHERE s.c >= ${TrussK - 2})""".stripMargin
+    }
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $TrussQty")},
+       |t0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,
+       |  greatest(src, dst) AS hi FROM e),
+       |${rounds.mkString(",\n")},
+       |${triOf(s"t$TrussRounds", "F")}
+       |SELECT t.lo, t.hi, s.c AS support
+       |FROM t$TrussRounds t JOIN supF s ON s.lo = t.lo AND s.hi = t.hi""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q195_betweenness" -> betweennessSql,
+    "q198_ktruss" -> ktrussSql,
     "q154_pagerank" -> pagerankSql,
     "q155_triangles" -> trianglesSql,
     "q156_khop" -> khopSql,

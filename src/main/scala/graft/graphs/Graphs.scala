@@ -937,6 +937,79 @@ object Graphs {
     out
   }
 
+  /** k-TRUSS membership at a fixed `k`: the maximal subgraph in which
+    * every edge participates in at least `k−2` triangles — the
+    * cohesion notion BETWEEN k-core (degree peel, [[kCore]]) and clique
+    * (every k-truss is a (k−1)-core, but not vice versa): a hub with
+    * many non-mutually-connected neighbors survives a core peel and
+    * dies here, which is exactly the spam/collusion distinction a
+    * link-quality screen wants.
+    *
+    * Support peel to the fixpoint: each round recomputes per-edge
+    * triangle SUPPORT through the degree-oriented wedge machinery
+    * ([[triangleCounts]]'s — O(√E)-bounded wedge generation, Bloom
+    * prefilter in the shuffle regime) and keeps edges with
+    * `support ≥ k−2`. Dropping an edge can only LOWER other edges'
+    * support, so the edge set shrinks monotonically and `|edges|
+    * unchanged ⟺ fixpoint` (the [[kCore]] exit test); early exit is
+    * bit-identical to running all `maxRounds` (peel fixpoints are
+    * stable).
+    *
+    * Scale shape per round: one degree aggregate + one wedge self-join +
+    * one closing semi-join + one support aggregate + one semi-join —
+    * all key-partitioned exchanges, never a cartesian; rounds are
+    * data-bounded (each non-final round removes ≥ 1 edge).
+    *
+    * @return (lo LONG, hi LONG, support LONG ≥ k−2) — the surviving
+    *         canonical edges with their fixpoint support
+    */
+  def kTruss(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      k: Int,
+      maxRounds: Int = 30): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k-2 >= 1 triangle per edge), got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val minSup = k - 2L
+
+    def supportOf(e: DataFrame): DataFrame = {
+      val (_, _, triangles) = triangleMachinery(e, col("lo"), col("hi"))
+      val corners = triangles.select(col("u"), col("v1"), col("v2"))
+      corners.select(least(col("u"), col("v1")).as("lo"),
+          greatest(col("u"), col("v1")).as("hi"))
+        .unionAll(corners.select(least(col("u"), col("v2")).as("lo"),
+          greatest(col("u"), col("v2")).as("hi")))
+        .unionAll(corners.select(least(col("v1"), col("v2")).as("lo"),
+          greatest(col("v1"), col("v2")).as("hi")))
+        .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("support"))
+    }
+
+    var e = Materialize(
+      edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+        .distinct())
+    var eCount = e.count()
+    var round = 0
+    var stable = eCount == 0L
+    while (round < maxRounds && !stable) {
+      val keep = supportOf(e).where(col("support") >= minSup)
+        .select(col("lo"), col("hi"))
+      val next = Materialize(e.join(keep, Seq("lo", "hi"), "left_semi"))
+      val nextCount = next.count()
+      stable = nextCount == eCount
+      eCount = nextCount
+      e.unpersist()
+      e = next
+      round += 1
+    }
+    // readout: fixpoint support on the surviving edges (by stability it
+    // equals the last peel round's support for every kept edge)
+    if (eCount == 0L) e.select(col("lo"), col("hi"), lit(0L).as("support")).limit(0)
+    else e.join(supportOf(e), Seq("lo", "hi"))
+  }
+
   /** Weighted single-source (multi-seed) shortest paths, hop-capped:
     * minimum TOTAL EDGE WEIGHT over directed paths of at most `maxHops`
     * edges from any seed — the weighted complement of [[kHopMinDist]]

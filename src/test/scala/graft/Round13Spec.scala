@@ -319,6 +319,25 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("kTruss: K4 + pendant triangle — the 4-truss keeps exactly K4 (support 2 on " +
+      "all six edges) while the 3-truss keeps the triangle too and sheds the " +
+      "triangle-free edge") {
+    import graft.graphs.Graphs
+    // K4 on {1,2,3,4}; triangle {4,5,6} hangs off node 4; edge (5,7) noise
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (5L, 7L))
+    val got = Graphs.kTruss(edges.toDF("a", "b"), col("a"), col("b"), k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val k4 = Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(got.keySet == k4, got.toString)
+    assert(got.values.forall(_ == 2L), got.toString) // each K4 edge in 2 triangles
+    // 3-truss (support >= 1) keeps K4 AND the pendant triangle, not (5,7)
+    val t3 = Graphs.kTruss(edges.toDF("a", "b"), col("a"), col("b"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == k4 ++ Set((4L, 5L), (4L, 6L), (5L, 6L)), t3.toString)
+  }
+
   test("OPQ.hadamardRows: rows are mutually orthogonal ±1 vectors, so H/√d is " +
       "orthonormal and the rotation preserves L2 distances (what ADC search needs)") {
     import graft.similarity.OPQ
