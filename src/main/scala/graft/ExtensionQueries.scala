@@ -73,6 +73,17 @@ object ExtensionQueries {
       .select(col("doc_a").as("fid_a"), col("doc_b").as("fid_b"), col("hamming"))
   }
 
+  /** q199 — shot-boundary detection over sampled frames
+    * ([[Multimodal.shotBoundaries]]): adjacent perceptual hashes ≥ 26
+    * bits apart mark a cut — the segmentation pass a video pipeline runs
+    * before per-shot keyframe selection (threshold probed: ~11% of
+    * adjacent pairs at all three SFs).
+    */
+  private def q199ShotBoundaries(s: SparkSession, d: String): DataFrame =
+    Multimodal.shotBoundaries(
+      Multimodal.fromDocuments(Tables.documents(s, d)),
+      frameBytes = 128, everyK = 1, minHamming = 26)
+
   /** Sharded export manifest: deterministic hash sharding (64 shards) with
     * per-shard row count, byte size, and an ORDER-INDEPENDENT content
     * checksum — the MODULAR sum of the rows' 48-bit hashes,
@@ -1536,6 +1547,7 @@ object ExtensionQueries {
     "q21_dedup_minhash" -> (q21MinhashLsh _),
     "q163_split_leakage" -> (q163SplitLeakage _),
     "q165_frame_dedup" -> (q165FrameDedup _),
+    "q199_shot_boundaries" -> (q199ShotBoundaries _),
     "q167_shard_manifest" -> (q167ShardManifest _),
     "q169_signal_corr" -> (q169SignalCorr _),
     "q170_quota_sample" -> (q170QuotaSample _),
@@ -1851,6 +1863,27 @@ object ExtensionQueries {
          |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.c = a.c AND big.cv = a.cv))
          |SELECT fid_a, fid_b, bit_count(xor(ha, hb))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+    "q199_shot_boundaries" ->
+      // the q165 aHash replay at frameBytes=128 everyK=1, then lag +
+      // hamming per media in frame order — the boundary predicate
+      s"""WITH m AS ($duckByteView),
+         |f AS (SELECT doc_id AS media_id, hx, nb,
+         |  unnest(range(0, (nb + 127) // 128)) AS fi FROM m),
+         |px AS (SELECT media_id, fi,
+         |  list_transform(range(0, 48), j -> CASE WHEN fi*128 + j + 1 <= nb
+         |    THEN ${duckByteAt("fi*128 + j + 1")} ELSE 0 END) AS px
+         |  FROM f),
+         |mn AS (SELECT media_id, fi, px, list_sum(px) // 48 AS mean FROM px),
+         |sig AS (SELECT media_id, fi,
+         |  list_sum(list_transform(range(0, 48),
+         |    j -> CASE WHEN px[(j+1)::INT] > mean THEN (1::BIGINT << j::INT) ELSE 0 END)) AS ahash
+         |  FROM mn),
+         |lg AS (SELECT media_id, fi, ahash,
+         |    lag(fi) OVER w AS from_idx, lag(ahash) OVER w AS ph
+         |  FROM sig WINDOW w AS (PARTITION BY media_id ORDER BY fi))
+         |SELECT media_id, from_idx, fi AS to_idx,
+         |  bit_count(xor(ahash, ph))::BIGINT AS hamming
+         |FROM lg WHERE ph IS NOT NULL AND bit_count(xor(ahash, ph)) >= 26""".stripMargin,
     "q169_signal_corr" ->
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
          |  round(corr(len($duckToks)::DOUBLE, n_chars::DOUBLE), 6) AS chars_tokens_corr

@@ -201,6 +201,45 @@ object Multimodal {
         graft.plans.AHash48F.column(col("payload"), col("frame_idx"), frameBytes).as("ahash48"))
   }
 
+  /** SHOT-BOUNDARY detection over sampled frames: consecutive SAMPLED
+    * frames of a media whose perceptual-hash hamming distance reaches
+    * `minHamming` mark a cut — the video-segmentation primitive a frame
+    * pipeline runs before picking representative frames per shot (one
+    * keyframe per shot instead of every k-th frame cuts the downstream
+    * embed/dedup volume by the shot length). The aHash is locality-
+    * preserving ([[frameAHash]]), so within-shot motion stays under the
+    * threshold while a hard cut lands far away — with the real-codec
+    * caveat documented there (the stub hashes raw payload bytes; the
+    * BOUNDARY MACHINERY — framing, ordering, lag, hamming, threshold —
+    * is the real, tested part).
+    *
+    * Scale shape: the frame fan-out and hashing are the codegen
+    * [[frameAHash]] pipeline; the lag rides a window KEYED BY MEDIA
+    * (bounded by one media's sampled-frame count — never a global
+    * window), and the threshold filter is a pure row predicate.
+    *
+    * @return (media_id, from_idx, to_idx, hamming ≥ minHamming) — one
+    *         row per detected cut between adjacent sampled frames
+    */
+  def shotBoundaries(
+      media: DataFrame,
+      frameBytes: Int,
+      everyK: Int,
+      minHamming: Int): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 48,
+      s"minHamming must be in [1, 48]: $minHamming")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameAHash(media, frameBytes, everyK)
+      .select(col("media_id"), col("frame_idx"), col("ahash48"),
+        lag(col("frame_idx"), 1).over(w).as("from_idx"),
+        lag(col("ahash48"), 1).over(w).as("prev_hash"))
+      .where(col("prev_hash").isNotNull)
+      .select(col("media_id"), col("from_idx"), col("frame_idx").as("to_idx"),
+        bit_count(col("ahash48").bitwiseXOR(col("prev_hash"))).cast("long").as("hamming"))
+      .where(col("hamming") >= minHamming)
+  }
+
   /** The `mapPartitions` form [[frameAHash]] replaced — kept (not dead
     * code) as the cross-checkable semantic reference: `Round11Spec`
     * asserts the codegen pipeline is row-identical to this on real

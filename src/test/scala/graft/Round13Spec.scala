@@ -338,6 +338,21 @@ class Round13Spec extends SparkSpec {
     assert(t3 == k4 ++ Set((4L, 5L), (4L, 6L), (5L, 6L)), t3.toString)
   }
 
+  test("shotBoundaries: a hard content change between adjacent frames crosses the " +
+      "threshold; identical frames do not; the first frame never reports") {
+    import graft.multimodal.Multimodal
+    // media 1: frame0 constant (aHash 0: no pixel exceeds the mean),
+    // frame1 alternating 0x00/0xFF (24 bits set) — hamming 24
+    val m1 = Array.fill(64)(1.toByte) ++
+      Array.tabulate(64)(i => if (i % 2 == 1) 0xFF.toByte else 0x00.toByte)
+    // media 2: two identical frames — hamming 0
+    val m2 = Array.fill(128)(7.toByte)
+    val media = Seq((1L, m1), (2L, m2)).toDF("media_id", "payload")
+    val got = Multimodal.shotBoundaries(media, frameBytes = 64, everyK = 1, minHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 0L, 1L, 24L)), got.mkString(","))
+  }
+
   test("OPQ.hadamardRows: rows are mutually orthogonal ±1 vectors, so H/√d is " +
       "orthonormal and the rotation preserves L2 distances (what ADC search needs)") {
     import graft.similarity.OPQ
