@@ -206,6 +206,31 @@ object AnalyticsGates {
         col("total").cast("long").as("cents_sum"))
   }
 
+  /** q200 — incremental TOP-K VIEW maintenance
+    * ([[Storage.mergeTopKDelta]], the third IVM shape after q157's
+    * aggregate and q186's join): the per-customer top-3 orders view
+    * maintained through the q157 change set — inserts compete with kept
+    * rows without touching the base; only groups whose KEPT rows are
+    * deleted (or replaced) recompute from surviving base rows,
+    * semi-restricted. The oracle re-ranks the final row set from
+    * scratch; the delta path must land on it exactly.
+    */
+  private def q200TopkView(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("score"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val view = graft.operators.TopK.topKByGroup(base, Seq(col("grp")),
+        struct(col("score"), (-col("row_id")).as("__nid"), col("row_id")), k = 3)
+      .select(col("grp"), col("rank"), col("row_id"), col("score"))
+    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
+    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
+    Storage.mergeTopKDelta(view, base, inserts, deleteIds,
+        "row_id", "grp", "score", k = 3)
+      .select(col("grp").as("o_custkey"), col("rank"),
+        col("row_id").as("o_orderkey"), round(col("score"), 2).as("price"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -232,7 +257,8 @@ object AnalyticsGates {
     "q166_next_event" -> (q166NextEvent _),
     "q182_pq_ann" -> (q182PqAnn _),
     "q193_opq_ann" -> (q193OpqAnn _),
-    "q194_join_view_cents" -> (q194JoinViewCents _)
+    "q194_join_view_cents" -> (q194JoinViewCents _),
+    "q200_topk_view" -> (q200TopkView _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -484,6 +510,20 @@ object AnalyticsGates {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
         |  FROM orders) WHERE rank <= 3""".stripMargin,
+    "q200_topk_view" ->
+      // from-scratch re-rank of the FINAL row set (the q157 change set)
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |final AS (
+         |  SELECT * FROM base WHERE o_orderkey % $DeleteMod != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Cutoff')
+         |SELECT o_custkey, rank, o_orderkey, price FROM (
+         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+         |    row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
+         |  FROM final) WHERE rank <= 3""".stripMargin,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

@@ -49,6 +49,7 @@ object StreamingGates {
       o_orderkey: Long, o_totalprice: Double,
       ver: java.sql.Timestamp, op: String)
   final case class Chg(row_id: Long, key: Long, value: Double, op: String)
+  final case class ChgT(row_id: Long, grp: Long, score: Double, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
@@ -1009,6 +1010,52 @@ object StreamingGates {
     }
   }
 
+  /** q201 — streaming TOP-K-VIEW maintenance
+    * ([[graft.streaming.IngestTopKView]]): the q200 change set streams in
+    * TWO micro-batches; each batch competes its inserts against the kept
+    * rows state-side and recomputes only the groups whose kept rows were
+    * deleted, from the touched base buckets. The final view must
+    * hash-match q200's from-scratch re-rank — oracle shared verbatim.
+    */
+  private def q201TopkViewStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("score"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q201base")
+    val viewTable = sinkName("q201view")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    graft.operators.TopK.topKByGroup(base, Seq(col("grp")),
+        struct(col("score"), (-col("row_id")).as("__nid"), col("row_id")), k = 3)
+      .select(col("grp"), col("rank"), col("row_id"), col("score"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(viewTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgT].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgT]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestTopKView(baseTable, viewTable, k = 3, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // rank IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(viewTable).where(col("rank").isNotNull)
+      .select(col("grp").as("o_custkey"), col("rank"),
+        col("row_id").as("o_orderkey"), round(col("score"), 2).as("price"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1134,6 +1181,7 @@ object StreamingGates {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_quantile_stream" -> (q196QuantileStream _),
+    "q201_topk_view_stream" -> (q201TopkViewStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1162,6 +1210,7 @@ object StreamingGates {
     */
   def oracleSql: Map[String, String] = Map(
     "q196_quantile_stream" -> ExtensionQueries.oracleSql("q103_quantiles"),
+    "q201_topk_view_stream" -> AnalyticsGates.oracleSql("q200_topk_view"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

@@ -425,4 +425,74 @@ object Storage {
         (coalesce(col("total"), lit(0.0)) + coalesce(col("__dt"), lit(0.0))).as("total"))
       .where(col("n") > 0)
   }
+
+  /** Incremental maintenance of a per-group TOP-K view — the third IVM
+    * shape after the aggregate ([[mergeAggDelta]]) and the join
+    * ([[mergeJoinViewDelta]]): maintain the k best rows per group by
+    * `(score DESC, rowId ASC)` under inserts and deletes, touching the
+    * base only for groups where the state genuinely cannot answer.
+    *
+    * The self-maintainability split (the `max`-under-deletes argument of
+    * [[mergeAggDelta]], row-set-valued):
+    *
+    *  - INSERTS into a group are self-maintaining: the new top-k is
+    *    `topk(kept ∪ inserts)` — at most k + |group inserts| rows, no
+    *    base touch.
+    *  - a delete of a NON-member row cannot change the view: the row was
+    *    already beaten by the k kept rows, and removing a loser promotes
+    *    nobody. At 100 TB this is the payoff — the typical delete never
+    *    reads the base.
+    *  - a delete of a VIEW MEMBER — or an insert REUSING a member's
+    *    rowId (a replace: the new score may be lower, and who gets
+    *    promoted is unknowable from k rows) — makes the group DIRTY: its
+    *    top-k is recomputed from surviving base rows ∪ its inserts,
+    *    SEMI-JOIN-restricted to dirty groups (cost ∝ dirty groups' row
+    *    share, partition-pruned on a bucketed base).
+    *
+    * Batch collision contract: as [[mergeAggDelta]] — unordered sets,
+    * delete applies to the pre-batch base, a rowId in both is a REPLACE
+    * (base rows anti-joined on both id sets, inserts always land).
+    * Groups whose rows all disappear leave the view.
+    *
+    * @param view    current view (grp, rank, rowId, score) — ≤ k rows
+    *                per group, the topKByGroup shape
+    * @param base    pre-batch base rows (rowId, grp, score); rowId unique
+    * @param inserts new rows (rowId, grp, score)
+    * @param deleteIds row ids to remove (single column rowId)
+    * @return the maintained view (grp, rank, rowId, score)
+    */
+  def mergeTopKDelta(
+      view: DataFrame,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame,
+      rowId: String,
+      grp: String,
+      score: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val touchedIds = deleteIds.select(col(rowId))
+      .unionByName(inserts.select(col(rowId))).distinct()
+    // dirty = groups where a kept row is deleted or replaced
+    val dirty = view.join(touchedIds, Seq(rowId), "left_semi")
+      .select(col(grp)).distinct()
+
+    // clean groups: kept rows (minus any replaced id — covered by dirty,
+    // the anti-join is belt-and-braces) compete with their inserts only
+    val fromView = view.select(col(grp), col(rowId), col(score))
+      .join(dirty, Seq(grp), "left_anti")
+    // dirty groups: survivors of the pre-batch base, semi-restricted
+    val fromBase = base.select(col(grp), col(rowId), col(score))
+      .join(dirty, Seq(grp), "left_semi")
+      .join(deleteIds.select(col(rowId)), Seq(rowId), "left_anti")
+      .join(inserts.select(col(rowId)), Seq(rowId), "left_anti")
+    val pool = fromView
+      .unionByName(fromBase)
+      .unionByName(inserts.select(col(grp), col(rowId), col(score)))
+    graft.operators.TopK.topKByGroup(
+        pool, Seq(col(grp)),
+        struct(col(score), (-col(rowId)).as("__nid"), col(rowId)), k)
+      .select(col(grp), col("rank"), col(rowId), col(score))
+  }
 }

@@ -338,6 +338,76 @@ class Round13Spec extends SparkSpec {
     assert(t3 == k4 ++ Set((4L, 5L), (4L, 6L), (5L, 6L)), t3.toString)
   }
 
+  test("mergeTopKDelta: non-member deletes leave the view alone; a member delete " +
+      "promotes the unseen 4th-best from the base; a member REPLACE with a lower " +
+      "score re-opens the group; inserts compete without base help") {
+    import graft.sources.Storage
+    // group 1 base: scores 90, 80, 70, 60, 50 (ids 1..5); k=3 keeps 1,2,3
+    val base = Seq((1L, 1L, 90.0), (2L, 1L, 80.0), (3L, 1L, 70.0),
+      (4L, 1L, 60.0), (5L, 1L, 50.0)).toDF("row_id", "grp", "score")
+    val view = Seq((1L, 1, 1L, 90.0), (1L, 2, 2L, 80.0), (1L, 3, 3L, 70.0))
+      .toDF("grp", "rank", "row_id", "score")
+    def run(ins: Seq[(Long, Long, Double)], del: Seq[Long]) =
+      Storage.mergeTopKDelta(view, base,
+          ins.toDF("row_id", "grp", "score"), del.toDF("row_id"),
+          "row_id", "grp", "score", k = 3)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // delete a LOSER (id 5): view unchanged
+    assert(run(Nil, Seq(5L)) == Set((1, 1L, 90.0), (2, 2L, 80.0), (3, 3L, 70.0)))
+    // delete a MEMBER (id 2): id 4 (score 60, never in the view) promotes
+    assert(run(Nil, Seq(2L)) == Set((1, 1L, 90.0), (2, 3L, 70.0), (3, 4L, 60.0)))
+    // insert beating the floor: competes from state, pushes id 3 out
+    assert(run(Seq((9L, 1L, 75.0)), Nil) ==
+      Set((1, 1L, 90.0), (2, 2L, 80.0), (3, 9L, 75.0)))
+    // REPLACE member 1 with a lower score: group re-opens, 4th-best wins in
+    assert(run(Seq((1L, 1L, 55.0)), Nil) ==
+      Set((1, 2L, 80.0), (2, 3L, 70.0), (3, 4L, 60.0)))
+    // delete + reinsert (the update shape) on a member, still top
+    assert(run(Seq((2L, 1L, 85.0)), Seq(2L)) ==
+      Set((1, 1L, 90.0), (2, 2L, 85.0), (3, 3L, 70.0)))
+  }
+
+  test("IngestTopKView: redelivered batch skips the view (delta not idempotent), " +
+      "duplicate insert ids throw, drained view keeps its watermark sentinel") {
+    val ts = Seq("r13_tk_base", "r13_tk_view", "r13_tk_base__staging", "r13_tk_view__staging")
+    dropAll(ts)
+    try {
+      val base = Seq((1L, 1L, 90.0), (2L, 1L, 80.0)).toDF("row_id", "grp", "score")
+      base.withColumn("bkt", pmod(hash($"grp"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_tk_base")
+      graft.operators.TopK.topKByGroup(base, Seq($"grp"),
+          struct($"score", (-$"row_id").as("__nid"), $"row_id"), k = 2)
+        .select($"grp", $"rank", $"row_id", $"score")
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_tk_view")
+      val loop = new graft.streaming.IngestTopKView("r13_tk_base", "r13_tk_view", 2, 4)
+
+      val dup = Seq((7L, 1L, 99.0, "insert"), (7L, 1L, 98.0, "insert"))
+        .toDF("row_id", "grp", "score", "op")
+      val e = intercept[IllegalStateException](loop(dup, 0L))
+      assert(e.getMessage.contains("duplicate insert row_id"), e.getMessage)
+
+      val b1 = Seq((3L, 1L, 95.0, "insert"), (1L, 0L, 0.0, "delete"))
+        .toDF("row_id", "grp", "score", "op")
+      loop(b1, 0L)
+      def viewNow() = spark.table("r13_tk_view").where($"rank".isNotNull)
+        .select($"rank", $"row_id", $"score").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viewNow() == Set((1, 3L, 95.0), (2, 2L, 80.0)), viewNow().toString)
+      loop(b1, 0L) // redelivery must not re-apply
+      assert(viewNow() == Set((1, 3L, 95.0), (2, 2L, 80.0)))
+      // drain: delete everything — sentinel keeps the watermark at 1
+      val drain = Seq((2L, 0L, 0.0, "delete"), (3L, 0L, 0.0, "delete"))
+        .toDF("row_id", "grp", "score", "op")
+      loop(drain, 1L)
+      assert(viewNow().isEmpty)
+      assert(spark.table("r13_tk_view").agg(max($"__batch")).head().getLong(0) == 1L)
+      loop(drain, 1L) // redelivery against the drained view: skipped
+      assert(viewNow().isEmpty)
+    } finally dropAll(ts)
+  }
+
   test("shotBoundaries: a hard content change between adjacent frames crosses the " +
       "threshold; identical frames do not; the first frame never reports") {
     import graft.multimodal.Multimodal
