@@ -128,13 +128,25 @@ object AnalyticsGates {
     * distance. Rotation fuses into the encode scan (one corpus pass).
     */
   private def q193OpqAnn(s: SparkSession, d: String): DataFrame = {
-    val rot = graft.similarity.OPQ.rotate(
+    val rotLazy = graft.similarity.OPQ.rotate(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"), dim = 64)
-    val cb = PQ.trainCodebooks(rot, col("vec_id"), col("embedding"),
+    // training input MATERIALIZED once: Lloyd makes many passes per
+    // subspace, and a lazy rotation re-evaluates its d dot kernels under
+    // every one (measured 22 s vs ~3 s at sf0.1 — and the 64-kernel
+    // projection nested in every training stage also bloats codegen for
+    // the rest of the session). At 100 TB training runs on a SAMPLE; the
+    // bounded materialize stands in for that. Serving stays LAZY: the
+    // returned plan is the one fused rotate+encode+score corpus scan.
+    val rotTrain = graft.Materialize(rotLazy)
+    val cb = PQ.trainCodebooks(rotTrain, col("vec_id"), col("embedding"),
       m = PqM, k = PqK, iters = PqIters)
-    val codes = PQ.encode(rot, col("vec_id"), col("embedding"), cb)
-    val queries = rot.orderBy(col("vec_id")).limit(PqQ)
-    PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
+    val queries = rotTrain.orderBy(col("vec_id")).limit(PqQ)
+    val codes = PQ.encode(rotLazy, col("vec_id"), col("embedding"), cb)
+    // adcTopK collects the query vectors at build time, so rotTrain can
+    // release its blocks before the serving plan is returned
+    val out = PQ.adcTopK(codes, queries, col("vec_id"), col("embedding"), cb, topK = PqTopK)
+    rotTrain.unpersist()
+    out
   }
 
   private[graft] val BDeleteMod = 89
