@@ -751,5 +751,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s195.contains("Scan parquet"), s195)
     assert(!s195.contains("CartesianProduct"), s195)
     assert(s195.contains("ExistingRDD") || s195.contains("LocalTableScan"), s195)
+    // q200: the top-k VIEW merge resolves its pool through the bounded
+    // aggregate — ObjectHashAggregate, never a Window (whose full-group
+    // sort is exactly what the view maintenance exists to avoid), no
+    // cartesian, no single-partition exchange
+    val s200 = simplePlan("q200_topk_view")
+    assert(s200.contains("ObjectHashAggregate"), s200)
+    assert(!s200.contains("Window"), s200)
+    assert(!s200.contains("CartesianProduct"), s200)
+    assert(!s200.contains("Exchange SinglePartition"), s200)
+    // q194: the money-typed join-view delta — keyed joins only, like q186
+    val s194 = simplePlan("q194_join_view_cents")
+    assert(!s194.contains("CartesianProduct") && !s194.contains("BroadcastNestedLoopJoin"), s194)
+    assert(!s194.contains("Exchange SinglePartition"), s194)
+    // q198: the truss readout joins the fixpoint edge set (checkpointed)
+    // with one support recompute — no parquet rescan, no cartesian
+    val s198 = simplePlan("q198_ktruss")
+    assert(!s198.contains("Scan parquet"), s198)
+    assert(!s198.contains("CartesianProduct"), s198)
   }
 }
