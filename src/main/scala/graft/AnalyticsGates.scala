@@ -243,6 +243,30 @@ object AnalyticsGates {
         col("row_id").as("o_orderkey"), round(col("score"), 2).as("price"))
   }
 
+  /** q202 — incremental COUNT-DISTINCT view
+    * ([[Storage.mergeDistinctDelta]], the fourth IVM shape): distinct
+    * order priorities per customer maintained through the q157 change
+    * set as (grp, value) refcounts — fully self-maintainable under
+    * deletes (no dirty recompute exists), the base read only to recover
+    * deleted rows' values. The oracle counts DISTINCT from the final
+    * row set from scratch.
+    */
+  private def q202DistinctView(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_orderpriority").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val refcounts = base.groupBy(col("grp"), col("value"))
+      .agg(count(lit(1)).as("rc"))
+    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
+    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
+    Storage.mergeDistinctDelta(refcounts, base, inserts, deleteIds,
+        "row_id", "grp", "value")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("rc")).cast("long").as("n_rows"))
+      .select(col("grp").as("o_custkey"), col("n_distinct"), col("n_rows"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -270,7 +294,8 @@ object AnalyticsGates {
     "q182_pq_ann" -> (q182PqAnn _),
     "q193_opq_ann" -> (q193OpqAnn _),
     "q194_join_view_cents" -> (q194JoinViewCents _),
-    "q200_topk_view" -> (q200TopkView _)
+    "q200_topk_view" -> (q200TopkView _),
+    "q202_distinct_view" -> (q202DistinctView _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -522,6 +547,18 @@ object AnalyticsGates {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
         |  FROM orders) WHERE rank <= 3""".stripMargin,
+    "q202_distinct_view" ->
+      // from-scratch DISTINCT count over the final row set
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |final AS (
+         |  SELECT * FROM base WHERE o_orderkey % $DeleteMod != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Cutoff')
+         |SELECT o_custkey, count(DISTINCT o_orderpriority)::BIGINT AS n_distinct,
+         |  count(*)::BIGINT AS n_rows
+         |FROM final GROUP BY o_custkey""".stripMargin,
     "q200_topk_view" ->
       // from-scratch re-rank of the FINAL row set (the q157 change set)
       s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -50,6 +50,7 @@ object StreamingGates {
       ver: java.sql.Timestamp, op: String)
   final case class Chg(row_id: Long, key: Long, value: Double, op: String)
   final case class ChgT(row_id: Long, grp: Long, score: Double, op: String)
+  final case class ChgD(row_id: Long, grp: Long, value: String, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
@@ -1056,6 +1057,52 @@ object StreamingGates {
         col("row_id").as("o_orderkey"), round(col("score"), 2).as("price"))
   }
 
+  /** q203 — streaming COUNT-DISTINCT-view maintenance
+    * ([[graft.streaming.IngestDistinctView]]): the q202 change set
+    * streams in TWO micro-batches; each batch updates the (grp, value)
+    * refcount relation by pure delta arithmetic (no recompute exists in
+    * this IVM shape) and rebuilds only the touched base buckets. The
+    * final readout must hash-match q202's from-scratch DISTINCT count —
+    * oracle shared verbatim.
+    */
+  private def q203DistinctViewStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_orderpriority").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q203base")
+    val refTable = sinkName("q203ref")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("grp"), col("value")).agg(count(lit(1)).as("rc"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(refTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgD].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgD]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestDistinctView(baseTable, refTable, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // rc IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(refTable).where(col("rc").isNotNull)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("rc")).cast("long").as("n_rows"))
+      .select(col("grp").as("o_custkey"), col("n_distinct"), col("n_rows"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1182,6 +1229,7 @@ object StreamingGates {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q196_quantile_stream" -> (q196QuantileStream _),
     "q201_topk_view_stream" -> (q201TopkViewStream _),
+    "q203_distinct_view_stream" -> (q203DistinctViewStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1211,6 +1259,7 @@ object StreamingGates {
   def oracleSql: Map[String, String] = Map(
     "q196_quantile_stream" -> ExtensionQueries.oracleSql("q103_quantiles"),
     "q201_topk_view_stream" -> AnalyticsGates.oracleSql("q200_topk_view"),
+    "q203_distinct_view_stream" -> AnalyticsGates.oracleSql("q202_distinct_view"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

@@ -495,4 +495,49 @@ object Storage {
         struct(col(score), (-col(rowId)).as("__nid"), col(rowId)), k)
       .select(col(grp), col("rank"), col(rowId), col(score))
   }
+
+  /** Incremental maintenance of a per-group COUNT-DISTINCT view through
+    * (group, value) REFCOUNTS — the fourth IVM shape, and the easiest
+    * one: where `max` (q157) and top-k (q200) need a dirty-key recompute
+    * under deletes, distinct-count is FULLY self-maintainable once the
+    * refcount relation is carried as state —
+    *
+    * {{{ rc(g, v) += #inserts(g, v) − #deletes(g, v) }}}
+    *
+    * with values leaving the relation at rc = 0 and n_distinct(g) just
+    * the group's surviving row count. The base is touched only to
+    * recover deleted rows' (g, v) by rowId (the CDC-without-before-image
+    * convention of [[mergeAggDelta]]) — a broadcast-semi-pruned read, no
+    * recompute ever. State size is Σ distinct (g, v) pairs — the
+    * distinct structure itself, not the base; a 100-TB base with a
+    * bounded value domain carries a tiny refcount relation.
+    *
+    * Batch collision contract: as [[mergeAggDelta]] — unordered sets,
+    * delete applies to the pre-batch base, a rowId in both is a REPLACE.
+    *
+    * @param refcounts current state (grp, value, rc LONG ≥ 1)
+    * @param base      pre-batch base rows (rowId, grp, value); rowId unique
+    * @param inserts   new rows (rowId, grp, value)
+    * @param deleteIds row ids to remove (single column rowId)
+    * @return the maintained refcount relation (grp, value, rc > 0)
+    */
+  def mergeDistinctDelta(
+      refcounts: DataFrame,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame,
+      rowId: String,
+      grp: String,
+      value: String
+  ): DataFrame = {
+    val delRows = base.join(deleteIds.select(col(rowId)), Seq(rowId), "left_semi")
+      .select(col(grp), col(value))
+    val delta = inserts.select(col(grp), col(value)).withColumn("__d", lit(1L))
+      .unionByName(delRows.withColumn("__d", lit(-1L)))
+      .groupBy(col(grp), col(value)).agg(sum(col("__d")).as("__d"))
+    refcounts.join(delta, Seq(grp, value), "full_outer")
+      .select(col(grp), col(value),
+        (coalesce(col("rc"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("rc"))
+      .where(col("rc") > 0)
+  }
 }

@@ -408,6 +408,63 @@ class Round13Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("mergeDistinctDelta: refcount transitions drive the distinct count — last copy " +
+      "deleted drops the value, re-insert revives it, values never seen appear at rc 1") {
+    import graft.sources.Storage
+    // group 1: value 'a' twice (rows 1,2), 'b' once (row 3)
+    val base = Seq((1L, 1L, "a"), (2L, 1L, "a"), (3L, 1L, "b")).toDF("row_id", "grp", "value")
+    val ref = base.groupBy($"grp", $"value").agg(count(lit(1)).as("rc"))
+    def run(ins: Seq[(Long, Long, String)], del: Seq[Long]) =
+      Storage.mergeDistinctDelta(ref, base,
+          ins.toDF("row_id", "grp", "value"), del.toDF("row_id"),
+          "row_id", "grp", "value")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    // one copy of 'a' deleted: rc 2→1, both values survive
+    assert(run(Nil, Seq(1L)) == Set(("a", 1L), ("b", 1L)))
+    // the LAST copy of 'b' deleted: the value leaves the relation
+    assert(run(Nil, Seq(3L)) == Set(("a", 2L)))
+    // delete both 'a' copies AND insert a fresh 'a': rc 2−2+1 = 1
+    assert(run(Seq((9L, 1L, "a")), Seq(1L, 2L)) == Set(("a", 1L), ("b", 1L)))
+    // a never-seen value arrives at rc 1
+    assert(run(Seq((9L, 1L, "c")), Nil) == Set(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
+  test("IngestDistinctView: replay-guarded, preexisting live insert id throws (no " +
+      "replace semantics in refcount arithmetic), drained relation keeps its sentinel") {
+    val ts = Seq("r13_dv_base", "r13_dv_ref", "r13_dv_base__staging", "r13_dv_ref__staging")
+    dropAll(ts)
+    try {
+      val base = Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("row_id", "grp", "value")
+      base.withColumn("bkt", pmod(hash($"grp"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_dv_base")
+      base.groupBy($"grp", $"value").agg(count(lit(1)).as("rc"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_dv_ref")
+      val loop = new graft.streaming.IngestDistinctView("r13_dv_base", "r13_dv_ref", 4)
+
+      val reuse = Seq((1L, 1L, "z", "insert")).toDF("row_id", "grp", "value", "op")
+      val e = intercept[IllegalStateException](loop(reuse, 0L))
+      assert(e.getMessage.contains("already live"), e.getMessage)
+
+      val b1 = Seq((3L, 1L, "a", "insert"), (2L, 0L, "", "delete"))
+        .toDF("row_id", "grp", "value", "op")
+      loop(b1, 0L)
+      def refNow() = spark.table("r13_dv_ref").where($"rc".isNotNull)
+        .select($"value", $"rc").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(refNow() == Set(("a", 2L)), refNow().toString) // 'b' gone, 'a' twice
+      loop(b1, 0L) // redelivery: refcounts must not double-apply
+      assert(refNow() == Set(("a", 2L)))
+      // drain everything: sentinel keeps the watermark
+      val drain = Seq((1L, 0L, "", "delete"), (3L, 0L, "", "delete"))
+        .toDF("row_id", "grp", "value", "op")
+      loop(drain, 1L)
+      assert(refNow().isEmpty)
+      assert(spark.table("r13_dv_ref").agg(max($"__batch")).head().getLong(0) == 1L)
+    } finally dropAll(ts)
+  }
+
   test("shotBoundaries: a hard content change between adjacent frames crosses the " +
       "threshold; identical frames do not; the first frame never reports") {
     import graft.multimodal.Multimodal
