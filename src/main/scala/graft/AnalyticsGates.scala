@@ -267,6 +267,40 @@ object AnalyticsGates {
       .select(col("grp").as("o_custkey"), col("n_distinct"), col("n_rows"))
   }
 
+  // quantile-view shape: cells 2^12 = 4096 price units wide (o_totalprice
+  // spans ~850–600k → ≤ ~150 cells per customer), median + p90 served
+  private[graft] val QvScale = 12
+  private[graft] val QvQs = Seq(0.5, 0.9)
+
+  /** q204 — incremental QUANTILE view
+    * ([[Storage.mergeQuantileCellsDelta]] +
+    * [[Storage.quantilesFromCells]], the fifth IVM shape): per-customer
+    * price quantiles maintained through the q157 change set as
+    * (grp, dyadic-cell, rc) refcounts — the count-distinct algebra one
+    * level up, fully self-maintainable under deletes. Serving brackets
+    * each rank from the STATE alone (exact integer walk over bounded
+    * cells) and reads only candidate-cell base rows for the exact value.
+    * The oracle computes the type-1 quantiles from the final row set
+    * from scratch.
+    */
+  private def q204QuantileView(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val cells = base.groupBy(col("grp"),
+        Storage.dyadicCell(col("value"), QvScale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
+    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
+    val maintained = Storage.mergeQuantileCellsDelta(
+      cells, base, inserts, deleteIds, "row_id", "grp", "value", QvScale)
+    val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti")
+      .unionByName(inserts)
+    Storage.quantilesFromCells(maintained, finalBase, "grp", "value", QvScale, QvQs)
+      .select(col("g").as("o_custkey"), col("q"), col("value"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -295,7 +329,8 @@ object AnalyticsGates {
     "q193_opq_ann" -> (q193OpqAnn _),
     "q194_join_view_cents" -> (q194JoinViewCents _),
     "q200_topk_view" -> (q200TopkView _),
-    "q202_distinct_view" -> (q202DistinctView _)
+    "q202_distinct_view" -> (q202DistinctView _),
+    "q204_quantile_view" -> (q204QuantileView _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -573,6 +608,25 @@ object AnalyticsGates {
          |    row_number() OVER (PARTITION BY o_custkey
          |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
          |  FROM final) WHERE rank <= 3""".stripMargin,
+    "q204_quantile_view" ->
+      // from-scratch type-1 quantiles over the final row set: the value AT
+      // rank clamp(ceil(q·n), 1, n) — the q103 rank walk over the q157
+      // change set; the maintained cell state must land on it exactly
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |final AS (
+         |  SELECT * FROM base WHERE o_orderkey % $DeleteMod != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Cutoff'),
+         |t AS (SELECT o_custkey AS g, o_totalprice AS v FROM final),
+         |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+         |qs AS (SELECT unnest([${QvQs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
+         |r AS (SELECT g, q, least(n, greatest(1, ceil(q * n)::BIGINT)) AS rk
+         |  FROM n CROSS JOIN qs),
+         |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t)
+         |SELECT r.g AS o_custkey, r.q, o.v AS value
+         |FROM r JOIN o ON o.g = r.g AND o.rn = r.rk""".stripMargin,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

@@ -51,6 +51,7 @@ object StreamingGates {
   final case class Chg(row_id: Long, key: Long, value: Double, op: String)
   final case class ChgT(row_id: Long, grp: Long, score: Double, op: String)
   final case class ChgD(row_id: Long, grp: Long, value: String, op: String)
+  final case class ChgQ(row_id: Long, grp: Long, value: Double, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
@@ -1103,6 +1104,58 @@ object StreamingGates {
       .select(col("grp").as("o_custkey"), col("n_distinct"), col("n_rows"))
   }
 
+  /** q205 — streaming QUANTILE-view maintenance
+    * ([[graft.streaming.IngestQuantileView]]): the q204 change set
+    * streams in TWO micro-batches; each batch updates the (grp, cell)
+    * dyadic refcount relation by pure delta arithmetic (the fifth IVM
+    * shape is fully self-maintainable — no recompute exists) and rebuilds
+    * only the touched base buckets. The final readout serves exact type-1
+    * quantiles from the maintained cells + the healed base
+    * ([[graft.sources.Storage.quantilesFromCells]]) and must hash-match
+    * q204's from-scratch rank walk — oracle shared verbatim.
+    */
+  private def q205QuantileViewStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q205base")
+    val cellTable = sinkName("q205cells")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("grp"),
+        graft.sources.Storage.dyadicCell(col("value"), AnalyticsGates.QvScale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(cellTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgQ].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgQ]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestQuantileView(
+        baseTable, cellTable, buckets = 8, scale = AnalyticsGates.QvScale))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // rc IS NOT NULL drops the maintainer's watermark sentinel row
+    graft.sources.Storage.quantilesFromCells(
+        s.table(cellTable).where(col("rc").isNotNull).drop("__batch"),
+        s.table(baseTable),
+        "grp", "value", AnalyticsGates.QvScale, AnalyticsGates.QvQs)
+      .select(col("g").as("o_custkey"), col("q"), col("value"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1230,6 +1283,7 @@ object StreamingGates {
     "q196_quantile_stream" -> (q196QuantileStream _),
     "q201_topk_view_stream" -> (q201TopkViewStream _),
     "q203_distinct_view_stream" -> (q203DistinctViewStream _),
+    "q205_quantile_view_stream" -> (q205QuantileViewStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1260,6 +1314,7 @@ object StreamingGates {
     "q196_quantile_stream" -> ExtensionQueries.oracleSql("q103_quantiles"),
     "q201_topk_view_stream" -> AnalyticsGates.oracleSql("q200_topk_view"),
     "q203_distinct_view_stream" -> AnalyticsGates.oracleSql("q202_distinct_view"),
+    "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

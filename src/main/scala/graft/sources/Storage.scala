@@ -540,4 +540,127 @@ object Storage {
         (coalesce(col("rc"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("rc"))
       .where(col("rc") > 0)
   }
+
+  /** Deterministic fixed-width dyadic cell of a double value:
+    * `floor(v · 2^(−scale))` — cells of width `2^scale` aligned at
+    * multiples of the width. The power-of-two scaling is an exponent
+    * shift (exact for normal doubles), and correctness of the quantile
+    * bracketing below needs only what floor-of-a-monotone-map guarantees
+    * unconditionally: the mapping is DETERMINISTIC and MONOTONE in `v`,
+    * so cell order is value order and equal values always share a cell.
+    * Nulls stay null (callers filter).
+    */
+  def dyadicCell(v: Column, scale: Int): Column =
+    floor(v.cast("double") * lit(math.pow(2.0, -scale))).cast("long")
+
+  /** Incremental maintenance of a per-group QUANTILE view — the FIFTH IVM
+    * shape. The state is not the answer itself (a quantile of a 100-TB
+    * group cannot be carried as one number under deletes) but the BOUNDED
+    * SUFFICIENT BRACKETING STRUCTURE: per-group refcounts of fixed-width
+    * dyadic value cells ([[dyadicCell]]),
+    *
+    * {{{ rc(g, cell) += #inserts(g, cell) − #deletes(g, cell) }}}
+    *
+    * — which is [[mergeDistinctDelta]]'s refcount algebra one level up
+    * (the refcounted "value" is the value's cell), and therefore FULLY
+    * self-maintainable under deletes: no dirty recompute exists, the base
+    * is read only to recover deleted rows' values by id. State size is
+    * Σ distinct (g, cell) ≤ |groups| · (value range / 2^scale), chosen by
+    * the `scale` parameter — a billion-row group is a few hundred cells.
+    *
+    * Serving splits WHERE from WHAT ([[quantilesFromCells]]): the state
+    * alone brackets every rank into its cell (exact integer walk); only
+    * the candidate cells' base rows — ~1/|cells| of the base, never the
+    * group — are read to resolve the exact value.
+    *
+    * Batch collision contract: as [[mergeAggDelta]] — unordered sets,
+    * delete applies to the pre-batch base, a rowId in both is a REPLACE.
+    *
+    * @param cells     current state (grp, cell LONG, rc LONG ≥ 1)
+    * @param base      pre-batch base rows (rowId, grp, value); rowId unique
+    * @param inserts   new rows (rowId, grp, value)
+    * @param deleteIds row ids to remove (single column rowId)
+    * @param scale     cell width exponent: cells are `2^scale` wide
+    * @return the maintained cell relation (grp, cell, rc > 0)
+    */
+  def mergeQuantileCellsDelta(
+      cells: DataFrame,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame,
+      rowId: String,
+      grp: String,
+      value: String,
+      scale: Int
+  ): DataFrame = {
+    def toCells(df: DataFrame): DataFrame = df
+      .where(col(value).isNotNull)
+      .select(col(rowId), col(grp), dyadicCell(col(value), scale).as("cell"))
+    mergeDistinctDelta(
+      cells, toCells(base), toCells(inserts), deleteIds, rowId, grp, "cell")
+  }
+
+  /** Serve EXACT type-1 per-group quantiles from a maintained cell-refcount
+    * view ([[mergeQuantileCellsDelta]]) plus the base it summarizes — the
+    * read side of the quantile IVM shape, fully declarative (no driver
+    * refinement loop: the maintained state IS the refinement):
+    *
+    *   1. rank bracketing over the STATE only: per group, cumulative rc in
+    *      cell order (cells per group are bounded by construction, so the
+    *      per-group window is over state rows, never data), target rank
+    *      `clamp(ceil(q·n), 1, n)` per q — the
+    *      [[graft.curation.Quantiles]] type-1 definition — re-based into
+    *      its containing cell;
+    *   2. value resolution over the BASE restricted to candidate cells: a
+    *      broadcast join on (group, cell) — |groups|·|qs| candidate rows —
+    *      keeps ~1/|cells| of the base, and the cumulative-weight walk
+    *      over DISTINCT values inside one cell picks the bracketing value
+    *      (deterministic under ties: equal values are one row there).
+    *
+    * `base` must be the CURRENT row store — the same rows the cell state
+    * summarizes (the IVM maintainer updates both in one batch); a stale
+    * base under-fills a bracketed cell and the rank walk would come up
+    * empty rather than wrong. Rows with a null `value` carry no cell and
+    * are ignored on both sides.
+    *
+    * @return (g, q, value) — one row per (group, q), the
+    *         [[graft.curation.Quantiles.exactQuantiles]] output shape
+    */
+  def quantilesFromCells(
+      cells: DataFrame,
+      base: DataFrame,
+      grp: String,
+      value: String,
+      scale: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("cell"))
+    val wN = Window.partitionBy(col("__g"))
+    val brackets = cells
+      .select(col(grp).as("__g"), col("cell"), col("rc"))
+      .withColumn("__cum", sum(col("rc")).over(wCum))
+      .withColumn("__n", sum(col("rc")).over(wN))
+      .select(col("__g"), col("cell"), col("rc"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("__rank",
+        least(col("__n"), greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))))
+      .where(col("__cum") >= col("__rank") && col("__cum") - col("rc") < col("__rank"))
+      .select(col("__g"), col("cell"), col("q"),
+        (col("__rank") - (col("__cum") - col("rc"))).as("__rk"))
+
+    val rows = base
+      .select(col(grp).as("__g"), col(value).cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .withColumn("cell", dyadicCell(col("__v"), scale))
+    rows
+      .join(broadcast(brackets), Seq("__g", "cell"))
+      .groupBy(col("__g"), col("q"), col("__rk"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cumv",
+        sum(col("__c")).over(Window.partitionBy(col("__g"), col("q")).orderBy(col("__v"))))
+      .where(col("__cumv") >= col("__rk") && col("__cumv") - col("__c") < col("__rk"))
+      .select(col("__g").as("g"), col("q"), col("__v").as("value"))
+  }
 }

@@ -769,5 +769,13 @@ class PlanShapeSpec extends SparkSpec {
     val s198 = simplePlan("q198_ktruss")
     assert(!s198.contains("Scan parquet"), s198)
     assert(!s198.contains("CartesianProduct"), s198)
+    // q204: the quantile-view serve — rank bracketing over the BOUNDED
+    // state, candidates BROADCAST back onto the base (an equi hash join,
+    // never a nested loop), windows always keyed (group / group+q
+    // partitions over state-sized relations, never a global sort)
+    val s204 = simplePlan("q204_quantile_view")
+    assert(s204.contains("BroadcastHashJoin"), s204)
+    assert(!s204.contains("CartesianProduct") && !s204.contains("BroadcastNestedLoopJoin"), s204)
+    assert(!s204.contains("Exchange SinglePartition"), s204)
   }
 }

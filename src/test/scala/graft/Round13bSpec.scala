@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Round-13 continuation: the QUANTILE-view IVM shape
+  * ([[graft.sources.Storage.mergeQuantileCellsDelta]] +
+  * [[graft.sources.Storage.quantilesFromCells]] +
+  * [[graft.streaming.IngestQuantileView]]).
+  */
+class Round13bSpec extends SparkSpec {
+  import graft.sources.Storage
+  import spark.implicits._
+
+  private def dropAll(tables: Seq[String]): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+  }
+
+  test("mergeQuantileCellsDelta: maintained cell refcounts equal the from-scratch " +
+      "cell histogram of the final rows — replace, last-copy delete, new group") {
+    // scale 0 → cells 1.0 wide; values straddle cell boundaries and signs
+    val base = Seq(
+      (1L, 1L, 0.25), (2L, 1L, 0.75), (3L, 1L, 1.5), (4L, 1L, -0.5),
+      (5L, 2L, 3.0)).toDF("row_id", "grp", "value")
+    val cells = base.groupBy($"grp", Storage.dyadicCell($"value", 0).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    // replace row 1 (same id, new cell), delete group 2's only row,
+    // open group 3
+    val inserts = Seq((1L, 1L, 2.5), (9L, 3L, 7.0)).toDF("row_id", "grp", "value")
+    val deleteIds = Seq(1L, 5L).toDF("row_id")
+    val got = Storage.mergeQuantileCellsDelta(
+        cells, base, inserts, deleteIds, "row_id", "grp", "value", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val finalRows = base.join(deleteIds, Seq("row_id"), "left_anti")
+      .join(inserts.select($"row_id"), Seq("row_id"), "left_anti")
+      .unionByName(inserts)
+    val want = finalRows.groupBy($"grp", Storage.dyadicCell($"value", 0).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"got $got want $want")
+    // group 2 drained entirely; group 1 keeps one row per cell −1/0/1/2
+    // (row 1's replace moved it from cell 0 to cell 2)
+    assert(!got.exists(_._1 == 2L))
+    assert(got.contains((1L, 0L, 1L)) && got.contains((1L, 2L, 1L)))
+  }
+
+  test("quantilesFromCells equals exactQuantiles: ties, negatives, single-row groups, " +
+      "q=1.0, several cell scales") {
+    val df = Seq(
+      (1L, 5.0), (1L, 5.0), (1L, 5.0), (1L, 1.0), (1L, 9.5), (1L, -3.25), (1L, 100.0),
+      (2L, 42.0),
+      (3L, 0.5), (3L, 0.5), (3L, 0.5), (3L, 0.5)).toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val want = graft.curation.Quantiles.exactQuantiles(df, $"g", $"v", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    for (scale <- Seq(-2, 0, 3)) {
+      val cells = df.groupBy($"g", Storage.dyadicCell($"v", scale).as("cell"))
+        .agg(count(lit(1)).as("rc"))
+      val got = Storage.quantilesFromCells(cells, df, "g", "v", scale, qs)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(got == want, s"scale=$scale: got $got want $want")
+    }
+  }
+
+  test("quantile view end-to-end: maintain cells through a batch, serve from the " +
+      "maintained state + final base, land on exactQuantiles of the final rows") {
+    val base = (1L to 200L).map(i => (i, i % 3, (i * 37 % 101).toDouble))
+      .toDF("row_id", "grp", "value")
+    val scale = 4 // cells 16 wide over [0, 100]
+    val cells = base.groupBy($"grp", Storage.dyadicCell($"value", scale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val inserts = (201L to 260L).map(i => (i, i % 3, (i * 53 % 97).toDouble))
+      .toDF("row_id", "grp", "value")
+    val deleteIds = (1L to 200L).filter(_ % 7 == 0).toDF("row_id")
+    val maintained = Storage.mergeQuantileCellsDelta(
+      cells, base, inserts, deleteIds, "row_id", "grp", "value", scale)
+    val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti").unionByName(inserts)
+    val qs = Seq(0.25, 0.5, 0.99)
+    val got = Storage.quantilesFromCells(maintained, finalBase, "grp", "value", scale, qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = graft.curation.Quantiles.exactQuantiles(finalBase, $"grp", $"value", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("IngestQuantileView: replay-guarded, preexisting live insert id throws, " +
+      "drained relation keeps its watermark sentinel") {
+    val ts = Seq("r13_qv_base", "r13_qv_cells", "r13_qv_base__staging", "r13_qv_cells__staging")
+    dropAll(ts)
+    try {
+      val base = Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("row_id", "grp", "value")
+      base.withColumn("bkt", pmod(hash($"grp"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_qv_base")
+      base.groupBy($"grp", Storage.dyadicCell($"value", 3).as("cell"))
+        .agg(count(lit(1)).as("rc"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_qv_cells")
+      val loop = new graft.streaming.IngestQuantileView(
+        "r13_qv_base", "r13_qv_cells", buckets = 4, scale = 3)
+
+      val reuse = Seq((1L, 1L, 99.0, "insert")).toDF("row_id", "grp", "value", "op")
+      val e = intercept[IllegalStateException](loop(reuse, 0L))
+      assert(e.getMessage.contains("already live"), e.getMessage)
+
+      val dup = Seq((7L, 1L, 1.0, "insert"), (7L, 1L, 2.0, "insert"))
+        .toDF("row_id", "grp", "value", "op")
+      val e2 = intercept[IllegalStateException](loop(dup, 0L))
+      assert(e2.getMessage.contains("duplicate insert row_id"), e2.getMessage)
+
+      // insert 30.0 (cell 3), delete row 2 (20.0, cell 2)
+      val b1 = Seq((3L, 1L, 30.0, "insert"), (2L, 0L, 0.0, "delete"))
+        .toDF("row_id", "grp", "value", "op")
+      loop(b1, 0L)
+      def cellsNow() = spark.table("r13_qv_cells").where($"rc".isNotNull)
+        .select($"cell", $"rc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cellsNow() == Set((1L, 1L), (3L, 1L)), cellsNow().toString)
+      loop(b1, 0L) // redelivery: refcounts must not double-apply
+      assert(cellsNow() == Set((1L, 1L), (3L, 1L)))
+      // served quantiles reflect the maintained state + healed base
+      val served = Storage.quantilesFromCells(
+          spark.table("r13_qv_cells").where($"rc".isNotNull).drop("__batch"),
+          spark.table("r13_qv_base"), "grp", "value", 3, Seq(0.5, 1.0))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSet
+      assert(served == Set((0.5, 10.0), (1.0, 30.0)), served.toString)
+      // drain everything: sentinel keeps the watermark
+      val drain = Seq((1L, 0L, 0.0, "delete"), (3L, 0L, 0.0, "delete"))
+        .toDF("row_id", "grp", "value", "op")
+      loop(drain, 1L)
+      assert(cellsNow().isEmpty)
+      assert(spark.table("r13_qv_cells").agg(max($"__batch")).head().getLong(0) == 1L)
+      loop(drain, 1L) // redelivery against the drained relation: skipped
+      assert(cellsNow().isEmpty)
+    } finally dropAll(ts)
+  }
+}
