@@ -301,6 +301,32 @@ object AnalyticsGates {
       .select(col("g").as("o_custkey"), col("q"), col("value"))
   }
 
+  /** q206 — per-column table profile ([[graft.curation.Audit
+    * .columnProfile]]): row/null/exact-distinct counts, numeric min/max,
+    * string length min/max for every documents column in ONE melted
+    * pass. The oracle unrolls one aggregate per column and unions them.
+    */
+  private def q206ColumnProfile(s: SparkSession, d: String): DataFrame =
+    graft.curation.Audit.columnProfile(
+      Tables.documents(s, d), Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  /** q207 — hierarchical ROLLUP aggregate: lineitem volumes at
+    * (returnflag, linestatus), per returnflag, and grand-total levels in
+    * one pass — Catalyst's Expand feeds every level map-side partials, so
+    * the multi-level report costs one exchange, not three jobs. The
+    * grouping level is surfaced as `gid` (grouping-flag arithmetic shared
+    * with the oracle) since rollup NULLs are not data NULLs.
+    */
+  private def q207Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("qty"))
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -330,7 +356,9 @@ object AnalyticsGates {
     "q194_join_view_cents" -> (q194JoinViewCents _),
     "q200_topk_view" -> (q200TopkView _),
     "q202_distinct_view" -> (q202DistinctView _),
-    "q204_quantile_view" -> (q204QuantileView _)
+    "q204_quantile_view" -> (q204QuantileView _),
+    "q206_column_profile" -> (q206ColumnProfile _),
+    "q207_rollup" -> (q207Rollup _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -627,6 +655,28 @@ object AnalyticsGates {
          |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t)
          |SELECT r.g AS o_custkey, r.q, o.v AS value
          |FROM r JOIN o ON o.g = r.g AND o.rn = r.rk""".stripMargin,
+    "q206_column_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           |  NULL::BIGINT AS min_len, NULL::BIGINT AS max_len
+           |FROM documents""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', count(*)::BIGINT, (count(*) - count($c))::BIGINT,
+           |  count(DISTINCT $c)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+           |  min(len($c))::BIGINT, max(len($c))::BIGINT
+           |FROM documents""".stripMargin
+      Seq(num("doc_id"), str("text"), str("lang"), str("source"), num("n_chars"))
+        .mkString("\nUNION ALL\n")
+    },
+    "q207_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  (grouping(l_returnflag) * 2 + grouping(l_linestatus))::INT AS gid,
+        |  count(*)::BIGINT AS n, sum(l_quantity::BIGINT)::BIGINT AS qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

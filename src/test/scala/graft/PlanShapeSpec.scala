@@ -777,5 +777,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(s204.contains("BroadcastHashJoin"), s204)
     assert(!s204.contains("CartesianProduct") && !s204.contains("BroadcastNestedLoopJoin"), s204)
     assert(!s204.contains("Exchange SinglePartition"), s204)
+    // q206: the column profile melts ONCE (one Generate over one scan) and
+    // aggregates by column name — never one job per column, never a
+    // single-partition exchange
+    val s206 = simplePlan("q206_column_profile")
+    assert(s206.contains("Generate"), s206)
+    assert("Scan parquet".r.findAllIn(s206).size == 1, s206)
+    assert(!s206.contains("Exchange SinglePartition"), s206)
+    // q207: all rollup levels ride ONE Expand + map-side partials — one
+    // scan, no per-level re-aggregation jobs
+    val s207 = simplePlan("q207_rollup")
+    assert(s207.contains("Expand"), s207)
+    assert("Scan parquet".r.findAllIn(s207).size == 1, s207)
+    assert(!s207.contains("Exchange SinglePartition"), s207)
   }
 }

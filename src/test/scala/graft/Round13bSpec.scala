@@ -85,6 +85,28 @@ class Round13bSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("columnProfile: null counts, exact distincts, numeric min/max vs string " +
+      "length min/max, melt conservation, unknown column throws") {
+    import graft.curation.Audit
+    val df = Seq(
+      (Option(1L), Option("aa")), (Option(2L), Option.empty[String]),
+      (Option.empty[Long], Option("bbb")), (Option(2L), Option("aa")))
+      .toDF("k", "s")
+    val p = Audit.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 1L && k.getLong(3) == 2L)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val s = p("s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 1L && s.getLong(3) == 2L)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getLong(6) == 2L && s.getLong(7) == 3L)
+    val e = intercept[IllegalArgumentException](
+      Audit.columnProfile(df, Seq("k", "nope")))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("IngestQuantileView: replay-guarded, preexisting live insert id throws, " +
       "drained relation keeps its watermark sentinel") {
     val ts = Seq("r13_qv_base", "r13_qv_cells", "r13_qv_base__staging", "r13_qv_cells__staging")
