@@ -327,6 +327,56 @@ object AnalyticsGates {
         sum(col("l_quantity").cast("long")).as("qty"))
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"), col("qty"))
 
+  /** q208 — referential-integrity audit ([[graft.curation.Audit
+    * .fkOrphans]]): how many lineitem rows point at an order outside the
+    * pre-cutoff snapshot — the orphan screen after a selective delete /
+    * partial re-crawl. One anti join + one aggregate.
+    */
+  private def q208FkOrphans(s: SparkSession, d: String): DataFrame =
+    graft.curation.Audit.fkOrphans(
+      Tables.lineitem(s, d),
+      Tables.orders(s, d).where(col("o_orderdate") < to_timestamp(lit(Cutoff))),
+      col("l_orderkey"), col("o_orderkey"))
+
+  /** q209 — key-uniqueness audit ([[graft.curation.Audit.keyUniqueness]]):
+    * is o_custkey a key of orders? (No — the multiplicity profile says by
+    * how much.) The contract check every IVM maintainer here relies on.
+    */
+  private def q209KeyUniqueness(s: SparkSession, d: String): DataFrame =
+    graft.curation.Audit.keyUniqueness(Tables.orders(s, d), Seq(col("o_custkey")))
+
+  // weighted quantile-view shape: same cells as q204, order-priority
+  // groups, weight = o_orderkey % 7 + 1 (a deterministic integer mass)
+  private[graft] val WqvQs = Seq(0.25, 0.5, 0.9)
+
+  /** q210 — incremental WEIGHTED quantile view
+    * ([[Storage.mergeWeightedQuantileCellsDelta]] +
+    * [[Storage.weightedQuantilesFromCells]]): the q204 cell state carrying
+    * Σ weight instead of row counts, maintained through the q157 change
+    * set — token-weighted percentiles kept fresh under CDC. The oracle
+    * walks cumulative weight over distinct values from scratch
+    * (the q197 weighted type-1 definition).
+    */
+  private def q210WeightedQuantileView(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_orderpriority").as("grp"), col("o_totalprice").as("value"),
+      (col("o_orderkey") % 7 + 1).as("w"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val cells = base.groupBy(col("grp"),
+        Storage.dyadicCell(col("value"), QvScale).as("cell"))
+      .agg(sum(col("w")).cast("long").as("rc"))
+    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
+    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
+    val maintained = Storage.mergeWeightedQuantileCellsDelta(
+      cells, base, inserts, deleteIds, "row_id", "grp", "value", "w", QvScale)
+    val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti")
+      .unionByName(inserts)
+    Storage.weightedQuantilesFromCells(
+        maintained, finalBase, "grp", "value", "w", QvScale, WqvQs)
+      .select(col("g").as("o_orderpriority"), col("q"), col("value"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -358,7 +408,10 @@ object AnalyticsGates {
     "q202_distinct_view" -> (q202DistinctView _),
     "q204_quantile_view" -> (q204QuantileView _),
     "q206_column_profile" -> (q206ColumnProfile _),
-    "q207_rollup" -> (q207Rollup _)
+    "q207_rollup" -> (q207Rollup _),
+    "q208_fk_orphans" -> (q208FkOrphans _),
+    "q209_key_uniqueness" -> (q209KeyUniqueness _),
+    "q210_weighted_quantile_view" -> (q210WeightedQuantileView _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -677,6 +730,44 @@ object AnalyticsGates {
         |  count(*)::BIGINT AS n, sum(l_quantity::BIGINT)::BIGINT AS qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q208_fk_orphans" ->
+      s"""WITH p AS (SELECT DISTINCT o_orderkey FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |c AS (SELECT l_orderkey FROM lineitem),
+         |o AS (SELECT l_orderkey FROM c
+         |  WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.o_orderkey = c.l_orderkey))
+         |SELECT (SELECT count(*) FROM c)::BIGINT AS n_child,
+         |  count(*)::BIGINT AS n_orphans,
+         |  count(DISTINCT l_orderkey)::BIGINT AS n_orphan_keys
+         |FROM o""".stripMargin,
+    "q209_key_uniqueness" ->
+      """WITH m AS (SELECT o_custkey, count(*) AS m FROM orders GROUP BY 1)
+        |SELECT sum(m)::BIGINT AS n, count(*)::BIGINT AS n_keys,
+        |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
+        |  max(m)::BIGINT AS max_multiplicity
+        |FROM m""".stripMargin,
+    "q210_weighted_quantile_view" ->
+      // weighted type-1 rank walk over the final row set: the value whose
+      // cumulative weight first reaches clamp(ceil(q·W), 1, W) — the q197
+      // definition over the q157 change set with mass o_orderkey % 7 + 1
+      s"""WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |final AS (
+         |  SELECT * FROM base WHERE o_orderkey % $DeleteMod != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Cutoff'),
+         |t AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+         |  (o_orderkey % 7 + 1)::BIGINT AS w FROM final),
+         |n AS (SELECT g, sum(w)::BIGINT AS wtot FROM t GROUP BY 1),
+         |qs AS (SELECT unnest([${WqvQs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
+         |r AS (SELECT g, q, least(wtot, greatest(1, ceil(q * wtot)::BIGINT)) AS rk
+         |  FROM n CROSS JOIN qs),
+         |dv AS (SELECT g, v, sum(w) AS wv FROM t GROUP BY g, v),
+         |c AS (SELECT g, v, wv,
+         |  sum(wv) OVER (PARTITION BY g ORDER BY v) AS cum FROM dv)
+         |SELECT r.g AS o_orderpriority, r.q, c.v AS value
+         |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rk AND c.cum - c.wv < r.rk""".stripMargin,
     "q166_next_event" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
         |  WHERE user_id IS NOT NULL),

@@ -1,6 +1,6 @@
 package graft.curation
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -59,5 +59,50 @@ object Audit {
         max(col("num_val")).as("max_num"),
         min(length(col("str_val"))).cast("long").as("min_len"),
         max(length(col("str_val"))).cast("long").as("max_len"))
+  }
+
+  /** Referential-integrity audit: how many child rows point at no parent
+    * — the orphan count a pipeline checks after every partial re-crawl /
+    * selective delete (a training example whose joined-in dimension row
+    * vanished silently trains on nulls). Returns ONE row:
+    * `(n_child, n_orphans, n_orphan_keys)`.
+    *
+    * Scale shape: ONE left equi join on the key (the parent side reduced
+    * to DISTINCT keys first, so the join never fans out and carries only
+    * an existence flag) + one map-combined aggregate — total and orphan
+    * counts fall out of the same pass. Null child keys count as orphans
+    * (they join to nothing — the loud choice; filter upstream if
+    * nullable FKs are legal).
+    */
+  def fkOrphans(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: Column,
+      parentKey: Column
+  ): DataFrame = {
+    val c = child.select(childKey.as("__k"))
+    val p = parent.select(parentKey.as("__k")).distinct()
+      .withColumn("__hit", lit(1))
+    c.join(p, Seq("__k"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        count(when(col("__hit").isNull, 1)).as("n_orphans"),
+        countDistinct(when(col("__hit").isNull, col("__k"))).as("n_orphan_keys"))
+  }
+
+  /** Key-uniqueness audit: is `cols` a primary key? Returns ONE row:
+    * `(n, n_keys, n_dup_keys, max_multiplicity)` — `n_dup_keys` = 0 means
+    * unique. The check every IVM maintainer in this library contracts on
+    * (unique row ids) and every CDC feed must prove. One map-combined
+    * groupBy on the key + one bounded re-aggregation.
+    */
+  def keyUniqueness(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "keyUniqueness: need at least one key column")
+    df.groupBy(cols: _*).agg(count(lit(1)).as("__m"))
+      .agg(
+        sum(col("__m")).cast("long").as("n"),
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+        max(col("__m")).as("max_multiplicity"))
   }
 }

@@ -633,6 +633,73 @@ object Storage {
       value: String,
       scale: Int,
       qs: Seq[Double]
+  ): DataFrame =
+    quantileServe(cells, base, grp, value, lit(1L), scale, qs)
+
+  /** WEIGHTED-mass variants of the quantile IVM pair: the cell state
+    * carries Σ weight per (group, cell) instead of a row count, and
+    * serving lands on the value at weighted rank `clamp(ceil(q·W), 1, W)`
+    * — [[graft.curation.Quantiles.exactWeightedQuantiles]]'s definition
+    * (token-weighted percentiles maintained continuously: "the floor
+    * below which q of the corpus TOKENS sit", kept fresh under CDC).
+    * Weights must be LONGs ≥ 1 (the q197 exact-integer-mass contract;
+    * scale fp weights to a grid upstream); with all weights 1 these ARE
+    * [[mergeQuantileCellsDelta]] / [[quantilesFromCells]] row for row.
+    * The delta algebra is unchanged — signed mass instead of signed
+    * counts, still fully self-maintainable under deletes (the base read
+    * only recovers deleted rows' (value, weight) by id).
+    */
+  def mergeWeightedQuantileCellsDelta(
+      cells: DataFrame,
+      base: DataFrame,
+      inserts: DataFrame,
+      deleteIds: DataFrame,
+      rowId: String,
+      grp: String,
+      value: String,
+      weight: String,
+      scale: Int
+  ): DataFrame = {
+    def toCells(df: DataFrame): DataFrame = df
+      .where(col(value).isNotNull)
+      .select(col(rowId), col(grp), dyadicCell(col(value), scale).as("cell"),
+        col(weight).cast("long").as("__w"))
+    val delRows = toCells(base)
+      .join(deleteIds.select(col(rowId)), Seq(rowId), "left_semi")
+      .select(col(grp), col("cell"), (-col("__w")).as("__d"))
+    val delta = toCells(inserts).select(col(grp), col("cell"), col("__w").as("__d"))
+      .unionByName(delRows)
+      .groupBy(col(grp), col("cell")).agg(sum(col("__d")).as("__d"))
+    cells.join(delta, Seq(grp, "cell"), "full_outer")
+      .select(col(grp), col("cell"),
+        (coalesce(col("rc"), lit(0L)) + coalesce(col("__d"), lit(0L))).as("rc"))
+      .where(col("rc") > 0)
+  }
+
+  /** See [[mergeWeightedQuantileCellsDelta]]. */
+  def weightedQuantilesFromCells(
+      cells: DataFrame,
+      base: DataFrame,
+      grp: String,
+      value: String,
+      weight: String,
+      scale: Int,
+      qs: Seq[Double]
+  ): DataFrame =
+    quantileServe(cells, base, grp, value, col(weight).cast("long"), scale, qs)
+
+  /** Shared serve engine: `w` is the per-row mass (lit(1) = unweighted).
+    * The resolution's cumulative walk aggregates Σw per distinct value, so
+    * sum(1) degenerates to the row count exactly.
+    */
+  private def quantileServe(
+      cells: DataFrame,
+      base: DataFrame,
+      grp: String,
+      value: String,
+      w: Column,
+      scale: Int,
+      qs: Seq[Double]
   ): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0,1]: $qs")
@@ -651,13 +718,13 @@ object Storage {
         (col("__rank") - (col("__cum") - col("rc"))).as("__rk"))
 
     val rows = base
-      .select(col(grp).as("__g"), col(value).cast("double").as("__v"))
+      .select(col(grp).as("__g"), col(value).cast("double").as("__v"), w.as("__w"))
       .where(col("__v").isNotNull)
       .withColumn("cell", dyadicCell(col("__v"), scale))
     rows
       .join(broadcast(brackets), Seq("__g", "cell"))
       .groupBy(col("__g"), col("q"), col("__rk"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__w")).as("__c"))
       .withColumn("__cumv",
         sum(col("__c")).over(Window.partitionBy(col("__g"), col("q")).orderBy(col("__v"))))
       .where(col("__cumv") >= col("__rk") && col("__cumv") - col("__c") < col("__rk"))

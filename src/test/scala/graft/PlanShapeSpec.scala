@@ -790,5 +790,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(s207.contains("Expand"), s207)
     assert("Scan parquet".r.findAllIn(s207).size == 1, s207)
     assert(!s207.contains("Exchange SinglePartition"), s207)
+    // q208: the orphan screen is ONE keyed existence join feeding one
+    // aggregate — never a nested loop, never a second child pass for the
+    // total (the scalar readout reduces AFTER map-combined partials)
+    val s208 = simplePlan("q208_fk_orphans")
+    assert(s208.contains("LeftOuter"), s208)
+    assert(!s208.contains("CartesianProduct") && !s208.contains("BroadcastNestedLoopJoin"), s208)
+    // q210: the weighted serve shares q204's shape — broadcast candidates
+    // onto the base, keyed windows only over state-sized relations
+    val s210 = simplePlan("q210_weighted_quantile_view")
+    assert(s210.contains("BroadcastHashJoin"), s210)
+    assert(!s210.contains("CartesianProduct") && !s210.contains("BroadcastNestedLoopJoin"), s210)
+    assert(!s210.contains("Exchange SinglePartition"), s210)
   }
 }

@@ -107,6 +107,71 @@ class Round13bSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("weighted quantile view: unit weights degenerate to the unweighted pair row " +
+      "for row; weighted serve equals exactWeightedQuantiles on the final rows") {
+    val base = (1L to 150L).map(i => (i, i % 2, (i * 41 % 89).toDouble, i % 5 + 1))
+      .toDF("row_id", "grp", "value", "w")
+    val scale = 3
+    val inserts = (151L to 180L).map(i => (i, i % 2, (i * 17 % 83).toDouble, i % 4 + 1))
+      .toDF("row_id", "grp", "value", "w")
+    val deleteIds = (1L to 150L).filter(_ % 6 == 0).toDF("row_id")
+    val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti").unionByName(inserts)
+    val qs = Seq(0.3, 0.5, 0.95)
+    import graft.sources.Storage
+
+    // unit weights: the weighted pair IS the unweighted pair
+    val unitBase = base.withColumn("w", lit(1L))
+    val unitIns = inserts.withColumn("w", lit(1L))
+    val cells1 = unitBase.groupBy($"grp", Storage.dyadicCell($"value", scale).as("cell"))
+      .agg(sum($"w").cast("long").as("rc"))
+    val m1 = Storage.mergeWeightedQuantileCellsDelta(
+      cells1, unitBase, unitIns, deleteIds, "row_id", "grp", "value", "w", scale)
+    val cellsU = base.groupBy($"grp", Storage.dyadicCell($"value", scale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val mU = Storage.mergeQuantileCellsDelta(
+      cellsU, base, inserts, deleteIds, "row_id", "grp", "value", scale)
+    assert(m1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      mU.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val fin1 = finalBase.withColumn("w", lit(1L))
+    val s1 = Storage.weightedQuantilesFromCells(m1, fin1, "grp", "value", "w", scale, qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val sU = Storage.quantilesFromCells(mU, finalBase, "grp", "value", scale, qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(s1 == sU, s"unit-weight serve $s1 != unweighted serve $sU")
+
+    // real weights: maintained state + serve equals exactWeightedQuantiles
+    val cellsW = base.groupBy($"grp", Storage.dyadicCell($"value", scale).as("cell"))
+      .agg(sum($"w").cast("long").as("rc"))
+    val mW = Storage.mergeWeightedQuantileCellsDelta(
+      cellsW, base, inserts, deleteIds, "row_id", "grp", "value", "w", scale)
+    val got = Storage.weightedQuantilesFromCells(
+        mW, finalBase, "grp", "value", "w", scale, qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val want = graft.curation.Quantiles.exactWeightedQuantiles(
+        finalBase, $"grp", $"value", $"w", qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("fkOrphans counts null and missing keys as orphans; keyUniqueness profiles " +
+      "multiplicity exactly") {
+    import graft.curation.Audit
+    val child = Seq(Option(1L), Option(1L), Option(3L), Option.empty[Long])
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val fk = Audit.fkOrphans(child, parent, $"fk", $"pk").head()
+    // rows 3L and null are orphans; null has no key image in n_orphan_keys
+    assert(fk.getLong(0) == 4L && fk.getLong(1) == 2L && fk.getLong(2) == 1L, fk.toString)
+
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (3L, "e"), (3L, "f"))
+      .toDF("k", "x")
+    val u = Audit.keyUniqueness(df, Seq($"k")).head()
+    assert(u.getLong(0) == 6L && u.getLong(1) == 3L && u.getLong(2) == 2L &&
+      u.getLong(3) == 3L, u.toString)
+    val uniq = Audit.keyUniqueness(df, Seq($"k", $"x")).head()
+    assert(uniq.getLong(2) == 0L && uniq.getLong(3) == 1L, uniq.toString)
+  }
+
   test("IngestQuantileView: replay-guarded, preexisting live insert id throws, " +
       "drained relation keeps its watermark sentinel") {
     val ts = Seq("r13_qv_base", "r13_qv_cells", "r13_qv_base__staging", "r13_qv_cells__staging")
