@@ -52,6 +52,7 @@ object StreamingGates {
   final case class ChgT(row_id: Long, grp: Long, score: Double, op: String)
   final case class ChgD(row_id: Long, grp: Long, value: String, op: String)
   final case class ChgQ(row_id: Long, grp: Long, value: Double, op: String)
+  final case class ChgW(row_id: Long, grp: String, value: Double, w: Long, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
@@ -1156,6 +1157,56 @@ object StreamingGates {
       .select(col("g").as("o_custkey"), col("q"), col("value"))
   }
 
+  /** q211 — streaming WEIGHTED quantile-view maintenance: the q210 change
+    * set (order-priority groups, mass `o_orderkey % 7 + 1`) streams in TWO
+    * micro-batches through [[graft.streaming.IngestQuantileView]] in its
+    * weighted mode; the cell relation carries Σ weight, and the final
+    * readout serves the weighted type-1 quantiles from the maintained
+    * cells + the healed base — oracle shared verbatim with q210.
+    */
+  private def q211WeightedQuantileViewStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_orderpriority").as("grp"), col("o_totalprice").as("value"),
+      (col("o_orderkey") % 7 + 1).as("w"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q211base")
+    val cellTable = sinkName("q211cells")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("grp"),
+        graft.sources.Storage.dyadicCell(col("value"), AnalyticsGates.QvScale).as("cell"))
+      .agg(sum(col("w")).cast("long").as("rc"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(cellTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgW].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgW]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestQuantileView(
+        baseTable, cellTable, buckets = 8, scale = AnalyticsGates.QvScale,
+        weight = Some("w")))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    graft.sources.Storage.weightedQuantilesFromCells(
+        s.table(cellTable).where(col("rc").isNotNull).drop("__batch"),
+        s.table(baseTable),
+        "grp", "value", "w", AnalyticsGates.QvScale, AnalyticsGates.WqvQs)
+      .select(col("g").as("o_orderpriority"), col("q"), col("value"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1284,6 +1335,7 @@ object StreamingGates {
     "q201_topk_view_stream" -> (q201TopkViewStream _),
     "q203_distinct_view_stream" -> (q203DistinctViewStream _),
     "q205_quantile_view_stream" -> (q205QuantileViewStream _),
+    "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1315,6 +1367,7 @@ object StreamingGates {
     "q201_topk_view_stream" -> AnalyticsGates.oracleSql("q200_topk_view"),
     "q203_distinct_view_stream" -> AnalyticsGates.oracleSql("q202_distinct_view"),
     "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
+    "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

@@ -30,12 +30,19 @@ import org.apache.spark.sql.functions._
   * Bootstrap both tables before the stream starts: the base partitioned
   * by `bkt = pmod(hash(grp), buckets)`, the cell relation
   * (grp, cell, rc) with `__batch = -1`.
+  *
+  * `weight = Some(col)` switches the state to WEIGHTED mass
+  * ([[graft.sources.Storage.mergeWeightedQuantileCellsDelta]] — rc is
+  * Σ weight per cell, the q197 LONG ≥ 1 contract): the batch and the
+  * base then carry that column, and serving goes through
+  * [[graft.sources.Storage.weightedQuantilesFromCells]].
   */
 final class IngestQuantileView(
     baseTable: String,
     cellTable: String,
     buckets: Int,
-    scale: Int
+    scale: Int,
+    weight: Option[String] = None
 ) extends ((DataFrame, Long) => Unit) with Serializable {
 
   override def apply(batch: DataFrame, batchId: Long): Unit = {
@@ -45,8 +52,9 @@ final class IngestQuantileView(
 
     val changes = batch.persist()
     try {
+      val payload = Seq("row_id", "grp", "value") ++ weight
       val inserts = changes.where(col("op") === "insert")
-        .select(col("row_id"), col("grp"), col("value"))
+        .select(payload.map(col): _*)
       val deleteIds = changes.where(col("op") === "delete").select(col("row_id"))
       spark.sql(s"REFRESH TABLE $baseTable")
       val base = spark.table(baseTable)
@@ -73,11 +81,14 @@ final class IngestQuantileView(
               "in the base without a same-batch delete — refcount arithmetic has no " +
               "replace semantics; send delete+insert for updates")
         }
-        val merged = Storage.mergeQuantileCellsDelta(
-            cells.where(col("rc").isNotNull).drop("__batch"),
-            base.select(col("row_id"), col("grp"), col("value")),
-            inserts, deleteIds, "row_id", "grp", "value", scale)
-          .withColumn("__batch", lit(batchId))
+        val liveCells = cells.where(col("rc").isNotNull).drop("__batch")
+        val basePayload = base.select(payload.map(col): _*)
+        val merged = (weight match {
+          case Some(w) => Storage.mergeWeightedQuantileCellsDelta(
+            liveCells, basePayload, inserts, deleteIds, "row_id", "grp", "value", w, scale)
+          case None => Storage.mergeQuantileCellsDelta(
+            liveCells, basePayload, inserts, deleteIds, "row_id", "grp", "value", scale)
+        }).withColumn("__batch", lit(batchId))
         val sentinel = spark.range(1).select(
           merged.schema.fields.map { f =>
             if (f.name == "__batch") lit(batchId).as("__batch")
@@ -103,7 +114,7 @@ final class IngestQuantileView(
         val rebuilt = base.where(col("bkt").isin(touched: _*))
           .join(deleteIds, Seq("row_id"), "left_anti")
           .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-          .unionByName(withBkt.select(col("row_id"), col("grp"), col("value"), col("bkt")))
+          .unionByName(withBkt.select((payload :+ "bkt").map(col): _*))
           .select(base.columns.map(col).toIndexedSeq: _*)
         val baseStaging = s"${baseTable}__staging"
         rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)

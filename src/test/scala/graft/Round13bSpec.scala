@@ -153,6 +153,45 @@ class Round13bSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("IngestQuantileView weighted mode: cell mass is Σ weight, replay-guarded, " +
+      "serve lands on the weighted rank") {
+    import graft.sources.Storage
+    val ts = Seq("r13_wqv_base", "r13_wqv_cells",
+      "r13_wqv_base__staging", "r13_wqv_cells__staging")
+    dropAll(ts)
+    try {
+      // group "g": 10.0 ×3 mass, 20.0 ×1 mass → W=4
+      val base = Seq((1L, "g", 10.0, 3L), (2L, "g", 20.0, 1L))
+        .toDF("row_id", "grp", "value", "w")
+      base.withColumn("bkt", pmod(hash($"grp"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_wqv_base")
+      base.groupBy($"grp", Storage.dyadicCell($"value", 3).as("cell"))
+        .agg(sum($"w").cast("long").as("rc"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_wqv_cells")
+      val loop = new graft.streaming.IngestQuantileView(
+        "r13_wqv_base", "r13_wqv_cells", buckets = 4, scale = 3, weight = Some("w"))
+
+      // insert 30.0 with mass 4, delete row 1 (10.0 mass 3) → masses {20:1, 30:4}
+      val b1 = Seq((3L, "g", 30.0, 4L, "insert"), (1L, "", 0.0, 0L, "delete"))
+        .toDF("row_id", "grp", "value", "w", "op")
+      loop(b1, 0L)
+      def cellsNow() = spark.table("r13_wqv_cells").where($"rc".isNotNull)
+        .select($"cell", $"rc").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cellsNow() == Set((2L, 1L), (3L, 4L)), cellsNow().toString)
+      loop(b1, 0L) // redelivery must not re-apply the signed mass
+      assert(cellsNow() == Set((2L, 1L), (3L, 4L)))
+      // weighted median: W=5, rank ceil(0.5·5)=3 → cum(20)=1 < 3 ≤ cum(30)=5
+      val served = Storage.weightedQuantilesFromCells(
+          spark.table("r13_wqv_cells").where($"rc".isNotNull).drop("__batch"),
+          spark.table("r13_wqv_base"), "grp", "value", "w", 3, Seq(0.5))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSet
+      assert(served == Set((0.5, 30.0)), served.toString)
+    } finally dropAll(ts)
+  }
+
   test("fkOrphans counts null and missing keys as orphans; keyUniqueness profiles " +
       "multiplicity exactly") {
     import graft.curation.Audit
