@@ -377,6 +377,47 @@ object AnalyticsGates {
       .select(col("g").as("o_orderpriority"), col("q"), col("value"))
   }
 
+  private[graft] val CDeleteMod = 11
+
+  /** q212 — THREE-WAY join-view maintenance
+    * ([[Storage.mergeJoinView3Delta]]): the per-nation line-quantity view
+    * over customer ⋈ orders ⋈ lineitem maintained through signed inserts
+    * AND deletes on ALL THREE base tables in one batch — the q186 delta
+    * algebra composed, Δ(A⋈B⋈C) in seven delta-restricted terms. Change
+    * sets: customers split on custkey mod 3 (inserts) / mod 11 (deletes),
+    * orders on the q157 cutoff/mod-97, lineitem on the q186
+    * linenumber/mod-89. The oracle re-joins the final row sets from
+    * scratch.
+    */
+  private def q212JoinView3(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("ka"), col("c_nationkey").as("grp"))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val value = col("l_quantity").cast("long").as("value")
+
+    val aOld = cust.where(col("ka") % 3 =!= 0)
+    val aDelta = cust.where(col("ka") % 3 === 0).withColumn("sign", lit(1))
+      .unionByName(aOld.where(col("ka") % CDeleteMod === 0).withColumn("sign", lit(-1)))
+    val bOld = o.where(col("o_orderdate") < cut)
+      .select(col("o_custkey").as("ka"), col("o_orderkey").as("kb"))
+    val bDelta = o.where(col("o_orderdate") >= cut)
+      .select(col("o_custkey").as("ka"), col("o_orderkey").as("kb"), lit(1).as("sign"))
+      .unionByName(bOld.where(col("kb") % DeleteMod === 0).withColumn("sign", lit(-1)))
+    val cOld = li.where(col("l_linenumber") <= 4)
+      .select(col("l_orderkey").as("kb"), value)
+    val cDelta = li.where(col("l_linenumber") > 4)
+      .select(col("l_orderkey").as("kb"), value, lit(1).as("sign"))
+      .unionByName(cOld.where(col("kb") % BDeleteMod === 0).withColumn("sign", lit(-1)))
+
+    val view = aOld.join(bOld, Seq("ka")).join(cOld, Seq("kb"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    Storage.mergeJoinView3Delta(view, aOld, bOld, cOld, aDelta, bDelta, cDelta)
+      .select(col("grp").as("c_nationkey"), col("n").as("n_lines"),
+        col("total").cast("long").as("qty_sum"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -411,7 +452,8 @@ object AnalyticsGates {
     "q207_rollup" -> (q207Rollup _),
     "q208_fk_orphans" -> (q208FkOrphans _),
     "q209_key_uniqueness" -> (q209KeyUniqueness _),
-    "q210_weighted_quantile_view" -> (q210WeightedQuantileView _)
+    "q210_weighted_quantile_view" -> (q210WeightedQuantileView _),
+    "q212_join_view3" -> (q212JoinView3 _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -746,6 +788,24 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q212_join_view3" ->
+      // from-scratch re-join of the THREE final row sets — what the
+      // seven-term composed delta path must land on exactly
+      s"""WITH a AS (
+         |  SELECT c_custkey AS ka, c_nationkey AS grp FROM customer
+         |  WHERE (c_custkey % 3 != 0 AND c_custkey % $CDeleteMod != 0)
+         |     OR c_custkey % 3 = 0),
+         |b AS (
+         |  SELECT o_custkey AS ka, o_orderkey AS kb FROM orders
+         |  WHERE (o_orderdate < TIMESTAMP '$Cutoff' AND o_orderkey % $DeleteMod != 0)
+         |     OR o_orderdate >= TIMESTAMP '$Cutoff'),
+         |c AS (
+         |  SELECT l_orderkey AS kb, l_quantity::BIGINT AS value FROM lineitem
+         |  WHERE (l_linenumber <= 4 AND l_orderkey % $BDeleteMod != 0) OR l_linenumber > 4)
+         |SELECT a.grp AS c_nationkey, count(*)::BIGINT AS n_lines,
+         |  sum(c.value)::BIGINT AS qty_sum
+         |FROM a JOIN b ON a.ka = b.ka JOIN c ON b.kb = c.kb
+         |GROUP BY a.grp""".stripMargin,
     "q210_weighted_quantile_view" ->
       // weighted type-1 rank walk over the final row set: the value whose
       // cumulative weight first reaches clamp(ceil(q·W), 1, W) — the q197

@@ -426,6 +426,92 @@ object Storage {
       .where(col("n") > 0)
   }
 
+  /** Incremental maintenance of a THREE-WAY join view — the delta algebra
+    * of [[mergeJoinViewDelta]] COMPOSES: maintain
+    *
+    * {{{ V = SELECT a.grp, count(*) AS n, sum(c.value) AS total
+    *     FROM a JOIN b ON a.ka = b.ka JOIN c ON b.kb = c.kb
+    *     GROUP BY a.grp }}}
+    *
+    * through signed deltas on ALL THREE base tables at once, by nesting
+    * the two-way expansion on X = A ⋈ B:
+    *
+    * {{{ Δ(X ⋈ C) = ΔX ⋈ C  +  X ⋈ ΔC  +  ΔX ⋈ ΔC
+    *     ΔX       = ΔA ⋈ B  +  A ⋈ ΔB  +  ΔA ⋈ ΔB }}}
+    *
+    * — seven terms total, every one carrying at least one delta relation,
+    * so every term is delta-sized: the ΔX terms are built from the small
+    * deltas joined against ONE base table each, and the one term touching
+    * both base tables (X ⋈ ΔC) SEMI-RESTRICTS b to ΔC's keys BEFORE
+    * joining a, so its cost is ∝ |ΔC|·fanout, never |A ⋈ B|. Signs
+    * multiply through every cross term (a customer deleted in the same
+    * batch as its orders and their lines must not double-remove).
+    * COUNT/SUM only, the [[mergeJoinViewDelta]] design; groups reaching
+    * n = 0 leave the view.
+    *
+    * At 100 TB this is the star-schema maintenance shape: fact and two dimension
+    * levels all changing in one CDC batch, the view updated by joins that
+    * touch |Δ|-proportional rows on every path.
+    *
+    * @param view   current view (grp, n LONG, total DOUBLE)
+    * @param aOld   pre-batch A rows (ka, grp)
+    * @param bOld   pre-batch B rows (ka, kb)
+    * @param cOld   pre-batch C rows (kb, value)
+    * @param aDelta signed A changes (ka, grp, sign ∈ {+1, −1})
+    * @param bDelta signed B changes (ka, kb, sign)
+    * @param cDelta signed C changes (kb, value, sign)
+    * @return the maintained view (grp, n, total), n > 0 rows only
+    */
+  def mergeJoinView3Delta(
+      view: DataFrame,
+      aOld: DataFrame,
+      bOld: DataFrame,
+      cOld: DataFrame,
+      aDelta: DataFrame,
+      bDelta: DataFrame,
+      cDelta: DataFrame
+  ): DataFrame = {
+    // ΔX = Δ(A ⋈ B) as (kb, grp, sign) — the q186 three-term expansion
+    val dAxB = aDelta.select(col("ka"), col("grp"), col("sign").as("__s"))
+      .join(bOld.select(col("ka"), col("kb")), Seq("ka"))
+      .select(col("kb"), col("grp"), col("__s").as("sign"))
+    val AxdB = bDelta.select(col("ka"), col("kb"), col("sign"))
+      .join(aOld.select(col("ka"), col("grp")), Seq("ka"))
+      .select(col("kb"), col("grp"), col("sign"))
+    val dAxdB = aDelta.select(col("ka"), col("grp"), col("sign").as("__sa"))
+      .join(bDelta.select(col("ka"), col("kb"), col("sign").as("__sb")), Seq("ka"))
+      .select(col("kb"), col("grp"), (col("__sa") * col("__sb")).as("sign"))
+    val dX = dAxB.unionByName(AxdB).unionByName(dAxdB)
+
+    // X ⋈ ΔC with X = Aold ⋈ Bold restricted to ΔC's keys FIRST: the only
+    // term touching both base tables never materializes their join
+    val bPruned = bOld.join(cDelta.select(col("kb")).distinct(), Seq("kb"), "left_semi")
+    val Xpruned = bPruned.join(aOld.select(col("ka"), col("grp")), Seq("ka"))
+      .select(col("kb"), col("grp"))
+    val XxdC = Xpruned
+      .join(cDelta.select(col("kb"), col("value"), col("sign")), Seq("kb"))
+      .select(col("grp"), col("sign"), col("value"))
+
+    // ΔX ⋈ (Cold + ΔC), signs multiplying on the delta-delta term
+    val dXxC = dX.join(cOld.select(col("kb"), col("value")), Seq("kb"))
+      .select(col("grp"), col("sign"), col("value"))
+    val dXxdC = dX.select(col("kb"), col("grp"), col("sign").as("__sx"))
+      .join(cDelta.select(col("kb"), col("value"), col("sign").as("__sc")), Seq("kb"))
+      .select(col("grp"), (col("__sx") * col("__sc")).as("sign"), col("value"))
+
+    val delta = dXxC.unionByName(XxdC).unionByName(dXxdC)
+      .groupBy(col("grp"))
+      .agg(sum(col("sign")).cast("long").as("__dn"),
+        sum(col("sign") * col("value")).as("__dt"))
+
+    view.join(delta, Seq("grp"), "full_outer")
+      .select(
+        col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0.0)) + coalesce(col("__dt"), lit(0.0))).as("total"))
+      .where(col("n") > 0)
+  }
+
   /** Incremental maintenance of a per-group TOP-K view — the third IVM
     * shape after the aggregate ([[mergeAggDelta]]) and the join
     * ([[mergeJoinViewDelta]]): maintain the k best rows per group by

@@ -802,5 +802,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(s210.contains("BroadcastHashJoin"), s210)
     assert(!s210.contains("CartesianProduct") && !s210.contains("BroadcastNestedLoopJoin"), s210)
     assert(!s210.contains("Exchange SinglePartition"), s210)
+    // q212: the composed three-way delta — keyed equi joins only (seven
+    // delta-restricted terms), never a cartesian, never a global sort
+    val s212 = simplePlan("q212_join_view3")
+    assert(!s212.contains("CartesianProduct") && !s212.contains("BroadcastNestedLoopJoin"), s212)
+    assert(!s212.contains("Exchange SinglePartition"), s212)
   }
 }

@@ -192,6 +192,36 @@ class Round13bSpec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("mergeJoinView3Delta equals the from-scratch three-way join under every " +
+      "collision shape: deltas on one, two, and all three relations at once, " +
+      "same-batch delete cascades, bag multiplicities") {
+    import graft.sources.Storage
+    // A(ka, grp) with a duplicate ka (bag semantics), B bridges, C facts
+    val aOld = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L)).toDF("ka", "grp")
+    val bOld = Seq((1L, 100L), (1L, 101L), (2L, 100L), (3L, 102L)).toDF("ka", "kb")
+    val cOld = Seq((100L, 5L), (101L, 7L), (102L, 2L), (100L, 1L)).toDF("kb", "value")
+    // one batch: delete customer 1 AND its bridge (1,100) AND fact (102,2);
+    // insert customer 4 with a new bridge and a new fact; add a fact to 101
+    val aDelta = Seq((1L, 10L, -1), (1L, 11L, -1), (4L, 12L, 1)).toDF("ka", "grp", "sign")
+    val bDelta = Seq((1L, 100L, -1), (4L, 101L, 1)).toDF("ka", "kb", "sign")
+    val cDelta = Seq((102L, 2L, -1), (101L, 3L, 1), (103L, 9L, 1)).toDF("kb", "value", "sign")
+    val view = aOld.join(bOld, Seq("ka")).join(cOld, Seq("kb"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value".cast("double")).as("total"))
+    val got = Storage.mergeJoinView3Delta(
+        view, aOld, bOld, cOld.withColumn("value", $"value".cast("double")),
+        aDelta, bDelta, cDelta.withColumn("value", $"value".cast("double")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // final relations by applying the signed deltas as sets
+    val aFin = Seq((2L, 10L), (3L, 12L), (4L, 12L)).toDF("ka", "grp")
+    val bFin = Seq((1L, 101L), (2L, 100L), (3L, 102L), (4L, 101L)).toDF("ka", "kb")
+    val cFin = Seq((100L, 5L), (101L, 7L), (100L, 1L), (101L, 3L), (103L, 9L))
+      .toDF("kb", "value")
+    val want = aFin.join(bFin, Seq("ka")).join(cFin, Seq("kb"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value".cast("double")).as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("fkOrphans counts null and missing keys as orphans; keyUniqueness profiles " +
       "multiplicity exactly") {
     import graft.curation.Audit
