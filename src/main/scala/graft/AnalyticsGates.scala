@@ -418,6 +418,20 @@ object AnalyticsGates {
         col("total").cast("long").as("qty_sum"))
   }
 
+  private[graft] val ZBits = 10
+
+  /** q213 — Z-order (Morton) value ([[Storage.zValue]]): the bit
+    * interleave behind [[Storage.writeZOrdered]]'s 2-D-local layout,
+    * computed over (doc_id mod 1024, n_chars mod 1024). The oracle
+    * replays the interleave as unrolled shift/mask arithmetic — exact
+    * integers, no fp anywhere.
+    */
+  private def q213Zorder(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Storage.zValue(pmod(col("doc_id"), lit(1024L)),
+        pmod(col("n_chars"), lit(1024L)), ZBits).as("z"))
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -453,7 +467,8 @@ object AnalyticsGates {
     "q208_fk_orphans" -> (q208FkOrphans _),
     "q209_key_uniqueness" -> (q209KeyUniqueness _),
     "q210_weighted_quantile_view" -> (q210WeightedQuantileView _),
-    "q212_join_view3" -> (q212JoinView3 _)
+    "q212_join_view3" -> (q212JoinView3 _),
+    "q213_zorder" -> (q213Zorder _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -788,6 +803,15 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q213_zorder" -> {
+      val terms = (0 until ZBits).flatMap { i =>
+        Seq(
+          s"(((doc_id % 1024) >> $i) & 1) * ${1L << (2 * i)}",
+          s"(((n_chars % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}")
+      }
+      s"""SELECT doc_id, (${terms.mkString(" + ")})::BIGINT AS z
+         |FROM documents""".stripMargin
+    },
     "q212_join_view3" ->
       // from-scratch re-join of the THREE final row sets — what the
       // seven-term composed delta path must land on exactly

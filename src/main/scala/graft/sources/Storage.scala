@@ -25,6 +25,54 @@ object Storage {
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Morton / Z-ORDER value: interleave the low `bits` bits of two
+    * non-negative integer columns — `a`'s bits land at even positions,
+    * `b`'s at odd. Nearby (a, b) points get nearby z-values, which is the
+    * whole trick: sort a table by z and every parquet file's min/max
+    * stats become tight on BOTH columns at once, so a 2-D range predicate
+    * prunes row groups that a single-column sort can only prune on its
+    * one leading column. Pure arithmetic on disjoint bits (shift/and/
+    * shift — whole-stage codegen, no UDF). Inputs must already be
+    * normalized into [0, 2^bits) (quantize/`pmod` upstream); higher bits
+    * are ignored, which keeps the map deterministic but destroys
+    * locality, so normalize, don't truncate.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` Z-ORDER clustered on two integer columns ([[zValue]]):
+    * range-partition by the z-value into `files` output files, sort
+    * within each, drop the helper column — the 2-D analogue of a sorted
+    * write. Readers filtering `a BETWEEN … AND b BETWEEN …` then skip
+    * most row groups on parquet min/max stats alone (verified by
+    * ScaleTechniquesSpec: per-file bounding areas shrink by the file
+    * count, where a round-robin write leaves every file spanning the
+    * whole plane). The range partitioner SAMPLES to place split points —
+    * fine for layout (file boundaries move a little between runs; file
+    * CONTENTS stay z-local either way).
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      a: Column,
+      b: Column,
+      bits: Int,
+      files: Int,
+      path: String
+  ): Unit = {
+    require(files >= 1, s"files must be positive: $files")
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Per-file row-count profile of a table — the "do I need to compact"
     * readout, computed DISTRIBUTED via `input_file_name()` (one
     * map-combined aggregation whose exchange carries distinct file

@@ -33,6 +33,35 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("zValue interleaves bits exactly; writeZOrdered makes per-file 2-D bounding " +
+      "areas shrink with the file count where a round-robin write cannot") {
+    // hand-checked interleave: a=0b101 (5), b=0b011 (3) → z = 1·1 + 1·2 +
+    // 0·4 + 1·8 + 1·16 + 0·32 = 27
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(Storage.zValue($"a", $"b", 3).as("z")).head().getLong(0)
+    assert(one == 27L, s"z(5,3)=$one")
+
+    // a 317×317 scatter; both layouts write 8 files
+    val n = 100000L
+    val pts = spark.range(n).select(
+      (col("id") % 317).as("a"), ((col("id") * 7919) % 317).as("b"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      Storage.writeZOrdered(pts, $"a", $"b", bits = 9, files = 8, path = s"$dir/z")
+      pts.repartition(8).write.mode("overwrite").parquet(s"$dir/plain")
+      def avgArea(path: String): Double =
+        spark.read.parquet(path)
+          .groupBy(input_file_name()).agg(
+            ((max($"a") - min($"a")) * (max($"b") - min($"b"))).as("area"))
+          .agg(avg($"area")).head().getDouble(0)
+      val (zArea, plainArea) = (avgArea(s"$dir/z"), avgArea(s"$dir/plain"))
+      // round-robin files span ~the whole plane; z-ordered files cover
+      // Morton tiles — at 8 files, well under a quarter of it
+      assert(plainArea > 0.9 * 316.0 * 316.0, s"plain avg area $plainArea")
+      assert(zArea < plainArea / 4, s"z avg area $zArea vs plain $plainArea")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("saltedJoin equals the plain equijoin on a hot-key distribution") {
     // 5000 rows of one hot key + a uniform tail — the degenerate shape
     val skewed = ((1 to 5000).map(i => (1L, s"payload$i")) ++ (2 to 50).map(i => (i.toLong, s"p$i")))
