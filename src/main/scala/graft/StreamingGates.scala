@@ -54,6 +54,7 @@ object StreamingGates {
   final case class ChgQ(row_id: Long, grp: Long, value: Double, op: String)
   final case class ChgW(row_id: Long, grp: String, value: Double, w: Long, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
+  final case class ChgJ3(side: String, row_id: Long, ka: Long, kb: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1207,6 +1208,96 @@ object StreamingGates {
       .select(col("g").as("o_orderpriority"), col("q"), col("value"))
   }
 
+  /** q214 — streaming THREE-WAY join-view maintenance
+    * ([[graft.streaming.IngestJoinView3]]): the q212 change set — inserts
+    * and deletes on customer AND orders AND lineitem — streams in TWO
+    * micro-batches; each batch updates the per-nation view through the
+    * seven-term composed delta algebra and rebuilds only the touched base
+    * buckets on all three tables. The final view must hash-match q212's
+    * from-scratch three-way re-join — oracle shared verbatim.
+    */
+  private def q214JoinView3Stream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val aAll = Tables.customer(s, d)
+      .select(col("c_custkey").as("ka"), col("c_nationkey").as("grp"))
+      .withColumn("row_id", col("ka"))
+    val aOld = aAll.where(col("ka") % 3 =!= 0)
+    val bAll = Tables.orders(s, d).select(col("o_custkey").as("ka"),
+      col("o_orderkey").as("kb"), col("o_orderdate"))
+      .withColumn("row_id", col("kb"))
+    val bOld = bAll.where(col("o_orderdate") < cut).drop("o_orderdate")
+    // lineitem row ids minted with a per-(orderkey, linenumber) occurrence
+    // index — the q187 duplicate-pair finding; occurrence assignment only
+    // affects the batch split, never the view the oracle hashes
+    val occW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kb"), col("l_linenumber")).orderBy(col("value"))
+    val cAll = Tables.lineitem(s, d).select(col("l_orderkey").as("kb"),
+      col("l_quantity").cast("long").as("value"), col("l_linenumber"))
+      .withColumn("row_id",
+        (col("kb").cast("long") * 16 + col("l_linenumber")) * 8 + row_number().over(occW))
+    val cOld = cAll.where(col("l_linenumber") <= 4).drop("l_linenumber")
+
+    val aTable = sinkName("q214a")
+    val bTable = sinkName("q214b")
+    val cTable = sinkName("q214c")
+    val viewTable = sinkName("q214view")
+    aOld.withColumn("bkt", pmod(hash(col("ka")), lit(8)))
+      .select(col("row_id"), col("ka"), col("grp"), col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(aTable)
+    bOld.withColumn("bkt", pmod(hash(col("ka")), lit(8)))
+      .select(col("row_id"), col("ka"), col("kb"), col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(bTable)
+    cOld.withColumn("bkt", pmod(hash(col("kb")), lit(8)))
+      .select(col("row_id"), col("kb"), col("value"), col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(cTable)
+    aOld.select(col("ka"), col("grp"))
+      .join(bOld.select(col("ka"), col("kb")), Seq("ka"))
+      .join(cOld.select(col("kb"), col("value")), Seq("kb"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("double")).as("total"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(viewTable)
+
+    val changes: Array[ChgJ3] =
+      (aAll.where(col("ka") % 3 === 0)
+        .select(lit("a").as("side"), col("row_id"), col("ka"), lit(0L).as("kb"),
+          col("grp"), lit(0L).as("value"), lit("insert").as("op"))
+      .unionByName(aOld.where(col("ka") % AnalyticsGates.CDeleteMod === 0)
+        .select(lit("a").as("side"), col("row_id"), lit(0L).as("ka"), lit(0L).as("kb"),
+          lit(0L).as("grp"), lit(0L).as("value"), lit("delete").as("op")))
+      .unionByName(bAll.where(col("o_orderdate") >= cut)
+        .select(lit("b").as("side"), col("row_id"), col("ka"), col("kb"),
+          lit(0L).as("grp"), lit(0L).as("value"), lit("insert").as("op")))
+      .unionByName(bOld.where(col("kb") % AnalyticsGates.DeleteMod === 0)
+        .select(lit("b").as("side"), col("row_id"), lit(0L).as("ka"), lit(0L).as("kb"),
+          lit(0L).as("grp"), lit(0L).as("value"), lit("delete").as("op")))
+      .unionByName(cAll.where(col("l_linenumber") > 4)
+        .select(lit("c").as("side"), col("row_id"), lit(0L).as("ka"), col("kb"),
+          lit(0L).as("grp"), col("value"), lit("insert").as("op")))
+      .unionByName(cOld.where(col("kb") % AnalyticsGates.BDeleteMod === 0)
+        .select(lit("c").as("side"), col("row_id"), lit(0L).as("ka"), lit(0L).as("kb"),
+          lit(0L).as("grp"), lit(0L).as("value"), lit("delete").as("op"))))
+      .as[ChgJ3].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgJ3]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestJoinView3(
+        aTable, bTable, cTable, viewTable, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // n IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(viewTable).where(col("n").isNotNull)
+      .select(col("grp").as("c_nationkey"), col("n").as("n_lines"),
+        col("total").cast("long").as("qty_sum"))
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1336,6 +1427,7 @@ object StreamingGates {
     "q203_distinct_view_stream" -> (q203DistinctViewStream _),
     "q205_quantile_view_stream" -> (q205QuantileViewStream _),
     "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
+    "q214_join_view3_stream" -> (q214JoinView3Stream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1368,6 +1460,7 @@ object StreamingGates {
     "q203_distinct_view_stream" -> AnalyticsGates.oracleSql("q202_distinct_view"),
     "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
+    "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

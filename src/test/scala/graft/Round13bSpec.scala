@@ -222,6 +222,64 @@ class Round13bSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("IngestJoinView3: composed delta across three tables in one batch, " +
+      "replay-guarded, duplicate insert ids throw, drain keeps the sentinel") {
+    import graft.sources.Storage
+    val ts = Seq("r13_j3_a", "r13_j3_b", "r13_j3_c", "r13_j3_view").flatMap(t =>
+      Seq(t, s"${t}__staging"))
+    dropAll(ts)
+    try {
+      val a = Seq((1L, 1L, 10L)).toDF("row_id", "ka", "grp")
+      val b = Seq((101L, 1L, 500L)).toDF("row_id", "ka", "kb")
+      val c = Seq((201L, 500L, 7L)).toDF("row_id", "kb", "value")
+      a.withColumn("bkt", pmod(hash($"ka"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_j3_a")
+      b.withColumn("bkt", pmod(hash($"ka"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_j3_b")
+      c.withColumn("bkt", pmod(hash($"kb"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r13_j3_c")
+      a.select($"ka", $"grp").join(b.select($"ka", $"kb"), Seq("ka"))
+        .join(c.select($"kb", $"value"), Seq("kb"))
+        .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value".cast("double")).as("total"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r13_j3_view")
+      val loop = new graft.streaming.IngestJoinView3(
+        "r13_j3_a", "r13_j3_b", "r13_j3_c", "r13_j3_view", buckets = 4)
+
+      def chg(rows: Seq[(String, Long, Long, Long, Long, Long, String)]) =
+        rows.toDF("side", "row_id", "ka", "kb", "grp", "value", "op")
+      val dup = chg(Seq(("c", 9L, 0L, 500L, 0L, 1L, "insert"),
+        ("c", 9L, 0L, 500L, 0L, 2L, "insert")))
+      val e = intercept[IllegalStateException](loop(dup, 0L))
+      assert(e.getMessage.contains("duplicate insert row_id"), e.getMessage)
+
+      // one batch touches all three tables: add a c-fact (+3), add a
+      // second bridge to a new fact (+9), delete nothing
+      val b1 = chg(Seq(
+        ("c", 202L, 0L, 500L, 0L, 3L, "insert"),
+        ("b", 102L, 1L, 501L, 0L, 0L, "insert"),
+        ("c", 203L, 0L, 501L, 0L, 9L, "insert")))
+      loop(b1, 0L)
+      def viewNow() = spark.table("r13_j3_view").where($"n".isNotNull)
+        .select($"grp", $"n", $"total").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viewNow() == Set((10L, 3L, 19.0)), viewNow().toString)
+      loop(b1, 0L) // redelivery must not re-apply
+      assert(viewNow() == Set((10L, 3L, 19.0)))
+      // drain: delete the one customer — the whole view empties, the
+      // sentinel still advances the watermark
+      val drain = chg(Seq(("a", 1L, 0L, 0L, 0L, 0L, "delete")))
+      loop(drain, 1L)
+      assert(viewNow().isEmpty)
+      assert(spark.table("r13_j3_view").agg(max($"__batch")).head().getLong(0) == 1L)
+      loop(drain, 1L)
+      assert(viewNow().isEmpty)
+    } finally dropAll(ts)
+  }
+
   test("fkOrphans counts null and missing keys as orphans; keyUniqueness profiles " +
       "multiplicity exactly") {
     import graft.curation.Audit
