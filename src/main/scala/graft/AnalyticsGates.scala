@@ -432,6 +432,24 @@ object AnalyticsGates {
       Storage.zValue(pmod(col("doc_id"), lit(1024L)),
         pmod(col("n_chars"), lit(1024L)), ZBits).as("z"))
 
+  /** q215 — Bloom-pruned equi join ([[graft.operators.Joins
+    * .bloomPrunedJoin]]): lineitem filtered IN-SCAN by a broadcast Bloom
+    * over the selective orders subset's keys before the shuffle — the
+    * join regime between broadcast and plain shuffle. Row-identical to
+    * the plain join (no false negatives); the oracle IS the plain join.
+    */
+  private def q215BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val hot = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    graft.operators.Joins.bloomPrunedJoin(li, hot, "o_orderkey",
+        expectedKeys = 1000000L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -468,7 +486,8 @@ object AnalyticsGates {
     "q209_key_uniqueness" -> (q209KeyUniqueness _),
     "q210_weighted_quantile_view" -> (q210WeightedQuantileView _),
     "q212_join_view3" -> (q212JoinView3 _),
-    "q213_zorder" -> (q213Zorder _)
+    "q213_zorder" -> (q213Zorder _),
+    "q215_bloom_join" -> (q215BloomJoin _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -803,6 +822,13 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q215_bloom_join" ->
+      // the plain join IS the oracle: Bloom pruning must be row-invisible
+      """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
+        |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 400000
+        |GROUP BY o.o_orderpriority""".stripMargin,
     "q213_zorder" -> {
       val terms = (0 until ZBits).flatMap { i =>
         Seq(

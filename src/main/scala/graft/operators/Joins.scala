@@ -474,4 +474,55 @@ object Joins {
       explode(lit((0 until saltBuckets).toArray)))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** BLOOM-PRUNED equi join — for the join regime between broadcast and
+    * plain shuffle: the selective side is too big to broadcast AS DATA
+    * (payload columns, tens of millions of rows) but its KEY-SET FILTER
+    * fits anywhere (~1.2 MB per million keys at 1% fpp). Build a Bloom
+    * filter over the selective side's keys (bounded executor-side partial
+    * builds tree-merged — the IngestDedup backfill discipline, never a
+    * driver collect of keys), broadcast it, and filter the LARGE side
+    * in-scan ([[graft.plans.BloomMightContainB]], codegen) BEFORE the
+    * shuffle: the exchange then carries only rows that can match (plus
+    * the fpp share), instead of the whole 100-TB scan.
+    *
+    * Row-identical to `large.join(small, key)` by construction: a Bloom
+    * filter has NO false negatives, and false positives merely ride the
+    * exchange and drop in the join. When `small` is broadcast-sized
+    * anyway, Catalyst's broadcast join already wins — this operator is
+    * for the middle regime (and the plan it produces still lets Catalyst
+    * pick broadcast for the join itself if sizes allow).
+    *
+    * `expectedKeys` caps the filter geometry; the build counts nothing
+    * up front (a count would cost a pass) — size it from table stats or
+    * [[skewReport]]. fpp fixed at 1% (the repo-wide Bloom convention).
+    */
+  def bloomPrunedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedKeys: Long
+  ): DataFrame = {
+    require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
+    require(large.columns.contains(key) && small.columns.contains(key),
+      s"join key '$key' must exist on both sides")
+    import org.apache.spark.util.sketch.BloomFilter
+    val merged = small.select(xxhash64(col(key)).as("h"))
+      .coalesce(8)
+      .queryExecution.toRdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val bf = BloomFilter.create(expectedKeys, 0.01)
+          it.foreach(bf.putLong)
+          Iterator.single(bf)
+        }
+      }
+      .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
+    val bc = large.sparkSession.sparkContext.broadcast(merged)
+    import org.apache.spark.sql.GraftBridge
+    val pruned = large.where(GraftBridge.column(graft.plans.BloomMightContainB(
+      bc, GraftBridge.expression(xxhash64(col(key))))))
+    pruned.join(small, Seq(key))
+  }
 }

@@ -318,6 +318,27 @@ class JoinsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Sketches.kmvDistinct(small, $"x", k = 2) }
   }
 
+  test("bloomPrunedJoin is row-identical to the plain equi join and actually prunes " +
+      "the large side before the shuffle") {
+    import graft.operators.Joins
+    // range-backed inputs: local Seq relations would let
+    // ConvertToLocalRelation evaluate the Bloom predicate at PLAN time and
+    // erase it from the physical plan (q215's parquet pin covers the scan
+    // shape; this spec covers semantics over a surviving Filter)
+    val large = spark.range(50000)
+      .select(($"id" % 5000).as("k"), concat(lit("p"), $"id").as("payload"))
+    val small = spark.range(100)
+      .select(($"id" * 37 % 5000).as("k"), concat(lit("d"), $"id").as("label"))
+    val got = Joins.bloomPrunedJoin(large, small, "k", expectedKeys = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = large.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == want, s"${got.size} vs ${want.size} rows")
+    val plan = Joins.bloomPrunedJoin(large, small, "k", expectedKeys = 1000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), plan)
+  }
+
   test("KMV merge law: union of shard states == sketch of the concatenated data") {
     val shardA = (1 to 8000).map(i => s"item-${i % 3000}").toDF("x")
     val shardB = (2000 to 12000).map(i => s"item-${i % 4000}").toDF("x")

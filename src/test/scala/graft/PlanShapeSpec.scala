@@ -807,5 +807,10 @@ class PlanShapeSpec extends SparkSpec {
     val s212 = simplePlan("q212_join_view3")
     assert(!s212.contains("CartesianProduct") && !s212.contains("BroadcastNestedLoopJoin"), s212)
     assert(!s212.contains("Exchange SinglePartition"), s212)
+    // q215: the Bloom prune sits ON the large-side scan pipeline — the
+    // kernel in-plan, filtering BEFORE any exchange the join needs
+    val s215 = simplePlan("q215_bloom_join")
+    assert(s215.contains("graft_bloom_might_contain"), s215)
+    assert(!s215.contains("CartesianProduct") && !s215.contains("BroadcastNestedLoopJoin"), s215)
   }
 }
