@@ -273,7 +273,36 @@ object GraphGates {
       Tables.supplier(s, d).where(col("s_suppkey") <= KhopSeeds), col("s_suppkey"),
       maxHops = BwHops)
 
+  /** NATION-level undirected transition edges, multiplicity-weighted: the
+    * supplier hand-off multiset of [[transitions]] mapped to nation pairs
+    * (≤ C(25,2) = 300 edges — complete at sf ≥ 0.01) — small enough that
+    * the MSF oracle can afford a sequential Prim replay, real enough that
+    * the engine runs the full distributed Borůvka machinery.
+    */
+  private def nationEdges(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    transitions(s, d, None)
+      .join(broadcast(sup.select(col("s_suppkey").as("src"), col("s_nationkey").as("na"))),
+        Seq("src"))
+      .join(broadcast(sup.select(col("s_suppkey").as("dst"), col("s_nationkey").as("nb"))),
+        Seq("dst"))
+      .where(col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("u"), greatest(col("na"), col("nb")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+  }
+
+  /** q216 — minimum spanning forest of the weighted nation transition
+    * graph ([[Graphs.minimumSpanningForest]], distributed Borůvka). The
+    * strict (w, u, v) edge order makes the MSF unique, so the oracle's
+    * sequential Prim (24 unrolled cut-min rounds; rounds after the tree
+    * completes pick nothing) lands on the identical edge set.
+    */
+  private def q216Msf(s: SparkSession, d: String): DataFrame =
+    Graphs.minimumSpanningForest(nationEdges(s, d), col("u"), col("v"), col("w"))
+      .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q216_msf" -> (q216Msf _),
     "q195_betweenness" -> (q195Betweenness _),
     "q198_ktruss" -> (q198KTruss _),
     "q154_pagerank" -> (q154PageRank _),
@@ -668,7 +697,44 @@ object GraphGates {
        |FROM t$TrussRounds t JOIN supF s ON s.lo = t.lo AND s.hi = t.hi""".stripMargin
   }
 
+  /** Sequential Prim replay for q216: 24 unrolled rounds, each picking the
+    * minimum (w, u, v) edge crossing the current tree cut; the XOR
+    * membership test keeps exactly the crossing edges.
+    */
+  private def msfSql: String = {
+    val prelude =
+      """WITH t AS (SELECT l_orderkey, l_suppkey,
+        |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_suppkey) AS nxt
+        |  FROM lineitem),
+        |pr AS (SELECT l_suppkey AS src, nxt AS dst FROM t
+        |  WHERE nxt IS NOT NULL AND nxt != l_suppkey),
+        |e0 AS (SELECT s1.s_nationkey AS na, s2.s_nationkey AS nb FROM pr
+        |  JOIN supplier s1 ON s1.s_suppkey = pr.src
+        |  JOIN supplier s2 ON s2.s_suppkey = pr.dst
+        |  WHERE s1.s_nationkey != s2.s_nationkey),
+        |e AS MATERIALIZED (SELECT least(na, nb) AS u, greatest(na, nb) AS v,
+        |    count(*)::BIGINT AS w FROM e0 GROUP BY 1, 2),
+        |t0 AS MATERIALIZED (SELECT min(u) AS x FROM e),
+        |f0 AS (SELECT u, v, w FROM e WHERE false)""".stripMargin
+    // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    // 24-round chain whose p_i references t_{i-1} twice would otherwise
+    // expand exponentially (observed as "too many open files" from
+    // thousands of inlined parquet scans)
+    val rounds = (1 to 24).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (SELECT u, v, w FROM e
+         |  WHERE (u IN (SELECT x FROM t$p)) <> (v IN (SELECT x FROM t$p))
+         |  ORDER BY w, u, v LIMIT 1),
+         |t$i AS MATERIALIZED (SELECT x FROM t$p UNION SELECT u FROM p$i UNION SELECT v FROM p$i),
+         |f$i AS MATERIALIZED (SELECT * FROM f$p UNION ALL SELECT * FROM p$i)""".stripMargin
+    }
+    prelude + ",\n" + rounds.mkString(",\n") +
+      "\nSELECT u AS nation_a, v AS nation_b, w FROM f24"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q216_msf" -> msfSql,
     "q195_betweenness" -> betweennessSql,
     "q198_ktruss" -> ktrussSql,
     "q154_pagerank" -> pagerankSql,

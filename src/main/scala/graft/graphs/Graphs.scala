@@ -876,6 +876,86 @@ object Graphs {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
   }
 
+  /** MINIMUM SPANNING FOREST of the weighted simple undirected graph, by
+    * distributed Borůvka: each round EVERY component selects its minimum
+    * incident crossing edge under the strict total order `(w, u, v)`
+    * (strictness makes the MSF unique, so any correct algorithm —
+    * including a sequential Prim/Kruskal oracle — lands on the identical
+    * edge set), the selected edges merge their components (relabeling via
+    * [[connectedComponents]] over the COMPONENT-level graph, whose size
+    * is ≤ the component count, shrinking geometrically), and edges gone
+    * intra-component stop participating. Components at least HALVE per
+    * round, so `maxRounds` = 20 covers 10^6 components; non-convergence
+    * throws rather than returning a partial forest.
+    *
+    * Direction is ignored; parallel edges collapse to the cheapest;
+    * self-loops drop. Output: the forest edges `(u, v, w)` with
+    * `u < v` — `nodes − components` rows.
+    *
+    * The curation uses are the classic ones: single-linkage clustering at
+    * scale IS an MSF (cut it at a threshold), and the forest is the
+    * cheapest backbone of a similarity graph.
+    */
+  def minimumSpanningForest(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      weight: Column,
+      maxRounds: Int = 20
+  ): DataFrame = {
+    val e0 = edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),
+        weight.cast("long").as("w"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+    val live = Materialize(e0)
+    var comp = Materialize(
+      live.select(col("u").as("node")).unionAll(live.select(col("v").as("node"))).distinct()
+        .select(col("node"), col("node").as("c")))
+    var forest: DataFrame = null
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val lab = live
+        .join(comp.select(col("node").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("node").as("v"), col("c").as("cv")), Seq("v"))
+        .where(col("cu") =!= col("cv"))
+      val edgeStruct = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+      val chosen = Materialize(
+        lab.select(col("cu").as("c"), edgeStruct.as("e"))
+          .unionByName(lab.select(col("cv").as("c"), edgeStruct.as("e")))
+          .groupBy(col("c")).agg(min(col("e")).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"),
+            col("e.cu").as("cu"), col("e.cv").as("cv"))
+          .distinct())
+      if (chosen.isEmpty) {
+        done = true
+        chosen.unpersist()
+      } else {
+        val f = chosen.select(col("u"), col("v"), col("w"))
+        forest = if (forest == null) f else Materialize(forest.unionByName(f))
+        // contract: relabel merged components to their new (min) label;
+        // untouched components keep theirs
+        val relabel = connectedComponents(
+          chosen.select(col("cu"), col("cv")), col("cu"), col("cv"))
+        val prev = comp
+        comp = Materialize(
+          prev.join(relabel.select(col("node").as("c"), col("component").as("__nc")),
+              Seq("c"), "left")
+            .select(col("node"), coalesce(col("__nc"), col("c")).as("c")))
+        prev.unpersist()
+      }
+      round += 1
+    }
+    require(done, s"minimumSpanningForest did not converge in $maxRounds rounds")
+    live.unpersist()
+    comp.unpersist()
+    if (forest == null)
+      live.sparkSession.emptyDataFrame
+        .select(lit(0L).as("u"), lit(0L).as("v"), lit(0L).as("w")).limit(0)
+    else forest.select(col("u"), col("v"), col("w"))
+  }
+
   /** The k-core of the simple undirected graph: the maximal subgraph in
     * which every vertex has degree ≥ `k`, by iterative peeling — each
     * round drops every vertex whose CURRENT degree is below `k` and

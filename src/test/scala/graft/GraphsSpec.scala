@@ -331,4 +331,39 @@ class GraphsSpec extends SparkSpec {
         $"src", $"dst", maxOuterRounds = 1, localEdges = 0L).collect()
     }
   }
+
+  test("minimumSpanningForest equals brute Kruskal on a random weighted graph, " +
+      "spans disconnected components, and handles duplicates/self-loops") {
+    import org.apache.spark.sql.functions._
+    // two components + a self-loop + a parallel edge (worse weight, ignored)
+    val rnd = new scala.util.Random(42)
+    val edges = (
+      // component A: nodes 0-9, random weights
+      (for { u <- 0 until 10; v <- (u + 1) until 10 if rnd.nextInt(3) > 0 }
+        yield (u.toLong, v.toLong, (rnd.nextInt(50) + 1).toLong)) ++
+      // component B: a path 100-104
+      (100 until 104).map(i => (i.toLong, i.toLong + 1, 7L)) :+
+      (3L, 3L, 1L) :+   // self-loop, ignored
+      (0L, 1L, 999L)    // parallel edge, cheaper copy wins
+    ).toSeq
+    val df = edges.toDF("u", "v", "w")
+    val got = Graphs.minimumSpanningForest(df, $"u", $"v", $"w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // brute Kruskal under the same strict (w, u, v) order
+    val canon = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2)).map { case (k, es) => (k._1, k._2, es.map(_._3).min) }
+      .toSeq.sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    val want = canon.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+    assert(got == want, s"got $got\nwant $want")
+    // forest size law: nodes − components (15 nodes, 2 components)
+    assert(got.size == 15 - 2)
+  }
 }

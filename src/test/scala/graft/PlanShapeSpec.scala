@@ -812,5 +812,11 @@ class PlanShapeSpec extends SparkSpec {
     val s215 = simplePlan("q215_bloom_join")
     assert(s215.contains("graft_bloom_might_contain"), s215)
     assert(!s215.contains("CartesianProduct") && !s215.contains("BroadcastNestedLoopJoin"), s215)
+    // q216: the Borůvka rounds ran at build time over materialized state;
+    // the returned forest is checkpointed — no parquet rescan, no
+    // cartesian (the q180/q195 loop convention)
+    val s216 = simplePlan("q216_msf")
+    assert(!s216.contains("Scan parquet"), s216)
+    assert(!s216.contains("CartesianProduct"), s216)
   }
 }
