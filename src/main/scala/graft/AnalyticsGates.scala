@@ -450,6 +450,19 @@ object AnalyticsGates {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  private[graft] val FreshAsOf = "2000-02-01 00:00:00"
+
+  /** q217 — freshness audit ([[graft.curation.Audit.freshness]]): per
+    * event type, the latest event time and staleness against an explicit
+    * reference instant — the feed-stall monitor, deterministic because
+    * the reference instant is a parameter, never the wall clock.
+    */
+  private def q217Freshness(s: SparkSession, d: String): DataFrame =
+    graft.curation.Audit.freshness(
+        Tables.events(s, d), col("event_type"), col("ts"),
+        java.sql.Timestamp.valueOf(FreshAsOf))
+      .select(col("g").as("event_type"), col("n"), col("last_seen"), col("lag_s"))
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -487,7 +500,8 @@ object AnalyticsGates {
     "q210_weighted_quantile_view" -> (q210WeightedQuantileView _),
     "q212_join_view3" -> (q212JoinView3 _),
     "q213_zorder" -> (q213Zorder _),
-    "q215_bloom_join" -> (q215BloomJoin _)
+    "q215_bloom_join" -> (q215BloomJoin _),
+    "q217_freshness" -> (q217Freshness _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -822,6 +836,14 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q217_freshness" ->
+      // epoch arithmetic via epoch_ns // 1e9 (the repo-wide timestamp
+      // parity rule: ::BIGINT on a double ROUNDS in DuckDB)
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+         |  (epoch_ns(max(ts)) // 1000000000)::BIGINT AS last_seen,
+         |  (epoch_ns(TIMESTAMP '$FreshAsOf') // 1000000000
+         |    - epoch_ns(max(ts)) // 1000000000)::BIGINT AS lag_s
+         |FROM events GROUP BY event_type""".stripMargin,
     "q215_bloom_join" ->
       // the plain join IS the oracle: Bloom pruning must be row-invisible
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,

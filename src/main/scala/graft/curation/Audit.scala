@@ -90,6 +90,23 @@ object Audit {
         countDistinct(when(col("__hit").isNull, col("__k"))).as("n_orphan_keys"))
   }
 
+  /** Freshness audit: per group, the row count, latest event time, and
+    * staleness `asOf − max(ts)` in whole seconds — the "did this source's
+    * feed stall" monitor, evaluated against an EXPLICIT reference instant
+    * rather than the wall clock (deterministic: re-running the audit on
+    * yesterday's snapshot reproduces yesterday's report). One
+    * map-combined aggregate; groups whose timestamps are all null report
+    * a null `last_seen` and null `lag_s` — a loud "never seen", not a
+    * zero.
+    */
+  def freshness(df: DataFrame, group: Column, ts: Column,
+      asOf: java.sql.Timestamp): DataFrame =
+    df.groupBy(group.as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(ts).cast("long").as("last_seen"),
+        (lit(asOf.getTime / 1000) - max(ts).cast("long")).as("lag_s"))
+
   /** Key-uniqueness audit: is `cols` a primary key? Returns ONE row:
     * `(n, n_keys, n_dup_keys, max_multiplicity)` — `n_dup_keys` = 0 means
     * unique. The check every IVM maintainer in this library contracts on

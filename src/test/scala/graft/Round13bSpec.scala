@@ -280,6 +280,21 @@ class Round13bSpec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("freshness: staleness against the explicit instant; all-null group reports " +
+      "null last_seen, never zero") {
+    import graft.curation.Audit
+    val df = Seq(
+      (1L, Option(ts("2000-01-01 00:00:00"))),
+      (1L, Option(ts("2000-01-03 00:00:00"))),
+      (2L, Option.empty[java.sql.Timestamp])).toDF("g", "t")
+    val asOf = ts("2000-01-04 00:00:00")
+    val rows = Audit.freshness(df, $"g", $"t", asOf)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(1) == 2L)
+    assert(rows(1L).getLong(3) == 86400L, rows(1L).toString) // one day stale
+    assert(rows(2L).isNullAt(2) && rows(2L).isNullAt(3), rows(2L).toString)
+  }
+
   test("fkOrphans counts null and missing keys as orphans; keyUniqueness profiles " +
       "multiplicity exactly") {
     import graft.curation.Audit
