@@ -301,8 +301,25 @@ object GraphGates {
     Graphs.minimumSpanningForest(nationEdges(s, d), col("u"), col("v"), col("w"))
       .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
 
+  /** q218 — single-linkage clusters of the weighted nation graph at the
+    * type-1 MEDIAN edge weight ([[Graphs.singleLinkageClusters]]): the
+    * engine cuts the Borůvka MSF; the oracle exploits the classic
+    * equivalence and takes components of the original graph thresholded
+    * directly — an algebraic-identity gate, not a replay. The threshold
+    * itself comes from [[graft.curation.Quantiles.exactQuantiles]] over
+    * the bounded edge-summary relation.
+    */
+  private def q218SingleLinkage(s: SparkSession, d: String): DataFrame = {
+    val e = nationEdges(s, d)
+    val t = graft.curation.Quantiles.exactQuantiles(e, lit(0L), col("w"), Seq(0.5))
+      .head().getDouble(2).toLong
+    Graphs.singleLinkageClusters(e, col("u"), col("v"), col("w"), t)
+      .select(col("node").as("nationkey"), col("cluster"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q216_msf" -> (q216Msf _),
+    "q218_single_linkage" -> (q218SingleLinkage _),
     "q195_betweenness" -> (q195Betweenness _),
     "q198_ktruss" -> (q198KTruss _),
     "q154_pagerank" -> (q154PageRank _),
@@ -701,22 +718,26 @@ object GraphGates {
     * minimum (w, u, v) edge crossing the current tree cut; the XOR
     * membership test keeps exactly the crossing edges.
     */
+  /** The weighted nation-graph CTEs shared by the q216/q218 oracles. */
+  private def nationEdgeCtes: String =
+    """t AS (SELECT l_orderkey, l_suppkey,
+      |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_suppkey) AS nxt
+      |  FROM lineitem),
+      |pr AS (SELECT l_suppkey AS src, nxt AS dst FROM t
+      |  WHERE nxt IS NOT NULL AND nxt != l_suppkey),
+      |e0 AS (SELECT s1.s_nationkey AS na, s2.s_nationkey AS nb FROM pr
+      |  JOIN supplier s1 ON s1.s_suppkey = pr.src
+      |  JOIN supplier s2 ON s2.s_suppkey = pr.dst
+      |  WHERE s1.s_nationkey != s2.s_nationkey),
+      |e AS MATERIALIZED (SELECT least(na, nb) AS u, greatest(na, nb) AS v,
+      |    count(*)::BIGINT AS w FROM e0 GROUP BY 1, 2)""".stripMargin
+
   private def msfSql: String = {
     val prelude =
-      """WITH t AS (SELECT l_orderkey, l_suppkey,
-        |    lead(l_suppkey) OVER (PARTITION BY l_orderkey
-        |      ORDER BY l_linenumber, l_suppkey) AS nxt
-        |  FROM lineitem),
-        |pr AS (SELECT l_suppkey AS src, nxt AS dst FROM t
-        |  WHERE nxt IS NOT NULL AND nxt != l_suppkey),
-        |e0 AS (SELECT s1.s_nationkey AS na, s2.s_nationkey AS nb FROM pr
-        |  JOIN supplier s1 ON s1.s_suppkey = pr.src
-        |  JOIN supplier s2 ON s2.s_suppkey = pr.dst
-        |  WHERE s1.s_nationkey != s2.s_nationkey),
-        |e AS MATERIALIZED (SELECT least(na, nb) AS u, greatest(na, nb) AS v,
-        |    count(*)::BIGINT AS w FROM e0 GROUP BY 1, 2),
-        |t0 AS MATERIALIZED (SELECT min(u) AS x FROM e),
-        |f0 AS (SELECT u, v, w FROM e WHERE false)""".stripMargin
+      s"""WITH $nationEdgeCtes,
+         |t0 AS MATERIALIZED (SELECT min(u) AS x FROM e),
+         |f0 AS (SELECT u, v, w FROM e WHERE false)""".stripMargin
     // every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
     // 24-round chain whose p_i references t_{i-1} twice would otherwise
     // expand exponentially (observed as "too many open files" from
@@ -733,8 +754,29 @@ object GraphGates {
       "\nSELECT u AS nation_a, v AS nation_b, w FROM f24"
   }
 
+  /** Single-linkage oracle via the threshold-graph equivalence: type-1
+    * median weight (the q103 rank walk), then min-reachable components of
+    * the DIRECTLY thresholded graph (the q179 convention) — an
+    * independent derivation, not an MSF replay.
+    */
+  private def singleLinkageSql: String =
+    s"""WITH RECURSIVE $nationEdgeCtes,
+       |nn AS (SELECT count(*) AS n FROM e),
+       |rk AS (SELECT least(n, greatest(1, ceil(0.5 * n)::BIGINT)) AS rk FROM nn),
+       |ow AS (SELECT w, row_number() OVER (ORDER BY w) AS rn FROM e),
+       |thr AS (SELECT w AS t FROM ow JOIN rk ON ow.rn = rk.rk),
+       |kept AS (SELECT u, v FROM e WHERE w <= (SELECT t FROM thr)),
+       |ed AS (SELECT u AS s, v AS d2 FROM kept UNION SELECT v, u FROM kept),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |reach(a, b) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT r.a, ed.d2 FROM reach r JOIN ed ON r.b = ed.s)
+       |SELECT a AS nationkey, min(b) AS cluster FROM reach GROUP BY a""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q216_msf" -> msfSql,
+    "q218_single_linkage" -> singleLinkageSql,
     "q195_betweenness" -> betweennessSql,
     "q198_ktruss" -> ktrussSql,
     "q154_pagerank" -> pagerankSql,

@@ -876,6 +876,37 @@ object Graphs {
       .select(col("doc_id").as("node"), col("cluster_id").as("component"))
   }
 
+  /** SINGLE-LINKAGE clustering at distance threshold `t`, through the MSF:
+    * cut the [[minimumSpanningForest]] at `w ≤ t` and take connected
+    * components of what remains — by the classic equivalence, identical
+    * to components of the ORIGINAL graph restricted to `w ≤ t` (an MSF
+    * path between two nodes is the minimax path, so they share a
+    * threshold component iff they share an MSF-cut component), but the
+    * CC runs on `nodes − 1` forest edges instead of every edge under the
+    * threshold — at 100 TB the MSF is computed once and every threshold
+    * is a filter + CC over a forest. Nodes whose incident edges all
+    * exceed `t` appear as singletons labeled by themselves. Output:
+    * `(node, cluster)`, cluster = min member id.
+    */
+  def singleLinkageClusters(
+      edges: DataFrame,
+      endA: Column,
+      endB: Column,
+      weight: Column,
+      threshold: Long,
+      maxRounds: Int = 20
+  ): DataFrame = {
+    val e = edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),
+        weight.cast("long").as("w"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node"))).distinct()
+    val kept = minimumSpanningForest(e, col("a"), col("b"), col("w"), maxRounds)
+      .where(col("w") <= threshold)
+    val cc = connectedComponents(kept, col("u"), col("v"))
+    nodes.join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+  }
+
   /** MINIMUM SPANNING FOREST of the weighted simple undirected graph, by
     * distributed Borůvka: each round EVERY component selects its minimum
     * incident crossing edge under the strict total order `(w, u, v)`

@@ -365,5 +365,19 @@ class GraphsSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     // forest size law: nodes − components (15 nodes, 2 components)
     assert(got.size == 15 - 2)
+
+    // single-linkage identity at several thresholds: cutting the MSF
+    // equals components of the directly thresholded graph
+    for (t <- Seq(5L, 15L, 30L, 60L)) {
+      val viaMsf = Graphs.singleLinkageClusters(df, $"u", $"v", $"w", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2)).distinct
+      val keptE = canon.filter(_._3 <= t)
+      val ccDirect = Graphs.connectedComponents(
+          keptE.toDF("u", "v", "w"), $"u", $"v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want2 = nodes.map(n => (n, ccDirect.getOrElse(n, n))).toSet
+      assert(viaMsf == want2, s"t=$t: $viaMsf vs $want2")
+    }
   }
 }
