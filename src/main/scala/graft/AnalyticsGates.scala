@@ -463,6 +463,28 @@ object AnalyticsGates {
         java.sql.Timestamp.valueOf(FreshAsOf))
       .select(col("g").as("event_type"), col("n"), col("last_seen"), col("lag_s"))
 
+  /** q219 — quantile BOUNDS from the maintained cell state alone
+    * ([[Storage.quantileBoundsFromCells]]): the q204 view's zero-base-I/O
+    * read — the bracketing cell's exact dyadic boundaries contain each
+    * type-1 quantile. The oracle rebuilds the cell histogram from the
+    * final rows and walks the same ranks.
+    */
+  private def q219QuantileBounds(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val cells = base.groupBy(col("grp"),
+        Storage.dyadicCell(col("value"), QvScale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
+    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
+    val maintained = Storage.mergeQuantileCellsDelta(
+      cells, base, inserts, deleteIds, "row_id", "grp", "value", QvScale)
+    Storage.quantileBoundsFromCells(maintained, "grp", QvScale, QvQs)
+      .select(col("g").as("o_custkey"), col("q"), col("lo"), col("hi"))
+  }
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -501,7 +523,8 @@ object AnalyticsGates {
     "q212_join_view3" -> (q212JoinView3 _),
     "q213_zorder" -> (q213Zorder _),
     "q215_bloom_join" -> (q215BloomJoin _),
-    "q217_freshness" -> (q217Freshness _)
+    "q217_freshness" -> (q217Freshness _),
+    "q219_quantile_bounds" -> (q219QuantileBounds _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -836,6 +859,29 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q219_quantile_bounds" ->
+      // rebuild the dyadic cell histogram from the final rows, walk the
+      // same type-1 ranks, emit the bracketing cell's exact boundaries
+      s"""WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$Cutoff'),
+         |final AS (
+         |  SELECT * FROM base WHERE o_orderkey % $DeleteMod != 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderdate >= TIMESTAMP '$Cutoff'),
+         |t AS (SELECT o_custkey AS g,
+         |  floor(o_totalprice / ${1 << QvScale}.0)::BIGINT AS cell FROM final),
+         |h AS (SELECT g, cell, count(*)::BIGINT AS rc FROM t GROUP BY 1, 2),
+         |n AS (SELECT g, sum(rc)::BIGINT AS n FROM h GROUP BY 1),
+         |qs AS (SELECT unnest([${QvQs.map(q => s"$q::DOUBLE").mkString(", ")}]) AS q),
+         |r AS (SELECT g, q, least(n, greatest(1, ceil(q * n)::BIGINT)) AS rk
+         |  FROM n CROSS JOIN qs),
+         |c AS (SELECT g, cell, rc,
+         |  sum(rc) OVER (PARTITION BY g ORDER BY cell) AS cum FROM h)
+         |SELECT r.g AS o_custkey, r.q,
+         |  (c.cell * ${1 << QvScale})::DOUBLE AS lo,
+         |  ((c.cell + 1) * ${1 << QvScale})::DOUBLE AS hi
+         |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rk AND c.cum - c.rc < r.rk""".stripMargin,
     "q217_freshness" ->
       // epoch arithmetic via epoch_ns // 1e9 (the repo-wide timestamp
       // parity rule: ::BIGINT on a double ROUNDS in DuckDB)

@@ -835,6 +835,48 @@ object Storage {
   ): DataFrame =
     quantileServe(cells, base, grp, value, col(weight).cast("long"), scale, qs)
 
+  /** Rank bracketing over the STATE only: per (group, q), the cell
+    * containing the type-1 rank, the rank re-based into it (`__rk`).
+    * Shared by the exact serves and the state-only bounds readout.
+    */
+  private def bracketsOf(cells: DataFrame, grp: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1]: $qs")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("cell"))
+    val wN = Window.partitionBy(col("__g"))
+    cells
+      .select(col(grp).as("__g"), col("cell"), col("rc"))
+      .withColumn("__cum", sum(col("rc")).over(wCum))
+      .withColumn("__n", sum(col("rc")).over(wN))
+      .select(col("__g"), col("cell"), col("rc"), col("__cum"), col("__n"),
+        explode(array(qs.map(lit): _*)).as("q"))
+      .withColumn("__rank",
+        least(col("__n"), greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))))
+      .where(col("__cum") >= col("__rank") && col("__cum") - col("rc") < col("__rank"))
+      .select(col("__g"), col("cell"), col("q"),
+        (col("__rank") - (col("__cum") - col("rc"))).as("__rk"))
+  }
+
+  /** Quantile BOUNDS from the maintained cell state ALONE — no base read
+    * at all: the bracketing cell's exact boundaries `[cell·2^scale,
+    * (cell+1)·2^scale)` contain the type-1 quantile by construction, so a
+    * monitoring read that tolerates ± one cell width costs O(state) and
+    * ZERO base I/O — the 100-TB fast path; [[quantilesFromCells]] is the
+    * exact-value read when it matters. Output: (g, q, lo, hi).
+    */
+  def quantileBoundsFromCells(
+      cells: DataFrame,
+      grp: String,
+      scale: Int,
+      qs: Seq[Double]
+  ): DataFrame = {
+    val width = math.pow(2.0, scale) // exponent shift — exact
+    bracketsOf(cells, grp, qs)
+      .select(col("__g").as("g"), col("q"),
+        (col("cell").cast("double") * lit(width)).as("lo"),
+        ((col("cell") + 1).cast("double") * lit(width)).as("hi"))
+  }
+
   /** Shared serve engine: `w` is the per-row mass (lit(1) = unweighted).
     * The resolution's cumulative walk aggregates Σw per distinct value, so
     * sum(1) degenerates to the row count exactly.
@@ -848,22 +890,7 @@ object Storage {
       scale: Int,
       qs: Seq[Double]
   ): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      s"quantiles must be in (0,1]: $qs")
-    val wCum = Window.partitionBy(col("__g")).orderBy(col("cell"))
-    val wN = Window.partitionBy(col("__g"))
-    val brackets = cells
-      .select(col(grp).as("__g"), col("cell"), col("rc"))
-      .withColumn("__cum", sum(col("rc")).over(wCum))
-      .withColumn("__n", sum(col("rc")).over(wN))
-      .select(col("__g"), col("cell"), col("rc"), col("__cum"), col("__n"),
-        explode(array(qs.map(lit): _*)).as("q"))
-      .withColumn("__rank",
-        least(col("__n"), greatest(lit(1L), ceil(col("q") * col("__n")).cast("long"))))
-      .where(col("__cum") >= col("__rank") && col("__cum") - col("rc") < col("__rank"))
-      .select(col("__g"), col("cell"), col("q"),
-        (col("__rank") - (col("__cum") - col("rc"))).as("__rk"))
-
+    val brackets = bracketsOf(cells, grp, qs)
     val rows = base
       .select(col(grp).as("__g"), col(value).cast("double").as("__v"), w.as("__w"))
       .where(col("__v").isNotNull)

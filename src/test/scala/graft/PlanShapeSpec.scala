@@ -818,5 +818,10 @@ class PlanShapeSpec extends SparkSpec {
     val s216 = simplePlan("q216_msf")
     assert(!s216.contains("Scan parquet"), s216)
     assert(!s216.contains("CartesianProduct"), s216)
+    // q218: node labeling joins the (lazy) edge relation with the
+    // checkpointed cluster labels — keyed joins only
+    val s218 = simplePlan("q218_single_linkage")
+    assert(!s218.contains("CartesianProduct") && !s218.contains("BroadcastNestedLoopJoin"), s218)
+    assert(!s218.contains("Exchange SinglePartition"), s218)
   }
 }

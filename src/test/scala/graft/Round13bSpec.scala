@@ -153,6 +153,26 @@ class Round13bSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("quantileBoundsFromCells: the state-only bracket contains the exact type-1 " +
+      "quantile and is exactly one cell wide") {
+    import graft.sources.Storage
+    val df = (1L to 500L).map(i => (i % 4, (i * 37 % 101).toDouble - 17.0)).toDF("g", "v")
+    val scale = 3
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val cells = df.groupBy($"g", Storage.dyadicCell($"v", scale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val exact = Storage.quantilesFromCells(cells, df, "g", "v", scale, qs)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val bounds = Storage.quantileBoundsFromCells(cells, "g", scale, qs).collect()
+    assert(bounds.length == exact.size)
+    bounds.foreach { r =>
+      val v = exact((r.getLong(0), r.getDouble(1)))
+      val (lo, hi) = (r.getDouble(2), r.getDouble(3))
+      assert(lo <= v && v < hi, s"$v not in [$lo, $hi)")
+      assert(hi - lo == 8.0, s"width ${hi - lo}")
+    }
+  }
+
   test("IngestQuantileView weighted mode: cell mass is Σ weight, replay-guarded, " +
       "serve lands on the weighted rank") {
     import graft.sources.Storage
