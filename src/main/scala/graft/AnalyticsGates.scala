@@ -485,6 +485,29 @@ object AnalyticsGates {
       .select(col("g").as("o_custkey"), col("q"), col("lo"), col("hi"))
   }
 
+  /** q220 — PIVOT: per-returnflag quantity totals spread across explicit
+    * linestatus columns. With the pivot values DECLARED (`Seq("F","O")`)
+    * Catalyst plans ONE pass of conditional aggregates — no
+    * distinct-values pre-scan, no Expand; the oracle is the equivalent
+    * conditional aggregation.
+    */
+  private def q220Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast("long")))
+
+  /** q221 — UNPIVOT (melt): part's numeric measures to (metric, value)
+    * rows via the built-in `unpivot` — the relational melt the q206
+    * profiler hand-rolls with explode, here as the first-class operator.
+    */
+  private def q221Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").cast("double").as("retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+        "metric", "value")
+
   /** q189 — top-3 orders per customer by (price desc, orderkey asc)
     * through the BOUNDED top-k aggregate ([[graft.operators.TopK]]):
     * O(k) state per group, map-side partials, no window sort anywhere —
@@ -524,7 +547,9 @@ object AnalyticsGates {
     "q213_zorder" -> (q213Zorder _),
     "q215_bloom_join" -> (q215BloomJoin _),
     "q217_freshness" -> (q217Freshness _),
-    "q219_quantile_bounds" -> (q219QuantileBounds _)
+    "q219_quantile_bounds" -> (q219QuantileBounds _),
+    "q220_pivot" -> (q220Pivot _),
+    "q221_unpivot" -> (q221Unpivot _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -859,6 +884,15 @@ object AnalyticsGates {
         |  count(*) FILTER (m > 1)::BIGINT AS n_dup_keys,
         |  max(m)::BIGINT AS max_multiplicity
         |FROM m""".stripMargin,
+    "q220_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity::BIGINT END)::BIGINT AS "F",
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity::BIGINT END)::BIGINT AS "O"
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q221_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, p_size::DOUBLE AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice', p_retailprice::DOUBLE FROM part""".stripMargin,
     "q219_quantile_bounds" ->
       // rebuild the dyadic cell histogram from the final rows, walk the
       // same type-1 ranks, emit the bracketing cell's exact boundaries

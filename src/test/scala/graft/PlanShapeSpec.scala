@@ -823,5 +823,14 @@ class PlanShapeSpec extends SparkSpec {
     val s218 = simplePlan("q218_single_linkage")
     assert(!s218.contains("CartesianProduct") && !s218.contains("BroadcastNestedLoopJoin"), s218)
     assert(!s218.contains("Exchange SinglePartition"), s218)
+    // q220: DECLARED pivot values — one conditional-aggregate pass, no
+    // distinct-values pre-scan, no Expand
+    val s220 = simplePlan("q220_pivot")
+    assert("Scan parquet".r.findAllIn(s220).size == 1, s220)
+    assert(!s220.contains("Expand"), s220)
+    // q221: the built-in unpivot melts through ONE Expand over one scan
+    val s221 = simplePlan("q221_unpivot")
+    assert(s221.contains("Expand"), s221)
+    assert("Scan parquet".r.findAllIn(s221).size == 1, s221)
   }
 }
