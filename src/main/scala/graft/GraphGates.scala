@@ -310,11 +310,17 @@ object GraphGates {
     * the bounded edge-summary relation.
     */
   private def q218SingleLinkage(s: SparkSession, d: String): DataFrame = {
-    val e = nationEdges(s, d)
+    // pay the lineitem-window edge derivation ONCE: the threshold
+    // quantile and the clustering both consume it (construction is eager
+    // on both — collect inside exactQuantiles, driver Kruskal/CC inside
+    // singleLinkageClusters — so the block releases before returning)
+    val e = graft.Materialize(nationEdges(s, d))
     val t = graft.curation.Quantiles.exactQuantiles(e, lit(0L), col("w"), Seq(0.5))
       .head().getDouble(2).toLong
-    Graphs.singleLinkageClusters(e, col("u"), col("v"), col("w"), t)
+    val out = Graphs.singleLinkageClusters(e, col("u"), col("v"), col("w"), t)
       .select(col("node").as("nationkey"), col("cluster"))
+    e.unpersist()
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -894,17 +894,26 @@ object Graphs {
       endB: Column,
       weight: Column,
       threshold: Long,
-      maxRounds: Int = 20
+      maxRounds: Int = 20,
+      localEdges: Long = MsfLocalEdges
   ): DataFrame = {
-    val e = edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),
-        weight.cast("long").as("w"))
-      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val nodes = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node"))).distinct()
-    val kept = minimumSpanningForest(e, col("a"), col("b"), col("w"), maxRounds)
+    // the edge relation is consumed twice (node set + MSF input) — pay
+    // its derivation once; the node relation stays materialized because
+    // the returned labeling plan serves from it (bounded: one row per
+    // vertex)
+    val e = Materialize(
+      edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),
+          weight.cast("long").as("w"))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b")))
+    val nodes = Materialize(
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node"))).distinct())
+    val kept = minimumSpanningForest(e, col("a"), col("b"), col("w"), maxRounds, localEdges)
       .where(col("w") <= threshold)
     val cc = connectedComponents(kept, col("u"), col("v"))
-    nodes.join(cc, Seq("node"), "left")
+    val out = nodes.join(cc, Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("cluster"))
+    e.unpersist()
+    out
   }
 
   /** MINIMUM SPANNING FOREST of the weighted simple undirected graph, by
@@ -927,12 +936,23 @@ object Graphs {
     * scale IS an MSF (cut it at a threshold), and the forest is the
     * cheapest backbone of a similarity graph.
     */
+  /** Below this canonical-edge count the Borůvka loop hands the whole
+    * problem to a bounded driver Kruskal (the SCC `tarjanScc` precedent:
+    * ~48 MB of (u, v, w) triples at the cap) — the distributed loop pays
+    * several Materialize + CC rounds of fixed overhead that dwarf a tiny
+    * graph's actual work. Both paths produce the IDENTICAL unique MSF
+    * (strict total order), equivalence-spec'd with the threshold forced
+    * to 0.
+    */
+  private val MsfLocalEdges: Long = 2000000L
+
   def minimumSpanningForest(
       edges: DataFrame,
       endA: Column,
       endB: Column,
       weight: Column,
-      maxRounds: Int = 20
+      maxRounds: Int = 20,
+      localEdges: Long = MsfLocalEdges
   ): DataFrame = {
     val e0 = edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),
         weight.cast("long").as("w"))
@@ -940,6 +960,25 @@ object Graphs {
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"), col("w"))
       .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
     val live = Materialize(e0)
+    val nEdges = live.count()
+    if (nEdges <= localEdges) {
+      val spark = live.sparkSession
+      val sorted = live.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(e => (e._3, e._1, e._2))
+      live.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val kept = sorted.flatMap { case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+      }
+      import spark.implicits._
+      return kept.toSeq.toDF("u", "v", "w")
+    }
     var comp = Materialize(
       live.select(col("u").as("node")).unionAll(live.select(col("v").as("node"))).distinct()
         .select(col("node"), col("node").as("c")))

@@ -365,6 +365,13 @@ class GraphsSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     // forest size law: nodes − components (15 nodes, 2 components)
     assert(got.size == 15 - 2)
+    // both paths land on the identical unique MSF: default = bounded
+    // driver Kruskal (tiny graph), localEdges = 0 forces the full
+    // distributed Borůvka loop
+    val gotDistributed = Graphs.minimumSpanningForest(
+        df, $"u", $"v", $"w", localEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotDistributed == want, s"distributed path: $gotDistributed")
 
     // single-linkage identity at several thresholds: cutting the MSF
     // equals components of the directly thresholded graph
