@@ -283,7 +283,10 @@ object AnalyticsGates {
     * The oracle computes the type-1 quantiles from the final row set
     * from scratch.
     */
-  private def q204QuantileView(s: SparkSession, d: String): DataFrame = {
+  /** The q204/q219 shared construction: the per-customer price cell state
+    * maintained through the q157 change set, plus the final row set.
+    */
+  private def q204MaintainedCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val cut = to_timestamp(lit(Cutoff))
     val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
       col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
@@ -297,6 +300,11 @@ object AnalyticsGates {
       cells, base, inserts, deleteIds, "row_id", "grp", "value", QvScale)
     val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti")
       .unionByName(inserts)
+    (maintained, finalBase)
+  }
+
+  private def q204QuantileView(s: SparkSession, d: String): DataFrame = {
+    val (maintained, finalBase) = q204MaintainedCells(s, d)
     Storage.quantilesFromCells(maintained, finalBase, "grp", "value", QvScale, QvQs)
       .select(col("g").as("o_custkey"), col("q"), col("value"))
   }
@@ -470,17 +478,7 @@ object AnalyticsGates {
     * final rows and walks the same ranks.
     */
   private def q219QuantileBounds(s: SparkSession, d: String): DataFrame = {
-    val cut = to_timestamp(lit(Cutoff))
-    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
-      col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
-    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
-    val cells = base.groupBy(col("grp"),
-        Storage.dyadicCell(col("value"), QvScale).as("cell"))
-      .agg(count(lit(1)).as("rc"))
-    val inserts = o.where(col("o_orderdate") >= cut).drop("o_orderdate")
-    val deleteIds = base.where(col("row_id") % DeleteMod === 0).select(col("row_id"))
-    val maintained = Storage.mergeQuantileCellsDelta(
-      cells, base, inserts, deleteIds, "row_id", "grp", "value", QvScale)
+    val (maintained, _) = q204MaintainedCells(s, d)
     Storage.quantileBoundsFromCells(maintained, "grp", QvScale, QvQs)
       .select(col("g").as("o_custkey"), col("q"), col("lo"), col("hi"))
   }

@@ -297,9 +297,22 @@ object GraphGates {
     * sequential Prim (24 unrolled cut-min rounds; rounds after the tree
     * completes pick nothing) lands on the identical edge set.
     */
-  private def q216Msf(s: SparkSession, d: String): DataFrame =
-    Graphs.minimumSpanningForest(nationEdges(s, d), col("u"), col("v"), col("w"))
-      .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
+  private def q216Msf(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Materialize(nationEdges(s, d))
+    val forest = Graphs.minimumSpanningForest(e, col("u"), col("v"), col("w"))
+    // the oracle's single-seed Prim spans ONE component; the engine spans
+    // them all — enforce the (probed) connectivity assumption loudly so a
+    // future testdata regeneration false-fails with an explanation, not a
+    // silent hash mismatch
+    val nNodes = e.select(col("u")).unionAll(e.select(col("v"))).distinct().count()
+    val nForest = forest.count()
+    e.unpersist()
+    require(nForest == nNodes - 1,
+      s"q216 oracle assumes a CONNECTED nation graph (single-seed Prim); engine forest " +
+        s"has $nForest edges over $nNodes nodes — regenerate the oracle as a per-component " +
+        "replay if the testdata changed")
+    forest.select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
+  }
 
   /** q218 — single-linkage clusters of the weighted nation graph at the
     * type-1 MEDIAN edge weight ([[Graphs.singleLinkageClusters]]): the

@@ -968,9 +968,15 @@ object Graphs {
         .sortBy(e => (e._3, e._1, e._2))
       live.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // ITERATIVE find with full path compression: a recursive form would
+      // recurse as deep as the parent chain — a million-node path built
+      // in ascending weight order overflows the driver stack at this cap
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       val kept = sorted.flatMap { case (u, v, w) =>
         val (ru, rv) = (find(u), find(v))
@@ -1002,8 +1008,12 @@ object Graphs {
         done = true
         chosen.unpersist()
       } else {
-        val f = chosen.select(col("u"), col("v"), col("w"))
-        forest = if (forest == null) f else Materialize(forest.unionByName(f))
+        val prevForest = forest
+        // materialize the grown forest BEFORE unpersisting its inputs
+        forest = Materialize(
+          if (forest == null) chosen.select(col("u"), col("v"), col("w"))
+          else forest.unionByName(chosen.select(col("u"), col("v"), col("w"))))
+        if (prevForest != null) prevForest.unpersist()
         // contract: relabel merged components to their new (min) label;
         // untouched components keep theirs
         val relabel = connectedComponents(
@@ -1014,6 +1024,7 @@ object Graphs {
               Seq("c"), "left")
             .select(col("node"), coalesce(col("__nc"), col("c")).as("c")))
         prev.unpersist()
+        chosen.unpersist()
       }
       round += 1
     }

@@ -506,7 +506,18 @@ object Joins {
     require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
     require(large.columns.contains(key) && small.columns.contains(key),
       s"join key '$key' must exist on both sides")
+    // xxhash64 is TYPE-sensitive where the equi join coerces: an INT key
+    // on one side and a BIGINT on the other hash differently, and the
+    // filter would silently prune every true match — refuse loudly
+    require(large.schema(key).dataType == small.schema(key).dataType,
+      s"join key '$key' types differ (${large.schema(key).dataType} vs " +
+        s"${small.schema(key).dataType}): the Bloom hash is type-sensitive while the " +
+        "join would coerce — cast both sides to one type first")
     import org.apache.spark.util.sketch.BloomFilter
+    // an EMPTY selective side must yield the plain (empty) join, not a
+    // treeReduce-on-zero-partials crash — probe one row first (cheap:
+    // the scan stops at the first row it finds)
+    if (small.limit(1).isEmpty) return large.join(small, Seq(key))
     val merged = small.select(xxhash64(col(key)).as("h"))
       .coalesce(8)
       .queryExecution.toRdd.map(_.getLong(0))

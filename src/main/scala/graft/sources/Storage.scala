@@ -540,7 +540,10 @@ object Storage {
     val dAxdB = aDelta.select(col("ka"), col("grp"), col("sign").as("__sa"))
       .join(broadcast(bDelta.select(col("ka"), col("kb"), col("sign").as("__sb"))), Seq("ka"))
       .select(col("kb"), col("grp"), (col("__sa") * col("__sb")).as("sign"))
-    val dX = dAxB.unionByName(AxdB).unionByName(dAxdB)
+    // ΔX feeds TWO terms below; un-materialized, each would re-run the
+    // three delta-vs-base joins that dominate the batch — pay them once
+    // (batch-sized by the same premise that justifies the broadcasts)
+    val dX = graft.Materialize(dAxB.unionByName(AxdB).unionByName(dAxdB))
 
     // X ⋈ ΔC with X = Aold ⋈ Bold restricted to ΔC's keys FIRST: the only
     // term touching both base tables never materializes their join, and

@@ -337,6 +337,16 @@ class JoinsSpec extends SparkSpec {
     val plan = Joins.bloomPrunedJoin(large, small, "k", expectedKeys = 1000)
       .queryExecution.executedPlan.toString
     assert(plan.contains("graft_bloom_might_contain"), plan)
+    // an EMPTY selective side yields the plain (empty) join, not a
+    // treeReduce crash
+    val emptySmall = small.where($"k" < 0)
+    assert(Joins.bloomPrunedJoin(large, emptySmall, "k", expectedKeys = 1000).isEmpty)
+    // mismatched key types would silently kill every match through the
+    // type-sensitive hash — refused loudly
+    val intKeyed = spark.range(10).select($"id".cast("int").as("k"), lit("x").as("label2"))
+    val e = intercept[IllegalArgumentException](
+      Joins.bloomPrunedJoin(large, intKeyed, "k", expectedKeys = 10))
+    assert(e.getMessage.contains("types differ"), e.getMessage)
   }
 
   test("KMV merge law: union of shard states == sketch of the concatenated data") {
