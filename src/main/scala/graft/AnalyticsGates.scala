@@ -426,6 +426,56 @@ object AnalyticsGates {
         col("total").cast("long").as("qty_sum"))
   }
 
+  private[graft] val PDeleteMod = 13
+
+  /** q222 — FOUR-WAY join-chain view maintenance
+    * ([[Storage.mergeJoinViewNDelta]], the recursive Δ expansion that
+    * stops the per-arity duplication at three): the per-nation part-size
+    * view over customer ⋈ orders ⋈ lineitem ⋈ part maintained through
+    * signed inserts AND deletes on ALL FOUR base tables in one batch —
+    * fifteen delta-restricted terms when fully expanded, every
+    * delta-derived relation broadcast. Change sets: the q212 splits on
+    * the first three sides; part splits on partkey mod 4 (inserts) /
+    * mod 13 (deletes). The oracle re-joins the final row sets from
+    * scratch.
+    */
+  private def q222JoinView4(s: SparkSession, d: String): DataFrame = {
+    val cut = to_timestamp(lit(Cutoff))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("ka"), col("c_nationkey").as("grp"))
+    val o = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+
+    val aOld = cust.where(col("ka") % 3 =!= 0)
+    val aDelta = cust.where(col("ka") % 3 === 0).withColumn("sign", lit(1))
+      .unionByName(aOld.where(col("ka") % CDeleteMod === 0).withColumn("sign", lit(-1)))
+    val bOld = o.where(col("o_orderdate") < cut)
+      .select(col("o_custkey").as("ka"), col("o_orderkey").as("kb"))
+    val bDelta = o.where(col("o_orderdate") >= cut)
+      .select(col("o_custkey").as("ka"), col("o_orderkey").as("kb"), lit(1).as("sign"))
+      .unionByName(bOld.where(col("kb") % DeleteMod === 0).withColumn("sign", lit(-1)))
+    val cOld = li.where(col("l_linenumber") <= 4)
+      .select(col("l_orderkey").as("kb"), col("l_partkey").as("kc"))
+    val cDelta = li.where(col("l_linenumber") > 4)
+      .select(col("l_orderkey").as("kb"), col("l_partkey").as("kc"), lit(1).as("sign"))
+      .unionByName(cOld.where(col("kb") % BDeleteMod === 0).withColumn("sign", lit(-1)))
+    val dOld = p.where(col("p_partkey") % 4 =!= 1)
+      .select(col("p_partkey").as("kc"), col("p_size").cast("long").as("value"))
+    val dDelta = p.where(col("p_partkey") % 4 === 1)
+      .select(col("p_partkey").as("kc"), col("p_size").cast("long").as("value"),
+        lit(1).as("sign"))
+      .unionByName(dOld.where(col("kc") % PDeleteMod === 0).withColumn("sign", lit(-1)))
+
+    val view = aOld.join(bOld, Seq("ka")).join(cOld, Seq("kb")).join(dOld, Seq("kc"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+    Storage.mergeJoinViewNDelta(view,
+        Seq(aOld, bOld, cOld, dOld), Seq(aDelta, bDelta, cDelta, dDelta),
+        Seq("ka", "kb", "kc"))
+      .select(col("grp").as("c_nationkey"), col("n").as("n_rows"),
+        col("total").cast("long").as("size_sum"))
+  }
+
   private[graft] val ZBits = 10
 
   /** q213 — Z-order (Morton) value ([[Storage.zValue]]): the bit
@@ -547,7 +597,8 @@ object AnalyticsGates {
     "q217_freshness" -> (q217Freshness _),
     "q219_quantile_bounds" -> (q219QuantileBounds _),
     "q220_pivot" -> (q220Pivot _),
-    "q221_unpivot" -> (q221Unpivot _)
+    "q221_unpivot" -> (q221Unpivot _),
+    "q222_join_view4" -> (q222JoinView4 _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -955,6 +1006,28 @@ object AnalyticsGates {
          |SELECT a.grp AS c_nationkey, count(*)::BIGINT AS n_lines,
          |  sum(c.value)::BIGINT AS qty_sum
          |FROM a JOIN b ON a.ka = b.ka JOIN c ON b.kb = c.kb
+         |GROUP BY a.grp""".stripMargin,
+    "q222_join_view4" ->
+      // from-scratch re-join of the FOUR final row sets — what the
+      // fifteen-term recursive delta path must land on exactly
+      s"""WITH a AS (
+         |  SELECT c_custkey AS ka, c_nationkey AS grp FROM customer
+         |  WHERE (c_custkey % 3 != 0 AND c_custkey % $CDeleteMod != 0)
+         |     OR c_custkey % 3 = 0),
+         |b AS (
+         |  SELECT o_custkey AS ka, o_orderkey AS kb FROM orders
+         |  WHERE (o_orderdate < TIMESTAMP '$Cutoff' AND o_orderkey % $DeleteMod != 0)
+         |     OR o_orderdate >= TIMESTAMP '$Cutoff'),
+         |c AS (
+         |  SELECT l_orderkey AS kb, l_partkey AS kc FROM lineitem
+         |  WHERE (l_linenumber <= 4 AND l_orderkey % $BDeleteMod != 0) OR l_linenumber > 4),
+         |d AS (
+         |  SELECT p_partkey AS kc, p_size::BIGINT AS value FROM part
+         |  WHERE (p_partkey % 4 != 1 AND p_partkey % $PDeleteMod != 0)
+         |     OR p_partkey % 4 = 1)
+         |SELECT a.grp AS c_nationkey, count(*)::BIGINT AS n_rows,
+         |  sum(d.value)::BIGINT AS size_sum
+         |FROM a JOIN b ON a.ka = b.ka JOIN c ON b.kb = c.kb JOIN d ON c.kc = d.kc
          |GROUP BY a.grp""".stripMargin,
     "q210_weighted_quantile_view" ->
       // weighted type-1 rank walk over the final row set: the value whose

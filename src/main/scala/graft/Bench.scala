@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   * magnitude without saying anything about the plans. Repetitions
   * interleave round-robin (all queries once, then all again) so a
   * transient load spike hits each query at most once, not all reps of one.
+  * Queries whose reps still spread more than 2× (min > 0.5 s) are
+  * re-measured twice more and named in the summary's `unstable` list, so
+  * a contended outlier reads as "re-repped noise", not a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -80,6 +83,32 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
       }
     }
+    // contention re-rep: a query whose reps spread more than 2× was hit
+    // by a load spike mid-run (rounds 6–13 saw q155/q161 swing ~2× with
+    // box load; round-13's record caught exactly one such outlier) — give
+    // it two extra measurements so the median reflects the quiet state,
+    // and NAME it in the summary so a reader can tell "re-repped noise"
+    // from "regression". The 0.5 s floor keeps sub-second queries out:
+    // their max/min ratio is dominated by scheduler jitter, not load.
+    val unstable = scala.collection.mutable.SortedSet.empty[String]
+    for (name <- names if timings(name).nonEmpty) {
+      val xs = timings(name)
+      if (xs.min > 0.5 && xs.max / xs.min > 2.0) {
+        unstable += name
+        val fn = SparkEntry.queries(name)
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime()
+          try {
+            runFull(fn(spark, sfDir))
+            timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
+          } catch {
+            case t: Throwable =>
+              failures += name
+              System.err.println(s"bench: $name FAILED on re-rep: ${t.getClass.getName}: ${t.getMessage}")
+          }
+        }
+      }
+    }
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -110,8 +139,9 @@ object Bench {
     // ask — when the total printed first, a 2000-char tail kept the map's
     // end but dropped the total).
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
-    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
+    val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

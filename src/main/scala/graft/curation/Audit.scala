@@ -53,7 +53,13 @@ object Audit {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
-        countDistinct(coalesce(col("str_val"), col("num_val").cast("string")))
+        // + 0.0 collapses IEEE signed zero before the string image:
+        // a Float/Double column holding both -0.0 and 0.0 would render
+        // "-0.0" vs "0.0" and count as TWO distincts while
+        // count(DISTINCT col) in SQL (and plain Spark) treats them as
+        // one value (NaN already renders uniformly as "NaN")
+        countDistinct(coalesce(col("str_val"),
+            (col("num_val") + lit(0.0)).cast("string")))
           .as("n_distinct"),
         min(col("num_val")).as("min_num"),
         max(col("num_val")).as("max_num"),

@@ -894,7 +894,7 @@ object Graphs {
       endB: Column,
       weight: Column,
       threshold: Long,
-      maxRounds: Int = 20,
+      maxRounds: Int = 64,
       localEdges: Long = MsfLocalEdges
   ): DataFrame = {
     // the edge relation is consumed twice (node set + MSF input) — pay
@@ -925,8 +925,9 @@ object Graphs {
     * [[connectedComponents]] over the COMPONENT-level graph, whose size
     * is ≤ the component count, shrinking geometrically), and edges gone
     * intra-component stop participating. Components at least HALVE per
-    * round, so `maxRounds` = 20 covers 10^6 components; non-convergence
-    * throws rather than returning a partial forest.
+    * round, so the default `maxRounds` = 64 covers any component count a
+    * Long can index (rounds needed ≤ log2(initial components));
+    * non-convergence throws rather than returning a partial forest.
     *
     * Direction is ignored; parallel edges collapse to the cheapest;
     * self-loops drop. Output: the forest edges `(u, v, w)` with
@@ -946,12 +947,20 @@ object Graphs {
     */
   private val MsfLocalEdges: Long = 2000000L
 
+  // maxRounds default 64, not 20: Borûvka at least halves the component
+  // count per round, so rounds needed ≤ log2(initial components) — but
+  // the distributed path only engages above 2M canonical edges, where a
+  // sparse graph can start with >2^20 components and a cap of 20 would
+  // fire the non-convergence guard on an algorithm that is progressing.
+  // 64 covers any component count a Long can index; every round is
+  // convergence-checked and exits early, so the generous cap costs
+  // nothing and the loud guard fires only on genuine stalls.
   def minimumSpanningForest(
       edges: DataFrame,
       endA: Column,
       endB: Column,
       weight: Column,
-      maxRounds: Int = 20,
+      maxRounds: Int = 64,
       localEdges: Long = MsfLocalEdges
   ): DataFrame = {
     val e0 = edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"),

@@ -493,17 +493,28 @@ object Joins {
     * for the middle regime (and the plan it produces still lets Catalyst
     * pick broadcast for the join itself if sizes allow).
     *
-    * `expectedKeys` caps the filter geometry; the build counts nothing
-    * up front (a count would cost a pass) — size it from table stats or
-    * [[skewReport]]. fpp fixed at 1% (the repo-wide Bloom convention).
+    * The selective side is MATERIALIZED once ([[graft.Materialize]] —
+    * spill-safe executor blocks, or reliable checkpoint under the
+    * `graft.checkpointDir` conf) and the emptiness probe, the Bloom
+    * build, and the final join all read that one snapshot: the previous
+    * shape evaluated `small`'s plan three times, so a non-deterministic
+    * plan (sampling, rand-derived, a re-read of a changing source) could
+    * yield a filter with effective FALSE NEGATIVES against the join's
+    * own evaluation — silently dropping true matches. The
+    * materialization also yields the side's exact row count for free,
+    * which auto-sizes the filter geometry: `expectedKeys` is now an
+    * OPTIONAL override (pass it when the side carries many duplicate
+    * keys and you want the smaller distinct-keys geometry). fpp fixed
+    * at 1% (the repo-wide Bloom convention).
     */
   def bloomPrunedJoin(
       large: DataFrame,
       small: DataFrame,
       key: String,
-      expectedKeys: Long
+      expectedKeys: Long = -1L
   ): DataFrame = {
-    require(expectedKeys > 0, s"expectedKeys must be positive: $expectedKeys")
+    require(expectedKeys > 0 || expectedKeys == -1L,
+      s"expectedKeys must be positive (or omitted for auto-sizing): $expectedKeys")
     require(large.columns.contains(key) && small.columns.contains(key),
       s"join key '$key' must exist on both sides")
     // xxhash64 is TYPE-sensitive where the equi join coerces: an INT key
@@ -514,17 +525,19 @@ object Joins {
         s"${small.schema(key).dataType}): the Bloom hash is type-sensitive while the " +
         "join would coerce — cast both sides to one type first")
     import org.apache.spark.util.sketch.BloomFilter
+    val smallM = graft.Materialize(small)
+    val nRows = smallM.count()
     // an EMPTY selective side must yield the plain (empty) join, not a
-    // treeReduce-on-zero-partials crash — probe one row first (cheap:
-    // the scan stops at the first row it finds)
-    if (small.limit(1).isEmpty) return large.join(small, Seq(key))
-    val merged = small.select(xxhash64(col(key)).as("h"))
+    // treeReduce-on-zero-partials crash
+    if (nRows == 0) return large.join(smallM, Seq(key))
+    val geometry = if (expectedKeys > 0) expectedKeys else nRows
+    val merged = smallM.select(xxhash64(col(key)).as("h"))
       .coalesce(8)
       .queryExecution.toRdd.map(_.getLong(0))
       .mapPartitions { it =>
         if (it.isEmpty) Iterator.empty
         else {
-          val bf = BloomFilter.create(expectedKeys, 0.01)
+          val bf = BloomFilter.create(geometry, 0.01)
           it.foreach(bf.putLong)
           Iterator.single(bf)
         }
@@ -534,6 +547,6 @@ object Joins {
     import org.apache.spark.sql.GraftBridge
     val pruned = large.where(GraftBridge.column(graft.plans.BloomMightContainB(
       bc, GraftBridge.expression(xxhash64(col(key))))))
-    pruned.join(small, Seq(key))
+    pruned.join(smallM, Seq(key))
   }
 }

@@ -576,6 +576,114 @@ object Storage {
       .where(col("n") > 0)
   }
 
+  /** Incremental maintenance of an N-WAY join-chain view — the recursive
+    * generalization that stops the per-arity code duplication at three
+    * ([[mergeJoinViewDelta]] and [[mergeJoinView3Delta]] are its n = 2 /
+    * n = 3 hand-specialized instances, kept verbatim for their gates):
+    * maintain
+    *
+    * {{{ V = SELECT t0.grp, count(*) AS n, sum(t_{n-1}.value) AS total
+    *     FROM t0 JOIN t1 ON t0.k0 = t1.k0 … JOIN t_{n-1} ON … = t_{n-1}.k_{n-2}
+    *     GROUP BY t0.grp }}}
+    *
+    * through signed deltas on ALL n tables at once, by folding the
+    * two-way expansion left to right — with `X_k = t0 ⋈ … ⋈ t_k`,
+    *
+    * {{{ Δ(X_k) = ΔX_{k-1} ⋈ t_k  +  X_{k-1}|Δt_k ⋈ Δt_k  +  ΔX_{k-1} ⋈ Δt_k }}}
+    *
+    * — `2^n − 1` terms when fully expanded, every one delta-restricted.
+    * The only term at each level touching base tables beyond t_k is
+    * `X_{k-1} ⋈ Δt_k`, and it SEMI-RESTRICTS the chain to Δt_k's join
+    * keys at the far end FIRST, then walks the prefix back down to t0
+    * with the (delta-sized) restricted relation broadcast at every hop
+    * — cost ∝ |Δt_k|·fanout, never |X_{k-1}|. Signs multiply through
+    * every cross term. Each ΔX_k is sign-compacted (one row per
+    * (link key, grp)) and MATERIALIZED before feeding the next level:
+    * un-materialized it would re-run all lower levels once per
+    * consuming term.
+    *
+    * Broadcast contract (the [[mergeJoinView3Delta]] premise): deltas
+    * and everything derived from them are batch-sized, so every
+    * delta-vs-base join broadcasts the delta side — the base streams
+    * past a hash map instead of shuffling. A "delta" that is a large
+    * fraction of the base breaks the premise; refresh from scratch
+    * instead.
+    *
+    * Side schemas (0-indexed): side 0 `(keys(0), grp)`, middle side i
+    * `(keys(i−1), keys(i))`, last side `(keys(n−2), value)`; each delta
+    * carries its side's columns plus `sign ∈ {+1, −1}`. Key names must
+    * be pairwise distinct (they name chain positions).
+    *
+    * @param view   current view (grp, n LONG, total DOUBLE)
+    * @param olds   pre-batch rows per side, chain order
+    * @param deltas signed changes per side, chain order
+    * @param keys   join keys; keys(i) links side i to side i+1
+    * @return the maintained view (grp, n, total), n > 0 rows only
+    */
+  def mergeJoinViewNDelta(
+      view: DataFrame,
+      olds: Seq[DataFrame],
+      deltas: Seq[DataFrame],
+      keys: Seq[String]
+  ): DataFrame = {
+    val n = olds.size
+    require(n >= 2, s"mergeJoinViewNDelta: need at least 2 sides, got $n")
+    require(deltas.size == n, s"mergeJoinViewNDelta: ${deltas.size} deltas for $n sides")
+    require(keys.size == n - 1, s"mergeJoinViewNDelta: ${keys.size} keys for $n sides")
+    require(keys.distinct.size == keys.size,
+      s"mergeJoinViewNDelta: key names must be pairwise distinct: ${keys.mkString(", ")}")
+
+    // X_i rows (grp, keys(i)) restricted so keys(i) ∈ filterKeys: prune
+    // side i at the far end, then fold the prefix back to side 0 — the
+    // restricted relation is delta-sized throughout and broadcasts onto
+    // each base table
+    def restrictedPrefix(i: Int, filterKeys: DataFrame): DataFrame = {
+      var cur = olds(i).join(broadcast(filterKeys), Seq(keys(i)), "left_semi")
+      var j = i - 1
+      while (j >= 0) {
+        val keep = if (j == 0) col("grp") else col(keys(j - 1))
+        cur = olds(j)
+          .join(broadcast(cur.select(col(keys(j)), col(keys(i)))), Seq(keys(j)))
+          .select(keep, col(keys(i)))
+        j -= 1
+      }
+      cur.select(col("grp"), col(keys(i)))
+    }
+
+    // ΔX_0 = Δt0
+    var dX: DataFrame = deltas(0).select(col(keys(0)), col("grp"), col("sign"))
+    for (k <- 1 until n) {
+      val link = keys(k - 1)
+      val carry = if (k == n - 1) "value" else keys(k)
+      val t1 = broadcast(dX).join(olds(k), Seq(link))
+        .select(col("grp"), col(carry), col("sign"))
+      val t2 = restrictedPrefix(k - 1, deltas(k).select(col(link)).distinct())
+        .join(broadcast(deltas(k).select(col(link), col(carry), col("sign"))), Seq(link))
+        .select(col("grp"), col(carry), col("sign"))
+      val t3 = dX.select(col(link), col("grp"), col("sign").as("__sx"))
+        .join(broadcast(deltas(k).select(col(link), col(carry), col("sign").as("__st"))),
+          Seq(link))
+        .select(col("grp"), col(carry), (col("__sx") * col("__st")).as("sign"))
+      val next = t1.unionByName(t2).unionByName(t3)
+      dX =
+        if (k < n - 1)
+          // sign-compact + materialize: ΔX_k feeds two terms at level k+1
+          graft.Materialize(next.groupBy(col(keys(k)), col("grp"))
+            .agg(sum(col("sign")).cast("long").as("sign")))
+        else next
+    }
+
+    val delta = dX.groupBy(col("grp"))
+      .agg(sum(col("sign")).cast("long").as("__dn"),
+        sum(col("sign") * col("value")).as("__dt"))
+    view.join(delta, Seq("grp"), "full_outer")
+      .select(
+        col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0.0)) + coalesce(col("__dt"), lit(0.0))).as("total"))
+      .where(col("n") > 0)
+  }
+
   /** Incremental maintenance of a per-group TOP-K view — the third IVM
     * shape after the aggregate ([[mergeAggDelta]]) and the join
     * ([[mergeJoinViewDelta]]): maintain the k best rows per group by
@@ -810,10 +918,25 @@ object Storage {
       weight: String,
       scale: Int
   ): DataFrame = {
-    def toCells(df: DataFrame): DataFrame = df
-      .where(col(value).isNotNull)
-      .select(col(rowId), col(grp), dyadicCell(col(value), scale).as("cell"),
-        col(weight).cast("long").as("__w"))
+    // the LONG ≥ 1 contract is ASSERTED, not just documented: a null,
+    // zero, negative, or fractional weight (silently truncated by the
+    // long cast) would corrupt the cell mass bookkeeping with no error —
+    // the check rides the same scan, costing nothing extra (the double
+    // round-trip compare flags fractions exactly up to 2^53, the same
+    // envelope the q197 contract already assumes)
+    def toCells(df: DataFrame): DataFrame = {
+      val wLong = col(weight).cast("long")
+      val ok = col(weight).isNotNull && wLong >= 1 &&
+        col(weight).cast("double") === wLong.cast("double")
+      df.where(col(value).isNotNull)
+        .select(col(rowId), col(grp), dyadicCell(col(value), scale).as("cell"),
+          when(ok, wLong).otherwise(raise_error(concat(
+            lit(s"mergeWeightedQuantileCellsDelta: weight '$weight' must be a LONG >= 1 " +
+              "(the q197 exact-integer-mass contract; scale fp weights to a grid " +
+              "upstream), got "),
+            coalesce(col(weight).cast("string"), lit("null"))))
+            .cast("long")).as("__w"))
+    }
     val delRows = toCells(base)
       .join(deleteIds.select(col(rowId)), Seq(rowId), "left_semi")
       .select(col(grp), col("cell"), (-col("__w")).as("__d"))

@@ -50,79 +50,24 @@ final class IngestDistinctView(
 
       spark.sql(s"REFRESH TABLE $refTable")
       val ref = spark.table(refTable)
-      val lastRow = ref.agg(max(col("__batch"))).head()
-      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
-      if (batchId > lastApplied) {
-        val dupRow = inserts.groupBy(col("row_id")).count()
-          .agg(count(when(col("count") > 1, 1)).as("dups")).head()
-        if (dupRow.getLong(0) > 0) throw new IllegalStateException(
-          s"IngestDistinctView: batch carries ${dupRow.getLong(0)} duplicate insert " +
-            "row_id(s) — refcounts would double-count while the base keeps one row")
-        val insBkts = inserts.select(pmod(hash(col("grp")), lit(buckets)).as("bkt"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        if (insBkts.nonEmpty) {
-          val preexisting = base.where(col("bkt").isin(insBkts: _*))
-            .join(inserts.select(col("row_id")), Seq("row_id"), "left_semi")
-            .join(deleteIds, Seq("row_id"), "left_anti")
-            .count()
-          if (preexisting > 0) throw new IllegalStateException(
-            s"IngestDistinctView: batch inserts $preexisting row_id(s) already live " +
-              "in the base without a same-batch delete — refcount arithmetic has no " +
-              "replace semantics; send delete+insert for updates")
-        }
+      if (batchId > IvmMaintenance.lastApplied(ref)) {
+        IvmMaintenance.assertUniqueInsertIds("IngestDistinctView", inserts, "row_id",
+          "refcounts would double-count while the base keeps one row")
+        IvmMaintenance.assertNoLiveIdReuse("IngestDistinctView", base, inserts,
+          deleteIds, "row_id",
+          "refcount arithmetic has no replace semantics")
         val merged = Storage.mergeDistinctDelta(
             ref.where(col("rc").isNotNull).drop("__batch"),
             base.select(col("row_id"), col("grp"), col("value")),
             inserts, deleteIds, "row_id", "grp", "value")
           .withColumn("__batch", lit(batchId))
-        val sentinel = spark.range(1).select(
-          merged.schema.fields.map { f =>
-            if (f.name == "__batch") lit(batchId).as("__batch")
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        val next = merged.unionByName(sentinel)
-        val staging = s"${refTable}__staging"
-        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        spark.table(staging)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(refTable)
-        spark.sql(s"REFRESH TABLE $refTable")
+        IvmMaintenance.swapViewWithSentinel(spark, refTable, merged, batchId)
       }
 
-      // base rebuild, touched buckets only, idempotent (the IngestTopKView
-      // machinery — bucket key = the group)
-      val changedGrps = inserts.select(col("grp"))
-        .unionByName(base.join(deleteIds, Seq("row_id"), "left_semi").select(col("grp")))
-      val touched = changedGrps.select(pmod(hash(col("grp")), lit(buckets)).as("bkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        val withBkt = inserts.withColumn("bkt", pmod(hash(col("grp")), lit(buckets)))
-        val rebuilt = base.where(col("bkt").isin(touched: _*))
-          .join(deleteIds, Seq("row_id"), "left_anti")
-          .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-          .unionByName(withBkt.select(col("row_id"), col("grp"), col("value"), col("bkt")))
-          .select(base.columns.map(col).toIndexedSeq: _*)
-        val baseStaging = s"${baseTable}__staging"
-        rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
-        spark.sql(s"REFRESH TABLE $baseStaging")
-        val stagingDf = spark.table(baseStaging)
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prevMode = spark.conf.getOption(modeKey)
-        try {
-          spark.conf.set(modeKey, "dynamic")
-          stagingDf
-            .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-            .insertInto(baseTable)
-        } finally prevMode match {
-          case Some(v) => spark.conf.set(modeKey, v)
-          case None    => spark.conf.unset(modeKey)
-        }
-        val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-        touched.filterNot(present).foreach { b =>
-          spark.sql(s"ALTER TABLE $baseTable DROP IF EXISTS PARTITION (bkt=$b)")
-        }
-        spark.sql(s"REFRESH TABLE $baseTable")
-      }
+      // base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
+      // piece 4 — the GROUP is the bucket key)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
     } finally changes.unpersist()
   }
 }

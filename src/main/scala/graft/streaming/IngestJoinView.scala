@@ -37,13 +37,13 @@ import org.apache.spark.sql.functions._
   * update). A CDC feed with colliding ids would otherwise silently
   * mis-maintain the view — the anti-join in the bucket rebuild keeps
   * exactly one row while the delta algebra counted two. The
-  * existing-row check is bucket-pruned by the inserts' OWN keys: the
-  * motivating collision (two b-rows sharing (orderkey, linenumber))
-  * shares the key and therefore the bucket; a cross-key reuse of a
-  * row_id is out of this contract's reach and stays the caller's duty.
-  * The check runs only on FIRST delivery (inside the replay guard): a
-  * redelivered batch's inserts already live in the healed base by
-  * design, which is exactly what the idempotent rebuild expects.
+  * existing-row check probes by row_id across the WHOLE base (not just
+  * the inserts' buckets), so a cross-key reuse of a live row_id — which
+  * lands in a different bucket — is caught too; the probe's scan shape
+  * matches the delete-recovery id semi-join this maintainer already
+  * pays. The check runs only on FIRST delivery (inside the replay
+  * guard): a redelivered batch's inserts already live in the healed
+  * base by design, which is exactly what the idempotent rebuild expects.
   *
   * Bootstrap all three tables before the stream starts: bases partitioned
   * by `bkt = pmod(hash(key), buckets)`, the view with `__batch = -1`.
@@ -85,128 +85,49 @@ final class IngestJoinView(
         .unionByName(bOld.join(bDelIds, Seq("row_id"), "left_semi")
           .select(col("key"), col("value"), lit(-1).as("sign")))
 
-      // 1) view update, guarded for replay. The watermark is max(__batch)
-      // over ALL rows including the sentinel, so it survives a view that
-      // drains to zero data rows; the merge input is data rows only.
+      // 1) view update, guarded for replay ([[IvmMaintenance]] pieces 1+2)
       spark.sql(s"REFRESH TABLE $viewTable")
       val view = spark.table(viewTable)
-      val lastRow = view.agg(max(col("__batch"))).head()
-      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
-      if (batchId > lastApplied) {
+      if (batchId > IvmMaintenance.lastApplied(view)) {
         // the row-id contract is checked only on FIRST delivery: on a
         // redelivered batch the bases are already healed, so its inserts
         // legitimately exist in the base — the idempotent rebuild
         // anti-joins them, and the view guard above skips the math
-        assertUniqueRowIds("a", aOld, aIns, aDelIds)
-        assertUniqueRowIds("b", bOld, bIns, bDelIds)
+        assertRowIdContract("a", aOld, aIns, aDelIds)
+        assertRowIdContract("b", bOld, bIns, bDelIds)
         val merged = Storage.mergeJoinViewDelta(
             view.where(col("n").isNotNull).drop("__batch"),
             aOld.select(col("key"), col("grp")),
             bOld.select(col("key"), col("value")),
             aDelta, bDelta)
           .withColumn("__batch", lit(batchId))
-        // exactly one sentinel per view version: the previous one is a
-        // data-row-filtered non-participant above, this write adds the new
-        val sentinel = spark.range(1).select(
-          merged.schema.fields.map { f =>
-            if (f.name == "__batch") lit(batchId).as("__batch")
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        val next = merged.unionByName(sentinel)
-        val staging = s"${viewTable}__staging"
-        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        spark.table(staging)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(viewTable)
-        spark.sql(s"REFRESH TABLE $viewTable")
+        IvmMaintenance.swapViewWithSentinel(spark, viewTable, merged, batchId)
       }
 
       // 2) base rebuilds, touched buckets only, idempotent
-      rebuildBuckets(spark, aTable, aOld, aIns, aDelIds, Seq("key", "grp"))
-      rebuildBuckets(spark, bTable, bOld, bIns, bDelIds, Seq("key", "value"))
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, aTable, aOld, aIns, aDelIds, "row_id", "key", buckets)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, bTable, bOld, bIns, bDelIds, "row_id", "key", buckets)
     } finally changes.unpersist()
   }
 
-  /** The loud row-id contract (class doc): throws on (1) duplicate insert
-    * row_ids within the batch, (2) an insert row_id still present in the
-    * pre-batch base and not deleted by this same batch. Check (2) reads
-    * only the buckets the inserts' keys hash to — O(touched buckets), not
-    * O(base) — which covers the motivating same-key collision exactly.
+  /** The loud row-id contract (class doc), via [[IvmMaintenance]] piece 3:
+    * duplicate insert row_ids, or an insert reusing a row_id still live
+    * anywhere in the pre-batch base (full-base probe — a cross-key reuse
+    * lands in a different bucket and would escape a bucket-pruned check).
     */
-  private def assertUniqueRowIds(
+  private def assertRowIdContract(
       side: String,
       base: DataFrame,
       inserts: DataFrame,
       deleteIds: DataFrame): Unit = {
-    val dupRow = inserts.groupBy(col("row_id")).count()
-      .agg(count(when(col("count") > 1, 1)).as("dups")).head()
-    val dups = dupRow.getLong(0)
-    if (dups > 0) throw new IllegalStateException(
-      s"IngestJoinView: side '$side' batch carries $dups duplicate insert row_id(s) — " +
-        "row_id must uniquely identify a base row; a colliding CDC feed would " +
+    IvmMaintenance.assertUniqueInsertIds(s"IngestJoinView side '$side'", inserts, "row_id",
+      "row_id must uniquely identify a base row; a colliding CDC feed would " +
         "silently mis-maintain the view (delta algebra counts each insert, the " +
         "bucket rebuild keeps one row per id)")
-    val insBkts = inserts.select(pmod(hash(col("key")), lit(buckets)).as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (insBkts.nonEmpty) {
-      val preexisting = base.where(col("bkt").isin(insBkts: _*))
-        .join(inserts.select(col("row_id")), Seq("row_id"), "left_semi")
-        .join(deleteIds, Seq("row_id"), "left_anti")
-        .count()
-      if (preexisting > 0) throw new IllegalStateException(
-        s"IngestJoinView: side '$side' batch inserts $preexisting row_id(s) already " +
-          "present in the pre-batch base without a same-batch delete — send " +
-          "delete+insert for updates, or the base rebuild drops the old row while " +
-          "the view delta never subtracted it")
-    }
-  }
-
-  /** The [[IngestAggView]] touched-bucket rebuild, generalized over the
-    * carried columns: partition-pruned read, anti-joined survivors union
-    * inserts, dynamic-overwrite through a staging hop, emptied buckets
-    * dropped.
-    */
-  private def rebuildBuckets(
-      spark: SparkSession,
-      table: String,
-      base: DataFrame,
-      inserts: DataFrame,
-      deleteIds: DataFrame,
-      carried: Seq[String]): Unit = {
-    val changedKeys = inserts.select(col("key"))
-      .unionByName(base.join(deleteIds, Seq("row_id"), "left_semi").select(col("key")))
-    val touched = changedKeys.select(pmod(hash(col("key")), lit(buckets)).as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val cols = col("row_id") +: carried.map(col) :+ col("bkt")
-    val withBkt = inserts.withColumn("bkt", pmod(hash(col("key")), lit(buckets)))
-    // `insertInto` is POSITIONAL, and a USING-column join moves the join
-    // key to the FRONT of the output — pin the staging data back to the
-    // table's read order or every rebuilt row is silently column-rotated
-    val rebuilt = base.where(col("bkt").isin(touched: _*))
-      .join(deleteIds, Seq("row_id"), "left_anti")
-      .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-      .unionByName(withBkt.select(cols: _*))
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    val staging = s"${table}__staging"
-    rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    spark.sql(s"REFRESH TABLE $staging")
-    val stagingDf = spark.table(staging)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    try {
-      spark.conf.set(modeKey, "dynamic")
-      stagingDf
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .insertInto(table)
-    } finally prevMode match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None    => spark.conf.unset(modeKey)
-    }
-    val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-    touched.filterNot(present).foreach { b =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (bkt=$b)")
-    }
-    spark.sql(s"REFRESH TABLE $table")
+    IvmMaintenance.assertNoLiveIdReuse(s"IngestJoinView side '$side'", base, inserts,
+      deleteIds, "row_id",
+      "the base rebuild drops the old row while the view delta never subtracted it")
   }
 }

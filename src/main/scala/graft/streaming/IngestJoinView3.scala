@@ -68,12 +68,19 @@ final class IngestJoinView3(
 
       spark.sql(s"REFRESH TABLE $viewTable")
       val view = spark.table(viewTable)
-      val lastRow = view.agg(max(col("__batch"))).head()
-      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
-      if (batchId > lastApplied) {
-        assertUniqueRowIds("a", "ka", aOld, aIns, aDel)
-        assertUniqueRowIds("b", "ka", bOld, bIns, bDel)
-        assertUniqueRowIds("c", "kb", cOld, cIns, cDel)
+      if (batchId > IvmMaintenance.lastApplied(view)) {
+        // full-base id probes ([[IvmMaintenance]] piece 3): a cross-key
+        // reuse of a live row_id lands in a different bucket and would
+        // escape a bucket-pruned check
+        Seq(("a", aOld, aIns, aDel), ("b", bOld, bIns, bDel), ("c", cOld, cIns, cDel))
+          .foreach { case (s, base, ins, del) =>
+            IvmMaintenance.assertUniqueInsertIds(s"IngestJoinView3 side '$s'", ins, "row_id",
+              "the delta algebra counts each insert while the bucket rebuild keeps " +
+                "one row per id")
+            IvmMaintenance.assertNoLiveIdReuse(s"IngestJoinView3 side '$s'", base, ins,
+              del, "row_id",
+              "the base rebuild drops the old row while the view delta never subtracted it")
+          }
         val merged = Storage.mergeJoinView3Delta(
             view.where(col("n").isNotNull).drop("__batch"),
             aOld.select(col("ka"), col("grp")),
@@ -81,94 +88,15 @@ final class IngestJoinView3(
             cOld.select(col("kb"), col("value")),
             aDelta, bDelta, cDelta)
           .withColumn("__batch", lit(batchId))
-        val sentinel = spark.range(1).select(
-          merged.schema.fields.map { f =>
-            if (f.name == "__batch") lit(batchId).as("__batch")
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        val next = merged.unionByName(sentinel)
-        val staging = s"${viewTable}__staging"
-        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        spark.table(staging)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(viewTable)
-        spark.sql(s"REFRESH TABLE $viewTable")
+        IvmMaintenance.swapViewWithSentinel(spark, viewTable, merged, batchId)
       }
 
-      rebuildBuckets(spark, aTable, "ka", aOld, aIns, aDel, Seq("ka", "grp"))
-      rebuildBuckets(spark, bTable, "ka", bOld, bIns, bDel, Seq("ka", "kb"))
-      rebuildBuckets(spark, cTable, "kb", cOld, cIns, cDel, Seq("kb", "value"))
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, aTable, aOld, aIns, aDel, "row_id", "ka", buckets)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, bTable, bOld, bIns, bDel, "row_id", "ka", buckets)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, cTable, cOld, cIns, cDel, "row_id", "kb", buckets)
     } finally changes.unpersist()
-  }
-
-  /** The [[IngestJoinView]] loud row-id contract, keyed per side. */
-  private def assertUniqueRowIds(
-      sideName: String,
-      key: String,
-      base: DataFrame,
-      inserts: DataFrame,
-      deleteIds: DataFrame): Unit = {
-    val dupRow = inserts.groupBy(col("row_id")).count()
-      .agg(count(when(col("count") > 1, 1)).as("dups")).head()
-    if (dupRow.getLong(0) > 0) throw new IllegalStateException(
-      s"IngestJoinView3: side '$sideName' batch carries ${dupRow.getLong(0)} duplicate " +
-        "insert row_id(s) — the delta algebra counts each insert while the bucket " +
-        "rebuild keeps one row per id")
-    val insBkts = inserts.select(pmod(hash(col(key)), lit(buckets)).as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (insBkts.nonEmpty) {
-      val preexisting = base.where(col("bkt").isin(insBkts: _*))
-        .join(inserts.select(col("row_id")), Seq("row_id"), "left_semi")
-        .join(deleteIds, Seq("row_id"), "left_anti")
-        .count()
-      if (preexisting > 0) throw new IllegalStateException(
-        s"IngestJoinView3: side '$sideName' batch inserts $preexisting row_id(s) " +
-          "already present in the pre-batch base without a same-batch delete — send " +
-          "delete+insert for updates")
-    }
-  }
-
-  /** The [[IngestJoinView]] touched-bucket rebuild, keyed per side. */
-  private def rebuildBuckets(
-      spark: SparkSession,
-      table: String,
-      key: String,
-      base: DataFrame,
-      inserts: DataFrame,
-      deleteIds: DataFrame,
-      carried: Seq[String]): Unit = {
-    val changedKeys = inserts.select(col(key))
-      .unionByName(base.join(deleteIds, Seq("row_id"), "left_semi").select(col(key)))
-    val touched = changedKeys.select(pmod(hash(col(key)), lit(buckets)).as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    if (touched.isEmpty) return
-    val cols = col("row_id") +: carried.map(col) :+ col("bkt")
-    val withBkt = inserts.withColumn("bkt", pmod(hash(col(key)), lit(buckets)))
-    // insertInto is POSITIONAL; pin staging back to the table's read order
-    val rebuilt = base.where(col("bkt").isin(touched: _*))
-      .join(deleteIds, Seq("row_id"), "left_anti")
-      .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-      .unionByName(withBkt.select(cols: _*))
-      .select(base.columns.map(col).toIndexedSeq: _*)
-    val staging = s"${table}__staging"
-    rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-    spark.sql(s"REFRESH TABLE $staging")
-    val stagingDf = spark.table(staging)
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    try {
-      spark.conf.set(modeKey, "dynamic")
-      stagingDf
-        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .insertInto(table)
-    } finally prevMode match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None    => spark.conf.unset(modeKey)
-    }
-    val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-    touched.filterNot(present).foreach { b =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (bkt=$b)")
-    }
-    spark.sql(s"REFRESH TABLE $table")
   }
 }

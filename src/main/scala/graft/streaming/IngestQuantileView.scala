@@ -61,26 +61,12 @@ final class IngestQuantileView(
 
       spark.sql(s"REFRESH TABLE $cellTable")
       val cells = spark.table(cellTable)
-      val lastRow = cells.agg(max(col("__batch"))).head()
-      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
-      if (batchId > lastApplied) {
-        val dupRow = inserts.groupBy(col("row_id")).count()
-          .agg(count(when(col("count") > 1, 1)).as("dups")).head()
-        if (dupRow.getLong(0) > 0) throw new IllegalStateException(
-          s"IngestQuantileView: batch carries ${dupRow.getLong(0)} duplicate insert " +
-            "row_id(s) — cell refcounts would double-count while the base keeps one row")
-        val insBkts = inserts.select(pmod(hash(col("grp")), lit(buckets)).as("bkt"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        if (insBkts.nonEmpty) {
-          val preexisting = base.where(col("bkt").isin(insBkts: _*))
-            .join(inserts.select(col("row_id")), Seq("row_id"), "left_semi")
-            .join(deleteIds, Seq("row_id"), "left_anti")
-            .count()
-          if (preexisting > 0) throw new IllegalStateException(
-            s"IngestQuantileView: batch inserts $preexisting row_id(s) already live " +
-              "in the base without a same-batch delete — refcount arithmetic has no " +
-              "replace semantics; send delete+insert for updates")
-        }
+      if (batchId > IvmMaintenance.lastApplied(cells)) {
+        IvmMaintenance.assertUniqueInsertIds("IngestQuantileView", inserts, "row_id",
+          "cell refcounts would double-count while the base keeps one row")
+        IvmMaintenance.assertNoLiveIdReuse("IngestQuantileView", base, inserts,
+          deleteIds, "row_id",
+          "refcount arithmetic has no replace semantics")
         val liveCells = cells.where(col("rc").isNotNull).drop("__batch")
         val basePayload = base.select(payload.map(col): _*)
         val merged = (weight match {
@@ -89,54 +75,13 @@ final class IngestQuantileView(
           case None => Storage.mergeQuantileCellsDelta(
             liveCells, basePayload, inserts, deleteIds, "row_id", "grp", "value", scale)
         }).withColumn("__batch", lit(batchId))
-        val sentinel = spark.range(1).select(
-          merged.schema.fields.map { f =>
-            if (f.name == "__batch") lit(batchId).as("__batch")
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        val next = merged.unionByName(sentinel)
-        val staging = s"${cellTable}__staging"
-        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        spark.table(staging)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(cellTable)
-        spark.sql(s"REFRESH TABLE $cellTable")
+        IvmMaintenance.swapViewWithSentinel(spark, cellTable, merged, batchId)
       }
 
-      // base rebuild, touched buckets only, idempotent (the IngestTopKView
-      // machinery — bucket key = the group)
-      val changedGrps = inserts.select(col("grp"))
-        .unionByName(base.join(deleteIds, Seq("row_id"), "left_semi").select(col("grp")))
-      val touched = changedGrps.select(pmod(hash(col("grp")), lit(buckets)).as("bkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        val withBkt = inserts.withColumn("bkt", pmod(hash(col("grp")), lit(buckets)))
-        val rebuilt = base.where(col("bkt").isin(touched: _*))
-          .join(deleteIds, Seq("row_id"), "left_anti")
-          .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-          .unionByName(withBkt.select((payload :+ "bkt").map(col): _*))
-          .select(base.columns.map(col).toIndexedSeq: _*)
-        val baseStaging = s"${baseTable}__staging"
-        rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
-        spark.sql(s"REFRESH TABLE $baseStaging")
-        val stagingDf = spark.table(baseStaging)
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prevMode = spark.conf.getOption(modeKey)
-        try {
-          spark.conf.set(modeKey, "dynamic")
-          stagingDf
-            .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-            .insertInto(baseTable)
-        } finally prevMode match {
-          case Some(v) => spark.conf.set(modeKey, v)
-          case None    => spark.conf.unset(modeKey)
-        }
-        val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-        touched.filterNot(present).foreach { b =>
-          spark.sql(s"ALTER TABLE $baseTable DROP IF EXISTS PARTITION (bkt=$b)")
-        }
-        spark.sql(s"REFRESH TABLE $baseTable")
-      }
+      // base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
+      // piece 4 — the GROUP is the bucket key)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
     } finally changes.unpersist()
   }
 }

@@ -55,74 +55,26 @@ final class IngestTopKView(
       spark.sql(s"REFRESH TABLE $baseTable")
       val base = spark.table(baseTable)
 
-      // 1) view update, guarded for replay; watermark over ALL rows
-      //    including the sentinel (the IngestJoinView contract)
+      // 1) view update, guarded for replay ([[IvmMaintenance]] pieces 1+2);
+      //    no live-id-reuse probe here — reuse is a REPLACE by contract
       spark.sql(s"REFRESH TABLE $viewTable")
       val view = spark.table(viewTable)
-      val lastRow = view.agg(max(col("__batch"))).head()
-      val lastApplied = if (lastRow.isNullAt(0)) -1L else lastRow.getLong(0)
-      if (batchId > lastApplied) {
-        val dupRow = inserts.groupBy(col("row_id")).count()
-          .agg(count(when(col("count") > 1, 1)).as("dups")).head()
-        if (dupRow.getLong(0) > 0) throw new IllegalStateException(
-          s"IngestTopKView: batch carries ${dupRow.getLong(0)} duplicate insert " +
-            "row_id(s) — the base rebuild keeps one row per id while the view " +
-            "pool competes both; mint unique ids upstream")
+      if (batchId > IvmMaintenance.lastApplied(view)) {
+        IvmMaintenance.assertUniqueInsertIds("IngestTopKView", inserts, "row_id",
+          "the base rebuild keeps one row per id while the view pool competes " +
+            "both; mint unique ids upstream")
         val merged = Storage.mergeTopKDelta(
             view.where(col("rank").isNotNull).drop("__batch"),
             base.select(col("row_id"), col("grp"), col("score")),
             inserts, deleteIds, "row_id", "grp", "score", k)
           .withColumn("__batch", lit(batchId))
-        val sentinel = spark.range(1).select(
-          merged.schema.fields.map { f =>
-            if (f.name == "__batch") lit(batchId).as("__batch")
-            else lit(null).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        val next = merged.unionByName(sentinel)
-        val staging = s"${viewTable}__staging"
-        next.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        spark.table(staging)
-          .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(viewTable)
-        spark.sql(s"REFRESH TABLE $viewTable")
+        IvmMaintenance.swapViewWithSentinel(spark, viewTable, merged, batchId)
       }
 
-      // 2) base rebuild, touched buckets only, idempotent — the
-      //    IngestAggView machinery with the GROUP as the bucket key
-      val changedGrps = inserts.select(col("grp"))
-        .unionByName(base.join(deleteIds, Seq("row_id"), "left_semi").select(col("grp")))
-      val touched = changedGrps.select(pmod(hash(col("grp")), lit(buckets)).as("bkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        val withBkt = inserts.withColumn("bkt", pmod(hash(col("grp")), lit(buckets)))
-        // pin the table's read order before the positional insertInto
-        // (the IngestJoinView column-rotation hardening)
-        val rebuilt = base.where(col("bkt").isin(touched: _*))
-          .join(deleteIds, Seq("row_id"), "left_anti")
-          .join(inserts.select(col("row_id")), Seq("row_id"), "left_anti")
-          .unionByName(withBkt.select(col("row_id"), col("grp"), col("score"), col("bkt")))
-          .select(base.columns.map(col).toIndexedSeq: _*)
-        val baseStaging = s"${baseTable}__staging"
-        rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(baseStaging)
-        spark.sql(s"REFRESH TABLE $baseStaging")
-        val stagingDf = spark.table(baseStaging)
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prevMode = spark.conf.getOption(modeKey)
-        try {
-          spark.conf.set(modeKey, "dynamic")
-          stagingDf
-            .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-            .insertInto(baseTable)
-        } finally prevMode match {
-          case Some(v) => spark.conf.set(modeKey, v)
-          case None    => spark.conf.unset(modeKey)
-        }
-        val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-        touched.filterNot(present).foreach { b =>
-          spark.sql(s"ALTER TABLE $baseTable DROP IF EXISTS PARTITION (bkt=$b)")
-        }
-        spark.sql(s"REFRESH TABLE $baseTable")
-      }
+      // 2) base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
+      //    piece 4 — the GROUP is the bucket key)
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
     } finally changes.unpersist()
   }
 }

@@ -832,5 +832,13 @@ class PlanShapeSpec extends SparkSpec {
     val s221 = simplePlan("q221_unpivot")
     assert(s221.contains("Expand"), s221)
     assert("Scan parquet".r.findAllIn(s221).size == 1, s221)
+    // q222: the recursive four-way delta — keyed equi joins only
+    // (fifteen delta-restricted terms), delta sides broadcast (the
+    // mergeJoinView3Delta contract generalized), never a cartesian,
+    // never a global sort
+    val s222 = simplePlan("q222_join_view4")
+    assert(s222.contains("BroadcastHashJoin"), s222)
+    assert(!s222.contains("CartesianProduct") && !s222.contains("BroadcastNestedLoopJoin"), s222)
+    assert(!s222.contains("Exchange SinglePartition"), s222)
   }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Round-14 hardening: the shared [[graft.streaming.IvmMaintenance]]
+  * machinery's full-base row-id reuse probe (a cross-key reuse lands in a
+  * different bucket and escaped the old bucket-pruned check),
+  * [[graft.operators.Joins.bloomPrunedJoin]]'s single-materialization +
+  * auto-sized geometry, the weighted-quantile LONG ≥ 1 weight contract
+  * asserted in-scan, and columnProfile's signed-zero distinct collapse.
+  */
+class Round14Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def dropAll(tables: Seq[String]): Unit = tables.foreach { t =>
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(s"spark-warehouse/$t")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+  }
+
+  test("IngestJoinView row-id contract probes the WHOLE base: an insert reusing a live " +
+      "row_id under a DIFFERENT key (different bucket) throws too") {
+    val ts = Seq("r14_xk_a", "r14_xk_b", "r14_xk_view",
+      "r14_xk_a__staging", "r14_xk_b__staging", "r14_xk_view__staging")
+    dropAll(ts)
+    try {
+      // key 1 and key 2 hash to DIFFERENT buckets at 4 buckets (hash(1)=
+      // whatever — assert it below so the test stays honest if hashing
+      // changes); b-row 101 lives under key 1
+      val a = Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("row_id", "key", "grp")
+      val b = Seq((101L, 1L, 5L)).toDF("row_id", "key", "value")
+      val bkt = (k: Long) => Seq(k).toDF("key")
+        .select(pmod(hash($"key"), lit(4))).head().getInt(0)
+      assume(bkt(1L) != bkt(2L), "need keys in distinct buckets for this test")
+      a.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r14_xk_a")
+      b.withColumn("bkt", pmod(hash($"key"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r14_xk_b")
+      a.join(b.select($"key", $"value"), Seq("key"))
+        .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").as("total"))
+        .withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_xk_view")
+      val handler = new graft.streaming.IngestJoinView(
+        "r14_xk_a", "r14_xk_b", "r14_xk_view", 4)
+
+      // reuse live id 101 under key 2 — a bucket-pruned probe keyed on the
+      // INSERT's key would scan bucket(2) only and miss the live row in
+      // bucket(1); the full-base probe must throw
+      val reuse = Seq(("b", 101L, 2L, 0L, 9L, "insert"))
+        .toDF("side", "row_id", "key", "grp", "value", "op")
+      val e = intercept[IllegalStateException](handler(reuse, 0L))
+      assert(e.getMessage.contains("already live"), e.getMessage)
+    } finally dropAll(ts)
+  }
+
+  test("bloomPrunedJoin auto-sizes its filter from the materialized side (no " +
+      "expectedKeys) and stays row-identical to the plain equi join") {
+    import graft.operators.Joins
+    val large = spark.range(0, 5000).select(($"id" % 500).as("k"), $"id".as("payload"))
+    val small = spark.range(0, 50).select(($"id" * 7).as("k"), ($"id" + 100).as("tag"))
+    val expected = large.join(small, Seq("k")).collect().map(_.toString).sorted
+    val got = Joins.bloomPrunedJoin(large, small, "k").collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+    // empty selective side still yields the (empty) plain join
+    assert(Joins.bloomPrunedJoin(large, small.where(lit(false)), "k").isEmpty)
+  }
+
+  test("mergeWeightedQuantileCellsDelta asserts the LONG >= 1 weight contract in-scan: " +
+      "zero, negative, and fractional weights throw instead of corrupting cell mass") {
+    import graft.sources.Storage
+    val cells = Seq.empty[(Long, Long, Long)].toDF("grp", "cell", "rc")
+    val base = Seq.empty[(Long, Long, Double, Long)].toDF("row_id", "grp", "value", "w")
+    val dels = Seq.empty[Long].toDF("row_id")
+    def run(w: Double): Unit = {
+      val ins = Seq((1L, 1L, 10.0, w)).toDF("row_id", "grp", "value", "w")
+      Storage.mergeWeightedQuantileCellsDelta(
+        cells, base, ins, dels, "row_id", "grp", "value", "w", 8).collect()
+      ()
+    }
+    run(3.0) // valid integral weight passes
+    for (bad <- Seq(0.0, -2.0, 1.5)) {
+      val e = intercept[Exception](run(bad))
+      assert(e.getMessage.contains("must be a LONG >= 1"), s"w=$bad: ${e.getMessage}")
+    }
+  }
+
+  test("mergeJoinViewNDelta (4-way chain) lands on the from-scratch re-join under " +
+      "fan-out multiplicities and same-batch inserts+deletes on every side") {
+    import graft.sources.Storage
+    // a: 2 groups, fan-out on ka; b: multiple kb per ka; c: multiple kc
+    // per kb (duplicate kc values to drive multiplicity); d: values
+    val aOld = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("ka", "grp")
+    val bOld = Seq((1L, 100L), (1L, 101L), (2L, 102L)).toDF("ka", "kb")
+    val cOld = Seq((100L, 7L), (100L, 7L), (101L, 8L), (102L, 7L)).toDF("kb", "kc")
+    val dOld = Seq((7L, 5L), (8L, 3L)).toDF("kc", "value")
+    // deltas: insert a new a-row for grp 20 AND delete one of the dup
+    // a-rows; move kb 101 off b; insert a second d-row for kc 8; delete
+    // the kc 7 d-row (wiping every path through it)
+    val aDelta = Seq((2L, 20L, 1), (1L, 10L, -1)).toDF("ka", "grp", "sign")
+    val bDelta = Seq((1L, 101L, -1), (2L, 103L, 1)).toDF("ka", "kb", "sign")
+    val cDelta = Seq((103L, 8L, 1), (100L, 7L, -1)).toDF("kb", "kc", "sign")
+    val dDelta = Seq((8L, 4L, 1), (7L, 5L, -1)).toDF("kc", "value", "sign")
+
+    def signedFinal(old: org.apache.spark.sql.DataFrame,
+        delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      // apply signed multiset delta exactly: +1 adds a row, -1 removes one
+      val cols = old.columns.map(col).toSeq
+      val counted = old.select(cols: _*).withColumn("sign", lit(1))
+        .unionByName(delta).groupBy(cols: _*).agg(sum($"sign").as("m"))
+        .where($"m" > 0)
+      counted.select(cols :+ explode(
+        org.apache.spark.sql.functions.sequence(lit(1L), $"m")).as("__i"): _*)
+        .drop("__i").select(cols: _*)
+    }
+    val expected = signedFinal(aOld, aDelta)
+      .join(signedFinal(bOld, bDelta), Seq("ka"))
+      .join(signedFinal(cOld, cDelta), Seq("kb"))
+      .join(signedFinal(dOld, dDelta), Seq("kc"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").cast("double").as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val view = aOld.join(bOld, Seq("ka")).join(cOld, Seq("kb")).join(dOld, Seq("kc"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").cast("double").as("total"))
+    val got = Storage.mergeJoinViewNDelta(view,
+        Seq(aOld, bOld, cOld, dOld), Seq(aDelta, bDelta, cDelta, dDelta),
+        Seq("ka", "kb", "kc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("mergeJoinViewNDelta at arity 2 matches mergeJoinViewDelta row for row") {
+    import graft.sources.Storage
+    val aOld = Seq((1L, 10L), (2L, 20L), (2L, 20L)).toDF("key", "grp")
+      .withColumnRenamed("key", "k0")
+    val bOld = Seq((1L, 5L), (2L, 6L), (2L, 7L)).toDF("key", "value")
+      .withColumnRenamed("key", "k0")
+    val aDelta = Seq((1L, 10L, -1), (3L, 30L, 1)).toDF("k0", "grp", "sign")
+    val bDelta = Seq((3L, 9L, 1), (2L, 6L, -1)).toDF("k0", "value", "sign")
+    val view = aOld.join(bOld, Seq("k0"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"value").cast("double").as("total"))
+    val viaN = Storage.mergeJoinViewNDelta(view, Seq(aOld, bOld),
+        Seq(aDelta, bDelta), Seq("k0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val via2 = Storage.mergeJoinViewDelta(view,
+        aOld.withColumnRenamed("k0", "key"), bOld.withColumnRenamed("k0", "key"),
+        aDelta.withColumnRenamed("k0", "key"), bDelta.withColumnRenamed("k0", "key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaN == via2, s"N-way $viaN vs 2-way $via2")
+  }
+
+  test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
+      "count(DISTINCT col) semantics), NaN as one") {
+    import graft.curation.Audit
+    val df = Seq(-0.0, 0.0, 1.0, Double.NaN, Double.NaN).toDF("x")
+    val row = Audit.columnProfile(df, Seq("x")).head()
+    val nDistinct = row.getAs[Long]("n_distinct")
+    assert(nDistinct == 3L, s"expected 3 (0.0, 1.0, NaN), got $nDistinct")
+  }
+}
