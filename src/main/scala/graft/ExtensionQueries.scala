@@ -943,6 +943,20 @@ object ExtensionQueries {
       col("l_returnflag"), col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
       .select(col("g").as("l_returnflag"), col("q"), col("value"))
 
+  /** q223 — q103 with `maxFinal` forced tiny (64), so every cell mass at
+    * gate scale exceeds it and the REFINEMENT loop — the only branch of
+    * the 100-TB quantile path the standard gates never reach (the dyadic
+    * seed resolves gate-scale data in one pass) — must subdivide cells
+    * until each candidate's bracket is final-sortable. Shares q103's
+    * oracle verbatim: the answer is maxFinal-independent by construction.
+    */
+  private def q223QuantileRefine(s: SparkSession, d: String): DataFrame =
+    graft.curation.Quantiles.exactQuantiles(
+      Tables.load(s, d, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), Seq(0.5, 0.9, 0.99),
+      maxFinal = 64L, maxRounds = 64)
+      .select(col("g").as("l_returnflag"), col("q"), col("value"))
+
   /** q197 — WEIGHTED exact per-group quantiles
     * ([[graft.curation.Quantiles.exactWeightedQuantiles]]): the value at
     * weighted rank ceil(q·W) with quantity as the integer mass — the
@@ -1631,6 +1645,7 @@ object ExtensionQueries {
     "q101_within_doc_dedup" -> (q101WithinDocDedup _),
     "q102_heavy_hitters" -> (q102HeavyHitters _),
     "q103_quantiles" -> (q103Quantiles _),
+    "q223_quantile_refine" -> (q223QuantileRefine _),
     "q197_weighted_quantiles" -> (q197WeightedQuantiles _),
     "q104_gap_fill" -> (q104GapFill _),
     "q105_pii_report" -> (q105PiiReport _),
@@ -2280,6 +2295,18 @@ object ExtensionQueries {
         |    sum(wv) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM o)
         |SELECT r.g AS l_returnflag, r.q, c.v AS value
         |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rk AND c.cum - c.wv < r.rk""".stripMargin,
+    "q223_quantile_refine" ->
+      // q103's oracle verbatim: the refinement loop must land on the
+      // same type-1 rank walk regardless of maxFinal
+      """WITH t AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT g, count(*) AS n FROM t GROUP BY 1),
+        |qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+        |r AS (SELECT g, q, least(n, greatest(1, ceil(q * n)::BIGINT)) AS rk
+        |  FROM n CROSS JOIN qs),
+        |o AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM t)
+        |SELECT r.g AS l_returnflag, r.q, o.v AS value
+        |FROM r JOIN o ON o.g = r.g AND o.rn = r.rk""".stripMargin,
     "q103_quantiles" ->
       // type-1 (discrete) quantile: the value AT rank
       // clamp(ceil(q·n), 1, n) — expressed here as the direct rank walk

@@ -26,7 +26,7 @@ object GraphGates {
 
   private val PrIters = 5
   private val PrScale = 7
-  private val KhopQty = 48
+  private[graft] val KhopQty = 48
   private val KhopSeeds = 5
   private val KhopMax = 3
   private val LpaRounds = 4
@@ -45,7 +45,7 @@ object GraphGates {
     * and therefore the edge set — deterministic and engine-independent
     * even though the row order among ties is not.
     */
-  private def transitions(s: SparkSession, d: String, minQty: Option[Int]): DataFrame = {
+  private[graft] def transitions(s: SparkSession, d: String, minQty: Option[Int]): DataFrame = {
     val li0 = Tables.lineitem(s, d)
     val li = minQty.fold(li0)(q => li0.where(col("l_quantity") >= q))
     val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_suppkey"))

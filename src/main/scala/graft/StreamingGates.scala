@@ -55,6 +55,7 @@ object StreamingGates {
   final case class ChgW(row_id: Long, grp: String, value: Double, w: Long, op: String)
   final case class ChgJ(side: String, row_id: Long, key: Long, grp: Long, value: Long, op: String)
   final case class ChgJ3(side: String, row_id: Long, ka: Long, kb: Long, grp: Long, value: Long, op: String)
+  final case class ChgJ4(side: String, row_id: Long, ka: Long, kb: Long, kc: Long, grp: Long, value: Long, op: String)
 
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -1298,6 +1299,126 @@ object StreamingGates {
         col("total").cast("long").as("qty_sum"))
   }
 
+  /** Streaming FOUR-WAY join-chain view maintenance
+    * ([[graft.streaming.IngestJoinViewN]] over
+    * [[graft.sources.Storage.mergeJoinViewNDelta]]): the q222 change set
+    * — inserts AND deletes on customer, orders, lineitem, AND part —
+    * streams in two batches; view and all four bucketed bases maintained
+    * per batch. Must land on q222's from-scratch oracle exactly.
+    */
+  private def q225JoinView4Stream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val aAll = Tables.customer(s, d)
+      .select(col("c_custkey").as("ka"), col("c_nationkey").as("grp"))
+      .withColumn("row_id", col("ka"))
+    val aOld = aAll.where(col("ka") % 3 =!= 0)
+    val bAll = Tables.orders(s, d).select(col("o_custkey").as("ka"),
+      col("o_orderkey").as("kb"), col("o_orderdate"))
+      .withColumn("row_id", col("kb"))
+    val bOld = bAll.where(col("o_orderdate") < cut).drop("o_orderdate")
+    // lineitem row ids minted with a per-(orderkey, linenumber) occurrence
+    // index — the q187/q214 duplicate-pair discipline
+    val occW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kb"), col("l_linenumber")).orderBy(col("kc"))
+    val cAll = Tables.lineitem(s, d).select(col("l_orderkey").as("kb"),
+      col("l_partkey").as("kc"), col("l_linenumber"))
+      .withColumn("row_id",
+        (col("kb").cast("long") * 16 + col("l_linenumber")) * 8 + row_number().over(occW))
+    val cOld = cAll.where(col("l_linenumber") <= 4).drop("l_linenumber")
+    val dAll = Tables.part(s, d)
+      .select(col("p_partkey").as("kc"), col("p_size").cast("long").as("value"))
+      .withColumn("row_id", col("kc"))
+    val dOld = dAll.where(col("kc") % 4 =!= 1)
+
+    val tA = sinkName("q225a"); val tB = sinkName("q225b")
+    val tC = sinkName("q225c"); val tD = sinkName("q225d")
+    val viewTable = sinkName("q225view")
+    def boot(df: DataFrame, table: String, key: String): Unit =
+      df.withColumn("bkt", pmod(hash(col(key)), lit(8)))
+        .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(table)
+    boot(aOld.select(col("row_id"), col("ka"), col("grp")), tA, "ka")
+    boot(bOld.select(col("row_id"), col("ka"), col("kb")), tB, "ka")
+    boot(cOld.select(col("row_id"), col("kb"), col("kc")), tC, "kb")
+    boot(dOld.select(col("row_id"), col("kc"), col("value")), tD, "kc")
+    aOld.join(bOld, Seq("ka")).join(cOld, Seq("kb")).join(dOld, Seq("kc"))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(viewTable)
+
+    val z = lit(0L)
+    def chg(side: String, rows: DataFrame, ka: org.apache.spark.sql.Column,
+        kb: org.apache.spark.sql.Column, kc: org.apache.spark.sql.Column,
+        grp: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column,
+        op: String): DataFrame =
+      rows.select(lit(side).as("side"), col("row_id"), ka.as("ka"), kb.as("kb"),
+        kc.as("kc"), grp.as("grp"), value.as("value"), lit(op).as("op"))
+    val changes = (
+      chg("0", aAll.where(col("ka") % 3 === 0), col("ka"), z, z, col("grp"), z, "insert")
+        .unionByName(chg("0", aOld.where(col("ka") % AnalyticsGates.CDeleteMod === 0),
+          z, z, z, z, z, "delete"))
+        .unionByName(chg("1", bAll.where(col("o_orderdate") >= cut),
+          col("ka"), col("kb"), z, z, z, "insert"))
+        .unionByName(chg("1", bOld.where(col("kb") % AnalyticsGates.DeleteMod === 0),
+          z, z, z, z, z, "delete"))
+        .unionByName(chg("2", cAll.where(col("l_linenumber") > 4),
+          z, col("kb"), col("kc"), z, z, "insert"))
+        .unionByName(chg("2", cOld.where(col("kb") % AnalyticsGates.BDeleteMod === 0),
+          z, z, z, z, z, "delete"))
+        .unionByName(chg("3", dAll.where(col("kc") % 4 === 1),
+          z, z, col("kc"), z, col("value"), "insert"))
+        .unionByName(chg("3", dOld.where(col("kc") % AnalyticsGates.PDeleteMod === 0),
+          z, z, z, z, z, "delete")))
+      .as[ChgJ4].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgJ4]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestJoinViewN(
+        Seq(tA, tB, tC, tD), viewTable, Seq("ka", "kb", "kc"), buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // n IS NOT NULL drops the maintainer's watermark sentinel row
+    s.table(viewTable).where(col("n").isNotNull)
+      .select(col("grp").as("c_nationkey"), col("n").as("n_rows"),
+        col("total").cast("long").as("size_sum"))
+  }
+
+  /** Streaming connected components over an EDGE feed
+    * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
+    * graph arrives in two batches; labels fold incrementally — prior
+    * labels re-enter as star edges, so batch cost tracks restructuring,
+    * not history. The final label table must equal q179's from-scratch
+    * oracle verbatim.
+    */
+  private def q224ComponentsStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = GraphGates.transitions(s, d, Some(GraphGates.KhopQty))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val labels = sinkName("q224labels")
+    Seq.empty[(Long, Long)].toDF("node", "component")
+      .write.mode("overwrite").format("parquet").saveAsTable(labels)
+    val (b1, b2) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDS().toDF("src", "dst").writeStream
+      .foreachBatch(new graft.streaming.IngestComponents(labels))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(labels)
+  }
+
   /** Streaming IVM over the q157 change set
     * ([[graft.streaming.IngestAggView]]): the pre-cutoff orders bootstrap
     * the bucketed base table and the aggregate view; the inserts + deletes
@@ -1428,6 +1549,8 @@ object StreamingGates {
     "q205_quantile_view_stream" -> (q205QuantileViewStream _),
     "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
     "q214_join_view3_stream" -> (q214JoinView3Stream _),
+    "q225_join_view4_stream" -> (q225JoinView4Stream _),
+    "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
     "q192_topk_stream" -> (q192TopkStream _),
@@ -1461,6 +1584,8 @@ object StreamingGates {
     "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
     "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
+    "q225_join_view4_stream" -> AnalyticsGates.oracleSql("q222_join_view4"),
+    "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
     "q190_pq_stream" -> AnalyticsGates.oracleSql("q182_pq_ann"),

@@ -840,5 +840,11 @@ class PlanShapeSpec extends SparkSpec {
     assert(s222.contains("BroadcastHashJoin"), s222)
     assert(!s222.contains("CartesianProduct") && !s222.contains("BroadcastNestedLoopJoin"), s222)
     assert(!s222.contains("Exchange SinglePartition"), s222)
+    // q223: the forced-refinement variant still serves from a local
+    // relation — every refinement round ran at build time as bounded
+    // broadcast-state aggregations, never a read-time parquet rescan
+    val s223 = simplePlan("q223_quantile_refine")
+    assert(!s223.contains("Scan parquet"), s223)
+    assert(s223.contains("ExistingRDD") || s223.contains("LocalTableScan"), s223)
   }
 }

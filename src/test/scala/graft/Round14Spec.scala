@@ -151,6 +151,87 @@ class Round14Spec extends SparkSpec {
     assert(viaN == via2, s"N-way $viaN vs 2-way $via2")
   }
 
+  test("IngestComponents folds streamed edges into CC labels: two-batch == from-scratch, " +
+      "redelivery is a no-op (labels are a function of the edge-set union), singletons persist") {
+    val ts = Seq("r14_cc_labels", "r14_cc_labels__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("node", "component")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_cc_labels")
+      val handler = new graft.streaming.IngestComponents("r14_cc_labels")
+      // batch 1: {1-2}, {3-4}, and 9 as a... 9 only appears via self-edge
+      // later; components after b1: {1,2}, {3,4}
+      handler(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), 0L)
+      def labels(): Set[(Long, Long)] = spark.table("r14_cc_labels")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels() == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)), labels().toString)
+      // batch 2 bridges {1,2} and {3,4} via (2,3), and adds {7,8}
+      handler(Seq((2L, 3L), (7L, 8L)).toDF("src", "dst"), 1L)
+      val after2 = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L))
+      assert(labels() == after2, labels().toString)
+      // redelivered batch 2: idempotent — same labeling, byte-identical
+      handler(Seq((2L, 3L), (7L, 8L)).toDF("src", "dst"), 1L)
+      assert(labels() == after2, labels().toString)
+      // a batch not touching {7,8}: that SINGLETON component's root pair
+      // persists via the anti-join carry, and from-scratch equivalence
+      // holds over the union of all edges
+      handler(Seq((4L, 5L)).toDF("src", "dst"), 2L)
+      val scratch = graft.graphs.Graphs.connectedComponents(
+          Seq((1L, 2L), (3L, 4L), (2L, 3L), (7L, 8L), (4L, 5L)).toDF("src", "dst"),
+          col("src"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(labels() == scratch, s"${labels()} vs $scratch")
+    } finally dropAll(ts)
+  }
+
+  test("IngestJoinViewN (4 sides): replay-guarded view, drained-view sentinel, and the " +
+      "full-base id-reuse probe — the IvmMaintenance contract on the generalized maintainer") {
+    val ts = Seq("r14_jn_a", "r14_jn_b", "r14_jn_c", "r14_jn_d", "r14_jn_view") ++
+      Seq("r14_jn_a", "r14_jn_b", "r14_jn_c", "r14_jn_d", "r14_jn_view").map(_ + "__staging")
+    dropAll(ts)
+    try {
+      // one full chain: a(1)→b(10)→c(100)→d(1000), value 5
+      val a = Seq((1L, 1L, 77L)).toDF("row_id", "ka", "grp")
+      val b = Seq((10L, 1L, 2L)).toDF("row_id", "ka", "kb")
+      val c = Seq((100L, 2L, 3L)).toDF("row_id", "kb", "kc")
+      val dd = Seq((1000L, 3L, 5L)).toDF("row_id", "kc", "value")
+      def boot(df: org.apache.spark.sql.DataFrame, t: String, k: String): Unit =
+        df.withColumn("bkt", pmod(hash(col(k)), lit(4)))
+          .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet").saveAsTable(t)
+      boot(a, "r14_jn_a", "ka"); boot(b, "r14_jn_b", "ka")
+      boot(c, "r14_jn_c", "kb"); boot(dd, "r14_jn_d", "kc")
+      Seq((77L, 1L, 5.0)).toDF("grp", "n", "total").withColumn("__batch", lit(-1L))
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_jn_view")
+      val handler = new graft.streaming.IngestJoinViewN(
+        Seq("r14_jn_a", "r14_jn_b", "r14_jn_c", "r14_jn_d"), "r14_jn_view",
+        Seq("ka", "kb", "kc"), 4)
+      def chg(side: String, rowId: Long, ka: Long, kb: Long, kc: Long, grp: Long,
+          value: Long, op: String) = (side, rowId, ka, kb, kc, grp, value, op)
+      val cols = Seq("side", "row_id", "ka", "kb", "kc", "grp", "value", "op")
+      // batch 0 DRAINS the view (delete the only a-row)
+      val drain = Seq(chg("0", 1L, 0L, 0L, 0L, 0L, 0L, "delete"))
+        .toDF(cols: _*)
+      handler(drain, 0L)
+      val view = () => spark.table("r14_jn_view")
+      assert(view().where($"n".isNotNull).isEmpty)
+      // sentinel kept the watermark — redelivery must skip the math
+      assert(view().agg(max($"__batch")).head().getLong(0) == 0L)
+      handler(drain, 0L)
+      assert(view().where($"n".isNotNull).isEmpty)
+      // batch 1 re-inserts the a-row: the view returns
+      handler(Seq(chg("0", 1L, 1L, 0L, 0L, 77L, 0L, "insert")).toDF(cols: _*), 1L)
+      val rows = view().where($"n".isNotNull)
+        .select($"grp", $"n", $"total".cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((77L, 1L, 5L)), rows.toString)
+      // batch 2: reusing d-side live id 1000 under a DIFFERENT kc (hence
+      // a different bucket) throws — the full-base probe
+      val reuse = Seq(chg("3", 1000L, 0L, 0L, 9L, 0L, 6L, "insert")).toDF(cols: _*)
+      val e = intercept[IllegalStateException](handler(reuse, 2L))
+      assert(e.getMessage.contains("already live"), e.getMessage)
+    } finally dropAll(ts)
+  }
+
   test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
       "count(DISTINCT col) semantics), NaN as one") {
     import graft.curation.Audit
