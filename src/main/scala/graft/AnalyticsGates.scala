@@ -309,6 +309,25 @@ object AnalyticsGates {
       .select(col("g").as("o_custkey"), col("q"), col("value"))
   }
 
+  /** q226 — the q204 serve THROUGH the Z-ordered layout
+    * ([[Storage.writeQuantileServeLayout]] +
+    * [[Storage.quantilesFromCellsLayout]]): the maintained base written
+    * Z-order clustered on (group-bucket, value-cell), the serve's
+    * candidate pairs pushed into the scan as IN-filters so non-candidate
+    * row groups never decompress. Shares q204's oracle verbatim — the
+    * layout is a read-cost optimization, value-identical by the superset
+    * restriction argument on the class doc.
+    */
+  private def q226QuantileLayout(s: SparkSession, d: String): DataFrame = {
+    val (maintained, finalBase) = q204MaintainedCells(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q226").toString
+    Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
+      grpBuckets = 64, bits = 16, files = 32, path = s"$dir/base")
+    Storage.quantilesFromCellsLayout(s, s"$dir/base", maintained,
+        "grp", "value", QvScale, QvQs, grpBuckets = 64)
+      .select(col("g").as("o_custkey"), col("q"), col("value"))
+  }
+
   /** q206 — per-column table profile ([[graft.curation.Audit
     * .columnProfile]]): row/null/exact-distinct counts, numeric min/max,
     * string length min/max for every documents column in ONE melted
@@ -598,7 +617,8 @@ object AnalyticsGates {
     "q219_quantile_bounds" -> (q219QuantileBounds _),
     "q220_pivot" -> (q220Pivot _),
     "q221_unpivot" -> (q221Unpivot _),
-    "q222_join_view4" -> (q222JoinView4 _)
+    "q222_join_view4" -> (q222JoinView4 _),
+    "q226_quantile_layout" -> (q226QuantileLayout _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -819,7 +839,12 @@ object AnalyticsGates {
        |  sum(b.value)::BIGINT AS qty_sum
        |FROM a JOIN b ON a.key = b.key GROUP BY a.grp""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql +
+    // q226 serves the q204 view through the Z-ordered layout — same
+    // answer by construction, same oracle verbatim
+    ("q226_quantile_layout" -> baseOracleSql("q204_quantile_view"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q168_salted_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_lines,
         |  round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

@@ -894,6 +894,116 @@ object Storage {
   ): DataFrame =
     quantileServe(cells, base, grp, value, lit(1L), scale, qs)
 
+  /** Z-ORDER-clustered serving LAYOUT for the quantile-view base: stores
+    * each row with its group hash-bucket and dyadic cell MATERIALIZED as
+    * columns (`__gb`, `cell`) and writes the file set [[writeZOrdered]]
+    * on that pair. The serve path ([[quantilesFromCellsLayout]]) then
+    * turns the bracketing state's candidate (group, cell) pairs into
+    * IN-predicates on those STORED columns — pushed into the parquet
+    * scan, where row groups whose min/max stats exclude every candidate
+    * never decompress. Without the layout, [[quantilesFromCells]] scans
+    * the whole base once per serve; with it, the scan touches ~the
+    * candidate cells' row share (measured in ScaleTechniquesSpec: the
+    * candidate-restricted read intersects a small fraction of the
+    * z-ordered files where a round-robin write leaves every file a
+    * candidate).
+    *
+    * The z-key clamps negative cells to 0 (zValue interleaves low bits
+    * of non-negative ints) — negative-value rows cluster in one tile;
+    * LAYOUT only, serving stays exact under any layout. `df` may carry
+    * extra columns (e.g. a weight); they ride along stored.
+    */
+  def writeQuantileServeLayout(
+      df: DataFrame,
+      grp: String,
+      value: String,
+      scale: Int,
+      grpBuckets: Int,
+      bits: Int,
+      files: Int,
+      path: String
+  ): Unit = {
+    val enriched = df
+      .withColumn("__gb", pmod(hash(col(grp)), lit(grpBuckets)))
+      .withColumn("cell", dyadicCell(col(value), scale))
+    writeZOrdered(enriched, col("__gb"),
+      greatest(col("cell"), lit(0L)), bits, files, path)
+  }
+
+  /** Candidate-pruned base read over a [[writeQuantileServeLayout]] file
+    * set: brackets every rank from the STATE alone (the bounded
+    * |groups|·|qs| readout), collects the candidate (bucket, cell) pairs
+    * driver-side, and scans the layout with both as pushed IN-filters.
+    * The result is a SUPERSET restriction of what serving joins anyway
+    * (the broadcast bracket join re-restricts on exact (group, cell)),
+    * so [[quantilesFromCells]] over it is value-identical to the
+    * full-base serve — row for row, spec-proven.
+    */
+  def quantilesFromCellsLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: DataFrame,
+      grp: String,
+      value: String,
+      scale: Int,
+      qs: Seq[Double],
+      grpBuckets: Int
+  ): DataFrame =
+    quantilesFromCells(cells,
+      prunedServeBase(spark, path, cells, grp, qs, grpBuckets), grp, value, scale, qs)
+
+  /** See [[quantilesFromCellsLayout]] — the weighted serve over the same
+    * layout (the layout writer already carried the weight column).
+    */
+  def weightedQuantilesFromCellsLayout(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: DataFrame,
+      grp: String,
+      value: String,
+      weight: String,
+      scale: Int,
+      qs: Seq[Double],
+      grpBuckets: Int
+  ): DataFrame =
+    weightedQuantilesFromCells(cells,
+      prunedServeBase(spark, path, cells, grp, qs, grpBuckets),
+      grp, value, weight, scale, qs)
+
+  /** The serve path's candidate (group-bucket, cell) pairs — the bounded
+    * driver readout (≤ |groups|·|qs| rows, the refinement-state
+    * discipline of [[graft.curation.Quantiles]]) behind
+    * [[quantilesFromCellsLayout]]'s pushed filters; public so layout
+    * diagnostics (ScaleTechniquesSpec's file-skippability measurement)
+    * share the exact candidate set the serve uses.
+    */
+  def quantileBracketPairs(
+      cells: DataFrame,
+      grp: String,
+      qs: Seq[Double],
+      grpBuckets: Int
+  ): Seq[(Int, Long)] =
+    bracketsOf(cells, grp, qs)
+      .select(col("__g"), col("cell")).distinct()
+      .select(pmod(hash(col("__g")), lit(grpBuckets)).as("__gb"), col("cell"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+
+  private def prunedServeBase(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: DataFrame,
+      grp: String,
+      qs: Seq[Double],
+      grpBuckets: Int
+  ): DataFrame = {
+    val cand = quantileBracketPairs(cells, grp, qs, grpBuckets)
+    val gbs = cand.map(_._1).distinct
+    val cellIds = cand.map(_._2).distinct
+    spark.read.parquet(path)
+      .where(col("__gb").isin(gbs: _*) && col("cell").isin(cellIds: _*))
+      .drop("__gb", "cell")
+  }
+
   /** WEIGHTED-mass variants of the quantile IVM pair: the cell state
     * carries Σ weight per (group, cell) instead of a row count, and
     * serving lands on the value at weighted rank `clamp(ceil(q·W), 1, W)`

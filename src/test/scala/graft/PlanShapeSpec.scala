@@ -846,5 +846,15 @@ class PlanShapeSpec extends SparkSpec {
     val s223 = simplePlan("q223_quantile_refine")
     assert(!s223.contains("Scan parquet"), s223)
     assert(s223.contains("ExistingRDD") || s223.contains("LocalTableScan"), s223)
+    // q226: the layout serve's candidate restriction reaches the parquet
+    // scan as pushed IN-filters (row-group pruning on the stored (bucket,
+    // cell) columns); the bracket join stays broadcast, never a loop join
+    // formatted mode: the simple string truncates scan metadata at
+    // maxMetadataStringLength, hiding the PushedFilters list
+    val f226 = plan("q226_quantile_layout")
+    assert(f226.contains("PushedFilters") && f226.contains("In(cell"), f226)
+    val s226 = simplePlan("q226_quantile_layout")
+    assert(s226.contains("BroadcastHashJoin"), s226)
+    assert(!s226.contains("CartesianProduct") && !s226.contains("BroadcastNestedLoopJoin"), s226)
   }
 }

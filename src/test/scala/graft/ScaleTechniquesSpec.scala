@@ -62,6 +62,61 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("quantile serve over the z-ordered layout: candidate IN-filters push into the " +
+      "scan, results equal the full-base serve, and the candidate read intersects a " +
+      "fraction of the files where a round-robin write leaves every file a candidate") {
+    val n = 200000L
+    val base = spark.range(n).select(
+      (col("id") % 5).as("grp"),
+      ((col("id") * 48271) % 4096).cast("double").as("value"))
+    val scale = 6 // 64-wide cells → ~64 cells per group
+    val cells = base.groupBy($"grp", Storage.dyadicCell($"value", scale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+    val qs = Seq(0.5, 0.9)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlayout").toString
+    try {
+      Storage.writeQuantileServeLayout(base, "grp", "value", scale,
+        grpBuckets = 8, bits = 6, files = 16, path = s"$dir/z")
+      base.withColumn("__gb", pmod(hash($"grp"), lit(8)))
+        .withColumn("cell", Storage.dyadicCell($"value", scale))
+        .repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+
+      // value-identical to the full-base serve
+      val got = Storage.quantilesFromCellsLayout(
+        spark, s"$dir/z", cells, "grp", "value", scale, qs, grpBuckets = 8)
+      val want = Storage.quantilesFromCells(cells, base, "grp", "value", scale, qs)
+      val gs = got.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val ws = want.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(gs == ws, s"layout serve $gs vs full serve $ws")
+
+      // the candidate restriction reaches the parquet scan as pushed filters
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("In(cell"), plan)
+
+      // file-level skippability: a file is a CANDIDATE when its
+      // (__gb, cell) min/max box contains any bracketed pair — the
+      // row-group stats proxy (one row group per file at this size)
+      val cand = Storage.quantileBracketPairs(cells, "grp", qs, grpBuckets = 8)
+      def candidateFiles(path: String): (Long, Long) = {
+        val stats = spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min($"__gb").as("g0"), max($"__gb").as("g1"),
+            min($"cell").as("c0"), max($"cell").as("c1"))
+          .collect()
+        val hit = stats.count(r => cand.exists { case (g, c) =>
+          g >= r.getAs[Int]("g0") && g <= r.getAs[Int]("g1") &&
+            c >= r.getAs[Long]("c0") && c <= r.getAs[Long]("c1") })
+        (hit.toLong, stats.length.toLong)
+      }
+      val (zHit, zTotal) = candidateFiles(s"$dir/z")
+      val (pHit, pTotal) = candidateFiles(s"$dir/plain")
+      // round-robin: every file spans the whole (bucket, cell) plane
+      assert(pHit == pTotal, s"plain $pHit/$pTotal")
+      // z-ordered: candidates land in Morton tiles — at most half the files
+      assert(zHit <= zTotal / 2, s"z-ordered $zHit/$zTotal vs plain $pHit/$pTotal")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("saltedJoin equals the plain equijoin on a hot-key distribution") {
     // 5000 rows of one hot key + a uniform tail — the degenerate shape
     val skewed = ((1 to 5000).map(i => (1L, s"payload$i")) ++ (2 to 50).map(i => (i.toLong, s"p$i")))
