@@ -384,7 +384,7 @@ object AnalyticsGates {
     * walks cumulative weight over distinct values from scratch
     * (the q197 weighted type-1 definition).
     */
-  private def q210WeightedQuantileView(s: SparkSession, d: String): DataFrame = {
+  private def q210MaintainedCells(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val cut = to_timestamp(lit(Cutoff))
     val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
       col("o_orderpriority").as("grp"), col("o_totalprice").as("value"),
@@ -399,8 +399,27 @@ object AnalyticsGates {
       cells, base, inserts, deleteIds, "row_id", "grp", "value", "w", QvScale)
     val finalBase = base.join(deleteIds, Seq("row_id"), "left_anti")
       .unionByName(inserts)
+    (maintained, finalBase)
+  }
+
+  private def q210WeightedQuantileView(s: SparkSession, d: String): DataFrame = {
+    val (maintained, finalBase) = q210MaintainedCells(s, d)
     Storage.weightedQuantilesFromCells(
         maintained, finalBase, "grp", "value", "w", QvScale, WqvQs)
+      .select(col("g").as("o_orderpriority"), col("q"), col("value"))
+  }
+
+  /** q227 — the q210 WEIGHTED serve through the Z-ordered layout (the
+    * q226 machinery; the layout writer carries the weight column along
+    * stored). Shares q210's oracle verbatim.
+    */
+  private def q227WqLayout(s: SparkSession, d: String): DataFrame = {
+    val (maintained, finalBase) = q210MaintainedCells(s, d)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q227").toString
+    Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
+      grpBuckets = 8, bits = 16, files = 32, path = s"$dir/base")
+    Storage.weightedQuantilesFromCellsLayout(s, s"$dir/base", maintained,
+        "grp", "value", "w", QvScale, WqvQs, grpBuckets = 8)
       .select(col("g").as("o_orderpriority"), col("q"), col("value"))
   }
 
@@ -618,7 +637,8 @@ object AnalyticsGates {
     "q220_pivot" -> (q220Pivot _),
     "q221_unpivot" -> (q221Unpivot _),
     "q222_join_view4" -> (q222JoinView4 _),
-    "q226_quantile_layout" -> (q226QuantileLayout _)
+    "q226_quantile_layout" -> (q226QuantileLayout _),
+    "q227_wq_layout" -> (q227WqLayout _)
   )
 
   // --- oracles ----------------------------------------------------------
@@ -842,7 +862,9 @@ object AnalyticsGates {
   def oracleSql: Map[String, String] = baseOracleSql +
     // q226 serves the q204 view through the Z-ordered layout — same
     // answer by construction, same oracle verbatim
-    ("q226_quantile_layout" -> baseOracleSql("q204_quantile_view"))
+    ("q226_quantile_layout" -> baseOracleSql("q204_quantile_view")) +
+    // q227 serves the q210 weighted view through the same layout
+    ("q227_wq_layout" -> baseOracleSql("q210_weighted_quantile_view"))
 
   private def baseOracleSql: Map[String, String] = Map(
     "q168_salted_join" ->

@@ -1114,6 +1114,29 @@ object ExtensionQueries {
       Tables.events(s, d), col("event_type"), col("ts"))
       .withColumnRenamed("g", "event_type")
 
+  /** q228 — CUSUM changepoint scores ([[graft.operators.TimeSeries
+    * .cusum]]): Page's one-sided drift statistic per event type over the
+    * (ts, event_id)-ordered value sequence, fixed target 50 / slack 10,
+    * alarms where the score tops 150 — the drift LOCALIZER beside the
+    * q172/q119 distribution-level detectors. Computed through the
+    * prefix-minimum identity (two keyed window passes, no recursion);
+    * the oracle replays the identical windows. The values enter as
+    * integer CENTS (`round(value·100)`), so every prefix sum is an
+    * exact integer-valued double and the >threshold comparison is
+    * engine-independent — a raw-double cumsum differed from DuckDB by
+    * one ulp at exactly one of 25793 alarms at sf0.1 (window summation
+    * trees associate differently), which this representation eliminates
+    * rather than papers over.
+    */
+  private def q228Cusum(s: SparkSession, d: String): DataFrame =
+    graft.operators.TimeSeries.cusum(
+      Tables.events(s, d).withColumn("cents", round(col("value") * 100).cast("long")),
+      col("event_type"), col("ts"), col("event_id"),
+      col("cents"), slack = 1000.0, target = Some(5000.0))
+      .where(col("score") > 15000)
+      .select(col("key").as("event_type"), col("tie").as("event_id"),
+        (col("score") / 100.0).as("score"))
+
   /** Blocklist screen with the English marker words standing in as the
     * dictionary relation ([[TextFunctions.blocklistScreen]]).
     */
@@ -1646,6 +1669,7 @@ object ExtensionQueries {
     "q102_heavy_hitters" -> (q102HeavyHitters _),
     "q103_quantiles" -> (q103Quantiles _),
     "q223_quantile_refine" -> (q223QuantileRefine _),
+    "q228_cusum" -> (q228Cusum _),
     "q197_weighted_quantiles" -> (q197WeightedQuantiles _),
     "q104_gap_fill" -> (q104GapFill _),
     "q105_pii_report" -> (q105PiiReport _),
@@ -2295,6 +2319,24 @@ object ExtensionQueries {
         |    sum(wv) OVER (PARTITION BY g ORDER BY v)::BIGINT AS cum FROM o)
         |SELECT r.g AS l_returnflag, r.q, c.v AS value
         |FROM r JOIN c ON c.g = r.g AND c.cum >= r.rk AND c.cum - c.wv < r.rk""".stripMargin,
+    "q228_cusum" ->
+      // the same prefix-minimum unroll of Page's recurrence, window for
+      // window; ROWS frames spelled out (event_id is unique, so RANGE
+      // would agree — explicit is safer)
+      """WITH r AS (
+        |  SELECT event_type AS g, ts, event_id,
+        |    sum(round(value * 100) - 6000.0) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM events),
+        |sc AS (
+        |  SELECT g, event_id,
+        |    r - least(0.0, min(r) OVER
+        |      (PARTITION BY g ORDER BY ts, event_id
+        |       ROWS UNBOUNDED PRECEDING)) AS score
+        |  FROM r)
+        |SELECT g AS event_type, event_id, score / 100.0 AS score
+        |FROM sc WHERE score > 15000""".stripMargin,
     "q223_quantile_refine" ->
       // q103's oracle verbatim: the refinement loop must land on the
       // same type-1 rank walk regardless of maxFinal

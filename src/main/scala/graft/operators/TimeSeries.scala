@@ -290,4 +290,64 @@ object TimeSeries {
           (col("cnt") - col("mean")) / sqrt(col("variance")))
           .otherwise(lit(0.0)), 4) + lit(0.0)).as("z"))
   }
+
+  /** CUSUM changepoint scores per key over a time-ordered value
+    * sequence — the drift LOCALIZER next to the drift detectors
+    * ([[graft.curation.Corpus.ksDrift]] says "the distribution moved
+    * between two corpora"; CUSUM says WHERE in one sequence the level
+    * shifted). One-sided upward form (Page's classic):
+    *
+    * {{{ S_0 = 0;  S_t = max(0, S_{t-1} + (x_t − target − slack)) }}}
+    *
+    * computed DECLARATIVELY through the prefix-minimum identity
+    * `S_t = R_t − min(0, min_{j≤t} R_j)` with
+    * `R_t = Σ_{i≤t} (x_i − target − slack)` — the max-recurrence
+    * unrolls exactly to "current prefix sum minus the lowest prefix sum
+    * so far (or the empty prefix)". That turns a per-row recursion into
+    * TWO keyed window passes (cumulative sum, running min) in one sort:
+    * whole-stage codegen, no UDF, no driver loop, and an oracle that
+    * replays the identical windows in SQL. `target` defaults to the
+    * key's own series mean (one extra unbounded window aggregate on the
+    * same partition — no second shuffle).
+    *
+    * Determinism: ties in `order` break by `tieBreak` (a per-key-unique
+    * column), so the prefix walk — and therefore every score — is
+    * reproducible across engines; double accumulation follows the same
+    * row sequence everywhere.
+    *
+    * Scale shape: one hash exchange on the key, one sort per partition,
+    * all four windows (mean, cumsum, running min, score) over the SAME
+    * (key × order) frame — Catalyst collapses them into a single Window
+    * node chain with one sort, partition size = the key's series length.
+    *
+    * @param target fixed reference level; None = per-key series mean
+    * @param slack  per-observation allowance k (drift below `target +
+    *               slack` never accumulates)
+    * @return input keys + order + tieBreak + `score` (S_t, ≥ 0)
+    */
+  def cusum(
+      df: DataFrame,
+      key: Column,
+      order: Column,
+      tieBreak: Column,
+      value: Column,
+      slack: Double,
+      target: Option[Double] = None
+  ): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"), col("__t"))
+    val wAll = Window.partitionBy(col("__k"))
+    val rows = df.select(key.as("__k"), order.as("__o"), tieBreak.as("__t"),
+      value.cast("double").as("__v"))
+    // the reference level materializes as its own column first: a window
+    // aggregate cannot nest inside another window's sum
+    val withRef = target match {
+      case Some(t) => rows.withColumn("__ref", lit(t))
+      case None    => rows.withColumn("__ref", avg(col("__v")).over(wAll))
+    }
+    withRef
+      .withColumn("__r", sum(col("__v") - col("__ref") - lit(slack)).over(w))
+      .withColumn("__score", col("__r") - least(lit(0.0), min(col("__r")).over(w)))
+      .select(col("__k").as("key"), col("__o").as("order"), col("__t").as("tie"),
+        col("__score").as("score"))
+  }
 }

@@ -856,5 +856,16 @@ class PlanShapeSpec extends SparkSpec {
     val s226 = simplePlan("q226_quantile_layout")
     assert(s226.contains("BroadcastHashJoin"), s226)
     assert(!s226.contains("CartesianProduct") && !s226.contains("BroadcastNestedLoopJoin"), s226)
+    // q227: the weighted layout serve shares the shape
+    val f227 = plan("q227_wq_layout")
+    assert(f227.contains("PushedFilters") && f227.contains("In(cell"), f227)
+    // q228: CUSUM is ONE keyed exchange + one sort feeding the whole
+    // window chain (cumsum + running min collapse onto the same frame) —
+    // never a global sort, never a second shuffle of the data
+    val s228 = simplePlan("q228_cusum")
+    assert("Exchange hashpartitioning".r.findAllIn(s228).size == 1, s228)
+    assert(s228.contains("Window"), s228)
+    assert("Scan parquet".r.findAllIn(s228).size == 1, s228)
+    assert(!s228.contains("Exchange SinglePartition"), s228)
   }
 }

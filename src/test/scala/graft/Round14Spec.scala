@@ -232,6 +232,30 @@ class Round14Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("cusum equals the direct max(0, S + x - target - k) recurrence (the prefix-min " +
+      "identity), and the default target is the key's own series mean") {
+    import graft.operators.TimeSeries
+    val xs = Seq(50.0, 80.0, 90.0, 10.0, 70.0, 200.0, 5.0, 65.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("g", "i", "v")
+      .unionByName(Seq(("z", 0L, 100.0), ("z", 1L, 0.0)).toDF("g", "i", "v"))
+    def direct(vs: Seq[Double], target: Double, k: Double): Seq[Double] =
+      vs.scanLeft(0.0)((s, x) => math.max(0.0, s + x - target - k)).tail
+    val got = TimeSeries.cusum(df, $"g", $"i", $"i", $"v", slack = 5.0, target = Some(60.0))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(3))).toMap
+    val want = direct(xs, 60.0, 5.0)
+    xs.indices.foreach { i =>
+      assert(math.abs(got(("k", i.toLong)) - want(i)) < 1e-9,
+        s"i=$i got ${got(("k", i.toLong))} want ${want(i)}")
+    }
+    // per-key mean default: key z's mean is 50 — its series centers itself
+    val gz = TimeSeries.cusum(df.where($"g" === "z"), $"g", $"i", $"i", $"v", slack = 0.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toMap
+    val wantZ = direct(Seq(100.0, 0.0), 50.0, 0.0)
+    assert(math.abs(gz(0L) - wantZ(0)) < 1e-9 && math.abs(gz(1L) - wantZ(1)) < 1e-9,
+      gz.toString)
+  }
+
   test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
       "count(DISTINCT col) semantics), NaN as one") {
     import graft.curation.Audit
