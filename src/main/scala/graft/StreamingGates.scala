@@ -1389,6 +1389,49 @@ object StreamingGates {
         col("total").cast("long").as("size_sum"))
   }
 
+  /** Streaming CUSUM ([[StreamingFlows.cusumTWS]]): the q228 drift
+    * localizer with the recurrence carried as live per-key state — one
+    * running double per event type. Events stream in two TIME-SPLIT
+    * batches (the operator's in-order contract); every emitted score must
+    * land on q228's window-unrolled oracle exactly (integer-cents
+    * arithmetic, so the sequential fold and the window form agree
+    * bitwise).
+    */
+  private def q229CusumStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+        .as[(String, Long, Long, Long)].collect()
+      val cut = rows.map(_._2).sorted.apply(rows.length / 2)
+      val (b1, b2) = rows.partition(_._2 < cut)
+      val in = MemoryStream[(String, Long, Long, Long)]
+      val out = StreamingFlows.cusumTWS[(String, Long, Long, Long), String](
+        _._1, r => (r._2, r._3), _._4.toDouble, target = 5000.0, slack = 1000.0)
+        .apply(in.toDS())
+      val sink = sinkName("q229")
+      val q = out.toDF("event_type", "event_id", "score")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        in.addData(b1.toIndexedSeq)
+        q.processAllAvailable()
+        in.addData(b2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("score") > 15000)
+        .select(col("event_type"), col("event_id"), (col("score") / 100.0).as("score"))
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None    => s.conf.unset(providerKey)
+    }
+  }
+
   /** Streaming connected components over an EDGE feed
     * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
     * graph arrives in two batches; labels fold incrementally — prior
@@ -1550,6 +1593,7 @@ object StreamingGates {
     "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
     "q214_join_view3_stream" -> (q214JoinView3Stream _),
     "q225_join_view4_stream" -> (q225JoinView4Stream _),
+    "q229_cusum_stream" -> (q229CusumStream _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1585,6 +1629,7 @@ object StreamingGates {
     "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
     "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
     "q225_join_view4_stream" -> AnalyticsGates.oracleSql("q222_join_view4"),
+    "q229_cusum_stream" -> ExtensionQueries.oracleSql("q228_cusum"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

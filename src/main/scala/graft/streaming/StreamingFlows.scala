@@ -762,6 +762,50 @@ object StreamingFlows {
       .transformWithState(processor, timeMode, OutputMode.Append())
   }
 
+  /** Streaming CUSUM ([[graft.operators.TimeSeries.cusum]]'s recurrence
+    * carried as live per-key state): Page's one-sided drift statistic
+    * `S ← max(0, S + (x − target − slack))` over a keyed event stream,
+    * one emitted `(key, tie, score)` row per input row. The batch
+    * operator unrolls the recurrence into windows because it can see the
+    * whole prefix; the stream CANNOT (one running scalar is the whole
+    * state — exactly why CUSUM suits streaming), so this is the rare
+    * genuinely-sequential fold: rows are sorted by `(order, tie)` WITHIN
+    * each batch inside the processor (`transformWithState` makes no
+    * intra-key order promise), and batches must arrive in non-decreasing
+    * order-time per key (the q229 gate convention; a late row would need
+    * the full prefix re-walked, which the scalar state cannot do —
+    * re-run the batch operator for corrections).
+    *
+    * State: ONE double per key in RocksDB-backed ValueState — bounded by
+    * key cardinality, not stream length.
+    */
+  def cusumTWS[V: Encoder, K: Encoder](
+      keyFn: V => K,
+      orderFn: V => (Long, Long),
+      valueFn: V => Double,
+      target: Double,
+      slack: Double
+  )(implicit outEnc: Encoder[(K, Long, Double)]): Dataset[V] => Dataset[(K, Long, Double)] = { ds =>
+    val processor = new StatefulProcessor[K, V, (K, Long, Double)] {
+      @transient private var state: ValueState[Double] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        state = getHandle.getValueState[Double](
+          "graft_cusum", org.apache.spark.sql.Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(
+          key: K, rows: Iterator[V], tv: TimerValues): Iterator[(K, Long, Double)] = {
+        var s = if (state.exists()) state.get() else 0.0
+        val out = rows.toVector.sortBy(orderFn).map { v =>
+          s = math.max(0.0, s + (valueFn(v) - target - slack))
+          (key, orderFn(v)._2, s)
+        }
+        state.update(s)
+        out.iterator
+      }
+    }
+    ds.groupByKey(keyFn)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Throttler Discard (flow/throttler.go:21-25, 119-124) on
     * `transformWithState` — completes the stateful-operator trio on the
     * Spark 4 state API (Batch: [[batchCountOrTimeTWS]], Keyed:

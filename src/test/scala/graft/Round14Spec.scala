@@ -256,6 +256,42 @@ class Round14Spec extends SparkSpec {
       gz.toString)
   }
 
+  test("cusumTWS carries the recurrence across batches and sorts within each batch: " +
+      "shuffled in-batch arrival, exact agreement with the direct fold") {
+    import graft.streaming.StreamingFlows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // (key, order, tie, value): batch 1 = orders 0..3 SHUFFLED, batch 2 = 4..6
+      val series = Seq(10.0, 90.0, 120.0, 5.0, 60.0, 200.0, 1.0)
+      val rows = series.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+      val in = MemoryStream[(String, Long, Long, Double)]
+      val out = StreamingFlows.cusumTWS[(String, Long, Long, Double), String](
+        _._1, r => (r._2, r._3), _._4, target = 50.0, slack = 0.0).apply(in.toDS())
+      val q = out.toDF("k", "tie", "score")
+        .writeStream.format("memory").queryName("r14_cusum_tws").outputMode("append").start()
+      try {
+        in.addData(Seq(rows(2), rows(0), rows(3), rows(1)))
+        q.processAllAvailable()
+        in.addData(Seq(rows(5), rows(4), rows(6)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("r14_cusum_tws")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+      val want = series.scanLeft(0.0)((s, x) => math.max(0.0, s + x - 50.0)).tail
+      series.indices.foreach { i =>
+        assert(math.abs(got(i.toLong) - want(i)) < 1e-12, s"i=$i ${got(i.toLong)} vs ${want(i)}")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
       "count(DISTINCT col) semantics), NaN as one") {
     import graft.curation.Audit
