@@ -668,6 +668,15 @@ object Storage {
       dX =
         if (k < n - 1)
           // sign-compact + materialize: ΔX_k feeds two terms at level k+1
+          // (un-materialized, each consumer would re-run this level's three
+          // delta-vs-base joins; uncompacted, opposite-sign rows for one
+          // (key, grp) would ride — and fan out through — every remaining
+          // level instead of cancelling here, and the broadcast each next
+          // level ships would grow with raw term volume instead of being
+          // bounded by live (key, grp) pairs. The two delta-sized shuffles
+          // this costs measured ~8% of the q222 batch at sf0.1 — the right
+          // trade at cluster scale, where the broadcast bound is the
+          // constraint that keeps the whole algebra shuffle-free.)
           graft.Materialize(next.groupBy(col(keys(k)), col("grp"))
             .agg(sum(col("sign")).cast("long").as("sign")))
         else next
