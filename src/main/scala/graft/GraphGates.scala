@@ -279,7 +279,7 @@ object GraphGates {
     * the MSF oracle can afford a sequential Prim replay, real enough that
     * the engine runs the full distributed Borůvka machinery.
     */
-  private def nationEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def nationEdges(s: SparkSession, d: String): DataFrame = {
     val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
     transitions(s, d, None)
       .join(broadcast(sup.select(col("s_suppkey").as("src"), col("s_nationkey").as("na"))),
@@ -364,6 +364,19 @@ object GraphGates {
        |  FROM lineitem $filter),
        |e AS (SELECT DISTINCT l_suppkey::BIGINT AS src, nxt::BIGINT AS dst
        |  FROM seq WHERE nxt IS NOT NULL AND nxt != l_suppkey)""".stripMargin
+
+  /** From-scratch GLOBAL triangle count on the canonical sparse
+    * transition graph — the q231 streaming maintainer must land on it
+    * exactly. Triples enumerated once each as x < y < z.
+    */
+  private def streamTrianglesSql: String =
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |c AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src != dst)
+       |SELECT count(*)::BIGINT AS n_triangles
+       |FROM c e1
+       |JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v
+       |JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 
   /** Five unrolled PageRank iterations on the same grid the engine uses:
     * per iteration a dangling-mass scalar, an inflow aggregate, and the
@@ -795,6 +808,7 @@ object GraphGates {
 
   def oracleSql: Map[String, String] = Map(
     "q216_msf" -> msfSql,
+    "q231_triangles_stream" -> streamTrianglesSql,
     "q218_single_linkage" -> singleLinkageSql,
     "q195_betweenness" -> betweennessSql,
     "q198_ktruss" -> ktrussSql,

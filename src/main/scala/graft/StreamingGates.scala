@@ -1432,6 +1432,74 @@ object StreamingGates {
     }
   }
 
+  /** Streaming MSF over an edge feed ([[graft.streaming.IngestMsf]]):
+    * the q216 nation graph's weighted edges arrive in two batches; each
+    * batch recomputes the forest over retained-forest ∪ batch edges —
+    * the sparsification identity MSF(G ∪ E′) = MSF(MSF(G) ∪ E′), exact
+    * because the strict (w, u, v) total order makes the forest unique.
+    * The final table must equal q216's from-scratch oracle verbatim.
+    */
+  private def q230MsfStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = GraphGates.nationEdges(s, d)
+      .select(col("u").cast("long"), col("v").cast("long"), col("w").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val forestTable = sinkName("q230forest")
+    Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+      .write.mode("overwrite").format("parquet").saveAsTable(forestTable)
+    val (b1, b2) = edges.partition { case (u, v, _) => (u * 31 + v) % 2 == 0 }
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDS().toDF("u", "v", "w").writeStream
+      .foreachBatch(new graft.streaming.IngestMsf(forestTable))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(forestTable)
+      .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
+  }
+
+  /** Streaming global triangle count over an edge feed
+    * ([[graft.streaming.IngestTriangles]]): the q179 sparse transition
+    * graph's canonical edges arrive in two batches; each batch counts
+    * only the distinct triples its genuinely-new edges close (wedge
+    * probe against the accumulated adjacency) and adds them to the
+    * running count under the [[graft.streaming.IvmMaintenance]] replay
+    * guard. Must equal the from-scratch triple enumeration.
+    */
+  private def q231TrianglesStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = GraphGates.transitions(s, d, Some(GraphGates.KhopQty))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].collect()
+    val edgeTable = sinkName("q231edges")
+    val countTable = sinkName("q231count")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq((0L, -1L)).toDF("n_triangles", "__batch")
+      .write.mode("overwrite").format("parquet").saveAsTable(countTable)
+    val (b1, b2) = edges.partition { case (u, v) => (u * 31 + v) % 2 == 0 }
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDS().toDF("u", "v").writeStream
+      .foreachBatch(new graft.streaming.IngestTriangles(edgeTable, countTable))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(countTable).where(col("n_triangles").isNotNull)
+      .select(col("n_triangles"))
+  }
+
   /** Streaming connected components over an EDGE feed
     * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
     * graph arrives in two batches; labels fold incrementally — prior
@@ -1594,6 +1662,8 @@ object StreamingGates {
     "q214_join_view3_stream" -> (q214JoinView3Stream _),
     "q225_join_view4_stream" -> (q225JoinView4Stream _),
     "q229_cusum_stream" -> (q229CusumStream _),
+    "q230_msf_stream" -> (q230MsfStream _),
+    "q231_triangles_stream" -> (q231TrianglesStream _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1630,6 +1700,8 @@ object StreamingGates {
     "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
     "q225_join_view4_stream" -> AnalyticsGates.oracleSql("q222_join_view4"),
     "q229_cusum_stream" -> ExtensionQueries.oracleSql("q228_cusum"),
+    "q230_msf_stream" -> GraphGates.oracleSql("q216_msf"),
+    "q231_triangles_stream" -> GraphGates.oracleSql("q231_triangles_stream"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

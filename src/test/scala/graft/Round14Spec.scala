@@ -292,6 +292,82 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("IngestMsf: three-batch streamed forest is row-identical to the from-scratch MSF " +
+      "(sparsification identity under the strict total order); redelivery is a no-op") {
+    val ts = Seq("r14_msf_forest", "r14_msf_forest__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_msf_forest")
+      // a 120-node multigraph with deterministic pseudo-random weights and
+      // some parallel edges; 3 batches by edge index mod 3
+      val edges = (0 until 600).map { i =>
+        val u = (i * 37) % 120L
+        val v = (i * 53 + 7) % 120L
+        (math.min(u, v), math.max(u, v), (i * 7919) % 1000L)
+      }.filter(e => e._1 != e._2)
+      val handler = new graft.streaming.IngestMsf("r14_msf_forest")
+      (0 until 3).foreach { b =>
+        val batch = edges.zipWithIndex.collect { case (e, i) if i % 3 == b => e }
+        handler(batch.toDF("u", "v", "w"), b.toLong)
+      }
+      def forest(): Set[(Long, Long, Long)] = spark.table("r14_msf_forest")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val scratch = graft.graphs.Graphs.minimumSpanningForest(
+          edges.toDF("u", "v", "w"), col("u"), col("v"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(forest() == scratch, s"streamed ${forest().size} vs scratch ${scratch.size}")
+      // redeliver batch 2: the union is unchanged, so the forest must be too
+      val batch2 = edges.zipWithIndex.collect { case (e, i) if i % 3 == 2 => e }
+      handler(batch2.toDF("u", "v", "w"), 2L)
+      assert(forest() == scratch)
+    } finally dropAll(ts)
+  }
+
+  test("IngestTriangles: streamed count equals the from-scratch triple enumeration, " +
+      "same-batch multi-new-edge triangles count ONCE, redelivery is a no-op") {
+    val ts = Seq("r14_tri_edges", "r14_tri_count",
+      "r14_tri_edges__staging", "r14_tri_count__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_tri_edges")
+      Seq((0L, -1L)).toDF("n_triangles", "__batch")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_tri_count")
+      val handler = new graft.streaming.IngestTriangles("r14_tri_edges", "r14_tri_count")
+      def count(): Long = spark.table("r14_tri_count")
+        .where($"n_triangles".isNotNull).head().getLong(0)
+      // batch 0: a COMPLETE triangle arrives in one batch (all three edges
+      // new — found once per new edge, must count once), plus a dangling edge
+      handler(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v"), 0L)
+      assert(count() == 1L, s"got ${count()}")
+      // batch 1: closes TWO triangles with one new edge (2-4 closes 2-3-4;
+      // 1-4 closes 1-3-4 and with 2-4 also 1-2-4)
+      handler(Seq((2L, 4L), (1L, 4L)).toDF("u", "v"), 1L)
+      assert(count() == 4L, s"got ${count()}")
+      // redelivery: replay guard skips the math, count unchanged
+      handler(Seq((2L, 4L), (1L, 4L)).toDF("u", "v"), 1L)
+      assert(count() == 4L, s"got ${count()}")
+      // random-graph equivalence: 3 more batches vs from-scratch triple count
+      val more = (0 until 300).map { i =>
+        (math.min((i * 37) % 40L, (i * 53 + 7) % 40L),
+          math.max((i * 37) % 40L, (i * 53 + 7) % 40L))
+      }.filter(e => e._1 != e._2).distinct
+      (0 until 3).foreach { b =>
+        val batch = more.zipWithIndex.collect { case (e, i) if i % 3 == b => e }
+        handler(batch.toDF("u", "v"), (b + 2).toLong)
+      }
+      val allEdges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (1L, 4L)) ++
+        more).distinct
+      val e = allEdges.toDF("u", "v")
+      val scratch = e.as("e1")
+        .join(e.as("e2"), col("e2.u") === col("e1.u") && col("e2.v") > col("e1.v"))
+        .join(e.as("e3"), col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+        .count()
+      assert(count() == scratch, s"streamed ${count()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
       "count(DISTINCT col) semantics), NaN as one") {
     import graft.curation.Audit
