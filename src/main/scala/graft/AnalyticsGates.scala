@@ -320,7 +320,10 @@ object AnalyticsGates {
     */
   private def q226QuantileLayout(s: SparkSession, d: String): DataFrame = {
     val (maintained, finalBase) = q204MaintainedCells(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q226").toString
+    // deterministic per-SF scratch path: writeZOrdered overwrites, so
+    // repeated invocations (bench reps) reuse one directory instead of
+    // littering a fresh temp dir each run
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q226_${math.abs(d.hashCode)}"
     Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
       grpBuckets = 64, bits = 16, files = 32, path = s"$dir/base")
     Storage.quantilesFromCellsLayout(s, s"$dir/base", maintained,
@@ -415,7 +418,7 @@ object AnalyticsGates {
     */
   private def q227WqLayout(s: SparkSession, d: String): DataFrame = {
     val (maintained, finalBase) = q210MaintainedCells(s, d)
-    val dir = java.nio.file.Files.createTempDirectory("graft_q227").toString
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q227_${math.abs(d.hashCode)}"
     Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
       grpBuckets = 8, bits = 16, files = 32, path = s"$dir/base")
     Storage.weightedQuantilesFromCellsLayout(s, s"$dir/base", maintained,

@@ -632,6 +632,9 @@ object Storage {
     require(keys.size == n - 1, s"mergeJoinViewNDelta: ${keys.size} keys for $n sides")
     require(keys.distinct.size == keys.size,
       s"mergeJoinViewNDelta: key names must be pairwise distinct: ${keys.mkString(", ")}")
+    require(keys.forall(k => k != "grp" && k != "value" && k != "sign"),
+      s"mergeJoinViewNDelta: key names collide with the reserved grp/value/sign " +
+        s"columns: ${keys.mkString(", ")}")
 
     // X_i rows (grp, keys(i)) restricted so keys(i) ∈ filterKeys: prune
     // side i at the far end, then fold the prefix back to side 0 — the
