@@ -1515,11 +1515,12 @@ object StreamingGates {
       .as[(Long, Long)].collect()
     val labels = sinkName("q224labels")
     Seq.empty[(Long, Long)].toDF("node", "component")
-      .write.mode("overwrite").format("parquet").saveAsTable(labels)
+      .withColumn("bkt", pmod(hash(col("component")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(labels)
     val (b1, b2) = edges.partition { case (a, b) => (a + b) % 2 == 0 }
     val in = MemoryStream[(Long, Long)]
     val q = in.toDS().toDF("src", "dst").writeStream
-      .foreachBatch(new graft.streaming.IngestComponents(labels))
+      .foreachBatch(new graft.streaming.IngestComponents(labels, buckets = 8))
       .start()
     try {
       in.addData(b1.toIndexedSeq)
@@ -1527,7 +1528,7 @@ object StreamingGates {
       in.addData(b2.toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
-    s.table(labels)
+    s.table(labels).select(col("node"), col("component"))
   }
 
   /** Streaming IVM over the q157 change set

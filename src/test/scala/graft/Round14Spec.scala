@@ -157,12 +157,15 @@ class Round14Spec extends SparkSpec {
     dropAll(ts)
     try {
       Seq.empty[(Long, Long)].toDF("node", "component")
-        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_cc_labels")
-      val handler = new graft.streaming.IngestComponents("r14_cc_labels")
+        .withColumn("bkt", pmod(hash($"component"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r14_cc_labels")
+      val handler = new graft.streaming.IngestComponents("r14_cc_labels", buckets = 4)
       // batch 1: {1-2}, {3-4}, and 9 as a... 9 only appears via self-edge
       // later; components after b1: {1,2}, {3,4}
       handler(Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), 0L)
       def labels(): Set[(Long, Long)] = spark.table("r14_cc_labels")
+        .select($"node", $"component")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(labels() == Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)), labels().toString)
       // batch 2 bridges {1,2} and {3,4} via (2,3), and adds {7,8}
