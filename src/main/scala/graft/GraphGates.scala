@@ -378,6 +378,21 @@ object GraphGates {
        |JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v
        |JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
 
+  /** From-scratch triple count over the FINAL edge set of the q232 CDC
+    * feed: all canonical edges minus the u%5==0 slice of the
+    * first-batch ((u·31+v)%3 != 2) partition.
+    */
+  private def cdcTrianglesSql: String =
+    s"""WITH ${duckTransitions(s"WHERE l_quantity >= $KhopQty")},
+       |c0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM e WHERE src != dst),
+       |c AS (SELECT u, v FROM c0
+       |  WHERE NOT ((u * 31 + v) % 3 != 2 AND u % 5 = 0))
+       |SELECT count(*)::BIGINT AS n_triangles
+       |FROM c e1
+       |JOIN c e2 ON e2.u = e1.u AND e2.v > e1.v
+       |JOIN c e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin
+
   /** Five unrolled PageRank iterations on the same grid the engine uses:
     * per iteration a dangling-mass scalar, an inflow aggregate, and the
     * damped update rounded to 10^-7.
@@ -809,6 +824,7 @@ object GraphGates {
   def oracleSql: Map[String, String] = Map(
     "q216_msf" -> msfSql,
     "q231_triangles_stream" -> streamTrianglesSql,
+    "q232_triangles_cdc" -> cdcTrianglesSql,
     "q218_single_linkage" -> singleLinkageSql,
     "q195_betweenness" -> betweennessSql,
     "q198_ktruss" -> ktrussSql,

@@ -1500,6 +1500,47 @@ object StreamingGates {
       .select(col("n_triangles"))
   }
 
+  /** Streaming triangle count under INSERTS AND DELETES
+    * ([[graft.streaming.IngestTrianglesCdc]]): batch 1 inserts ~2/3 of
+    * the canonical sparse-graph edges; batch 2 inserts the rest AND
+    * deletes the u%5==0 slice of batch 1 — the symmetric two-probe
+    * identity (triples of E′ with a changed edge minus triples of E
+    * with one) must land on the from-scratch triple count over the
+    * final edge set.
+    */
+  private def q232TrianglesCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = GraphGates.transitions(s, d, Some(GraphGates.KhopQty))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].collect()
+    val edgeTable = sinkName("q232edges")
+    val countTable = sinkName("q232count")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq((0L, -1L)).toDF("n_triangles", "__batch")
+      .write.mode("overwrite").format("parquet").saveAsTable(countTable)
+    val (e1, e2) = edges.partition { case (u, v) => (u * 31 + v) % 3 != 2 }
+    val b1 = e1.map { case (u, v) => (u, v, "insert") }
+    val b2 = e2.map { case (u, v) => (u, v, "insert") } ++
+      e1.filter(_._1 % 5 == 0).map { case (u, v) => (u, v, "delete") }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDS().toDF("u", "v", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestTrianglesCdc(edgeTable, countTable, 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(countTable).where(col("n_triangles").isNotNull)
+      .select(col("n_triangles"))
+  }
+
   /** Streaming connected components over an EDGE feed
     * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
     * graph arrives in two batches; labels fold incrementally — prior
@@ -1665,6 +1706,7 @@ object StreamingGates {
     "q229_cusum_stream" -> (q229CusumStream _),
     "q230_msf_stream" -> (q230MsfStream _),
     "q231_triangles_stream" -> (q231TrianglesStream _),
+    "q232_triangles_cdc" -> (q232TrianglesCdc _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1703,6 +1745,7 @@ object StreamingGates {
     "q229_cusum_stream" -> ExtensionQueries.oracleSql("q228_cusum"),
     "q230_msf_stream" -> GraphGates.oracleSql("q216_msf"),
     "q231_triangles_stream" -> GraphGates.oracleSql("q231_triangles_stream"),
+    "q232_triangles_cdc" -> GraphGates.oracleSql("q232_triangles_cdc"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

@@ -36,6 +36,36 @@ import org.apache.spark.sql.functions._
   * edge set — and the count table (n_triangles, __batch) seeded with
   * the matching count (0 and -1 for empty).
   */
+object IngestTriangles {
+  /** DISTINCT sorted triples (x < y < z) of `graph` containing at least
+    * one `probe` edge: each probe edge (u, v) wedge-joins `graph`'s
+    * adjacency for common neighbors, and the found triples dedup on
+    * their sorted form — the multiplicity correction that counts a
+    * triple reached from two or three probe edges once. `probe` must be
+    * a subset of `graph` (a probe edge absent from the graph closes no
+    * triple of the graph, but its wedges WOULD — callers intersect
+    * first). Cost ∝ |probe|·avg-degree wedge rows + a triple-sized
+    * distinct; both canonical (u < v).
+    */
+  private[streaming] def closedTriples(probe: DataFrame, graph: DataFrame): DataFrame = {
+    val adj = graph.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(graph.select(col("v").as("a"), col("u").as("b")))
+    val wedges = probe
+      .join(adj.withColumnRenamed("a", "u").withColumnRenamed("b", "w"), Seq("u"))
+      .where(col("w") =!= col("v"))
+      .select(col("u"), col("v"), col("w"),
+        least(col("v"), col("w")).as("cu"), greatest(col("v"), col("w")).as("cv"))
+    wedges
+      .join(graph.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"), "left_semi")
+      .select(
+        least(col("u"), col("cu")).as("x"),
+        when(col("u") < col("cu"), col("cu"))
+          .when(col("u") > col("cv"), col("cv")).otherwise(col("u")).as("y"),
+        greatest(col("u"), col("cv")).as("z"))
+      .distinct()
+  }
+}
+
 final class IngestTriangles(
     edgeTable: String,
     countTable: String
@@ -58,22 +88,7 @@ final class IngestTriangles(
       val cnt = spark.table(countTable)
       if (batchId > IvmMaintenance.lastApplied(cnt)) {
         val all = old.unionByName(newEdges)
-        val adj = all.select(col("u").as("a"), col("v").as("b"))
-          .unionByName(all.select(col("v").as("a"), col("u").as("b")))
-        // wedge from each new edge's u end; close over the stored+new set
-        val wedges = newEdges
-          .join(adj.withColumnRenamed("a", "u").withColumnRenamed("b", "w"), Seq("u"))
-          .where(col("w") =!= col("v"))
-          .select(col("u"), col("v"), col("w"),
-            least(col("v"), col("w")).as("cu"), greatest(col("v"), col("w")).as("cv"))
-        val closed = wedges
-          .join(all.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"), "left_semi")
-        val delta = closed.select(
-            least(col("u"), col("cu")).as("x"),
-            when(col("u") < col("cu"), col("cu"))
-              .when(col("u") > col("cv"), col("cv")).otherwise(col("u")).as("y"),
-            greatest(col("u"), col("cv")).as("z"))
-          .distinct().count()
+        val delta = IngestTriangles.closedTriples(newEdges, all).count()
         val prevRow = cnt.where(col("n_triangles").isNotNull)
           .agg(coalesce(max(col("n_triangles")), lit(0L))).head().getLong(0)
         val merged = spark.range(1).select(

@@ -371,6 +371,52 @@ class Round14Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestTrianglesCdc: two-probe identity handles destroy-by-delete, the same-batch " +
+      "lose-one-gain-one cancel, double-delete subtract-once; same-edge insert+delete throws") {
+    val ts = Seq("r14_tcdc_edges", "r14_tcdc_count",
+      "r14_tcdc_edges__staging", "r14_tcdc_count__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .withColumn("bkt", pmod(hash($"u"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r14_tcdc_edges")
+      Seq((0L, -1L)).toDF("n_triangles", "__batch")
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable("r14_tcdc_count")
+      val handler = new graft.streaming.IngestTrianglesCdc(
+        "r14_tcdc_edges", "r14_tcdc_count", 4)
+      def count(): Long = spark.table("r14_tcdc_count")
+        .where($"n_triangles".isNotNull).head().getLong(0)
+      def b(rows: (Long, Long, String)*) = rows.toDF("u", "v", "op")
+      // two triangles sharing edge 1-2: {1,2,3} and {1,2,4}
+      handler(b((1L, 2L, "insert"), (2L, 3L, "insert"), (1L, 3L, "insert"),
+        (2L, 4L, "insert"), (1L, 4L, "insert")), 0L)
+      assert(count() == 2L, s"got ${count()}")
+      // lose-one-gain-one in ONE batch: delete 1-3 (kills {1,2,3}), insert
+      // 3-4 (creates {2,3,4}? needs 2-3,2-4 — yes; and {1,3,4}? needs 1-3
+      // gone — no). Net: -1 +1 = 0... plus {3,4,x}: 3-4 with 2-3/2-4 →
+      // {2,3,4} gained. So count stays 2.
+      handler(b((1L, 3L, "delete"), (3L, 4L, "insert")), 1L)
+      assert(count() == 2L, s"got ${count()}")
+      // double-delete of {1,2,4}'s two edges in one batch: subtract ONCE
+      // (also kills {2,3,4} via 2-4: total -2)
+      handler(b((1L, 4L, "delete"), (2L, 4L, "delete")), 2L)
+      assert(count() == 0L, s"got ${count()}")
+      // redelivery: no-op (guard + idempotent store)
+      handler(b((1L, 4L, "delete"), (2L, 4L, "delete")), 2L)
+      assert(count() == 0L, s"got ${count()}")
+      // same-edge insert+delete in one batch is refused loudly
+      val e = intercept[IllegalStateException](
+        handler(b((5L, 6L, "insert"), (5L, 6L, "delete")), 3L))
+      assert(e.getMessage.contains("inserts AND deletes the same edge"), e.getMessage)
+      // surviving edges: 1-2, 2-3, 3-4 — a path, zero triangles; sanity
+      // vs from-scratch on the store
+      val stored = spark.table("r14_tcdc_edges").select($"u", $"v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(stored == Set((1L, 2L), (2L, 3L), (3L, 4L)), stored.toString)
+    } finally dropAll(ts)
+  }
+
   test("columnProfile counts -0.0 and 0.0 as ONE distinct value (matching " +
       "count(DISTINCT col) semantics), NaN as one") {
     import graft.curation.Audit
