@@ -1541,6 +1541,47 @@ object StreamingGates {
       .select(col("n_triangles"))
   }
 
+  /** Streaming single-linkage clustering SERVED FROM the maintained MSF
+    * ([[graft.streaming.IngestMsf]] + the q218 MSF-cut equivalence:
+    * threshold components of the original graph == components of the
+    * forest cut at the threshold, because an MSF path is the minimax
+    * path). The forest is maintained over two edge batches; the serve is
+    * a cut + CC + singleton fill over `nodes − c` forest edges — no edge
+    * history touched. Must equal q218's from-scratch oracle verbatim.
+    */
+  private def q233SingleLinkageStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = graft.Materialize(GraphGates.nationEdges(s, d))
+    val t = graft.curation.Quantiles.exactQuantiles(e, lit(0L), col("w"), Seq(0.5))
+      .head().getDouble(2).toLong
+    val edges = e.select(col("u").cast("long"), col("v").cast("long"),
+      col("w").cast("long")).as[(Long, Long, Long)].collect()
+    e.unpersist()
+    val forestTable = sinkName("q233forest")
+    Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+      .write.mode("overwrite").format("parquet").saveAsTable(forestTable)
+    val (b1, b2) = edges.partition { case (u, v, _) => (u * 31 + v) % 2 == 0 }
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDS().toDF("u", "v", "w").writeStream
+      .foreachBatch(new graft.streaming.IngestMsf(forestTable))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val forest = s.table(forestTable)
+    val nodes = forest.select(col("u").as("node"))
+      .unionByName(forest.select(col("v").as("node"))).distinct()
+    val cc = graft.graphs.Graphs.connectedComponents(
+      forest.where(col("w") <= t), col("u"), col("v"))
+    nodes.join(cc, Seq("node"), "left")
+      .select(col("node").as("nationkey"),
+        coalesce(col("component"), col("node")).as("cluster"))
+  }
+
   /** Streaming connected components over an EDGE feed
     * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
     * graph arrives in two batches; labels fold incrementally — prior
@@ -1707,6 +1748,7 @@ object StreamingGates {
     "q230_msf_stream" -> (q230MsfStream _),
     "q231_triangles_stream" -> (q231TrianglesStream _),
     "q232_triangles_cdc" -> (q232TrianglesCdc _),
+    "q233_single_linkage_stream" -> (q233SingleLinkageStream _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1746,6 +1788,7 @@ object StreamingGates {
     "q230_msf_stream" -> GraphGates.oracleSql("q216_msf"),
     "q231_triangles_stream" -> GraphGates.oracleSql("q231_triangles_stream"),
     "q232_triangles_cdc" -> GraphGates.oracleSql("q232_triangles_cdc"),
+    "q233_single_linkage_stream" -> GraphGates.oracleSql("q218_single_linkage"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),
