@@ -10,6 +10,16 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsGates {
 
+  // q226/q227 serve-layout scratch: one fresh directory per JVM so two
+  // concurrent runs over the same data dir never share a path (a shared
+  // path let one run's writeZOrdered overwrite race another's pruned
+  // read mid-gate); per-SF reuse WITHIN the run still holds via the
+  // masked-hash suffix (masking, not math.abs — abs(Int.MinValue) < 0)
+  private lazy val LayoutScratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_layout_").toString
+  private def layoutScratchDir(gate: String, d: String): String =
+    s"$LayoutScratchRoot/${gate}_${d.hashCode & 0x7fffffff}"
+
   // shared with q159's streaming equivalence gate (StreamingGates)
   private[graft] val Cutoff = "2000-01-01 00:00:00"
   private[graft] val DeleteMod = 97
@@ -320,10 +330,10 @@ object AnalyticsGates {
     */
   private def q226QuantileLayout(s: SparkSession, d: String): DataFrame = {
     val (maintained, finalBase) = q204MaintainedCells(s, d)
-    // deterministic per-SF scratch path: writeZOrdered overwrites, so
-    // repeated invocations (bench reps) reuse one directory instead of
-    // littering a fresh temp dir each run
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q226_${math.abs(d.hashCode)}"
+    // deterministic per-SF scratch path WITHIN this JVM: writeZOrdered
+    // overwrites, so repeated invocations (bench reps) reuse one
+    // directory instead of littering a fresh temp dir each run
+    val dir = layoutScratchDir("q226", d)
     Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
       grpBuckets = 64, bits = 16, files = 32, path = s"$dir/base")
     Storage.quantilesFromCellsLayout(s, s"$dir/base", maintained,
@@ -418,7 +428,7 @@ object AnalyticsGates {
     */
   private def q227WqLayout(s: SparkSession, d: String): DataFrame = {
     val (maintained, finalBase) = q210MaintainedCells(s, d)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q227_${math.abs(d.hashCode)}"
+    val dir = layoutScratchDir("q227", d)
     Storage.writeQuantileServeLayout(finalBase, "grp", "value", QvScale,
       grpBuckets = 8, bits = 16, files = 32, path = s"$dir/base")
     Storage.weightedQuantilesFromCellsLayout(s, s"$dir/base", maintained,

@@ -91,6 +91,10 @@ object Bench {
     // from "regression". The 0.5 s floor keeps sub-second queries out:
     // their max/min ratio is dominated by scheduler jitter, not load.
     val unstable = scala.collection.mutable.SortedSet.empty[String]
+    // a failed RE-rep is tracked apart from `failures`: the original reps
+    // succeeded and a median still prints for the query, so adding it to
+    // `failures` would make failed_count and queries_min/median disagree
+    val unstableFailed = scala.collection.mutable.SortedSet.empty[String]
     for (name <- names if timings(name).nonEmpty) {
       val xs = timings(name)
       if (xs.min > 0.5 && xs.max / xs.min > 2.0) {
@@ -103,7 +107,7 @@ object Bench {
             timings(name) = timings(name) :+ (System.nanoTime() - t0) / 1e9
           } catch {
             case t: Throwable =>
-              failures += name
+              unstableFailed += name
               System.err.println(s"bench: $name FAILED on re-rep: ${t.getClass.getName}: ${t.getMessage}")
           }
         }
@@ -140,7 +144,8 @@ object Bench {
     // end but dropped the total).
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson}""")
+    val unstableFailedJson = unstableFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson,"unstable_failed":$unstableFailedJson}""")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }

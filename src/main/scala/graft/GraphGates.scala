@@ -33,7 +33,7 @@ object GraphGates {
   // k chosen against the sf0.01 co-order degree profile (median ~115):
   // the 80-core peels 143 parts over SIX cascading rounds — a real
   // peel, where a small k keeps everything and k ≥ 95 cascades to empty
-  private val CoreK = 80
+  private[graft] val CoreK = 80
   private val CoreRounds = 8
 
   /** Supplier transition edges (src, dst); `minQty` filters lines first so
@@ -79,7 +79,7 @@ object GraphGates {
     * key would pay three. Equivalent to
     * `lp JOIN lp ON same order AND pa < pb` (sorted set ⇒ pa < pb).
     */
-  private def coOrderPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
@@ -824,7 +824,7 @@ object GraphGates {
   def oracleSql: Map[String, String] = Map(
     "q216_msf" -> msfSql,
     "q231_triangles_stream" -> streamTrianglesSql,
-    "q232_triangles_cdc" -> cdcTrianglesSql,
+    "q232_triangles_cdc_stream" -> cdcTrianglesSql,
     "q218_single_linkage" -> singleLinkageSql,
     "q195_betweenness" -> betweennessSql,
     "q198_ktruss" -> ktrussSql,

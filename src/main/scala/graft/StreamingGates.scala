@@ -60,6 +60,12 @@ object StreamingGates {
   private def sinkName(tag: String): String =
     s"graft_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  // per-JVM scratch root for relaid serve layouts (the AnalyticsGates
+  // q226/q227 discipline: fresh per JVM so concurrent runs never share a
+  // path, reused across reps within the run via the per-SF suffix)
+  private lazy val scratchRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_stream_layout_").toString
+
   /** Streaming as-of over the q55 inputs ([[StreamingFlows.asOf]]):
     * clicks and pre-aggregated purchases arrive as one micro-batch, two
     * sentinel rights on a key outside the data then advance the watermark
@@ -1159,6 +1165,60 @@ object StreamingGates {
       .select(col("g").as("o_custkey"), col("q"), col("value"))
   }
 
+  /** q235 — the q205 maintenance SERVED THROUGH the two-store pattern
+    * ([[graft.streaming.IngestQuantileView.relayServeLayout]]): the
+    * stream maintains the write-optimized hash-bucket base + cell
+    * relation exactly as q205, then the read-optimized Z-ordered serve
+    * store is re-laid from the maintained base and the serve goes
+    * through [[graft.sources.Storage.quantilesFromCellsLayout]] —
+    * candidate (bucket, cell) pairs pushed into the relay's scan as
+    * IN-filters. Shares q204's oracle verbatim (the layout is a
+    * superset restriction; value-identical by contract).
+    */
+  private def q235QuantileLayoutStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_custkey").as("grp"), col("o_totalprice").as("value"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q235base")
+    val cellTable = sinkName("q235cells")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("grp"),
+        graft.sources.Storage.dyadicCell(col("value"), AnalyticsGates.QvScale).as("cell"))
+      .agg(count(lit(1)).as("rc"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(cellTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgQ].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgQ]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestQuantileView(
+        baseTable, cellTable, buckets = 8, scale = AnalyticsGates.QvScale))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val relay = s"$scratchRoot/q235_${d.hashCode & 0x7fffffff}"
+    graft.streaming.IngestQuantileView.relayServeLayout(
+      s, baseTable, "grp", "value", AnalyticsGates.QvScale,
+      grpBuckets = 64, bits = 16, files = 32, path = relay)
+    graft.sources.Storage.quantilesFromCellsLayout(s, relay,
+        s.table(cellTable).where(col("rc").isNotNull).drop("__batch"),
+        "grp", "value", AnalyticsGates.QvScale, AnalyticsGates.QvQs, grpBuckets = 64)
+      .select(col("g").as("o_custkey"), col("q"), col("value"))
+  }
+
   /** q211 — streaming WEIGHTED quantile-view maintenance: the q210 change
     * set (order-priority groups, mass `o_orderkey % 7 + 1`) streams in TWO
     * micro-batches through [[graft.streaming.IngestQuantileView]] in its
@@ -1541,6 +1601,90 @@ object StreamingGates {
       .select(col("n_triangles"))
   }
 
+  /** Streaming fixed-k core maintenance ([[graft.streaming.IngestKCore]]):
+    * the part co-order edges stream in TWO micro-batches; each batch
+    * promotes only the affected region (candidate expansion from the new
+    * edges' non-core endpoints + the frozen-core-credit peel) and
+    * recomputes in-core degrees for touched nodes only. The final
+    * (node, deg) view must hash-match q174's from-scratch peel — oracle
+    * shared verbatim.
+    */
+  private def q236KCoreStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = graft.Materialize(GraphGates.coOrderPairs(s, d)
+      .select(least(col("pa"), col("pb")).cast("long").as("u"),
+        greatest(col("pa"), col("pb")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    val rows = edges.as[(Long, Long)].collect()
+    edges.unpersist()
+    val edgeTable = sinkName("q236edges")
+    val coreTable = sinkName("q236core")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .write.mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq.empty[(Long, Long)].toDF("node", "deg")
+      .withColumn("bkt", pmod(hash(col("node")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(coreTable)
+    val (b1, b2) = rows.partition { case (u, v) => (u * 31 + v) % 3 != 2 }
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDS().toDF("u", "v").writeStream
+      .foreachBatch(new graft.streaming.IngestKCore(
+        edgeTable, coreTable, k = GraphGates.CoreK, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(coreTable).select(col("node"), col("deg"))
+  }
+
+  /** Streaming connected components under INSERTS AND DELETES
+    * ([[graft.streaming.IngestComponentsCdc]]): batch 1 inserts ~2/3 of
+    * the transition edges, batch 2 inserts the rest AND deletes the
+    * u%5==0 slice of batch 1 (splits where those edges were bridges),
+    * batch 3 re-inserts the deleted slice (re-joins the fragments) — the
+    * final edge set is exactly q179's graph, so the affected-component
+    * re-solve must land on q179's from-scratch labels verbatim.
+    */
+  private def q234ComponentsCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = GraphGates.transitions(s, d, Some(GraphGates.KhopQty))
+      .select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .as[(Long, Long)].collect()
+    val edgeTable = sinkName("q234edges")
+    val labelsTable = sinkName("q234labels")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq.empty[(Long, Long)].toDF("node", "component")
+      .withColumn("bkt", pmod(hash(col("component")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(labelsTable)
+    val (e1, e2) = edges.partition { case (u, v) => (u * 31 + v) % 3 != 2 }
+    val slice = e1.filter(_._1 % 5 == 0)
+    val b1 = e1.map { case (u, v) => (u, v, "insert") }
+    val b2 = e2.map { case (u, v) => (u, v, "insert") } ++
+      slice.map { case (u, v) => (u, v, "delete") }
+    val b3 = slice.map { case (u, v) => (u, v, "insert") }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDS().toDF("u", "v", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestComponentsCdc(edgeTable, labelsTable, 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b3.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(labelsTable).select(col("node"), col("component"))
+  }
+
   /** Streaming single-linkage clustering SERVED FROM the maintained MSF
     * ([[graft.streaming.IngestMsf]] + the q218 MSF-cut equivalence:
     * threshold components of the original graph == components of the
@@ -1741,14 +1885,17 @@ object StreamingGates {
     "q201_topk_view_stream" -> (q201TopkViewStream _),
     "q203_distinct_view_stream" -> (q203DistinctViewStream _),
     "q205_quantile_view_stream" -> (q205QuantileViewStream _),
+    "q235_quantile_layout_stream" -> (q235QuantileLayoutStream _),
     "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
     "q214_join_view3_stream" -> (q214JoinView3Stream _),
     "q225_join_view4_stream" -> (q225JoinView4Stream _),
     "q229_cusum_stream" -> (q229CusumStream _),
     "q230_msf_stream" -> (q230MsfStream _),
     "q231_triangles_stream" -> (q231TrianglesStream _),
-    "q232_triangles_cdc" -> (q232TrianglesCdc _),
+    "q232_triangles_cdc_stream" -> (q232TrianglesCdc _),
     "q233_single_linkage_stream" -> (q233SingleLinkageStream _),
+    "q234_components_cdc_stream" -> (q234ComponentsCdc _),
+    "q236_kcore_stream" -> (q236KCoreStream _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1781,14 +1928,17 @@ object StreamingGates {
     "q201_topk_view_stream" -> AnalyticsGates.oracleSql("q200_topk_view"),
     "q203_distinct_view_stream" -> AnalyticsGates.oracleSql("q202_distinct_view"),
     "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
+    "q235_quantile_layout_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
     "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
     "q225_join_view4_stream" -> AnalyticsGates.oracleSql("q222_join_view4"),
     "q229_cusum_stream" -> ExtensionQueries.oracleSql("q228_cusum"),
     "q230_msf_stream" -> GraphGates.oracleSql("q216_msf"),
     "q231_triangles_stream" -> GraphGates.oracleSql("q231_triangles_stream"),
-    "q232_triangles_cdc" -> GraphGates.oracleSql("q232_triangles_cdc"),
+    "q232_triangles_cdc_stream" -> GraphGates.oracleSql("q232_triangles_cdc_stream"),
     "q233_single_linkage_stream" -> GraphGates.oracleSql("q218_single_linkage"),
+    "q234_components_cdc_stream" -> GraphGates.oracleSql("q179_components"),
+    "q236_kcore_stream" -> GraphGates.oracleSql("q174_kcore"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

@@ -632,9 +632,15 @@ object Storage {
     require(keys.size == n - 1, s"mergeJoinViewNDelta: ${keys.size} keys for $n sides")
     require(keys.distinct.size == keys.size,
       s"mergeJoinViewNDelta: key names must be pairwise distinct: ${keys.mkString(", ")}")
-    require(keys.forall(k => k != "grp" && k != "value" && k != "sign"),
-      s"mergeJoinViewNDelta: key names collide with the reserved grp/value/sign " +
-        s"columns: ${keys.mkString(", ")}")
+    // beyond this method's own grp/value/sign, IngestJoinViewN materializes
+    // side/op/row_id/bkt on the CDC parse and the bucketed rebuild, and the
+    // view carries n/total/__batch — a key shadowing any of them would
+    // silently corrupt the parse or the rebuild rather than throw here
+    val reserved = Set("grp", "value", "sign", "side", "op", "row_id", "bkt",
+      "n", "total", "__batch")
+    require(keys.forall(k => !reserved(k)),
+      s"mergeJoinViewNDelta: key names collide with the reserved " +
+        s"${reserved.toSeq.sorted.mkString("/")} columns: ${keys.mkString(", ")}")
 
     // X_i rows (grp, keys(i)) restricted so keys(i) ∈ filterKeys: prune
     // side i at the far end, then fold the prefix back to side 0 — the

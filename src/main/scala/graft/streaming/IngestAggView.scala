@@ -83,7 +83,7 @@ final class IngestAggView(
       //    piece 4). This feed carries the key on DELETE rows too, so
       //    touched buckets derive from the changes relation directly.
       IvmMaintenance.rebuildTouchedBuckets(
-        spark, baseTable, base, inserts, deleteIds, rowId, key, buckets,
+        spark, baseTable, base, inserts, deleteIds, Seq(rowId), key, buckets,
         touchedFromChanges = Some(changes.select(col(key))))
     } finally changes.unpersist()
   }

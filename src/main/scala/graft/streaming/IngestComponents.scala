@@ -81,7 +81,7 @@ final class IngestComponents(
         stars.unionByName(edges), col("src"), col("dst"))
       IvmMaintenance.rebuildTouchedBuckets(
         spark, labelsTable, prev, cc, affected.select(col("node")),
-        "node", "component", buckets)
+        Seq("node"), "component", buckets)
     } finally {
       edges.unpersist()
       ()

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-batch streaming maintenance of CONNECTED-COMPONENT labels under
+  * edge INSERTS AND DELETES in one batch — the decremental face of
+  * [[IngestComponents]], run as a `foreachBatch` body over rows
+  * (`u`, `v`, `op` ∈ insert|delete).
+  *
+  * Deletes need more than the insert-only maintainer's star edges: an
+  * intra-forest delete splits a component, and deciding whether the two
+  * fragments re-join requires the component's SURVIVING edges — a
+  * spanning forest alone cannot answer it (the replacement edge is by
+  * definition a non-forest edge). So this maintainer retains the live
+  * edge set itself (the sparsest certificate that is closed under
+  * arbitrary deletes), hash-bucket partitioned on `u` exactly like
+  * [[IngestTrianglesCdc]]'s store, and re-solves ONLY the affected
+  * components per batch:
+  *
+  *  1. net changes vs the store (`newEdges` = inserts absent from it,
+  *     `delEdges` = deletes present in it — redelivery nets to empty);
+  *  2. affected components = current labels of the changed edges'
+  *     endpoints (broadcast semi-join, driver-bounded root list);
+  *  3. the affected subgraph = the post-batch live edges with an
+  *     endpoint in those components' label rows (partition-pruned to
+  *     the components' buckets on the label side) ∪ the changed edges'
+  *     endpoints themselves (covers brand-new nodes);
+  *  4. from-scratch min-label CC over that subgraph ONLY — per-batch
+  *     cost scales with the touched components' size, never the graph;
+  *  5. label store rebuild via [[IvmMaintenance.rebuildTouchedBuckets]]
+  *     (bucket key = component: relabeled nodes move buckets, both old
+  *     and new buckets are touched by construction; affected nodes that
+  *     lost their last edge are dropped — labels carry exactly the
+  *     edge-induced vertex set, the [[graft.graphs.Graphs
+  *     .connectedComponents]] convention), then the edge store rebuild
+  *     on the composite (u, v) identity.
+  *
+  * Exactly-once WITHOUT a replay guard: labels are a pure function of
+  * the live edge SET, and the net-change computation makes every step
+  * idempotent. Crash ordering (labels BEFORE store): a crash after the
+  * label rebuild replays with non-empty net changes against the
+  * unhealed store and re-derives the identical labels; a crash after
+  * both replays as a no-op.
+  *
+  * Bootstrap both tables before the stream starts: edges
+  * (`u`, `v`, `bkt = pmod(hash(u), buckets)`) canonical u < v, labels
+  * (`node`, `component`, `bkt = pmod(hash(component), buckets)`) — empty
+  * or consistent with an existing edge set. Deleting an absent edge and
+  * re-inserting a present one are no-ops (edge sets, not multisets);
+  * insert+delete of the SAME edge in one batch is refused loudly (the
+  * unordered-batch contract shared with [[IngestTrianglesCdc]]).
+  */
+final class IngestComponentsCdc(
+    edgeTable: String,
+    labelsTable: String,
+    buckets: Int
+) extends ((DataFrame, Long) => Unit) with Serializable {
+
+  override def apply(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    require(spark.catalog.tableExists(edgeTable) && spark.catalog.tableExists(labelsTable),
+      s"IngestComponentsCdc: '$edgeTable' and '$labelsTable' must be initialized first")
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val ins = canon(batch.where(col("op") === "insert")).persist()
+    val del = canon(batch.where(col("op") === "delete")).persist()
+    var newEdges: DataFrame = null
+    var delEdges: DataFrame = null
+    try {
+      if (!ins.join(del, Seq("u", "v"), "left_semi").isEmpty) throw new IllegalStateException(
+        "IngestComponentsCdc: a batch inserts AND deletes the same edge — order within " +
+          "a batch is undefined (unordered-set contract); split the operations across batches")
+      spark.sql(s"REFRESH TABLE $edgeTable")
+      val old = spark.table(edgeTable).select(col("u"), col("v"))
+      newEdges = ins.join(old, Seq("u", "v"), "left_anti").persist()
+      delEdges = del.join(old, Seq("u", "v"), "left_semi").persist()
+      if (newEdges.isEmpty && delEdges.isEmpty) return
+
+      spark.sql(s"REFRESH TABLE $labelsTable")
+      val prev = spark.table(labelsTable)
+      val endpoints = newEdges.select(col("u").as("node"))
+        .unionByName(newEdges.select(col("v").as("node")))
+        .unionByName(delEdges.select(col("u").as("node")))
+        .unionByName(delEdges.select(col("v").as("node"))).distinct()
+      // the components this batch can touch (bounded by 2·|changes| —
+      // a driver list); bucket ids read off the TABLE rows, one hash
+      // definition, the table's
+      val rootRows = prev.join(broadcast(endpoints), Seq("node"), "left_semi")
+        .select(col("component"), col("bkt")).distinct().collect()
+      val roots = rootRows.map(_.getLong(0)).toSeq
+      val rootBkts = rootRows.map(_.getInt(1)).distinct.toSeq
+      val affected =
+        if (roots.isEmpty) prev.where(lit(false)).select(col("node"))
+        else prev.where(col("bkt").isin(rootBkts: _*))
+          .where(col("component").isin(roots: _*))
+          .select(col("node"))
+      // every potentially-relabeled node: the touched components' member
+      // rows plus the changed edges' endpoints (brand-new nodes have no
+      // label row yet)
+      val touchNodes = affected.unionByName(endpoints).distinct().persist()
+      try {
+        val postEdges = old.join(delEdges, Seq("u", "v"), "left_anti")
+          .unionByName(newEdges)
+        // an edge of an affected component has BOTH endpoints affected
+        // (live edges never span components), but filter both sides
+        // anyway — it costs one more delta-bounded semi-join and drops
+        // the labels-ahead-of-store invariant from the soundness argument
+        val subEdges = postEdges.join(broadcast(touchNodes
+            .select(col("node").as("u"))), Seq("u"), "left_semi")
+          .unionByName(postEdges.join(broadcast(touchNodes
+            .select(col("node").as("v"))), Seq("v"), "left_semi")
+            .select(col("u"), col("v")))
+          .distinct()
+        val cc = graft.graphs.Graphs.connectedComponents(subEdges, col("u"), col("v"))
+        IvmMaintenance.rebuildTouchedBuckets(
+          spark, labelsTable, prev, cc, touchNodes,
+          Seq("node"), "component", buckets)
+      } finally touchNodes.unpersist()
+
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, edgeTable, spark.table(edgeTable), newEdges, delEdges,
+        Seq("u", "v"), "u", buckets,
+        touchedFromChanges =
+          Some(newEdges.select(col("u")).unionByName(delEdges.select(col("u")))))
+    } finally {
+      ins.unpersist(); del.unpersist()
+      if (newEdges != null) newEdges.unpersist()
+      if (delEdges != null) { delEdges.unpersist(); () }
+    }
+  }
+}

@@ -67,7 +67,7 @@ final class IngestDistinctView(
       // base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
       // piece 4 — the GROUP is the bucket key)
       IvmMaintenance.rebuildTouchedBuckets(
-        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
+        spark, baseTable, base, inserts, deleteIds, Seq("row_id"), "grp", buckets)
     } finally changes.unpersist()
   }
 }

@@ -95,7 +95,7 @@ final class IngestJoinViewN(
 
       (0 until n).foreach { i =>
         IvmMaintenance.rebuildTouchedBuckets(
-          spark, tables(i), olds(i), ins(i), del(i), "row_id", bucketKey(i), buckets)
+          spark, tables(i), olds(i), ins(i), del(i), Seq("row_id"), bucketKey(i), buckets)
       }
     } finally changes.unpersist()
   }

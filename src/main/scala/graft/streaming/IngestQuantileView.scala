@@ -37,6 +37,36 @@ import org.apache.spark.sql.functions._
   * base then carry that column, and serving goes through
   * [[graft.sources.Storage.weightedQuantilesFromCells]].
   */
+object IngestQuantileView {
+  /** The TWO-STORE pattern's refresh step: re-lay the read-optimized
+    * serve store from the maintained base. The maintainer's hash-bucket
+    * layout is write-optimized (touched-bucket rebuilds); the Z-ordered
+    * layout ([[Storage.writeQuantileServeLayout]]) is read-optimized
+    * (candidate (bucket, cell) IN-filters prune row groups at serve
+    * time). They are two physical organizations of the SAME base, so
+    * re-laying periodically — after every batch, every N batches, or on
+    * a timer — trades relay write cost against serve scan cost; serving
+    * through either is value-identical (the layout is a superset
+    * restriction, [[Storage.quantilesFromCellsLayout]]'s contract).
+    * Serve from the relay with [[Storage.quantilesFromCellsLayout]]
+    * (or the weighted form) over the maintained cell relation.
+    */
+  def relayServeLayout(
+      spark: SparkSession,
+      baseTable: String,
+      grp: String,
+      value: String,
+      scale: Int,
+      grpBuckets: Int,
+      bits: Int,
+      files: Int,
+      path: String): Unit = {
+    spark.sql(s"REFRESH TABLE $baseTable")
+    Storage.writeQuantileServeLayout(
+      spark.table(baseTable).drop("bkt"), grp, value, scale, grpBuckets, bits, files, path)
+  }
+}
+
 final class IngestQuantileView(
     baseTable: String,
     cellTable: String,
@@ -81,7 +111,7 @@ final class IngestQuantileView(
       // base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
       // piece 4 — the GROUP is the bucket key)
       IvmMaintenance.rebuildTouchedBuckets(
-        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
+        spark, baseTable, base, inserts, deleteIds, Seq("row_id"), "grp", buckets)
     } finally changes.unpersist()
   }
 }

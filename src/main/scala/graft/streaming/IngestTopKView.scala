@@ -74,7 +74,7 @@ final class IngestTopKView(
       // 2) base rebuild, touched buckets only, idempotent ([[IvmMaintenance]]
       //    piece 4 — the GROUP is the bucket key)
       IvmMaintenance.rebuildTouchedBuckets(
-        spark, baseTable, base, inserts, deleteIds, "row_id", "grp", buckets)
+        spark, baseTable, base, inserts, deleteIds, Seq("row_id"), "grp", buckets)
     } finally changes.unpersist()
   }
 }

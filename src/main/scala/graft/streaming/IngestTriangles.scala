@@ -38,31 +38,60 @@ import org.apache.spark.sql.functions._
   */
 object IngestTriangles {
   /** DISTINCT sorted triples (x < y < z) of `graph` containing at least
-    * one `probe` edge: each probe edge (u, v) wedge-joins `graph`'s
-    * adjacency for common neighbors, and the found triples dedup on
-    * their sorted form — the multiplicity correction that counts a
-    * triple reached from two or three probe edges once. `probe` must be
-    * a subset of `graph` (a probe edge absent from the graph closes no
-    * triple of the graph, but its wedges WOULD — callers intersect
-    * first). Cost ∝ |probe|·avg-degree wedge rows + a triple-sized
-    * distinct; both canonical (u < v).
+    * one `probe` edge: each probe edge expands ONE endpoint's adjacency
+    * for common neighbors, and the found triples dedup on their sorted
+    * form — the multiplicity correction that counts a triple reached
+    * from two or three probe edges once. `probe` must be a subset of
+    * `graph` (a probe edge absent from the graph closes no triple of
+    * the graph, but its wedges WOULD — callers intersect first). Both
+    * canonical (u < v).
+    *
+    * The expanded endpoint is the LOWER-DEGREE one (degrees read from
+    * `graph`'s adjacency, restricted to the probe endpoints — a
+    * column-pruned scan + broadcast semi-join, no full-graph shuffle),
+    * matching the batch machinery's hub safety: expanding the smaller-ID
+    * endpoint instead would pay a hub's full adjacency in wedge rows for
+    * EVERY probe edge touching it, the degenerate case on skewed feeds.
+    * Cost ∝ Σ min(deg u, deg v) wedge rows + a triple-sized distinct.
     */
-  private[streaming] def closedTriples(probe: DataFrame, graph: DataFrame): DataFrame = {
-    val adj = graph.select(col("u").as("a"), col("v").as("b"))
-      .unionByName(graph.select(col("v").as("a"), col("u").as("b")))
-    val wedges = probe
-      .join(adj.withColumnRenamed("a", "u").withColumnRenamed("b", "w"), Seq("u"))
-      .where(col("w") =!= col("v"))
-      .select(col("u"), col("v"), col("w"),
-        least(col("v"), col("w")).as("cu"), greatest(col("v"), col("w")).as("cv"))
+  private[graft] def closedTriples(probe: DataFrame, graph: DataFrame): DataFrame = {
+    val wedges = orientedWedges(probe, graph)
+      .select(col("e"), col("o"), col("w"),
+        least(col("o"), col("w")).as("cu"), greatest(col("o"), col("w")).as("cv"))
     wedges
       .join(graph.select(col("u").as("cu"), col("v").as("cv")), Seq("cu", "cv"), "left_semi")
       .select(
-        least(col("u"), col("cu")).as("x"),
-        when(col("u") < col("cu"), col("cu"))
-          .when(col("u") > col("cv"), col("cv")).otherwise(col("u")).as("y"),
-        greatest(col("u"), col("cv")).as("z"))
+        least(col("e"), col("cu")).as("x"),
+        when(col("e") < col("cu"), col("cu"))
+          .when(col("e") > col("cv"), col("cv")).otherwise(col("e")).as("y"),
+        greatest(col("e"), col("cv")).as("z"))
       .distinct()
+  }
+
+  /** The degree-oriented wedge relation behind [[closedTriples]]:
+    * (`e`, `o`, `w`) = probe edge {e, o} with deg(e) ≤ deg(o) (ties
+    * break to the smaller id) and `w` one of e's other neighbors.
+    * Factored out so the hub-safety spec can assert the wedge-row
+    * count directly. The probe-derived relations are explicitly
+    * broadcast: delta-derived joins get no Catalyst size estimate, and
+    * the adjacency must never shuffle on a probe's account.
+    */
+  private[graft] def orientedWedges(probe: DataFrame, graph: DataFrame): DataFrame = {
+    val adj = graph.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(graph.select(col("v").as("a"), col("u").as("b")))
+    val endpoints = probe.select(col("u").as("a"))
+      .unionByName(probe.select(col("v").as("a"))).distinct()
+    val deg = adj.join(broadcast(endpoints), Seq("a"), "left_semi")
+      .groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val oriented = probe
+      .join(broadcast(deg.select(col("a").as("u"), col("d").as("du"))), Seq("u"))
+      .join(broadcast(deg.select(col("a").as("v"), col("d").as("dv"))), Seq("v"))
+      .select(
+        when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("e"),
+        when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("o"))
+    broadcast(oriented)
+      .join(adj.select(col("a").as("e"), col("b").as("w")), Seq("e"))
+      .where(col("w") =!= col("o"))
   }
 }
 

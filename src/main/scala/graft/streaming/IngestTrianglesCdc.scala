@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Cross-batch streaming maintenance of the GLOBAL TRIANGLE COUNT under
@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   * State: the count carries `__batch` with the [[IvmMaintenance]]
   * replay guard + sentinel (count arithmetic is not idempotent); the
   * edge store is hash-bucket partitioned on `u` and rebuilt touched
-  * buckets only — survivors anti-joined on the canonical (u, v) pair,
-  * inserts unioned, through the staging hop + dynamic-partition
-  * overwrite + emptied-bucket drops (inlined rather than
-  * [[IvmMaintenance.rebuildTouchedBuckets]] because the row identity
-  * here is the composite (u, v), not a single id column). Idempotent:
-  * a redelivered batch's inserts are already present (anti-joined) and
-  * its deletes already gone (no-op).
+  * buckets only via [[IvmMaintenance.rebuildTouchedBuckets]] with the
+  * composite identity `idCols = (u, v)`. The rebuild's insert/delete
+  * feeds are the NET changes (`newEdges` = inserts absent from the
+  * store, `delEdges` = deletes present in it), per that method's
+  * contract: anti-joining survivors on the raw insert feed while
+  * unioning only the novel subset would drop a re-inserted
+  * already-present edge whose u-bucket another change touches.
+  * Idempotent: a redelivered batch's net changes recompute as empty
+  * against the healed store (no-op rebuild).
   *
   * Bootstrap: the edge table (u, v, bkt) canonical, partitioned by
   * `bkt = pmod(hash(u), buckets)`; the count table
@@ -80,39 +82,13 @@ final class IngestTrianglesCdc(
         IvmMaintenance.swapViewWithSentinel(spark, countTable, merged, batchId)
       }
 
-      // touched-bucket edge-store rebuild on the composite (u, v) identity
-      val full = spark.table(edgeTable)
-      val touched = newEdges.select(col("u")).unionByName(delEdges.select(col("u")))
-        .select(pmod(hash(col("u")), lit(buckets)).as("bkt"))
-        .distinct().collect().map(_.getInt(0)).toSeq
-      if (touched.nonEmpty) {
-        val withBkt = newEdges.withColumn("bkt", pmod(hash(col("u")), lit(buckets)))
-        val rebuilt = full.where(col("bkt").isin(touched: _*))
-          .join(del, Seq("u", "v"), "left_anti")
-          .join(ins, Seq("u", "v"), "left_anti")
-          .unionByName(withBkt.select(full.columns.map(col).toIndexedSeq: _*))
-          .select(full.columns.map(col).toIndexedSeq: _*)
-        val staging = s"${edgeTable}__staging"
-        rebuilt.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(staging)
-        spark.sql(s"REFRESH TABLE $staging")
-        val stagingDf = spark.table(staging)
-        val modeKey = "spark.sql.sources.partitionOverwriteMode"
-        val prevMode = spark.conf.getOption(modeKey)
-        try {
-          spark.conf.set(modeKey, "dynamic")
-          stagingDf
-            .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-            .insertInto(edgeTable)
-        } finally prevMode match {
-          case Some(v) => spark.conf.set(modeKey, v)
-          case None    => spark.conf.unset(modeKey)
-        }
-        val present = stagingDf.select(col("bkt")).distinct().collect().map(_.getInt(0)).toSet
-        touched.filterNot(present).foreach { b =>
-          spark.sql(s"ALTER TABLE $edgeTable DROP IF EXISTS PARTITION (bkt=$b)")
-        }
-        spark.sql(s"REFRESH TABLE $edgeTable")
-      }
+      // touched-bucket edge-store rebuild on the composite (u, v) identity;
+      // NET feeds (newEdges/delEdges), per rebuildTouchedBuckets' contract
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, edgeTable, spark.table(edgeTable), newEdges, delEdges,
+        Seq("u", "v"), "u", buckets,
+        touchedFromChanges =
+          Some(newEdges.select(col("u")).unionByName(delEdges.select(col("u")))))
     } finally {
       ins.unpersist(); del.unpersist()
       if (newEdges != null) newEdges.unpersist()

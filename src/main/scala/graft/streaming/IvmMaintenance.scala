@@ -129,9 +129,23 @@ private[streaming] object IvmMaintenance {
 
   /** The touched-bucket idempotent base rebuild (class doc piece 4).
     *
+    * @param idCols    the row identity — a single surrogate (`row_id`)
+    *                  for most maintainers, a COMPOSITE (e.g. the
+    *                  canonical `(u, v)` edge pair in
+    *                  [[IngestTrianglesCdc]]) where the domain key IS
+    *                  the identity. Survivor anti-joins and the delete
+    *                  recovery semi-join run on the full tuple.
+    *                  CONTRACT: `inserts` must be the batch's inserts
+    *                  MINUS rows already live in the base under the same
+    *                  identity (the maintainers compute exactly this to
+    *                  drive their delta algebra) — anti-joining
+    *                  survivors on a raw insert feed while unioning only
+    *                  the novel subset would silently drop a re-inserted
+    *                  already-present row whose bucket another change
+    *                  touches.
     * @param bucketKey column whose hash partitions the base (`bkt =
     *                  pmod(hash(bucketKey), buckets)`); inserts must
-    *                  carry it plus `idCol` plus the table's other
+    *                  carry it plus `idCols` plus the table's other
     *                  payload columns (any order — the union is by name)
     * @param touchedFromChanges when the CDC feed carries `bucketKey` on
     *                  delete rows too, the caller may pass the changes
@@ -145,21 +159,21 @@ private[streaming] object IvmMaintenance {
       base: DataFrame,
       inserts: DataFrame,
       deleteIds: DataFrame,
-      idCol: String,
+      idCols: Seq[String],
       bucketKey: String,
       buckets: Int,
       touchedFromChanges: Option[DataFrame] = None): Unit = {
     val changedKeys = touchedFromChanges.getOrElse(
       inserts.select(col(bucketKey)).unionByName(
-        base.join(deleteIds, Seq(idCol), "left_semi").select(col(bucketKey))))
+        base.join(deleteIds, idCols, "left_semi").select(col(bucketKey))))
     val touched = changedKeys
       .select(pmod(hash(col(bucketKey)), lit(buckets)).as("bkt"))
       .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val withBkt = inserts.withColumn("bkt", pmod(hash(col(bucketKey)), lit(buckets)))
     val rebuilt = base.where(col("bkt").isin(touched: _*))
-      .join(deleteIds, Seq(idCol), "left_anti")
-      .join(inserts.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(deleteIds, idCols, "left_anti")
+      .join(inserts.select(idCols.map(col): _*), idCols, "left_anti")
       .unionByName(withBkt.select(base.columns.map(col).toIndexedSeq: _*))
       .select(base.columns.map(col).toIndexedSeq: _*)
     val staging = s"${table}__staging"

@@ -868,4 +868,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(s228).size == 1, s228)
     assert(!s228.contains("Exchange SinglePartition"), s228)
   }
+
+  test("round-15 shapes: the streaming wedge probe broadcasts every probe-derived " +
+      "relation — the adjacency never shuffles on a probe's account") {
+    // range-backed inputs (Seq-backed relations constant-fold at plan
+    // time); a 3-regular-ish synthetic graph with a delta-sized probe
+    val g = spark.range(0, 2000).selectExpr("id as u", "((id * 7 + 3) % 2000) as v")
+      .where("u < v")
+    val p = spark.range(0, 20).selectExpr("id as u", "((id * 7 + 3) % 2000) as v")
+      .where("u < v")
+    val s = graft.streaming.IngestTriangles.orientedWedges(p, g)
+      .queryExecution.executedPlan.toString
+    // the probe side broadcasts into the wedge expansion AND into the
+    // endpoint-degree semi-join; the adjacency side is scan → filter →
+    // hash probe, no shuffle of the big side for the join itself
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s"adjacency must never shuffle on the probe's account:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // closedTriples keeps the closing check a SEMI probe
+    val sc = graft.streaming.IngestTriangles.closedTriples(p, g)
+      .queryExecution.executedPlan.toString
+    assert(sc.contains("LeftSemi"), sc)
+    assert(!sc.contains("CartesianProduct") && !sc.contains("BroadcastNestedLoopJoin"), sc)
+  }
 }
