@@ -1726,6 +1726,85 @@ object StreamingGates {
         coalesce(col("component"), col("node")).as("cluster"))
   }
 
+  /** Runs the 3-batch MSF CDC feed (inserts 2/3, then the rest + a delete
+    * slice, then the slice re-inserted — final edge set = the full nation
+    * graph) through [[graft.streaming.IngestMsfCdc]] and returns the
+    * maintained forest table. Shared by q237 (forest readout) and q238
+    * (single-linkage served from the forest).
+    */
+  private def runMsfCdc(s: SparkSession, d: String, tag: String): String = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val e = graft.Materialize(GraphGates.nationEdges(s, d))
+    val edges = e.select(col("u").cast("long"), col("v").cast("long"),
+      col("w").cast("long")).as[(Long, Long, Long)].collect()
+    e.unpersist()
+    val edgeTable = sinkName(s"${tag}edges")
+    val forestTable = sinkName(s"${tag}forest")
+    val labelsTable = sinkName(s"${tag}labels")
+    Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(forestTable)
+    Seq.empty[(Long, Long)].toDF("node", "component")
+      .withColumn("bkt", pmod(hash(col("component")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(labelsTable)
+    val (e1, e2) = edges.partition { case (u, v, _) => (u * 31 + v) % 3 != 2 }
+    val slice = e1.filter(_._1 % 5 == 0)
+    val b1 = e1.map { case (u, v, w) => (u, v, w, "insert") }
+    val b2 = e2.map { case (u, v, w) => (u, v, w, "insert") } ++
+      slice.map { case (u, v, w) => (u, v, w, "delete") }
+    val b3 = slice.map { case (u, v, w) => (u, v, w, "insert") }
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = in.toDS().toDF("u", "v", "w", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestMsfCdc(
+        edgeTable, forestTable, labelsTable, 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b3.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    forestTable
+  }
+
+  /** Streaming MSF under INSERTS AND DELETES
+    * ([[graft.streaming.IngestMsfCdc]]): a deleted forest edge's
+    * replacement is found by re-solving ONLY the affected components
+    * over the retained live edge set; the strict total order makes the
+    * spliced forest row-identical to q216's from-scratch build on the
+    * final edge set — oracle shared verbatim.
+    */
+  private def q237MsfCdc(s: SparkSession, d: String): DataFrame =
+    s.table(runMsfCdc(s, d, "q237"))
+      .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
+
+  /** Streaming single-linkage clustering under INSERTS AND DELETES —
+    * served from the [[graft.streaming.IngestMsfCdc]]-maintained forest
+    * by the MSF-cut equivalence (q233's serve, now delete-capable: the
+    * cut + CC + singleton fill read `nodes − c` forest rows, never the
+    * edge history). Must equal q218's from-scratch oracle verbatim.
+    */
+  private def q238SingleLinkageCdc(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Materialize(GraphGates.nationEdges(s, d))
+    val t = graft.curation.Quantiles.exactQuantiles(e, lit(0L), col("w"), Seq(0.5))
+      .head().getDouble(2).toLong
+    e.unpersist()
+    val forest = s.table(runMsfCdc(s, d, "q238"))
+    val nodes = forest.select(col("u").as("node"))
+      .unionByName(forest.select(col("v").as("node"))).distinct()
+    val cc = graft.graphs.Graphs.connectedComponents(
+      forest.where(col("w") <= t), col("u"), col("v"))
+    nodes.join(cc, Seq("node"), "left")
+      .select(col("node").as("nationkey"),
+        coalesce(col("component"), col("node")).as("cluster"))
+  }
+
   /** Streaming connected components over an EDGE feed
     * ([[graft.streaming.IngestComponents]]): the q179 supplier transition
     * graph arrives in two batches; labels fold incrementally — prior
@@ -1896,6 +1975,8 @@ object StreamingGates {
     "q233_single_linkage_stream" -> (q233SingleLinkageStream _),
     "q234_components_cdc_stream" -> (q234ComponentsCdc _),
     "q236_kcore_stream" -> (q236KCoreStream _),
+    "q237_msf_cdc_stream" -> (q237MsfCdc _),
+    "q238_single_linkage_cdc_stream" -> (q238SingleLinkageCdc _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -1939,6 +2020,8 @@ object StreamingGates {
     "q233_single_linkage_stream" -> GraphGates.oracleSql("q218_single_linkage"),
     "q234_components_cdc_stream" -> GraphGates.oracleSql("q179_components"),
     "q236_kcore_stream" -> GraphGates.oracleSql("q174_kcore"),
+    "q237_msf_cdc_stream" -> GraphGates.oracleSql("q216_msf"),
+    "q238_single_linkage_cdc_stream" -> GraphGates.oracleSql("q218_single_linkage"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

@@ -51,6 +51,81 @@ import org.apache.spark.sql.functions._
   * insert+delete of the SAME edge in one batch is refused loudly (the
   * unordered-batch contract shared with [[IngestTrianglesCdc]]).
   */
+object IngestComponentsCdc {
+  /** Canonical (u, v) CDC batch parse shared by the graph CDC
+    * maintainers: least/greatest, self-loops dropped, distinct, split by
+    * `op`, the same-edge insert+delete refusal (unordered-set contract).
+    * Extra payload columns (e.g. an MSF weight) ride along through
+    * `payload`; within-batch duplicate pairs collapse by `collapse`
+    * (min-weight for MSF, plain distinct otherwise).
+    */
+  private[streaming] def parseCdcBatch(
+      ctx: String,
+      batch: DataFrame,
+      payload: DataFrame => DataFrame = _.distinct()): (DataFrame, DataFrame) = {
+    def canon(df: DataFrame): DataFrame = payload(df
+      .withColumn("__cu", least(col("u"), col("v")).cast("long"))
+      .withColumn("__cv", greatest(col("u"), col("v")).cast("long"))
+      .drop("u", "v")
+      .withColumnRenamed("__cu", "u").withColumnRenamed("__cv", "v")
+      .where(col("u") =!= col("v")))
+    val ins = canon(batch.where(col("op") === "insert").drop("op"))
+    val del = canon(batch.where(col("op") === "delete").drop("op"))
+      .select(col("u"), col("v")).distinct()
+    if (!ins.join(del, Seq("u", "v"), "left_semi").isEmpty) throw new IllegalStateException(
+      s"$ctx: a batch inserts AND deletes the same edge — order within " +
+        "a batch is undefined (unordered-set contract); split the operations across batches")
+    (ins, del)
+  }
+
+  /** The affected-subgraph derivation shared by [[IngestComponentsCdc]]
+    * and [[IngestMsfCdc]]: from the label store and the batch's changed
+    * edges, the set of every potentially-relabeled node (`touchNodes` —
+    * the touched components' member rows, partition-pruned to those
+    * components' buckets, plus the changed edges' endpoints) and the
+    * post-batch live edges restricted to it (`subEdges`, payload columns
+    * riding along). Per-batch cost scales with the touched components'
+    * size, never the graph.
+    */
+  private[streaming] def affectedSubgraph(
+      spark: org.apache.spark.sql.SparkSession,
+      labelsTable: String,
+      postEdges: DataFrame,
+      newEdges: DataFrame,
+      delEdges: DataFrame): (DataFrame, DataFrame) = {
+    spark.sql(s"REFRESH TABLE $labelsTable")
+    val prev = spark.table(labelsTable)
+    val endpoints = newEdges.select(col("u").as("node"))
+      .unionByName(newEdges.select(col("v").as("node")))
+      .unionByName(delEdges.select(col("u").as("node")))
+      .unionByName(delEdges.select(col("v").as("node"))).distinct()
+    // the components this batch can touch (bounded by 2·|changes| —
+    // a driver list); bucket ids read off the TABLE rows, one hash
+    // definition, the table's
+    val rootRows = prev.join(broadcast(endpoints), Seq("node"), "left_semi")
+      .select(col("component"), col("bkt")).distinct().collect()
+    val roots = rootRows.map(_.getLong(0)).toSeq
+    val rootBkts = rootRows.map(_.getInt(1)).distinct.toSeq
+    val affected =
+      if (roots.isEmpty) prev.where(lit(false)).select(col("node"))
+      else prev.where(col("bkt").isin(rootBkts: _*))
+        .where(col("component").isin(roots: _*))
+        .select(col("node"))
+    val touchNodes = affected.unionByName(endpoints).distinct().persist()
+    // an edge of an affected component has BOTH endpoints affected (live
+    // edges never span components), but filter both sides anyway — it
+    // costs one more delta-bounded semi-join and drops the
+    // labels-ahead-of-store invariant from the soundness argument
+    val subEdges = postEdges.join(broadcast(touchNodes
+        .select(col("node").as("u"))), Seq("u"), "left_semi")
+      .unionByName(postEdges.join(broadcast(touchNodes
+        .select(col("node").as("v"))), Seq("v"), "left_semi")
+        .select(postEdges.columns.map(col).toIndexedSeq: _*))
+      .dropDuplicates("u", "v")
+    (touchNodes, subEdges)
+  }
+}
+
 final class IngestComponentsCdc(
     edgeTable: String,
     labelsTable: String,
@@ -61,64 +136,28 @@ final class IngestComponentsCdc(
     val spark = batch.sparkSession
     require(spark.catalog.tableExists(edgeTable) && spark.catalog.tableExists(labelsTable),
       s"IngestComponentsCdc: '$edgeTable' and '$labelsTable' must be initialized first")
-    def canon(df: DataFrame): DataFrame = df
-      .select(least(col("u"), col("v")).cast("long").as("u"),
-        greatest(col("u"), col("v")).cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct()
-    val ins = canon(batch.where(col("op") === "insert")).persist()
-    val del = canon(batch.where(col("op") === "delete")).persist()
+    val (ins0, del0) = IngestComponentsCdc.parseCdcBatch("IngestComponentsCdc", batch)
+    val ins = ins0.select(col("u"), col("v")).persist()
+    val del = del0.persist()
     var newEdges: DataFrame = null
     var delEdges: DataFrame = null
+    var touchNodes: DataFrame = null
     try {
-      if (!ins.join(del, Seq("u", "v"), "left_semi").isEmpty) throw new IllegalStateException(
-        "IngestComponentsCdc: a batch inserts AND deletes the same edge — order within " +
-          "a batch is undefined (unordered-set contract); split the operations across batches")
       spark.sql(s"REFRESH TABLE $edgeTable")
       val old = spark.table(edgeTable).select(col("u"), col("v"))
       newEdges = ins.join(old, Seq("u", "v"), "left_anti").persist()
       delEdges = del.join(old, Seq("u", "v"), "left_semi").persist()
       if (newEdges.isEmpty && delEdges.isEmpty) return
 
-      spark.sql(s"REFRESH TABLE $labelsTable")
-      val prev = spark.table(labelsTable)
-      val endpoints = newEdges.select(col("u").as("node"))
-        .unionByName(newEdges.select(col("v").as("node")))
-        .unionByName(delEdges.select(col("u").as("node")))
-        .unionByName(delEdges.select(col("v").as("node"))).distinct()
-      // the components this batch can touch (bounded by 2·|changes| —
-      // a driver list); bucket ids read off the TABLE rows, one hash
-      // definition, the table's
-      val rootRows = prev.join(broadcast(endpoints), Seq("node"), "left_semi")
-        .select(col("component"), col("bkt")).distinct().collect()
-      val roots = rootRows.map(_.getLong(0)).toSeq
-      val rootBkts = rootRows.map(_.getInt(1)).distinct.toSeq
-      val affected =
-        if (roots.isEmpty) prev.where(lit(false)).select(col("node"))
-        else prev.where(col("bkt").isin(rootBkts: _*))
-          .where(col("component").isin(roots: _*))
-          .select(col("node"))
-      // every potentially-relabeled node: the touched components' member
-      // rows plus the changed edges' endpoints (brand-new nodes have no
-      // label row yet)
-      val touchNodes = affected.unionByName(endpoints).distinct().persist()
-      try {
-        val postEdges = old.join(delEdges, Seq("u", "v"), "left_anti")
-          .unionByName(newEdges)
-        // an edge of an affected component has BOTH endpoints affected
-        // (live edges never span components), but filter both sides
-        // anyway — it costs one more delta-bounded semi-join and drops
-        // the labels-ahead-of-store invariant from the soundness argument
-        val subEdges = postEdges.join(broadcast(touchNodes
-            .select(col("node").as("u"))), Seq("u"), "left_semi")
-          .unionByName(postEdges.join(broadcast(touchNodes
-            .select(col("node").as("v"))), Seq("v"), "left_semi")
-            .select(col("u"), col("v")))
-          .distinct()
-        val cc = graft.graphs.Graphs.connectedComponents(subEdges, col("u"), col("v"))
-        IvmMaintenance.rebuildTouchedBuckets(
-          spark, labelsTable, prev, cc, touchNodes,
-          Seq("node"), "component", buckets)
-      } finally touchNodes.unpersist()
+      val postEdges = old.join(delEdges, Seq("u", "v"), "left_anti")
+        .unionByName(newEdges)
+      val (tn, subEdges) = IngestComponentsCdc.affectedSubgraph(
+        spark, labelsTable, postEdges, newEdges, delEdges)
+      touchNodes = tn
+      val cc = graft.graphs.Graphs.connectedComponents(subEdges, col("u"), col("v"))
+      IvmMaintenance.rebuildTouchedBuckets(
+        spark, labelsTable, spark.table(labelsTable), cc, touchNodes,
+        Seq("node"), "component", buckets)
 
       IvmMaintenance.rebuildTouchedBuckets(
         spark, edgeTable, spark.table(edgeTable), newEdges, delEdges,
@@ -128,7 +167,8 @@ final class IngestComponentsCdc(
     } finally {
       ins.unpersist(); del.unpersist()
       if (newEdges != null) newEdges.unpersist()
-      if (delEdges != null) { delEdges.unpersist(); () }
+      if (delEdges != null) delEdges.unpersist()
+      if (touchNodes != null) { touchNodes.unpersist(); () }
     }
   }
 }

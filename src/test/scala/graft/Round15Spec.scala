@@ -239,6 +239,71 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestMsfCdc: forest-edge delete finds the replacement from the retained " +
+      "store, no-replacement delete splits (labels follow), re-insert re-merges, " +
+      "cheaper re-insert replaces and costlier is a no-op; from-scratch agreement") {
+    val ts = Seq("r15_msf_edges", "r15_msf_forest", "r15_msf_labels",
+      "r15_msf_edges__staging", "r15_msf_forest__staging", "r15_msf_labels__staging")
+    dropAll(ts)
+    try {
+      for (t <- Seq("r15_msf_edges", "r15_msf_forest"))
+        Seq.empty[(Long, Long, Long)].toDF("u", "v", "w")
+          .withColumn("bkt", pmod(hash($"u"), lit(4)))
+          .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet").saveAsTable(t)
+      Seq.empty[(Long, Long)].toDF("node", "component")
+        .withColumn("bkt", pmod(hash($"component"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_msf_labels")
+      val handler = new graft.streaming.IngestMsfCdc(
+        "r15_msf_edges", "r15_msf_forest", "r15_msf_labels", 4)
+      def forest(): Set[(Long, Long, Long)] = spark.table("r15_msf_forest")
+        .select($"u", $"v", $"w").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def labels(): Map[Long, Long] = spark.table("r15_msf_labels")
+        .select($"node", $"component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def b(rows: (Long, Long, Long, String)*) = rows.toDF("u", "v", "w", "op")
+
+      // path 1-2-3 with the heavy chord 1-3, tail 3-4-5
+      handler(b((1L, 2L, 1L, "insert"), (2L, 3L, 2L, "insert"), (1L, 3L, 5L, "insert"),
+        (3L, 4L, 3L, "insert"), (4L, 5L, 4L, "insert")), 0L)
+      assert(forest() == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 4L)),
+        forest().toString)
+      // forest-edge delete WITH a replacement: the chord re-enters
+      handler(b((2L, 3L, 2L, "delete")), 1L)
+      assert(forest() == Set((1L, 2L, 1L), (1L, 3L, 5L), (3L, 4L, 3L), (4L, 5L, 4L)),
+        forest().toString)
+      // forest-edge delete with NO replacement: split, labels follow
+      handler(b((1L, 3L, 5L, "delete")), 2L)
+      assert(forest() == Set((1L, 2L, 1L), (3L, 4L, 3L), (4L, 5L, 4L)), forest().toString)
+      assert(labels() == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L),
+        labels().toString)
+      // re-insert re-merges
+      handler(b((2L, 3L, 2L, "insert")), 3L)
+      assert(forest() == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 4L)),
+        forest().toString)
+      assert(labels() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L),
+        labels().toString)
+      // cheaper re-insert REPLACES (4-5 drops to 1); costlier is a no-op
+      handler(b((4L, 5L, 1L, "insert"), (1L, 2L, 9L, "insert")), 4L)
+      assert(forest() == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 1L)),
+        forest().toString)
+      // redelivery: both rows net to no-ops against the healed store
+      handler(b((4L, 5L, 1L, "insert"), (1L, 2L, 9L, "insert")), 4L)
+      assert(forest() == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 5L, 1L)),
+        forest().toString)
+      // same-edge insert+delete in one batch is refused loudly
+      val e = intercept[IllegalStateException](
+        handler(b((7L, 8L, 1L, "insert"), (7L, 8L, 1L, "delete")), 5L))
+      assert(e.getMessage.contains("inserts AND deletes the same edge"), e.getMessage)
+      // from-scratch sanity over the final store
+      val scratch = graft.graphs.Graphs.minimumSpanningForest(
+        spark.table("r15_msf_edges"), $"u", $"v", $"w")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(forest() == scratch, s"maintained ${forest()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
