@@ -304,6 +304,59 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestKCoreCdc: single-node demotion, multi-hop demotion cascade, " +
+      "demote-then-repromote in ONE mixed batch; redelivery no-op; from-scratch agreement") {
+    val ts = Seq("r15_kcc_edges", "r15_kcc_core",
+      "r15_kcc_edges__staging", "r15_kcc_core__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .withColumn("bkt", pmod(hash($"u"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_kcc_edges")
+      Seq.empty[(Long, Long)].toDF("node", "deg")
+        .withColumn("bkt", pmod(hash($"node"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_kcc_core")
+      val handler = new graft.streaming.IngestKCoreCdc(
+        "r15_kcc_edges", "r15_kcc_core", k = 2, buckets = 4)
+      def core(): Map[Long, Long] = spark.table("r15_kcc_core")
+        .select($"node", $"deg").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def b(rows: (Long, Long, String)*) = rows.toDF("u", "v", "op")
+
+      // triangle {1,2,3} + square {4,5,6,7} with chord 5-7: all 2-core
+      handler(b((1L, 2L, "insert"), (2L, 3L, "insert"), (1L, 3L, "insert"),
+        (4L, 5L, "insert"), (5L, 6L, "insert"), (6L, 7L, "insert"),
+        (4L, 7L, "insert"), (5L, 7L, "insert")), 0L)
+      assert(core() == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+        4L -> 2L, 5L -> 3L, 6L -> 2L, 7L -> 3L), core().toString)
+      // delete 4-5: only 4 drops (7 keeps 5 and 6); neighbor degs follow
+      handler(b((4L, 5L, "delete")), 1L)
+      assert(core() == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+        5L -> 2L, 6L -> 2L, 7L -> 2L), core().toString)
+      // delete 5-6: the whole square remnant cascades out (5 → 7 → 6)
+      handler(b((5L, 6L, "delete")), 2L)
+      assert(core() == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), core().toString)
+      // ONE mixed batch: delete 1-3 (cascades the triangle out entirely)
+      // AND insert 4-5 back (re-promotes {4,5,7} — 7 via expansion,
+      // with ZERO frozen credit since the intermediate core is empty)
+      handler(b((1L, 3L, "delete"), (4L, 5L, "insert")), 3L)
+      assert(core() == Map(4L -> 2L, 5L -> 2L, 7L -> 2L), core().toString)
+      // redelivery: net changes recompute empty against the healed store
+      handler(b((1L, 3L, "delete"), (4L, 5L, "insert")), 3L)
+      assert(core() == Map(4L -> 2L, 5L -> 2L, 7L -> 2L), core().toString)
+      // same-edge insert+delete in one batch is refused loudly
+      val e = intercept[IllegalStateException](
+        handler(b((8L, 9L, "insert"), (8L, 9L, "delete")), 4L))
+      assert(e.getMessage.contains("inserts AND deletes the same edge"), e.getMessage)
+      // from-scratch sanity over the final store
+      val scratch = graft.graphs.Graphs.kCore(
+        spark.table("r15_kcc_edges"), $"u", $"v", k = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core() == scratch, s"maintained ${core()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
