@@ -357,6 +357,51 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestTriangleCountsCdc: per-vertex counts under deletes, gain-AND-lose in one " +
+      "mixed batch nets via absolute recompute, zero-count vertices drop; redelivery no-op") {
+    val ts = Seq("r15_tc_edges", "r15_tc_counts",
+      "r15_tc_edges__staging", "r15_tc_counts__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .withColumn("bkt", pmod(hash($"u"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_tc_edges")
+      Seq.empty[(Long, Long)].toDF("node", "triangles")
+        .withColumn("bkt", pmod(hash($"node"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_tc_counts")
+      val handler = new graft.streaming.IngestTriangleCountsCdc(
+        "r15_tc_edges", "r15_tc_counts", 4)
+      def counts(): Map[Long, Long] = spark.table("r15_tc_counts")
+        .select($"node", $"triangles").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def b(rows: (Long, Long, String)*) = rows.toDF("u", "v", "op")
+
+      // K4: every vertex is in 3 of the 4 triangles
+      handler(b((1L, 2L, "insert"), (1L, 3L, "insert"), (1L, 4L, "insert"),
+        (2L, 3L, "insert"), (2L, 4L, "insert"), (3L, 4L, "insert")), 0L)
+      assert(counts() == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), counts().toString)
+      // delete 1-2: kills {1,2,3} and {1,2,4}
+      handler(b((1L, 2L, "delete")), 1L)
+      assert(counts() == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L), counts().toString)
+      // mixed: re-insert 1-2 AND delete 3-4 — vertex 1 gains {1,2,3},
+      // {1,2,4} and loses {1,3,4} in the SAME batch
+      handler(b((1L, 2L, "insert"), (3L, 4L, "delete")), 2L)
+      assert(counts() == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), counts().toString)
+      // from-scratch sanity mid-stream
+      val e = spark.table("r15_tc_edges")
+      val scratch = graft.graphs.Graphs.triangleCounts(e, $"u", $"v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts() == scratch, s"maintained ${counts()} vs scratch $scratch")
+      // delete down to a star: every count hits zero and the rows DROP
+      handler(b((2L, 3L, "delete"), (2L, 4L, "delete")), 3L)
+      assert(counts() == Map.empty[Long, Long], counts().toString)
+      // redelivery: net changes recompute empty
+      handler(b((2L, 3L, "delete"), (2L, 4L, "delete")), 3L)
+      assert(counts() == Map.empty[Long, Long], counts().toString)
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
