@@ -1269,6 +1269,57 @@ object StreamingGates {
       .select(col("g").as("o_orderpriority"), col("q"), col("value"))
   }
 
+  /** q241 — the q211 WEIGHTED maintenance served through the two-store
+    * pattern (the q235 machinery; the relay carries the weight column
+    * along stored, [[graft.sources.Storage.writeQuantileServeLayout]]'s
+    * ride-along contract). Shares q210's oracle verbatim.
+    */
+  private def q241WqLayoutStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cut = to_timestamp(lit(AnalyticsGates.Cutoff))
+    val o = Tables.orders(s, d).select(col("o_orderkey").as("row_id"),
+      col("o_orderpriority").as("grp"), col("o_totalprice").as("value"),
+      (col("o_orderkey") % 7 + 1).as("w"), col("o_orderdate"))
+    val base = o.where(col("o_orderdate") < cut).drop("o_orderdate")
+    val baseTable = sinkName("q241base")
+    val cellTable = sinkName("q241cells")
+    base.withColumn("bkt", pmod(hash(col("grp")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(baseTable)
+    base.groupBy(col("grp"),
+        graft.sources.Storage.dyadicCell(col("value"), AnalyticsGates.QvScale).as("cell"))
+      .agg(sum(col("w")).cast("long").as("rc"))
+      .withColumn("__batch", lit(-1L))
+      .write.mode("overwrite").format("parquet").saveAsTable(cellTable)
+
+    val changes =
+      o.where(col("o_orderdate") >= cut).drop("o_orderdate").withColumn("op", lit("insert"))
+        .unionByName(base.where(col("row_id") % AnalyticsGates.DeleteMod === 0)
+          .withColumn("op", lit("delete")))
+        .as[ChgW].collect()
+    val (b1, b2) = changes.partition(_.row_id % 2 == 0)
+    val in = MemoryStream[ChgW]
+    val q = in.toDS().toDF().writeStream
+      .foreachBatch(new graft.streaming.IngestQuantileView(
+        baseTable, cellTable, buckets = 8, scale = AnalyticsGates.QvScale,
+        weight = Some("w")))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val relay = s"$scratchRoot/q241_${d.hashCode & 0x7fffffff}"
+    graft.streaming.IngestQuantileView.relayServeLayout(
+      s, baseTable, "grp", "value", AnalyticsGates.QvScale,
+      grpBuckets = 8, bits = 16, files = 32, path = relay)
+    graft.sources.Storage.weightedQuantilesFromCellsLayout(s, relay,
+        s.table(cellTable).where(col("rc").isNotNull).drop("__batch"),
+        "grp", "value", "w", AnalyticsGates.QvScale, AnalyticsGates.WqvQs, grpBuckets = 8)
+      .select(col("g").as("o_orderpriority"), col("q"), col("value"))
+  }
+
   /** q214 — streaming THREE-WAY join-view maintenance
     * ([[graft.streaming.IngestJoinView3]]): the q212 change set — inserts
     * and deletes on customer AND orders AND lineitem — streams in TWO
@@ -2057,6 +2108,7 @@ object StreamingGates {
     "q205_quantile_view_stream" -> (q205QuantileViewStream _),
     "q235_quantile_layout_stream" -> (q235QuantileLayoutStream _),
     "q211_weighted_qview_stream" -> (q211WeightedQuantileViewStream _),
+    "q241_wq_layout_stream" -> (q241WqLayoutStream _),
     "q214_join_view3_stream" -> (q214JoinView3Stream _),
     "q225_join_view4_stream" -> (q225JoinView4Stream _),
     "q229_cusum_stream" -> (q229CusumStream _),
@@ -2104,6 +2156,7 @@ object StreamingGates {
     "q205_quantile_view_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q235_quantile_layout_stream" -> AnalyticsGates.oracleSql("q204_quantile_view"),
     "q211_weighted_qview_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
+    "q241_wq_layout_stream" -> AnalyticsGates.oracleSql("q210_weighted_quantile_view"),
     "q214_join_view3_stream" -> AnalyticsGates.oracleSql("q212_join_view3"),
     "q225_join_view4_stream" -> AnalyticsGates.oracleSql("q222_join_view4"),
     "q229_cusum_stream" -> ExtensionQueries.oracleSql("q228_cusum"),

@@ -40,7 +40,7 @@ object IngestKCore {
   /** Directed adjacency rows (x, w) of `post` restricted to x ∈ nodes
     * — two broadcast semi-joins, one store scan each.
     */
-  private[streaming] def adjOf(post: DataFrame, nodes: DataFrame): DataFrame = {
+  private[graft] def adjOf(post: DataFrame, nodes: DataFrame): DataFrame = {
     val n = broadcast(nodes)
     post.join(n.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .select(col("u").as("x"), col("v").as("w"))

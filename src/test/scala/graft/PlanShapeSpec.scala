@@ -891,5 +891,13 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sc.contains("LeftSemi"), sc)
     assert(!sc.contains("CartesianProduct") && !sc.contains("BroadcastNestedLoopJoin"), sc)
+    // the k-core maintainers' adjacency lookup: the store side is scan →
+    // broadcast-semi probe, never shuffled on a candidate set's account
+    val nodes = spark.range(0, 20).selectExpr("id as node")
+    val sa = graft.streaming.IngestKCore.adjOf(g, nodes)
+      .queryExecution.executedPlan.toString
+    assert(sa.contains("BroadcastHashJoin") && sa.contains("LeftSemi"), sa)
+    assert(!sa.contains("SortMergeJoin") && !sa.contains("ShuffledHashJoin"),
+      s"the edge store must never shuffle for an adjacency probe:\n$sa")
   }
 }
