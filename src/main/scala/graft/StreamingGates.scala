@@ -1736,6 +1736,52 @@ object StreamingGates {
     s.table(countTable).select(col("node"), col("triangles"))
   }
 
+  /** Streaming per-edge structural similarity under INSERTS AND DELETES
+    * ([[graft.streaming.IngestEdgeJaccardCdc]]): touched rows = post
+    * edges incident to the changed endpoints (degree moves every
+    * incident denominator; common counts only change through triangles
+    * containing a changed edge), recomputed ABSOLUTELY from the 2-hop
+    * neighborhood via the batch operator. Must hash-match q161's
+    * from-scratch readout over the 3-batch co-order feed.
+    */
+  private def q242EdgeJaccardCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = graft.Materialize(GraphGates.coOrderPairs(s, d)
+      .select(least(col("pa"), col("pb")).cast("long").as("u"),
+        greatest(col("pa"), col("pb")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    val rows = edges.as[(Long, Long)].collect()
+    edges.unpersist()
+    val edgeTable = sinkName("q242edges")
+    val viewTable = sinkName("q242view")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq.empty[(Long, Long, Long, Double)].toDF("lo", "hi", "common", "jaccard")
+      .withColumn("bkt", pmod(hash(col("lo")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(viewTable)
+    val (e1, e2) = rows.partition { case (u, v) => (u * 31 + v) % 3 != 2 }
+    val slice = e1.filter(_._1 % 5 == 0)
+    val b1 = e1.map { case (u, v) => (u, v, "insert") }
+    val b2 = e2.map { case (u, v) => (u, v, "insert") } ++
+      slice.map { case (u, v) => (u, v, "delete") }
+    val b3 = slice.map { case (u, v) => (u, v, "insert") }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDS().toDF("u", "v", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestEdgeJaccardCdc(edgeTable, viewTable, 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b3.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(viewTable).select(col("lo"), col("hi"), col("common"), col("jaccard"))
+  }
+
   /** Streaming fixed-k core under INSERTS AND DELETES
     * ([[graft.streaming.IngestKCoreCdc]]): the co-order edges stream in
     * THREE batches — 2/3 inserted, the rest inserted plus a slice of
@@ -2122,6 +2168,7 @@ object StreamingGates {
     "q238_single_linkage_cdc_stream" -> (q238SingleLinkageCdc _),
     "q239_kcore_cdc_stream" -> (q239KCoreCdc _),
     "q240_triangle_counts_cdc_stream" -> (q240TriangleCountsCdc _),
+    "q242_edge_jaccard_cdc_stream" -> (q242EdgeJaccardCdc _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -2170,6 +2217,7 @@ object StreamingGates {
     "q238_single_linkage_cdc_stream" -> GraphGates.oracleSql("q218_single_linkage"),
     "q239_kcore_cdc_stream" -> GraphGates.oracleSql("q174_kcore"),
     "q240_triangle_counts_cdc_stream" -> GraphGates.oracleSql("q155_triangles"),
+    "q242_edge_jaccard_cdc_stream" -> GraphGates.oracleSql("q161_edge_jaccard"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

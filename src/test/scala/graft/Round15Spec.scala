@@ -402,6 +402,59 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestEdgeJaccardCdc: a degree-only change re-scores incident edges whose " +
+      "triangles never moved (the denominator propagation case); deletes drop rows " +
+      "and restore on re-insert; redelivery no-op; from-scratch agreement") {
+    val ts = Seq("r15_ej_edges", "r15_ej_view",
+      "r15_ej_edges__staging", "r15_ej_view__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .withColumn("bkt", pmod(hash($"u"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_ej_edges")
+      Seq.empty[(Long, Long, Long, Double)].toDF("lo", "hi", "common", "jaccard")
+        .withColumn("bkt", pmod(hash($"lo"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_ej_view")
+      val handler = new graft.streaming.IngestEdgeJaccardCdc(
+        "r15_ej_edges", "r15_ej_view", 4)
+      def view(): Map[(Long, Long), (Long, Double)] = spark.table("r15_ej_view")
+        .select($"lo", $"hi", $"common", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      def b(rows: (Long, Long, String)*) = rows.toDF("u", "v", "op")
+
+      // bare triangle: every edge has one common neighbor, jaccard 1.0
+      handler(b((1L, 2L, "insert"), (2L, 3L, "insert"), (1L, 3L, "insert")), 0L)
+      assert(view() == Map((1L, 2L) -> ((1L, 1.0)), (1L, 3L) -> ((1L, 1.0)),
+        (2L, 3L) -> ((1L, 1.0))), view().toString)
+      // PROPAGATION: insert the pendant 1-4 — no triangle through (1,2) or
+      // (1,3) changes, but deg(1) does, so both denominators move; (2,3)
+      // is untouched and must NOT be rewritten
+      handler(b((1L, 4L, "insert")), 1L)
+      assert(view() == Map((1L, 2L) -> ((1L, 0.5)), (1L, 3L) -> ((1L, 0.5)),
+        (2L, 3L) -> ((1L, 1.0)), (1L, 4L) -> ((0L, 0.0))), view().toString)
+      // delete restores the bare triangle; the (1,4) row drops
+      handler(b((1L, 4L, "delete")), 2L)
+      assert(view() == Map((1L, 2L) -> ((1L, 1.0)), (1L, 3L) -> ((1L, 1.0)),
+        (2L, 3L) -> ((1L, 1.0))), view().toString)
+      // mixed batch: kill the triangle edge AND add an unrelated edge
+      handler(b((2L, 3L, "delete"), (2L, 4L, "insert")), 3L)
+      assert(view() == Map((1L, 2L) -> ((0L, 0.0)), (1L, 3L) -> ((0L, 0.0)),
+        (2L, 4L) -> ((0L, 0.0))), view().toString)
+      // redelivery: net changes recompute empty
+      handler(b((2L, 3L, "delete"), (2L, 4L, "insert")), 3L)
+      assert(view() == Map((1L, 2L) -> ((0L, 0.0)), (1L, 3L) -> ((0L, 0.0)),
+        (2L, 4L) -> ((0L, 0.0))), view().toString)
+      // from-scratch sanity over the final store
+      val scratch = graft.graphs.Graphs.edgeJaccard(
+        spark.table("r15_ej_edges"), $"u", $"v")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(view() == scratch, s"maintained ${view()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
