@@ -27,7 +27,7 @@ object GraphGates {
   private val PrIters = 5
   private val PrScale = 7
   private[graft] val KhopQty = 48
-  private val KhopSeeds = 5
+  private[graft] val KhopSeeds = 5
   private val KhopMax = 3
   private val LpaRounds = 4
   // k chosen against the sf0.01 co-order degree profile (median ~115):
@@ -174,7 +174,7 @@ object GraphGates {
     Graphs.stronglyConnectedComponents(
       nationOrderedTransitions(s, d), col("src"), col("dst"))
 
-  private val SsspHops = 4
+  private[graft] val SsspHops = 4
 
   /** WEIGHTED transition edges: like [[transitions]] but each edge carries
     * the quantity of its DESTINATION line, parallel edges collapsed to
@@ -184,7 +184,7 @@ object GraphGates {
     * so the edge SET matches [[transitions]] and only the weight needs
     * the extra key.
     */
-  private def weightedTransitions(s: SparkSession, d: String, minQty: Int): DataFrame = {
+  private[graft] def weightedTransitions(s: SparkSession, d: String, minQty: Int): DataFrame = {
     val li = Tables.lineitem(s, d).where(col("l_quantity") >= minQty)
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_suppkey"), col("l_quantity"))

@@ -1736,6 +1736,46 @@ object StreamingGates {
     s.table(countTable).select(col("node"), col("triangles"))
   }
 
+  /** Streaming hop-capped SSSP under edge INSERTS
+    * ([[graft.streaming.IngestSssp]]): the weighted transition edges
+    * arrive in two batches; each batch relaxes only the affected
+    * candidates level-by-level through the hop-resolved Bellman–Ford
+    * state. The `min(dist) GROUP BY node` serve must hash-match q183's
+    * 4-round unrolled relaxation — oracle shared verbatim.
+    */
+  private def q243SsspStream(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = graft.Materialize(GraphGates.weightedTransitions(s, d, GraphGates.KhopQty))
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    edges.unpersist()
+    val edgeTable = sinkName("q243edges")
+    val distTable = sinkName("q243dist")
+    Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+      .withColumn("bkt", pmod(hash(col("src")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Tables.supplier(s, d).where(col("s_suppkey") <= GraphGates.KhopSeeds)
+      .select(col("s_suppkey").cast("long").as("node"))
+      .distinct()
+      .withColumn("h", lit(0)).withColumn("dist", lit(0L))
+      .withColumn("bkt", pmod(hash(col("node")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(distTable)
+    val (b1, b2) = rows.partition { case (u, v, _) => (u * 31 + v) % 2 == 0 }
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDS().toDF("src", "dst", "w").writeStream
+      .foreachBatch(new graft.streaming.IngestSssp(
+        edgeTable, distTable, maxHops = GraphGates.SsspHops, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(distTable).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+  }
+
   /** Streaming per-edge structural similarity under INSERTS AND DELETES
     * ([[graft.streaming.IngestEdgeJaccardCdc]]): touched rows = post
     * edges incident to the changed endpoints (degree moves every
@@ -2169,6 +2209,7 @@ object StreamingGates {
     "q239_kcore_cdc_stream" -> (q239KCoreCdc _),
     "q240_triangle_counts_cdc_stream" -> (q240TriangleCountsCdc _),
     "q242_edge_jaccard_cdc_stream" -> (q242EdgeJaccardCdc _),
+    "q243_sssp_stream" -> (q243SsspStream _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -2218,6 +2259,7 @@ object StreamingGates {
     "q239_kcore_cdc_stream" -> GraphGates.oracleSql("q174_kcore"),
     "q240_triangle_counts_cdc_stream" -> GraphGates.oracleSql("q155_triangles"),
     "q242_edge_jaccard_cdc_stream" -> GraphGates.oracleSql("q161_edge_jaccard"),
+    "q243_sssp_stream" -> GraphGates.oracleSql("q183_sssp"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

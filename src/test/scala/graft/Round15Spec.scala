@@ -455,6 +455,50 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestSssp: cheaper re-insert propagates level-by-level, the hop cap keeps a " +
+      "cheaper-but-longer path OUT (hop-resolved state, not a relaxation fixpoint); " +
+      "redelivery no-op; from-scratch agreement") {
+    val ts = Seq("r15_sp_edges", "r15_sp_dist",
+      "r15_sp_edges__staging", "r15_sp_dist__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+        .withColumn("bkt", pmod(hash($"src"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_sp_edges")
+      Seq((1L, 0, 0L)).toDF("node", "h", "dist")
+        .withColumn("bkt", pmod(hash($"node"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_sp_dist")
+      val handler = new graft.streaming.IngestSssp(
+        "r15_sp_edges", "r15_sp_dist", maxHops = 2, buckets = 4)
+      def serve(): Map[Long, Long] = spark.table("r15_sp_dist")
+        .groupBy($"node").agg(min($"dist").as("dist"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def b(rows: (Long, Long, Long)*) = rows.toDF("src", "dst", "w")
+
+      handler(b((1L, 2L, 5L), (2L, 3L, 4L)), 0L)
+      assert(serve() == Map(1L -> 0L, 2L -> 5L, 3L -> 9L), serve().toString)
+      // one batch: a cheaper REPLACE of 1→2 (propagates to 3's 2-hop
+      // value) and a direct-but-expensive 1→3 (improves nothing)
+      handler(b((1L, 2L, 2L), (1L, 3L, 20L)), 1L)
+      assert(serve() == Map(1L -> 0L, 2L -> 2L, 3L -> 6L), serve().toString)
+      // HOP CAP: 3→4 makes 4 reachable only as 1→3→4 = 21 within 2 hops;
+      // the cheaper 1→2→3→4 = 7 is 3 hops and must NOT leak in
+      handler(b((3L, 4L, 1L)), 2L)
+      assert(serve() == Map(1L -> 0L, 2L -> 2L, 3L -> 6L, 4L -> 21L), serve().toString)
+      // redelivery: nothing is absent or cheaper, early no-op
+      handler(b((3L, 4L, 1L)), 2L)
+      assert(serve() == Map(1L -> 0L, 2L -> 2L, 3L -> 6L, 4L -> 21L), serve().toString)
+      // from-scratch sanity over the final store
+      val scratch = graft.graphs.Graphs.shortestPaths(
+        spark.table("r15_sp_edges"), $"src", $"dst", $"w",
+        Seq(1L).toDF("seed"), $"seed", maxHops = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(serve() == scratch, s"maintained ${serve()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
