@@ -245,8 +245,8 @@ object GraphGates {
   // truss gate shape probed against all three SFs (DuckDB, round 13):
   // qty ≥ 46 + support ≥ 2 cascades 5/4/1 rounds to fixpoint with a
   // non-empty survivor set — 8 unrolled oracle rounds leave margin
-  private val TrussQty = 46
-  private val TrussK = 4
+  private[graft] val TrussQty = 46
+  private[graft] val TrussK = 4
   private val TrussRounds = 8
 
   /** q198 — 4-truss membership on the undirected supplier transition

@@ -1736,6 +1736,53 @@ object StreamingGates {
     s.table(countTable).select(col("node"), col("triangles"))
   }
 
+  /** Streaming k-truss membership + fixpoint support under INSERTS AND
+    * DELETES ([[graft.streaming.IngestKTrussCdc]]): the truss-dense
+    * transition edges stream in three batches (2/3 inserted, the rest
+    * plus a deleted slice — support-drop cascades fire — then the slice
+    * re-inserted). The maintained (lo, hi, support) view must hash-match
+    * q198's from-scratch peel verbatim.
+    */
+  private def q244KTrussCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = graft.Materialize(
+      GraphGates.transitions(s, d, Some(GraphGates.TrussQty))
+        .select(least(col("src"), col("dst")).cast("long").as("u"),
+          greatest(col("src"), col("dst")).cast("long").as("v"))
+        .where(col("u") =!= col("v")).distinct())
+    val rows = edges.as[(Long, Long)].collect()
+    edges.unpersist()
+    val edgeTable = sinkName("q244edges")
+    val trussTable = sinkName("q244truss")
+    Seq.empty[(Long, Long)].toDF("u", "v")
+      .withColumn("bkt", pmod(hash(col("u")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Seq.empty[(Long, Long, Long)].toDF("lo", "hi", "support")
+      .withColumn("bkt", pmod(hash(col("lo")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(trussTable)
+    val (e1, e2) = rows.partition { case (u, v) => (u * 31 + v) % 3 != 2 }
+    val slice = e1.filter(_._1 % 5 == 0)
+    val b1 = e1.map { case (u, v) => (u, v, "insert") }
+    val b2 = e2.map { case (u, v) => (u, v, "insert") } ++
+      slice.map { case (u, v) => (u, v, "delete") }
+    val b3 = slice.map { case (u, v) => (u, v, "insert") }
+    val in = MemoryStream[(Long, Long, String)]
+    val q = in.toDS().toDF("u", "v", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestKTrussCdc(
+        edgeTable, trussTable, k = GraphGates.TrussK, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b3.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(trussTable).select(col("lo"), col("hi"), col("support"))
+  }
+
   /** Streaming hop-capped SSSP under edge INSERTS
     * ([[graft.streaming.IngestSssp]]): the weighted transition edges
     * arrive in two batches; each batch relaxes only the affected
@@ -2210,6 +2257,7 @@ object StreamingGates {
     "q240_triangle_counts_cdc_stream" -> (q240TriangleCountsCdc _),
     "q242_edge_jaccard_cdc_stream" -> (q242EdgeJaccardCdc _),
     "q243_sssp_stream" -> (q243SsspStream _),
+    "q244_ktruss_cdc_stream" -> (q244KTrussCdc _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
     "q190_pq_stream" -> (q190PqStream _),
@@ -2260,6 +2308,7 @@ object StreamingGates {
     "q240_triangle_counts_cdc_stream" -> GraphGates.oracleSql("q155_triangles"),
     "q242_edge_jaccard_cdc_stream" -> GraphGates.oracleSql("q161_edge_jaccard"),
     "q243_sssp_stream" -> GraphGates.oracleSql("q183_sssp"),
+    "q244_ktruss_cdc_stream" -> GraphGates.oracleSql("q198_ktruss"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),
     "q187_join_view_stream" -> AnalyticsGates.oracleSql("q186_join_view"),

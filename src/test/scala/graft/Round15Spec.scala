@@ -499,6 +499,62 @@ class Round15Spec extends SparkSpec {
     } finally dropAll(ts)
   }
 
+  test("IngestKTrussCdc: one insert promotes a triangle-connected region (expansion + " +
+      "frozen-truss-credit peel), a delete cascades support drops, re-insert re-promotes; " +
+      "partner supports follow; redelivery no-op; from-scratch agreement") {
+    val ts = Seq("r15_kt_edges", "r15_kt_truss",
+      "r15_kt_edges__staging", "r15_kt_truss__staging")
+    dropAll(ts)
+    try {
+      Seq.empty[(Long, Long)].toDF("u", "v")
+        .withColumn("bkt", pmod(hash($"u"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_kt_edges")
+      Seq.empty[(Long, Long, Long)].toDF("lo", "hi", "support")
+        .withColumn("bkt", pmod(hash($"lo"), lit(4)))
+        .write.partitionBy("bkt").mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable("r15_kt_truss")
+      val handler = new graft.streaming.IngestKTrussCdc(
+        "r15_kt_edges", "r15_kt_truss", k = 4, buckets = 4)
+      def truss(): Map[(Long, Long), Long] = spark.table("r15_kt_truss")
+        .select($"lo", $"hi", $"support").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def b(rows: (Long, Long, String)*) = rows.toDF("u", "v", "op")
+      def i(es: (Long, Long)*) = es.map { case (a, c) => (a, c, "insert") }
+
+      // K4 on {1,2,3,4} (every edge in 2 triangles — a 4-truss) plus the
+      // pendant triangle {3,4,5}, whose new edges have support 1 and peel
+      handler(b(i((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+        (3L, 5L), (4L, 5L)): _*), 0L)
+      assert(truss() == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+        (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L), truss().toString)
+      // ONE insert (2-5) makes {2,3,4,5} a wheel: (3,5) and (4,5) promote
+      // via triangle-expansion with frozen credit; partner supports rise
+      handler(b(i((2L, 5L)): _*), 1L)
+      assert(truss() == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+        (2L, 3L) -> 3L, (2L, 4L) -> 3L, (3L, 4L) -> 3L,
+        (2L, 5L) -> 2L, (3L, 5L) -> 2L, (4L, 5L) -> 2L), truss().toString)
+      // delete 1-2: (1,3) and (1,4) drop to support 1 and cascade out;
+      // (2,3)/(2,4)/(3,4) keep >= 2 through the {2,3,4,5} block
+      handler(b((1L, 2L, "delete")), 2L)
+      assert(truss() == Map((2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L,
+        (2L, 5L) -> 2L, (3L, 5L) -> 2L, (4L, 5L) -> 2L), truss().toString)
+      // re-insert 1-2: {(1,2),(1,3),(1,4)} re-promote together
+      handler(b(i((1L, 2L)): _*), 3L)
+      assert(truss() == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+        (2L, 3L) -> 3L, (2L, 4L) -> 3L, (3L, 4L) -> 3L,
+        (2L, 5L) -> 2L, (3L, 5L) -> 2L, (4L, 5L) -> 2L), truss().toString)
+      // redelivery: net changes recompute empty
+      handler(b(i((1L, 2L)): _*), 3L)
+      assert(truss().size == 9, truss().toString)
+      // from-scratch sanity over the final store
+      val scratch = graft.graphs.Graphs.kTruss(
+        spark.table("r15_kt_edges"), $"u", $"v", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(truss() == scratch, s"maintained ${truss()} vs scratch $scratch")
+    } finally dropAll(ts)
+  }
+
   test("mergeJoinViewNDelta rejects keys shadowing ANY materialized column " +
       "(side/op/row_id/bkt/n/total/__batch, not just grp/value/sign)") {
     val view = Seq((1L, 1L, 1.0)).toDF("grp", "n", "total")
