@@ -16,7 +16,7 @@ object AnalyticsGates {
   // read mid-gate); per-SF reuse WITHIN the run still holds via the
   // masked-hash suffix (masking, not math.abs — abs(Int.MinValue) < 0)
   private lazy val LayoutScratchRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_layout_").toString
+    GraftSession.tempDirCleanedOnExit("graft_layout_")
   private def layoutScratchDir(gate: String, d: String): String =
     s"$LayoutScratchRoot/${gate}_${d.hashCode & 0x7fffffff}"
 

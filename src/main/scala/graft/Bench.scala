@@ -146,7 +146,7 @@ object Bench {
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstableFailedJson = unstableFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson,"unstable_failed":$unstableFailedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"unstable_failed_count":${unstableFailed.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,26 @@ object GraftSession {
     spark
   }
 
+  /** A per-JVM temp scratch directory removed on JVM exit: repeated
+    * bench/verify JVMs otherwise accumulate relaid layout copies in tmp
+    * (round-15 ADVICE). Deletion is best-effort — a shutdown hook must
+    * never throw.
+    */
+  private[graft] def tempDirCleanedOnExit(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(dir)) {
+          val paths = Files.walk(dir)
+          try paths.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach((p: Path) => { Files.deleteIfExists(p); () })
+          finally paths.close()
+        }
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession
       .builder()

@@ -64,7 +64,7 @@ object StreamingGates {
   // q226/q227 discipline: fresh per JVM so concurrent runs never share a
   // path, reused across reps within the run via the per-SF suffix)
   private lazy val scratchRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_stream_layout_").toString
+    GraftSession.tempDirCleanedOnExit("graft_stream_layout_")
 
   /** Streaming as-of over the q55 inputs ([[StreamingFlows.asOf]]):
     * clicks and pre-aggregated purchases arrive as one micro-batch, two
@@ -1823,6 +1823,59 @@ object StreamingGates {
     s.table(distTable).groupBy(col("node")).agg(min(col("dist")).as("dist"))
   }
 
+  /** Streaming hop-capped SSSP under INSERTS, DELETES, and weight
+    * UPDATES ([[graft.streaming.IngestSsspCdc]]): the weighted
+    * transition edges arrive in three batches — 2/3 inserted; the rest
+    * inserted plus one slice DELETED and a disjoint slice re-weighted
+    * +100 (both demotions — level-h values re-derive from the level
+    * below and cascade up); then both slices restored to their true
+    * weights (relaxations). Final edge set = q183's graph, so the
+    * hop-resolved serve must hash-match its 4-round unrolled relaxation
+    * — oracle shared verbatim.
+    */
+  private def q245SsspCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val edges = graft.Materialize(GraphGates.weightedTransitions(s, d, GraphGates.KhopQty))
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"), col("w"))
+      .as[(Long, Long, Long)].collect()
+    edges.unpersist()
+    val edgeTable = sinkName("q245edges")
+    val distTable = sinkName("q245dist")
+    Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+      .withColumn("bkt", pmod(hash(col("src")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(edgeTable)
+    Tables.supplier(s, d).where(col("s_suppkey") <= GraphGates.KhopSeeds)
+      .select(col("s_suppkey").cast("long").as("node"))
+      .distinct()
+      .withColumn("h", lit(0)).withColumn("dist", lit(0L))
+      .withColumn("bkt", pmod(hash(col("node")), lit(8)))
+      .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(distTable)
+    val (e1, e2) = rows.partition { case (u, v, _) => (u * 31 + v) % 3 != 2 }
+    val slice = e1.filter(_._1 % 5 == 0)
+    val slice2 = e1.filter(_._1 % 5 == 1)
+    val b1 = e1.map { case (u, v, w) => (u, v, w, "insert") }
+    val b2 = e2.map { case (u, v, w) => (u, v, w, "insert") } ++
+      slice.map { case (u, v, w) => (u, v, w, "delete") } ++
+      slice2.map { case (u, v, w) => (u, v, w + 100L, "insert") }
+    val b3 = slice.map { case (u, v, w) => (u, v, w, "insert") } ++
+      slice2.map { case (u, v, w) => (u, v, w, "insert") }
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = in.toDS().toDF("src", "dst", "w", "op").writeStream
+      .foreachBatch(new graft.streaming.IngestSsspCdc(
+        edgeTable, distTable, maxHops = GraphGates.SsspHops, buckets = 8))
+      .start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b3.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(distTable).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+  }
+
   /** Streaming per-edge structural similarity under INSERTS AND DELETES
     * ([[graft.streaming.IngestEdgeJaccardCdc]]): touched rows = post
     * edges incident to the changed endpoints (degree moves every
@@ -2055,8 +2108,17 @@ object StreamingGates {
     * spliced forest row-identical to q216's from-scratch build on the
     * final edge set — oracle shared verbatim.
     */
+  // q237 and q238 read the SAME maintained forest (identical 3-batch CDC
+  // feed); replaying the stream once per gate doubled the most expensive
+  // streaming-gate wall-clock in Verify, so the run is cached per
+  // (data dir, session) — the q226 layout-scratch reuse discipline. The
+  // maintained tables live for the JVM; a second JVM re-runs.
+  private val msfCdcRuns = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def runMsfCdcCached(s: SparkSession, d: String): String =
+    msfCdcRuns.computeIfAbsent(d, _ => runMsfCdc(s, d, "q237q238"))
+
   private def q237MsfCdc(s: SparkSession, d: String): DataFrame =
-    s.table(runMsfCdc(s, d, "q237"))
+    s.table(runMsfCdcCached(s, d))
       .select(col("u").as("nation_a"), col("v").as("nation_b"), col("w"))
 
   /** Streaming single-linkage clustering under INSERTS AND DELETES —
@@ -2070,7 +2132,7 @@ object StreamingGates {
     val t = graft.curation.Quantiles.exactQuantiles(e, lit(0L), col("w"), Seq(0.5))
       .head().getDouble(2).toLong
     e.unpersist()
-    val forest = s.table(runMsfCdc(s, d, "q238"))
+    val forest = s.table(runMsfCdcCached(s, d))
     val nodes = forest.select(col("u").as("node"))
       .unionByName(forest.select(col("v").as("node"))).distinct()
     val cc = graft.graphs.Graphs.connectedComponents(
@@ -2257,6 +2319,7 @@ object StreamingGates {
     "q240_triangle_counts_cdc_stream" -> (q240TriangleCountsCdc _),
     "q242_edge_jaccard_cdc_stream" -> (q242EdgeJaccardCdc _),
     "q243_sssp_stream" -> (q243SsspStream _),
+    "q245_sssp_cdc_stream" -> (q245SsspCdc _),
     "q244_ktruss_cdc_stream" -> (q244KTrussCdc _),
     "q224_components_stream" -> (q224ComponentsStream _),
     "q187_join_view_stream" -> (q187JoinViewStream _),
@@ -2308,6 +2371,7 @@ object StreamingGates {
     "q240_triangle_counts_cdc_stream" -> GraphGates.oracleSql("q155_triangles"),
     "q242_edge_jaccard_cdc_stream" -> GraphGates.oracleSql("q161_edge_jaccard"),
     "q243_sssp_stream" -> GraphGates.oracleSql("q183_sssp"),
+    "q245_sssp_cdc_stream" -> GraphGates.oracleSql("q183_sssp"),
     "q244_ktruss_cdc_stream" -> GraphGates.oracleSql("q198_ktruss"),
     "q224_components_stream" -> GraphGates.oracleSql("q179_components"),
     "q159_delta_agg_stream" -> AnalyticsGates.oracleSql("q157_delta_agg"),

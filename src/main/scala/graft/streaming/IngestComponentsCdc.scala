@@ -87,31 +87,67 @@ object IngestComponentsCdc {
     * riding along). Per-batch cost scales with the touched components'
     * size, never the graph.
     */
-  private[streaming] def affectedSubgraph(
+  /** Above this many touched component roots, [[affectedSubgraph]] swaps
+    * its driver `isin` lists (literal IN filters — they partition-prune
+    * the label store, ideal for CDC-sized batches) for a broadcast
+    * semi-join on the roots relation: a BULK batch (backfill replay, a
+    * large compaction) would otherwise inline thousands of literals into
+    * the plan — driver-side plan bloat with no broadcast-join fallback.
+    */
+  private[streaming] val IsinRootLimit = 1000
+
+  /** The touched components' label rows: literal IN filters under the
+    * limit (they partition-prune the label store's `bkt` partitions),
+    * broadcast semi-joins above it (no plan bloat on a bulk batch).
+    */
+  private[graft] def affectedMembers(
+      prev: DataFrame,
+      rootsDf: DataFrame,
+      nRoots: Long,
+      isinRootLimit: Int): DataFrame =
+    if (nRoots == 0) prev.where(lit(false)).select(col("node"))
+    else if (nRoots <= isinRootLimit) {
+      val rootRows = rootsDf.collect()
+      val roots = rootRows.map(_.getLong(0)).toSeq
+      val rootBkts = rootRows.map(_.getInt(1)).distinct.toSeq
+      prev.where(col("bkt").isin(rootBkts: _*))
+        .where(col("component").isin(roots: _*))
+        .select(col("node"))
+    } else {
+      // bulk path: the bkt semi-join keeps the scan bucket-restricted,
+      // the component semi-join selects the touched components — both
+      // broadcast (roots are batch-derived; Catalyst has no estimate)
+      prev.join(broadcast(rootsDf.select(col("bkt")).distinct()), Seq("bkt"), "left_semi")
+        .join(broadcast(rootsDf.select(col("component"))), Seq("component"), "left_semi")
+        .select(col("node"))
+    }
+
+  private[graft] def affectedSubgraph(
       spark: org.apache.spark.sql.SparkSession,
       labelsTable: String,
       postEdges: DataFrame,
       newEdges: DataFrame,
-      delEdges: DataFrame): (DataFrame, DataFrame) = {
+      delEdges: DataFrame,
+      isinRootLimit: Int = IsinRootLimit): (DataFrame, DataFrame) = {
     spark.sql(s"REFRESH TABLE $labelsTable")
     val prev = spark.table(labelsTable)
     val endpoints = newEdges.select(col("u").as("node"))
       .unionByName(newEdges.select(col("v").as("node")))
       .unionByName(delEdges.select(col("u").as("node")))
       .unionByName(delEdges.select(col("v").as("node"))).distinct()
-    // the components this batch can touch (bounded by 2·|changes| —
-    // a driver list); bucket ids read off the TABLE rows, one hash
-    // definition, the table's
-    val rootRows = prev.join(broadcast(endpoints), Seq("node"), "left_semi")
-      .select(col("component"), col("bkt")).distinct().collect()
-    val roots = rootRows.map(_.getLong(0)).toSeq
-    val rootBkts = rootRows.map(_.getInt(1)).distinct.toSeq
-    val affected =
-      if (roots.isEmpty) prev.where(lit(false)).select(col("node"))
-      else prev.where(col("bkt").isin(rootBkts: _*))
-        .where(col("component").isin(roots: _*))
-        .select(col("node"))
+    // the components this batch can touch (bounded by 2·|changes|);
+    // bucket ids read off the TABLE rows, one hash definition, the
+    // table's. Casts pin the Long/Int row accessors below against a
+    // store bootstrapped with narrower column types.
+    val rootsDf = prev.join(broadcast(endpoints), Seq("node"), "left_semi")
+      .select(col("component").cast("long").as("component"),
+        col("bkt").cast("int").as("bkt"))
+      .distinct().persist()
+    val nRoots = rootsDf.count()
+    val affected = affectedMembers(prev, rootsDf, nRoots, isinRootLimit)
     val touchNodes = affected.unionByName(endpoints).distinct().persist()
+    touchNodes.count() // materialize while the roots cache is live
+    rootsDf.unpersist()
     // an edge of an affected component has BOTH endpoints affected (live
     // edges never span components), but filter both sides anyway — it
     // costs one more delta-bounded semi-join and drops the

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Plan-shape regression gates — the scale properties PlanAudit checks by
   * hand, asserted in the suite so a refactor can't silently regress them:
@@ -899,5 +900,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(sa.contains("BroadcastHashJoin") && sa.contains("LeftSemi"), sa)
     assert(!sa.contains("SortMergeJoin") && !sa.contains("ShuffledHashJoin"),
       s"the edge store must never shuffle for an adjacency probe:\n$sa")
+  }
+
+  test("round-16 shapes: affectedSubgraph's bulk path broadcasts the roots relation " +
+      "(label store never shuffles); the isin fast path partition-prunes the scan") {
+    val t = "psr16_labels"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    try {
+      spark.range(0, 2000).selectExpr("id as node", "(id % 50) as component")
+        .withColumn("bkt", pmod(hash(col("component")), lit(8)))
+        .write.partitionBy("bkt").mode("overwrite").format("parquet").saveAsTable(t)
+      val prev = spark.table(t)
+      // range-backed roots (Seq-backed relations constant-fold at plan time)
+      val roots = spark.range(0, 10).select(col("id").as("component"),
+        pmod(hash(col("id")), lit(8)).as("bkt"))
+      val bulk = graft.streaming.IngestComponentsCdc
+        .affectedMembers(prev, roots, nRoots = 10L, isinRootLimit = 0)
+        .queryExecution.executedPlan.toString
+      assert(bulk.contains("BroadcastHashJoin") && bulk.contains("LeftSemi"), bulk)
+      assert(!bulk.contains("SortMergeJoin") && !bulk.contains("ShuffledHashJoin"),
+        s"the label store must never shuffle on the roots' account:\n$bulk")
+      val isin = graft.streaming.IngestComponentsCdc
+        .affectedMembers(prev, roots, nRoots = 10L, isinRootLimit = 1000)
+        .queryExecution.executedPlan.toString
+      val scanLine = isin.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("bkt"), s"isin path must partition-prune on bkt:\n$isin")
+      assert(!isin.contains("BroadcastHashJoin") && !isin.contains("SortMergeJoin"), isin)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
