@@ -304,8 +304,15 @@ object ExtensionQueries {
     val emb = Tables.embeddings(s, d)
     val cents = graft.similarity.IVF.pretrainedCentroids
     val res = graft.similarity.IVFPQ.residuals(emb, col("vec_id"), col("embedding"), cents)
+    // training input materialized (the q193 rotTrain discipline): Lloyd's
+    // iters+2 passes would each re-run the cell-assignment kernel and the
+    // residual subtraction; at 100 TB training runs on a sample and the
+    // bounded materialize stands in for that. Encoding stays LAZY — the
+    // serving plan keeps the one fused residual+encode corpus scan.
+    val resTrain = graft.Materialize(res)
     val cb = graft.similarity.IVFPQ.trainCodebooks(
-      res, AnalyticsGates.PqM, AnalyticsGates.PqK, AnalyticsGates.PqIters)
+      resTrain, AnalyticsGates.PqM, AnalyticsGates.PqK, AnalyticsGates.PqIters)
+    resTrain.unpersist()
     val codes = graft.similarity.IVFPQ.encode(res, cb)
     graft.similarity.IVFPQ.adcTopK(
       codes, emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),

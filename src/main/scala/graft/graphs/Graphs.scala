@@ -599,20 +599,23 @@ object Graphs {
     * edges collapsed). Returns one row per vertex that belongs to at least
     * one triangle.
     *
-    * Algorithm — degree-oriented wedge join (the MapReduce-era standard,
-    * cf. Suri & Vassilvitskii's "Counting triangles and the curse of the
-    * last reducer"): orient every undirected edge from its lower
-    * (degree, id) endpoint to its higher one. The orientation is a total
-    * order, so the oriented graph is acyclic and every triangle
-    * {a ≺ b ≺ c} is discovered EXACTLY once, as the wedge b←a→c closed by
-    * the oriented edge b→c. Out-degrees under this orientation are
-    * O(√E)-bounded, which is what keeps hub vertices from generating
-    * quadratic wedges — the skew discipline that makes the shape safe on
-    * a power-law web graph at 100 TB.
+    * Algorithm — degree-oriented adjacency intersection (compact-forward;
+    * the orientation discipline of Suri & Vassilvitskii's "Counting
+    * triangles and the curse of the last reducer"): orient every
+    * undirected edge from its lower (degree, id) endpoint to its higher
+    * one. The orientation is a total order, so the oriented graph is
+    * acyclic and every triangle {a ≺ b ≺ c} is discovered EXACTLY once,
+    * as N⁺(a) ∩ N⁺(b) ∋ c on the edge a→b. Out-degrees under this
+    * orientation are O(√E)-bounded, which keeps hub vertices from
+    * generating quadratic candidate work AND bounds every adjacency
+    * array — the skew discipline that makes the shape safe on a
+    * power-law web graph at 100 TB.
     *
-    * Plan: degree aggregate (one exchange) → oriented self-join on the
-    * pivot (one exchange) → closing semi-join on the (lo, hi) pair (one
-    * exchange) → explode the 3 corners → count per vertex.
+    * Plan: degree aggregate (one exchange) → adjacency-array aggregate
+    * (one |E|-row exchange, arrays √E-bounded) → two keyed joins of the
+    * edge relation against it → per-edge array intersection + explode of
+    * the closing corners (one codegen stage, no wedge-row relation ever
+    * materialized) → explode the 3 corners → count per vertex.
     */
   def triangleCounts(edges: DataFrame, endA: Column, endB: Column): DataFrame = {
     val (_, _, triangles) = triangleMachinery(edges, endA, endB)
@@ -685,7 +688,12 @@ object Graphs {
       .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("common"))
 
     val denom = (col("dlo") - 1) + (col("dhi") - 1) - col("common")
+    // streamed-side parallelism pin (the triangleMachineryFromCanon
+    // discipline): the readout probes three broadcast relations per edge
+    // row and otherwise runs at the canon checkpoint's block count
     canon
+      .repartition(canon.sparkSession.sessionState.conf.numShufflePartitions,
+        col("lo"), col("hi"))
       .join(perEdge, Seq("lo", "hi"), "left")
       .na.fill(0L, Seq("common"))
       .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
@@ -708,92 +716,81 @@ object Graphs {
         .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct())
+    triangleMachineryFromCanon(canon)
+  }
 
+  /** [[triangleMachinery]] over an ALREADY canonical, deduplicated,
+    * materialized (lo, hi) edge relation — the [[kTruss]] peel calls this
+    * directly so each round skips re-canonicalizing (one distinct
+    * exchange + one checkpoint per round) an edge set its own previous
+    * round already produced canonical.
+    */
+  private def triangleMachineryFromCanon(
+      canon: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // deg stays LAZY: its repeated references (both orientation sides,
+    // and [[edgeJaccardFrom]]'s two readout joins) broadcast an
+    // identical canonicalized subtree, which Spark's ReuseExchange
+    // dedupes to one build — a checkpoint here measured as pure
+    // overhead.
     val deg = canon.select(col("lo").as("node")).unionAll(canon.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
-    // Orient each edge low-(deg, id) → high-(deg, id). Carrying both
-    // endpoints' orientation keys lets the wedge stage order its two leaves
-    // without another degree join.
+    // Orient each edge low-(deg, id) → high-(deg, id): a total order, so
+    // the oriented graph is acyclic, every triangle has a unique
+    // (source, middle, sink), and out-degrees are O(√E)-bounded — hub
+    // vertices cannot generate quadratic candidate sets.
     val keyed = canon
       .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
       .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
     val loFirst = col("dlo") < col("dhi") || (col("dlo") === col("dhi") && col("lo") < col("hi"))
     val oriented = Materialize(keyed.select(
       when(loFirst, col("lo")).otherwise(col("hi")).as("u"),
-      when(loFirst, col("hi")).otherwise(col("lo")).as("v"),
-      when(loFirst, col("dhi")).otherwise(col("dlo")).as("dv")))
+      when(loFirst, col("hi")).otherwise(col("lo")).as("v")))
 
-    // Wedges v1 ← u → v2 with v1 ≺ v2 in orientation order; the closing
-    // edge, if present, is oriented v1 → v2 — a semi-join finds it.
-    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
-    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
-    val wedges = e1.join(e2, Seq("u"))
-      .where(col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2")))
-
-    // Bloom PREFILTER before the closing join: wedges outnumber triangles
-    // by orders of magnitude (Σ outdeg² candidates vs the true count), and
-    // every one of them would otherwise shuffle on (v1, v2) into the semi
-    // join. A Bloom filter over the oriented edges' 64-bit hashes drops
-    // non-closing wedges MAP-SIDE at ~1% false positives — the exact join
-    // that follows clears those, so the result is identical (no false
-    // negatives, spec-asserted) while the exchange carries ~|triangles|
-    // rows instead of ~|wedges|. Skipped above [[BloomEdgeCap]] edges,
-    // where the filter's broadcast would stop being cheap.
-    val nEdges = canon.count()
-    // The prefilter pays ONLY in the shuffle regime: when the oriented
-    // edge relation broadcasts into the closing semi-join, the wedge
-    // relation never crosses an exchange and the filter build is a pure
-    // extra pass (measured round 11: identical shuffle-record counts
-    // with and without it under broadcast; 48.2M → 9.4M exchange rows —
-    // 5.1× — with broadcast disabled, the 100-TB shape). Skip the build
-    // when the closing join will CLEARLY broadcast (2× margin on a
-    // 20 B/row estimate — a wrong guess in either direction costs one
-    // bounded pass or one missed prune, never correctness).
-    val bcThreshold = canon.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    val closingWillBroadcast = bcThreshold >= 0 && nEdges * 20L * 2 <= bcThreshold
-    // ops/profiling escape hatch: -Dgraft.triangles.bloom=off|force
-    // (SCALING.md round-11 measurement); default = the regime heuristic
-    val bloomMode = System.getProperty("graft.triangles.bloom", "auto")
-    val bloomOn = bloomMode match {
-      case m if "off".equalsIgnoreCase(m)   => false
-      case m if "force".equalsIgnoreCase(m) => true
-      case _                                => !closingWillBroadcast
-    }
-    val candidates =
-      if (bloomOn && nEdges > 0 && nEdges <= BloomEdgeCap) {
-        import org.apache.spark.util.sketch.BloomFilter
-        // bounded partial-filter count: each partial allocates full
-        // geometry (the IngestDedup backfill discipline)
-        val merged = oriented.select(xxhash64(col("u"), col("v")).as("h"))
-          .coalesce(8)
-          .queryExecution.toRdd.map(_.getLong(0))
-          .mapPartitions { it =>
-            if (it.isEmpty) Iterator.empty
-            else {
-              val bf = BloomFilter.create(nEdges, 0.01)
-              it.foreach(bf.putLong)
-              Iterator.single(bf)
-            }
-          }
-          .treeReduce((a, b) => a.mergeInPlace(b), depth = 2)
-        val bc = canon.sparkSession.sparkContext.broadcast(merged)
-        import org.apache.spark.sql.GraftBridge
-        wedges.where(GraftBridge.column(graft.plans.BloomMightContainB(
-          bc, GraftBridge.expression(xxhash64(col("v1"), col("v2"))))))
-      } else wedges
-
-    val triangles = candidates
-      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"), "left_semi")
+    // Triangle enumeration by ADJACENCY INTERSECTION (compact-forward,
+    // cf. Latapy, "Main-memory triangle computations for very large
+    // graphs"): build each node's oriented out-neighbor array (length
+    // O(√E)-bounded by the orientation — the hub-safety theorem), then
+    // for every oriented edge u→v emit N⁺(u) ∩ N⁺(v) — exactly the w
+    // closing a triangle u→v, u→w, v→w, so each triangle appears ONCE,
+    // keyed by its (source, middle) edge, as the same (u, v1, v2) triple
+    // the wedge join produced.
+    //
+    // This replaces the round-10/11 wedge-join + Bloom-prefilter shape:
+    // that plan MATERIALIZED the Σ outdeg² wedge relation (~48M rows at
+    // sf0.1/q155 for ~1M edges) through a join, a filter, and (in the
+    // shuffle regime) an exchange, paying per-wedge row machinery for
+    // candidates that mostly do not close. Intersection does the same
+    // O(Σ outdeg²) comparisons as primitive array operations inside one
+    // codegen stage and never materializes a wedge row: the only
+    // exchanges are |V|-row (adjacency build) and |E|-row (the two
+    // joins), so the Bloom prefilter — which existed to keep wedge rows
+    // out of the closing exchange — has nothing left to protect and is
+    // retired with the wedge join (measurements: OPTIMIZATION_r16.md).
+    //
+    // Join strategy is the planner's: the adjacency relation broadcasts
+    // when it fits (both references share one ReusedExchange build), and
+    // degrades to two |E|-row keyed shuffles at scale — strictly fewer
+    // bytes than any wedge-row exchange.
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("__nb"))
+    // The STREAMED edge side is repartitioned at the session
+    // shuffle-partition count: the intersection stage's work is
+    // Σ(d⁺(u)+d⁺(v)) per edge, not its input bytes, and byte-based
+    // sizing (the checkpoint's final-stage width, AQE coalescing)
+    // otherwise runs it at a handful of tasks (measured: 3 tasks ×
+    // ~2.2 s at sf0.1/local[32]). One |E|-row exchange of 16-byte rows;
+    // in the shuffle regime the join needs that exchange anyway. Only
+    // the streamed side is pinned — the adjacency build side keeps its
+    // broadcast-eligible statistics.
+    val triP = canon.sparkSession.sessionState.conf.numShufflePartitions
+    val triangles = oriented.repartition(triP, col("u"))
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("v"), col("__nb").as("__nb2")), Seq("v"))
+      .select(col("u"), col("v").as("v1"),
+        explode(array_intersect(col("__nb"), col("__nb2"))).as("v2"))
     (canon, deg, triangles)
   }
-
-  /** Above this edge count the wedge Bloom prefilter is skipped: the
-    * filter broadcast grows ~1.2 MB per million edges (1% fpp), and past
-    * ~60 MB the executor-resident blob plus the build pass cost more than
-    * the exchange rows they save.
-    */
-  private val BloomEdgeCap: Long = 50000000L
 
   /** Synchronous label propagation (community detection) on the simple
     * undirected graph, `rounds` rounds, fully deterministic: every node
@@ -1143,8 +1140,11 @@ object Graphs {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val minSup = k - 2L
 
+    // `e` is canonical, deduplicated and materialized throughout the
+    // peel, so each round's machinery skips the re-canonicalization
+    // (one distinct exchange + one checkpoint per round).
     def supportOf(e: DataFrame): DataFrame = {
-      val (_, _, triangles) = triangleMachinery(e, col("lo"), col("hi"))
+      val (_, _, triangles) = triangleMachineryFromCanon(e)
       val corners = triangles.select(col("u"), col("v1"), col("v2"))
       corners.select(least(col("u"), col("v1")).as("lo"),
           greatest(col("u"), col("v1")).as("hi"))
@@ -1155,28 +1155,41 @@ object Graphs {
         .groupBy(col("lo"), col("hi")).agg(count(lit(1)).as("support"))
     }
 
-    var e = Materialize(
+    // eOwned: the checkpointed relation backing `e` this round — the
+    // first round owns the canonical edge set, later rounds own the
+    // previous round's keep relation (lo, hi, support).
+    var eOwned = Materialize(
       edges.select(endA.cast("long").as("a"), endB.cast("long").as("b"))
         .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
         .distinct())
+    var e = eOwned
     var eCount = e.count()
     var round = 0
     var stable = eCount == 0L
     while (round < maxRounds && !stable) {
-      val keep = supportOf(e).where(col("support") >= minSup)
-        .select(col("lo"), col("hi"))
-      val next = Materialize(e.join(keep, Seq("lo", "hi"), "left_semi"))
-      val nextCount = next.count()
+      // keep ⊆ e by construction: every (lo, hi) supportOf emits is a
+      // corner pair of a triangle of e, i.e. an edge of e — so keep IS
+      // the peeled edge set and the old `e left_semi keep` pass (which
+      // re-ran the support plan as the broadcast build) is redundant.
+      // Materializing keep WITH its support also makes the stable-exit
+      // readout free: at the fixpoint every edge of e survives, so the
+      // last round's keep relation is exactly supportOf(e_final) — the
+      // old readout recomputed one full extra triangle pass for it.
+      val keep = Materialize(supportOf(e).where(col("support") >= minSup))
+      val nextCount = keep.count()
       stable = nextCount == eCount
       eCount = nextCount
-      e.unpersist()
-      e = next
+      eOwned.unpersist()
+      eOwned = keep
+      e = keep.select(col("lo"), col("hi"))
       round += 1
     }
-    // readout: fixpoint support on the surviving edges (by stability it
-    // equals the last peel round's support for every kept edge)
+    // readout: fixpoint support on the surviving edges
     if (eCount == 0L) e.select(col("lo"), col("hi"), lit(0L).as("support")).limit(0)
+    else if (stable) eOwned.select(col("lo"), col("hi"), col("support"))
+    // maxRounds exhausted without a fixpoint: the capped-prefix contract
+    // reports the support of the FINAL edge set — one recompute, as before
     else e.join(supportOf(e), Seq("lo", "hi"))
   }
 

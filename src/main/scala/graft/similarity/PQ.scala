@@ -40,9 +40,16 @@ object PQ {
   }
 
   /** Train `m` codebooks of `k` codewords each over equal vector slices —
-    * one deterministic [[Clustering.lloydCentroids]] run per subspace
-    * (seeds = the k smallest ids' slices; identical grids), so the whole
-    * model is a pure function of the data.
+    * value-identical to one deterministic [[Clustering.lloydCentroids]]
+    * run per subspace (seeds = the k smallest ids' slices; identical
+    * kernels, grids, and tie rules — parity is spec-asserted), but
+    * executed JOINTLY: the m per-subspace Lloyd recursions are
+    * independent, so each iteration computes every subspace's ASSIGN
+    * argmin and per-(subspace, cluster) dimension means in ONE corpus
+    * pass (one map-side-combined exchange of m·k rows) instead of m
+    * separate runs each rescanning the corpus per iteration. At 100 TB
+    * that is `iters` training scans instead of m·iters; at bench scale
+    * it cuts the m·(iters+2) driver round-trips to iters+2.
     */
   def trainCodebooks(
       df: DataFrame,
@@ -54,14 +61,55 @@ object PQ {
       distScale: Int = 6,
       centroidScale: Int = 6): Codebooks = {
     require(m >= 1, s"m must be >= 1, got $m")
-    val dim = df.select(size(vec)).head().getInt(0)
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val rows = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    val dim = {
+      val d = rows.select(size(col("v"))).head().getInt(0)
+      require(d >= 1, "trainCodebooks: empty vectors")
+      d
+    }
     require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
     val sub = dim / m
-    val books = (0 until m).map { j =>
-      Clustering.lloydCentroids(
-        df.select(id.as("id"), slice(vec.cast("array<double>"), j * sub + 1, sub).as("v")),
-        col("id"), col("v"), k, iters, distScale, centroidScale)
-    }.toArray
+    // Seeds: the k smallest-id FULL vectors collected once and sliced
+    // driver-side — elementwise identical to collecting each subspace's
+    // sliced relation separately (slice of cast = cast of slice).
+    val seedRows = rows.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seedRows.length == k, s"lloyd: need >= $k rows, got ${seedRows.length}")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      seedRows.map(fv => fv.slice(j * sub, (j + 1) * sub)
+        .map(Clustering.gridHalfUp(_, centroidScale)))
+    }
+    for (_ <- 1 to iters) {
+      // ASSIGN per subspace rides the same fused SqDistsB kernel + ties-
+      // to-lowest argmin as Clustering.assignTo; UPDATE stacks the m
+      // (subspace, cluster, slice) assignments and averages every
+      // dimension per (subspace, cluster) — the same value multiset, in
+      // the same within-partition row order, as the m independent
+      // aggregates.
+      val pieces = (0 until m).map { j =>
+        val sv = slice(col("v"), j * sub + 1, sub)
+        val dArr = graft.plans.DistBank.distsColumn(sv, books(j), distScale)
+        struct(lit(j).as("j"),
+          (array_position(dArr, array_min(dArr)) - 1).cast("int").as("cluster"),
+          sv.as("sv"))
+      }
+      val dimAvgs = (0 until sub).map(p => avg(element_at(col("sv"), p + 1)).as(s"p$p"))
+      val updated = rows
+        .select(explode(array(pieces: _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.cluster").as("cluster"), col("e.sv").as("sv"))
+        .groupBy(col("j"), col("cluster"))
+        .agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+        .map { r =>
+          (r.getInt(0), r.getInt(1)) ->
+            Array.tabulate(sub)(p =>
+              Clustering.gridHalfUp(r.getDouble(p + 2), centroidScale))
+        }.toMap
+      // empty clusters keep their previous codeword (standard Lloyd)
+      books = Array.tabulate(m)(j =>
+        Array.tabulate(k)(c => updated.getOrElse((j, c), books(j)(c))))
+    }
     Codebooks(books, sub)
   }
 

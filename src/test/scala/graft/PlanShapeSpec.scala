@@ -490,42 +490,31 @@ class PlanShapeSpec extends SparkSpec {
       assert(!s.contains("SortMergeJoin") && !s.contains("BroadcastHashJoin"),
         s"$name result plan should read materialized state, not replay the loop: $s")
     }
-    // q155: wedge generation + closing check are keyed equi-joins over the
-    // materialized oriented-edge relation — shuffled or broadcast hash is
-    // fine, a nested-loop fallback is not.
+    // q155 (round-16 shape): triangles come from the degree-oriented
+    // ADJACENCY-INTERSECTION — two keyed equi-joins of the edge relation
+    // against the √E-bounded out-neighbor arrays plus a per-edge
+    // array_intersect explode, never a nested loop and never a
+    // materialized wedge relation (the round-10/11 wedge join + Bloom
+    // prefilter paid per-wedge join/exchange machinery for ~48M mostly
+    // non-closing candidates at sf0.1; the intersection does the same
+    // comparisons as primitive array ops in one codegen stage).
     val s155 = simplePlan("q155_triangles")
     assert(!s155.contains("BroadcastNestedLoopJoin") && !s155.contains("CartesianProduct"), s155)
     assert(s155.contains("SortMergeJoin") || s155.contains("ShuffledHashJoin") ||
       s155.contains("BroadcastHashJoin"), s155)
-    // the closing check is a SEMI join (probe, not multiply). The Bloom
-    // wedge prefilter is REGIME-AWARE since round 11: when the oriented
-    // edge side will broadcast into the closing join (true at every test
-    // SF), the wedge relation never crosses an exchange and the filter
-    // build is a pure extra pass — measured identical shuffle-record
-    // counts either way — so auto mode SKIPS it here and applies it only
-    // in the shuffle regime (measured 48.2M → 9.4M exchange rows at
-    // sf0.1 with broadcast disabled). Pin both sides of the contract.
-    assert(s155.contains("LeftSemi"), s155)
+    assert(s155.contains("array_intersect"),
+      s"q155 must enumerate triangles by adjacency intersection:\n$s155")
     assert(!s155.contains("graft_bloom_might_contain"),
-      s"auto mode must skip the prefilter under a broadcastable closing join:\n$s155")
-    val prevBloom = System.getProperty("graft.triangles.bloom")
-    try {
-      System.setProperty("graft.triangles.bloom", "force")
-      val forced = simplePlan("q155_triangles")
-      assert(forced.contains("graft_bloom_might_contain"),
-        s"force mode must apply the prefilter:\n$forced")
-    } finally {
-      if (prevBloom == null) System.clearProperty("graft.triangles.bloom")
-      else System.setProperty("graft.triangles.bloom", prevBloom)
-    }
+      s"the wedge Bloom prefilter is retired — no wedge rows cross an exchange:\n$s155")
     // q160 follows q154's contract (materialized iterated state); q161
-    // follows q155's (keyed joins only, semi-join closing probe)
+    // follows q155's (keyed joins + adjacency intersection)
     val s160 = simplePlan("q160_trustrank")
     assert(s160.contains("ExistingRDD") || s160.contains("LocalTableScan"), s160)
     assert(!s160.contains("SortMergeJoin") && !s160.contains("BroadcastHashJoin"), s160)
     val s161 = simplePlan("q161_edge_jaccard")
     assert(!s161.contains("BroadcastNestedLoopJoin") && !s161.contains("CartesianProduct"), s161)
-    assert(s161.contains("LeftSemi"), s161)
+    assert(s161.contains("array_intersect"),
+      s"q161 must enumerate triangles by adjacency intersection:\n$s161")
   }
 
   test("round-10 maintenance shapes: q157's max recompute is dirty-key-restricted; " +

@@ -159,4 +159,29 @@ class Round16Spec extends SparkSpec {
       assert(spark.table("r16_sssp_dist").count() == 1L)
     } finally dropAll(tables)
   }
+
+  test("PQ.trainCodebooks joint single-pass training is bit-identical to m independent " +
+      "Lloyd runs over the vector slices (same seeds, kernels, grids, tie rules)") {
+    import graft.similarity.{Clustering, PQ}
+    // deterministic pseudo-random 8-dim vectors, enough rows that clusters
+    // move across both iterations; includes exact ties (duplicated rows)
+    val rows = (0L until 300L).map { i =>
+      (i, (0 until 8).map(p => ((i * 37 + p * 101) % 97 - 48) / 7.0))
+    }
+    val df = (rows ++ rows.take(20).map { case (i, v) => (i + 1000L, v) })
+      .toDF("id", "v").repartition(16) // force partial-aggregate merges
+    for ((m, k, iters) <- Seq((2, 3, 2), (4, 4, 2), (8, 2, 3))) {
+      val joint = PQ.trainCodebooks(df, $"id", $"v", m, k, iters)
+      val sub = 8 / m
+      val separate = (0 until m).map { j =>
+        Clustering.lloydCentroids(
+          df.select($"id", slice($"v".cast("array<double>"), j * sub + 1, sub).as("sv")),
+          $"id", $"sv", k, iters)
+      }
+      for (j <- 0 until m; c <- 0 until k)
+        assert(joint.books(j)(c).toSeq == separate(j)(c).toSeq,
+          s"m=$m k=$k iters=$iters: subspace $j codeword $c diverged: " +
+            s"${joint.books(j)(c).toSeq} vs ${separate(j)(c).toSeq}")
+    }
+  }
 }
