@@ -1153,8 +1153,17 @@ object Dedup {
   ): DataFrame = {
     require(minDf >= 2, s"minDf below 2 would flag every position: $minDf")
     val spark = docs.sparkSession
-    val grams = docs.select(id.as("doc_id"),
-      posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
+    // The gram explode fans each document out ~|text| ways, so the scan's
+    // partition count — not its bytes — bounds the whole sketch/candidate
+    // pipeline's parallelism (a single small parquet file reads as ONE
+    // task, and that task then pays the full corpus's gram hashing:
+    // measured 2×~1 s single-task stages at sf0.1/local[32]). One
+    // |docs|-row hash exchange is ~0.1% of the ×1000 downstream fan-out
+    // at any scale.
+    val grams = docs
+      .repartition(spark.sessionState.conf.numShufflePartitions, id)
+      .select(id.as("doc_id"),
+        posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
     val bc = spark.sparkContext.broadcast(
       graft.functions.Sketches.cmsSketch(grams, col("h"), depth, width, seed))
     val candidate = org.apache.spark.sql.GraftBridge.column(
@@ -2117,10 +2126,22 @@ object Dedup {
 
   /** Exact intersection sizes for the candidates: one pair-keyed count
     * over the full (doc, term) relation.
+    *
+    * The STREAMED (doc, term) side is repartitioned at the session
+    * shuffle-partition count before the verification joins: the planner
+    * broadcasts the small candidate relation, so the stage doing the
+    * candidate×term fan-out work runs at the dt checkpoint's block
+    * count, and byte-based sizing leaves that at a handful of blocks
+    * (measured at sf0.1/local[32]: q185's verification stage ran 2
+    * tasks × ~3 s — 6 s of task time on 2 cores). One |dt|-row
+    * exchange of 16-byte rows, which the doc_a join needs anyway in the
+    * shuffle regime.
     */
   private def intersectionsOf(cand: DataFrame, dt: DataFrame): DataFrame =
-    cand
-      .join(dt.select(col("doc_id").as("doc_a"), col("term")), Seq("doc_a"))
+    dt.repartition(dt.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .select(col("doc_id").as("doc_a"), col("term"))
+      .join(cand, Seq("doc_a"))
       .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
       .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .agg(count(lit(1)).as("inter"))

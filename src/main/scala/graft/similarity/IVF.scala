@@ -326,8 +326,33 @@ object IVF {
       .where(col("__pr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"))
     val nn = col("q_nrm") * col("n_nrm")
+    // SALT the cell join (guide: synthetic keys with too few distinct
+    // values): the join key has only |centroids| values, so however many
+    // partitions the exchange has, at most |centroids| are non-empty —
+    // and the per-partition work is the |cell corpus|×|cell probes| dot
+    // fan-out (measured at sf0.1/local[32]: the q144 scoring stage ran
+    // ONE task, 1.7 s). The corpus side takes a deterministic per-row
+    // salt (xxhash64 of the id — never rand(), which re-draws on task
+    // retry), the probe side replicates across all S salts; every
+    // (corpus, probe) pair still meets exactly once, on one (cell, salt)
+    // key. S is bounded so probe replication stays negligible: at most
+    // 16, and no more than it takes for cells×S to cover the session's
+    // configured parallelism (a cluster's thousands of cells already
+    // spread — S degrades to 1).
+    val saltS = math.max(1, math.min(16,
+      math.ceil(corpus.sparkSession.sessionState.conf.numShufflePartitions.toDouble /
+        math.max(1, centroids.length)).toInt))
+    // REPARTITION_BY_NUM on the salted corpus side: the salt alone only
+    // raises the distinct-key count — AQE's byte-based coalescing would
+    // still fold the tiny post-shuffle partitions back into one; pinning
+    // the partition count keeps the scoring stage at the session's
+    // configured parallelism.
     val scored = assigned
-      .join(probes, Seq("cell")) // shuffled join on cell — NOT broadcast
+      .withColumn("__salt", pmod(xxhash64(col("n_id")), lit(saltS.toLong)).cast("int"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"), col("__salt"))
+      .join(probes.withColumn("__salt",
+        explode(lit((0 until saltS).toArray))), Seq("cell", "__salt"))
       .where(col("q_id") =!= col("n_id"))
       .select(
         col("q_id"), col("n_id"),

@@ -120,8 +120,23 @@ object NeighborOps {
       .where(col("__pr") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_label"), col("q_nrm"), col("cell"))
     val nn = col("q_nrm") * col("n_nrm")
+    // salted cell join — the [[IVF.joinTopK]] discipline: |centroids|
+    // distinct keys cap the scoring stage's parallelism at the cell
+    // count however wide the exchange is; a bounded deterministic salt
+    // (corpus side hashed, probe side replicated ≤16×) spreads the
+    // per-cell dot fan-out across the session's configured parallelism
+    val saltS = math.max(1, math.min(16,
+      math.ceil(corpus.sparkSession.sessionState.conf.numShufflePartitions.toDouble /
+        math.max(1, centroids.length)).toInt))
+    // REPARTITION_BY_NUM pin (the [[IVF.joinTopK]] note): the salt only
+    // raises distinct keys; AQE byte-coalescing would still fold the
+    // tiny partitions back together without the pinned count
     val scored = assigned
-      .join(probes, Seq("cell")) // shuffled cell join — NOT broadcast
+      .withColumn("__salt", pmod(xxhash64(col("n_id")), lit(saltS.toLong)).cast("int"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cell"), col("__salt"))
+      .join(probes.withColumn("__salt",
+        explode(lit((0 until saltS).toArray))), Seq("cell", "__salt"))
       .where(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
       .select(
         col("q_id"), col("q_label"), col("n_id"), col("n_label"),
