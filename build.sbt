@@ -11,6 +11,30 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One forked JVM PER SUITE, up to 6 concurrently: the 38-suite sequential
+// run (~48 min of suite wall-clock at round 16) outgrew the driver's
+// verify budget and the round closed on an unfinished `sbt test`
+// (round-16 verdict item 1). Suites are independent by construction —
+// per-suite table names under spark-warehouse/, per-run temp dirs, and a
+// session conf that is now per-JVM (so one suite's conf fiddling, e.g.
+// PlanShapeSpec's autoBroadcastJoinThreshold toggles, can no longer leak
+// into a concurrently planning suite). 6 × local[4] task slots + driver
+// threads fits the 32-core box; 6 × 8g heap fits 128 GiB.
+Test / testGrouping := {
+  val opts = ForkOptions()
+    .withJavaHome((Test / javaHome).value)
+    .withOutputStrategy((Test / outputStrategy).value)
+    .withRunJVMOptions((Test / javaOptions).value.toVector)
+    .withWorkingDirectory((Test / baseDirectory).value)
+    .withEnvVars((Test / envVars).value)
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(opts))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(8),
+)
 // The bench/verify contract is "the program's stdout": sbt's default
 // LoggedOutput prefixes every forked line with "[info] ", which breaks
 // any consumer that parses a stdout line as JSON. Pass it through raw.

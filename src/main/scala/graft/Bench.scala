@@ -145,8 +145,32 @@ object Bench {
     println(s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""")
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
     val unstableFailedJson = unstableFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson,"unstable_failed":$unstableFailedJson}""")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"unstable_failed_count":${unstableFailed.size},"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}""")
+    // record_unreliable: round 16 closed on a bench whose unstable count
+    // TRIPLED under box contention and the contaminated totals became the
+    // round's number — flag the record in the summary line itself when
+    // more than 20% of benched queries needed a contention re-rep (23/199
+    // on an idle box historically; 67/199 on the contended one), so a
+    // noisy run can never silently pass for a regression or a win.
+    val unreliable = timed.nonEmpty && unstable.size * 5 > timed.size
+    val medLine = s"""{"detail":"per-query median of $reps reps","queries":${jsonMap(med)},"failed":$failedJson,"unstable":$unstableJson,"unstable_failed":$unstableFailedJson}"""
+    val totalLine = s"""{"metric":"total","value":${r4(total)},"unit":"sec","reps":$reps,"benched":${timed.size},"failed_count":${failures.size},"unstable_count":${unstable.size},"unstable_failed_count":${unstableFailed.size},"record_unreliable":$unreliable,"contended":$contended,"pre_load":${r4(preLoad)},"sf":"$sfDir"}"""
+    println(medLine)
+    println(totalLine)
+    // FILE artifact (round-16 verdict item 2): the ~6 KB per-query detail
+    // line overflows the driver's bounded stdout-tail capture at 199
+    // queries, which voided round 16's per-query comparison entirely —
+    // persist the full record next to the repo so medians survive any
+    // tail truncation. stdout contract above is unchanged.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json"))
+      java.nio.file.Files.write(out,
+        (s"""{"detail":"per-query min of $reps reps","queries_min":${jsonMap(mins)}}""" +
+          "\n" + medLine + "\n" + totalLine + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"bench: detail file write failed (record still on stdout): $t")
+    }
     spark.stop()
   }
 }

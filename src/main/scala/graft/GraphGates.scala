@@ -79,15 +79,28 @@ object GraphGates {
     * key would pay three. Equivalent to
     * `lp JOIN lp ON same order AND pa < pb` (sorted set ⇒ pa < pb).
     */
-  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
+  private[graft] def coOrderPairs(s: SparkSession, d: String): DataFrame = {
+    // NOTE (round 17, two measured counter-examples — kept as-is):
+    // (a) a pinned repartition(N, l_orderkey) ahead of the groupBy
+    // regressed 8× in task time (lineitem arrives sorted by orderkey,
+    // so the scan-side partial collect_set builds each order's complete
+    // set map-side and ships one compact row; the pin shuffled raw rows
+    // and moved the set-build past the exchange: 24.6 s vs 3.0 s task
+    // time in the q155 canon build); (b) a gated round-robin pin AFTER
+    // the aggregate widened the explode to 32 tasks but cost 5× task
+    // time (14.7 s vs 3.0 s) — sort-before-repartition comparing the
+    // set ARRAYS per row — for no wall win. The ~0.7 s 4-task explode
+    // is this stage's honest local floor.
+    val sets = Tables.lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    sets
       .select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), greatest(size(col("ps")) - i - 1, lit(0))),
           y => struct(x.as("pa"), y.as("pb"))))))
         .as("e"))
       .select(col("e.pa").as("pa"), col("e.pb").as("pb"))
+  }
 
   /** q156 — minimum hop distance (≤ 3) from suppliers 0–5 over the SPARSE
     * transition graph (lines with `l_quantity ≥ 48` only). Frontier-only

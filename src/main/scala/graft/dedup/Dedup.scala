@@ -1157,11 +1157,12 @@ object Dedup {
     // partition count — not its bytes — bounds the whole sketch/candidate
     // pipeline's parallelism (a single small parquet file reads as ONE
     // task, and that task then pays the full corpus's gram hashing:
-    // measured 2×~1 s single-task stages at sf0.1/local[32]). One
-    // |docs|-row hash exchange is ~0.1% of the ×1000 downstream fan-out
-    // at any scale.
-    val grams = docs
-      .repartition(spark.sessionState.conf.numShufflePartitions, id)
+    // measured 2×~1 s single-task stages at sf0.1/local[32]).
+    // REGIME-GATED ([[graft.Fanout]]): the pin applies only when the
+    // docs scan collapsed below the session target — at cluster scale
+    // the scan is already wide and an unconditional pin would shuffle
+    // every document's raw TEXT for nothing (round-16 verdict).
+    val grams = graft.Fanout.repartitionSelfIfNarrow(docs, id)
       .select(id.as("doc_id"),
         posexplode(graft.functions.Hashing.gramHashes(text, n)).as(Seq("pos", "h")))
     val bc = spark.sparkContext.broadcast(
@@ -1169,6 +1170,13 @@ object Dedup {
     val candidate = org.apache.spark.sql.GraftBridge.column(
       graft.plans.CmsCountGteB(
         bc, minDf, org.apache.spark.sql.GraftBridge.expression(xxhash64(col("h")))))
+    // cand is recomputed by both consumers (the exact-df aggregate and
+    // the final semi-join) — deliberately: a round-17 experiment
+    // checkpointed it and the survivor relation's checkpoint write cost
+    // MORE than the two map-side CMS-screened gram re-passes it saved
+    // (q139 profile: a 15.6 s-task-time materialize vs ~5.5 s per
+    // re-pass at sf0.1/local[32]; bench 3.75 → 4.84 s). Kept
+    // un-materialized, the counter-example discipline.
     val cand = grams.where(candidate)
     val hot = cand.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -2101,16 +2109,34 @@ object Dedup {
   }
 
   /** Per-doc prefix: the first `keepLen` tokens in global (df, term)
-    * order, carried with the doc's set size.
+    * order, carried with the doc's set size — MATERIALIZED, because the
+    * candidate self-join references it twice and the two sides do not
+    * canonicalize to one reusable exchange (round-17 q175/q185 plans:
+    * the full df-join + size-join + window pipeline appeared twice,
+    * once streamed and once under the broadcast build). The prefix is
+    * a bounded sub-relation of dt (≤ one row per (doc, prefix token),
+    * 24-byte rows), so the checkpoint is cheap at any scale and both
+    * candidate sides read it.
+    *
+    * The window's doc exchange is PINNED at the session width
+    * (replacing the ENSURE_REQUIREMENTS exchange the window plans
+    * anyway — same key, same bytes): AQE's byte-based coalescing
+    * otherwise folded the post-shuffle side to 2 partitions at
+    * sf0.1/local[32], and the entire downstream (window, self-join
+    * probe, verification) fused into that 2-task stage — 9 s of task
+    * time on 2 cores (round-17 profile).
     */
   private def prefixOf(
       dt: DataFrame, sizes: DataFrame, order: DataFrame, keepLen: Column): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("term").asc)
-    dt.join(order, Seq("term"))
-      .join(sizes, Seq("doc_id"))
-      .withColumn("pos", row_number().over(byDoc))
-      .where(col("pos") <= keepLen)
-      .select(col("term"), col("doc_id"), col("sz"))
+    graft.Materialize(
+      dt.join(order, Seq("term"))
+        .join(sizes, Seq("doc_id"))
+        .repartition(dt.sparkSession.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .withColumn("pos", row_number().over(byDoc))
+        .where(col("pos") <= keepLen)
+        .select(col("term"), col("doc_id"), col("sz")))
   }
 
   /** Candidate pairs sharing a prefix token, pruned by `lengthPred`
@@ -2124,25 +2150,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
       .distinct()
 
-  /** Exact intersection sizes for the candidates: one pair-keyed count
-    * over the full (doc, term) relation.
+  /** Exact intersection sizes for the candidates, by SET-ARRAY
+    * INTERSECTION (the round-16 triangle discipline applied to the
+    * verification join): pack each doc's distinct terms into one sorted
+    * array (one |dt|-row map-side-combined aggregate), attach both
+    * docs' arrays to each candidate pair with two |cand|-row keyed
+    * joins, and count `array_intersect` inside one codegen stage.
     *
-    * The STREAMED (doc, term) side is repartitioned at the session
-    * shuffle-partition count before the verification joins: the planner
-    * broadcasts the small candidate relation, so the stage doing the
-    * candidate×term fan-out work runs at the dt checkpoint's block
-    * count, and byte-based sizing leaves that at a handful of blocks
-    * (measured at sf0.1/local[32]: q185's verification stage ran 2
-    * tasks × ~3 s — 6 s of task time on 2 cores). One |dt|-row
-    * exchange of 16-byte rows, which the doc_a join needs anyway in the
-    * shuffle regime.
+    * This replaces the round-12..16 posting-list shape — `dt ⋈ cand`
+    * fanned every candidate out to |terms(doc_a)| rows, shuffled that
+    * fan-out relation on (doc_b, term), and paid a pair-keyed aggregate
+    * over the matches (measured at sf0.1/local[32]: the fan-out join +
+    * aggregate dominated q175/q185 at ~5 s each; plan before/after in
+    * plans/r17/). The comparisons are the same O(Σ per-pair set sizes)
+    * either way; intersection does them as primitive array ops and
+    * never materializes or shuffles a fan-out row (guide §2.3: shuffle
+    * fewer bytes). Every candidate pair shares its prefix token, so
+    * `inter ≥ 1` and the `inter > 0` restriction keeps row-parity with
+    * the old aggregate shape (which emitted only matched pairs).
+    *
+    * Scale: the packed-array relation is |docs| rows of the same bytes
+    * dt held; per-row size is bounded by the max set size, which
+    * [[cosineJoinSets]] already caps (~3·10^5) and jaccard callers
+    * bound by construction (tokenized documents). The candidate side
+    * stays broadcast-eligible; at cluster scale both attach joins
+    * degrade to |cand|-row keyed shuffles — strictly fewer bytes than
+    * the fan-out relation those replaced.
     */
-  private def intersectionsOf(cand: DataFrame, dt: DataFrame): DataFrame =
-    dt.repartition(dt.sparkSession.sessionState.conf.numShufflePartitions,
-        col("doc_id"))
-      .select(col("doc_id").as("doc_a"), col("term"))
-      .join(cand, Seq("doc_a"))
-      .join(dt.select(col("doc_id").as("doc_b"), col("term")), Seq("doc_b", "term"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
-      .agg(count(lit(1)).as("inter"))
+  private def intersectionsOf(cand: DataFrame, dt: DataFrame): DataFrame = {
+    // sets is MATERIALIZED: both attach joins reference it and the two
+    // collect_list aggregates did not canonicalize to one reusable
+    // exchange (round-17 q175/q185 plans: two full |dt| shuffles + array
+    // builds). Same bytes as the dt checkpoint, packed.
+    val sets = graft.Materialize(dt.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("term"))).as("__ts")))
+    // The candidate relation is repartitioned at the session width: the
+    // intersection stage's work is Σ per-pair set sizes — compute per
+    // ROW, not bytes — and the candidate distinct's output is small
+    // enough that AQE coalesces it to a couple of partitions (measured:
+    // q185's verification ran 2 tasks × 3.5 s at sf0.1/local[32]). The
+    // exchange carries 32-byte pair metadata (never arrays/text), keyed
+    // on doc_a so the shuffle regime's attach join reuses it — the
+    // cheap-proxy-side spread the guide's §8 rule prescribes, safe
+    // unconditioned at any scale (candidates are output-bounded).
+    cand
+      .repartition(cand.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("__ts").as("__ta")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("__ts").as("__tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("inter"))
+      .where(col("inter") > 0)
+  }
 }

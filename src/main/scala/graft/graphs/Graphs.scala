@@ -139,11 +139,20 @@ object Graphs {
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
 
     val v = Materialize(nodes.select(node.cast("long").as("node")).where(col("node").isNotNull).distinct())
-    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
-        weight.cast("double").as("w"))
-      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst") &&
-        col("w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+    // e0 is MATERIALIZED before the share staging: both the edge
+    // relation (e) and the node-degree relation (withDeg) derive from
+    // it, and un-checkpointed each would recompute the caller's full
+    // edge input — for q184 a window over the whole lineitem relation —
+    // once more (round-17: two full transition passes measured in the
+    // q184 setup; one |E| checkpoint of three narrow columns buys the
+    // second pass back at any scale, since the caller's edge input is
+    // arbitrary upstream work).
+    val e0 = Materialize(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"),
+          weight.cast("double").as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst") &&
+          col("w") > 0)
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
     val outw = e0.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     val e = Materialize(
       e0.join(outw, Seq("src")).select(col("src"), col("dst"), (col("w") / col("outw")).as("fr")))
@@ -155,6 +164,7 @@ object Graphs {
     val withDeg = Materialize(
       v.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("outw"), lit(0.0)).as("outdeg")))
+    e0.unpersist()
 
     val init = round(lit(1.0 / n), scale)
     val out = prIterations(
@@ -525,13 +535,18 @@ object Graphs {
         .join(reached, Seq("root", "node"), "left_anti")
         .groupBy(col("root"), col("node")).agg(sum(col("sigma")).as("sigma"))
       val fresh = Materialize(cand)
-      if (fresh.isEmpty) {
+      // ONE driver action per level for both the exhaustion test and the
+      // overflow guard (round 17: the old isEmpty + max pair cost two
+      // scheduling round-trips per level in a loop whose per-level work
+      // is tiny — q195 spent half its wall in driver gaps across 71 jobs)
+      val stats = fresh.agg(count(lit(1)), max(col("sigma"))).head()
+      if (stats.getLong(0) == 0L) {
         exhausted = true
         fresh.unpersist()
       } else {
         // loud overflow guard: σ must stay far from Long.Max (sum wraps
         // silently); trip at 2^62 so one more doubling cannot wrap
-        val mx = fresh.agg(max(col("sigma"))).head().getLong(0)
+        val mx = stats.getLong(1)
         require(mx > 0 && mx < (1L << 62),
           s"betweennessKSources: path counts overflow LONG at level $h (max σ = $mx) — " +
             "lower maxHops or shrink the source ball")
@@ -690,10 +705,10 @@ object Graphs {
     val denom = (col("dlo") - 1) + (col("dhi") - 1) - col("common")
     // streamed-side parallelism pin (the triangleMachineryFromCanon
     // discipline): the readout probes three broadcast relations per edge
-    // row and otherwise runs at the canon checkpoint's block count
-    canon
-      .repartition(canon.sparkSession.sessionState.conf.numShufflePartitions,
-        col("lo"), col("hi"))
+    // row and otherwise runs at the canon checkpoint's block count.
+    // REGIME-GATED ([[graft.Fanout]]): skipped when canon is already at
+    // the session target width (round-16 verdict).
+    graft.Fanout.repartitionSelfIfNarrow(canon, col("lo"), col("hi"))
       .join(perEdge, Seq("lo", "hi"), "left")
       .na.fill(0L, Seq("common"))
       .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
@@ -731,8 +746,9 @@ object Graphs {
     // and [[edgeJaccardFrom]]'s two readout joins) broadcast an
     // identical canonicalized subtree, which Spark's ReuseExchange
     // dedupes to one build — a checkpoint here measured as pure
-    // overhead.
-    val deg = canon.select(col("lo").as("node")).unionAll(canon.select(col("hi").as("node")))
+    // overhead. ONE scan of canon per build (endpoint-pair explode),
+    // not the unionAll double-scan — the round-17 kCore finding.
+    val deg = canon.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
     // Orient each edge low-(deg, id) → high-(deg, id): a total order, so
@@ -766,7 +782,8 @@ object Graphs {
     // exchanges are |V|-row (adjacency build) and |E|-row (the two
     // joins), so the Bloom prefilter — which existed to keep wedge rows
     // out of the closing exchange — has nothing left to protect and is
-    // retired with the wedge join (measurements: OPTIMIZATION_r16.md).
+    // retired with the wedge join (measurements: SCALING.md round 16,
+    // re-measured in OPTIMIZATION_r17.md).
     //
     // Join strategy is the planner's: the adjacency relation broadcasts
     // when it fits (both references share one ReusedExchange build), and
@@ -779,12 +796,12 @@ object Graphs {
     // Σ(d⁺(u)+d⁺(v)) per edge, not its input bytes, and byte-based
     // sizing (the checkpoint's final-stage width, AQE coalescing)
     // otherwise runs it at a handful of tasks (measured: 3 tasks ×
-    // ~2.2 s at sf0.1/local[32]). One |E|-row exchange of 16-byte rows;
-    // in the shuffle regime the join needs that exchange anyway. Only
-    // the streamed side is pinned — the adjacency build side keeps its
-    // broadcast-eligible statistics.
-    val triP = canon.sparkSession.sessionState.conf.numShufflePartitions
-    val triangles = oriented.repartition(triP, col("u"))
+    // ~2.2 s at sf0.1/local[32]). Only the streamed side is pinned —
+    // the adjacency build side keeps its broadcast-eligible statistics.
+    // REGIME-GATED ([[graft.Fanout]]): skipped when the oriented
+    // checkpoint is already at the session target width (round-16
+    // verdict — no new exchange in the already-wide regime).
+    val triangles = graft.Fanout.repartitionSelfIfNarrow(oriented, col("u"))
       .join(adj, Seq("u"))
       .join(adj.select(col("u").as("v"), col("__nb").as("__nb2")), Seq("v"))
       .select(col("u"), col("v").as("v1"),
@@ -1082,7 +1099,12 @@ object Graphs {
     var round = 0
     var stable = false
     while (round < maxRounds && !stable) {
-      val deg = e.select(col("lo").as("node")).unionAll(e.select(col("hi").as("node")))
+      // ONE scan of the edge checkpoint per degree aggregate (explode of
+      // the endpoint pair), not the unionAll double-scan: the per-round
+      // degree map stage dominated the q174 profile (round 17: ~5.5 s of
+      // task time per round at sf0.1/local[32], 7 rounds), and half of
+      // it was the second scan feeding identical partials.
+      val deg = e.select(explode(array(col("lo"), col("hi"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       val keep = deg.where(col("deg") >= k).select(col("node"))
       val next = Materialize(
@@ -1099,7 +1121,7 @@ object Graphs {
       e = next
       round += 1
     }
-    val out = e.select(col("lo").as("node")).unionAll(e.select(col("hi").as("node")))
+    val out = e.select(explode(array(col("lo"), col("hi"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     out
   }

@@ -342,15 +342,21 @@ object IVF {
     val saltS = math.max(1, math.min(16,
       math.ceil(corpus.sparkSession.sessionState.conf.numShufflePartitions.toDouble /
         math.max(1, centroids.length)).toInt))
-    // REPARTITION_BY_NUM on the salted corpus side: the salt alone only
-    // raises the distinct-key count — AQE's byte-based coalescing would
-    // still fold the tiny post-shuffle partitions back into one; pinning
-    // the partition count keeps the scoring stage at the session's
-    // configured parallelism.
-    val scored = assigned
+    // REGIME-GATED repartition pin on the salted corpus side
+    // ([[graft.Fanout]]): in the collapsed local regime the salt alone
+    // only raises the distinct-key count — AQE's byte-based coalescing
+    // would still fold the tiny post-shuffle partitions back into one,
+    // so the pin keeps the scoring stage at the session's configured
+    // parallelism. When the corpus scan is already at/above the target
+    // width (the cluster regime, where this join runs broadcast and the
+    // corpus never moves) the pin is SKIPPED — an unconditional pin
+    // would shuffle every embedding vector that the broadcast plan
+    // never paid (round-16 verdict). The probe is the raw corpus scan,
+    // never the (possibly joined) assigned relation.
+    val salted = assigned
       .withColumn("__salt", pmod(xxhash64(col("n_id")), lit(saltS.toLong)).cast("int"))
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cell"), col("__salt"))
+    val scored = graft.Fanout
+      .repartitionIfNarrow(salted, corpus, col("cell"), col("__salt"))
       .join(probes.withColumn("__salt",
         explode(lit((0 until saltS).toArray))), Seq("cell", "__salt"))
       .where(col("q_id") =!= col("n_id"))

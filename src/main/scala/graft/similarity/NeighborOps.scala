@@ -128,13 +128,14 @@ object NeighborOps {
     val saltS = math.max(1, math.min(16,
       math.ceil(corpus.sparkSession.sessionState.conf.numShufflePartitions.toDouble /
         math.max(1, centroids.length)).toInt))
-    // REPARTITION_BY_NUM pin (the [[IVF.joinTopK]] note): the salt only
-    // raises distinct keys; AQE byte-coalescing would still fold the
-    // tiny partitions back together without the pinned count
-    val scored = assigned
+    // REGIME-GATED repartition pin (the [[IVF.joinTopK]] note /
+    // [[graft.Fanout]]): pinned only when the corpus scan collapsed
+    // below the session target — in the broadcast regime at scale the
+    // corpus never moves and the pin would shuffle every vector
+    val salted = assigned
       .withColumn("__salt", pmod(xxhash64(col("n_id")), lit(saltS.toLong)).cast("int"))
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cell"), col("__salt"))
+    val scored = graft.Fanout
+      .repartitionIfNarrow(salted, corpus, col("cell"), col("__salt"))
       .join(probes.withColumn("__salt",
         explode(lit((0 until saltS).toArray))), Seq("cell", "__salt"))
       .where(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))

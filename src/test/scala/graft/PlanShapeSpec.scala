@@ -26,6 +26,22 @@ class PlanShapeSpec extends SparkSpec {
   private def simplePlan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Both ALL-query sweeps (the cartesian/single-partition gate and the
+    * large-Literal gate) pay the query CONSTRUCTION cost for every gated
+    * query — and construction is where the iterative/stream gates run
+    * real jobs (stream replays, peel rounds): ~8 min per sweep at round
+    * 16, the bulk of this suite's wall-clock and a driver-budget breaker
+    * (round-16 verdict item 1). Construct each query ONCE here and let
+    * both sweeps read the cache; tests that re-plan under a modified
+    * session conf (the broadcast-threshold toggles) stay on the direct
+    * path, since a cached plan would not see the conf change.
+    */
+  private lazy val allQueryExecutions
+      : Map[String, org.apache.spark.sql.execution.QueryExecution] =
+    SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).queryExecution
+    }.toMap
+
   test("q02 filter is pushed to the parquet scan and the schema is pruned") {
     val p = plan("q02_filter")
     assert(p.contains("PushedFilters"), p)
@@ -44,7 +60,7 @@ class PlanShapeSpec extends SparkSpec {
     // round-3 FormattedMode form never matched, because formatted output
     // prints "Exchange" and puts "SinglePartition" in a detail line.
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val p = simplePlan(name)
+      val p = allQueryExecutions(name).executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
       val lines = p.linesIterator.toVector
       for (i <- lines.indices if lines(i).contains("Exchange SinglePartition")) {
@@ -441,7 +457,7 @@ class PlanShapeSpec extends SparkSpec {
 
     def literals(name: String): Seq[Literal] = {
       val buf = scala.collection.mutable.ArrayBuffer.empty[Literal]
-      SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan.foreach { node =>
+      allQueryExecutions(name).optimizedPlan.foreach { node =>
         node.expressions.foreach(_.foreach { case l: Literal => buf += l; case _ => () })
       }
       buf.toSeq
@@ -604,10 +620,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(s174.contains("HashAggregate"), s174)
     // q175: candidates come from the prefix equi-join over checkpointed
     // token partials — never a cartesian, never a corpus-side broadcast
-    // nested loop; the per-doc prefix window is doc-partitioned
+    // nested loop; the per-doc prefix window is doc-partitioned.
+    // Verification (round 17) counts shared terms by packed-array
+    // intersection — the posting-list fan-out join/aggregate is gone
     val s175 = simplePlan("q175_jaccard_join")
     assert(!s175.contains("Scan parquet"), s175)
     assert(!s175.contains("CartesianProduct") && !s175.contains("BroadcastNestedLoopJoin"), s175)
+    assert(s175.contains("array_intersect"),
+      s"q175 must verify candidates by packed-array intersection:\n$s175")
     // q176: ONE keyed exchange for the running-carry window; the
     // attribution is a filter over the carry — no self-join
     val s176 = simplePlan("q176_attribution")
@@ -648,10 +668,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!s184.contains("Scan parquet"), s184)
     assert(!s184.contains("CartesianProduct"), s184)
     // q185: the cosine join rides the same checkpointed prefix machinery
-    // as q175 — no corpus rescan, no cartesian, no broadcast nested loop
+    // as q175 — no corpus rescan, no cartesian, no broadcast nested loop;
+    // round-17 packed-array intersection verification, like q175
     val s185 = simplePlan("q185_cosine_join")
     assert(!s185.contains("Scan parquet"), s185)
     assert(!s185.contains("CartesianProduct") && !s185.contains("BroadcastNestedLoopJoin"), s185)
+    assert(s185.contains("array_intersect"),
+      s"q185 must verify candidates by packed-array intersection:\n$s185")
     // q186: the delta-join view merge is keyed joins + one full-outer on
     // the group key — never a cartesian, never a single-partition exchange
     val s186 = simplePlan("q186_join_view")
